@@ -1,0 +1,116 @@
+package graft.etl
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.table.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** A job = ordered stage list + environment gate (SURVEY.md §1.5, §3).
+  *
+  * JSON shape mirrors the reference's stage configs
+  * (`example/notebook/scd2-job.ipynb` raw-JSON cells):
+  * {{{
+  * {"stages": [
+  *   {"type": "DelimitedExtract", "name": "extract initial",
+  *    "environments": ["production","test"],
+  *    "inputURI": "${ETL_CONF_DATALAKE_LOC}/initial_contacts.csv",
+  *    "outputView": "initial_raw", "delimiter": "Comma",
+  *    "header": false, "quote": "None"},
+  *   ...]}
+  * }}}
+  */
+final case class JobSpec(stages: Seq[Stage]) {
+
+  /** Run stages in order under `environment`, threading the view catalog
+    * through the session (entry-point A trace, SURVEY.md §3). Returns the last
+    * produced view, if any. */
+  def run(spark: SparkSession, env: Map[String, String],
+          environment: String = "production"): Option[DataFrame] = {
+    val active = stages.filter(s => s.environments.isEmpty || s.environments.contains(environment))
+    active.foldLeft(Option.empty[DataFrame]) { (last, stage) =>
+      stage.execute(spark, env).orElse(last)
+    }
+  }
+}
+
+object JobSpec {
+  private val mapper = new ObjectMapper()
+
+  def fromFile(path: String): JobSpec =
+    fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+
+  def fromJson(json: String): JobSpec = {
+    val root = mapper.readTree(json)
+    val stagesNode = if (root.has("stages")) root.get("stages") else root
+    require(stagesNode.isArray, "job spec must have a 'stages' array")
+    JobSpec(stagesNode.elements().asScala.map(parseStage).toSeq)
+  }
+
+  private def str(n: JsonNode, k: String): String = {
+    require(n.has(k), s"stage missing required key '$k': $n")
+    n.get(k).asText()
+  }
+  private def optStr(n: JsonNode, k: String): Option[String] =
+    if (n.has(k) && !n.get(k).isNull) Some(n.get(k).asText()) else None
+  private def optInt(n: JsonNode, k: String): Option[Int] =
+    if (n.has(k) && !n.get(k).isNull) Some(n.get(k).asInt()) else None
+  private def envs(n: JsonNode): Seq[String] =
+    if (n.has("environments")) n.get("environments").elements().asScala.map(_.asText()).toSeq
+    else Nil
+  private def strMap(n: JsonNode, k: String): Map[String, String] =
+    if (n.has(k))
+      n.get(k).properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    else Map.empty
+
+  private def parseStage(n: JsonNode): Stage = {
+    val name = optStr(n, "name").getOrElse("")
+    str(n, "type") match {
+      case "DelimitedExtract" => DelimitedExtract(
+        name, str(n, "inputURI"), str(n, "outputView"),
+        optStr(n, "delimiter").getOrElse("Comma"),
+        n.has("header") && n.get("header").asBoolean(),
+        optStr(n, "quote").getOrElse("DoubleQuote"), envs(n))
+      case "ParquetExtract" =>
+        ParquetExtract(name, str(n, "inputURI"), str(n, "outputView"), envs(n))
+      case "JsonExtract" =>
+        JsonExtract(name, str(n, "inputURI"), str(n, "outputView"), envs(n))
+      case "TypingTransform" => TypingTransform(
+        name, str(n, "inputView"), str(n, "outputView"),
+        optStr(n, "schemaURI"),
+        if (n.has("schema")) Some(n.get("schema").toString) else None,
+        !n.has("positional") || n.get("positional").asBoolean(),
+        optStr(n, "failMode").getOrElse("permissive"), envs(n))
+      case "SQLTransform" => SQLTransform(
+        name, str(n, "sql"), str(n, "outputView"), strMap(n, "sqlParams"), envs(n))
+      case "DeltaLakeLoad" | "TableLoad" => TableLoad(
+        name, str(n, "inputView"), str(n, "outputURI"), optInt(n, "numPartitions"), envs(n))
+      case "DeltaLakeExtract" | "TableExtract" =>
+        val opts = if (n.has("options")) n.get("options") else n
+        TableExtract(name, str(n, "inputURI"), str(n, "outputView"),
+          optInt(opts, "relativeVersion"),
+          optInt(opts, "versionAsOf").map(_.toLong), envs(n))
+      case "DeltaLakeMergeLoad" | "TableMergeLoad" => TableMergeLoad(
+        name, str(n, "inputView"), str(n, "outputURI"), str(n, "condition"),
+        whenMatchedUpdate =
+          if (n.has("whenMatchedUpdate")) {
+            val u = n.get("whenMatchedUpdate")
+            Some(Merge.MatchedUpdate(optStr(u, "condition"), strMap(u, "values")))
+          } else None,
+        whenMatchedDelete =
+          if (n.has("whenMatchedDelete"))
+            Some(Merge.MatchedDelete(optStr(n.get("whenMatchedDelete"), "condition")))
+          else None,
+        whenNotMatchedByTargetInsert =
+          if (n.has("whenNotMatchedByTargetInsert")) {
+            val i = n.get("whenNotMatchedByTargetInsert")
+            Some(Merge.NotMatchedInsert(optStr(i, "condition"), strMap(i, "values")))
+          } else None,
+        numPartitions = optInt(n, "numPartitions"), environments = envs(n))
+      case "SQLExecute" | "JDBCExecute" =>
+        SQLExecute(name, str(n, "sql"), strMap(n, "sqlParams"), envs(n))
+      case "PrintSchema" => PrintSchema(name, str(n, "inputView"), envs(n))
+      case other => throw new IllegalArgumentException(s"unknown stage type '$other'")
+    }
+  }
+}

@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One harness query: a Spark implementation plus (when SQL-expressible) an
+  * equivalent DuckDB oracle over the same parquet tables (driver contract —
+  * `SparkEntry.queries` / `SparkEntry.oracleSql`).
+  *
+  * Exactness discipline (so the driver's hash compare passes):
+  *  - money doubles are exactly-2dp in the testdata → cast to DECIMAL before
+  *    SUM, cast the final aggregate back to DOUBLE: identical bits both engines
+  *  - integer-valued doubles (l_quantity) sum exactly in binary → no cast
+  *  - column names are aliased identically on both sides
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  /** A query whose Spark side is the exact same SQL text as the oracle,
+    * executed over temp views registered from the sf dir. */
+  def sharedSql(name: String, sql: String): Q =
+    Q(name, (spark, dir) => { Tables.registerAll(spark, dir); spark.sql(sql) }, Some(sql))
+
+  /** Spark SQL differs from the DuckDB oracle text (dialect divergence). */
+  def dualSql(name: String, sparkSql: String, duckSql: String): Q =
+    Q(name, (spark, dir) => { Tables.registerAll(spark, dir); spark.sql(sparkSql) }, Some(duckSql))
+}

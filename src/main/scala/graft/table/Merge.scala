@@ -1,0 +1,95 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join-based `MERGE INTO` kernel with Delta-style clause semantics.
+  *
+  * Reproduces the reference's `DeltaLakeMergeLoad`
+  * (`example/notebook/scd2-job.ipynb:338-353`): a join `condition` over aliases
+  * `source`/`target` (`:344` `source.mergeKey = target.id`), an optional
+  * matched-UPDATE clause with an extra condition and per-column SET expressions
+  * (`:345-350`), an optional matched-DELETE, and a not-matched-by-target INSERT
+  * whose empty value map means "INSERT * by column name" (`:353` `{}`).
+  *
+  * Physical shape: one full-outer equi-join (Catalyst plans broadcast-hash or
+  * sort-merge on the equi part of `condition`; residual predicates stay on the
+  * join) followed by per-row column rewriting — all expressions, fully
+  * whole-stage-codegen'd, no driver-side row handling. At 100 TB the cost is
+  * exactly one shuffle of each side on the merge key (or zero for the target if
+  * the versioned table is written bucket-partitioned by key and re-read with
+  * the same partitioning), which matches Delta's own join-based merge plan.
+  * NULL source merge keys never equi-match, so the reference's dual-row SCD2
+  * staging trick (`scd2-job.ipynb:298,309-319` — `NULL AS mergeKey` forcing an
+  * INSERT) works unchanged.
+  *
+  * Row accounting (exactly-once per input row):
+  *   - matched ∧ updateCond          → updated target row
+  *   - matched ∧ deleteCond          → dropped
+  *   - matched ∧ neither             → unchanged target row
+  *   - source-only ∧ insert clause   → inserted row
+  *   - source-only ∧ no insert       → dropped
+  *   - target-only                   → unchanged target row
+  */
+object Merge {
+
+  final case class MatchedUpdate(condition: Option[String], values: Map[String, String])
+  final case class MatchedDelete(condition: Option[String])
+  /** Empty `values` = INSERT * (source columns mapped to target columns by name). */
+  final case class NotMatchedInsert(condition: Option[String], values: Map[String, String])
+
+  def merge(
+      target: DataFrame,
+      source: DataFrame,
+      condition: String,
+      whenMatchedUpdate: Option[MatchedUpdate] = None,
+      whenMatchedDelete: Option[MatchedDelete] = None,
+      whenNotMatchedInsert: Option[NotMatchedInsert] = None): DataFrame = {
+
+    val targetCols = target.columns.toSeq
+    val sourceCols = source.columns.toSet
+
+    // presence markers survive the outer join where data columns may be
+    // legitimately null; the marker being null means "no row on that side"
+    val t = target.withColumn("__t_present", lit(true)).alias("target")
+    val s = source.withColumn("__s_present", lit(true)).alias("source")
+    val joined = t.join(s, expr(condition), "full_outer")
+
+    val matched = col("target.__t_present").isNotNull && col("source.__s_present").isNotNull
+    val sourceOnly = col("target.__t_present").isNull && col("source.__s_present").isNotNull
+
+    val updCond = whenMatchedUpdate.map(u =>
+      matched && u.condition.map(expr).getOrElse(lit(true)))
+    val delCond = whenMatchedDelete.map(d =>
+      matched && d.condition.map(expr).getOrElse(lit(true)) &&
+        updCond.map(!_).getOrElse(lit(true))) // update clause takes precedence
+    val insCond = whenNotMatchedInsert.map(i =>
+      sourceOnly && i.condition.map(expr).getOrElse(lit(true)))
+
+    // rows that survive the merge
+    val keep =
+      (matched && delCond.map(!_).getOrElse(lit(true))) ||
+        insCond.getOrElse(lit(false)) ||
+        col("source.__s_present").isNull // target-only
+
+    val outCols = targetCols.map { c =>
+      val base = col(s"target.$c")
+      val updated = whenMatchedUpdate match {
+        case Some(u) =>
+          val v = u.values.get(c).map(expr).getOrElse(base)
+          when(updCond.get, v).otherwise(base)
+        case None => base
+      }
+      val inserted = whenNotMatchedInsert match {
+        case Some(i) =>
+          val v = i.values.get(c).map(expr).orElse(
+            if (i.values.isEmpty && sourceCols.contains(c)) Some(col(s"source.$c")) else None)
+          v.map(ic => when(sourceOnly, ic).otherwise(updated)).getOrElse(updated)
+        case None => updated
+      }
+      inserted.as(c)
+    }
+
+    joined.filter(keep).select(outCols: _*)
+  }
+}
