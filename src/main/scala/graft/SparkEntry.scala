@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def allQueries: Seq[Q] = CoreQueries.all ++ Scd2Queries.all
+  def allQueries: Seq[Q] =
+    CoreQueries.all ++ Scd2Queries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (north-star extensions,
+  * SURVEY.md §2.12): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design notes (the 100 TB story):
+  *  - exact dedup: one hash-shuffle on the checksum — optimal.
+  *  - MinHash signatures and SimHash values are computed PER ROW with
+  *    higher-order expressions (md5-based permutation hashes) — zero shuffle,
+  *    zero UDF, whole-stage codegen; only the tiny (doc_id, band-key) pairs
+  *    shuffle for bucketing. This is the standard shingle→minhash→band→bucket
+  *    pipeline: candidate generation is linear, never all-pairs.
+  *  - exact n-gram Jaccard uses the inverted-index self-join (pairs sharing a
+  *    shingle), which is quadratic only within a shingle bucket — the honest
+  *    exact baseline the LSH path approximates.
+  *
+  * Cross-engine determinism: permutation hash i of shingle s is
+  * `substr(md5(i || ':' || s), 1, 16)` compared lexicographically (fixed-width
+  * hex ⇒ string min = numeric min), so Spark and DuckDB compute bit-identical
+  * signatures with no platform hash dependence.
+  */
+object DedupQueries {
+
+  /** Word 3-gram shingles of the space-separated text, as a Spark
+    * higher-order expression (per-row, codegen'd). */
+  private val shinglesExpr =
+    """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+      |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin
+
+  /** Same shingle set in DuckDB. */
+  private val duckShingles =
+    """SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS shingle
+      |FROM documents""".stripMargin
+
+  /** d1: exact dedup — keep the min-doc_id representative per md5(text).
+    * Shared SQL; one shuffle on the checksum. */
+  val d1Exact: Q = Q.sharedSql("d1_dedup_exact",
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1""".stripMargin)
+
+  /** d2: exact n-gram Jaccard near-dup pairs (threshold 0.5) via the
+    * inverted-index formulation. */
+  val d2NgramJaccard: Q = Q.dualSql("d2_ngram_jaccard",
+    sparkSql =
+      s"""WITH shingles AS (
+         |  SELECT DISTINCT doc_id, shingle
+         |  FROM (SELECT doc_id, explode($shinglesExpr) AS shingle FROM documents) t),
+         |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id,
+         |  round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+         |FROM pairs
+         |JOIN counts ca ON ca.doc_id = a_id
+         |JOIN counts cb ON cb.doc_id = b_id
+         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""".stripMargin,
+    duckSql =
+      s"""WITH shingles AS (SELECT DISTINCT doc_id, shingle FROM ($duckShingles) t),
+         |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id,
+         |  round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+         |FROM pairs
+         |JOIN counts ca ON ca.doc_id = a_id
+         |JOIN counts cb ON cb.doc_id = b_id
+         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""".stripMargin)
+
+  /** 16-permutation MinHash signature as a per-row expression. */
+  private val sigExpr =
+    s"""transform(sequence(0, 15), i ->
+       |  array_min(transform(sh, s ->
+       |    substr(md5(concat(cast(i AS STRING), ':', s)), 1, 16))))""".stripMargin
+
+  /** d3: MinHash + LSH near-dup detection — 16 perms, 4 bands × 4 rows;
+    * band-bucket join → candidate pairs → exact-Jaccard verification ≥ 0.5.
+    * Spark side: signature per row (no shuffle), explode 4 band keys,
+    * self-join on (band, key), verify via array_intersect on distinct
+    * shingle arrays. */
+  val d3MinHashLsh: Q = Q(
+    "d3_minhash_lsh",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+      val withSig = docs.withColumn("sig", expr(sigExpr))
+      val bands = withSig.select(
+        col("doc_id"), col("sh"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, md5(concat_ws(',', slice(sig, b * 4 + 1, 4))) AS bkey))"))
+          .as("bb"))
+        .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
+      val a = bands.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        col("band"), col("bkey"))
+      val b = bands.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        col("band").as("band2"), col("bkey").as("bkey2"))
+      val cand = a.join(b,
+          a("band") === b("band2") && a("bkey") === b("bkey2") && a("a_id") < b("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+        .dropDuplicates("a_id", "b_id")
+      cand
+        .withColumn("da", expr("array_distinct(a_sh)"))
+        .withColumn("db", expr("array_distinct(b_sh)"))
+        .withColumn("inter", expr("size(array_intersect(da, db))"))
+        .withColumn("jaccard", expr(
+          "round(CAST(inter AS DOUBLE) / (size(da) + size(db) - inter), 6)"))
+        .filter(expr("CAST(inter AS DOUBLE) / (size(da) + size(db) - inter) >= 0.5"))
+        .select("a_id", "b_id", "jaccard")
+    },
+    Some(
+      s"""WITH sh_all AS ($duckShingles),
+         |sig AS (
+         |  SELECT doc_id, i, min(substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 16)) AS mh
+         |  FROM sh_all, (SELECT unnest(range(0, 16)) AS i) perms
+         |  GROUP BY doc_id, i),
+         |sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b * 4 + 1:b * 4 + 4], ',')) AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS b) bs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |shingles AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+         |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS i
+         |  FROM cand c
+         |  JOIN shingles sa ON sa.doc_id = c.a_id
+         |  JOIN shingles sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id)
+         |SELECT a_id, b_id,
+         |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN counts ca ON ca.doc_id = a_id
+         |JOIN counts cb ON cb.doc_id = b_id
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin))
+
+  /** d4: 16-bit SimHash over distinct words (md5-bit voting), with the
+    * bucket size as the dedup signal. Per-row nested higher-order folds on
+    * the Spark side — no shuffle for the hash itself. */
+  val d4SimHash: Q = Q.dualSql("d4_simhash",
+    sparkSql =
+      """SELECT doc_id, simhash,
+        |  count(*) OVER (PARTITION BY simhash) AS bucket_size
+        |FROM (
+        |  SELECT doc_id,
+        |    aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
+        |      IF(aggregate(array_distinct(split(text, ' ')), 0L, (a, t) -> a +
+        |           (((instr('0123456789abcdef', substr(md5(t), CAST(1 + j div 4 AS INT), 1)) - 1)
+        |             div CAST(pow(2, 3 - j % 4) AS INT)) % 2) * 2 - 1) > 0,
+        |         CAST(pow(2, j) AS BIGINT), 0L)) AS simhash
+        |  FROM documents) t""".stripMargin,
+    duckSql =
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    sum((((instr('0123456789abcdef', substr(md5(tok), 1 + j // 4, 1)) - 1)
+        |          // CAST(pow(2, 3 - j % 4) AS INT)) % 2) * 2 - 1) AS s
+        |  FROM toks, (SELECT unnest(range(0, 16)) AS j) js
+        |  GROUP BY doc_id, j),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id, simhash,
+        |  count(*) OVER (PARTITION BY simhash) AS bucket_size
+        |FROM sh""".stripMargin)
+
+  val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash)
+}

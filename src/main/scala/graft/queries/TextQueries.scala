@@ -1,0 +1,105 @@
+package graft.queries
+
+/** Text-analysis operators over `documents` (north-star extensions,
+  * SURVEY.md §2.12): language-ID, quality scoring, token counting, document
+  * fingerprinting. All are per-row higher-order-function expressions — no
+  * shuffle at all (pure map), so they scale with input splits at any data
+  * size; whole-stage codegen keeps them in one pass over the scan.
+  *
+  * Cross-engine exactness: token/char counts are integers; ratio outputs are
+  * `round(x, 6)` where both engines round by shortest-decimal-repr HALF_UP
+  * (verified), and inputs are quotients of small exact integers.
+  */
+object TextQueries {
+
+  // language/domain marker profiles (n-gram-heuristic language ID shape —
+  // profiles chosen over the synthetic corpus vocabulary)
+  private val dbWords = "'scan','merge','join','hash','sort','filter'"
+  private val streamWords = "'stream','window','batch','watermark','spark'"
+  private val enWords = "'the','a','of','is'"
+
+  /** t1: marker-word language/domain ID — argmax of per-profile hit counts
+    * with deterministic tiebreak (profile priority order). */
+  val t1LangId: Q = Q.dualSql("t1_langid",
+    sparkSql =
+      s"""SELECT doc_id, lang, s_db, s_stream, s_en,
+         |  CASE WHEN s_db >= s_stream AND s_db >= s_en THEN 'db'
+         |       WHEN s_stream >= s_en THEN 'stream'
+         |       ELSE 'en' END AS predicted_lang
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    size(filter(split(text, ' '), w -> w IN ($dbWords))) AS s_db,
+         |    size(filter(split(text, ' '), w -> w IN ($streamWords))) AS s_stream,
+         |    size(filter(split(text, ' '), w -> w IN ($enWords))) AS s_en
+         |  FROM documents) t""".stripMargin,
+    duckSql =
+      s"""SELECT doc_id, lang, s_db, s_stream, s_en,
+         |  CASE WHEN s_db >= s_stream AND s_db >= s_en THEN 'db'
+         |       WHEN s_stream >= s_en THEN 'stream'
+         |       ELSE 'en' END AS predicted_lang
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($dbWords))) AS s_db,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($streamWords))) AS s_stream,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($enWords))) AS s_en
+         |  FROM documents) t""".stripMargin)
+
+  /** t2: document quality scoring — length/word/stopword ratio features +
+    * a weighted score, the standard pre-training corpus filter shape. */
+  val t2Quality: Q = {
+    def sql(nTokens: String, nStop: String) =
+      s"""SELECT doc_id, n_chars, n_words, avg_word_len, stopword_ratio,
+         |  round(least(n_words / 1e2, 1e0) * 4e-1
+         |      + (1e0 - stopword_ratio) * 3e-1
+         |      + least(avg_word_len / 1e1, 1e0) * 3e-1, 6) AS quality_score
+         |FROM (
+         |  SELECT doc_id, length(text) AS n_chars, n_words,
+         |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_words, 6) AS avg_word_len,
+         |    round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio
+         |  FROM (
+         |    SELECT doc_id, text, $nTokens AS n_words, $nStop AS n_stop
+         |    FROM documents) t1) t2""".stripMargin
+    Q.dualSql("t2_quality",
+      sparkSql = sql(
+        "size(split(text, ' '))",
+        s"size(filter(split(text, ' '), w -> w IN ($enWords,'to','in')))"),
+      duckSql = sql(
+        "len(string_split(text, ' '))",
+        s"len(list_filter(string_split(text, ' '), w -> w IN ($enWords,'to','in')))"))
+  }
+
+  /** t3: token counting — whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single other chars). */
+  val t3Tokens: Q = Q.dualSql("t3_tokens",
+    sparkSql =
+      """SELECT doc_id,
+        |  size(filter(split(text, '\\s+'), w -> w <> '')) AS n_ws_tokens,
+        |  size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    duckSql =
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin)
+
+  /** t4: document fingerprinting — rolling character 8-gram hashes; the
+    * fingerprint is the lexicographic min of the gram md5 prefixes (one
+    * minhash), plus the distinct-gram cardinality. */
+  val t4Fingerprint: Q = Q.dualSql("t4_fingerprint",
+    sparkSql =
+      """SELECT doc_id,
+        |  array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
+        |    i -> substr(md5(substr(text, i, 8)), 1, 16))) AS fingerprint,
+        |  size(array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)),
+        |    i -> substr(text, i, 8)))) AS n_distinct_grams
+        |FROM documents""".stripMargin,
+    duckSql =
+      """SELECT doc_id,
+        |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |    i -> substr(md5(substr(text, i, 8)), 1, 16))) AS fingerprint,
+        |  len(list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |    i -> substr(text, i, 8)))) AS n_distinct_grams
+        |FROM documents""".stripMargin)
+
+  val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint)
+}
