@@ -194,5 +194,31 @@ object Scd2Queries {
         |  CASE WHEN c_custkey % 50 = 0 THEN 'c_acctbal' ELSE NULL END AS err_field
         |FROM customer""".stripMargin))
 
-  val all: Seq[Q] = Seq(q8Typing, q9Staged, q10Merge)
+  /** q20: time travel — after the q10 merge commits v1, `relativeVersion: -1`
+    * (reference `DeltaLakeExtract` options, scd2-job.ipynb:462-471) must read
+    * back the pre-merge v0 snapshot bit-for-bit. Oracle = the initial load. */
+  val q20TimeTravel: Q = Q(
+    "q20_time_travel",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tableDir = java.nio.file.Files.createTempDirectory("graft-tt-").toString
+      val job = JobSpec(stagingJob.stages ++ Seq(
+        TableLoad("load initial snapshot", "initial_load", "${datalake}/contact",
+          numPartitions = Some(2)),
+        TableMergeLoad("scd2 merge", "staged_update", "${datalake}/contact",
+          condition = "source.mergeKey = target.id",
+          whenMatchedUpdate = Some(Merge.MatchedUpdate(
+            condition = Some("target.iscurrent = true AND target.checksum <> source.checksum"),
+            values = Map("valid_to" -> "source.valid_from", "iscurrent" -> "false"))),
+          whenNotMatchedByTargetInsert = Some(Merge.NotMatchedInsert(None, Map.empty)),
+          numPartitions = Some(2)),
+        TableExtract("time travel to pre-merge", "${datalake}/contact", "contact_v0",
+          relativeVersion = Some(-1))))
+      job.run(spark, Map("datalake" -> tableDir), environment = "production")
+      spark.table("contact_v0")
+        .select("id", "name", "email", "state", "valid_from", "valid_to", "iscurrent", "checksum")
+    },
+    Some(s"$oracleCtes SELECT * FROM initial_load"))
+
+  val all: Seq[Q] = Seq(q8Typing, q9Staged, q10Merge, q20TimeTravel)
 }

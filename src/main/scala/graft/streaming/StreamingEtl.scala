@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.table.{Merge, VersionedTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming face of the engine (SURVEY.md §2.9 extension).
+  *
+  * The reference models incremental processing as micro-batch CDC: a delta CSV
+  * merged on a schedule (`example/notebook/scd2-job.ipynb:211-212`, Argo DAG
+  * `example/scd2-job-scheduler.yaml:32-48`). Structured Streaming is the same
+  * design with the scheduler inside Spark: `readStream` over the landing
+  * directory → `foreachBatch` running the SAME merge kernel into the SAME
+  * versioned table. Each micro-batch commit is one table version — so time
+  * travel and snapshot isolation carry over unchanged, and the batch and
+  * streaming paths cannot drift (one kernel).
+  *
+  * At scale: foreachBatch merge cost is one equi-join per micro-batch;
+  * watermarked windowed aggregation keeps state bounded by the lateness
+  * horizon, with state in the HDFS/RocksDB store — both standard Spark
+  * mechanics, nothing engine-custom beyond the commit protocol.
+  */
+object StreamingEtl {
+
+  /** Continuous SCD2: merge every arriving CDC micro-batch into the versioned
+    * table. `stage` maps a raw batch to the staged merge source (the dual-row
+    * trick, scd2-job.ipynb:298) given the current table snapshot. */
+  def scd2MergeStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      tableRoot: String,
+      stage: (DataFrame, DataFrame) => DataFrame,
+      condition: String,
+      whenMatchedUpdate: Option[Merge.MatchedUpdate],
+      whenNotMatchedInsert: Option[Merge.NotMatchedInsert],
+      checkpointDir: String): StreamingQuery = {
+    val raw = spark.readStream.schema(schema).parquet(landingDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val table = VersionedTable(tableRoot)
+          val target = table.read(batch.sparkSession)
+          val staged = stage(batch, target)
+          table.commit(Merge.merge(target, staged, condition,
+            whenMatchedUpdate = whenMatchedUpdate,
+            whenNotMatchedInsert = whenNotMatchedInsert))
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream — the
+    * streaming formulation of q12_events_window. */
+  def windowedEventCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      lateness: String = "1 hour",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Stateful per-key session counting via mapGroupsWithState-style gap logic
+    * — batch-testable streaming sessionization (gap > 30 min starts a new
+    * session), kept as a composable transform. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_start",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_start")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.table.VersionedTable
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JSON job parsing + end-to-end stage execution with env gating —
+  * entry-point A of SURVEY.md §3, through the public JobSpec surface. */
+class JobSpecSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("parses every stage type from JSON (reference config shape)") {
+    val spec = JobSpec.fromJson(
+      """{"stages": [
+        |  {"type": "DelimitedExtract", "name": "e", "environments": ["production"],
+        |   "inputURI": "${LOC}/in.csv", "outputView": "raw",
+        |   "delimiter": "Comma", "header": false, "quote": "None"},
+        |  {"type": "TypingTransform", "name": "t", "inputView": "raw",
+        |   "outputView": "typed",
+        |   "schema": [{"name": "id", "type": "long"}, {"name": "v", "type": "string"}]},
+        |  {"type": "SQLTransform", "name": "s", "outputView": "out",
+        |   "sql": "SELECT * FROM ${tv}", "sqlParams": {"tv": "typed"}},
+        |  {"type": "DeltaLakeLoad", "name": "l", "inputView": "out",
+        |   "outputURI": "${LOC}/table", "numPartitions": 1},
+        |  {"type": "DeltaLakeMergeLoad", "name": "m", "inputView": "out",
+        |   "outputURI": "${LOC}/table", "condition": "source.id = target.id",
+        |   "whenMatchedUpdate": {"condition": "target.v <> source.v",
+        |                         "values": {"v": "source.v"}},
+        |   "whenNotMatchedByTargetInsert": {}},
+        |  {"type": "DeltaLakeExtract", "name": "x", "inputURI": "${LOC}/table",
+        |   "outputView": "back", "options": {"relativeVersion": -1}},
+        |  {"type": "SQLExecute", "name": "ddl", "sql": "SELECT 1"},
+        |  {"type": "PrintSchema", "name": "p", "inputView": "back",
+        |   "environments": ["uat"]}
+        |]}""".stripMargin)
+    assert(spec.stages.map(_.getClass.getSimpleName) === Seq(
+      "DelimitedExtract", "TypingTransform", "SQLTransform", "TableLoad",
+      "TableMergeLoad", "TableExtract", "SQLExecute", "PrintSchema"))
+    val merge = spec.stages(4).asInstanceOf[TableMergeLoad]
+    assert(merge.whenMatchedUpdate.get.values === Map("v" -> "source.v"))
+    assert(merge.whenNotMatchedByTargetInsert.get.values === Map.empty)
+    assert(spec.stages(5).asInstanceOf[TableExtract].relativeVersion === Some(-1))
+  }
+
+  test("unknown stage type fails fast") {
+    assertThrows[IllegalArgumentException](
+      JobSpec.fromJson("""{"stages": [{"type": "Nope"}]}"""))
+  }
+
+  test("end-to-end: CSV extract → typing → SQL → versioned load, with env gating") {
+    val loc = tmpDir("job-")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$loc/in.csv"), "1,alpha\n2,beta\n3,gamma\n")
+    val spec = JobSpec.fromJson(
+      """{"stages": [
+        |  {"type": "DelimitedExtract", "name": "e",
+        |   "inputURI": "${LOC}/in.csv", "outputView": "raw",
+        |   "delimiter": "Comma", "header": false, "quote": "None"},
+        |  {"type": "TypingTransform", "name": "t", "inputView": "raw",
+        |   "outputView": "typed",
+        |   "schema": [{"name": "id", "type": "long"}, {"name": "v", "type": "string"}]},
+        |  {"type": "SQLTransform", "name": "s", "outputView": "out",
+        |   "sql": "SELECT id, upper(v) AS v FROM typed WHERE id <= ${max_id}",
+        |   "sqlParams": {"max_id": "2"}},
+        |  {"type": "SQLTransform", "name": "uat-only", "outputView": "out",
+        |   "environments": ["uat"],
+        |   "sql": "SELECT id, 'SHOULD NOT RUN' AS v FROM typed"},
+        |  {"type": "DeltaLakeLoad", "name": "l", "inputView": "out",
+        |   "outputURI": "${LOC}/t", "numPartitions": 1}
+        |]}""".stripMargin)
+    spec.run(spark, Map("LOC" -> loc), environment = "production")
+    val got = VersionedTable(s"$loc/t").read(spark)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "ALPHA"), (2L, "BETA")))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.table.{Merge, VersionedTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch CDC stream merges each micro-batch into the versioned table") {
+    val landing = tmpDir("landing-")
+    val tableRoot = tmpDir("table-") + "/t"
+    val ckpt = tmpDir("ckpt-")
+
+    // v0: initial snapshot
+    val initial = Seq((1L, "a", true), (2L, "b", true))
+      .toDF("id", "val", "iscurrent")
+    VersionedTable(tableRoot).commit(initial)
+
+    // two CDC files land: change id=2, add id=3
+    Seq((2L, "b2"), (3L, "c"))
+      .toDF("id", "val")
+      .write.mode("overwrite").parquet(landing)
+
+    val stage: (DataFrame, DataFrame) => DataFrame = (batch, target) => {
+      batch.createOrReplaceTempView("s_cdc")
+      target.createOrReplaceTempView("s_target")
+      batch.sparkSession.sql(
+        """SELECT CAST(NULL AS BIGINT) AS mergeKey, new.id, new.val, true AS iscurrent
+          |FROM s_target old INNER JOIN s_cdc new ON old.id = new.id
+          |WHERE old.iscurrent = true AND old.val <> new.val
+          |UNION
+          |SELECT id AS mergeKey, id, val, true AS iscurrent FROM s_cdc""".stripMargin)
+    }
+
+    val q = StreamingEtl.scd2MergeStream(
+      spark, landing, initial.select("id", "val").schema, tableRoot,
+      stage,
+      condition = "source.mergeKey = target.id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(
+        Some("target.iscurrent = true AND target.val <> source.val"),
+        Map("iscurrent" -> "false"))),
+      whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None, Map.empty)),
+      checkpointDir = ckpt)
+    q.awaitTermination(120000)
+
+    val t = VersionedTable(tableRoot)
+    assert(t.latestVersion().contains(1L))
+    val current = t.read(spark).filter($"iscurrent" === true)
+      .select("id", "val").as[(Long, String)].collect().toSet
+    assert(current === Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    val expired = t.read(spark).filter($"iscurrent" === false)
+      .select("id", "val").as[(Long, String)].collect().toSet
+    assert(expired === Set((2L, "b")))
+  }
+
+  test("watermarked windowed aggregation over a parquet-backed stream") {
+    val dir = tmpDir("ev-")
+    graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = StreamingEtl.windowedEventCounts(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("winagg").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("winagg")
+    // must equal the batch formulation
+    val batch = spark.read.parquet(dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+    assert(got.count() === batch.count())
+    assert(got.exceptAll(batch).count() === 0)
+  }
+
+  test("sessionize assigns gap-based session ids consistent with q18") {
+    val ev = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val sessions = StreamingEtl.sessionize(ev)
+      .groupBy("user_id").agg(max("session_id").as("n_sessions"))
+    val oracle = graft.queries.CoreQueries.q18Sessions
+      .run(spark, "/root/testdata/sf0.001")
+    assert(sessions.exceptAll(oracle).count() === 0)
+    assert(oracle.exceptAll(sessions).count() === 0)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MERGE kernel clause semantics (SURVEY.md §5: each branch + the
+  * window-function oracle equivalence). */
+class MergeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "a", true, "h1"),   // will match + update-cond true (changed)
+    (2L, "b", true, "h2"),   // will match + update-cond false (unchanged)
+    (3L, "c", true, "h3")    // target-only: untouched
+  ).toDF("id", "val", "iscurrent", "checksum")
+
+  private def source = Seq(
+    (Some(1L), "a2", true, "h1x"),  // matches id=1, different checksum
+    (Some(2L), "b", true, "h2"),    // matches id=2, same checksum → no-op
+    (None, "a2", true, "h1x"),      // null mergeKey → forced insert
+    (Some(9L), "z", true, "h9")     // no target match → insert
+  ).toDF("mergeKey", "val", "iscurrent", "checksum")
+    .withColumn("id", coalesce($"mergeKey", lit(100L)))
+
+  test("update / no-op / insert / untouched branches account every row exactly once") {
+    val out = Merge.merge(
+      target, source,
+      condition = "source.mergeKey = target.id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(
+        Some("target.checksum <> source.checksum"),
+        Map("iscurrent" -> "false"))),
+      whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None, Map.empty)))
+
+    val rows = out.orderBy("id", "val").collect().toSeq
+    assert(rows === Seq(
+      Row(1L, "a", false, "h1"),    // expired
+      Row(2L, "b", true, "h2"),     // matched, cond false → unchanged
+      Row(3L, "c", true, "h3"),     // target-only → unchanged
+      Row(9L, "z", true, "h9"),     // not-matched insert
+      Row(100L, "a2", true, "h1x")  // null-mergeKey forced insert
+    ))
+  }
+
+  test("matched delete removes the row; update clause takes precedence") {
+    val out = Merge.merge(
+      target, source,
+      condition = "source.mergeKey = target.id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(
+        Some("target.checksum <> source.checksum"), Map("val" -> "source.val"))),
+      whenMatchedDelete = Some(Merge.MatchedDelete(None)))
+    // id=1: update-cond true → updated (not deleted); id=2: update-cond false
+    // → delete applies; id=3 target-only stays
+    assert(out.orderBy("id").collect().toSeq === Seq(
+      Row(1L, "a2", true, "h1"),
+      Row(3L, "c", true, "h3")))
+  }
+
+  test("insert with explicit values map") {
+    val out = Merge.merge(
+      target, source.filter($"mergeKey" === 9L),
+      condition = "source.mergeKey = target.id",
+      whenNotMatchedInsert = Some(Merge.NotMatchedInsert(
+        None, Map("id" -> "source.mergeKey", "val" -> "upper(source.val)"))))
+    val inserted = out.filter($"id" === 9L).collect().head
+    assert(inserted === Row(9L, "Z", null, null))
+  }
+
+  test("no insert clause drops source-only rows") {
+    val out = Merge.merge(target, source, condition = "source.mergeKey = target.id")
+    assert(out.count() === 3) // just the target, unchanged
+  }
+
+  test("SCD2 merge result equals the window-function formulation (independent oracle)") {
+    // randomized-ish CDC via hashing over a range
+    val n = 500
+    val initial = spark.range(n).select(
+      $"id",
+      md5(concat(lit("v0-"), $"id")).as("checksum"),
+      lit(true).as("iscurrent"),
+      lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"))
+    // ~1/3 changed, ~1/5 new
+    val cdc = spark.range(n + n / 5).filter($"id" % 3 === 0 || $"id" >= n).select(
+      $"id",
+      when($"id" < n, md5(concat(lit("v1-"), $"id")))
+        .otherwise(md5(concat(lit("v0-"), $"id"))).as("checksum"),
+      lit(true).as("iscurrent"),
+      lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")).as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"))
+
+    initial.createOrReplaceTempView("t_initial")
+    cdc.createOrReplaceTempView("t_cdc")
+    val staged = spark.sql(
+      """SELECT CAST(NULL AS BIGINT) AS mergeKey, new.*
+        |FROM t_initial old INNER JOIN t_cdc new ON old.id = new.id
+        |WHERE old.iscurrent = true AND old.checksum <> new.checksum
+        |UNION
+        |SELECT id AS mergeKey, * FROM t_cdc""".stripMargin)
+
+    val merged = Merge.merge(initial, staged,
+      condition = "source.mergeKey = target.id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(
+        Some("target.iscurrent = true AND target.checksum <> source.checksum"),
+        Map("valid_to" -> "source.valid_from", "iscurrent" -> "false"))),
+      whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None, Map.empty)))
+
+    // oracle: latest row per key via row_number = the current row; older = expired
+    merged.createOrReplaceTempView("t_merged")
+    val current = spark.sql(
+      """SELECT id, checksum FROM (
+        |  SELECT id, checksum, row_number() OVER (
+        |    PARTITION BY id ORDER BY valid_from DESC) rn
+        |  FROM t_merged) x WHERE rn = 1""".stripMargin)
+    val expectedCurrent = spark.sql(
+      """SELECT coalesce(c.id, i.id) AS id,
+        |       coalesce(c.checksum, i.checksum) AS checksum
+        |FROM t_initial i FULL OUTER JOIN t_cdc c ON i.id = c.id""".stripMargin)
+    assert(current.exceptAll(expectedCurrent).count() === 0)
+    assert(expectedCurrent.exceptAll(current).count() === 0)
+
+    // exactly the changed keys have an expired row
+    val expired = merged.filter($"iscurrent" === false)
+    val changedKeys = spark.sql(
+      """SELECT i.id FROM t_initial i JOIN t_cdc c ON i.id = c.id
+        |WHERE i.checksum <> c.checksum""".stripMargin)
+    assert(expired.select("id").exceptAll(changedKeys).count() === 0)
+    assert(changedKeys.exceptAll(expired.select("id")).count() === 0)
+    assert(expired.filter($"valid_to".isNull).count() === 0)
+  }
+}
