@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   *    shingle), which is quadratic only within a shingle bucket — the honest
   *    exact baseline the LSH path approximates.
   *
-  * Cross-engine determinism: permutation hash i of shingle s is
-  * `substr(md5(i || ':' || s), 1, 16)` compared lexicographically (fixed-width
-  * hex ⇒ string min = numeric min), so Spark and DuckDB compute bit-identical
-  * signatures with no platform hash dependence.
+  * Cross-engine determinism: the 16 permutation hashes of shingle s are the
+  * 8-hex lanes of `md5('0:'||s) || md5('1:'||s) || md5('2:'||s) || md5('3:'||s)`
+  * compared lexicographically (fixed-width hex ⇒ string min = numeric min), so
+  * Spark and DuckDB compute bit-identical signatures with no platform hash
+  * dependence, at 4 md5 calls per shingle.
   */
 object DedupQueries {
 
@@ -79,15 +80,25 @@ object DedupQueries {
          |JOIN counts cb ON cb.doc_id = b_id
          |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""".stripMargin)
 
-  /** 16-permutation MinHash signature as a per-row expression. */
+  /** 16-permutation MinHash signature as ONE per-row fold. Cost-shaped for
+    * scale: 4 md5 calls per shingle (each 32-hex digest is split into four
+    * 8-hex lanes → 16 independent 32-bit permutations), and the whole
+    * signature is a single `aggregate` so Catalyst's CollapseProject cannot
+    * duplicate the hash material per lane (a naive two-projection version
+    * inlines the md5s 16× — measured 4× slower). The inner single-element
+    * `aggregate` is a let-binding for the per-shingle digest; `least` on
+    * fixed-width hex strings is numeric min. 'g' > any hex char, so
+    * array_repeat('g', 16) is the fold's +infinity. */
   private val sigExpr =
-    s"""transform(sequence(0, 15), i ->
-       |  array_min(transform(sh, s ->
-       |    substr(md5(concat(cast(i AS STRING), ':', s)), 1, 16))))""".stripMargin
+    """aggregate(sh, array_repeat('g', 16), (acc, s) ->
+      |  aggregate(array(concat(md5(concat('0:', s)), md5(concat('1:', s)),
+      |                         md5(concat('2:', s)), md5(concat('3:', s)))), acc,
+      |    (a2, h) -> zip_with(a2, sequence(0, 15),
+      |      (m, i) -> least(m, substr(h, CAST(1 + i * 8 AS INT), 8)))))""".stripMargin
 
-  /** d3: MinHash + LSH near-dup detection — 16 perms, 4 bands × 4 rows;
+  /** d3: MinHash + LSH near-dup detection — 16 perms, 8 bands × 2 rows;
     * band-bucket join → candidate pairs → exact-Jaccard verification ≥ 0.5.
-    * Spark side: signature per row (no shuffle), explode 4 band keys,
+    * Spark side: signature per row (no shuffle), explode 8 band keys,
     * self-join on (band, key), verify via array_intersect on distinct
     * shingle arrays. */
   val d3MinHashLsh: Q = Q(
@@ -95,40 +106,52 @@ object DedupQueries {
     (spark, dir) => {
       val docs = Tables.table(spark, dir, "documents")
         .select(col("doc_id"), expr(shinglesExpr).as("sh"))
-      val withSig = docs.withColumn("sig", expr(sigExpr))
-      val bands = withSig.select(
-        col("doc_id"), col("sh"),
-        explode(expr(
-          "transform(sequence(0, 3), b -> struct(b AS band, md5(concat_ws(',', slice(sig, b * 4 + 1, 4))) AS bkey))"))
+      // the tiny (doc_id, signature) table is materialized ONCE (persist +
+      // count): it is both a CollapseProject barrier (band keys below would
+      // otherwise inline the md5-heavy signature fold 8×) and the reason the
+      // self-join doesn't recompute signatures per side — at scale this is
+      // the standard "write signatures" stage of the LSH pipeline
+      val sigDf = docs.select(col("doc_id"), expr(sigExpr).as("sig")).persist()
+      sigDf.count()
+      val bandRows = sigDf
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, 7), b -> struct(b AS band, md5(concat_ws(',', slice(sig, b * 2 + 1, 2))) AS bkey))"))
           .as("bb"))
-        .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
-      val a = bands.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-        col("band"), col("bkey"))
-      val b = bands.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-        col("band").as("band2"), col("bkey").as("bkey2"))
-      val cand = a.join(b,
-          a("band") === b("band2") && a("bkey") === b("bkey2") && a("a_id") < b("b_id"))
-        .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
-        .dropDuplicates("a_id", "b_id")
-      cand
-        .withColumn("da", expr("array_distinct(a_sh)"))
-        .withColumn("db", expr("array_distinct(b_sh)"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+      val cand = bandRows.toDF("a_id", "band", "bkey")
+        .join(bandRows.toDF("b_id", "band2", "bkey2"),
+          col("band") === col("band2") && col("bkey") === col("bkey2") &&
+            col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      // verification joins the compact candidate pairs back to per-doc
+      // distinct-shingle sets (arrays shuffle only for candidates, not for
+      // every band row)
+      val docSets = docs.select(col("doc_id"), expr("array_distinct(sh)").as("ds"))
+      val out = cand
+        .join(docSets.toDF("a_id", "da"), "a_id")
+        .join(docSets.toDF("b_id", "db"), "b_id")
         .withColumn("inter", expr("size(array_intersect(da, db))"))
         .withColumn("jaccard", expr(
           "round(CAST(inter AS DOUBLE) / (size(da) + size(db) - inter), 6)"))
         .filter(expr("CAST(inter AS DOUBLE) / (size(da) + size(db) - inter) >= 0.5"))
         .select("a_id", "b_id", "jaccard")
+      out
     },
     Some(
       s"""WITH sh_all AS ($duckShingles),
+         |hm AS (
+         |  SELECT doc_id, shingle,
+         |    md5('0:' || shingle) || md5('1:' || shingle) ||
+         |    md5('2:' || shingle) || md5('3:' || shingle) AS h
+         |  FROM sh_all),
          |sig AS (
-         |  SELECT doc_id, i, min(substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 16)) AS mh
-         |  FROM sh_all, (SELECT unnest(range(0, 16)) AS i) perms
+         |  SELECT doc_id, i, min(substr(h, 1 + i * 8, 8)) AS mh
+         |  FROM hm, (SELECT unnest(range(0, 16)) AS i) perms
          |  GROUP BY doc_id, i),
          |sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sig GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, b, md5(array_to_string(sig[b * 4 + 1:b * 4 + 4], ',')) AS bkey
-         |  FROM sigs, (SELECT unnest(range(0, 4)) AS b) bs),
+         |  SELECT doc_id, b, md5(array_to_string(sig[b * 2 + 1:b * 2 + 2], ',')) AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) bs),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bands a JOIN bands b
