@@ -106,12 +106,16 @@ object DedupQueries {
     (spark, dir) => {
       val docs = Tables.table(spark, dir, "documents")
         .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+      // native one-pass signature expression (graft.functions.MinHashSignature
+      // — bit-identical to the SQL fold in sigExpr, ~no intermediate allocs)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_sig", exprs => graft.functions.MinHashSignature(exprs.head), "scala_udf")
       // the tiny (doc_id, signature) table is materialized ONCE (persist +
       // count): it is both a CollapseProject barrier (band keys below would
-      // otherwise inline the md5-heavy signature fold 8×) and the reason the
-      // self-join doesn't recompute signatures per side — at scale this is
+      // otherwise inline the md5-heavy signature expression 8×) and the reason
+      // the self-join doesn't recompute signatures per side — at scale this is
       // the standard "write signatures" stage of the LSH pipeline
-      val sigDf = docs.select(col("doc_id"), expr(sigExpr).as("sig")).persist()
+      val sigDf = docs.select(col("doc_id"), expr("minhash_sig(sh)").as("sig")).persist()
       sigDf.count()
       val bandRows = sigDf
         .select(col("doc_id"), explode(expr(

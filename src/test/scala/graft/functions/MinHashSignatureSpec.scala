@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MinHashSignatureSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val foldSig =
+    """aggregate(sh, array_repeat('g', 16), (acc, s) ->
+      |  aggregate(array(concat(md5(concat('0:', s)), md5(concat('1:', s)),
+      |                         md5(concat('2:', s)), md5(concat('3:', s)))), acc,
+      |    (a2, h) -> zip_with(a2, sequence(0, 15),
+      |      (m, i) -> least(m, substr(h, CAST(1 + i * 8 AS INT), 8)))))""".stripMargin
+
+  private def register(): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSignature(exprs.head), "scala_udf")
+
+  test("native expression is bit-identical to the SQL higher-order fold") {
+    register()
+    val docs = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin).as("sh"))
+    val mismatches = docs
+      .withColumn("a", expr("minhash_sig(sh)"))
+      .withColumn("b", expr(foldSig))
+      .filter(expr("a <> b"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("empty shingle array yields the fold's 'g' identity") {
+    register()
+    val out = Seq(Seq.empty[String]).toDF("sh")
+      .select(expr("minhash_sig(sh)")).as[Seq[String]].collect().head
+    assert(out === Seq.fill(16)("g"))
+  }
+
+  test("signature lanes are 8-char lowercase hex, stable across runs") {
+    register()
+    val out = Seq(Seq("alpha beta gamma", "beta gamma delta")).toDF("sh")
+      .select(expr("minhash_sig(sh)")).as[Seq[String]].collect().head
+    assert(out.size === 16)
+    assert(out.forall(_.matches("[0-9a-f]{8}")))
+    val again = Seq(Seq("alpha beta gamma", "beta gamma delta")).toDF("sh")
+      .select(expr("minhash_sig(sh)")).as[Seq[String]].collect().head
+    assert(again === out)
+  }
+}
