@@ -20,7 +20,12 @@ import scala.jdk.CollectionConverters._
   *   ...]}
   * }}}
   */
-final case class JobSpec(stages: Seq[Stage]) {
+/** Job-level directives (the reference's `%conf numRows=12 showLog=true`,
+  * scd2-job.ipynb:20-22): when `showLog`, every view-producing stage previews
+  * `numRows` rows. */
+final case class JobConf(numRows: Int = 12, showLog: Boolean = false)
+
+final case class JobSpec(stages: Seq[Stage], conf: JobConf = JobConf()) {
 
   /** Run stages in order under `environment`, threading the view catalog
     * through the session (entry-point A trace, SURVEY.md §3). Returns the last
@@ -29,7 +34,9 @@ final case class JobSpec(stages: Seq[Stage]) {
           environment: String = "production"): Option[DataFrame] = {
     val active = stages.filter(s => s.environments.isEmpty || s.environments.contains(environment))
     active.foldLeft(Option.empty[DataFrame]) { (last, stage) =>
-      stage.execute(spark, env).orElse(last)
+      val out = stage.execute(spark, env)
+      if (conf.showLog) out.foreach(_.show(conf.numRows, truncate = false))
+      out.orElse(last)
     }
   }
 }
@@ -44,7 +51,14 @@ object JobSpec {
     val root = mapper.readTree(json)
     val stagesNode = if (root.has("stages")) root.get("stages") else root
     require(stagesNode.isArray, "job spec must have a 'stages' array")
-    JobSpec(stagesNode.elements().asScala.map(parseStage).toSeq)
+    val conf =
+      if (root.isObject && root.has("conf")) {
+        val c = root.get("conf")
+        JobConf(
+          numRows = if (c.has("numRows")) c.get("numRows").asInt() else 12,
+          showLog = c.has("showLog") && c.get("showLog").asBoolean())
+      } else JobConf()
+    JobSpec(stagesNode.elements().asScala.map(parseStage).toSeq, conf)
   }
 
   private def str(n: JsonNode, k: String): String = {

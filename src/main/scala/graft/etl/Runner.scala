@@ -1,0 +1,77 @@
+package graft.etl
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
+/** In-process DAG runner — the engine's equivalent of the reference's Argo
+  * workflow (SURVEY.md §2.11): named jobs with fan-in dependencies
+  * (`example/scd2-job-scheduler.yaml:15-48` — `initial-load` ∥ `delta-load` →
+  * `SCD2-merge`), workflow parameters flowing into every job's env (O3,
+  * `:10-12,31`). Jobs execute in topological order inside one SparkSession;
+  * inter-job state passes through the versioned tables on disk, preserving
+  * the reference's "state lives in the lake" property (SURVEY.md §3 entry
+  * point B). Independent jobs are safe to run concurrently on a cluster;
+  * locally they run sequentially in topo order.
+  */
+final case class JobDef(name: String, spec: JobSpec, dependsOn: Seq[String] = Nil)
+
+object Runner {
+
+  /** Topologically sort and run. Fails fast on unknown deps or cycles. */
+  def run(spark: SparkSession, jobs: Seq[JobDef], env: Map[String, String],
+          environment: String = "production"): Seq[String] = {
+    val byName = jobs.map(j => j.name -> j).toMap
+    require(byName.size == jobs.size, "duplicate job names")
+    jobs.flatMap(_.dependsOn).foreach(d =>
+      require(byName.contains(d), s"unknown dependency '$d'"))
+
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val state = scala.collection.mutable.Map.empty[String, Int] // 1=visiting 2=done
+    def visit(n: String): Unit = state.getOrElse(n, 0) match {
+      case 2 => ()
+      case 1 => throw new IllegalArgumentException(s"dependency cycle through '$n'")
+      case _ =>
+        state(n) = 1
+        byName(n).dependsOn.foreach(visit)
+        state(n) = 2
+        order += n
+    }
+    jobs.foreach(j => visit(j.name))
+    order.foreach(n => byName(n).spec.run(spark, env, environment))
+    order.toSeq
+  }
+
+  /** Parse a workflow document:
+    * `{"parameters": {"k": "v"}, "jobs": [{"name": ..., "dependsOn": [...],
+    * "stages"|"configUri": ...}]}` — `configUri` loads the job spec from a
+    * file (the scheduler's `configUri`, scd2-job-scheduler.yaml:28-29), and
+    * `parameters` merge under the caller's env (caller wins). */
+  def fromJson(json: String): (Seq[JobDef], Map[String, String]) = {
+    val root = new ObjectMapper().readTree(json)
+    val params =
+      if (root.has("parameters"))
+        root.get("parameters").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      else Map.empty[String, String]
+    val jobs = root.get("jobs").elements().asScala.map { j =>
+      val spec =
+        if (j.has("configUri"))
+          JobSpec.fromFile(EnvResolver.substitute(j.get("configUri").asText(), params))
+        else JobSpec.fromJson(j.toString)
+      val deps =
+        if (j.has("dependsOn")) j.get("dependsOn").elements().asScala.map(_.asText()).toSeq
+        else Nil
+      JobDef(j.get("name").asText(), spec, deps)
+    }.toSeq
+    (jobs, params)
+  }
+
+  def runWorkflow(spark: SparkSession, json: String,
+                  env: Map[String, String] = Map.empty,
+                  environment: String = "production"): Seq[String] = {
+    val (jobs, params) = fromJson(json)
+    run(spark, jobs, params ++ env, environment)
+  }
+}

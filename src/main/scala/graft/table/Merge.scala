@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   *   - matched ∧ neither             → unchanged target row
   *   - source-only ∧ insert clause   → inserted row
   *   - source-only ∧ no insert       → dropped
-  *   - target-only                   → unchanged target row
+  *   - target-only ∧ bySourceUpdate  → updated target row (Delta's
+  *     WHEN NOT MATCHED BY SOURCE UPDATE)
+  *   - target-only ∧ bySourceDelete  → dropped
+  *   - target-only ∧ neither         → unchanged target row
   */
 object Merge {
 
@@ -37,6 +40,10 @@ object Merge {
   final case class MatchedDelete(condition: Option[String])
   /** Empty `values` = INSERT * (source columns mapped to target columns by name). */
   final case class NotMatchedInsert(condition: Option[String], values: Map[String, String])
+  /** Delta-parity WHEN NOT MATCHED BY SOURCE clauses: act on target rows with
+    * no source match (only `target.` references are valid in conditions). */
+  final case class NotMatchedBySourceUpdate(condition: Option[String], values: Map[String, String])
+  final case class NotMatchedBySourceDelete(condition: Option[String])
 
   def merge(
       target: DataFrame,
@@ -44,7 +51,9 @@ object Merge {
       condition: String,
       whenMatchedUpdate: Option[MatchedUpdate] = None,
       whenMatchedDelete: Option[MatchedDelete] = None,
-      whenNotMatchedInsert: Option[NotMatchedInsert] = None): DataFrame = {
+      whenNotMatchedInsert: Option[NotMatchedInsert] = None,
+      whenNotMatchedBySourceUpdate: Option[NotMatchedBySourceUpdate] = None,
+      whenNotMatchedBySourceDelete: Option[NotMatchedBySourceDelete] = None): DataFrame = {
 
     val targetCols = target.columns.toSeq
     val sourceCols = source.columns.toSet
@@ -57,6 +66,7 @@ object Merge {
 
     val matched = col("target.__t_present").isNotNull && col("source.__s_present").isNotNull
     val sourceOnly = col("target.__t_present").isNull && col("source.__s_present").isNotNull
+    val targetOnly = col("source.__s_present").isNull
 
     val updCond = whenMatchedUpdate.map(u =>
       matched && u.condition.map(expr).getOrElse(lit(true)))
@@ -65,12 +75,17 @@ object Merge {
         updCond.map(!_).getOrElse(lit(true))) // update clause takes precedence
     val insCond = whenNotMatchedInsert.map(i =>
       sourceOnly && i.condition.map(expr).getOrElse(lit(true)))
+    val nmsUpdCond = whenNotMatchedBySourceUpdate.map(u =>
+      targetOnly && u.condition.map(expr).getOrElse(lit(true)))
+    val nmsDelCond = whenNotMatchedBySourceDelete.map(d =>
+      targetOnly && d.condition.map(expr).getOrElse(lit(true)) &&
+        nmsUpdCond.map(!_).getOrElse(lit(true))) // update precedence, as matched side
 
     // rows that survive the merge
     val keep =
       (matched && delCond.map(!_).getOrElse(lit(true))) ||
         insCond.getOrElse(lit(false)) ||
-        col("source.__s_present").isNull // target-only
+        (targetOnly && nmsDelCond.map(!_).getOrElse(lit(true)))
 
     val outCols = targetCols.map { c =>
       val base = col(s"target.$c")
@@ -80,12 +95,18 @@ object Merge {
           when(updCond.get, v).otherwise(base)
         case None => base
       }
+      val nmsUpdated = whenNotMatchedBySourceUpdate match {
+        case Some(u) =>
+          val v = u.values.get(c).map(expr).getOrElse(base)
+          when(nmsUpdCond.get, v).otherwise(updated)
+        case None => updated
+      }
       val inserted = whenNotMatchedInsert match {
         case Some(i) =>
           val v = i.values.get(c).map(expr).orElse(
             if (i.values.isEmpty && sourceCols.contains(c)) Some(col(s"source.$c")) else None)
-          v.map(ic => when(sourceOnly, ic).otherwise(updated)).getOrElse(updated)
-        case None => updated
+          v.map(ic => when(sourceOnly, ic).otherwise(nmsUpdated)).getOrElse(nmsUpdated)
+        case None => nmsUpdated
       }
       inserted.as(c)
     }

@@ -88,6 +88,20 @@ final class VersionedTable(val root: String) {
     spark.read.parquet(files: _*)
   }
 
+  /** Write the reference's Athena-interop `_symlink_format_manifest` for a
+    * version (default latest): a text file listing that version's data files
+    * as absolute URIs (`scd2-job.ipynb:382` — external engines query the
+    * table by reading this manifest over the parquet files). */
+  def writeSymlinkManifest(version: Option[Long] = None): Path = {
+    val v = version.getOrElse(resolve())
+    val dir = Paths.get(root, "_symlink_format_manifest")
+    Files.createDirectories(dir)
+    val uris = filesOf(v).map(f => Paths.get(root).resolve(f).toUri.toString)
+    val out = dir.resolve("manifest")
+    Files.write(out, uris.mkString("\n").getBytes("UTF-8"))
+    out
+  }
+
   /** Commit `df` as the next version (full snapshot — `DeltaLakeLoad` with
     * `saveMode Overwrite`, scd2-job.ipynb:169). `numPartitions` mirrors the
     * reference's pre-write repartition knob (scd2-job.ipynb:168). */

@@ -72,6 +72,27 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() === 3) // just the target, unchanged
   }
 
+  test("not-matched-by-source update/delete act only on target-only rows") {
+    val out = Merge.merge(
+      target, source,
+      condition = "source.mergeKey = target.id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("val" -> "source.val"))),
+      whenNotMatchedBySourceUpdate = Some(Merge.NotMatchedBySourceUpdate(
+        Some("target.id = 3"), Map("iscurrent" -> "false"))))
+    // id=3 is target-only → flagged stale; matched rows keep normal handling
+    assert(out.orderBy("id").collect().toSeq === Seq(
+      Row(1L, "a2", true, "h1"),
+      Row(2L, "b", true, "h2"),
+      Row(3L, "c", false, "h3")))
+
+    val out2 = Merge.merge(
+      target, source,
+      condition = "source.mergeKey = target.id",
+      whenNotMatchedBySourceDelete = Some(Merge.NotMatchedBySourceDelete(None)))
+    // target-only id=3 dropped; matched rows unchanged; source-only dropped (no insert)
+    assert(out2.select("id").orderBy("id").collect().toSeq === Seq(Row(1L), Row(2L)))
+  }
+
   test("SCD2 merge result equals the window-function formulation (independent oracle)") {
     // randomized-ish CDC via hashing over a range
     val n = 500
