@@ -89,6 +89,16 @@ object JobSpec {
         ParquetExtract(name, str(n, "inputURI"), str(n, "outputView"), envs(n))
       case "JsonExtract" =>
         JsonExtract(name, str(n, "inputURI"), str(n, "outputView"), envs(n))
+      case "OrcExtract" =>
+        OrcExtract(name, str(n, "inputURI"), str(n, "outputView"), envs(n))
+      case "FileLoad" => FileLoad(
+        name, str(n, "inputView"), str(n, "outputURI"),
+        optStr(n, "format").getOrElse("parquet"),
+        optStr(n, "saveMode").getOrElse("Overwrite"),
+        if (n.has("partitionBy"))
+          n.get("partitionBy").elements().asScala.map(_.asText()).toSeq
+        else Nil,
+        optInt(n, "numPartitions"), envs(n))
       case "TypingTransform" => TypingTransform(
         name, str(n, "inputView"), str(n, "outputView"),
         optStr(n, "schemaURI"),

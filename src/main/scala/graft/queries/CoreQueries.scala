@@ -193,8 +193,65 @@ object CoreQueries {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
       |FROM orders""".stripMargin)
 
+  /** TPC-H Q3-shaped shipping-priority query: segment filter on the customer
+    * dim (broadcast), date range on both fact-side tables (pushed to scans),
+    * revenue top-10 (TakeOrderedAndProject). */
+  val q22ShippingPriority: Q = Q.sharedSql("q22_shipping_priority",
+    s"""SELECT o_orderkey, o_orderdate,
+       |  CAST(sum($price * $disc) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY o_orderkey, o_orderdate
+       |ORDER BY revenue DESC, o_orderkey
+       |LIMIT 10""".stripMargin)
+
+  /** TPC-H Q5-shaped local-supplier revenue: 6-way join with the
+    * customer-nation = supplier-nation co-location predicate. */
+  val q23LocalSupplier: Q = Q.sharedSql("q23_local_supplier",
+    s"""SELECT n_name,
+       |  CAST(sum($price * $disc) AS DOUBLE) AS revenue,
+       |  count(*) AS n_rows
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name IN ('ASIA', 'EUROPE')
+       |GROUP BY n_name""".stripMargin)
+
+  /** Date/time function surface: extraction, truncation, conditional agg. */
+  val q24DateFunctions: Q = Q.sharedSql("q24_date_functions",
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |                THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS urgent_rev
+      |FROM orders
+      |GROUP BY 1, 2""".stripMargin)
+
+  /** Statistical aggregates: interpolated median (identical definition both
+    * engines) + deterministic mode via ranked counts (tiebreak by value, so
+    * the result is engine-independent even on count ties). */
+  val q25Median: Q = Q.sharedSql("q25_median_mode",
+    """SELECT t.o_orderpriority, t.med, m.mode_status
+      |FROM (SELECT o_orderpriority, median(o_totalprice) AS med
+      |      FROM orders GROUP BY o_orderpriority) t
+      |JOIN (SELECT o_orderpriority, o_orderstatus AS mode_status FROM (
+      |        SELECT o_orderpriority, o_orderstatus,
+      |          row_number() OVER (PARTITION BY o_orderpriority
+      |                             ORDER BY count(*) DESC, o_orderstatus) AS rk
+      |        FROM orders GROUP BY o_orderpriority, o_orderstatus) x
+      |      WHERE rk = 1) m
+      |ON t.o_orderpriority = m.o_orderpriority""".stripMargin)
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q2FilterProject, q3JoinAgg, q4StarJoin, q5Union, q5Except,
     q6WordCount, q7WindowTopN, q11AggDistinct, q12EventsWindow, q13EventsJson,
-    q14Semi, q15Anti, q16Rollup, q17SortLimit, q18Sessions, q19Running)
+    q14Semi, q15Anti, q16Rollup, q17SortLimit, q18Sessions, q19Running,
+    q22ShippingPriority, q23LocalSupplier, q24DateFunctions, q25Median)
 }

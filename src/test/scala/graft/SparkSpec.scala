@@ -13,6 +13,8 @@ trait SparkSpec {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
     .getOrCreate()
 
   def tmpDir(prefix: String): String =
