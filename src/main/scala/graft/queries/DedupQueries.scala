@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (north-star extensions,
-  * SURVEY.md §2.12): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  * SURVEY.md §2.12): exact, n-gram Jaccard, MinHash+LSH (Broder, "On the
+  * resemblance and containment of documents", 1997), SimHash (Charikar,
+  * "Similarity estimation techniques from rounding algorithms", STOC 2002).
   *
   * Scale design notes (the 100 TB story):
   *  - exact dedup: one hash-shuffle on the checksum — optimal.

@@ -76,6 +76,19 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
     assert(got.exceptAll(batch).count() === 0)
   }
 
+  test("HLL++ sketch estimate stays within its error bound of the exact count") {
+    val out = graft.queries.StreamingQueries.q27SketchDistinct
+      .run(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      // default rsd is 5%; allow 3 sigma
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"HLL estimate $approx too far from exact $exact")
+    }
+  }
+
   test("sessionize assigns gap-based session ids consistent with q18") {
     val ev = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
     val sessions = StreamingEtl.sessionize(ev)
