@@ -20,6 +20,16 @@ object VectorFunctions {
 
   def cosineSim(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Cosine with precomputed norms: bit-identical to [[cosineSim]] (same
+    * expression, norms just evaluated once per vector instead of per pair) —
+    * the right shape for pairwise scans, where norm recompute is the
+    * dominant redundant cost. */
+  def cosineWithNorms(a: Column, na: Column, b: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  def cosineWithNorms6(a: Column, na: Column, b: Column, nb: Column): Column =
+    round(cosineWithNorms(a, na, b, nb), 6)
+
   /** Cosine rounded for deterministic cross-engine ranking (6dp — both Spark
     * and DuckDB round by shortest-decimal-repr half-up). */
   def cosineSim6(a: Column, b: Column): Column = round(cosineSim(a, b), 6)

@@ -41,19 +41,20 @@ object SimilarityQueries {
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", l2Norm(col("v"))) // norm once per vector, reused per pair
 
   /** Deterministic IVF assignment: every vector → nearest centroid
     * (vec_id % 25 = 0 subset), rounded-sim ranking with centroid-id tiebreak. */
   private def assigned(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
     val cents = e.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("ncv"))
     e.crossJoin(broadcast(cents))
-      .withColumn("csim", cosineSim6(col("v"), col("cv")))
+      .withColumn("csim", cosineWithNorms6(col("v"), col("nv"), col("cv"), col("ncv")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("c_id"))
+      .select(col("vec_id"), col("label"), col("v"), col("nv"), col("c_id"))
   }
 
   /** DuckDB CTEs mirroring vectors/centroids/assignment. */
@@ -74,9 +75,9 @@ object SimilarityQueries {
     "s1_cosine_topk",
     (spark, dir) => {
       val e = vectors(spark, dir)
-      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("nv").as("nqv"))
       e.crossJoin(broadcast(q))
-        .withColumn("sim", cosineSim6(col("v"), col("qv")))
+        .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
         .select("vec_id", "label", "sim")
@@ -96,15 +97,15 @@ object SimilarityQueries {
     (spark, dir) => {
       val e = vectors(spark, dir)
       val cents = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"))
-      val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("ncv"))
+      val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"), col("nv").as("nqv"))
       val probed = cents.crossJoin(broadcast(q))
-        .withColumn("qsim", cosineSim6(col("cv"), col("qv")))
+        .withColumn("qsim", cosineWithNorms6(col("cv"), col("ncv"), col("qv"), col("nqv")))
         .orderBy(col("qsim").desc, col("c_id")).limit(4)
         .select(col("c_id").as("probe_c"))
       assigned(spark, dir).join(broadcast(probed), col("c_id") === col("probe_c"))
         .crossJoin(broadcast(q))
-        .withColumn("sim", cosineSim6(col("v"), col("qv")))
+        .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
         .select("vec_id", "label", "c_id", "sim")
@@ -128,10 +129,12 @@ object SimilarityQueries {
     "d5_embedding_neardup",
     (spark, dir) => {
       val a = assigned(spark, dir)
-      val left = a.select(col("c_id"), col("vec_id").as("a_id"), col("v").as("va"))
-      val right = a.select(col("c_id").as("c_id2"), col("vec_id").as("b_id"), col("v").as("vb"))
+      val left = a.select(col("c_id"), col("vec_id").as("a_id"),
+        col("v").as("va"), col("nv").as("na"))
+      val right = a.select(col("c_id").as("c_id2"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nv").as("nb"))
       left.join(right, col("c_id") === col("c_id2") && col("a_id") < col("b_id"))
-        .withColumn("sim", cosineSim6(col("va"), col("vb")))
+        .withColumn("sim", cosineWithNorms6(col("va"), col("na"), col("vb"), col("nb")))
         .filter(col("sim") >= 0.45)
         .select("a_id", "b_id", "c_id", "sim")
     },

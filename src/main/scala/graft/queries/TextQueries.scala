@@ -85,21 +85,27 @@ object TextQueries {
   /** t4: document fingerprinting — rolling character 8-gram hashes; the
     * fingerprint is the lexicographic min of the gram md5 prefixes (one
     * minhash), plus the distinct-gram cardinality. */
-  val t4Fingerprint: Q = Q.dualSql("t4_fingerprint",
-    sparkSql =
-      """SELECT doc_id,
-        |  array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
-        |    i -> substr(md5(substr(text, i, 8)), 1, 16))) AS fingerprint,
-        |  size(array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)),
-        |    i -> substr(text, i, 8)))) AS n_distinct_grams
-        |FROM documents""".stripMargin,
-    duckSql =
+  val t4Fingerprint: Q = Q(
+    "t4_fingerprint",
+    (spark, dir) => {
+      // native one-pass expression (graft.functions.RollingMinHash) — the
+      // SQL-fold equivalent is spec-proven bit-identical
+      graft.functions.GraftFunctions.registerAll(spark)
+      Tables.registerAll(spark, dir)
+      spark.sql(
+        """SELECT doc_id,
+          |  rolling_min_hash(text, 8) AS fingerprint,
+          |  size(array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)),
+          |    i -> substr(text, i, 8)))) AS n_distinct_grams
+          |FROM documents""".stripMargin)
+    },
+    Some(
       """SELECT doc_id,
         |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
         |    i -> substr(md5(substr(text, i, 8)), 1, 16))) AS fingerprint,
         |  len(list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
         |    i -> substr(text, i, 8)))) AS n_distinct_grams
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin))
 
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint)
 }

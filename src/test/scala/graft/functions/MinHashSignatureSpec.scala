@@ -32,6 +32,19 @@ class MinHashSignatureSpec extends AnyFunSuite with SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("rolling_min_hash is bit-identical to the SQL gram-fold") {
+    GraftFunctions.registerAll(spark)
+    val docs = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val mismatches = docs
+      .withColumn("a", expr("rolling_min_hash(text, 8)"))
+      .withColumn("b", expr(
+        """array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
+          |  i -> substr(md5(substr(text, i, 8)), 1, 16)))""".stripMargin))
+      .filter(expr("a <> b"))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("empty shingle array yields the fold's 'g' identity") {
     register()
     val out = Seq(Seq.empty[String]).toDF("sh")
