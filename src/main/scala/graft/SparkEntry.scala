@@ -14,7 +14,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     CoreQueries.all ++ Scd2Queries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      SourceQueries.all ++ StreamingQueries.all
+      SourceQueries.all ++ StreamingQueries.all ++ SqlSurfaceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

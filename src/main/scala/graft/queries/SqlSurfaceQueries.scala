@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Additional ANSI-SQL surface breadth (all free through Catalyst; each row
+  * here is one more "a reference user could run this" guarantee). */
+object SqlSurfaceQueries {
+
+  /** q28: outer-join family — LEFT (preserving unmatched parts) and the null
+    * handling that comes with it. */
+  val q28OuterJoin: Q = Q.sharedSql("q28_outer_join",
+    """SELECT p_brand,
+      |  count(*) AS n_rows,
+      |  count(l_orderkey) AS n_matched,
+      |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+      |FROM part
+      |LEFT JOIN lineitem ON l_partkey = p_partkey AND l_quantity >= 49
+      |GROUP BY p_brand""".stripMargin)
+
+  /** q28b: FULL OUTER join with COALESCE key folding. */
+  val q28bFullOuter: Q = Q.sharedSql("q28b_full_outer",
+    """SELECT COALESCE(c.k, s.k) AS nationkey,
+      |  COALESCE(c.n, 0) AS n_customers,
+      |  COALESCE(s.n, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS k, count(*) AS n FROM customer
+      |      WHERE c_acctbal > 9900 GROUP BY c_nationkey) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n FROM supplier
+      |                 GROUP BY s_nationkey) s
+      |ON c.k = s.k""".stripMargin)
+
+  /** q29: string function surface — case, trim/pad, substring, replace,
+    * position, LIKE. */
+  val q29StringFunctions: Q = Q.sharedSql("q29_string_functions",
+    """SELECT c_custkey,
+      |  upper(c_mktsegment) AS seg_upper,
+      |  lower(c_name) AS name_lower,
+      |  substr(c_name, 10, 8) AS name_mid,
+      |  replace(c_name, 'Customer', 'Cust') AS name_repl,
+      |  length(trim(c_name)) AS name_len,
+      |  lpad(CAST(c_nationkey AS STRING), 4, '0') AS nation_padded,
+      |  CASE WHEN c_name LIKE '%00001%' THEN 1 ELSE 0 END AS has_00001
+      |FROM customer
+      |WHERE c_custkey <= 500""".stripMargin)
+
+  /** q30: pivot — Spark's DataFrame pivot on one side, conditional
+    * aggregation (the portable formulation) as the oracle. */
+  val q30Pivot: Q = Q(
+    "q30_pivot",
+    (spark, dir) => {
+      Tables.table(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    },
+    Some(
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
+  /** q31: custom typed aggregate (graft.functions.GeometricMean, an
+    * Aggregator[Double,(Double,Long),Double]) vs the closed-form oracle
+    * exp(avg(ln x)) — rounded because libm/fold-order differ in final ulps. */
+  val q31CustomAgg: Q = Q(
+    "q31_custom_agg",
+    (spark, dir) => {
+      val geoMean = udaf(graft.functions.GeometricMean)
+      Tables.table(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(geoMean(col("o_totalprice")), 4).as("geo_mean_price"),
+          count(lit(1)).as("n"))
+    },
+    Some(
+      """SELECT o_orderpriority,
+        |  round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
+  /** q32: CUBE grouping sets (completes q16's ROLLUP). */
+  val q32Cube: Q = Q.sharedSql("q32_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)
+
+  /** q33: INTERSECT (completes the set-op family). */
+  val q33Intersect: Q = Q.sharedSql("q33_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin)
+
+  val all: Seq[Q] = Seq(
+    q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
+    q32Cube, q33Intersect)
+}
