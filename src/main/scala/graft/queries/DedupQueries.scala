@@ -209,5 +209,85 @@ object DedupQueries {
         |  count(*) OVER (PARTITION BY simhash) AS bucket_size
         |FROM sh""".stripMargin)
 
-  val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash)
+  /** Shared exact-Jaccard edge list (the d2 pairs) as SQL text fragments. */
+  private val sparkEdgesSql =
+    s"""WITH shingles AS (
+       |  SELECT DISTINCT doc_id, shingle
+       |  FROM (SELECT doc_id, explode($shinglesExpr) AS shingle FROM documents) t),
+       |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM shingles a JOIN shingles b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT a_id, b_id FROM pairs
+       |JOIN counts ca ON ca.doc_id = a_id
+       |JOIN counts cb ON cb.doc_id = b_id
+       |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""".stripMargin
+
+  /** d6: near-dup CLUSTERING — connected components over the exact-Jaccard
+    * ≥ 0.5 edge list, labeling every document with its cluster's min doc_id
+    * and flagging the canonical representative (what a dedup pipeline keeps).
+    *
+    * Spark side: distributed min-label propagation to fixpoint (the Pregel
+    * pattern as plain DataFrame joins — each iteration is one join + one
+    * min-aggregation, converging in O(cluster diameter) rounds; near-dup
+    * clusters are shallow, so 2-4 rounds). The driver loop only steers;
+    * all data stays distributed. Oracle: DuckDB recursive CTE reachability. */
+  val d6DedupClusters: Q = Q(
+    "d6_dedup_clusters",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val edges = spark.sql(sparkEdgesSql).persist()
+      val sym = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .toDF("src", "dst").persist()
+      sym.count()
+      var lbl = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("lbl")).persist()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val prop = sym.join(lbl, sym("src") === lbl("doc_id"))
+          .select(col("dst").as("doc_id"), col("lbl"))
+        val next = lbl.select("doc_id", "lbl").union(prop)
+          .groupBy("doc_id").agg(min("lbl").as("lbl")).persist()
+        changed = next.as("n").join(lbl.as("o"), "doc_id")
+          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        lbl.unpersist()
+        lbl = next
+        iter += 1
+      }
+      lbl.select(
+          col("doc_id"), col("lbl").as("component"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lbl"))).as("cluster_size"),
+          (col("doc_id") === col("lbl")).as("is_canonical"))
+    },
+    Some(
+      s"""WITH RECURSIVE
+         |shingles AS (SELECT DISTINCT doc_id, shingle FROM ($duckShingles) t),
+         |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |edges AS (
+         |  SELECT a_id, b_id FROM prs
+         |  JOIN counts ca ON ca.doc_id = a_id
+         |  JOIN counts cb ON cb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+         |edges2 AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |           UNION SELECT b_id, a_id FROM edges),
+         |walk(n, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM walk w JOIN edges2 e ON e.src = w.n),
+         |comp AS (SELECT n AS doc_id, min(lbl) AS component FROM walk GROUP BY n)
+         |SELECT doc_id, component,
+         |  count(*) OVER (PARTITION BY component) AS cluster_size,
+         |  doc_id = component AS is_canonical
+         |FROM comp""".stripMargin))
+
+  val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash, d6DedupClusters)
 }

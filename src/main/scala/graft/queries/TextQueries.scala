@@ -107,5 +107,47 @@ object TextQueries {
         |    i -> substr(text, i, 8)))) AS n_distinct_grams
         |FROM documents""".stripMargin))
 
-  val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint)
+  /** t5: TF-IDF top-3 terms per document — term frequency × smoothed inverse
+    * document frequency, ranked with a deterministic (rounded score, term)
+    * order. The shape that matters at scale: one doc-term aggregation, one
+    * tiny DF table broadcast back, one window. */
+  val t5TfIdf: Q = {
+    def sql(termsFrom: String) =
+      s"""SELECT doc_id, word, tf, score
+         |FROM (
+         |  SELECT t.doc_id, t.word, t.tf,
+         |    round(t.tf * ln((nd.n + 1e0) / (df.df + 1e0)), 6) AS score,
+         |    row_number() OVER (
+         |      PARTITION BY t.doc_id
+         |      ORDER BY round(t.tf * ln((nd.n + 1e0) / (df.df + 1e0)), 6) DESC,
+         |               t.word) AS rk
+         |  FROM ($termsFrom) t
+         |  JOIN (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |        FROM ($termsFrom) x GROUP BY word) df ON df.word = t.word
+         |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) nd) r
+         |WHERE rk <= 3""".stripMargin
+    Q.dualSql("t5_tfidf",
+      sparkSql = sql(
+        """SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+          |FROM (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents) e
+          |GROUP BY doc_id, word""".stripMargin),
+      duckSql = sql(
+        """SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) e
+          |GROUP BY doc_id, word""".stripMargin))
+  }
+
+  /** t6: deterministic stratified sampling — at most 5 docs per language,
+    * picked by doc_id order (the reproducible downsampling a corpus pipeline
+    * needs; at scale the same window runs per-partition after a shuffle on
+    * the stratum key). */
+  val t6StratifiedSample: Q = Q.sharedSql("t6_stratified_sample",
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 5""".stripMargin)
+
+  val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
+    t5TfIdf, t6StratifiedSample)
 }
