@@ -94,7 +94,41 @@ object SqlSurfaceQueries {
       |INTERSECT
       |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin)
 
+  /** q34: correlated scalar subquery (decorrelated by Catalyst into a join —
+    * the plan to check at scale is an aggregated left join, not N+1 scans). */
+  val q34CorrelatedScalar: Q = Q.sharedSql("q34_correlated_scalar",
+    """SELECT c_custkey, c_mktsegment,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+      |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders
+      |   WHERE o_custkey = c_custkey) AS max_price
+      |FROM customer
+      |WHERE c_custkey <= 300""".stripMargin)
+
+  /** q35: IN / NOT IN subqueries (semi/anti join decorrelation). */
+  val q35InSubquery: Q = Q.sharedSql("q35_in_subquery",
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 50)
+      |GROUP BY o_orderpriority""".stripMargin)
+
+  /** q36: ordered array aggregation — collect per-group sorted arrays (array
+    * columns survive the parquet/pandas compare as positional lists). */
+  val q36ArrayAgg: Q = Q.dualSql("q36_array_agg",
+    sparkSql =
+      """SELECT n_nationkey,
+        |  sort_array(collect_list(s_name)) AS suppliers,
+        |  CAST(size(collect_list(s_name)) AS BIGINT) AS n
+        |FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_nationkey""".stripMargin,
+    duckSql =
+      """SELECT n_nationkey,
+        |  list(s_name ORDER BY s_name) AS suppliers,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_nationkey""".stripMargin)
+
   val all: Seq[Q] = Seq(
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
-    q32Cube, q33Intersect)
+    q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg)
 }

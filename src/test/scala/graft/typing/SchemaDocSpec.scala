@@ -54,6 +54,24 @@ class SchemaDocSpec extends AnyFunSuite with SparkSpec {
     assert(doc(raw, positional = true).select("flag").collect().head.getBoolean(0) === false)
   }
 
+  test("failfast mode throws on the first typing error; permissive keeps rows") {
+    import graft.etl.TypingTransform
+    Seq(("1", "1.0", "t", "2024/01/01 00:00"), ("x", "2.0", "f", "2024/01/01 00:00"))
+      .toDF("a", "b", "c", "d").createOrReplaceTempView("ff_raw")
+    val docJson =
+      """[{"name": "id", "type": "long", "nullable": false},
+        | {"name": "amount", "type": "double"},
+        | {"name": "flag", "type": "boolean"},
+        | {"name": "ts", "type": "timestamp", "formatters": ["yyyy/MM/dd HH:mm"]}]""".stripMargin
+    assertThrows[IllegalStateException] {
+      TypingTransform("t", "ff_raw", "ff_typed", schema = Some(docJson),
+        positional = true, failMode = "failfast").execute(spark, Map.empty)
+    }
+    TypingTransform("t", "ff_raw", "ff_typed", schema = Some(docJson),
+      positional = true, failMode = "permissive").execute(spark, Map.empty)
+    assert(spark.table("ff_typed").count() === 2)
+  }
+
   test("named (non-positional) matching types by column name") {
     val raw = Seq(("5", "t"))
       .toDF("id", "flag")
