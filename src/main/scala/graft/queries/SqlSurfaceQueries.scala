@@ -128,7 +128,50 @@ object SqlSurfaceQueries {
         |FROM nation JOIN supplier ON s_nationkey = n_nationkey
         |GROUP BY n_nationkey""".stripMargin)
 
+  /** q37: as-of (validity-interval) join — each event matched to the
+    * dimension version valid at its timestamp: the SCD2 read path. Catalyst
+    * plans the user_id equality as the join key with the range predicate as
+    * a residual, so the physical plan is a plain equi-join (broadcast/SMJ),
+    * not a nested loop — the shape that survives 100 TB. Dimension history
+    * is derived deterministically: version 1 until 2024-01-15, version 2
+    * after, for users ≡ 0 (mod 7); single eternal version otherwise. */
+  val q37AsOfJoin: Q = {
+    val dimSql =
+      """SELECT c_custkey AS user_id, concat('v1-', c_mktsegment) AS segment,
+        |  TIMESTAMP '2023-01-01 00:00:00' AS valid_from,
+        |  CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '2024-01-15 00:00:00' END AS valid_to
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, concat('v2-', c_mktsegment),
+        |  TIMESTAMP '2024-01-15 00:00:00', CAST(NULL AS TIMESTAMP)
+        |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
+    def sql(ts: String) =
+      s"""WITH dim AS ($dimSql)
+         |SELECT e.event_id, e.user_id, d.segment, e.event_type
+         |FROM (SELECT event_id, user_id, event_type, $ts AS ts2 FROM events) e
+         |JOIN dim d
+         |  ON d.user_id = e.user_id
+         | AND d.valid_from <= e.ts2
+         | AND (d.valid_to IS NULL OR e.ts2 < d.valid_to)""".stripMargin
+    Q.dualSql("q37_asof_join", sql("ts"), sql("ts::TIMESTAMP"))
+  }
+
+  /** q39: date formatting / parsing parity (pattern dialects differ —
+    * Spark uses DateTimeFormatter patterns, DuckDB strftime). */
+  val q39DateFormat: Q = Q.dualSql("q39_date_format",
+    sparkSql =
+      """SELECT date_format(o_orderdate, 'yyyy-MM') AS ym,
+        |  count(*) AS n,
+        |  min(date_format(o_orderdate, 'yyyy-MM-dd')) AS first_day
+        |FROM orders GROUP BY date_format(o_orderdate, 'yyyy-MM')""".stripMargin,
+    duckSql =
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |  count(*) AS n,
+        |  min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day
+        |FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')""".stripMargin)
+
   val all: Seq[Q] = Seq(
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
-    q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg)
+    q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
+    q37AsOfJoin, q39DateFormat)
 }
