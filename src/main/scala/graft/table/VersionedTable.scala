@@ -1,7 +1,8 @@
 package graft.table
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
@@ -77,6 +78,18 @@ final class VersionedTable(val root: String) {
     node.get("files").elements().asScala.map(_.asText()).toSeq
   }
 
+  /** Per-file column stats recorded at commit: file → col → (min, max) as
+    * strings (numeric-comparable via the original type at prune time). */
+  private def statsOf(v: Long): Map[String, Map[String, (String, String)]] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (!node.has("stats")) return Map.empty
+    node.get("stats").properties().asScala.map { e =>
+      e.getKey -> e.getValue.properties().asScala.map { c =>
+        c.getKey -> (c.getValue.get(0).asText(), c.getValue.get(1).asText())
+      }.toMap
+    }.toMap
+  }
+
   /** Read a specific version as a DataFrame (empty-file-list versions need a
     * caller-supplied schema only if read; we return an empty DF via the
     * latest non-empty schema in that case is not needed for our surface). */
@@ -104,13 +117,30 @@ final class VersionedTable(val root: String) {
 
   /** Commit `df` as the next version (full snapshot — `DeltaLakeLoad` with
     * `saveMode Overwrite`, scd2-job.ipynb:169). `numPartitions` mirrors the
-    * reference's pre-write repartition knob (scd2-job.ipynb:168). */
-  def commit(df: DataFrame, numPartitions: Option[Int] = None): Long = {
+    * reference's pre-write repartition knob (scd2-job.ipynb:168).
+    *
+    * Scale levers (the Delta-style data-layout story):
+    *  - `sortBy`: range-repartition + sort-within-partitions before the
+    *    write, so files cover disjoint key ranges — the layout that makes
+    *    stats-based file skipping effective.
+    *  - `collectStats`: record per-file min/max for leaf scalar columns in
+    *    the manifest (one small distributed job over the written files);
+    *    [[readPruned]] skips files whose range can't match.
+    */
+  def commit(df: DataFrame, numPartitions: Option[Int] = None,
+             sortBy: Seq[String] = Nil, collectStats: Boolean = true): Long = {
     Files.createDirectories(logDir)
     Files.createDirectories(dataDir)
     val commitId = java.util.UUID.randomUUID().toString
     val outDir = dataDir.resolve(commitId)
-    val out = numPartitions.map(df.repartition(_)).getOrElse(df)
+    val out = (numPartitions, sortBy) match {
+      case (Some(n), s) if s.nonEmpty =>
+        df.repartitionByRange(n, s.map(col): _*).sortWithinPartitions(s.map(col): _*)
+      case (None, s) if s.nonEmpty =>
+        df.repartitionByRange(s.map(col): _*).sortWithinPartitions(s.map(col): _*)
+      case (Some(n), _) => df.repartition(n)
+      case _ => df
+    }
     out.write.mode("overwrite").parquet(outDir.toString)
     val files = Files.list(outDir).iterator().asScala
       .map(_.getFileName.toString)
@@ -121,6 +151,33 @@ final class VersionedTable(val root: String) {
     json.put("version", next)
     val arr = json.putArray("files")
     files.foreach(arr.add)
+    if (collectStats && files.nonEmpty) {
+      import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+      import org.apache.spark.sql.types._
+      val spark = df.sparkSession
+      val written = spark.read.parquet(outDir.toString)
+      val statCols = written.schema.fields.collect {
+        case StructField(n, _: NumericType | StringType | TimestampType | DateType, _, _) => n
+      }.toSeq
+      if (statCols.nonEmpty) {
+        val aggs = statCols.flatMap(c =>
+          Seq(fmin(col(c)).cast("string").as(s"min_$c"), fmax(col(c)).cast("string").as(s"max_$c")))
+        val statsNode = json.putObject("stats")
+        written.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
+          .collect().foreach { row =>
+            val fname = row.getString(0)
+            val rel = s"data/$commitId/" + fname.substring(fname.lastIndexOf('/') + 1)
+            val fileNode = statsNode.putObject(rel)
+            statCols.foreach { c =>
+              val mn = row.getAs[String](s"min_$c")
+              val mx = row.getAs[String](s"max_$c")
+              if (mn != null && mx != null) {
+                val a = fileNode.putArray(c); a.add(mn); a.add(mx)
+              }
+            }
+          }
+      }
+    }
     val tmp = logDir.resolve(s".tmp-$commitId.json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
     // atomic rename = the commit point; a concurrent reader either sees the
@@ -131,6 +188,75 @@ final class VersionedTable(val root: String) {
       throw new IllegalStateException(s"concurrent commit of version $next at $root")
     }
     next
+  }
+
+  /** Stats-pruned read: only files whose recorded [min, max] for `column`
+    * intersects [lo, hi] are scanned (Delta-style data skipping — the
+    * manifest is the index, no footer reads needed). Falls back to all files
+    * when stats are absent. Values compare numerically when both sides parse
+    * as numbers, lexicographically otherwise. Returns (df, scannedFiles,
+    * totalFiles) so callers can observe the skipping. */
+  def readPruned(spark: SparkSession, column: String, lo: String, hi: String,
+                 relativeVersion: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = resolve(relativeVersion, None)
+    val all = filesOf(v)
+    val stats = statsOf(v)
+    def num(s: String): Option[BigDecimal] = scala.util.Try(BigDecimal(s)).toOption
+    def overlaps(mn: String, mx: String): Boolean =
+      (num(mn), num(mx), num(lo), num(hi)) match {
+        case (Some(a), Some(b), Some(l), Some(h)) => b >= l && a <= h
+        case _ => mx >= lo && mn <= hi
+      }
+    val kept = all.filter { f =>
+      stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => overlaps(mn, mx)
+        case None => true // no stats → cannot skip
+      }
+    }
+    val paths = kept.map(f => Paths.get(root).resolve(f).toString)
+    // an empty kept-set over a non-empty table is a valid prune result:
+    // return an empty frame with the table's schema
+    val df =
+      if (paths.nonEmpty) spark.read.parquet(paths: _*)
+      else spark.read.parquet(all.map(f => Paths.get(root).resolve(f).toString): _*).limit(0)
+    (df, kept.size, all.size)
+  }
+
+  /** Compaction (OPTIMIZE): rewrite the latest snapshot into `numFiles`
+    * files as a NEW version — readers keep snapshot isolation, old versions
+    * stay time-travelable, and the small-file problem goes away without a
+    * write lock (single-writer protocol as for any commit). */
+  def compact(spark: SparkSession, numFiles: Int = 1,
+              sortBy: Seq[String] = Nil): Long =
+    commit(read(spark), numPartitions = Some(numFiles), sortBy = sortBy)
+
+  /** Vacuum: physically delete data files not referenced by the newest
+    * `retainVersions` manifests, and drop the older manifests. Time travel
+    * before the retention window stops working (as with any lakehouse
+    * vacuum); the retained window is untouched. Returns deleted file count. */
+  def vacuum(retainVersions: Int = 2): Int = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val vs = versions()
+    if (vs.size <= retainVersions) return 0
+    val retained = vs.takeRight(retainVersions)
+    val dropped = vs.dropRight(retainVersions)
+    val keep = retained.flatMap(filesOf).toSet
+    var deleted = 0
+    dropped.foreach { v =>
+      filesOf(v).foreach { f =>
+        if (!keep.contains(f)) {
+          if (Files.deleteIfExists(Paths.get(root).resolve(f))) deleted += 1
+        }
+      }
+      Files.deleteIfExists(manifestPath(v))
+    }
+    // sweep now-empty commit dirs
+    if (Files.isDirectory(dataDir)) {
+      Files.list(dataDir).iterator().asScala.foreach { d =>
+        if (Files.isDirectory(d) && !Files.list(d).iterator().hasNext) Files.delete(d)
+      }
+    }
+    deleted
   }
 }
 

@@ -38,6 +38,39 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](t.resolve(versionAsOf = Some(7L)))
   }
 
+  test("stats-based file skipping prunes range-sorted commits") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    import org.apache.spark.sql.functions.col
+    t.commit(spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v")),
+      numPartitions = Some(4), sortBy = Seq("id"))
+    val (hit, scanned, total) = t.readPruned(spark, "id", "0", "100")
+    assert(total === 4)
+    assert(scanned < total, "range-sorted files must allow skipping")
+    assert(hit.count() === spark.range(0, 1000).filter(col("id") <= 100).count()
+      || hit.filter(col("id") <= 100).count() === 101)
+    // out-of-range predicate prunes everything but keeps the schema
+    val (none, s2, _) = t.readPruned(spark, "id", "5000", "6000")
+    assert(s2 === 0 && none.count() === 0 && none.columns.toSeq === Seq("id", "v"))
+  }
+
+  test("compaction rewrites as a new version; vacuum drops old files") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 100).toDF("x"), numPartitions = Some(8))
+    t.commit(spark.range(100, 200).toDF("x"), numPartitions = Some(8))
+    val before = t.read(spark).as[Long].collect().sorted.toSeq
+    val v = t.compact(spark, numFiles = 1)
+    assert(v === 2L)
+    assert(t.read(spark).as[Long].collect().sorted.toSeq === before)
+    // old versions still time-travelable pre-vacuum
+    assert(t.read(spark, versionAsOf = Some(0L)).count() === 100)
+    val deleted = t.vacuum(retainVersions = 1)
+    assert(deleted >= 8) // the 16 pre-compaction files minus any shared (none)
+    assert(t.versions() === Seq(2L))
+    assert(t.read(spark).as[Long].collect().sorted.toSeq === before)
+  }
+
   test("numPartitions controls written file count") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
