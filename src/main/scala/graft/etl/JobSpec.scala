@@ -131,6 +131,12 @@ object JobSpec {
             Some(Merge.NotMatchedInsert(optStr(i, "condition"), strMap(i, "values")))
           } else None,
         numPartitions = optInt(n, "numPartitions"), environments = envs(n))
+      case "TableCompact" => TableCompact(
+        name, str(n, "tableURI"), optInt(n, "numFiles").getOrElse(1),
+        if (n.has("sortBy")) n.get("sortBy").elements().asScala.map(_.asText()).toSeq
+        else Nil, envs(n))
+      case "TableVacuum" => TableVacuum(
+        name, str(n, "tableURI"), optInt(n, "retainVersions").getOrElse(2), envs(n))
       case "SQLExecute" | "JDBCExecute" =>
         SQLExecute(name, str(n, "sql"), strMap(n, "sqlParams"), envs(n))
       case "PrintSchema" => PrintSchema(name, str(n, "inputView"), envs(n))

@@ -36,5 +36,27 @@ object SourceQueries {
     },
     Some("SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer"))
 
-  val all: Seq[Q] = Seq(q21CsvExtract)
+  /** q40: stats-pruned versioned read, gated end-to-end — commit orders
+    * range-sorted by o_orderkey with per-file stats, read back via the
+    * manifest-index file skipping plus the residual row filter; the result
+    * must equal a plain range select. Pruning must lose no rows. */
+  val q40PrunedRead: Q = Q(
+    "q40_pruned_read",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-prune-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_v")
+      t.commit(
+        spark.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM orders"),
+        numPartitions = Some(8), sortBy = Seq("o_orderkey"))
+      val (pruned, scanned, total) = t.readPruned(spark, "o_orderkey", "1000", "2999")
+      require(scanned < total,
+        s"expected file skipping on a range-sorted table ($scanned/$total)")
+      pruned.filter(col("o_orderkey").between(1000, 2999))
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 2999""".stripMargin))
+
+  val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead)
 }

@@ -22,6 +22,9 @@ import org.apache.spark.sql.types.StructType
   * horizon, with state in the HDFS/RocksDB store — both standard Spark
   * mechanics, nothing engine-custom beyond the commit protocol.
   */
+final case class UserEvent(user_id: Long, value: Double)
+final case class UserTotal(user_id: Long, n: Long, sum_value: Double)
+
 object StreamingEtl {
 
   /** Continuous SCD2: merge every arriving CDC micro-batch into the versioned
@@ -66,6 +69,29 @@ object StreamingEtl {
       .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Stateful streaming per-user event counting via `mapGroupsWithState` —
+    * the custom-state tier of SURVEY.md §2.9: arbitrary per-key state kept in
+    * the state store across micro-batches (here: a running (count, sum)
+    * pair; real pipelines keep session windows, dedup sets, ML features).
+    * Update-mode output emits the refreshed state per key per batch. */
+  def statefulUserTotals(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (userId, rows, state) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          var n = prev.n
+          var sum = prev.sum_value
+          rows.foreach { e => n += 1; sum += e.value }
+          val next = UserTotal(userId, n, sum)
+          state.update(next)
+          next
+      }
+  }
 
   /** Stateful per-key session counting via mapGroupsWithState-style gap logic
     * — batch-testable streaming sessionization (gap > 30 min starts a new

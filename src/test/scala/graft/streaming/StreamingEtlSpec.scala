@@ -76,6 +76,28 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
     assert(got.exceptAll(batch).count() === 0)
   }
 
+  test("mapGroupsWithState keeps per-key running totals across the stream") {
+    val dir = tmpDir("st-")
+    graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "value")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir).as[UserEvent]
+    val totals = StreamingEtl.statefulUserTotals(stream)
+    val qn = s"st_sink_${System.nanoTime()}"
+    val q = totals.writeStream.outputMode("update")
+      .format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    // last emitted state per key must equal the batch aggregate
+    val got = spark.table(qn)
+      .groupBy("user_id").agg(max("n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val expect = spark.read.parquet(dir)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(got === expect)
+  }
+
   test("HLL++ sketch estimate stays within its error bound of the exact count") {
     val out = graft.queries.StreamingQueries.q27SketchDistinct
       .run(spark, "/root/testdata/sf0.01").collect()
