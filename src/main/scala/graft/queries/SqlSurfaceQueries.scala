@@ -170,8 +170,34 @@ object SqlSurfaceQueries {
         |  min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day
         |FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')""".stripMargin)
 
+  /** q41: null-safe equality (IS NOT DISTINCT FROM) — join over a nullable
+    * derived key where NULL must match NULL. */
+  val q41NullSafeJoin: Q = Q.sharedSql("q41_null_safe_join",
+    """WITH a AS (SELECT c_custkey,
+      |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_nationkey END AS k
+      |  FROM customer WHERE c_custkey <= 200),
+      |b AS (SELECT n_nationkey,
+      |    CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS k
+      |  FROM nation)
+      |SELECT a.c_custkey, b.n_nationkey
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin)
+
+  /** q43: window-frame completeness — RANGE frames, first/last_value with
+    * frame bounds, ntile, lead with default. */
+  val q43WindowFrames: Q = Q.sharedSql("q43_window_frames",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+      |  CAST(last_value(o_totalprice) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS last_price,
+      |  ntile(4) OVER w AS quartile,
+      |  CAST(lead(o_totalprice, 1, -1e0) OVER w AS DOUBLE) AS next_price
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
+
   val all: Seq[Q] = Seq(
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
     q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
-    q37AsOfJoin, q39DateFormat)
+    q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames)
 }
