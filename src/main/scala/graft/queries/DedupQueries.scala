@@ -98,14 +98,12 @@ object DedupQueries {
       |    (a2, h) -> zip_with(a2, sequence(0, 15),
       |      (m, i) -> least(m, substr(h, CAST(1 + i * 8 AS INT), 8)))))""".stripMargin
 
-  /** d3: MinHash + LSH near-dup detection — 16 perms, 8 bands × 2 rows;
-    * band-bucket join → candidate pairs → exact-Jaccard verification ≥ 0.5.
-    * Spark side: signature per row (no shuffle), explode 8 band keys,
-    * self-join on (band, key), verify via array_intersect on distinct
-    * shingle arrays. */
-  val d3MinHashLsh: Q = Q(
-    "d3_minhash_lsh",
-    (spark, dir) => {
+  /** LSH-verified near-dup pairs (a_id, b_id, jaccard) — shared by d3
+    * (pair output) and d6 (cluster edges): 16 perms, 8 bands × 2 rows;
+    * signature per row (no shuffle), explode 8 band keys, bucket self-join,
+    * exact-Jaccard verification ≥ 0.5 on distinct shingle arrays. */
+  private[queries] def lshVerifiedPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       val docs = Tables.table(spark, dir, "documents")
         .select(col("doc_id"), expr(shinglesExpr).as("sh"))
       // native one-pass signature expression (graft.functions.MinHashSignature
@@ -142,7 +140,11 @@ object DedupQueries {
         .filter(expr("CAST(inter AS DOUBLE) / (size(da) + size(db) - inter) >= 0.5"))
         .select("a_id", "b_id", "jaccard")
       out
-    },
+  }
+
+  val d3MinHashLsh: Q = Q(
+    "d3_minhash_lsh",
+    (spark, dir) => lshVerifiedPairs(spark, dir),
     Some(
       s"""WITH sh_all AS ($duckShingles),
          |hm AS (
@@ -209,36 +211,24 @@ object DedupQueries {
         |  count(*) OVER (PARTITION BY simhash) AS bucket_size
         |FROM sh""".stripMargin)
 
-  /** Shared exact-Jaccard edge list (the d2 pairs) as SQL text fragments. */
-  private val sparkEdgesSql =
-    s"""WITH shingles AS (
-       |  SELECT DISTINCT doc_id, shingle
-       |  FROM (SELECT doc_id, explode($shinglesExpr) AS shingle FROM documents) t),
-       |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-       |  FROM shingles a JOIN shingles b
-       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
-       |SELECT a_id, b_id FROM pairs
-       |JOIN counts ca ON ca.doc_id = a_id
-       |JOIN counts cb ON cb.doc_id = b_id
-       |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""".stripMargin
-
-  /** d6: near-dup CLUSTERING — connected components over the exact-Jaccard
-    * ≥ 0.5 edge list, labeling every document with its cluster's min doc_id
-    * and flagging the canonical representative (what a dedup pipeline keeps).
+  /** d6: near-dup CLUSTERING — connected components over the LSH-verified
+    * ≥ 0.5 edge list (the scale path: candidate edges come from the linear
+    * shingle→minhash→band pipeline, not the quadratic inverted-index join),
+    * labeling every document with its cluster's min doc_id and flagging the
+    * canonical representative (what a dedup pipeline keeps).
     *
     * Spark side: distributed min-label propagation to fixpoint (the Pregel
     * pattern as plain DataFrame joins — each iteration is one join + one
     * min-aggregation, converging in O(cluster diameter) rounds; near-dup
-    * clusters are shallow, so 2-4 rounds). The driver loop only steers;
-    * all data stays distributed. Oracle: DuckDB recursive CTE reachability. */
+    * clusters are shallow, so 2-4 rounds; switch to large-star/small-star
+    * doubling if diameters grow). The driver loop only steers; all data
+    * stays distributed. Oracle: DuckDB recursive-CTE reachability over the
+    * identical LSH edge pipeline. */
   val d6DedupClusters: Q = Q(
     "d6_dedup_clusters",
     (spark, dir) => {
       Tables.registerAll(spark, dir)
-      val edges = spark.sql(sparkEdgesSql).persist()
+      val edges = lshVerifiedPairs(spark, dir).select("a_id", "b_id").persist()
       val sym = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .toDF("src", "dst").persist()
       sym.count()
@@ -265,18 +255,37 @@ object DedupQueries {
     },
     Some(
       s"""WITH RECURSIVE
-         |shingles AS (SELECT DISTINCT doc_id, shingle FROM ($duckShingles) t),
+         |sh_all AS ($duckShingles),
+         |hm AS (
+         |  SELECT doc_id, shingle,
+         |    md5('0:' || shingle) || md5('1:' || shingle) ||
+         |    md5('2:' || shingle) || md5('3:' || shingle) AS h
+         |  FROM sh_all),
+         |sig AS (
+         |  SELECT doc_id, i, min(substr(h, 1 + i * 8, 8)) AS mh
+         |  FROM hm, (SELECT unnest(range(0, 16)) AS i) perms
+         |  GROUP BY doc_id, i),
+         |sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b * 2 + 1:b * 2 + 2], ',')) AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) bs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |shingles AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
          |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-         |prs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |  FROM shingles a JOIN shingles b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS i
+         |  FROM cand c
+         |  JOIN shingles sa ON sa.doc_id = c.a_id
+         |  JOIN shingles sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id),
          |edges AS (
-         |  SELECT a_id, b_id FROM prs
+         |  SELECT a_id, b_id FROM inter
          |  JOIN counts ca ON ca.doc_id = a_id
          |  JOIN counts cb ON cb.doc_id = b_id
-         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
          |edges2 AS (SELECT a_id AS src, b_id AS dst FROM edges
          |           UNION SELECT b_id, a_id FROM edges),
          |walk(n, lbl) AS (
