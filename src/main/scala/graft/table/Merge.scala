@@ -53,16 +53,35 @@ object Merge {
       whenMatchedDelete: Option[MatchedDelete] = None,
       whenNotMatchedInsert: Option[NotMatchedInsert] = None,
       whenNotMatchedBySourceUpdate: Option[NotMatchedBySourceUpdate] = None,
-      whenNotMatchedBySourceDelete: Option[NotMatchedBySourceDelete] = None): DataFrame = {
+      whenNotMatchedBySourceDelete: Option[NotMatchedBySourceDelete] = None,
+      validateCardinality: Boolean = true): DataFrame = {
 
     val targetCols = target.columns.toSeq
     val sourceCols = source.columns.toSet
 
     // presence markers survive the outer join where data columns may be
     // legitimately null; the marker being null means "no row on that side"
-    val t = target.withColumn("__t_present", lit(true)).alias("target")
+    // (__t_id identifies target rows for the cardinality check)
+    val t = target.withColumn("__t_present", lit(true))
+      .withColumn("__t_id", monotonically_increasing_id()).alias("target")
     val s = source.withColumn("__s_present", lit(true)).alias("source")
-    val joined = t.join(s, expr(condition), "full_outer")
+    val joined0 = t.join(s, expr(condition), "full_outer")
+
+    // Delta-parity guard: a target row matched by more than one source row
+    // has ambiguous update/delete semantics — fail instead of silently
+    // duplicating it (opt out with validateCardinality = false when the
+    // extra aggregation isn't worth it and duplicates are impossible by
+    // construction). One count-distinct-free aggregation over matched rows.
+    if (validateCardinality && (whenMatchedUpdate.isDefined || whenMatchedDelete.isDefined)) {
+      val dup = joined0
+        .filter(col("target.__t_present").isNotNull && col("source.__s_present").isNotNull)
+        .groupBy(col("target.__t_id")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        .limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalStateException(
+        "MERGE cardinality violation: a target row matches multiple source rows")
+    }
+    val joined = joined0
 
     val matched = col("target.__t_present").isNotNull && col("source.__s_present").isNotNull
     val sourceOnly = col("target.__t_present").isNull && col("source.__s_present").isNotNull

@@ -72,6 +72,26 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() === 3) // just the target, unchanged
   }
 
+  test("duplicate source matches on one target row fail the cardinality check") {
+    val dupSource = Seq(
+      (Some(1L), "x", true, "hA"),
+      (Some(1L), "y", true, "hB")
+    ).toDF("mergeKey", "val", "iscurrent", "checksum")
+      .withColumn("id", coalesce($"mergeKey", lit(100L)))
+    assertThrows[IllegalStateException] {
+      Merge.merge(target, dupSource,
+        condition = "source.mergeKey = target.id",
+        whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("val" -> "source.val"))))
+        .collect()
+    }
+    // opting out reproduces the raw join semantics (documented escape hatch)
+    val out = Merge.merge(target, dupSource,
+      condition = "source.mergeKey = target.id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("val" -> "source.val"))),
+      validateCardinality = false)
+    assert(out.filter($"id" === 1L).count() === 2)
+  }
+
   test("not-matched-by-source update/delete act only on target-only rows") {
     val out = Merge.merge(
       target, source,

@@ -71,6 +71,20 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).as[Long].collect().sorted.toSeq === before)
   }
 
+  test("a foreign manifest landing between commits never gets clobbered") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq(1).toDF("x"))
+    // a racing writer claimed version 1 (empty snapshot) out-of-band
+    val log = java.nio.file.Paths.get(root, "_graft_log")
+    java.nio.file.Files.write(log.resolve("v00000001.json"),
+      """{"version":1,"files":[]}""".getBytes("UTF-8"))
+    // our next commit observes it and takes version 2; v1 is untouched
+    assert(t.commit(Seq(2).toDF("x")) === 2L)
+    assert(t.versions() === Seq(0L, 1L, 2L))
+    assert(t.read(spark).as[Int].collect().toSeq === Seq(2))
+  }
+
   test("numPartitions controls written file count") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
