@@ -16,6 +16,9 @@ object Verify {
       // SURVEY.md §7 hard part #3) + nanos-timestamp testdata readability
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // q44-style recursive CTEs materialize one row per (row, ancestor);
+      // the 1M default cap is a scale cliff the DuckDB oracle does not share
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

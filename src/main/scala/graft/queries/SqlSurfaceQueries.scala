@@ -196,8 +196,21 @@ object SqlSurfaceQueries {
       |WHERE o_custkey <= 100
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
 
+  /** q44: recursive CTE (Spark 4 gained WITH RECURSIVE) — decimal-digit
+    * ancestor chains over part keys (p → p/10 → … while ≥ 10): iterative
+    * self-reference with aggregation over the closure. */
+  val q44RecursiveCte: Q = Q.sharedSql("q44_recursive_cte",
+    """WITH RECURSIVE anc(pk, a) AS (
+      |  SELECT p_partkey, CAST(floor(p_partkey / 10) AS BIGINT)
+      |  FROM part WHERE p_partkey >= 10
+      |  UNION ALL
+      |  SELECT pk, CAST(floor(a / 10) AS BIGINT) FROM anc WHERE a >= 10
+      |)
+      |SELECT pk, count(*) AS n_ancestors, min(a) AS top
+      |FROM anc GROUP BY pk""".stripMargin)
+
   val all: Seq[Q] = Seq(
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
     q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
-    q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames)
+    q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames, q44RecursiveCte)
 }

@@ -13,6 +13,9 @@ trait SparkSpec {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // q44-style recursive CTEs materialize one row per (row, ancestor);
+      // the 1M default cap is a scale cliff the DuckDB oracle does not share
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
     .getOrCreate()
