@@ -47,18 +47,21 @@ object Runner {
     * `{"parameters": {"k": "v"}, "jobs": [{"name": ..., "dependsOn": [...],
     * "stages"|"configUri": ...}]}` — `configUri` loads the job spec from a
     * file (the scheduler's `configUri`, scd2-job-scheduler.yaml:28-29), and
-    * `parameters` merge under the caller's env (caller wins). */
-  def fromJson(json: String): (Seq[JobDef], Map[String, String]) = {
+    * `parameters` merge under the caller's env (caller wins — including in
+    * configUri resolution). */
+  def fromJson(json: String, env: Map[String, String] = Map.empty)
+      : (Seq[JobDef], Map[String, String]) = {
     val root = new ObjectMapper().readTree(json)
     val params =
       if (root.has("parameters"))
         root.get("parameters").properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap
       else Map.empty[String, String]
+    val resolved = params ++ env
     val jobs = root.get("jobs").elements().asScala.map { j =>
       val spec =
         if (j.has("configUri"))
-          JobSpec.fromFile(EnvResolver.substitute(j.get("configUri").asText(), params))
+          JobSpec.fromFile(EnvResolver.substitute(j.get("configUri").asText(), resolved))
         else JobSpec.fromJson(j.toString)
       val deps =
         if (j.has("dependsOn")) j.get("dependsOn").elements().asScala.map(_.asText()).toSeq
@@ -71,7 +74,7 @@ object Runner {
   def runWorkflow(spark: SparkSession, json: String,
                   env: Map[String, String] = Map.empty,
                   environment: String = "production"): Seq[String] = {
-    val (jobs, params) = fromJson(json)
+    val (jobs, params) = fromJson(json, env)
     run(spark, jobs, params ++ env, environment)
   }
 }

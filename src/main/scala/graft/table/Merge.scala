@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Join-based `MERGE INTO` kernel with Delta-style clause semantics.
@@ -64,7 +64,8 @@ object Merge {
     // (__t_id identifies target rows for the cardinality check)
     val t = target.withColumn("__t_present", lit(true))
       .withColumn("__t_id", monotonically_increasing_id()).alias("target")
-    val s = source.withColumn("__s_present", lit(true)).alias("source")
+    val s = source.withColumn("__s_present", lit(true))
+      .withColumn("__s_id", monotonically_increasing_id()).alias("source")
     val joined0 = t.join(s, expr(condition), "full_outer")
 
     // Delta-parity guard: a target row matched by more than one source row
@@ -87,17 +88,20 @@ object Merge {
     val sourceOnly = col("target.__t_present").isNull && col("source.__s_present").isNotNull
     val targetOnly = col("source.__s_present").isNull
 
-    val updCond = whenMatchedUpdate.map(u =>
-      matched && u.condition.map(expr).getOrElse(lit(true)))
+    // SQL three-valued logic: a clause condition evaluating to NULL means the
+    // clause does NOT apply (the row is kept unchanged, not dropped) — so
+    // every user condition is coalesced to false before combining
+    def cond(c: Option[String]): Column =
+      c.map(x => coalesce(expr(x), lit(false))).getOrElse(lit(true))
+
+    val updCond = whenMatchedUpdate.map(u => matched && cond(u.condition))
     val delCond = whenMatchedDelete.map(d =>
-      matched && d.condition.map(expr).getOrElse(lit(true)) &&
+      matched && cond(d.condition) &&
         updCond.map(!_).getOrElse(lit(true))) // update clause takes precedence
-    val insCond = whenNotMatchedInsert.map(i =>
-      sourceOnly && i.condition.map(expr).getOrElse(lit(true)))
-    val nmsUpdCond = whenNotMatchedBySourceUpdate.map(u =>
-      targetOnly && u.condition.map(expr).getOrElse(lit(true)))
+    val insCond = whenNotMatchedInsert.map(i => sourceOnly && cond(i.condition))
+    val nmsUpdCond = whenNotMatchedBySourceUpdate.map(u => targetOnly && cond(u.condition))
     val nmsDelCond = whenNotMatchedBySourceDelete.map(d =>
-      targetOnly && d.condition.map(expr).getOrElse(lit(true)) &&
+      targetOnly && cond(d.condition) &&
         nmsUpdCond.map(!_).getOrElse(lit(true))) // update precedence, as matched side
 
     // rows that survive the merge
@@ -130,6 +134,23 @@ object Merge {
       inserted.as(c)
     }
 
-    joined.filter(keep).select(outCols: _*)
+    val kept = joined.filter(keep)
+    // Insert-only / no-matched-clause merges: a target row matched by several
+    // source rows must still appear exactly once (Delta keeps it untouched,
+    // no error). The emitted copies are bit-identical (output = target
+    // columns only), so dedup by row identity: __t_id for target-backed rows,
+    // __s_id for inserts. With update/delete clauses the cardinality guard
+    // above already enforces uniqueness, so the extra shuffle is skipped.
+    val result =
+      if (whenMatchedUpdate.isEmpty && whenMatchedDelete.isEmpty) {
+        // row identity: target-backed rows dedup on __t_id alone (their
+        // emitted copies differ only in which source row matched); inserts
+        // (null __t_id) are keyed by their source row id
+        kept.select(outCols :+ col("target.__t_id").as("__t_id")
+          :+ when(col("target.__t_id").isNull, col("source.__s_id")).as("__row_key"): _*)
+          .dropDuplicates("__t_id", "__row_key")
+          .drop("__t_id", "__row_key")
+      } else kept.select(outCols: _*)
+    result
   }
 }

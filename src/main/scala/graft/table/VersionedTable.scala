@@ -43,13 +43,16 @@ final class VersionedTable(val root: String) {
 
   private def manifestPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
+  /** List a directory's entry names without leaking the stream's fd. */
+  private def listNames(dir: Path): Seq[String] =
+    Option(dir.toFile.list()).map(_.toSeq).getOrElse(Seq.empty)
+
   /** All committed versions, ascending. */
   def versions(): Seq[Long] = {
     if (!Files.isDirectory(logDir)) return Seq.empty
-    Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
+    listNames(logDir)
       .collect { case s if s.matches("v\\d{8}\\.json") => s.substring(1, 9).toLong }
-      .toSeq.sorted
+      .sorted
   }
 
   def latestVersion(): Option[Long] = versions().lastOption
@@ -80,25 +83,33 @@ final class VersionedTable(val root: String) {
 
   /** Per-file column stats recorded at commit: file → col → (min, max) as
     * strings (numeric-comparable via the original type at prune time). */
-  private def statsOf(v: Long): Map[String, Map[String, (String, String)]] = {
+  private def statsOf(v: Long): Map[String, Map[String, (String, String, String)]] = {
     val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
     if (!node.has("stats")) return Map.empty
     node.get("stats").properties().asScala.map { e =>
       e.getKey -> e.getValue.properties().asScala.map { c =>
-        c.getKey -> (c.getValue.get(0).asText(), c.getValue.get(1).asText())
+        val arr = c.getValue
+        val kind = if (arr.size() > 2) arr.get(2).asText() else "str"
+        c.getKey -> (arr.get(0).asText(), arr.get(1).asText(), kind)
       }.toMap
     }.toMap
   }
 
-  /** Read a specific version as a DataFrame (empty-file-list versions need a
-    * caller-supplied schema only if read; we return an empty DF via the
-    * latest non-empty schema in that case is not needed for our surface). */
+  /** Read a specific version as a DataFrame. Empty-file-list versions (a
+    * fully-deleted snapshot) return an empty frame with the schema recorded
+    * in the manifest. */
   def read(spark: SparkSession, relativeVersion: Option[Int] = None,
            versionAsOf: Option[Long] = None): DataFrame = {
     val v = resolve(relativeVersion, versionAsOf)
     val files = filesOf(v).map(f => Paths.get(root).resolve(f).toString)
-    require(files.nonEmpty, s"version $v of $root has no data files")
-    spark.read.parquet(files: _*)
+    if (files.isEmpty) {
+      // a fully-deleted snapshot is a valid version: empty frame, real schema
+      val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+      require(node.has("schema"), s"version $v of $root is empty and schemaless")
+      val schema = org.apache.spark.sql.types.DataType.fromJson(
+        node.get("schema").asText()).asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(files: _*)
   }
 
   /** Write the reference's Athena-interop `_symlink_format_manifest` for a
@@ -142,13 +153,13 @@ final class VersionedTable(val root: String) {
       case _ => df
     }
     out.write.mode("overwrite").parquet(outDir.toString)
-    val files = Files.list(outDir).iterator().asScala
-      .map(_.getFileName.toString)
+    val files = listNames(outDir)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-      .map(n => s"data/$commitId/$n").toSeq.sorted
+      .map(n => s"data/$commitId/$n").sorted
     val next = latestVersion().map(_ + 1).getOrElse(0L)
     val json = mapper.createObjectNode()
     json.put("version", next)
+    json.put("schema", df.schema.json) // keeps empty versions readable
     val arr = json.putArray("files")
     files.foreach(arr.add)
     if (collectStats && files.nonEmpty) {
@@ -156,23 +167,27 @@ final class VersionedTable(val root: String) {
       import org.apache.spark.sql.types._
       val spark = df.sparkSession
       val written = spark.read.parquet(outDir.toString)
+      // kind drives the prune-time comparison: "num" compares numerically,
+      // everything else lexicographically (ISO-rendered timestamps/dates sort
+      // correctly as strings)
       val statCols = written.schema.fields.collect {
-        case StructField(n, _: NumericType | StringType | TimestampType | DateType, _, _) => n
+        case StructField(n, _: NumericType, _, _) => (n, "num")
+        case StructField(n, StringType | TimestampType | DateType, _, _) => (n, "str")
       }.toSeq
       if (statCols.nonEmpty) {
-        val aggs = statCols.flatMap(c =>
-          Seq(fmin(col(c)).cast("string").as(s"min_$c"), fmax(col(c)).cast("string").as(s"max_$c")))
+        val aggs = statCols.flatMap { case (c, _) =>
+          Seq(fmin(col(c)).cast("string").as(s"min_$c"), fmax(col(c)).cast("string").as(s"max_$c")) }
         val statsNode = json.putObject("stats")
         written.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
           .collect().foreach { row =>
             val fname = row.getString(0)
             val rel = s"data/$commitId/" + fname.substring(fname.lastIndexOf('/') + 1)
             val fileNode = statsNode.putObject(rel)
-            statCols.foreach { c =>
+            statCols.foreach { case (c, kind) =>
               val mn = row.getAs[String](s"min_$c")
               val mx = row.getAs[String](s"max_$c")
               if (mn != null && mx != null) {
-                val a = fileNode.putArray(c); a.add(mn); a.add(mx)
+                val a = fileNode.putArray(c); a.add(mn); a.add(mx); a.add(kind)
               }
             }
           }
@@ -202,14 +217,16 @@ final class VersionedTable(val root: String) {
     val all = filesOf(v)
     val stats = statsOf(v)
     def num(s: String): Option[BigDecimal] = scala.util.Try(BigDecimal(s)).toOption
-    def overlaps(mn: String, mx: String): Boolean =
-      (num(mn), num(mx), num(lo), num(hi)) match {
-        case (Some(a), Some(b), Some(l), Some(h)) => b >= l && a <= h
-        case _ => mx >= lo && mn <= hi
-      }
+    def overlaps(mn: String, mx: String, kind: String): Boolean =
+      if (kind == "num")
+        (num(mn), num(mx), num(lo), num(hi)) match {
+          case (Some(a), Some(b), Some(l), Some(h)) => b >= l && a <= h
+          case _ => true // unparseable → cannot skip safely
+        }
+      else mx >= lo && mn <= hi
     val kept = all.filter { f =>
       stats.get(f).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => overlaps(mn, mx)
+        case Some((mn, mx, kind)) => overlaps(mn, mx, kind)
         case None => true // no stats → cannot skip
       }
     }
@@ -252,8 +269,9 @@ final class VersionedTable(val root: String) {
     }
     // sweep now-empty commit dirs
     if (Files.isDirectory(dataDir)) {
-      Files.list(dataDir).iterator().asScala.foreach { d =>
-        if (Files.isDirectory(d) && !Files.list(d).iterator().hasNext) Files.delete(d)
+      listNames(dataDir).foreach { name =>
+        val d = dataDir.resolve(name)
+        if (Files.isDirectory(d) && listNames(d).isEmpty) Files.delete(d)
       }
     }
     deleted

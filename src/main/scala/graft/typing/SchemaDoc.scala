@@ -56,17 +56,18 @@ final case class SchemaDoc(fields: Seq[FieldDef]) {
       val asNull = if (f.nullableValues.nonEmpty) {
         when(trimmed.isin(f.nullableValues: _*), lit(null).cast(StringType)).otherwise(trimmed)
       } else trimmed
+      // timestamps/dates try every declared formatter in order (Arc
+      // semantics); all parse paths are try_ variants so a bad value yields
+      // null + an error record even under ANSI mode
       val typed: Column = f.dataType match {
         case TimestampType =>
-          f.formatters.headOption match {
-            case Some(fmt) => try_to_timestamp(asNull, lit(fmt))
-            case None      => try_to_timestamp(asNull)
-          }
+          if (f.formatters.isEmpty) try_to_timestamp(asNull)
+          else coalesce(f.formatters.map(fmt => try_to_timestamp(asNull, lit(fmt))): _*)
         case DateType =>
-          f.formatters.headOption match {
-            case Some(fmt) => to_date(asNull, fmt)
-            case None      => to_date(asNull)
-          }
+          val parsed =
+            if (f.formatters.isEmpty) try_to_timestamp(asNull)
+            else coalesce(f.formatters.map(fmt => try_to_timestamp(asNull, lit(fmt))): _*)
+          parsed.cast(DateType)
         case BooleanType =>
           // reference coerces int flags to booleans (`1 AS iscurrent` read back
           // as `iscurrent=true`, scd2-job.ipynb:144,313) — accept 1/0/t/f/true/false

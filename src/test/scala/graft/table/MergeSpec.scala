@@ -92,6 +92,37 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter($"id" === 1L).count() === 2)
   }
 
+  test("insert-only merge keeps a multiply-matched target row exactly once") {
+    val dupSource = Seq(
+      (Some(1L), "x", true, "hA"),
+      (Some(1L), "y", true, "hB"),
+      (Some(9L), "z", true, "h9")
+    ).toDF("mergeKey", "val", "iscurrent", "checksum")
+      .withColumn("id", coalesce($"mergeKey", lit(100L)))
+    val out = Merge.merge(target, dupSource,
+      condition = "source.mergeKey = target.id",
+      whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None, Map.empty)))
+    // target id=1 matched twice but has no matched clause → appears once,
+    // unchanged; id=9 inserted; ids 2,3 untouched
+    assert(out.orderBy("id").collect().toSeq === Seq(
+      Row(1L, "a", true, "h1"),
+      Row(2L, "b", true, "h2"),
+      Row(3L, "c", true, "h3"),
+      Row(9L, "z", true, "h9")))
+  }
+
+  test("a NULL clause condition means 'clause does not apply', never delete") {
+    val nullSource = Seq((Some(1L), null.asInstanceOf[String], true, "h1x"))
+      .toDF("mergeKey", "val", "iscurrent", "checksum")
+      .withColumn("id", $"mergeKey")
+    val out = Merge.merge(target, nullSource,
+      condition = "source.mergeKey = target.id",
+      whenMatchedDelete = Some(Merge.MatchedDelete(Some("source.val = 'D'"))))
+    // source.val IS NULL → delete condition is NULL → row kept unchanged
+    assert(out.count() === 3)
+    assert(out.filter($"id" === 1L).collect().head === Row(1L, "a", true, "h1"))
+  }
+
   test("not-matched-by-source update/delete act only on target-only rows") {
     val out = Merge.merge(
       target, source,

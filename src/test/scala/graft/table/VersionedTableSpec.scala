@@ -71,6 +71,17 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).as[Long].collect().sorted.toSeq === before)
   }
 
+  test("a fully-deleted snapshot (empty version) stays readable with its schema") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    t.commit(Seq((1L, "a")).toDF("id", "v").limit(0)) // delete-everything merge
+    val empty = t.read(spark)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("id", "v"))
+    assert(t.read(spark, relativeVersion = Some(-1)).count() === 1)
+  }
+
   test("a foreign manifest landing between commits never gets clobbered") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)

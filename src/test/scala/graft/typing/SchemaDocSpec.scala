@@ -54,6 +54,17 @@ class SchemaDocSpec extends AnyFunSuite with SparkSpec {
     assert(doc(raw, positional = true).select("flag").collect().head.getBoolean(0) === false)
   }
 
+  test("multiple formatters are tried in order (Arc semantics)") {
+    val multi = SchemaDoc.fromJson(
+      """[{"name": "ts", "type": "timestamp",
+        |  "formatters": ["yyyy/MM/dd HH:mm", "yyyy-MM-dd"]}]""".stripMargin)
+    val out = multi(Seq(("2024/01/02 03:04"), ("2024-05-06")).toDF("a"), positional = true)
+    val rows = out.orderBy("ts").collect()
+    assert(rows(0).getTimestamp(0) === java.sql.Timestamp.valueOf("2024-01-02 03:04:00"))
+    assert(rows(1).getTimestamp(0) === java.sql.Timestamp.valueOf("2024-05-06 00:00:00"))
+    assert(rows.forall(_.getSeq[Any](1).isEmpty))
+  }
+
   test("failfast mode throws on the first typing error; permissive keeps rows") {
     import graft.etl.TypingTransform
     Seq(("1", "1.0", "t", "2024/01/01 00:00"), ("x", "2.0", "f", "2024/01/01 00:00"))
