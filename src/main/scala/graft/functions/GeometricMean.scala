@@ -8,7 +8,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * TypedImperativeAggregate). Geometric mean as exp(mean(ln x)) with a
   * (sum-of-logs, count) buffer — map-side partial aggregation comes free
   * from the Aggregator contract (merge is associative), so the shuffle
-  * carries two doubles per group regardless of input size. */
+  * carries two doubles per group regardless of input size. Non-positive
+  * inputs are SKIPPED (geometric mean over the positive subset) — callers
+  * comparing against exp(avg(ln x)) formulations must filter x > 0 the same
+  * way (q31 does). */
 object GeometricMean extends Aggregator[Double, (Double, Long), Double] {
   override def zero: (Double, Long) = (0.0, 0L)
   override def reduce(b: (Double, Long), x: Double): (Double, Long) =

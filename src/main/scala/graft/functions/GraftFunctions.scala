@@ -13,9 +13,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "minhash_sig" -> (exprs => MinHashSignature(exprs.head)),
-    "rolling_min_hash" -> (exprs => exprs match {
+  /** One arity-checked builder per function, shared by both registration
+    * paths so they can never drift. */
+  private[functions] val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("minhash_sig", classOf[MinHashSignature], (exprs: Seq[Expression]) => exprs match {
+      case Seq(shingles) => MinHashSignature(shingles)
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig expects (array<string>), got ${other.size} args")
+    }),
+    ("rolling_min_hash", classOf[RollingMinHash], (exprs: Seq[Expression]) => exprs match {
       case Seq(text) => RollingMinHash(text, 8)
       case Seq(text, k) => RollingMinHash(
         text, k.eval().asInstanceOf[Number].intValue())
@@ -24,7 +30,7 @@ object GraftFunctions {
     }))
 
   def registerAll(spark: SparkSession): Unit =
-    builders.foreach { case (name, builder) =>
+    builders.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
@@ -32,16 +38,14 @@ object GraftFunctions {
 
 /** `SparkSessionExtensions` hook: inject the engine's functions at session
   * build time (`.withExtensions(new GraftExtensions)` or the
-  * `spark.sql.extensions` conf). */
+  * `spark.sql.extensions` conf). Uses the same arity-checked builders as
+  * [[GraftFunctions.registerAll]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) => MinHashSignature(exprs.head)))
-    e.injectFunction((
-      new FunctionIdentifier("rolling_min_hash"),
-      new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
-      (exprs: Seq[Expression]) => RollingMinHash(exprs.head, 8)))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, cls, builder) =>
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
 }

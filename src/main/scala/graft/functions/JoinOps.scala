@@ -20,7 +20,10 @@ object JoinOps {
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
                       salts: Int = 8): DataFrame = {
     require(salts > 0)
-    val saltCol = pmod(hash(struct(left.columns.map(col).toIndexedSeq: _*)), lit(salts))
+    // monotonically_increasing_id in the salt spreads even byte-identical
+    // duplicate rows of a hot key (hashing row content would send them all
+    // to one bucket, defeating the mitigation)
+    val saltCol = pmod(hash(col(key), monotonically_increasing_id()), lit(salts))
     val l = left.withColumn("__salt", saltCol)
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")

@@ -26,6 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHashSignature(child: Expression)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig requires ARRAY<STRING>, got ${other.sql}")
+    }
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -62,8 +71,14 @@ object MinHash {
     // per-lane current minimum as unsigned 32-bit in a long (init above max)
     val mins = Array.fill[Long](Lanes)(0xFFFFFFFFFFL)
     var i = 0
+    var any = false
     while (i < n) {
-      val s = shingles.getUTF8String(i).getBytes
+      // null shingles are skipped, matching the SQL fold's least(m, NULL) = m
+      val u = shingles.getUTF8String(i)
+      if (u == null) { i += 1 }
+      else {
+      any = true
+      val s = u.getBytes
       var p = 0
       while (p < 4) {
         md.reset()
@@ -82,6 +97,12 @@ object MinHash {
         p += 1
       }
       i += 1
+      }
+    }
+    if (!any) {
+      // all-null input behaves like the fold over no effective shingles
+      val g = UTF8String.fromString("g")
+      return new GenericArrayData(Array.fill[Any](Lanes)(g))
     }
     val out = new Array[Any](Lanes)
     var lane = 0

@@ -12,13 +12,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array_min(transform(sequence(1, len-k+1), i -> substr(md5(substr(text,i,k)),1,16)))`:
   * the min over 16-hex-char prefixes equals the unsigned min of the first 8
   * digest bytes (hex is order-preserving), hex-encoded once at the end.
-  * Inputs shorter than k hash their whole (non-empty) selves, matching
-  * `substr`'s clamping; empty input yields null (the SQL's sequence(1,1) over
-  * an empty string hashes "", which cannot happen for the documents table —
-  * kept null for safety).
+  * Inputs shorter than k hash their whole selves, matching `substr`'s
+  * clamping — including the empty string, which hashes md5("") exactly like
+  * the SQL fold's `sequence(1, greatest(len-k+1, 1))` single empty gram (so
+  * the expression never introduces a null the codegen path would mishandle).
   */
 case class RollingMinHash(child: Expression, k: Int)
     extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rolling_min_hash requires a STRING argument, got ${child.dataType.sql}")
 
   override def dataType: DataType = StringType
 
@@ -46,9 +52,8 @@ object RollingMinHash {
     * Returns the 16-hex-char prefix of the winning digest. */
   def fingerprint(text: UTF8String, k: Int): UTF8String = {
     val n = text.numChars()
-    if (n == 0) return null
     val md = digestTL.get()
-    val grams = math.max(n - k + 1, 1)
+    val grams = math.max(n - k + 1, 1) // n == 0 → one empty gram = md5("")
     var minHi = -1L // unsigned compare via java.lang.Long.compareUnsigned
     var i = 0
     var first = true

@@ -108,8 +108,7 @@ object DedupQueries {
         .select(col("doc_id"), expr(shinglesExpr).as("sh"))
       // native one-pass signature expression (graft.functions.MinHashSignature
       // — bit-identical to the SQL fold in sigExpr, ~no intermediate allocs)
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "minhash_sig", exprs => graft.functions.MinHashSignature(exprs.head), "scala_udf")
+      graft.functions.GraftFunctions.registerAll(spark)
       // the tiny (doc_id, signature) table is materialized ONCE (persist +
       // count): it is both a CollapseProject barrier (band keys below would
       // otherwise inline the md5-heavy signature expression 8×) and the reason
@@ -236,7 +235,7 @@ object DedupQueries {
         .select(col("doc_id"), col("doc_id").as("lbl")).persist()
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 20) {
+      while (changed > 0 && iter < 32) {
         val prop = sym.join(lbl, sym("src") === lbl("doc_id"))
           .select(col("dst").as("doc_id"), col("lbl"))
         val next = lbl.select("doc_id", "lbl").union(prop)
@@ -247,6 +246,13 @@ object DedupQueries {
         lbl = next
         iter += 1
       }
+      // fail loudly rather than return split components: the iteration cap
+      // exists for adversarial chain-shaped clusters, and silently stopping
+      // early would diverge from the oracle's full reachability
+      if (changed > 0) throw new IllegalStateException(
+        s"label propagation did not converge within $iter iterations")
+      edges.unpersist()
+      sym.unpersist()
       lbl.select(
           col("doc_id"), col("lbl").as("component"),
           count(lit(1)).over(org.apache.spark.sql.expressions.Window

@@ -72,6 +72,7 @@ object SqlSurfaceQueries {
     (spark, dir) => {
       val geoMean = udaf(graft.functions.GeometricMean)
       Tables.table(spark, dir, "orders")
+        .filter(col("o_totalprice") > 0) // mirror the oracle: geo-mean over positives
         .groupBy(col("o_orderpriority"))
         .agg(round(geoMean(col("o_totalprice")), 4).as("geo_mean_price"),
           count(lit(1)).as("n"))
@@ -80,7 +81,8 @@ object SqlSurfaceQueries {
       """SELECT o_orderpriority,
         |  round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price,
         |  count(*) AS n
-        |FROM orders GROUP BY o_orderpriority""".stripMargin))
+        |FROM orders WHERE o_totalprice > 0
+        |GROUP BY o_orderpriority""".stripMargin))
 
   /** q32: CUBE grouping sets (completes q16's ROLLUP). */
   val q32Cube: Q = Q.sharedSql("q32_cube",

@@ -30,12 +30,12 @@ object StreamingQueries {
         col("window.start").as("hour_start"),
         col("event_type"),
         col("n"),
-        expr("CAST(CAST(sum_value AS DECIMAL(20,2)) AS DOUBLE)").as("sum_value"))
+        expr("CAST(sum_value AS DOUBLE)").as("sum_value"))
     },
     Some(
       """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour_start, event_type,
         |  count(*) AS n,
-        |  CAST(CAST(sum(value) AS DECIMAL(20,2)) AS DOUBLE) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin))
 
   /** q27: sketch aggregates — HyperLogLog++ distinct estimation next to the

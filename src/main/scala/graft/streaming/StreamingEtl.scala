@@ -68,7 +68,10 @@ object StreamingEtl {
     events
       .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // decimal-exact sum: state-store accumulation order must not leak into
+      // the result (the 2dp testdata values sum exactly as DECIMAL)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).as("sum_value"))
 
   /** Stateful streaming per-user event counting via `mapGroupsWithState` —
     * the custom-state tier of SURVEY.md §2.9: arbitrary per-key state kept in

@@ -71,7 +71,8 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
     // must equal the batch formulation
     val batch = spark.read.parquet(dir)
       .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(14,2)")).as("sum_value"))
     assert(got.count() === batch.count())
     assert(got.exceptAll(batch).count() === 0)
   }
