@@ -21,6 +21,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"minhash_sig expects (array<string>), got ${other.size} args")
     }),
+    ("minhash_agg", classOf[MinHashAgg], (exprs: Seq[Expression]) => exprs match {
+      case Seq(shingles) => MinHashAgg(shingles)
+      case other => throw new IllegalArgumentException(
+        s"minhash_agg expects (array<string>), got ${other.size} args")
+    }),
     ("rolling_min_hash", classOf[RollingMinHash], (exprs: Seq[Expression]) => exprs match {
       case Seq(text) => RollingMinHash(text, 8)
       case Seq(text, k) => RollingMinHash(

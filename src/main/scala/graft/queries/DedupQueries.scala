@@ -304,5 +304,50 @@ object DedupQueries {
          |  doc_id = component AS is_canonical
          |FROM comp""".stripMargin))
 
-  val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash, d6DedupClusters)
+  /** d7: collection-level MinHash — the TypedImperativeAggregate tier
+    * (graft.functions.MinHashAgg): one 16-lane signature PER SOURCE unions
+    * every document's shingles (map-side partial agg, 128-byte merge state),
+    * then pairwise source similarity is estimated as matching-lanes/16.
+    * At 100 TB this compares whole collections with a shuffle of 16 values
+    * per group — the sketch shape that exact pairwise comparison can't
+    * approach. Oracle: the same per-lane min over the group in DuckDB SQL. */
+  val d7CollectionMinHash: Q = Q(
+    "d7_collection_minhash",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.registerAll(spark)
+      Tables.table(spark, dir, "documents")
+        .select(col("source"), expr(shinglesExpr).as("sh"))
+        .createOrReplaceTempView("d7_shingled")
+      spark.sql(
+        """WITH sigs AS (
+          |  SELECT source, minhash_agg(sh) AS sig
+          |  FROM d7_shingled GROUP BY source)
+          |SELECT a.source AS a_source, b.source AS b_source,
+          |  CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), m -> m)) AS DOUBLE) / 16
+          |    AS est_sim
+          |FROM sigs a JOIN sigs b ON a.source < b.source""".stripMargin)
+    },
+    Some(
+      """WITH sh AS (
+        |  SELECT source, unnest(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS shingle
+        |  FROM documents),
+        |hm AS (
+        |  SELECT source,
+        |    md5('0:' || shingle) || md5('1:' || shingle) ||
+        |    md5('2:' || shingle) || md5('3:' || shingle) AS h
+        |  FROM sh),
+        |lane AS (
+        |  SELECT source, i, min(substr(h, 1 + i * 8, 8)) AS mh
+        |  FROM hm, (SELECT unnest(range(0, 16)) AS i) perms
+        |  GROUP BY source, i),
+        |sigs AS (SELECT source, list(mh ORDER BY i) AS sig FROM lane GROUP BY source)
+        |SELECT a.source AS a_source, b.source AS b_source,
+        |  CAST(len(list_filter(list_transform(range(1, 17),
+        |         i -> a.sig[i] = b.sig[i]), m -> m)) AS DOUBLE) / 16 AS est_sim
+        |FROM sigs a JOIN sigs b ON a.source < b.source""".stripMargin))
+
+  val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
+    d6DedupClusters, d7CollectionMinHash)
 }

@@ -45,6 +45,37 @@ class MinHashSignatureSpec extends AnyFunSuite with SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("minhash_agg over single-row groups equals the per-row expression") {
+    GraftFunctions.registerAll(spark)
+    val docs = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin).as("sh"))
+    docs.createOrReplaceTempView("mha_docs")
+    // group of one doc → aggregate signature must equal the row signature
+    val mismatches = spark.sql(
+      """SELECT doc_id, minhash_agg(sh) AS a, first(minhash_sig(sh)) AS b
+        |FROM mha_docs GROUP BY doc_id""".stripMargin)
+      .filter(expr("a <> b")).count()
+    assert(mismatches === 0)
+  }
+
+  test("minhash_agg is partition-order invariant (partial agg + merge)") {
+    GraftFunctions.registerAll(spark)
+    val docs = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin).as("sh"))
+    def sigs(df: org.apache.spark.sql.DataFrame) = {
+      df.createOrReplaceTempView("mha_src")
+      spark.sql("SELECT source, minhash_agg(sh) AS sig FROM mha_src GROUP BY source")
+        .as[(String, Seq[String])].collect().toMap
+    }
+    val a = sigs(docs.repartition(1))
+    val b = sigs(docs.repartition(13))
+    assert(a === b)
+  }
+
   test("empty shingle array yields the fold's 'g' identity") {
     register()
     val out = Seq(Seq.empty[String]).toDF("sh")
