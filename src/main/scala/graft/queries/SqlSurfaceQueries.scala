@@ -211,8 +211,26 @@ object SqlSurfaceQueries {
       |SELECT pk, count(*) AS n_ancestors, min(a) AS top
       |FROM anc GROUP BY pk""".stripMargin)
 
+  /** q45: explicit GROUPING SETS with the grouping() marker function. */
+  val q45GroupingSets: Q = Q.sharedSql("q45_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+
+  /** q46: bag-semantics set ops (EXCEPT ALL / INTERSECT ALL). */
+  val q46BagSetOps: Q = Q.sharedSql("q46_bag_set_ops",
+    """SELECT nationkey, count(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT ALL
+      |  SELECT s_nationkey AS nationkey FROM supplier) t
+      |GROUP BY nationkey""".stripMargin)
+
   val all: Seq[Q] = Seq(
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
     q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
-    q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames, q44RecursiveCte)
+    q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames, q44RecursiveCte,
+    q45GroupingSets, q46BagSetOps)
 }
