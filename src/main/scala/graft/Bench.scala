@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line (driver contract). Each query is fully materialized
   * through the "noop" sink — unlike count(), noop cannot let Catalyst prune
   * the output columns away, so the timing covers the real work. A session
-  * warmup action runs first so q1 doesn't pay JVM/codegen startup. */
+  * warmup action runs first so q1 doesn't pay JVM/codegen startup. Failed
+  * queries are reported as -1 (and logged to stderr) rather than blending
+  * into the timings. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,8 +27,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: JVM + codegen + parquet footer reads out of the measurement
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write
+    // (failure is non-fatal — per-query timing still proceeds)
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write
       .format("noop").mode("overwrite").save()
+    catch { case e: Exception =>
+      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // attribute each query's own cost, not the previous query's garbage:
@@ -34,14 +40,18 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       System.gc()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Exception =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => Verify.jsonQuote(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Verify.jsonQuote(sfDir)}}""")
     spark.stop()
   }
 }

@@ -11,10 +11,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def allQueries: Seq[Q] =
-    CoreQueries.all ++ Scd2Queries.all ++ TextQueries.all ++
+  def allQueries: Seq[Q] = {
+    val qs = CoreQueries.all ++ Scd2Queries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       SourceQueries.all ++ StreamingQueries.all ++ SqlSurfaceQueries.all
+    // a name collision would silently shadow a query in the toMap below,
+    // shrinking the correctness gate — fail loudly instead
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
