@@ -228,9 +228,34 @@ object SqlSurfaceQueries {
       |  SELECT s_nationkey AS nationkey FROM supplier) t
       |GROUP BY nationkey""".stripMargin)
 
+  /** q47: MapType surface — build a status→count map per group with
+    * map_from_entries, extract by key (missing keys → 0). Spark map access
+    * is scalar; DuckDB's returns a single-element list, hence [1]. */
+  val q47MapFunctions: Q = Q.dualSql("q47_map_functions",
+    sparkSql =
+      """SELECT o_orderpriority,
+        |  coalesce(m['F'], 0) AS n_f,
+        |  coalesce(m['P'], 0) AS n_p
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    map_from_entries(collect_list(struct(o_orderstatus, cnt))) AS m
+        |  FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        |        FROM orders GROUP BY 1, 2) t
+        |  GROUP BY o_orderpriority) x""".stripMargin,
+    duckSql =
+      """SELECT o_orderpriority,
+        |  coalesce(m['F'][1], 0) AS n_f,
+        |  coalesce(m['P'][1], 0) AS n_p
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    map_from_entries(list({'k': o_orderstatus, 'v': cnt})) AS m
+        |  FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        |        FROM orders GROUP BY 1, 2) t
+        |  GROUP BY o_orderpriority) x""".stripMargin)
+
   val all: Seq[Q] = Seq(
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
     q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
     q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames, q44RecursiveCte,
-    q45GroupingSets, q46BagSetOps)
+    q45GroupingSets, q46BagSetOps, q47MapFunctions)
 }
