@@ -73,6 +73,21 @@ object StreamingEtl {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(14,2)")).as("sum_value"))
 
+  /** Streaming exact dedup: drop rows whose dedup key was already seen,
+    * across micro-batches, with state bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — duplicates in a training-data feed
+    * cluster in time, so the horizon is the honest state bound; unbounded
+    * `dropDuplicates` state would grow with the corpus). The key is
+    * typically a content checksum (d1's md5) computed upstream. */
+  def streamingDedup(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      horizon: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Stateful streaming per-user event counting via `mapGroupsWithState` —
     * the custom-state tier of SURVEY.md §2.9: arbitrary per-key state kept in
     * the state store across micro-batches (here: a running (count, sum)

@@ -77,6 +77,32 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
     assert(got.exceptAll(batch).count() === 0)
   }
 
+  test("streaming dedup drops repeated keys across micro-batches") {
+    val landing = tmpDir("dedup-")
+    // batch 1: three events, one duplicated checksum; batch 2 repeats one
+    Seq((1L, "h1", "2024-01-01 00:00:00"), (2L, "h2", "2024-01-01 00:01:00"),
+        (3L, "h1", "2024-01-01 00:02:00"))
+      .toDF("id", "checksum", "ts_s")
+      .selectExpr("id", "checksum", "CAST(ts_s AS TIMESTAMP) AS ts")
+      .write.mode("overwrite").parquet(landing)
+    Seq((4L, "h2", "2024-01-01 00:03:00"), (5L, "h3", "2024-01-01 00:04:00"))
+      .toDF("id", "checksum", "ts_s")
+      .selectExpr("id", "checksum", "CAST(ts_s AS TIMESTAMP) AS ts")
+      .write.mode("append").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // force multiple micro-batches
+      .parquet(landing)
+    val deduped = StreamingEtl.streamingDedup(stream, Seq("checksum"))
+    val qn = s"dedup_sink_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table(qn).select("checksum").as[String].collect().toSeq
+    assert(kept.sorted === Seq("h1", "h2", "h3"))
+  }
+
   test("mapGroupsWithState keeps per-key running totals across the stream") {
     val dir = tmpDir("st-")
     graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
