@@ -20,10 +20,12 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       .run(spark, Map.empty)
     val back = spark.read.parquet(s"$loc/orders_part")
       .filter($"o_orderpriority" === "1-URGENT")
+    // the predicate must land in the PARTITION filter list (directory
+    // pruning) — if partitionBy were dropped, the literal would move to the
+    // PushedFilters/DataFilters lines and this line-scoped assert would fail
     val plan = back.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"))
-    assert(plan.contains("1-URGENT"))
-    // pruned read only touches the one partition directory
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("1-URGENT"), s"predicate not a partition filter:\n$plan")
     val expected = spark.read.parquet(s"$loc/orders_part")
       .collect().count(_.getAs[String]("o_orderpriority") == "1-URGENT")
     assert(back.count() === expected)

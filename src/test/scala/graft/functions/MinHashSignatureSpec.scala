@@ -21,9 +21,7 @@ class MinHashSignatureSpec extends AnyFunSuite with SparkSpec {
   test("native expression is bit-identical to the SQL higher-order fold") {
     register()
     val docs = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
-      .select(col("doc_id"), expr(
-        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin).as("sh"))
+      .select(col("doc_id"), expr(graft.SparkSpec.ShingleSql).as("sh"))
     val mismatches = docs
       .withColumn("a", expr("minhash_sig(sh)"))
       .withColumn("b", expr(foldSig))
@@ -48,9 +46,7 @@ class MinHashSignatureSpec extends AnyFunSuite with SparkSpec {
   test("minhash_agg over single-row groups equals the per-row expression") {
     GraftFunctions.registerAll(spark)
     val docs = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
-      .select(col("doc_id"), expr(
-        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin).as("sh"))
+      .select(col("doc_id"), expr(graft.SparkSpec.ShingleSql).as("sh"))
     docs.createOrReplaceTempView("mha_docs")
     // group of one doc → aggregate signature must equal the row signature
     val mismatches = spark.sql(
@@ -63,9 +59,7 @@ class MinHashSignatureSpec extends AnyFunSuite with SparkSpec {
   test("minhash_agg is partition-order invariant (partial agg + merge)") {
     GraftFunctions.registerAll(spark)
     val docs = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
-      .select(col("source"), expr(
-        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin).as("sh"))
+      .select(col("source"), expr(graft.SparkSpec.ShingleSql).as("sh"))
     def sigs(df: org.apache.spark.sql.DataFrame) = {
       df.createOrReplaceTempView("mha_src")
       spark.sql("SELECT source, minhash_agg(sh) AS sig FROM mha_src GROUP BY source")

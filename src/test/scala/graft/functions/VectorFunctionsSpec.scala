@@ -16,9 +16,7 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkSpec {
   test("wordShingles matches the dedup queries' SQL shingle expression") {
     val mismatches = docs
       .withColumn("a", TextFunctions.wordShingles(col("text"), 3))
-      .withColumn("b", expr(
-        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin))
+      .withColumn("b", expr(graft.SparkSpec.ShingleSql))
       .filter($"a" =!= $"b").count()
     assert(mismatches === 0)
   }

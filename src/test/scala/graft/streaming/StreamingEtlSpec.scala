@@ -44,7 +44,7 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
         Map("iscurrent" -> "false"))),
       whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None, Map.empty)),
       checkpointDir = ckpt)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "CDC stream did not terminate in time")
 
     val t = VersionedTable(tableRoot)
     assert(t.latestVersion().contains(1L))

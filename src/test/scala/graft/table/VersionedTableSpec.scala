@@ -47,8 +47,9 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     val (hit, scanned, total) = t.readPruned(spark, "id", "0", "100")
     assert(total === 4)
     assert(scanned < total, "range-sorted files must allow skipping")
-    assert(hit.count() === spark.range(0, 1000).filter(col("id") <= 100).count()
-      || hit.filter(col("id") <= 100).count() === 101)
+    // pruning is whole-file: the kept file(s) superset the range, and the
+    // residual row filter recovers exactly the requested rows
+    assert(hit.filter(col("id") <= 100).count() === 101)
     // out-of-range predicate prunes everything but keeps the schema
     val (none, s2, _) = t.readPruned(spark, "id", "5000", "6000")
     assert(s2 === 0 && none.count() === 0 && none.columns.toSeq === Seq("id", "v"))
@@ -66,7 +67,7 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     // old versions still time-travelable pre-vacuum
     assert(t.read(spark, versionAsOf = Some(0L)).count() === 100)
     val deleted = t.vacuum(retainVersions = 1)
-    assert(deleted >= 8) // the 16 pre-compaction files minus any shared (none)
+    assert(deleted === 16) // both pre-compaction versions' 8-file sets, none shared
     assert(t.versions() === Seq(2L))
     assert(t.read(spark).as[Long].collect().sorted.toSeq === before)
   }
