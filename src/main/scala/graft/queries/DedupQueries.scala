@@ -56,9 +56,16 @@ object DedupQueries {
          |  SELECT DISTINCT doc_id, shingle
          |  FROM (SELECT doc_id, explode($shinglesExpr) AS shingle FROM documents) t),
          |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |-- only shingles shared by >= 2 docs can produce a pair: shrink the
+         |-- self-join input first (most shingles are singletons at scale)
+         |shared AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS sc
+         |    FROM shingles) x
+         |  WHERE sc > 1),
          |pairs AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |  FROM shingles a JOIN shingles b
+         |  FROM shared a JOIN shared b
          |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT a_id, b_id,
