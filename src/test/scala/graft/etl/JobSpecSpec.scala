@@ -42,6 +42,15 @@ class JobSpecSpec extends AnyFunSuite with SparkSpec {
     assert(spec.stages(5).asInstanceOf[TableExtract].relativeVersion === Some(-1))
   }
 
+  test("job-level conf (%conf numRows/showLog) parses with defaults") {
+    val spec = JobSpec.fromJson(
+      """{"conf": {"numRows": 5, "showLog": true},
+        | "stages": [{"type": "SQLTransform", "name": "s",
+        |             "outputView": "v", "sql": "SELECT 1 AS one"}]}""".stripMargin)
+    assert(spec.conf === JobConf(numRows = 5, showLog = true))
+    assert(JobSpec.fromJson("""{"stages": []}""").conf === JobConf(12, false))
+  }
+
   test("unknown stage type fails fast") {
     assertThrows[IllegalArgumentException](
       JobSpec.fromJson("""{"stages": [{"type": "Nope"}]}"""))
