@@ -26,6 +26,13 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"minhash_agg expects (array<string>), got ${other.size} args")
     }),
+    ("kmv_distinct", classOf[KmvDistinct], (exprs: Seq[Expression]) => exprs match {
+      case Seq(value) => KmvDistinct(value, 256)
+      case Seq(value, k) => KmvDistinct(
+        value, k.eval().asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"kmv_distinct expects (string[, k]), got ${other.size} args")
+    }),
     ("rolling_min_hash", classOf[RollingMinHash], (exprs: Seq[Expression]) => exprs match {
       case Seq(text) => RollingMinHash(text, 8)
       case Seq(text, k) => RollingMinHash(

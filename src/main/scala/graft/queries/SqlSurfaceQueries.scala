@@ -114,18 +114,22 @@ object SqlSurfaceQueries {
       |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 50)
       |GROUP BY o_orderpriority""".stripMargin)
 
-  /** q36: ordered array aggregation — collect per-group sorted arrays (array
-    * columns survive the parquet/pandas compare as positional lists). */
+  /** q36: ordered array aggregation — collect per-group sorted arrays. The
+    * array is built with collect_list/sort_array (list(ORDER BY) in DuckDB)
+    * and then serialized to a joined string for the gate: the driver's
+    * pandas-based compare sorts rows lexicographically and cannot hash raw
+    * list cells, so the deterministic string projection IS the array check
+    * (same elements, same order ⇒ same string). */
   val q36ArrayAgg: Q = Q.dualSql("q36_array_agg",
     sparkSql =
       """SELECT n_nationkey,
-        |  sort_array(collect_list(s_name)) AS suppliers,
+        |  array_join(sort_array(collect_list(s_name)), '|') AS suppliers,
         |  CAST(size(collect_list(s_name)) AS BIGINT) AS n
         |FROM nation JOIN supplier ON s_nationkey = n_nationkey
         |GROUP BY n_nationkey""".stripMargin,
     duckSql =
       """SELECT n_nationkey,
-        |  list(s_name ORDER BY s_name) AS suppliers,
+        |  list_aggregate(list(s_name ORDER BY s_name), 'string_agg', '|') AS suppliers,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM nation JOIN supplier ON s_nationkey = n_nationkey
         |GROUP BY n_nationkey""".stripMargin)

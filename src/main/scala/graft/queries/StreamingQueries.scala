@@ -57,5 +57,47 @@ object StreamingQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct)
+  /** q38: KMV distinct sketch (`graft.functions.KmvDistinct`) — unlike
+    * q27's HLL, the k-minimum-values estimate is DETERMINISTIC and
+    * reproducible in ANSI SQL, so this sketch gets a full exact DuckDB
+    * oracle: the oracle recomputes the k-th smallest md5 and applies the
+    * identical (k-1)/h_k arithmetic (generated from the same Scala code,
+    * [[graft.functions.KmvDistinct.oracleEstimateSql]]). The scale story is
+    * the same as any sketch: 32k bytes of state per group, map-side
+    * partials, no shuffle of distinct values. */
+  val q38KmvSketch: Q = {
+    val k = 256
+    val est = graft.functions.KmvDistinct.oracleEstimateSql(k, "hx")
+    Q(
+      "q38_kmv_sketch",
+      (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        graft.functions.GraftFunctions.registerAll(spark)
+        spark.sql(
+          s"""SELECT l_returnflag,
+             |  kmv_distinct(CAST(l_partkey AS STRING), $k) AS approx_parts,
+             |  count(DISTINCT l_partkey) AS exact_parts
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      },
+      Some(
+        s"""WITH h AS (
+           |  SELECT DISTINCT l_returnflag, md5(CAST(l_partkey AS STRING)) AS hx
+           |  FROM lineitem),
+           |r AS (
+           |  SELECT l_returnflag, hx,
+           |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hx) AS rn,
+           |    count(*) OVER (PARTITION BY l_returnflag) AS nd
+           |  FROM h),
+           |kth AS (
+           |  SELECT l_returnflag,
+           |    CASE WHEN nd < $k THEN CAST(nd AS BIGINT) ELSE $est END AS approx_parts
+           |  FROM r WHERE rn = least(nd, $k)),
+           |ex AS (
+           |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT kth.l_returnflag, kth.approx_parts, ex.exact_parts
+           |FROM kth JOIN ex ON kth.l_returnflag = ex.l_returnflag""".stripMargin))
+  }
+
+  val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch)
 }

@@ -61,16 +61,21 @@ final class VersionedTable(val root: String) {
     * reference's `options.relativeVersion: -1`, scd2-job.ipynb:471) or an
     * absolute `versionAsOf`. */
   def resolve(relativeVersion: Option[Int] = None, versionAsOf: Option[Long] = None): Long = {
-    val latest = latestVersion().getOrElse(
+    val vs = versions()
+    val latest = vs.lastOption.getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     (relativeVersion, versionAsOf) match {
       case (Some(r), _) =>
         require(r <= 0, s"relativeVersion must be <= 0, got $r")
         val v = latest + r
         require(v >= 0, s"relativeVersion $r reaches before version 0 (latest=$latest)")
+        // the manifest may have been vacuumed: fail with the real story, not
+        // a NoSuchFileException out of filesOf
+        require(vs.contains(v),
+          s"version $v (relativeVersion $r) is no longer retained at $root (vacuumed)")
         v
       case (_, Some(v)) =>
-        require(versions().contains(v), s"version $v not committed at $root")
+        require(vs.contains(v), s"version $v not committed at $root")
         v
       case _ => latest
     }
@@ -195,13 +200,16 @@ final class VersionedTable(val root: String) {
     }
     val tmp = logDir.resolve(s".tmp-$commitId.json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
-    // atomic rename = the commit point; a concurrent reader either sees the
-    // old latest or the new one, never a partial manifest
-    try Files.move(tmp, manifestPath(next), StandardCopyOption.ATOMIC_MOVE)
+    // hard-link publish = the commit point. createLink fails with
+    // FileAlreadyExistsException when the target exists, so two writers
+    // racing to the same version number cannot both win — unlike rename,
+    // which POSIX maps to rename(2) and silently REPLACES the target.
+    // Readers still only ever see a complete manifest (link is atomic).
+    try Files.createLink(manifestPath(next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
       throw new IllegalStateException(s"concurrent commit of version $next at $root")
     }
+    finally Files.deleteIfExists(tmp)
     next
   }
 
