@@ -41,18 +41,26 @@ object StreamingEtl {
       whenNotMatchedInsert: Option[Merge.NotMatchedInsert],
       checkpointDir: String): StreamingQuery = {
     val raw = spark.readStream.schema(schema).parquet(landingDir)
+    // exactly-once across restarts: the batchId is recorded in the manifest
+    // (Delta's txnAppId/txnVersion pattern) and a replayed batch — crash
+    // after commit() but before the checkpoint advanced — is skipped rather
+    // than merged twice. The txn identity is the checkpoint dir: stable
+    // across restarts, unique per query.
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val table = VersionedTable(tableRoot)
-          val target = table.read(batch.sparkSession)
-          val staged = stage(batch, target)
-          table.commit(Merge.merge(target, staged, condition,
-            whenMatchedUpdate = whenMatchedUpdate,
-            whenNotMatchedInsert = whenNotMatchedInsert))
-          ()
+          if (!table.lastTxn(checkpointDir).exists(_ >= batchId)) {
+            val target = table.read(batch.sparkSession)
+            val staged = stage(batch, target)
+            table.commit(Merge.merge(target, staged, condition,
+              whenMatchedUpdate = whenMatchedUpdate,
+              whenNotMatchedInsert = whenNotMatchedInsert),
+              txn = Some(checkpointDir -> batchId))
+            ()
+          }
         }
       }
       .start()

@@ -66,23 +66,7 @@ object Merge {
       .withColumn("__t_id", monotonically_increasing_id()).alias("target")
     val s = source.withColumn("__s_present", lit(true))
       .withColumn("__s_id", monotonically_increasing_id()).alias("source")
-    val joined0 = t.join(s, expr(condition), "full_outer")
-
-    // Delta-parity guard: a target row matched by more than one source row
-    // has ambiguous update/delete semantics — fail instead of silently
-    // duplicating it (opt out with validateCardinality = false when the
-    // extra aggregation isn't worth it and duplicates are impossible by
-    // construction). One count-distinct-free aggregation over matched rows.
-    if (validateCardinality && (whenMatchedUpdate.isDefined || whenMatchedDelete.isDefined)) {
-      val dup = joined0
-        .filter(col("target.__t_present").isNotNull && col("source.__s_present").isNotNull)
-        .groupBy(col("target.__t_id")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1)
-        .limit(1).collect()
-      if (dup.nonEmpty) throw new IllegalStateException(
-        "MERGE cardinality violation: a target row matches multiple source rows")
-    }
-    val joined = joined0
+    val joined = t.join(s, expr(condition), "full_outer")
 
     val matched = col("target.__t_present").isNotNull && col("source.__s_present").isNotNull
     val sourceOnly = col("target.__t_present").isNull && col("source.__s_present").isNotNull
@@ -134,18 +118,51 @@ object Merge {
       inserted.as(c)
     }
 
-    val kept = joined.filter(keep)
-    // Insert-only / no-matched-clause merges: a target row matched by several
-    // source rows must still appear exactly once (Delta keeps it untouched,
-    // no error). The emitted copies are bit-identical (output = target
-    // columns only), so dedup by row identity: __t_id for target-backed rows,
-    // __s_id for inserts. With update/delete clauses the cardinality guard
-    // above already enforces uniqueness, so the extra shuffle is skipped.
+    // Delta-parity multi-match handling, folded into the ONE join execution
+    // (no second pass): a target row matched by several source rows is
+    //   - an ERROR only if MORE THAN ONE of those matches would actually
+    //     modify it (its update/delete clause condition holds — Delta's
+    //     "multiple source rows matched and attempted to modify" semantics);
+    //   - otherwise resolved to a single output row (the modifying match if
+    //     there is one, else one unchanged copy).
+    // Mechanism: a window keyed by row identity — (true, __t_id) for
+    // target-backed rows, (false, __s_id) for inserts, so source-only rows
+    // get singleton partitions instead of one giant NULL-key partition —
+    // counting modifying matches and ranking the modifying copy first. The
+    // cardinality check rides the same window as a raise_error conjunct, so
+    // the whole merge stays a single join → window → filter plan: one
+    // shuffle on the merge key + one on row identity, versus the doubled
+    // join the old driver-side guard executed.
+    val matchedClauses = whenMatchedUpdate.isDefined || whenMatchedDelete.isDefined
+    val kept =
+      if (matchedClauses && validateCardinality) {
+        import org.apache.spark.sql.expressions.Window
+        val modifying = Seq(updCond, delCond).flatten.reduce(_ || _)
+        val rowKey = when(col("target.__t_present").isNotNull,
+          struct(lit(true).as("tgt"), col("target.__t_id").as("rid")))
+          .otherwise(struct(lit(false).as("tgt"), col("source.__s_id").as("rid")))
+        val w = Window.partitionBy(col("__row_key"))
+        val wOrd = w.orderBy(col("__mod").desc, col("source.__s_id").asc_nulls_last)
+        joined
+          .withColumn("__row_key", rowKey)
+          .withColumn("__mod", modifying.cast("int"))
+          .withColumn("__nmod", sum(col("__mod")).over(w))
+          .withColumn("__rn", row_number().over(wOrd))
+          .filter(
+            (col("__nmod") <= 1 ||
+              raise_error(lit("MERGE cardinality violation: multiple source rows " +
+                "attempted to modify the same target row")).cast("boolean"))
+              && col("__rn") === 1 && keep)
+      } else if (whenMatchedUpdate.isEmpty && whenMatchedDelete.isEmpty) {
+        // Insert-only / no-matched-clause merges: a multiply-matched target
+        // row still appears exactly once (its emitted copies are
+        // bit-identical — output = target columns only), so a hash
+        // dropDuplicates on row identity suffices; inserts (null __t_id)
+        // are keyed by their source row id.
+        joined.filter(keep)
+      } else joined.filter(keep) // validateCardinality=false escape hatch: raw join semantics
     val result =
       if (whenMatchedUpdate.isEmpty && whenMatchedDelete.isEmpty) {
-        // row identity: target-backed rows dedup on __t_id alone (their
-        // emitted copies differ only in which source row matched); inserts
-        // (null __t_id) are keyed by their source row id
         kept.select(outCols :+ col("target.__t_id").as("__t_id")
           :+ when(col("target.__t_id").isNull, col("source.__s_id")).as("__row_key"): _*)
           .dropDuplicates("__t_id", "__row_key")

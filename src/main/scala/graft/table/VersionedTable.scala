@@ -143,8 +143,21 @@ final class VersionedTable(val root: String) {
     *    the manifest (one small distributed job over the written files);
     *    [[readPruned]] skips files whose range can't match.
     */
+  /** Latest transaction version committed by `appId`, scanning manifests
+    * newest-first (the Delta `txnVersion`/`txnAppId` idempotent-writer
+    * protocol: a replaying writer asks "did my batch N already commit?"). */
+  def lastTxn(appId: String): Option[Long] = {
+    versions().reverseIterator.map { v =>
+      val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+      if (node.has("txnApp") && node.get("txnApp").asText() == appId)
+        Some(node.get("txnVersion").asLong())
+      else None
+    }.collectFirst { case Some(t) => t }
+  }
+
   def commit(df: DataFrame, numPartitions: Option[Int] = None,
-             sortBy: Seq[String] = Nil, collectStats: Boolean = true): Long = {
+             sortBy: Seq[String] = Nil, collectStats: Boolean = true,
+             txn: Option[(String, Long)] = None): Long = {
     Files.createDirectories(logDir)
     Files.createDirectories(dataDir)
     val commitId = java.util.UUID.randomUUID().toString
@@ -165,6 +178,7 @@ final class VersionedTable(val root: String) {
     val json = mapper.createObjectNode()
     json.put("version", next)
     json.put("schema", df.schema.json) // keeps empty versions readable
+    txn.foreach { case (app, v) => json.put("txnApp", app); json.put("txnVersion", v) }
     val arr = json.putArray("files")
     files.foreach(arr.add)
     if (collectStats && files.nonEmpty) {

@@ -72,24 +72,63 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() === 3) // just the target, unchanged
   }
 
-  test("duplicate source matches on one target row fail the cardinality check") {
+  test("two source rows both modifying one target row fail the cardinality check") {
     val dupSource = Seq(
       (Some(1L), "x", true, "hA"),
       (Some(1L), "y", true, "hB")
     ).toDF("mergeKey", "val", "iscurrent", "checksum")
       .withColumn("id", coalesce($"mergeKey", lit(100L)))
-    assertThrows[IllegalStateException] {
+    // the violation is detected during the (single) merge execution, so it
+    // surfaces as a Spark job failure wrapping the raise_error message
+    val e = intercept[Exception] {
       Merge.merge(target, dupSource,
         condition = "source.mergeKey = target.id",
         whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("val" -> "source.val"))))
         .collect()
     }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("MERGE cardinality violation")))
     // opting out reproduces the raw join semantics (documented escape hatch)
     val out = Merge.merge(target, dupSource,
       condition = "source.mergeKey = target.id",
       whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("val" -> "source.val"))),
       validateCardinality = false)
     assert(out.filter($"id" === 1L).count() === 2)
+  }
+
+  test("multi-match is tolerated when only one source row modifies (Delta semantics)") {
+    // id=1 matches two source rows, but the update condition only holds for
+    // one of them — the row is updated from that one, emitted exactly once
+    val dupSource = Seq(
+      (Some(1L), "winner", true, "hCHANGED"),
+      (Some(1L), "loser", true, "h1") // same checksum → update-cond false
+    ).toDF("mergeKey", "val", "iscurrent", "checksum")
+      .withColumn("id", coalesce($"mergeKey", lit(100L)))
+    val out = Merge.merge(target, dupSource,
+      condition = "source.mergeKey = target.id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(
+        Some("target.checksum <> source.checksum"), Map("val" -> "source.val"))))
+    assert(out.orderBy("id").collect().toSeq === Seq(
+      Row(1L, "winner", true, "h1"),
+      Row(2L, "b", true, "h2"),
+      Row(3L, "c", true, "h3")))
+  }
+
+  test("multi-match with no modifying source row keeps the target row once, unchanged") {
+    val dupSource = Seq(
+      (Some(1L), "x", true, "h1"),
+      (Some(1L), "y", true, "h1") // both same checksum → neither modifies
+    ).toDF("mergeKey", "val", "iscurrent", "checksum")
+      .withColumn("id", coalesce($"mergeKey", lit(100L)))
+    val out = Merge.merge(target, dupSource,
+      condition = "source.mergeKey = target.id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(
+        Some("target.checksum <> source.checksum"), Map("val" -> "source.val"))))
+    assert(out.orderBy("id").collect().toSeq === Seq(
+      Row(1L, "a", true, "h1"),
+      Row(2L, "b", true, "h2"),
+      Row(3L, "c", true, "h3")))
   }
 
   test("insert-only merge keeps a multiply-matched target row exactly once") {

@@ -38,6 +38,31 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](t.resolve(versionAsOf = Some(7L)))
   }
 
+  test("a vacuumed version fails relativeVersion resolve with a clear error") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    (1 to 4).foreach(i => t.commit(Seq(i).toDF("x")))
+    t.vacuum(retainVersions = 2)
+    val e = intercept[IllegalArgumentException](t.resolve(relativeVersion = Some(-3)))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("txn-stamped commits make micro-batch replay idempotent") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    val app = "chk://query-1"
+    assert(t.lastTxn(app).isEmpty)
+    t.commit(Seq(1).toDF("x"), txn = Some(app -> 0L))
+    t.commit(Seq(2).toDF("x"), txn = Some(app -> 1L))
+    // a different writer's commit in between must not mask this app's txn
+    t.commit(Seq(3).toDF("x"))
+    assert(t.lastTxn(app) === Some(1L))
+    assert(t.lastTxn("chk://other").isEmpty)
+    // the foreachBatch replay guard: batch 1 re-delivered after a crash
+    // between commit and checkpoint advance → caller sees it as committed
+    assert(t.lastTxn(app).exists(_ >= 1L))
+  }
+
   test("stats-based file skipping prunes range-sorted commits") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
