@@ -34,7 +34,12 @@ object Bench {
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (SPARK_GRAFT_ONLY=q1,q2): absent in driver runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    val results = picked.map { case (name, fn) =>
       // attribute each query's own cost, not the previous query's garbage:
       // drop leftover cached blocks and take the GC hit between measurements
       spark.sharedState.cacheManager.clearCache()

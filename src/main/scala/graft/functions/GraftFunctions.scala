@@ -33,6 +33,13 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"kmv_distinct expects (string[, k]), got ${other.size} args")
     }),
+    ("rabin_fingerprint", classOf[RabinFingerprint], (exprs: Seq[Expression]) => exprs match {
+      case Seq(text) => RabinFingerprint(text, 8)
+      case Seq(text, k) => RabinFingerprint(
+        text, k.eval().asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"rabin_fingerprint expects (text[, k]), got ${other.size} args")
+    }),
     ("rolling_min_hash", classOf[RollingMinHash], (exprs: Seq[Expression]) => exprs match {
       case Seq(text) => RollingMinHash(text, 8)
       case Seq(text, k) => RollingMinHash(

@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   /** Word 3-gram shingles of the space-separated text, as a Spark
-    * higher-order expression (per-row, codegen'd). */
+    * higher-order expression (per-row, codegen'd). The split array is
+    * let-bound via a singleton transform: referencing `split(text, ' ')`
+    * inside the per-index lambda re-evaluates the split for EVERY index —
+    * O(tokens²) per document, measured 4× slower end-to-end. */
   private val shinglesExpr =
-    """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-      |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin
+    """flatten(transform(array(split(text, ' ')), w ->
+      |  transform(sequence(1, greatest(size(w) - 2, 1)),
+      |    i -> concat_ws(' ', slice(w, i, 3)))))""".stripMargin
 
   /** Same shingle set in DuckDB. */
   private val duckShingles =
@@ -50,31 +54,42 @@ object DedupQueries {
 
   /** d2: exact n-gram Jaccard near-dup pairs (threshold 0.5) via the
     * inverted-index formulation. */
-  val d2NgramJaccard: Q = Q.dualSql("d2_ngram_jaccard",
-    sparkSql =
-      s"""WITH shingles AS (
-         |  SELECT DISTINCT doc_id, shingle
-         |  FROM (SELECT doc_id, explode($shinglesExpr) AS shingle FROM documents) t),
-         |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-         |-- only shingles shared by >= 2 docs can produce a pair: shrink the
-         |-- self-join input first (most shingles are singletons at scale)
-         |shared AS (
-         |  SELECT doc_id, shingle FROM (
-         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS sc
-         |    FROM shingles) x
-         |  WHERE sc > 1),
-         |pairs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |  FROM shared a JOIN shared b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT a_id, b_id,
-         |  round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
-         |FROM pairs
-         |JOIN counts ca ON ca.doc_id = a_id
-         |JOIN counts cb ON cb.doc_id = b_id
-         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""".stripMargin,
-    duckSql =
+  val d2NgramJaccard: Q = Q(
+    "d2_ngram_jaccard",
+    (spark, dir) => {
+      // Inverted-index pair counting WITHOUT the self-join, in exactly TWO
+      // shuffles: (1) group exploded (shingle, doc) rows by shingle,
+      // deduplicating inside the bucket (array_distinct after collect_list
+      // — same set as a pre-distinct, one shuffle cheaper) and keeping
+      // only buckets of >= 2 docs (singleton shingles — the vast majority
+      // at scale — produce no pair); (2) explode each bucket's ordered doc
+      // pairs and count occurrences = |intersection|. Per-doc distinct
+      // shingle counts need NO shuffle at all — size(array_distinct(...))
+      // per row — and join the pair table as an auto-broadcast. At 100 TB
+      // this formulation is the honest exact baseline; pathological
+      // stop-shingle buckets would need a size cap there (the LSH path d3
+      // is the real scale route).
+      val docs = Tables.table(spark, dir, "documents")
+      val out = docs
+        .select(col("doc_id"), expr(s"array_distinct($shinglesExpr)").as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+        .groupBy("shingle")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)), y ->
+            |    struct(x.doc_id AS a_id, y.doc_id AS b_id, x.n AS na, y.n AS nb))))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+          col("p.na").as("na"), col("p.nb").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(expr("CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5"))
+        .select(col("a_id"), col("b_id"),
+          expr("round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)").as("jaccard"))
+      out
+    },
+    Some(
       s"""WITH shingles AS (SELECT DISTINCT doc_id, shingle FROM ($duckShingles) t),
          |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
          |pairs AS (
@@ -87,7 +102,7 @@ object DedupQueries {
          |FROM pairs
          |JOIN counts ca ON ca.doc_id = a_id
          |JOIN counts cb ON cb.doc_id = b_id
-         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""".stripMargin)
+         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""".stripMargin))
 
   /** 16-permutation MinHash signature as ONE per-row fold. Cost-shaped for
     * scale: 4 md5 calls per shingle (each 32-hex digest is split into four
@@ -187,18 +202,27 @@ object DedupQueries {
 
   /** d4: 16-bit SimHash over distinct words (md5-bit voting), with the
     * bucket size as the dedup signal. Per-row nested higher-order folds on
-    * the Spark side — no shuffle for the hash itself. */
+    * the Spark side — no shuffle for the hash itself. The fold is shaped
+    * token-major: ONE md5 per distinct token, all 16 bit-votes taken from
+    * that digest via zip_with (the bit-major formulation recomputes the
+    * md5 16× per token — measured ~2× slower end-to-end), with the inner
+    * single-element aggregate as the digest's let-binding and the vote→bit
+    * collapse in the aggregate's finish lambda. */
   val d4SimHash: Q = Q.dualSql("d4_simhash",
     sparkSql =
       """SELECT doc_id, simhash,
         |  count(*) OVER (PARTITION BY simhash) AS bucket_size
         |FROM (
         |  SELECT doc_id,
-        |    aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
-        |      IF(aggregate(array_distinct(split(text, ' ')), 0L, (a, t) -> a +
-        |           (((instr('0123456789abcdef', substr(md5(t), CAST(1 + j div 4 AS INT), 1)) - 1)
-        |             div CAST(pow(2, 3 - j % 4) AS INT)) % 2) * 2 - 1) > 0,
-        |         CAST(pow(2, j) AS BIGINT), 0L)) AS simhash
+        |    aggregate(array_distinct(split(text, ' ')), array_repeat(0L, 16),
+        |      (acc, t) -> aggregate(array(md5(t)), acc, (a2, h) ->
+        |        zip_with(a2, sequence(0, 15), (v, j) -> v +
+        |          (((instr('0123456789abcdef', substr(h, CAST(1 + j div 4 AS INT), 1)) - 1)
+        |            div CAST(pow(2, 3 - j % 4) AS INT)) % 2) * 2 - 1)),
+        |      votes -> aggregate(
+        |        zip_with(votes, sequence(0, 15),
+        |          (s, j) -> IF(s > 0, CAST(pow(2, j) AS BIGINT), 0L)),
+        |        0L, (x, y) -> x + y)) AS simhash
         |  FROM documents) t""".stripMargin,
     duckSql =
       """WITH toks AS (

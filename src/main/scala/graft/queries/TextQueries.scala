@@ -82,30 +82,33 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin)
 
-  /** t4: document fingerprinting — rolling character 8-gram hashes; the
-    * fingerprint is the lexicographic min of the gram md5 prefixes (one
-    * minhash), plus the distinct-gram cardinality. */
-  val t4Fingerprint: Q = Q(
-    "t4_fingerprint",
-    (spark, dir) => {
-      // native one-pass expression (graft.functions.RollingMinHash) — the
-      // SQL-fold equivalent is spec-proven bit-identical
-      graft.functions.GraftFunctions.registerAll(spark)
-      Tables.registerAll(spark, dir)
-      spark.sql(
-        """SELECT doc_id,
-          |  rolling_min_hash(text, 8) AS fingerprint,
-          |  size(array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)),
-          |    i -> substr(text, i, 8)))) AS n_distinct_grams
-          |FROM documents""".stripMargin)
-    },
-    Some(
-      """SELECT doc_id,
-        |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
-        |    i -> substr(md5(substr(text, i, 8)), 1, 16))) AS fingerprint,
-        |  len(list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
-        |    i -> substr(text, i, 8)))) AS n_distinct_grams
-        |FROM documents""".stripMargin))
+  /** t4: document fingerprinting — Rabin-Karp polynomial character 8-gram
+    * hashes (graft.functions.RabinFingerprint); the fingerprint is the min
+    * gram hash (one minhash), plus the distinct-gram-hash cardinality.
+    * Polynomial hashing replaced the earlier md5-per-gram formulation:
+    * same operator semantics, ~2× cheaper end-to-end, and the modular
+    * arithmetic is reproduced term-for-term by the DuckDB oracle (the
+    * Horner SQL is generated from the same companion object). */
+  val t4Fingerprint: Q = {
+    val gram = graft.functions.RabinFingerprint.oracleGramSql("text", "i", 8, "ord")
+    Q(
+      "t4_fingerprint",
+      (spark, dir) => {
+        graft.functions.GraftFunctions.registerAll(spark)
+        Tables.registerAll(spark, dir)
+        spark.sql(
+          """SELECT doc_id, f.fingerprint AS fingerprint,
+            |  f.n_distinct_grams AS n_distinct_grams
+            |FROM (SELECT doc_id, rabin_fingerprint(text, 8) AS f FROM documents) t""".stripMargin)
+      },
+      Some(
+        s"""SELECT doc_id,
+           |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+           |    i -> $gram)) AS fingerprint,
+           |  CAST(len(list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+           |    i -> $gram))) AS BIGINT) AS n_distinct_grams
+           |FROM documents""".stripMargin))
+  }
 
   /** t5: TF-IDF top-3 terms per document — term frequency × smoothed inverse
     * document frequency, ranked with a deterministic (rounded score, term)

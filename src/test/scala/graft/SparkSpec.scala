@@ -17,8 +17,9 @@ object SparkSpec {
   /** Canonical word-3-gram shingle SQL used across function-pinning suites —
     * one literal so the cross-pins cannot drift apart. */
   val ShingleSql: String =
-    """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-      |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin
+    """flatten(transform(array(split(text, ' ')), w ->
+      |  transform(sequence(1, greatest(size(w) - 2, 1)),
+      |    i -> concat_ws(' ', slice(w, i, 3)))))""".stripMargin
 
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
