@@ -227,6 +227,36 @@ final case class TableMergeLoad(
   }
 }
 
+/** Append a view's rows to a versioned table without rewriting existing
+  * data (the batch-ingest path at scale; additive schema evolution allowed —
+  * see VersionedTable.append). */
+final case class TableAppend(
+    name: String,
+    inputView: String,
+    outputURI: String,
+    numPartitions: Option[Int] = None,
+    sortBy: Seq[String] = Nil,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    VersionedTable(sub(outputURI, env))
+      .append(spark.table(inputView), numPartitions, sortBy)
+    None
+  }
+}
+
+/** Copy-on-write DELETE from a versioned table: only files containing a
+  * matching row are rewritten (VersionedTable.delete). */
+final case class TableDelete(
+    name: String,
+    tableURI: String,
+    condition: String,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    VersionedTable(sub(tableURI, env)).delete(spark, sub(condition, env))
+    None
+  }
+}
+
 /** OPTIMIZE a versioned table: rewrite the latest snapshot into `numFiles`
   * (optionally range-sorted by `sortBy`) as a new version — the declarative
   * face of VersionedTable.compact. */

@@ -251,9 +251,14 @@ object DedupQueries {
     * pattern as plain DataFrame joins — each iteration is one join + one
     * min-aggregation, converging in O(cluster diameter) rounds; near-dup
     * clusters are shallow, so 2-4 rounds; switch to large-star/small-star
-    * doubling if diameters grow). The driver loop only steers; all data
-    * stays distributed. Oracle: DuckDB recursive-CTE reachability over the
-    * identical LSH edge pipeline. */
+    * doubling if diameters grow). Two shapes that matter at 100 TB:
+    * propagation runs ONLY over edge-touched nodes (the corpus-sized
+    * complement can never change label — it joins back in one final pass as
+    * singleton components), and change-detection rides the same aggregation
+    * as the label update (old label carried through the union), so each
+    * round is exactly one join + one groupBy + one count action. The driver
+    * loop only steers; all data stays distributed. Oracle: DuckDB
+    * recursive-CTE reachability over the identical LSH edge pipeline. */
   val d6DedupClusters: Q = Q(
     "d6_dedup_clusters",
     (spark, dir) => {
@@ -262,17 +267,20 @@ object DedupQueries {
       val sym = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .toDF("src", "dst").persist()
       sym.count()
-      var lbl = Tables.table(spark, dir, "documents")
+      edges.unpersist()
+      var lbl = sym.select(col("src").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("lbl")).persist()
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 32) {
         val prop = sym.join(lbl, sym("src") === lbl("doc_id"))
           .select(col("dst").as("doc_id"), col("lbl"))
-        val next = lbl.select("doc_id", "lbl").union(prop)
-          .groupBy("doc_id").agg(min("lbl").as("lbl")).persist()
-        changed = next.as("n").join(lbl.as("o"), "doc_id")
-          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        // each node occurs exactly once in lbl, so max(old) recovers its
+        // previous label inside the min-aggregation — no second join
+        val next = lbl.select(col("doc_id"), col("lbl"), col("lbl").as("old"))
+          .union(prop.select(col("doc_id"), col("lbl"), lit(null).cast("long").as("old")))
+          .groupBy("doc_id").agg(min("lbl").as("lbl"), max("old").as("old")).persist()
+        changed = next.filter(col("lbl") < col("old")).count()
         lbl.unpersist()
         lbl = next
         iter += 1
@@ -282,13 +290,15 @@ object DedupQueries {
       // early would diverge from the oracle's full reachability
       if (changed > 0) throw new IllegalStateException(
         s"label propagation did not converge within $iter iterations")
-      edges.unpersist()
       sym.unpersist()
-      lbl.select(
-          col("doc_id"), col("lbl").as("component"),
+      val comp = Tables.table(spark, dir, "documents").select("doc_id")
+        .join(lbl.select(col("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"))
+      comp.select(
+          col("doc_id"), col("component"),
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("lbl"))).as("cluster_size"),
-          (col("doc_id") === col("lbl")).as("is_canonical"))
+            .partitionBy(col("component"))).as("cluster_size"),
+          (col("doc_id") === col("component")).as("is_canonical"))
     },
     Some(
       s"""WITH RECURSIVE

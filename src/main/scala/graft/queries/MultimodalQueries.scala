@@ -32,5 +32,36 @@ object MultimodalQueries {
         |  substr(text, 1, 8) AS head
         |FROM documents""".stripMargin)
 
-  val all: Seq[Q] = Seq(m1BinaryMeta)
+  /** m2: the decode path itself through the gate — binary payloads run
+    * through [[graft.multimodal.MediaDecode.decodeFeatures]] (mapPartitions
+    * batch decode with the clearly-marked deterministic FakeCodec stub; the
+    * Spark plumbing — payload column, per-partition codec amortization,
+    * frame-sample accounting — is the real shape). The oracle reproduces the
+    * stub's arithmetic in SQL: the corpus is ASCII, so byte values are code
+    * points, and mean_byte is one exact int-sum divided once (bit-identical
+    * IEEE division both engines). */
+  val m2DecodeFeatures: Q = Q(
+    "m2_decode_features",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val payloads = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary"))
+        .as[(Long, Array[Byte])]
+      graft.multimodal.MediaDecode.decodeFeatures(payloads).toDF()
+        .select("doc_id", "n_bytes", "format", "width", "height",
+          "n_frames_sampled", "mean_byte")
+    },
+    Some(
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  CASE WHEN ord(text[1]) % 2 = 0 THEN 'imgA' ELSE 'imgB' END AS format,
+        |  CAST(64 + length(text) % 577 AS INT) AS width,
+        |  CAST(64 + length(text) % 433 AS INT) AS height,
+        |  CAST((length(text) + 63) // 64 AS INT) AS n_frames_sampled,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |         i -> ord(text[i]))) AS DOUBLE) / length(text) AS mean_byte
+        |FROM documents""".stripMargin))
+
+  val all: Seq[Q] = Seq(m1BinaryMeta, m2DecodeFeatures)
 }

@@ -146,5 +146,67 @@ object SimilarityQueries {
          |  ON a.c_id = b.c_id AND a.vec_id < b.vec_id
          |WHERE round(${duckCos("a.v", "b.v")}, 6) >= 0.45""".stripMargin))
 
-  val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup)
+  /** Deterministic ±1 signed-random-projection hyperplanes (Charikar SRP):
+    * sign(p, j) from the parity of the first hex digit of md5("p:j") — a
+    * shared constant both engines embed as a literal, so bucket assignment
+    * is bit-identical with zero per-row hashing cost. */
+  private val srpPlanes: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(8, 64) { (p, j) =>
+      val d = md.digest(s"$p:$j".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0x1) == 0) 1 else -1
+    }
+  }
+  private val srpSparkLit =
+    srpPlanes.map(r => s"array(${r.map(v => s"${v}D").mkString(",")})")
+      .mkString("array(", ",", ")")
+  private val srpDuckLit =
+    srpPlanes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** 8-bit SRP bucket of vector column `v` (Spark): bit p set iff the dot
+    * product with plane p is >= 0 — identical fold order to the oracle. */
+  private val srpBucketSpark =
+    s"""aggregate(sequence(0, 7), 0L, (acc, p) ->
+       |  acc + IF(aggregate(zip_with(v, element_at($srpSparkLit, p + 1),
+       |                     (x, c) -> x * c), 0D, (s, t) -> s + t) >= 0,
+       |           shiftleft(1L, p), 0L))""".stripMargin
+
+  private val srpBucketDuck =
+    s"""CAST(list_sum(list_transform(range(0, 8), p ->
+       |  CASE WHEN list_sum(list_transform(range(1, 65),
+       |         j -> v[j] * ($srpDuckLit)[p + 1][j])) >= 0
+       |       THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** s3: SRP-LSH bucketed ANN — the hash-bucket scale path next to s2's IVF:
+    * every vector gets an 8-bit signed-random-projection signature (pure
+    * per-row map, no shuffle, no training step unlike IVF); at query time
+    * only buckets within Hamming distance 2 of the query's bucket are
+    * scanned (multi-probe LSH), then exact cosine ranks the candidates.
+    * At 100 TB the table is written bucketed by signature, so a probe reads
+    * ~14% of buckets instead of the full scan s1 needs. */
+  val s3SrpLsh: Q = Q(
+    "s3_srp_lsh",
+    (spark, dir) => {
+      val e = vectors(spark, dir).withColumn("bucket", expr(srpBucketSpark))
+      val q = e.filter(col("vec_id") === 2)
+        .select(col("v").as("qv"), col("nv").as("nqv"), col("bucket").as("qb"))
+      e.crossJoin(broadcast(q))
+        .filter(expr("bit_count(bucket ^ qb) <= 2"))
+        .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "bucket", "sim")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, label, v, $srpBucketDuck AS bucket FROM e),
+         |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 2)
+         |SELECT vec_id, label, bucket, round(${duckCos("v", "qv")}, 6) AS sim
+         |FROM b, q
+         |WHERE bit_count(CAST(xor(bucket, qb) AS BIGINT)) <= 2
+         |ORDER BY sim DESC, vec_id
+         |LIMIT 10""".stripMargin))
+
+  val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh)
 }

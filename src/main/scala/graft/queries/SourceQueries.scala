@@ -58,5 +58,80 @@ object SourceQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 2999""".stripMargin))
 
-  val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead)
+  /** q48: JSON + ORC source/sink roundtrip through the real stages (the
+    * extension formats of SURVEY.md §2.1 — FileLoad json/orc, JsonExtract,
+    * OrcExtract): orders → json → orc → back must reproduce the original
+    * values exactly (doubles survive JSON text via shortest-repr formatting,
+    * ORC is binary-exact). */
+  val q48JsonOrcRoundtrip: Q = Q(
+    "q48_json_orc_roundtrip",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fmt-").toString
+      JobSpec(Seq(
+        SQLTransform("project orders",
+          "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders", "orders_proj"),
+        FileLoad("to json", "orders_proj", s"$tmp/orders_json", format = "json"),
+        JsonExtract("from json", s"$tmp/orders_json", "orders_from_json"),
+        FileLoad("to orc", "orders_from_json", s"$tmp/orders_orc", format = "orc"),
+        OrcExtract("from orc", s"$tmp/orders_orc", "orders_from_orc")))
+        .run(spark, Map.empty)
+      spark.table("orders_from_orc")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+    Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"))
+
+  /** q49: incremental versioned table — append-only ingest (manifest carries
+    * prior files forward; commit cost ∝ batch, not table) followed by a
+    * copy-on-write DELETE (only files containing matches are rewritten),
+    * all through the declarative stages. The read-back must equal the plain
+    * SQL formulation. */
+  val q49IncrementalTable: Q = Q(
+    "q49_incremental_table",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-incr-").toString
+      JobSpec(Seq(
+        SQLTransform("even batch",
+          """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin, "orders_even"),
+        SQLTransform("odd batch",
+          """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin, "orders_odd"),
+        TableAppend("ingest even", "orders_even", "${lake}/orders_v",
+          numPartitions = Some(4), sortBy = Seq("o_orderkey")),
+        TableAppend("ingest odd", "orders_odd", "${lake}/orders_v",
+          numPartitions = Some(4), sortBy = Seq("o_orderkey")),
+        TableDelete("gdpr-style delete", "${lake}/orders_v", "o_orderkey % 10 = 3"),
+        TableExtract("read back", "${lake}/orders_v", "orders_incr")))
+        .run(spark, Map("lake" -> tmp))
+      spark.table("orders_incr")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin))
+
+  /** q50: additive schema evolution — a later append introduces a column;
+    * the manifest records the union schema and pre-evolution files read the
+    * new column as null (manifest-schema'd scan, no footer merging). */
+  val q50SchemaEvolution: Q = Q(
+    "q50_schema_evolution",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-evo-").toString
+      val t = graft.table.VersionedTable(s"$tmp/customer_v")
+      t.commit(spark.sql(
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0"))
+      t.append(spark.sql(
+        "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 1"))
+      t.read(spark).select("c_custkey", "c_name", "c_acctbal")
+    },
+    Some(
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin))
+
+  val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
+    q49IncrementalTable, q50SchemaEvolution)
 }

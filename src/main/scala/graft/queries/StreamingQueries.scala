@@ -99,5 +99,78 @@ object StreamingQueries {
            |FROM kth JOIN ex ON kth.l_returnflag = ex.l_returnflag""".stripMargin))
   }
 
-  val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch)
+  /** q51: streaming exact dedup through the gate — the events table doubled
+    * (every row an exact duplicate) lands as one micro-batch;
+    * `dropDuplicatesWithinWatermark` on the full row key must recover the
+    * original rows exactly (StreamingEtl.streamingDedup — state bounded by
+    * the watermark horizon, the honest bound when duplicates cluster in
+    * time). One AvailableNow batch keeps the result deterministic: no
+    * cross-batch watermark eviction can race the duplicates. */
+  val q51StreamingDedup: Q = Q(
+    "q51_streaming_dedup",
+    (spark, dir) => {
+      val landing = java.nio.file.Files.createTempDirectory("graft-sdedup-").toString
+      val ev = Tables.table(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ev.union(ev).repartition(4).write.mode("overwrite").parquet(landing)
+      val stream = spark.readStream.schema(ev.schema).parquet(landing)
+      val deduped = graft.streaming.StreamingEtl.streamingDedup(
+        stream, keyCols = Seq("event_id", "user_id", "event_type"),
+        tsCol = "ts", horizon = "1 hour")
+      val qname = s"q51_sink_${System.nanoTime()}"
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(qname).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(qname).select("event_id", "ts", "user_id", "event_type", "value")
+    },
+    Some(
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events""".stripMargin))
+
+  /** q52: watermarked stream-stream inner join — view events join purchase
+    * events for the same user within the next 30 minutes (the
+    * impression→conversion shape). Both sides are real streams with
+    * watermarks and a time-range join condition, so Spark bounds the join
+    * state by the event-time constraint — the mechanism that keeps
+    * stream-stream joins feasible at scale. Oracle: the identical batch
+    * join. */
+  val q52StreamStreamJoin: Q = Q(
+    "q52_stream_stream_join",
+    (spark, dir) => {
+      val landing = java.nio.file.Files.createTempDirectory("graft-ssj-").toString
+      val ev = Tables.table(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ev.write.mode("overwrite").parquet(landing)
+      def stream = spark.readStream.schema(ev.schema).parquet(landing)
+      val views = stream.filter(col("event_type") === "view")
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+          col("user_id"))
+      val buys = stream.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"),
+          col("user_id").as("buy_user"), col("value"))
+      val joined = views.join(buys,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      val qname = s"q52_sink_${System.nanoTime()}"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(qname).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(qname)
+        .select("view_id", "buy_id", "user_id", "view_ts", "buy_ts", "value")
+    },
+    Some(
+      """SELECT v.event_id AS view_id, b.event_id AS buy_id, v.user_id,
+        |  v.ts AS view_ts, b.ts AS buy_ts, b.value
+        |FROM events v JOIN events b
+        |  ON b.user_id = v.user_id
+        | AND b.event_type = 'purchase' AND v.event_type = 'view'
+        | AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin))
+
+  val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch,
+    q51StreamingDedup, q52StreamStreamJoin)
 }

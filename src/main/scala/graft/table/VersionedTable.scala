@@ -100,21 +100,32 @@ final class VersionedTable(val root: String) {
     }.toMap
   }
 
-  /** Read a specific version as a DataFrame. Empty-file-list versions (a
-    * fully-deleted snapshot) return an empty frame with the schema recorded
-    * in the manifest. */
+  /** The schema recorded in a version's manifest (every commit records it). */
+  def schemaOf(v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (!node.has("schema")) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      node.get("schema").asText()).asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Read a specific version as a DataFrame. The scan is schema'd from the
+    * manifest, not inferred — zero footer reads before the scan starts, and
+    * files written before an additive schema evolution resolve their missing
+    * columns to null (the parquet reader's missing-column semantics). Empty
+    * -file-list versions (a fully-deleted snapshot) return an empty frame
+    * with the recorded schema. */
   def read(spark: SparkSession, relativeVersion: Option[Int] = None,
            versionAsOf: Option[Long] = None): DataFrame = {
     val v = resolve(relativeVersion, versionAsOf)
     val files = filesOf(v).map(f => Paths.get(root).resolve(f).toString)
-    if (files.isEmpty) {
-      // a fully-deleted snapshot is a valid version: empty frame, real schema
-      val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
-      require(node.has("schema"), s"version $v of $root is empty and schemaless")
-      val schema = org.apache.spark.sql.types.DataType.fromJson(
-        node.get("schema").asText()).asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else spark.read.parquet(files: _*)
+    (files, schemaOf(v)) match {
+      case (Nil, Some(schema)) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case (Nil, None) =>
+        throw new IllegalStateException(s"version $v of $root is empty and schemaless")
+      case (fs, Some(schema)) => spark.read.schema(schema).parquet(fs: _*)
+      case (fs, None) => spark.read.parquet(fs: _*)
+    }
   }
 
   /** Write the reference's Athena-interop `_symlink_format_manifest` for a
@@ -155,10 +166,10 @@ final class VersionedTable(val root: String) {
     }.collectFirst { case Some(t) => t }
   }
 
-  def commit(df: DataFrame, numPartitions: Option[Int] = None,
-             sortBy: Seq[String] = Nil, collectStats: Boolean = true,
-             txn: Option[(String, Long)] = None): Long = {
-    Files.createDirectories(logDir)
+  /** Write `df` as immutable parquet under a fresh commit dir; returns the
+    * commit id and the written files' table-relative paths. */
+  private def writeDataFiles(df: DataFrame, numPartitions: Option[Int],
+      sortBy: Seq[String]): (String, Seq[String]) = {
     Files.createDirectories(dataDir)
     val commitId = java.util.UUID.randomUUID().toString
     val outDir = dataDir.resolve(commitId)
@@ -174,57 +185,151 @@ final class VersionedTable(val root: String) {
     val files = listNames(outDir)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
       .map(n => s"data/$commitId/$n").sorted
+    (commitId, files)
+  }
+
+  /** Per-file min/max for leaf scalar columns of freshly written files (one
+    * small distributed job over the new files only — carried-over files keep
+    * their previously recorded stats). */
+  private def collectFileStats(spark: SparkSession, commitId: String)
+      : Map[String, Map[String, (String, String, String)]] = {
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    import org.apache.spark.sql.types._
+    val written = spark.read.parquet(dataDir.resolve(commitId).toString)
+    // kind drives the prune-time comparison: "num" compares numerically,
+    // everything else lexicographically (ISO-rendered timestamps/dates sort
+    // correctly as strings)
+    val statCols = written.schema.fields.collect {
+      case StructField(n, _: NumericType, _, _) => (n, "num")
+      case StructField(n, StringType | TimestampType | DateType, _, _) => (n, "str")
+    }.toSeq
+    if (statCols.isEmpty) return Map.empty
+    val aggs = statCols.flatMap { case (c, _) =>
+      Seq(fmin(col(c)).cast("string").as(s"min_$c"), fmax(col(c)).cast("string").as(s"max_$c")) }
+    written.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
+      .collect().map { row =>
+        val fname = row.getString(0)
+        val rel = s"data/$commitId/" + fname.substring(fname.lastIndexOf('/') + 1)
+        rel -> statCols.flatMap { case (c, kind) =>
+          val mn = row.getAs[String](s"min_$c")
+          val mx = row.getAs[String](s"max_$c")
+          if (mn != null && mx != null) Some(c -> (mn, mx, kind)) else None
+        }.toMap
+      }.toMap
+  }
+
+  /** Serialize + atomically publish the next manifest. The hard-link publish
+    * is the commit point: createLink fails with FileAlreadyExistsException
+    * when the target exists, so two writers racing to the same version number
+    * cannot both win — unlike rename, which POSIX maps to rename(2) and
+    * silently REPLACES the target. Readers still only ever see a complete
+    * manifest (link is atomic). */
+  private def publish(files: Seq[String],
+      schemaJson: String,
+      stats: Map[String, Map[String, (String, String, String)]],
+      txn: Option[(String, Long)]): Long = {
+    Files.createDirectories(logDir)
     val next = latestVersion().map(_ + 1).getOrElse(0L)
     val json = mapper.createObjectNode()
     json.put("version", next)
-    json.put("schema", df.schema.json) // keeps empty versions readable
+    json.put("schema", schemaJson) // keeps empty versions readable
     txn.foreach { case (app, v) => json.put("txnApp", app); json.put("txnVersion", v) }
     val arr = json.putArray("files")
-    files.foreach(arr.add)
-    if (collectStats && files.nonEmpty) {
-      import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
-      import org.apache.spark.sql.types._
-      val spark = df.sparkSession
-      val written = spark.read.parquet(outDir.toString)
-      // kind drives the prune-time comparison: "num" compares numerically,
-      // everything else lexicographically (ISO-rendered timestamps/dates sort
-      // correctly as strings)
-      val statCols = written.schema.fields.collect {
-        case StructField(n, _: NumericType, _, _) => (n, "num")
-        case StructField(n, StringType | TimestampType | DateType, _, _) => (n, "str")
-      }.toSeq
-      if (statCols.nonEmpty) {
-        val aggs = statCols.flatMap { case (c, _) =>
-          Seq(fmin(col(c)).cast("string").as(s"min_$c"), fmax(col(c)).cast("string").as(s"max_$c")) }
-        val statsNode = json.putObject("stats")
-        written.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
-          .collect().foreach { row =>
-            val fname = row.getString(0)
-            val rel = s"data/$commitId/" + fname.substring(fname.lastIndexOf('/') + 1)
-            val fileNode = statsNode.putObject(rel)
-            statCols.foreach { case (c, kind) =>
-              val mn = row.getAs[String](s"min_$c")
-              val mx = row.getAs[String](s"max_$c")
-              if (mn != null && mx != null) {
-                val a = fileNode.putArray(c); a.add(mn); a.add(mx); a.add(kind)
-              }
-            }
-          }
+    files.sorted.foreach(arr.add)
+    if (stats.nonEmpty) {
+      val statsNode = json.putObject("stats")
+      stats.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+        val fileNode = statsNode.putObject(f)
+        cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx, kind)) =>
+          val a = fileNode.putArray(c); a.add(mn); a.add(mx); a.add(kind)
+        }
       }
     }
-    val tmp = logDir.resolve(s".tmp-$commitId.json")
+    val tmp = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
-    // hard-link publish = the commit point. createLink fails with
-    // FileAlreadyExistsException when the target exists, so two writers
-    // racing to the same version number cannot both win — unlike rename,
-    // which POSIX maps to rename(2) and silently REPLACES the target.
-    // Readers still only ever see a complete manifest (link is atomic).
     try Files.createLink(manifestPath(next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new IllegalStateException(s"concurrent commit of version $next at $root")
     }
     finally Files.deleteIfExists(tmp)
     next
+  }
+
+  def commit(df: DataFrame, numPartitions: Option[Int] = None,
+             sortBy: Seq[String] = Nil, collectStats: Boolean = true,
+             txn: Option[(String, Long)] = None): Long = {
+    val (commitId, files) = writeDataFiles(df, numPartitions, sortBy)
+    val stats =
+      if (collectStats && files.nonEmpty) collectFileStats(df.sparkSession, commitId)
+      else Map.empty[String, Map[String, (String, String, String)]]
+    publish(files, df.schema.json, stats, txn)
+  }
+
+  /** Append `df`'s rows as the next version WITHOUT rewriting existing data
+    * — the ingest path at scale (a 100 TB table cannot re-snapshot per
+    * batch): the new manifest carries every prior file forward plus the
+    * freshly written ones, so commit cost is proportional to the batch, not
+    * the table. Additive schema evolution is supported: new columns extend
+    * the recorded union schema, and older files resolve them to null at read
+    * (manifest-schema'd scan); a type change or dropped column is refused. */
+  def append(df: DataFrame, numPartitions: Option[Int] = None,
+             sortBy: Seq[String] = Nil, collectStats: Boolean = true,
+             txn: Option[(String, Long)] = None): Long = {
+    latestVersion() match {
+      case None => commit(df, numPartitions, sortBy, collectStats, txn)
+      case Some(v) =>
+        val prior = schemaOf(v).getOrElse(
+          throw new IllegalStateException(s"version $v of $root has no recorded schema"))
+        val priorByName = prior.fields.map(f => f.name -> f).toMap
+        df.schema.fields.foreach { f =>
+          priorByName.get(f.name).foreach { p =>
+            require(p.dataType == f.dataType,
+              s"append cannot change column ${f.name}: ${p.dataType} -> ${f.dataType}")
+          }
+        }
+        val added = df.schema.fields.filterNot(f => priorByName.contains(f.name))
+        val union = org.apache.spark.sql.types.StructType(prior.fields ++ added)
+        val (commitId, files) = writeDataFiles(df, numPartitions, sortBy)
+        val stats =
+          if (collectStats && files.nonEmpty) collectFileStats(df.sparkSession, commitId)
+          else Map.empty[String, Map[String, (String, String, String)]]
+        publish(filesOf(v) ++ files, union.json, statsOf(v) ++ stats, txn)
+    }
+  }
+
+  /** Copy-on-write DELETE: rewrite ONLY the files that contain a matching
+    * row; untouched files (found by one predicate-pushed scan over the
+    * snapshot — parquet row-group stats prune most of them before any row is
+    * read) carry over into the new manifest unchanged, stats included. This
+    * is the Delta-style shape that matters at scale: deleting one key from a
+    * 100 TB table rewrites kilobytes, not the table. Returns (newVersion,
+    * rewrittenFileCount). */
+  def delete(spark: SparkSession, condition: String): (Long, Int) = {
+    import org.apache.spark.sql.functions.{expr, input_file_name}
+    val v = resolve()
+    val all = filesOf(v)
+    val schema = schemaOf(v)
+    val pred = expr(condition)
+    def scan(paths: Seq[String]): DataFrame = schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    if (all.isEmpty) return (publish(all, schema.map(_.json).getOrElse("{}"),
+      Map.empty, None), 0)
+    val absOf = all.map(f => Paths.get(root).resolve(f).toString -> f).toMap
+    val touchedAbs = scan(absOf.keys.toSeq).filter(pred)
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    val touched = absOf.collect { case (abs, rel) if touchedAbs.contains(abs) => rel }.toSeq
+    if (touched.isEmpty) return (v, 0) // nothing matched: no new version needed
+    val untouched = all.filterNot(touched.toSet)
+    val keep = scan(touched.map(f => Paths.get(root).resolve(f).toString)).filter(!pred)
+    val (commitId, newFiles) = writeDataFiles(keep, None, Nil)
+    val stats = if (newFiles.nonEmpty) collectFileStats(spark, commitId)
+                else Map.empty[String, Map[String, (String, String, String)]]
+    val priorStats = statsOf(v).view.filterKeys(untouched.toSet).toMap
+    (publish(untouched ++ newFiles, schema.map(_.json).getOrElse(keep.schema.json),
+      priorStats ++ stats, None), touched.size)
   }
 
   /** Stats-pruned read: only files whose recorded [min, max] for `column`

@@ -130,4 +130,75 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
       .count(_.getName.endsWith(".parquet"))
     assert(files === 3)
   }
+
+  test("append carries prior files forward instead of rewriting the snapshot") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq(1, 2).toDF("x"), numPartitions = Some(1))
+    val dataDirsAfterCommit = new java.io.File(s"$root/data").listFiles().length
+    t.append(Seq(3, 4).toDF("x"), numPartitions = Some(1))
+    assert(t.read(spark).as[Int].collect().sorted.toSeq === Seq(1, 2, 3, 4))
+    // the appended version reuses v0's physical file (no rewrite): exactly
+    // one new commit dir appears, and v0 stays time-travelable
+    assert(new java.io.File(s"$root/data").listFiles().length === dataDirsAfterCommit + 1)
+    assert(t.read(spark, relativeVersion = Some(-1)).as[Int].collect().sorted.toSeq === Seq(1, 2))
+  }
+
+  test("append with a new column evolves the schema; old files read as null") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b", 9.5)).toDF("id", "v", "score"))
+    val out = t.read(spark)
+    assert(out.columns.toSeq === Seq("id", "v", "score"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "a", None), (2L, "b", Some(9.5))))
+    // incompatible evolution is refused
+    assertThrows[IllegalArgumentException](
+      t.append(Seq(("x", "y")).toDF("id", "v")))
+  }
+
+  test("append to an empty table behaves as the first commit") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    assert(t.append(Seq(1).toDF("x")) === 0L)
+    assert(t.read(spark).as[Int].collect().toSeq === Seq(1))
+  }
+
+  test("copy-on-write delete rewrites only files containing matches") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    import org.apache.spark.sql.functions.col
+    // 4 range-sorted files over id 0..999: a delete of id<250 touches 1 file
+    t.commit(spark.range(0, 1000).select(col("id"), (col("id") % 7).as("v")),
+      numPartitions = Some(4), sortBy = Seq("id"))
+    val (v1, rewritten) = t.delete(spark, "id < 250")
+    assert(v1 === 1L)
+    // range boundaries are sample-based, so the touched set can straddle one
+    // boundary — the point is that most files are NOT rewritten
+    assert(rewritten >= 1 && rewritten <= 2, s"expected 1-2 touched files, got $rewritten")
+    assert(t.read(spark).count() === 750)
+    assert(t.read(spark).agg(org.apache.spark.sql.functions.min("id"))
+      .head.getLong(0) === 250L)
+    // untouched files' stats carry over: pruned reads still skip
+    val (_, scanned, total) = t.readPruned(spark, "id", "900", "999")
+    assert(scanned < total)
+    // pre-delete snapshot intact
+    assert(t.read(spark, relativeVersion = Some(-1)).count() === 1000)
+    // a no-match delete commits nothing
+    val (v2, r2) = t.delete(spark, "id < 0")
+    assert(v2 === 1L && r2 === 0)
+    assert(t.latestVersion() === Some(1L))
+  }
+
+  test("delete everything leaves a readable empty version") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val (v, _) = t.delete(spark, "id >= 0")
+    assert(v === 1L)
+    val out = t.read(spark)
+    assert(out.count() === 0 && out.columns.toSeq === Seq("id", "v"))
+  }
 }
