@@ -209,20 +209,33 @@ final case class TableMergeLoad(
     whenMatchedDelete: Option[Merge.MatchedDelete] = None,
     whenNotMatchedByTargetInsert: Option[Merge.NotMatchedInsert] = None,
     numPartitions: Option[Int] = None,
+    /** (targetKey, sourceKeyExpr): enables the copy-on-write file-pruned
+      * merge (VersionedTable.mergeCow) — only target files whose key range
+      * contains a source key are rewritten. The pair must be the equi-key
+      * implied by `condition`. */
+    pruneKeys: Option[(String, String)] = None,
     environments: Seq[String] = Nil) extends Stage {
 
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
     val table = VersionedTable(sub(outputURI, env))
-    val target = table.read(spark)
-    val merged = Merge.merge(target, spark.table(inputView), sub(condition, env),
-      whenMatchedUpdate.map(u => u.copy(
-        condition = u.condition.map(sub(_, env)),
-        values = u.values.view.mapValues(sub(_, env)).toMap)),
-      whenMatchedDelete.map(d => d.copy(condition = d.condition.map(sub(_, env)))),
-      whenNotMatchedByTargetInsert.map(i => i.copy(
-        condition = i.condition.map(sub(_, env)),
-        values = i.values.view.mapValues(sub(_, env)).toMap)))
-    table.commit(merged, numPartitions)
+    val upd = whenMatchedUpdate.map(u => u.copy(
+      condition = u.condition.map(sub(_, env)),
+      values = u.values.view.mapValues(sub(_, env)).toMap))
+    val del = whenMatchedDelete.map(d => d.copy(condition = d.condition.map(sub(_, env))))
+    val ins = whenNotMatchedByTargetInsert.map(i => i.copy(
+      condition = i.condition.map(sub(_, env)),
+      values = i.values.view.mapValues(sub(_, env)).toMap))
+    pruneKeys match {
+      case Some((tk, sk)) =>
+        table.mergeCow(spark, spark.table(inputView), sub(condition, env),
+          tk, sk, upd, del, ins, numPartitions)
+        ()
+      case None =>
+        val merged = Merge.merge(table.read(spark), spark.table(inputView),
+          sub(condition, env), upd, del, ins)
+        table.commit(merged, numPartitions)
+        ()
+    }
     None
   }
 }

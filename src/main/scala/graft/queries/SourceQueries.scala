@@ -132,6 +132,52 @@ object SourceQueries {
         |  CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
         |FROM customer""".stripMargin))
 
+  /** q53: copy-on-write file-pruned MERGE — a CDC batch that doubles prices
+    * in a narrow key range and inserts a few far-away keys merges into a
+    * range-sorted versioned table; only the files whose key range contains a
+    * source key are rewritten (VersionedTable.mergeCow), asserted via the
+    * rewritten-file count. The read-back must equal the plain SQL merge. */
+  val q53CowMerge: Q = Q(
+    "q53_cow_merge",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cow-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_v")
+      t.commit(
+        spark.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM orders"),
+        numPartitions = Some(8), sortBy = Seq("o_orderkey"))
+      val src = spark.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+          |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+          |UNION ALL
+          |SELECT o_orderkey + 10000000, o_custkey, 1.0
+          |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin)
+      val (_, rewritten) = t.mergeCow(spark, src,
+        condition = "source.o_orderkey = target.o_orderkey",
+        targetKey = "o_orderkey", sourceKey = "o_orderkey",
+        whenMatchedUpdate = Some(graft.table.Merge.MatchedUpdate(
+          None, Map("o_totalprice" -> "source.o_totalprice"))),
+        whenNotMatchedInsert = Some(graft.table.Merge.NotMatchedInsert(None, Map.empty)))
+      require(rewritten < 8,
+        s"expected the narrow CDC batch to leave files untouched ($rewritten/8 rewritten)")
+      t.read(spark).select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+    Some(
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 1.0
+        |  FROM orders WHERE o_orderkey % 1000 = 0)
+        |SELECT b.o_orderkey, b.o_custkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |       ELSE b.o_totalprice END AS o_totalprice
+        |FROM orders b LEFT JOIN src s ON s.o_orderkey = b.o_orderkey
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |FROM src s
+        |WHERE NOT EXISTS (SELECT 1 FROM orders b WHERE b.o_orderkey = s.o_orderkey)""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
-    q49IncrementalTable, q50SchemaEvolution)
+    q49IncrementalTable, q50SchemaEvolution, q53CowMerge)
 }

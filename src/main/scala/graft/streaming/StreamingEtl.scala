@@ -24,6 +24,8 @@ import org.apache.spark.sql.types.StructType
   */
 final case class UserEvent(user_id: Long, value: Double)
 final case class UserTotal(user_id: Long, n: Long, sum_value: Double)
+/** Open-session state for [[StreamingEtl.sessionWindows]] (micros). */
+final case class SessionState(start: Long, last: Long, n: Long)
 
 object StreamingEtl {
 
@@ -116,6 +118,57 @@ object StreamingEtl {
           val next = UserTotal(userId, n, sum)
           state.update(next)
           next
+      }
+  }
+
+  /** One closed session: contiguous events of a user with < `gap` between
+    * neighbours. */
+  final case class ClosedSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Session windows via `flatMapGroupsWithState` — the most general custom
+    * -state tier of Structured Streaming (SURVEY.md §2.9): per-user state
+    * carries the open session across micro-batches; when an event arrives
+    * past the gap, the closed session is EMITTED and the state restarts.
+    * `ProcessingTimeTimeout` + an explicit flush key is avoided here by
+    * closing sessions on the next event; a production pipeline would add
+    * `GroupStateTimeout.EventTimeTimeout` to flush idle sessions at the
+    * watermark. Emitted rows are append-mode friendly (only closed sessions
+    * leave the operator). Within a batch the iterator is NOT time-ordered by
+    * contract, so events are sorted in-memory per (user, batch) — bounded by
+    * a user's per-batch volume, the honest per-key cost of custom state. */
+  def sessionWindows(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+      gapMinutes: Int = 30): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapMicros = gapMinutes * 60L * 1000000L
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + t.getNanos / 1000 % 1000
+    def ts(m: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(m / 1000)
+      t.setNanos((m % 1000000L).toInt * 1000)
+      t
+    }
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId, rows, state) =>
+          val sorted = rows.map(r => micros(r._2)).toArray.sorted
+          var closed = List.empty[ClosedSession]
+          var cur = state.getOption
+          sorted.foreach { m =>
+            cur match {
+              case Some(s) if m - s.last <= gapMicros =>
+                cur = Some(s.copy(last = m, n = s.n + 1))
+              case Some(s) =>
+                closed ::= ClosedSession(userId, ts(s.start), ts(s.last), s.n)
+                cur = Some(SessionState(m, m, 1))
+              case None =>
+                cur = Some(SessionState(m, m, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
       }
   }
 

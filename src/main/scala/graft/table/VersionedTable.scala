@@ -332,6 +332,71 @@ final class VersionedTable(val root: String) {
       priorStats ++ stats, None), touched.size)
   }
 
+  /** Copy-on-write MERGE: run the join-based kernel ONLY over the target
+    * files whose recorded [min, max] range for `targetKey` contains at least
+    * one source merge key; every other file carries into the new manifest
+    * unchanged, stats included. Touched files are found distributively — the
+    * source's distinct keys join a broadcast table of per-file ranges — so
+    * the cost is one pass over the source batch plus the kernel over the
+    * touched slice: merging a narrow CDC batch into a 100 TB table rewrites
+    * the overlapping files, not the table (Delta's file-pruned merge shape).
+    *
+    * Correctness requirements (validated where possible):
+    *  - `condition` must imply `source.<sourceKey> = target.<targetKey>`
+    *    (the equi-key the pruning reasons about) — rows in a file whose
+    *    range excludes every source key can then never match;
+    *  - no NOT MATCHED BY SOURCE clause (those would modify untouched rows),
+    *    enforced by this signature simply not accepting them;
+    *  - files lacking stats for `targetKey` are always treated as touched.
+    *
+    * Returns (newVersion, rewrittenFileCount). */
+  def mergeCow(spark: SparkSession, source: DataFrame, condition: String,
+      targetKey: String, sourceKey: String,
+      whenMatchedUpdate: Option[Merge.MatchedUpdate] = None,
+      whenMatchedDelete: Option[Merge.MatchedDelete] = None,
+      whenNotMatchedInsert: Option[Merge.NotMatchedInsert] = None,
+      numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): (Long, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val v = resolve()
+    val all = filesOf(v)
+    val schema = schemaOf(v).getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no recorded schema"))
+    val keyType = schema.find(_.name == targetKey).getOrElse(
+      throw new IllegalArgumentException(s"target key $targetKey not in table schema")).dataType
+    val stats = statsOf(v)
+    val (ranged, statless) = all.partition(f => stats.get(f).exists(_.contains(targetKey)))
+    val touched: Seq[String] =
+      if (ranged.isEmpty) all
+      else {
+        import spark.implicits._
+        val ranges = ranged.map { f =>
+          val (mn, mx, _) = stats(f)(targetKey); (f, mn, mx)
+        }.toDF("__file", "__lo", "__hi")
+          .select(col("__file"),
+            col("__lo").cast(keyType).as("__lo"), col("__hi").cast(keyType).as("__hi"))
+        val hit = source.select(expr(sourceKey).cast(keyType).as("__k"))
+          .filter(col("__k").isNotNull).distinct()
+          .join(broadcast(ranges), col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select("__file").distinct().as[String].collect().toSeq
+        statless ++ hit
+      }
+    val untouched = all.filterNot(touched.toSet)
+    val slice =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(touched.map(f => Paths.get(root).resolve(f).toString): _*)
+    val merged = Merge.merge(slice, source, condition,
+      whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert)
+    val (commitId, newFiles) = writeDataFiles(merged, numPartitions, sortBy)
+    val newStats = if (newFiles.nonEmpty) collectFileStats(spark, commitId)
+                   else Map.empty[String, Map[String, (String, String, String)]]
+    val priorStats = statsOf(v).view.filterKeys(untouched.toSet).toMap
+    (publish(untouched ++ newFiles, schema.json, priorStats ++ newStats, txn),
+      touched.size)
+  }
+
   /** Stats-pruned read: only files whose recorded [min, max] for `column`
     * intersects [lo, hi] are scanned (Delta-style data skipping — the
     * manifest is the index, no footer reads needed). Falls back to all files

@@ -138,6 +138,65 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState session windows match the batch sessionize") {
+    val dir = tmpDir("fs-")
+    val ev = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "ts")
+    ev.write.mode("overwrite").parquet(dir)
+    // one micro-batch: gap sessionization assumes per-key event-time order
+    // across batches (what a watermark-disciplined landing gives); arbitrary
+    // file splits would replay a user's history out of order
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[(Long, java.sql.Timestamp)]
+    val qn = s"fs_sink_${System.nanoTime()}"
+    val q = StreamingEtl.sessionWindows(stream).writeStream
+      .outputMode("append").format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(qn)
+      .select("user_id", "session_start", "session_end", "n_events")
+    // batch oracle: sessionize's window formulation, dropping each user's
+    // LAST session (still open in the stream — never emitted)
+    val batch = StreamingEtl.sessionize(
+      graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events"))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_id").as("session_id"))
+    val closedBatch = batch.join(lastPerUser, Seq("user_id", "session_id"),
+      "left_anti").select("user_id", "session_start", "session_end", "n_events")
+    assert(got.exceptAll(closedBatch).count() === 0)
+    assert(closedBatch.exceptAll(got).count() === 0)
+    assert(got.count() > 0, "expected at least one closed session")
+  }
+
+  test("flatMapGroupsWithState carries an open session across micro-batches") {
+    val landing = tmpDir("fs2-")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: two events 10 min apart (one open session)
+    Seq((7L, ts("2024-01-01 00:00:00")), (7L, ts("2024-01-01 00:10:00")))
+      .toDF("user_id", "ts").coalesce(1).write.mode("overwrite").parquet(landing)
+    // batch 2: an event 2h later — must CLOSE the batch-1 session
+    Seq((7L, ts("2024-01-01 02:10:00")))
+      .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing).as[(Long, java.sql.Timestamp)]
+    val qn = s"fs2_sink_${System.nanoTime()}"
+    val q = StreamingEtl.sessionWindows(stream).writeStream
+      .outputMode("append").format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table(qn)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+    assert(closed === Seq(
+      (7L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2L)))
+  }
+
   test("sessionize assigns gap-based session ids consistent with q18") {
     val ev = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
     val sessions = StreamingEtl.sessionize(ev)

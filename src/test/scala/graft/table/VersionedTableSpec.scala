@@ -192,6 +192,48 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.latestVersion() === Some(1L))
   }
 
+  test("copy-on-write merge rewrites only key-overlapping files") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    import org.apache.spark.sql.functions.col
+    t.commit(spark.range(0, 1000).select(col("id"), (col("id") * 10).as("v")),
+      numPartitions = Some(4), sortBy = Seq("id"))
+    // update a narrow slice + insert far-away keys: both must leave the
+    // non-overlapping files physically untouched
+    val src = spark.range(100, 120).select(col("id"), (col("id") + 1).as("v"))
+      .union(spark.range(5000, 5003).select(col("id"), col("id").as("v")))
+    val (v1, rewritten) = t.mergeCow(spark, src,
+      condition = "source.id = target.id", targetKey = "id", sourceKey = "id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("v" -> "source.v"))),
+      whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None, Map.empty)))
+    assert(v1 === 1L)
+    assert(rewritten >= 1 && rewritten <= 2, s"got $rewritten rewritten files")
+    val out = t.read(spark)
+    assert(out.count() === 1003)
+    assert(out.filter(col("id") === 110).head.getLong(1) === 111L)
+    assert(out.filter(col("id") === 500).head.getLong(1) === 5000L)
+    assert(out.filter(col("id") === 5001).head.getLong(1) === 5001L)
+    // pre-merge snapshot intact; untouched files' stats still prune
+    assert(t.read(spark, relativeVersion = Some(-1))
+      .filter(col("id") === 110).head.getLong(1) === 1100L)
+    val (_, scanned, total) = t.readPruned(spark, "id", "900", "950")
+    assert(scanned < total)
+  }
+
+  test("copy-on-write merge with a matched delete clause") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    import org.apache.spark.sql.functions.col
+    t.commit(spark.range(0, 100).select(col("id"), col("id").as("v")),
+      numPartitions = Some(2), sortBy = Seq("id"))
+    val src = spark.range(10, 15).toDF("id")
+    val (_, _) = t.mergeCow(spark, src,
+      condition = "source.id = target.id", targetKey = "id", sourceKey = "id",
+      whenMatchedDelete = Some(Merge.MatchedDelete(None)))
+    assert(t.read(spark).count() === 95)
+    assert(t.read(spark).filter(col("id").between(10, 14)).count() === 0)
+  }
+
   test("delete everything leaves a readable empty version") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
