@@ -130,7 +130,19 @@ object JobSpec {
             val i = n.get("whenNotMatchedByTargetInsert")
             Some(Merge.NotMatchedInsert(optStr(i, "condition"), strMap(i, "values")))
           } else None,
-        numPartitions = optInt(n, "numPartitions"), environments = envs(n))
+        numPartitions = optInt(n, "numPartitions"),
+        pruneKeys =
+          if (n.has("pruneKeys")) {
+            val p = n.get("pruneKeys")
+            Some((str(p, "targetKey"), str(p, "sourceKey")))
+          } else None,
+        environments = envs(n))
+      case "TableAppend" => TableAppend(
+        name, str(n, "inputView"), str(n, "outputURI"), optInt(n, "numPartitions"),
+        if (n.has("sortBy")) n.get("sortBy").elements().asScala.map(_.asText()).toSeq
+        else Nil, envs(n))
+      case "TableDelete" => TableDelete(
+        name, str(n, "tableURI"), str(n, "condition"), envs(n))
       case "TableCompact" => TableCompact(
         name, str(n, "tableURI"), optInt(n, "numFiles").getOrElse(1),
         if (n.has("sortBy")) n.get("sortBy").elements().asScala.map(_.asText()).toSeq

@@ -218,18 +218,25 @@ final class VersionedTable(val root: String) {
       }.toMap
   }
 
-  /** Serialize + atomically publish the next manifest. The hard-link publish
-    * is the commit point: createLink fails with FileAlreadyExistsException
-    * when the target exists, so two writers racing to the same version number
-    * cannot both win — unlike rename, which POSIX maps to rename(2) and
-    * silently REPLACES the target. Readers still only ever see a complete
-    * manifest (link is atomic). */
+  /** Serialize + atomically publish manifest version `base`+1 (or v0 on an
+    * empty table). The hard-link publish is the commit point: createLink
+    * fails with FileAlreadyExistsException when the target exists, so two
+    * writers racing to the same version number cannot both win — unlike
+    * rename, which POSIX maps to rename(2) and silently REPLACES the target.
+    * Readers still only ever see a complete manifest (link is atomic).
+    *
+    * `base` is the snapshot version the CALLER's computation read — pinning
+    * `next` to it turns the link into an optimistic-concurrency check: if
+    * any other writer committed after the caller's read, the link collides
+    * and [[ConcurrentCommitException]] is raised instead of silently
+    * publishing a manifest that drops the concurrent commit's changes. */
   private def publish(files: Seq[String],
       schemaJson: String,
       stats: Map[String, Map[String, (String, String, String)]],
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)],
+      base: Option[Long]): Long = {
     Files.createDirectories(logDir)
-    val next = latestVersion().map(_ + 1).getOrElse(0L)
+    val next = base.map(_ + 1L).getOrElse(0L)
     val json = mapper.createObjectNode()
     json.put("version", next)
     json.put("schema", schemaJson) // keeps empty versions readable
@@ -249,12 +256,17 @@ final class VersionedTable(val root: String) {
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
     try Files.createLink(manifestPath(next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
-      throw new IllegalStateException(s"concurrent commit of version $next at $root")
+      throw new ConcurrentCommitException(
+        s"concurrent commit of version $next at $root")
     }
     finally Files.deleteIfExists(tmp)
     next
   }
 
+  /** Full-snapshot commit (Overwrite semantics). A racing writer is resolved
+    * by optimistic retry: the data files are already immutable on disk, so a
+    * collision only re-targets the manifest at the new head (last-writer-wins,
+    * as a blind overwrite means). */
   def commit(df: DataFrame, numPartitions: Option[Int] = None,
              sortBy: Seq[String] = Nil, collectStats: Boolean = true,
              txn: Option[(String, Long)] = None): Long = {
@@ -262,7 +274,22 @@ final class VersionedTable(val root: String) {
     val stats =
       if (collectStats && files.nonEmpty) collectFileStats(df.sparkSession, commitId)
       else Map.empty[String, Map[String, (String, String, String)]]
-    publish(files, df.schema.json, stats, txn)
+    retryPublish(publish(files, df.schema.json, stats, txn, _))
+  }
+
+  /** Run `attempt` against the current head, retrying on a commit collision
+    * with the refreshed head (bounded; commit contention at a given version
+    * resolves in one winner per round, so progress is guaranteed). */
+  private def retryPublish(attempt: Option[Long] => Long, maxRetries: Int = 10): Long = {
+    var tries = 0
+    while (true) {
+      try return attempt(latestVersion())
+      catch { case e: ConcurrentCommitException =>
+        tries += 1
+        if (tries > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Append `df`'s rows as the next version WITHOUT rewriting existing data
@@ -275,8 +302,15 @@ final class VersionedTable(val root: String) {
   def append(df: DataFrame, numPartitions: Option[Int] = None,
              sortBy: Seq[String] = Nil, collectStats: Boolean = true,
              txn: Option[(String, Long)] = None): Long = {
-    latestVersion() match {
-      case None => commit(df, numPartitions, sortBy, collectStats, txn)
+    val (commitId, files) = writeDataFiles(df, numPartitions, sortBy)
+    val stats =
+      if (collectStats && files.nonEmpty) collectFileStats(df.sparkSession, commitId)
+      else Map.empty[String, Map[String, (String, String, String)]]
+    // appends never conflict semantically: on a commit collision the carried
+    // file set is simply rebased onto the new head and re-published (the
+    // batch's own data files are written exactly once, above)
+    retryPublish {
+      case None => publish(files, df.schema.json, stats, txn, None)
       case Some(v) =>
         val prior = schemaOf(v).getOrElse(
           throw new IllegalStateException(s"version $v of $root has no recorded schema"))
@@ -289,11 +323,7 @@ final class VersionedTable(val root: String) {
         }
         val added = df.schema.fields.filterNot(f => priorByName.contains(f.name))
         val union = org.apache.spark.sql.types.StructType(prior.fields ++ added)
-        val (commitId, files) = writeDataFiles(df, numPartitions, sortBy)
-        val stats =
-          if (collectStats && files.nonEmpty) collectFileStats(df.sparkSession, commitId)
-          else Map.empty[String, Map[String, (String, String, String)]]
-        publish(filesOf(v) ++ files, union.json, statsOf(v) ++ stats, txn)
+        publish(filesOf(v) ++ files, union.json, statsOf(v) ++ stats, txn, Some(v))
     }
   }
 
@@ -315,7 +345,7 @@ final class VersionedTable(val root: String) {
       case None => spark.read.parquet(paths: _*)
     }
     if (all.isEmpty) return (publish(all, schema.map(_.json).getOrElse("{}"),
-      Map.empty, None), 0)
+      Map.empty, None, Some(v)), 0)
     val absOf = all.map(f => Paths.get(root).resolve(f).toString -> f).toMap
     val touchedAbs = scan(absOf.keys.toSeq).filter(pred)
       .select(input_file_name().as("__f")).distinct()
@@ -328,8 +358,11 @@ final class VersionedTable(val root: String) {
     val stats = if (newFiles.nonEmpty) collectFileStats(spark, commitId)
                 else Map.empty[String, Map[String, (String, String, String)]]
     val priorStats = statsOf(v).view.filterKeys(untouched.toSet).toMap
+    // pinned to the snapshot this delete scanned: a concurrent commit makes
+    // the publish raise ConcurrentCommitException instead of silently
+    // dropping that commit's changes — the caller re-runs the delete
     (publish(untouched ++ newFiles, schema.map(_.json).getOrElse(keep.schema.json),
-      priorStats ++ stats, None), touched.size)
+      priorStats ++ stats, None, Some(v)), touched.size)
   }
 
   /** Copy-on-write MERGE: run the join-based kernel ONLY over the target
@@ -393,8 +426,10 @@ final class VersionedTable(val root: String) {
     val newStats = if (newFiles.nonEmpty) collectFileStats(spark, commitId)
                    else Map.empty[String, Map[String, (String, String, String)]]
     val priorStats = statsOf(v).view.filterKeys(untouched.toSet).toMap
-    (publish(untouched ++ newFiles, schema.json, priorStats ++ newStats, txn),
-      touched.size)
+    // snapshot-pinned like delete: colliding with another writer raises
+    // ConcurrentCommitException rather than losing its commit
+    (publish(untouched ++ newFiles, schema.json, priorStats ++ newStats, txn,
+      Some(v)), touched.size)
   }
 
   /** Stats-pruned read: only files whose recorded [min, max] for `column`
@@ -469,6 +504,12 @@ final class VersionedTable(val root: String) {
     deleted
   }
 }
+
+/** A writer observed another commit land at the version it was publishing
+  * (the Delta ConcurrentModificationException shape). Snapshot-replacing
+  * operations (commit) and appends auto-retry; snapshot-derived rewrites
+  * (delete, mergeCow) surface it so the caller re-runs on the new head. */
+final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
 object VersionedTable {
   def apply(root: String): VersionedTable = new VersionedTable(root)

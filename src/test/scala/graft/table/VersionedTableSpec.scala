@@ -234,6 +234,57 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).filter(col("id").between(10, 14)).count() === 0)
   }
 
+  test("racing appends rebase onto the new head instead of losing commits") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 10).toDF("id"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val fs = (1 to 4).map { i =>
+      Future {
+        gate.await()
+        VersionedTable(root).append(spark.range(i * 10L, i * 10L + 10).toDF("id"))
+      }
+    }
+    gate.countDown()
+    Await.result(Future.sequence(fs), 120.seconds)
+    // every batch survives no matter the interleaving, and each append is
+    // exactly one version on top of v0
+    assert(t.read(spark).count() === 50)
+    assert(t.versions() === (0L to 4L))
+  }
+
+  test("a snapshot-derived delete never silently drops a concurrent commit") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    import org.apache.spark.sql.functions.col
+    t.commit(spark.range(0, 1000).select(col("id"), (col("id") % 7).as("v")),
+      numPartitions = Some(4), sortBy = Seq("id"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def attempt(cond: String): Future[Boolean] = Future {
+      gate.await()
+      try { VersionedTable(root).delete(spark, cond); true }
+      catch { case _: ConcurrentCommitException => false }
+    }
+    val fa = attempt("id < 100")
+    val fb = attempt("id >= 900")
+    gate.countDown()
+    val (aOk, bOk) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    val out = t.read(spark)
+    val aApplied = out.filter(col("id") < 100).count() === 0
+    val bApplied = out.filter(col("id") >= 900).count() === 0
+    // the invariant under any interleaving: a delete's effect is present IFF
+    // it reported success, and no interleaving loses the other's commit
+    assert(aOk === aApplied && bOk === bApplied)
+    assert(aOk || bOk, "at least one racing delete must win")
+    assert(out.filter(col("id").between(100, 899)).count() === 800)
+  }
+
   test("delete everything leaves a readable empty version") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
