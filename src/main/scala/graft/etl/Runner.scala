@@ -15,13 +15,20 @@ import scala.jdk.CollectionConverters._
   * point B). Independent jobs are safe to run concurrently on a cluster;
   * locally they run sequentially in topo order.
   */
-final case class JobDef(name: String, spec: JobSpec, dependsOn: Seq[String] = Nil)
+/** One DAG node. `retries`/`retryIntervalMs` mirror the reference's
+  * restartPolicy (onFailure retries 3 / interval 10s,
+  * `example/native-spark-job-scheduler.yaml:31-36`): a failed job re-runs up
+  * to `retries` more times with a fixed backoff before the workflow fails. */
+final case class JobDef(name: String, spec: JobSpec, dependsOn: Seq[String] = Nil,
+    retries: Int = 0, retryIntervalMs: Long = 10000L)
 
 object Runner {
 
-  /** Topologically sort and run. Fails fast on unknown deps or cycles. */
+  /** Topologically sort and run. Fails fast on unknown deps or cycles.
+    * `onAttempt(job, attempt)` fires before each try (observability/tests). */
   def run(spark: SparkSession, jobs: Seq[JobDef], env: Map[String, String],
-          environment: String = "production"): Seq[String] = {
+          environment: String = "production",
+          onAttempt: (String, Int) => Unit = (_, _) => ()): Seq[String] = {
     val byName = jobs.map(j => j.name -> j).toMap
     require(byName.size == jobs.size, "duplicate job names")
     jobs.flatMap(_.dependsOn).foreach(d =>
@@ -39,7 +46,20 @@ object Runner {
         order += n
     }
     jobs.foreach(j => visit(j.name))
-    order.foreach(n => byName(n).spec.run(spark, env, environment))
+    order.foreach { n =>
+      val job = byName(n)
+      var attempt = 0
+      var done = false
+      while (!done) {
+        attempt += 1
+        onAttempt(n, attempt)
+        try { job.spec.run(spark, env, environment); done = true }
+        catch { case e: Exception =>
+          if (attempt > job.retries) throw e
+          if (job.retryIntervalMs > 0) Thread.sleep(job.retryIntervalMs)
+        }
+      }
+    }
     order.toSeq
   }
 
@@ -66,7 +86,10 @@ object Runner {
       val deps =
         if (j.has("dependsOn")) j.get("dependsOn").elements().asScala.map(_.asText()).toSeq
         else Nil
-      JobDef(j.get("name").asText(), spec, deps)
+      JobDef(j.get("name").asText(), spec, deps,
+        retries = if (j.has("retries")) j.get("retries").asInt() else 0,
+        retryIntervalMs =
+          if (j.has("retryIntervalMs")) j.get("retryIntervalMs").asLong() else 10000L)
     }.toSeq
     (jobs, params)
   }

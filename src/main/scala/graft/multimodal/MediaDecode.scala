@@ -59,6 +59,24 @@ object MediaDecode {
     }
   }
 
+  /** STUB "resize": keep every `stride`-th byte of the payload — the
+    * stand-in for image downsampling (a real codec would decode, scale,
+    * re-encode) running through the SAME per-partition batch path as
+    * [[decodeFeatures]], so swapping in a real scaler touches nothing but
+    * the lambda body. Output payloads stay opaque binary. */
+  def resize(payloads: Dataset[(Long, Array[Byte])], stride: Int = 4)
+      : Dataset[(Long, Array[Byte])] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val out = Array.newBuilder[Byte]
+        var i = 0
+        while (i < bytes.length) { out += bytes(i); i += stride }
+        (id, out.result())
+      }
+    }
+  }
+
   /** Column-level path: attach payload + metadata struct to any DataFrame —
     * the storage schema for multimodal tables (payload stays opaque binary;
     * metadata is queryable without touching bytes). */

@@ -63,5 +63,32 @@ object MultimodalQueries {
         |         i -> ord(text[i]))) AS DOUBLE) / length(text) AS mean_byte
         |FROM documents""".stripMargin))
 
-  val all: Seq[Q] = Seq(m1BinaryMeta, m2DecodeFeatures)
+  /** m3: the "resize" leg of the multimodal path — payloads downsampled
+    * through the same mapPartitions batch-codec plumbing (every 4th byte —
+    * the stub for a real image scaler), verified END TO END on the bytes:
+    * the oracle rebuilds the identical downsample in SQL and both engines
+    * compare md5(resized payload) plus its length. */
+  val m3Resize: Q = Q(
+    "m3_resize",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, length => blen, md5}
+      val payloads = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary"))
+        .as[(Long, Array[Byte])]
+      graft.multimodal.MediaDecode.resize(payloads, stride = 4)
+        .toDF("doc_id", "resized")
+        .select(col("doc_id"),
+          blen(col("resized")).as("n_bytes_resized"),
+          md5(col("resized")).as("checksum"))
+    },
+    Some(
+      """SELECT doc_id,
+        |  CAST((length(text) + 3) // 4 AS INT) AS n_bytes_resized,
+        |  md5(array_to_string(
+        |    list_transform(range(1, length(text) + 1, 4), i -> text[i]), ''))
+        |    AS checksum
+        |FROM documents""".stripMargin))
+
+  val all: Seq[Q] = Seq(m1BinaryMeta, m2DecodeFeatures, m3Resize)
 }

@@ -257,9 +257,21 @@ object SqlSurfaceQueries {
         |        FROM orders GROUP BY 1, 2) t
         |  GROUP BY o_orderpriority) x""".stripMargin)
 
+  /** q54: UNPIVOT (wide → long, the inverse of q30's pivot) — both engines
+    * accept the standard `UNPIVOT (v FOR metric IN (...))` clause, so the
+    * SQL is shared verbatim. Money stays decimal-exact through the cast
+    * discipline (see Q.scala). */
+  val q54Unpivot: Q = Q.sharedSql("q54_unpivot",
+    """SELECT o_orderkey, metric, v
+      |FROM (
+      |  SELECT o_orderkey, o_totalprice AS price,
+      |    o_totalprice * 2 AS twice
+      |  FROM orders WHERE o_orderkey % 100 = 0) w
+      |UNPIVOT (v FOR metric IN (price, twice))""".stripMargin)
+
   val all: Seq[Q] = Seq(
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
     q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
     q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames, q44RecursiveCte,
-    q45GroupingSets, q46BagSetOps, q47MapFunctions)
+    q45GroupingSets, q46BagSetOps, q47MapFunctions, q54Unpivot)
 }

@@ -151,6 +151,38 @@ object TextQueries {
       |  FROM documents) t
       |WHERE rk <= 5""".stripMargin)
 
+  /** t7: PII scrubbing — the redaction pass every training-data pipeline
+    * runs before release: email-shaped tokens then digit runs are masked
+    * with regexp_replace (pure per-row map, no shuffle). The input splices a
+    * deterministic synthetic email next to the JSON props so both patterns
+    * fire; email masking runs FIRST (its pattern consumes digits) so the
+    * composition is order-deterministic in both engines. Spark's
+    * regexp_replace is replace-all by default; DuckDB needs the 'g' flag. */
+  val t7PiiScrub: Q = {
+    val email = "[a-z0-9._]+@[a-z0-9.]+"
+    Q.dualSql("t7_pii_scrub",
+      sparkSql =
+        s"""SELECT event_id,
+           |  regexp_replace(raw, '$email', '<email>') AS no_email,
+           |  regexp_replace(regexp_replace(raw, '$email', '<email>'),
+           |    '[0-9]+', '#') AS scrubbed
+           |FROM (
+           |  SELECT event_id,
+           |    concat(props, ' contact: user', CAST(user_id AS STRING),
+           |           '@example.com') AS raw
+           |  FROM events) t""".stripMargin,
+      duckSql =
+        s"""SELECT event_id,
+           |  regexp_replace(raw, '$email', '<email>', 'g') AS no_email,
+           |  regexp_replace(regexp_replace(raw, '$email', '<email>', 'g'),
+           |    '[0-9]+', '#', 'g') AS scrubbed
+           |FROM (
+           |  SELECT event_id,
+           |    concat(props, ' contact: user', CAST(user_id AS VARCHAR),
+           |           '@example.com') AS raw
+           |  FROM events) t""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
-    t5TfIdf, t6StratifiedSample)
+    t5TfIdf, t6StratifiedSample, t7PiiScrub)
 }

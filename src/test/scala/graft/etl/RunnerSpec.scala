@@ -25,6 +25,34 @@ class RunnerSpec extends AnyFunSuite with SparkSpec {
       Seq(job("x").copy(dependsOn = Seq("nope"))), Map.empty))
   }
 
+  test("per-job retry policy re-runs a failing job with backoff (O5 parity)") {
+    val dir = tmpDir("retry-")
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val job = JobDef("flaky", JobSpec(Seq(
+      ParquetExtract("read landing", s"$dir/landing", "v_landing"))),
+      retries = 2, retryIntervalMs = 0L)
+    // the landing file appears only before the SECOND attempt — a transient
+    // failure the retry policy must absorb
+    val onAttempt = (name: String, n: Int) => {
+      attempts += (name -> n)
+      if (n == 2) Seq((1L, "x")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/landing")
+      ()
+    }
+    Runner.run(spark, Seq(job), Map.empty, onAttempt = onAttempt)
+    assert(attempts.toSeq === Seq("flaky" -> 1, "flaky" -> 2))
+    assert(spark.table("v_landing").count() === 1)
+
+    // retry budget exhausted → the job's own failure surfaces
+    val bad = JobDef("hopeless", JobSpec(Seq(
+      ParquetExtract("read missing", s"$dir/never", "v_never"))),
+      retries = 1, retryIntervalMs = 0L)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    assertThrows[Exception](Runner.run(spark, Seq(bad), Map.empty,
+      onAttempt = (_, n) => { seen += n; () }))
+    assert(seen.toSeq === Seq(1, 2))
+  }
+
   test("workflow JSON: parameters flow into jobs; lake handoff between jobs") {
     val loc = tmpDir("wf-")
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")

@@ -22,6 +22,14 @@ class MediaDecodeSpec extends AnyFunSuite with SparkSpec {
     assert(MediaDecode.decodeFeatures(payloads).exceptAll(feats).count() === 0)
   }
 
+  test("resize keeps every stride-th byte through the batch path") {
+    val payloads = Seq((1L, "abcdefghij".getBytes("UTF-8")), (2L, Array.empty[Byte]))
+      .toDS()
+    val out = MediaDecode.resize(payloads, stride = 4).collect().toMap
+    assert(new String(out(1L), "UTF-8") === "aei")
+    assert(out(2L).isEmpty)
+  }
+
   test("media columns attach opaque payload + queryable metadata struct") {
     val docs = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
     val out = MediaDecode.withMediaColumns(docs, "text")
