@@ -44,16 +44,26 @@ object SimilarityQueries {
       .withColumn("nv", l2Norm(col("v"))) // norm once per vector, reused per pair
 
   /** Deterministic IVF assignment: every vector → nearest centroid
-    * (vec_id % 25 = 0 subset), rounded-sim ranking with centroid-id tiebreak. */
+    * (vec_id % 25 = 0 subset), rounded-sim ranking with centroid-id tiebreak.
+    *
+    * Shuffle shape (the 100 TB concern): the winner is picked with a
+    * map-side-combinable `max_by` over the SLIM (vec_id, c_id, csim)
+    * projection — the vector arrays do NOT ride through the ×#centroids
+    * cross-join into a shuffle (the previous window formulation shuffled
+    * every 64-double array once per centroid). The arrays are re-attached by
+    * one equi-join against the winners table, so they cross the wire exactly
+    * once. `max_by` on struct(csim, -c_id) = highest similarity, then lowest
+    * centroid id — identical to the window's (csim DESC, c_id ASC). */
   private def assigned(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
     val cents = e.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("ncv"))
-    e.crossJoin(broadcast(cents))
+    val best = e.crossJoin(broadcast(cents))
       .withColumn("csim", cosineWithNorms6(col("v"), col("nv"), col("cv"), col("ncv")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))))
-      .filter(col("rk") === 1)
+      .select(col("vec_id").as("b_vec"), col("c_id"), col("csim"))
+      .groupBy(col("b_vec"))
+      .agg(expr("max_by(c_id, struct(csim, -c_id))").as("c_id"))
+    e.join(best, col("vec_id") === col("b_vec"))
       .select(col("vec_id"), col("label"), col("v"), col("nv"), col("c_id"))
   }
 
