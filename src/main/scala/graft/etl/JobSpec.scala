@@ -136,11 +136,12 @@ object JobSpec {
             val p = n.get("pruneKeys")
             Some((str(p, "targetKey"), str(p, "sourceKey")))
           } else None,
+        idempotencyKey = optStr(n, "idempotencyKey"),
         environments = envs(n))
       case "TableAppend" => TableAppend(
         name, str(n, "inputView"), str(n, "outputURI"), optInt(n, "numPartitions"),
         if (n.has("sortBy")) n.get("sortBy").elements().asScala.map(_.asText()).toSeq
-        else Nil, envs(n))
+        else Nil, optStr(n, "idempotencyKey"), envs(n))
       case "TableDelete" => TableDelete(
         name, str(n, "tableURI"), str(n, "condition"), envs(n))
       case "TableCompact" => TableCompact(

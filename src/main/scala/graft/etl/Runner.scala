@@ -18,7 +18,13 @@ import scala.jdk.CollectionConverters._
 /** One DAG node. `retries`/`retryIntervalMs` mirror the reference's
   * restartPolicy (onFailure retries 3 / interval 10s,
   * `example/native-spark-job-scheduler.yaml:31-36`): a failed job re-runs up
-  * to `retries` more times with a fixed backoff before the workflow fails. */
+  * to `retries` more times with a fixed backoff before the workflow fails.
+  *
+  * A retry re-runs the WHOLE JobSpec from the top (the reference's pod
+  * restart has the same semantics) — stages that already committed will run
+  * again. Point retries at idempotent jobs: full-snapshot loads are
+  * naturally idempotent, and TableAppend/TableMergeLoad take an
+  * `idempotencyKey` that makes their commit exactly-once across re-runs. */
 final case class JobDef(name: String, spec: JobSpec, dependsOn: Seq[String] = Nil,
     retries: Int = 0, retryIntervalMs: Long = 10000L)
 

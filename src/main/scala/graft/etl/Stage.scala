@@ -214,10 +214,16 @@ final case class TableMergeLoad(
       * contains a source key are rewritten. The pair must be the equi-key
       * implied by `condition`. */
     pruneKeys: Option[(String, String)] = None,
+    /** Exactly-once under Runner retries (see TableAppend): a re-run that
+      * finds its key already in the manifest skips the merge. */
+    idempotencyKey: Option[String] = None,
     environments: Seq[String] = Nil) extends Stage {
 
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
     val table = VersionedTable(sub(outputURI, env))
+    val key = idempotencyKey.map(sub(_, env))
+    if (key.exists(k => table.lastTxn(k).isDefined)) return None
+    val txn = key.map(_ -> 0L)
     val upd = whenMatchedUpdate.map(u => u.copy(
       condition = u.condition.map(sub(_, env)),
       values = u.values.view.mapValues(sub(_, env)).toMap))
@@ -228,12 +234,12 @@ final case class TableMergeLoad(
     pruneKeys match {
       case Some((tk, sk)) =>
         table.mergeCow(spark, spark.table(inputView), sub(condition, env),
-          tk, sk, upd, del, ins, numPartitions)
+          tk, sk, upd, del, ins, numPartitions, txn = txn)
         ()
       case None =>
         val merged = Merge.merge(table.read(spark), spark.table(inputView),
           sub(condition, env), upd, del, ins)
-        table.commit(merged, numPartitions)
+        table.commit(merged, numPartitions, txn = txn)
         ()
     }
     None
@@ -242,17 +248,28 @@ final case class TableMergeLoad(
 
 /** Append a view's rows to a versioned table without rewriting existing
   * data (the batch-ingest path at scale; additive schema evolution allowed —
-  * see VersionedTable.append). */
+  * see VersionedTable.append).
+  *
+  * `idempotencyKey` makes the append exactly-once under job retries
+  * (Runner re-runs a failed job from the top): the key is stamped into the
+  * manifest via the table's txn protocol, and a re-run that finds its key
+  * already committed skips the append. Use a key unique per logical batch. */
 final case class TableAppend(
     name: String,
     inputView: String,
     outputURI: String,
     numPartitions: Option[Int] = None,
     sortBy: Seq[String] = Nil,
+    idempotencyKey: Option[String] = None,
     environments: Seq[String] = Nil) extends Stage {
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
-    VersionedTable(sub(outputURI, env))
-      .append(spark.table(inputView), numPartitions, sortBy)
+    val t = VersionedTable(sub(outputURI, env))
+    val key = idempotencyKey.map(sub(_, env))
+    if (!key.exists(k => t.lastTxn(k).isDefined)) {
+      t.append(spark.table(inputView), numPartitions, sortBy,
+        txn = key.map(_ -> 0L))
+      ()
+    }
     None
   }
 }

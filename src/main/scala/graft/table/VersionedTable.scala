@@ -298,7 +298,9 @@ final class VersionedTable(val root: String) {
     * freshly written ones, so commit cost is proportional to the batch, not
     * the table. Additive schema evolution is supported: new columns extend
     * the recorded union schema, and older files resolve them to null at read
-    * (manifest-schema'd scan); a type change or dropped column is refused. */
+    * (manifest-schema'd scan); a type change or a batch MISSING one of the
+    * table's columns is refused (Delta-style schema enforcement — silently
+    * null-filling an absent column is a data-quality hole, not evolution). */
   def append(df: DataFrame, numPartitions: Option[Int] = None,
              sortBy: Seq[String] = Nil, collectStats: Boolean = true,
              txn: Option[(String, Long)] = None): Long = {
@@ -315,12 +317,16 @@ final class VersionedTable(val root: String) {
         val prior = schemaOf(v).getOrElse(
           throw new IllegalStateException(s"version $v of $root has no recorded schema"))
         val priorByName = prior.fields.map(f => f.name -> f).toMap
+        val dfByName = df.schema.fields.map(f => f.name -> f).toMap
         df.schema.fields.foreach { f =>
           priorByName.get(f.name).foreach { p =>
             require(p.dataType == f.dataType,
               s"append cannot change column ${f.name}: ${p.dataType} -> ${f.dataType}")
           }
         }
+        val missing = prior.fields.map(_.name).filterNot(dfByName.contains)
+        require(missing.isEmpty,
+          s"append batch is missing table column(s): ${missing.mkString(", ")}")
         val added = df.schema.fields.filterNot(f => priorByName.contains(f.name))
         val union = org.apache.spark.sql.types.StructType(prior.fields ++ added)
         publish(filesOf(v) ++ files, union.json, statsOf(v) ++ stats, txn, Some(v))
@@ -334,8 +340,17 @@ final class VersionedTable(val root: String) {
     * is the Delta-style shape that matters at scale: deleting one key from a
     * 100 TB table rewrites kilobytes, not the table. Returns (newVersion,
     * rewrittenFileCount). */
+  /** Table-relative `data/<commit>/<file>` suffix of an input_file_name()
+    * URI — matched on the last two path segments (both are URI-safe
+    * generated names), so roots containing URI-special characters can't
+    * break the mapping the way full-string URI decoding would. */
+  private def relOfFileUri(uri: String): String = {
+    val parts = uri.split('/')
+    s"data/${parts(parts.length - 2)}/${parts.last}"
+  }
+
   def delete(spark: SparkSession, condition: String): (Long, Int) = {
-    import org.apache.spark.sql.functions.{expr, input_file_name}
+    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, not}
     val v = resolve()
     val all = filesOf(v)
     val schema = schemaOf(v)
@@ -344,16 +359,20 @@ final class VersionedTable(val root: String) {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
-    if (all.isEmpty) return (publish(all, schema.map(_.json).getOrElse("{}"),
-      Map.empty, None, Some(v)), 0)
-    val absOf = all.map(f => Paths.get(root).resolve(f).toString -> f).toMap
-    val touchedAbs = scan(absOf.keys.toSeq).filter(pred)
+    if (all.isEmpty) return (v, 0) // nothing to delete from an empty snapshot
+    val allSet = all.toSet
+    val touched = scan(all.map(f => Paths.get(root).resolve(f).toString))
+      .filter(pred)
       .select(input_file_name().as("__f")).distinct()
-      .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
-    val touched = absOf.collect { case (abs, rel) if touchedAbs.contains(abs) => rel }.toSeq
+      .collect().map(r => relOfFileUri(r.getString(0)))
+      .filter(allSet.contains).toSeq
     if (touched.isEmpty) return (v, 0) // nothing matched: no new version needed
     val untouched = all.filterNot(touched.toSet)
-    val keep = scan(touched.map(f => Paths.get(root).resolve(f).toString)).filter(!pred)
+    // SQL three-valued logic: a row whose condition evaluates to NULL did
+    // NOT match the delete and must be KEPT — filter(!pred) alone would
+    // silently drop it (NULL fails both pred and !pred)
+    val keep = scan(touched.map(f => Paths.get(root).resolve(f).toString))
+      .filter(not(coalesce(pred, lit(false))))
     val (commitId, newFiles) = writeDataFiles(keep, None, Nil)
     val stats = if (newFiles.nonEmpty) collectFileStats(spark, commitId)
                 else Map.empty[String, Map[String, (String, String, String)]]
@@ -414,18 +433,27 @@ final class VersionedTable(val root: String) {
           .select("__file").distinct().as[String].collect().toSeq
         statless ++ hit
       }
+    // no file overlaps a source key and no insert clause can add rows:
+    // nothing can change — don't burn a version on a no-op
+    if (touched.isEmpty && whenNotMatchedInsert.isEmpty) return (v, 0)
     val untouched = all.filterNot(touched.toSet)
     val slice =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema)
         .parquet(touched.map(f => Paths.get(root).resolve(f).toString): _*)
-    val merged = Merge.merge(slice, source, condition,
+    val merged0 = Merge.merge(slice, source, condition,
       whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert)
+    // pin the output columns to the TABLE's types: merge expressions can
+    // silently widen (e.g. an int column SET from a long source) and the
+    // manifest-schema'd read would then choke on the widened files — Delta
+    // likewise casts SET/INSERT values to the target column type
+    val merged = merged0.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     val (commitId, newFiles) = writeDataFiles(merged, numPartitions, sortBy)
     val newStats = if (newFiles.nonEmpty) collectFileStats(spark, commitId)
                    else Map.empty[String, Map[String, (String, String, String)]]
-    val priorStats = statsOf(v).view.filterKeys(untouched.toSet).toMap
+    val priorStats = stats.view.filterKeys(untouched.toSet).toMap
     // snapshot-pinned like delete: colliding with another writer raises
     // ConcurrentCommitException rather than losing its commit
     (publish(untouched ++ newFiles, schema.json, priorStats ++ newStats, txn,

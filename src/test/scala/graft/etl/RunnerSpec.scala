@@ -53,6 +53,28 @@ class RunnerSpec extends AnyFunSuite with SparkSpec {
     assert(seen.toSeq === Seq(1, 2))
   }
 
+  test("idempotencyKey makes a retried append job exactly-once") {
+    val dir = tmpDir("retry2-")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .createOrReplaceTempView("retry_batch")
+    val job = JobDef("ingest-then-flaky", JobSpec(Seq(
+      TableAppend("append batch", "retry_batch", s"$dir/t",
+        idempotencyKey = Some("batch-2024-06-01")),
+      ParquetExtract("flaky read", s"$dir/landing", "v_flaky"))),
+      retries = 2, retryIntervalMs = 0L)
+    val onAttempt = (_: String, n: Int) => {
+      if (n == 2) Seq((9L, "x")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/landing")
+      ()
+    }
+    Runner.run(spark, Seq(job), Map.empty, onAttempt = onAttempt)
+    // attempt 1 committed the append then failed on the extract; attempt 2
+    // must SKIP the already-committed append — no duplicate rows
+    val t = VersionedTable(s"$dir/t")
+    assert(t.read(spark).count() === 2)
+    assert(t.versions() === Seq(0L))
+  }
+
   test("workflow JSON: parameters flow into jobs; lake handoff between jobs") {
     val loc = tmpDir("wf-")
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")

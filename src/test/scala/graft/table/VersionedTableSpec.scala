@@ -285,6 +285,58 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(col("id").between(100, 899)).count() === 800)
   }
 
+  test("delete keeps rows whose condition evaluates to NULL (3VL)") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, Option.empty[Int]), (2L, Some(3)), (3L, Some(5)))
+      .toDF("id", "v"))
+    val (_, rewritten) = t.delete(spark, "v = 3")
+    assert(rewritten === 1)
+    // id=1 (v null) never matched: it must survive, not be silently dropped
+    val kept = t.read(spark).select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 3L))
+  }
+
+  test("copy-on-write merge refuses to widen the table's column types") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    import org.apache.spark.sql.functions.col
+    t.commit(spark.range(0, 10)
+      .select(col("id"), (col("id") * 10).cast("int").as("v")),
+      numPartitions = Some(1), sortBy = Seq("id"))
+    // source v is LongType; the when/otherwise in the kernel would widen the
+    // output column — mergeCow must pin it back to the table's IntegerType
+    val src = spark.range(3, 5).select(col("id"), (col("id") + 100).as("v"))
+    t.mergeCow(spark, src, "source.id = target.id", "id", "id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("v" -> "source.v"))))
+    val out = t.read(spark) // manifest-schema'd read: widened files would throw
+    assert(out.schema("v").dataType.typeName === "integer")
+    assert(out.filter(col("id") === 3).head.getInt(1) === 103)
+    assert(out.count() === 10)
+  }
+
+  test("merge with no overlapping files and no insert clause is a no-op") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    import org.apache.spark.sql.functions.col
+    t.commit(spark.range(0, 100).select(col("id"), col("id").as("v")),
+      numPartitions = Some(2), sortBy = Seq("id"))
+    val src = spark.range(5000, 5010).select(col("id"), col("id").as("v"))
+    val (v1, rewritten) = t.mergeCow(spark, src, "source.id = target.id",
+      "id", "id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("v" -> "source.v"))))
+    assert(v1 === 0L && rewritten === 0)
+    assert(t.versions() === Seq(0L))
+  }
+
+  test("append refuses a batch missing one of the table's columns") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a", 1.0)).toDF("id", "v", "score"))
+    assertThrows[IllegalArgumentException](
+      t.append(Seq((2L, "b")).toDF("id", "v")))
+  }
+
   test("delete everything leaves a readable empty version") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
