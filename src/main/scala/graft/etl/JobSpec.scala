@@ -77,7 +77,7 @@ object JobSpec {
       n.get(k).properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     else Map.empty
 
-  private def parseStage(n: JsonNode): Stage = {
+  private[etl] def parseStage(n: JsonNode): Stage = {
     val name = optStr(n, "name").getOrElse("")
     str(n, "type") match {
       case "DelimitedExtract" => DelimitedExtract(
@@ -151,7 +151,11 @@ object JobSpec {
       case "TableVacuum" => TableVacuum(
         name, str(n, "tableURI"), optInt(n, "retainVersions").getOrElse(2), envs(n))
       case "SQLExecute" | "JDBCExecute" =>
-        SQLExecute(name, str(n, "sql"), strMap(n, "sqlParams"), envs(n))
+        // the reference's JDBCExecute carries the SQL in a file (`inputURI`,
+        // scd2-job.ipynb:381) rather than inline; `jdbcURL` is accepted and
+        // ignored (we execute against the session catalog — see SQLExecute)
+        SQLExecute(name, optStr(n, "sql").getOrElse(""),
+          strMap(n, "sqlParams"), optStr(n, "inputURI"), envs(n))
       case "PrintSchema" => PrintSchema(name, str(n, "inputView"), envs(n))
       case other => throw new IllegalArgumentException(s"unknown stage type '$other'")
     }

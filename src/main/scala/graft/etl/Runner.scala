@@ -26,7 +26,10 @@ import scala.jdk.CollectionConverters._
   * naturally idempotent, and TableAppend/TableMergeLoad take an
   * `idempotencyKey` that makes their commit exactly-once across re-runs. */
 final case class JobDef(name: String, spec: JobSpec, dependsOn: Seq[String] = Nil,
-    retries: Int = 0, retryIntervalMs: Long = 10000L)
+    retries: Int = 0, retryIntervalMs: Long = 10000L,
+    /** Job-scoped variables (a notebook job's `%env` declarations); the
+      * workflow/caller env wins on conflict. */
+    env: Map[String, String] = Map.empty)
 
 object Runner {
 
@@ -59,7 +62,7 @@ object Runner {
       while (!done) {
         attempt += 1
         onAttempt(n, attempt)
-        try { job.spec.run(spark, env, environment); done = true }
+        try { job.spec.run(spark, job.env ++ env, environment); done = true }
         catch { case e: Exception =>
           if (attempt > job.retries) throw e
           if (job.retryIntervalMs > 0) Thread.sleep(job.retryIntervalMs)
@@ -85,17 +88,23 @@ object Runner {
       else Map.empty[String, String]
     val resolved = params ++ env
     val jobs = root.get("jobs").elements().asScala.map { j =>
-      val spec =
-        if (j.has("configUri"))
-          JobSpec.fromFile(EnvResolver.substitute(j.get("configUri").asText(), resolved))
-        else JobSpec.fromJson(j.toString)
+      val (spec, jobEnv) =
+        if (j.has("configUri")) {
+          val uri = EnvResolver.substitute(j.get("configUri").asText(), resolved)
+          // the reference's configUri points at the NOTEBOOK itself
+          // (scd2-job-scheduler.yaml:28-29 → .ipynb): notebook %env vars are
+          // job-scoped defaults under the workflow parameters
+          if (uri.endsWith(".ipynb")) NotebookJob.fromFile(uri)
+          else (JobSpec.fromFile(uri), Map.empty[String, String])
+        } else (JobSpec.fromJson(j.toString), Map.empty[String, String])
       val deps =
         if (j.has("dependsOn")) j.get("dependsOn").elements().asScala.map(_.asText()).toSeq
         else Nil
       JobDef(j.get("name").asText(), spec, deps,
         retries = if (j.has("retries")) j.get("retries").asInt() else 0,
         retryIntervalMs =
-          if (j.has("retryIntervalMs")) j.get("retryIntervalMs").asLong() else 10000L)
+          if (j.has("retryIntervalMs")) j.get("retryIntervalMs").asLong() else 10000L,
+        env = jobEnv)
     }.toSeq
     (jobs, params)
   }

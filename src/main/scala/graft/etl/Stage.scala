@@ -322,9 +322,17 @@ final case class SQLExecute(
     name: String,
     sql: String,
     sqlParams: Map[String, String] = Map.empty,
+    /** Load the SQL text from a file instead of `sql` (the reference's
+      * JDBCExecute ships its DDL as a .sql object, scd2-job.ipynb:381). */
+    inputURI: Option[String] = None,
     environments: Seq[String] = Nil) extends Stage {
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
-    spark.sql(sub(sql, env ++ sqlParams.view.mapValues(sub(_, env)).toMap))
+    val text = inputURI match {
+      case Some(uri) => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sub(uri, env))), "UTF-8")
+      case None => sql
+    }
+    spark.sql(sub(text, env ++ sqlParams.view.mapValues(sub(_, env)).toMap))
     None
   }
 }

@@ -1,0 +1,107 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Entry-point-A parity: the reference's ACTUAL notebook file
+  * (`/root/reference/example/notebook/scd2-job.ipynb`) must parse into the
+  * engine's stage ADT with every magic and HOCON quirk intact. */
+class NotebookJobSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val refNotebook = "/root/reference/example/notebook/scd2-job.ipynb"
+
+  test("the reference scd2-job.ipynb parses: conf, env, and all 16 stages") {
+    val (job, env) = NotebookJob.fromFile(refNotebook)
+
+    // %conf numRows=12 showLog=true (scd2-job.ipynb:20-22)
+    assert(job.conf === JobConf(numRows = 12, showLog = true))
+    // %env declares the shared job timestamp (scd2-job.ipynb:131-132)
+    assert(env === Map("ETL_CONF_CURRENT_TIMESTAMP" -> "current_timestamp()"))
+
+    val kinds = job.stages.map(_.getClass.getSimpleName)
+    // NOTE the CDC TypingTransform is the tutorial's fill-in-the-blank
+    // placeholder cell in the reference file — skipped by design
+    assert(kinds === Seq(
+      "DelimitedExtract",   // initial_contacts.csv
+      "PrintSchema",        // initial_raw
+      "TypingTransform",    // schemaURI contact_meta_0.json
+      "PrintSchema",        // initial_typed
+      "SQLTransform",       // add calc field for SCD
+      "TableLoad",          // DeltaLakeLoad v0
+      "DelimitedExtract",   // update_contacts.csv (CDC)
+      "SQLTransform",       // add calc field for CDC
+      "SQLTransform",       // staged_update dual-row
+      "TableMergeLoad",     // DeltaLakeMergeLoad
+      "SQLExecute",         // JDBCExecute (Athena DDL from .sql file)
+      "TableExtract",       // uat validation read
+      "SQLTransform",       // uat validate_type2
+      "TableExtract",       // uat time travel
+      "SQLTransform"))      // uat tt_validation
+
+    // HOCON string splices normalized: ${VAR} survives inside one string
+    val extract = job.stages.head.asInstanceOf[DelimitedExtract]
+    assert(extract.inputURI ===
+      "s3a://${ETL_CONF_DATALAKE_LOC}/app_code/data/initial_contacts.csv")
+    assert(!extract.header && extract.delimiter === "Comma" && extract.quote === "None")
+
+    // %sql header attrs: outputView, environments, sqlParams with ${} value
+    val scd = job.stages(4).asInstanceOf[SQLTransform]
+    assert(scd.outputView === "initial_load")
+    assert(scd.environments === Seq("dev", "test"))
+    assert(scd.sqlParams === Map(
+      "table_name" -> "initial_typed",
+      "ETL_CONF_CURRENT_TIMESTAMP" -> "${ETL_CONF_CURRENT_TIMESTAMP}"))
+    assert(scd.sql.contains("md5(concat(name,email,state)) AS checksum"))
+
+    // merge clauses parsed from the HOCON cell with its missing comma
+    val merge = job.stages(9).asInstanceOf[TableMergeLoad]
+    assert(merge.condition === "source.mergeKey = target.id")
+    // the bare HOCON substitution value and the // comment line both live in
+    // this cell — values arrive as raw text for EnvResolver to splice
+    assert(merge.whenMatchedUpdate.exists(_.values === Map(
+      "valid_to" -> "${ETL_CONF_CURRENT_TIMESTAMP}", "iscurrent" -> "false")))
+    assert(merge.whenNotMatchedByTargetInsert.isDefined)
+
+    // time travel option reaches the stage
+    val tt = job.stages(13).asInstanceOf[TableExtract]
+    assert(tt.relativeVersion === Some(-1))
+
+    // env gating: uat-parked stages drop out of a production run
+    val prod = job.stages.filter(s =>
+      s.environments.isEmpty || s.environments.contains("production"))
+    assert(prod.count(_.isInstanceOf[TableExtract]) === 0)
+    val dev = job.stages.filter(s =>
+      s.environments.isEmpty || s.environments.contains("dev"))
+    assert(dev.size === 11) // 15 minus the four uat-only validation stages
+  }
+
+  test("a notebook job runs end-to-end through the Runner") {
+    val dir = tmpDir("nb-")
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "grp")
+      .write.mode("overwrite").parquet(s"$dir/input")
+    val nb =
+      s"""{"cells": [
+         | {"cell_type": "markdown", "source": ["# docs"]},
+         | {"cell_type": "code", "source": ["%conf \\n", "numRows=5\\n", "showLog=false"]},
+         | {"cell_type": "code", "source": ["%env\\n", "NB_SUFFIX=_nb"]},
+         | {"cell_type": "code", "source": ["{\\n",
+         |   " \\"type\\": \\"ParquetExtract\\",\\n",
+         |   " \\"name\\": \\"read\\",\\n",
+         |   " \\"inputURI\\": \\"$${NB_LOC}/input\\",\\n",
+         |   " \\"outputView\\": \\"nb_raw\\"\\n", "}"]},
+         | {"cell_type": "code", "source": [
+         |   "%sql outputView=\\"nb_agg\\" name=\\"agg\\" sqlParams=suffix=$${NB_SUFFIX}\\n",
+         |   "\\n",
+         |   "SELECT concat(grp, '$${suffix}') AS grp, count(*) AS n FROM nb_raw GROUP BY grp"]},
+         | {"cell_type": "code", "source": ["%printschema \\n", "nb_agg"]}
+         |]}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/job.ipynb"), nb)
+    val workflow =
+      s"""{"parameters": {"NB_LOC": "$dir"},
+         | "jobs": [{"name": "nb-job", "configUri": "$dir/job.ipynb"}]}""".stripMargin
+    Runner.runWorkflow(spark, workflow)
+    val out = spark.table("nb_agg").as[(String, Long)].collect().toMap
+    assert(out === Map("a_nb" -> 2L, "b_nb" -> 1L))
+  }
+}
