@@ -144,9 +144,13 @@ object JobSpec {
         else Nil, optStr(n, "idempotencyKey"), envs(n))
       case "TableDelete" => TableDelete(
         name, str(n, "tableURI"), str(n, "condition"), envs(n))
+      case "TableUpdate" => TableUpdate(
+        name, str(n, "tableURI"), str(n, "condition"), strMap(n, "set"), envs(n))
       case "TableCompact" => TableCompact(
         name, str(n, "tableURI"), optInt(n, "numFiles").getOrElse(1),
         if (n.has("sortBy")) n.get("sortBy").elements().asScala.map(_.asText()).toSeq
+        else Nil,
+        if (n.has("zOrderBy")) n.get("zOrderBy").elements().asScala.map(_.asText()).toSeq
         else Nil, envs(n))
       case "TableVacuum" => TableVacuum(
         name, str(n, "tableURI"), optInt(n, "retainVersions").getOrElse(2), envs(n))

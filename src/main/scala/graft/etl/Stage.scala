@@ -274,6 +274,22 @@ final case class TableAppend(
   }
 }
 
+/** Copy-on-write UPDATE on a versioned table: SET col = expr where
+  * `condition` holds; only files containing a match are rewritten
+  * (VersionedTable.update). */
+final case class TableUpdate(
+    name: String,
+    tableURI: String,
+    condition: String,
+    set: Map[String, String],
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    VersionedTable(sub(tableURI, env)).update(spark, sub(condition, env),
+      set.view.mapValues(sub(_, env)).toMap)
+    None
+  }
+}
+
 /** Copy-on-write DELETE from a versioned table: only files containing a
   * matching row are rewritten (VersionedTable.delete). */
 final case class TableDelete(
@@ -295,9 +311,10 @@ final case class TableCompact(
     tableURI: String,
     numFiles: Int = 1,
     sortBy: Seq[String] = Nil,
+    zOrderBy: Seq[String] = Nil,
     environments: Seq[String] = Nil) extends Stage {
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
-    VersionedTable(sub(tableURI, env)).compact(spark, numFiles, sortBy)
+    VersionedTable(sub(tableURI, env)).compact(spark, numFiles, sortBy, zOrderBy)
     None
   }
 }

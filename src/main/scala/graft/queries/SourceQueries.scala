@@ -178,6 +178,61 @@ object SourceQueries {
         |FROM src s
         |WHERE NOT EXISTS (SELECT 1 FROM orders b WHERE b.o_orderkey = s.o_orderkey)""".stripMargin))
 
+  /** q55: Z-order compaction — OPTIMIZE ZORDER over (o_custkey, o_orderkey)
+    * then a stats-pruned read on o_custkey, the SECOND dimension a plain
+    * range sort could never skip on. The gate asserts real file skipping on
+    * both columns and result equality with the plain SQL range select. */
+  val q55ZOrder: Q = Q(
+    "q55_zorder",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zo-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_v")
+      JobSpec(Seq(
+        SQLTransform("project orders",
+          "SELECT o_orderkey, o_custkey, o_totalprice FROM orders", "orders_zo"),
+        TableLoad("load", "orders_zo", "${lake}/orders_v", numPartitions = Some(1)),
+        TableCompact("optimize zorder", "${lake}/orders_v", numFiles = 8,
+          zOrderBy = Seq("o_custkey", "o_orderkey"))))
+        .run(spark, Map("lake" -> tmp))
+      val (_, sCust, total) = t.readPruned(spark, "o_custkey", "100", "499")
+      val (_, sKey, _) = t.readPruned(spark, "o_orderkey", "100", "4999")
+      require(sCust < total && sKey < total,
+        s"z-order must allow skipping on both dims ($sCust,$sKey of $total)")
+      val (pruned, _, _) = t.readPruned(spark, "o_custkey", "100", "499")
+      pruned.filter(col("o_custkey").between(100, 499))
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 499""".stripMargin))
+
+  /** q56: copy-on-write UPDATE through the declarative stage — a price
+    * correction on a narrow key range; only overlapping files rewrite
+    * (spec-asserted in VersionedTableSpec; here the gate checks the VALUES
+    * against the plain SQL CASE formulation). */
+  val q56CowUpdate: Q = Q(
+    "q56_cow_update",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-upd-").toString
+      JobSpec(Seq(
+        SQLTransform("project orders",
+          "SELECT o_orderkey, o_custkey, o_totalprice FROM orders", "orders_u"),
+        TableLoad("load", "orders_u", "${lake}/orders_v",
+          numPartitions = Some(8)),
+        TableUpdate("price correction", "${lake}/orders_v",
+          condition = "o_orderkey BETWEEN 2000 AND 3999",
+          set = Map("o_totalprice" -> "o_totalprice * 2"))))
+        .run(spark, Map("lake" -> tmp))
+      graft.table.VersionedTable(s"$tmp/orders_v").read(spark)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey BETWEEN 2000 AND 3999
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
-    q49IncrementalTable, q50SchemaEvolution, q53CowMerge)
+    q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate)
 }

@@ -384,6 +384,49 @@ final class VersionedTable(val root: String) {
       priorStats ++ stats, None, Some(v)), touched.size)
   }
 
+  /** Copy-on-write UPDATE: `SET col = expr` on rows matching `condition`,
+    * rewriting only the files that contain a match (same touched-file scan
+    * as [[delete]]; 3VL: a NULL condition means the row is untouched). Set
+    * expressions are pinned to each column's recorded type, as in
+    * [[mergeCow]]. Returns (newVersion, rewrittenFileCount). */
+  def update(spark: SparkSession, condition: String,
+             set: Map[String, String]): (Long, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, when}
+    val v = resolve()
+    val all = filesOf(v)
+    val schema = schemaOf(v).getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no recorded schema"))
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"update SET references unknown column $c"))
+    val pred = expr(condition)
+    def scan(paths: Seq[String]): DataFrame =
+      spark.read.schema(schema).parquet(paths: _*)
+    if (all.isEmpty) return (v, 0)
+    val allSet = all.toSet
+    val touched = scan(all.map(f => Paths.get(root).resolve(f).toString))
+      .filter(pred)
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(r => relOfFileUri(r.getString(0)))
+      .filter(allSet.contains).toSeq
+    if (touched.isEmpty) return (v, 0)
+    val untouched = all.filterNot(touched.toSet)
+    val applies = coalesce(pred, lit(false))
+    val rewritten = scan(touched.map(f => Paths.get(root).resolve(f).toString))
+      .select(schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(applies, expr(e).cast(f.dataType))
+            .otherwise(col(f.name)).cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+    val (commitId, newFiles) = writeDataFiles(rewritten, None, Nil)
+    val stats = if (newFiles.nonEmpty) collectFileStats(spark, commitId)
+                else Map.empty[String, Map[String, (String, String, String)]]
+    val priorStats = statsOf(v).view.filterKeys(untouched.toSet).toMap
+    (publish(untouched ++ newFiles, schema.json, priorStats ++ stats, None,
+      Some(v)), touched.size)
+  }
+
   /** Copy-on-write MERGE: run the join-based kernel ONLY over the target
     * files whose recorded [min, max] range for `targetKey` contains at least
     * one source merge key; every other file carries into the new manifest
@@ -497,10 +540,46 @@ final class VersionedTable(val root: String) {
   /** Compaction (OPTIMIZE): rewrite the latest snapshot into `numFiles`
     * files as a NEW version — readers keep snapshot isolation, old versions
     * stay time-travelable, and the small-file problem goes away without a
-    * write lock (single-writer protocol as for any commit). */
+    * write lock (single-writer protocol as for any commit).
+    *
+    * `zOrderBy` (OPTIMIZE ZORDER parity, exclusive with `sortBy`): files are
+    * laid out along a Z-curve over 2-4 numeric columns — each column is
+    * min/max-scaled to 16 bits and the bits interleaved — so the per-file
+    * stats ranges stay narrow in EVERY listed dimension and [[readPruned]]
+    * skips files for predicates on any of them. A single-column range sort
+    * can only ever prune its one leading column; multi-dimensional skipping
+    * is what makes selective reads on a second key feasible at 100 TB. */
   def compact(spark: SparkSession, numFiles: Int = 1,
-              sortBy: Seq[String] = Nil): Long =
-    commit(read(spark), numPartitions = Some(numFiles), sortBy = sortBy)
+              sortBy: Seq[String] = Nil, zOrderBy: Seq[String] = Nil): Long = {
+    require(sortBy.isEmpty || zOrderBy.isEmpty, "sortBy and zOrderBy are exclusive")
+    if (zOrderBy.isEmpty)
+      commit(read(spark), numPartitions = Some(numFiles), sortBy = sortBy)
+    else {
+      import org.apache.spark.sql.functions.{expr, max => fmax, min => fmin}
+      require(zOrderBy.size >= 2 && zOrderBy.size <= 4,
+        "zOrderBy takes 2-4 columns (16 bits each in a 64-bit z-value)")
+      val df = read(spark)
+      val aggs = zOrderBy.flatMap(c => Seq(
+        fmin(col(c)).cast("double").as(s"mn_$c"), fmax(col(c)).cast("double").as(s"mx_$c")))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val k = zOrderBy.size
+      var ranked = df
+      zOrderBy.zipWithIndex.foreach { case (c, j) =>
+        val mn = row.getAs[Double](s"mn_$c")
+        val mx = row.getAs[Double](s"mx_$c")
+        val span = if (mx > mn) mx - mn else 1.0
+        ranked = ranked.withColumn(s"__zr$j", expr(
+          s"least(65535L, greatest(0L, CAST((CAST($c AS DOUBLE) - ${mn}D) / ${span}D * 65535D AS BIGINT)))"))
+      }
+      val terms = for (i <- 0 until 16; j <- 0 until k)
+        yield s"shiftleft(shiftright(__zr$j, $i) & 1L, ${i * k + j})"
+      val laidOut = ranked.withColumn("__z", expr(terms.mkString(" + ")))
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop((0 until k).map(j => s"__zr$j") :+ "__z": _*)
+      commit(laidOut)
+    }
+  }
 
   /** Vacuum: physically delete data files not referenced by the newest
     * `retainVersions` manifests, and drop the older manifests. Time travel

@@ -337,6 +337,52 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
       t.append(Seq((2L, "b")).toDF("id", "v")))
   }
 
+  test("copy-on-write update rewrites only matching files, 3VL-safe") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    import org.apache.spark.sql.functions.col
+    t.commit(spark.range(0, 1000)
+      .select(col("id"), org.apache.spark.sql.functions.when(col("id") === 500, null)
+        .otherwise(col("id") % 10).cast("long").as("v")),
+      numPartitions = Some(4), sortBy = Seq("id"))
+    val (v1, rewritten) = t.update(spark, "id >= 900", Map("v" -> "v + 100"))
+    assert(v1 === 1L)
+    assert(rewritten >= 1 && rewritten <= 2, s"got $rewritten")
+    val out = t.read(spark)
+    assert(out.filter(col("id") === 953).head.getLong(1) === 103L) // 3 + 100
+    assert(out.filter(col("id") === 103).head.getLong(1) === 3L)   // untouched
+    assert(out.count() === 1000)
+    // NULL-condition rows (none here) and unknown SET columns are guarded
+    assertThrows[IllegalArgumentException](
+      t.update(spark, "id = 1", Map("nope" -> "1")))
+    // no-match update commits nothing
+    val (v2, r2) = t.update(spark, "id < 0", Map("v" -> "0"))
+    assert(v2 === 1L && r2 === 0)
+  }
+
+  test("z-order compaction enables file skipping on BOTH dimensions") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    import org.apache.spark.sql.functions.col
+    // b is a decorrelated permutation of a: a single-column sort could only
+    // ever prune one of the two
+    t.commit(spark.range(0, 10000)
+      .select(col("id").as("a"), ((col("id") * 7919) % 10000).as("b")),
+      numPartitions = Some(1))
+    val v = t.compact(spark, numFiles = 8, zOrderBy = Seq("a", "b"))
+    assert(v === 1L)
+    val before = t.read(spark, relativeVersion = Some(-1))
+    assert(t.read(spark).count() === before.count())
+    val (_, sa, ta) = t.readPruned(spark, "a", "0", "600")
+    val (_, sb, tb) = t.readPruned(spark, "b", "0", "600")
+    assert(ta === 8 && tb === 8)
+    assert(sa < ta, s"no skipping on a ($sa/$ta)")
+    assert(sb < tb, s"no skipping on b ($sb/$tb)")
+    // pruning loses no rows: residual filter recovers the exact range
+    val (pa, _, _) = t.readPruned(spark, "a", "0", "600")
+    assert(pa.filter(col("a") <= 600).count() === 601)
+  }
+
   test("delete everything leaves a readable empty version") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
