@@ -218,5 +218,38 @@ object SimilarityQueries {
          |ORDER BY sim DESC, vec_id
          |LIMIT 10""".stripMargin))
 
-  val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh)
+  /** s4: symmetric int8 quantization of the embedding column — per-vector
+    * scale = max|v|/127, q_i = round(v_i/scale) — plus the reconstruction
+    * RMSE, all as per-row higher-order expressions (the compression pass a
+    * 100 TB embedding store runs before serving; 4× smaller than float32).
+    * Exactness: same fold order both engines, outputs rounded to 6dp. */
+  val s4QuantizeInt8: Q = Q(
+    "s4_quantize_int8",
+    (spark, dir) => {
+      val e = vectors(spark, dir)
+      e.selectExpr(
+        "vec_id",
+        "round(aggregate(v, 0D, (m, x) -> greatest(m, abs(x))) / 127, 6) AS scale6",
+        """aggregate(transform(v,
+          |    x -> CAST(round(x / (aggregate(v, 0D, (m, y) -> greatest(m, abs(y))) / 127)) AS INT)),
+          |  0, (s, q) -> s + q) AS sum_q""".stripMargin,
+        """round(sqrt(aggregate(transform(v,
+          |    x -> pow(CAST(round(x / (aggregate(v, 0D, (m, y) -> greatest(m, abs(y))) / 127)) AS INT)
+          |             * (aggregate(v, 0D, (m, y) -> greatest(m, abs(y))) / 127) - x, 2)),
+          |  0D, (s, d) -> s + d) / 64), 6) AS rmse""".stripMargin)
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127 AS sc
+        |      FROM e)
+        |SELECT vec_id,
+        |  round(sc, 6) AS scale6,
+        |  CAST(list_sum(list_transform(v, x -> CAST(round(x / sc) AS INT))) AS INT) AS sum_q,
+        |  round(sqrt(list_sum(list_transform(v,
+        |    x -> pow(CAST(round(x / sc) AS INT) * sc - x, 2))) / 64), 6) AS rmse
+        |FROM s""".stripMargin))
+
+  val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
+    s4QuantizeInt8)
 }

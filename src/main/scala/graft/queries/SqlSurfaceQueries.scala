@@ -269,9 +269,34 @@ object SqlSurfaceQueries {
       |  FROM orders WHERE o_orderkey % 100 = 0) w
       |UNPIVOT (v FOR metric IN (price, twice))""".stripMargin)
 
+  /** q57: statistical aggregates — stddev/variance/correlation/covariance.
+    * Both engines use numerically stable one-pass algorithms; round(6) on
+    * these magnitudes absorbs the last-ulp divergence (verified exact on the
+    * testdata). */
+  val q57StatAggs: Q = Q.sharedSql("q57_stat_aggs",
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_extendedprice), 6) AS sd_price,
+      |  round(var_samp(l_discount), 6) AS var_disc,
+      |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+      |  round(covar_samp(l_extendedprice, l_quantity), 6) AS covar_pq
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+
+  /** q58: ranking-window family — ntile, percent_rank, cume_dist over a
+    * deterministic (value, key) order. */
+  val q58RankingWindows: Q = Q.sharedSql("q58_ranking_windows",
+    """SELECT o_orderkey, o_orderpriority,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cdist
+      |FROM orders
+      |WHERE o_orderkey % 20 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)""".stripMargin)
+
   val all: Seq[Q] = Seq(
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
     q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
     q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames, q44RecursiveCte,
-    q45GroupingSets, q46BagSetOps, q47MapFunctions, q54Unpivot)
+    q45GroupingSets, q46BagSetOps, q47MapFunctions, q54Unpivot, q57StatAggs,
+    q58RankingWindows)
 }
