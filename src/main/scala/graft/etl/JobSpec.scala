@@ -157,9 +157,14 @@ object JobSpec {
       case "SQLExecute" | "JDBCExecute" =>
         // the reference's JDBCExecute carries the SQL in a file (`inputURI`,
         // scd2-job.ipynb:381) rather than inline; `jdbcURL` is accepted and
-        // ignored (we execute against the session catalog — see SQLExecute)
-        SQLExecute(name, optStr(n, "sql").getOrElse(""),
-          strMap(n, "sqlParams"), optStr(n, "inputURI"), envs(n))
+        // ignored (we execute against the session catalog — see SQLExecute).
+        // One of the two SQL carriers must be present — failing at parse
+        // time beats an opaque empty-SQL error mid-job.
+        val sqlText = optStr(n, "sql")
+        val uri = optStr(n, "inputURI")
+        require(sqlText.isDefined || uri.isDefined,
+          s"stage $name: SQLExecute needs 'sql' or 'inputURI'")
+        SQLExecute(name, sqlText.getOrElse(""), strMap(n, "sqlParams"), uri, envs(n))
       case "PrintSchema" => PrintSchema(name, str(n, "inputView"), envs(n))
       case other => throw new IllegalArgumentException(s"unknown stage type '$other'")
     }

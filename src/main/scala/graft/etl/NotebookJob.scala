@@ -38,7 +38,11 @@ object NotebookJob {
     root.get("cells").elements().asScala
       .filter(c => c.get("cell_type").asText() == "code")
       .foreach { c =>
-        val src = c.get("source").elements().asScala.map(_.asText()).mkString
+        // nbformat allows 'source' as one string OR a list of lines
+        val srcNode = c.get("source")
+        val src =
+          if (srcNode.isTextual) srcNode.asText()
+          else srcNode.elements().asScala.map(_.asText()).mkString
         val cell = src.trim
         if (cell.nonEmpty) {
           if (cell.startsWith("%conf")) {
@@ -50,8 +54,12 @@ object NotebookJob {
           } else if (cell.startsWith("%env")) {
             env ++= kvLines(cell)
           } else if (cell.startsWith("%printschema")) {
-            cell.linesIterator.drop(1).map(_.trim).filter(_.nonEmpty)
-              .foreach(v => stages += PrintSchema(s"printschema $v", v))
+            // view names may sit on the magic line itself or on body lines
+            val views = cell.linesIterator.zipWithIndex.flatMap { case (l, i) =>
+              val t = if (i == 0) l.trim.stripPrefix("%printschema") else l
+              t.trim.split("\\s+").filter(_.nonEmpty)
+            }
+            views.foreach(v => stages += PrintSchema(s"printschema $v", v))
           } else if (cell.startsWith("%sql")) {
             val nl = cell.indexOf('\n')
             require(nl > 0, s"%sql cell has no body: $cell")
@@ -67,10 +75,15 @@ object NotebookJob {
                 .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
           } else if (cell.startsWith("{")) {
             // the reference notebook is a tutorial: one stage cell is a
-            // fill-in-the-blank placeholder (backtick prose + ?????????,
-            // scd2-job.ipynb cell "2.1 build your transformation here") —
-            // skip placeholders, fail loudly on genuinely malformed configs
-            if (cell.contains("`")) ()
+            // fill-in-the-blank placeholder (a backtick-prose line plus
+            // ????????? filler, scd2-job.ipynb cell "2.1 build your
+            // transformation here") — skip ONLY that shape; a backtick
+            // elsewhere (e.g. a quoted identifier inside SQL) is real config
+            val isPlaceholder = cell.linesIterator.exists { l =>
+              val t = l.trim
+              t.startsWith("`") || t.startsWith("???")
+            }
+            if (isPlaceholder) ()
             else stages += JobSpec.parseStage(mapper.readTree(normalizeHocon(cell)))
           } else {
             throw new IllegalArgumentException(
@@ -81,13 +94,19 @@ object NotebookJob {
     (JobSpec(stages.toSeq, conf), env.toMap)
   }
 
-  /** `key=value` body lines of a magic cell (first line is the magic). */
-  private def kvLines(cell: String): Seq[(String, String)] =
-    cell.linesIterator.drop(1).map(_.trim).filter(_.nonEmpty).map { l =>
+  /** `key=value` entries of a magic cell — body lines plus any `k=v` tokens
+    * trailing on the magic line itself (`%conf numRows=5` is valid). */
+  private def kvLines(cell: String): Seq[(String, String)] = {
+    val entries = cell.linesIterator.zipWithIndex.flatMap { case (l, i) =>
+      if (i == 0) l.trim.split("\\s+").drop(1).filter(_.nonEmpty) // after the magic
+      else { val t = l.trim; if (t.nonEmpty) Seq(t) else Nil }
+    }
+    entries.map { l =>
       val i = l.indexOf('=')
-      require(i > 0, s"bad key=value line '$l'")
+      require(i > 0, s"bad key=value entry '$l'")
       l.substring(0, i).trim -> l.substring(i + 1).trim
     }.toSeq
+  }
 
   /** `k="quoted" k2=bare,list k3=a=b,c=${X}` magic-header attributes: values
     * run to the next whitespace unless double-quoted. */

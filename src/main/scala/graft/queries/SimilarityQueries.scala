@@ -226,17 +226,22 @@ object SimilarityQueries {
   val s4QuantizeInt8: Q = Q(
     "s4_quantize_int8",
     (spark, dir) => {
+      // the per-vector scale is LET-BOUND via a singleton aggregate (the
+      // same CollapseProject barrier the MinHash pipeline uses): inlining it
+      // into the per-element lambdas would recompute the max-abs fold once
+      // per element — O(d²) folds instead of O(d)
+      val sc = "aggregate(v, 0D, (m, y) -> greatest(m, abs(y))) / 127"
       val e = vectors(spark, dir)
       e.selectExpr(
         "vec_id",
-        "round(aggregate(v, 0D, (m, x) -> greatest(m, abs(x))) / 127, 6) AS scale6",
-        """aggregate(transform(v,
-          |    x -> CAST(round(x / (aggregate(v, 0D, (m, y) -> greatest(m, abs(y))) / 127)) AS INT)),
-          |  0, (s, q) -> s + q) AS sum_q""".stripMargin,
-        """round(sqrt(aggregate(transform(v,
-          |    x -> pow(CAST(round(x / (aggregate(v, 0D, (m, y) -> greatest(m, abs(y))) / 127)) AS INT)
-          |             * (aggregate(v, 0D, (m, y) -> greatest(m, abs(y))) / 127) - x, 2)),
-          |  0D, (s, d) -> s + d) / 64), 6) AS rmse""".stripMargin)
+        s"round($sc, 6) AS scale6",
+        s"""aggregate(array($sc), 0, (s0, sc) ->
+           |  aggregate(transform(v, x -> CAST(round(x / sc) AS INT)),
+           |    s0, (s, q) -> s + q)) AS sum_q""".stripMargin,
+        s"""round(sqrt(aggregate(array($sc), 0D, (a0, sc) ->
+           |  aggregate(transform(v,
+           |      x -> pow(CAST(round(x / sc) AS INT) * sc - x, 2)),
+           |    a0, (s, d) -> s + d)) / 64), 6) AS rmse""".stripMargin)
     },
     Some(
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -195,11 +195,10 @@ object SourceQueries {
         TableCompact("optimize zorder", "${lake}/orders_v", numFiles = 8,
           zOrderBy = Seq("o_custkey", "o_orderkey"))))
         .run(spark, Map("lake" -> tmp))
-      val (_, sCust, total) = t.readPruned(spark, "o_custkey", "100", "499")
+      val (pruned, sCust, total) = t.readPruned(spark, "o_custkey", "100", "499")
       val (_, sKey, _) = t.readPruned(spark, "o_orderkey", "100", "4999")
       require(sCust < total && sKey < total,
         s"z-order must allow skipping on both dims ($sCust,$sKey of $total)")
-      val (pruned, _, _) = t.readPruned(spark, "o_custkey", "100", "499")
       pruned.filter(col("o_custkey").between(100, 499))
     },
     Some(

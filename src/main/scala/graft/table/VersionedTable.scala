@@ -392,6 +392,8 @@ final class VersionedTable(val root: String) {
   def update(spark: SparkSession, condition: String,
              set: Map[String, String]): (Long, Int) = {
     import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, when}
+    require(set.nonEmpty,
+      "update with an empty SET would rewrite files unchanged — likely a misspelled config key")
     val v = resolve()
     val all = filesOf(v)
     val schema = schemaOf(v).getOrElse(
@@ -559,14 +561,36 @@ final class VersionedTable(val root: String) {
       require(zOrderBy.size >= 2 && zOrderBy.size <= 4,
         "zOrderBy takes 2-4 columns (16 bits each in a 64-bit z-value)")
       val df = read(spark)
-      val aggs = zOrderBy.flatMap(c => Seq(
-        fmin(col(c)).cast("double").as(s"mn_$c"), fmax(col(c)).cast("double").as(s"mx_$c")))
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      zOrderBy.foreach { c =>
+        val f = df.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"zOrderBy column $c not in table"))
+        require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"zOrderBy needs numeric columns; $c is ${f.dataType.simpleString}")
+      }
+      // global bounds come from the manifest's per-file stats when every
+      // file carries them (zero extra I/O); only a stats-less legacy table
+      // pays the pre-scan
+      val v0 = resolve()
+      val fileStats = statsOf(v0)
+      val allFiles = filesOf(v0)
+      val fromManifest: Option[Map[String, (Double, Double)]] =
+        if (allFiles.nonEmpty && zOrderBy.forall(c =>
+              allFiles.forall(f => fileStats.get(f).exists(_.contains(c)))))
+          Some(zOrderBy.map { c =>
+            val ranges = allFiles.map(f => fileStats(f)(c))
+            c -> (ranges.map(_._1.toDouble).min, ranges.map(_._2.toDouble).max)
+          }.toMap)
+        else None
+      val bounds: Map[String, (Double, Double)] = fromManifest.getOrElse {
+        val aggs = zOrderBy.flatMap(c => Seq(
+          fmin(col(c)).cast("double").as(s"mn_$c"), fmax(col(c)).cast("double").as(s"mx_$c")))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        zOrderBy.map(c => c -> (row.getAs[Double](s"mn_$c"), row.getAs[Double](s"mx_$c"))).toMap
+      }
       val k = zOrderBy.size
       var ranked = df
       zOrderBy.zipWithIndex.foreach { case (c, j) =>
-        val mn = row.getAs[Double](s"mn_$c")
-        val mx = row.getAs[Double](s"mx_$c")
+        val (mn, mx) = bounds(c)
         val span = if (mx > mn) mx - mn else 1.0
         ranked = ranked.withColumn(s"__zr$j", expr(
           s"least(65535L, greatest(0L, CAST((CAST($c AS DOUBLE) - ${mn}D) / ${span}D * 65535D AS BIGINT)))"))

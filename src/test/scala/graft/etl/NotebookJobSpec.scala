@@ -76,6 +76,28 @@ class NotebookJobSpec extends AnyFunSuite with SparkSpec {
     assert(dev.size === 11) // 15 minus the four uat-only validation stages
   }
 
+  test("parser edge cases: magic-line args, string sources, backticked SQL") {
+    val nb =
+      """{"cells": [
+        | {"cell_type": "code", "source": "%conf numRows=5"},
+        | {"cell_type": "code", "source": "%printschema some_view"},
+        | {"cell_type": "code", "source": ["{\"type\": \"SQLTransform\",",
+        |   "\"name\": \"bt\", \"outputView\": \"v\",",
+        |   "\"sql\": \"SELECT `order key` FROM t\"}"]}
+        |]}""".stripMargin
+    val (job, _) = NotebookJob.fromIpynb(nb)
+    // one-line magics keep their arguments; string 'source' cells parse
+    assert(job.conf.numRows === 5)
+    assert(job.stages.collect { case p: PrintSchema => p.inputView } === Seq("some_view"))
+    // a backtick inside real SQL is NOT the tutorial placeholder
+    assert(job.stages.collect { case s: SQLTransform => s.sql }
+      === Seq("SELECT `order key` FROM t"))
+    // the actual placeholder shape IS still skipped
+    val ph = """{"cells": [{"cell_type": "code",
+               | "source": "{\n  `Fill in this block`\n  ?????????\n}"}]}""".stripMargin
+    assert(NotebookJob.fromIpynb(ph)._1.stages.isEmpty)
+  }
+
   test("a notebook job runs end-to-end through the Runner") {
     val dir = tmpDir("nb-")
     Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "grp")
