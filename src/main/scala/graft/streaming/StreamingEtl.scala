@@ -68,6 +68,34 @@ object StreamingEtl {
       .start()
   }
 
+  /** Continuous ingest: append every arriving micro-batch to the versioned
+    * table — the streaming face of the batch-ingest path (commit cost ∝
+    * batch; the manifest carries prior files forward). Exactly-once via the
+    * same txn protocol as [[scd2MergeStream]]: the batchId is stamped into
+    * the manifest and a replayed batch (crash between commit and checkpoint
+    * advance) is skipped, so restarts cannot duplicate rows. */
+  def appendStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      tableRoot: String,
+      checkpointDir: String): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val table = VersionedTable(tableRoot)
+          if (!table.lastTxn(checkpointDir).exists(_ >= batchId)) {
+            table.append(batch, txn = Some(checkpointDir -> batchId))
+            ()
+          }
+        }
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * streaming formulation of q12_events_window. */
   def windowedEventCounts(

@@ -56,6 +56,28 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
     assert(expired === Set((2L, "b")))
   }
 
+  test("appendStream ingests micro-batches exactly-once across restarts") {
+    val landing = tmpDir("as-")
+    val tableRoot = tmpDir("as-t-") + "/t"
+    val ckpt = tmpDir("as-c-")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val q1 = StreamingEtl.appendStream(spark, landing, schema, tableRoot, ckpt)
+    assert(q1.awaitTermination(120000))
+    // second file lands; a NEW run (same checkpoint) must pick up only it
+    Seq((3L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val q2 = StreamingEtl.appendStream(spark, landing, schema, tableRoot, ckpt)
+    assert(q2.awaitTermination(120000))
+    val t = VersionedTable(tableRoot)
+    assert(t.read(spark).as[(Long, String)].collect().sorted.toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // version count = number of committed batches, each txn-stamped
+    assert(t.versions().size === 2)
+    assert(t.lastTxn(ckpt).isDefined)
+  }
+
   test("watermarked windowed aggregation over a parquet-backed stream") {
     val dir = tmpDir("ev-")
     graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
