@@ -268,6 +268,11 @@ object DedupQueries {
         .toDF("src", "dst").persist()
       sym.count()
       edges.unpersist()
+      // persist (NOT localCheckpoint): at the 2-4 rounds shallow near-dup
+      // clusters need, the logical-plan growth that wedges long iterative
+      // loops (see GraphOps) is negligible, and persist+count is measurably
+      // cheaper per round than eager checkpointing; a deep-graph workload
+      // should use GraphOps.connectedComponents, which checkpoints
       var lbl = sym.select(col("src").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("lbl")).persist()
       var changed = 1L
