@@ -162,8 +162,8 @@ object JobSpec {
         // time beats an opaque empty-SQL error mid-job.
         val sqlText = optStr(n, "sql")
         val uri = optStr(n, "inputURI")
-        require(sqlText.isDefined || uri.isDefined,
-          s"stage $name: SQLExecute needs 'sql' or 'inputURI'")
+        require(sqlText.exists(_.trim.nonEmpty) || uri.isDefined,
+          s"stage $name: SQLExecute needs a non-empty 'sql' or an 'inputURI'")
         SQLExecute(name, sqlText.getOrElse(""), strMap(n, "sqlParams"), uri, envs(n))
       case "PrintSchema" => PrintSchema(name, str(n, "inputView"), envs(n))
       case other => throw new IllegalArgumentException(s"unknown stage type '$other'")

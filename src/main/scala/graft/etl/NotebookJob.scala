@@ -94,18 +94,22 @@ object NotebookJob {
     (JobSpec(stages.toSeq, conf), env.toMap)
   }
 
-  /** `key=value` entries of a magic cell — body lines plus any `k=v` tokens
-    * trailing on the magic line itself (`%conf numRows=5` is valid). */
+  /** `key=value` entries of a magic cell — body lines (whole-line values, so
+    * SQL fragments with spaces work) plus `k=v` / `k="quoted value"` tokens
+    * trailing on the magic line itself (`%conf numRows=5`, `%env G="a b"`),
+    * tokenized with the same quoted-attr grammar as %sql headers. */
   private def kvLines(cell: String): Seq[(String, String)] = {
-    val entries = cell.linesIterator.zipWithIndex.flatMap { case (l, i) =>
-      if (i == 0) l.trim.split("\\s+").drop(1).filter(_.nonEmpty) // after the magic
-      else { val t = l.trim; if (t.nonEmpty) Seq(t) else Nil }
-    }
-    entries.map { l =>
+    val first = cell.linesIterator.next()
+    val magicLineAttrs = headerAttrs(first.trim.split("\\s+", 2) match {
+      case Array(_, rest) => rest
+      case _ => ""
+    }).toSeq
+    val bodyEntries = cell.linesIterator.drop(1).map(_.trim).filter(_.nonEmpty).map { l =>
       val i = l.indexOf('=')
       require(i > 0, s"bad key=value entry '$l'")
       l.substring(0, i).trim -> l.substring(i + 1).trim
-    }.toSeq
+    }
+    magicLineAttrs ++ bodyEntries
   }
 
   /** `k="quoted" k2=bare,list k3=a=b,c=${X}` magic-header attributes: values

@@ -50,8 +50,10 @@ object GraphOps {
         .select($"v", $"m").union(mins2.select($"u", $"m"))
         .select(least($"v", $"m").as("u"), greatest($"v", $"m").as("v"))
         .filter($"u" =!= $"v").distinct().localCheckpoint(true)
-      // converged when the canonical edge set is stable
-      converged = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
+      // both sides are distinct sets, so equal counts + empty one-sided
+      // difference ⇒ equality — one subtraction job instead of two
+      converged = small.count() == e.count() && small.exceptAll(e).isEmpty
+      e.unpersist() // drop the superseded checkpoint's storage promptly
       e = small
       iter += 1
     }

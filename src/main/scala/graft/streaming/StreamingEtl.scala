@@ -29,6 +29,35 @@ final case class SessionState(start: Long, last: Long, n: Long)
 
 object StreamingEtl {
 
+  /** Shared exactly-once micro-batch scaffold: parquet landing-dir stream,
+    * AvailableNow, and the manifest txn guard — the batchId is recorded in
+    * the manifest (Delta's txnAppId/txnVersion pattern) and a replayed batch
+    * (crash after commit but before the checkpoint advanced) is skipped.
+    * The txn identity is the checkpoint dir: stable across restarts, unique
+    * per query (Spark's checkpoint lock prevents two live copies of one
+    * query; vacuum preserves txn marks via the manifest sidecar). `act`
+    * MUST commit with `txn = Some(checkpointDir -> batchId)`. */
+  private def exactlyOnceStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      tableRoot: String,
+      checkpointDir: String)(
+      act: (VersionedTable, DataFrame, Long) => Unit): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val table = VersionedTable(tableRoot)
+          if (!table.lastTxn(checkpointDir).exists(_ >= batchId))
+            act(table, batch, batchId)
+        }
+      }
+      .start()
+  }
+
   /** Continuous SCD2: merge every arriving CDC micro-batch into the versioned
     * table. `stage` maps a raw batch to the staged merge source (the dual-row
     * trick, scd2-job.ipynb:298) given the current table snapshot. */
@@ -41,32 +70,17 @@ object StreamingEtl {
       condition: String,
       whenMatchedUpdate: Option[Merge.MatchedUpdate],
       whenNotMatchedInsert: Option[Merge.NotMatchedInsert],
-      checkpointDir: String): StreamingQuery = {
-    val raw = spark.readStream.schema(schema).parquet(landingDir)
-    // exactly-once across restarts: the batchId is recorded in the manifest
-    // (Delta's txnAppId/txnVersion pattern) and a replayed batch — crash
-    // after commit() but before the checkpoint advanced — is skipped rather
-    // than merged twice. The txn identity is the checkpoint dir: stable
-    // across restarts, unique per query.
-    raw.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val table = VersionedTable(tableRoot)
-          if (!table.lastTxn(checkpointDir).exists(_ >= batchId)) {
-            val target = table.read(batch.sparkSession)
-            val staged = stage(batch, target)
-            table.commit(Merge.merge(target, staged, condition,
-              whenMatchedUpdate = whenMatchedUpdate,
-              whenNotMatchedInsert = whenNotMatchedInsert),
-              txn = Some(checkpointDir -> batchId))
-            ()
-          }
-        }
-      }
-      .start()
-  }
+      checkpointDir: String): StreamingQuery =
+    exactlyOnceStream(spark, landingDir, schema, tableRoot, checkpointDir) {
+      (table, batch, batchId) =>
+        val target = table.read(batch.sparkSession)
+        val staged = stage(batch, target)
+        table.commit(Merge.merge(target, staged, condition,
+          whenMatchedUpdate = whenMatchedUpdate,
+          whenNotMatchedInsert = whenNotMatchedInsert),
+          txn = Some(checkpointDir -> batchId))
+        ()
+    }
 
   /** Continuous ingest: append every arriving micro-batch to the versioned
     * table — the streaming face of the batch-ingest path (commit cost ∝
@@ -79,22 +93,12 @@ object StreamingEtl {
       landingDir: String,
       schema: StructType,
       tableRoot: String,
-      checkpointDir: String): StreamingQuery = {
-    spark.readStream.schema(schema).parquet(landingDir)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val table = VersionedTable(tableRoot)
-          if (!table.lastTxn(checkpointDir).exists(_ >= batchId)) {
-            table.append(batch, txn = Some(checkpointDir -> batchId))
-            ()
-          }
-        }
-      }
-      .start()
-  }
+      checkpointDir: String): StreamingQuery =
+    exactlyOnceStream(spark, landingDir, schema, tableRoot, checkpointDir) {
+      (table, batch, batchId) =>
+        table.append(batch, txn = Some(checkpointDir -> batchId))
+        ()
+    }
 
   /** Watermarked tumbling-window aggregation over an event stream — the
     * streaming formulation of q12_events_window. */

@@ -154,16 +154,40 @@ final class VersionedTable(val root: String) {
     *    the manifest (one small distributed job over the written files);
     *    [[readPruned]] skips files whose range can't match.
     */
-  /** Latest transaction version committed by `appId`, scanning manifests
-    * newest-first (the Delta `txnVersion`/`txnAppId` idempotent-writer
-    * protocol: a replaying writer asks "did my batch N already commit?"). */
+  /** Sidecar carrying the txn high-water marks of VACUUMED manifests —
+    * without it, vacuum would erase an idempotent writer's memory and a
+    * replayed micro-batch could re-commit (the Delta txn-retention hazard,
+    * solved here by never forgetting: marks only ratchet upward). */
+  private def txnSidecarPath: Path = logDir.resolve("_txns.json")
+
+  private def sidecarTxns(): Map[String, Long] = {
+    if (!Files.exists(txnSidecarPath)) return Map.empty
+    val node = mapper.readTree(Files.readAllBytes(txnSidecarPath))
+    node.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+
+  private def writeSidecarTxns(txns: Map[String, Long]): Unit = {
+    val json = mapper.createObjectNode()
+    txns.toSeq.sortBy(_._1).foreach { case (k, v) => json.put(k, v) }
+    val tmp = logDir.resolve(s".txns-${java.util.UUID.randomUUID()}.json")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
+    Files.move(tmp, txnSidecarPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Latest transaction version committed by `appId` — the newest mark in
+    * the retained manifests, or the vacuum sidecar's high-water mark for
+    * marks whose manifests were dropped (the Delta `txnVersion`/`txnAppId`
+    * idempotent-writer protocol: a replaying writer asks "did my batch N
+    * already commit?"). */
   def lastTxn(appId: String): Option[Long] = {
-    versions().reverseIterator.map { v =>
+    val live = versions().reverseIterator.map { v =>
       val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
       if (node.has("txnApp") && node.get("txnApp").asText() == appId)
         Some(node.get("txnVersion").asLong())
       else None
     }.collectFirst { case Some(t) => t }
+    (live.toSeq ++ sidecarTxns().get(appId).toSeq).maxOption
   }
 
   /** Write `df` as immutable parquet under a fresh commit dir; returns the
@@ -615,6 +639,18 @@ final class VersionedTable(val root: String) {
     if (vs.size <= retainVersions) return 0
     val retained = vs.takeRight(retainVersions)
     val dropped = vs.dropRight(retainVersions)
+    // preserve idempotent-writer memory: fold the dropped manifests' txn
+    // marks into the sidecar BEFORE deleting them, so lastTxn never forgets
+    val droppedTxns = dropped.flatMap { v =>
+      val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+      if (node.has("txnApp")) Some(node.get("txnApp").asText() -> node.get("txnVersion").asLong())
+      else None
+    }
+    if (droppedTxns.nonEmpty) {
+      val merged = (sidecarTxns().toSeq ++ droppedTxns)
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      writeSidecarTxns(merged)
+    }
     val keep = retained.flatMap(filesOf).toSet
     var deleted = 0
     dropped.foreach { v =>

@@ -88,6 +88,11 @@ class NotebookJobSpec extends AnyFunSuite with SparkSpec {
     val (job, _) = NotebookJob.fromIpynb(nb)
     // one-line magics keep their arguments; string 'source' cells parse
     assert(job.conf.numRows === 5)
+    // quoted magic-line values may contain spaces (SQL fragments)
+    val (_, env) = NotebookJob.fromIpynb(
+      """{"cells": [{"cell_type": "code",
+        | "source": "%env G=\"a b c\" H=plain\nBODY_VAL=x = y AND z"}]}""".stripMargin)
+    assert(env === Map("G" -> "a b c", "H" -> "plain", "BODY_VAL" -> "x = y AND z"))
     assert(job.stages.collect { case p: PrintSchema => p.inputView } === Seq("some_view"))
     // a backtick inside real SQL is NOT the tutorial placeholder
     assert(job.stages.collect { case s: SQLTransform => s.sql }

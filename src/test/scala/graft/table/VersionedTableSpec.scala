@@ -47,6 +47,25 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("vacuum preserves txn marks so replay stays idempotent after cleanup") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    val app = "chk://stream-q"
+    t.commit(Seq(1).toDF("x"), txn = Some(app -> 7L))
+    // maintenance: compaction + aggressive vacuum drop the stamped manifest
+    t.compact(spark)
+    t.compact(spark)
+    assert(t.vacuum(retainVersions = 1) > 0)
+    assert(t.versions().size === 1)
+    // the idempotence memory must survive — a replayed batch 7 is skipped
+    assert(t.lastTxn(app) === Some(7L))
+    // marks only ratchet upward across further vacuums
+    t.commit(Seq(2).toDF("x"), txn = Some(app -> 8L))
+    t.compact(spark)
+    t.vacuum(retainVersions = 1)
+    assert(t.lastTxn(app) === Some(8L))
+  }
+
   test("txn-stamped commits make micro-batch replay idempotent") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
