@@ -77,14 +77,26 @@ object NotebookJob {
             // the reference notebook is a tutorial: one stage cell is a
             // fill-in-the-blank placeholder (a backtick-prose line plus
             // ????????? filler, scd2-job.ipynb cell "2.1 build your
-            // transformation here") — skip ONLY that shape; a backtick
-            // elsewhere (e.g. a quoted identifier inside SQL) is real config
-            val isPlaceholder = cell.linesIterator.exists { l =>
+            // transformation here"). A cell is only SKIPPED when it both
+            // looks like that placeholder AND fails strict parsing — a real
+            // stage whose embedded SQL starts a line with a backticked
+            // identifier parses fine and is kept, and anything else
+            // unparseable raises naming the cell (a vanishing stage is far
+            // harder to notice than a parse error).
+            val flagged = cell.linesIterator.exists { l =>
               val t = l.trim
               t.startsWith("`") || t.startsWith("???")
             }
-            if (isPlaceholder) ()
-            else stages += JobSpec.parseStage(mapper.readTree(normalizeHocon(cell)))
+            val parsed =
+              try Some(mapper.readTree(normalizeHocon(cell)))
+              catch { case e: Exception if flagged => None }
+            parsed match {
+              case Some(node) => stages += JobSpec.parseStage(node)
+              case None if cell.contains("???") => () // the tutorial placeholder
+              case None => throw new IllegalArgumentException(
+                s"stage cell is not valid JSON/HOCON and is not the known tutorial " +
+                  s"placeholder: ${cell.takeWhile(_ != '\n')}")
+            }
           } else {
             throw new IllegalArgumentException(
               s"unrecognized cell dialect: ${cell.takeWhile(_ != '\n')}")

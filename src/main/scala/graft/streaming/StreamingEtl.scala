@@ -190,6 +190,16 @@ object StreamingEtl {
           var cur = state.getOption
           sorted.foreach { m =>
             cur match {
+              // late arrival from a PREVIOUS micro-batch (in-batch events are
+              // sorted, so only cross-batch events can precede s.last): an
+              // event within the open session's span folds in, widening the
+              // start if needed — without this guard the negative gap would
+              // satisfy `m - s.last <= gap` and leave session_end earlier
+              // than absorbed events
+              case Some(s) if m < s.start - gapMicros =>
+                () // too late to attribute to any open session: drop
+              case Some(s) if m <= s.last =>
+                cur = Some(s.copy(start = math.min(s.start, m), n = s.n + 1))
               case Some(s) if m - s.last <= gapMicros =>
                 cur = Some(s.copy(last = m, n = s.n + 1))
               case Some(s) =>

@@ -158,21 +158,63 @@ final class VersionedTable(val root: String) {
     * without it, vacuum would erase an idempotent writer's memory and a
     * replayed micro-batch could re-commit (the Delta txn-retention hazard,
     * solved here by never forgetting: marks only ratchet upward). */
-  private def txnSidecarPath: Path = logDir.resolve("_txns.json")
+  private def legacySidecarPath: Path = logDir.resolve("_txns.json")
+  private def sidecarPath(v: Long): Path = logDir.resolve(f"_txns-v$v%08d.json")
 
-  private def sidecarTxns(): Map[String, Long] = {
-    if (!Files.exists(txnSidecarPath)) return Map.empty
-    val node = mapper.readTree(Files.readAllBytes(txnSidecarPath))
+  private def sidecarVersions(): Seq[Long] =
+    listNames(logDir)
+      .collect { case s if s.matches("_txns-v\\d{8}\\.json") => s.substring(7, 15).toLong }
+      .sorted
+
+  private def readTxnsFile(p: Path): Map[String, Long] = {
+    if (!Files.exists(p)) return Map.empty
+    val node = mapper.readTree(Files.readAllBytes(p))
     node.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
   }
 
-  private def writeSidecarTxns(txns: Map[String, Long]): Unit = {
-    val json = mapper.createObjectNode()
-    txns.toSeq.sortBy(_._1).foreach { case (k, v) => json.put(k, v) }
-    val tmp = logDir.resolve(s".txns-${java.util.UUID.randomUUID()}.json")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
-    Files.move(tmp, txnSidecarPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  /** Ratchet-merge: marks only ever move upward, so merging two sidecar
+    * states is a per-key max — this is what makes the CAS retry loop below
+    * trivially convergent. */
+  private def ratchet(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    (a.toSeq ++ b.toSeq).groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+
+  private def sidecarTxns(): Map[String, Long] = {
+    val latest = sidecarVersions().lastOption.map(v => readTxnsFile(sidecarPath(v)))
+      .getOrElse(Map.empty[String, Long])
+    // pre-CAS layout compatibility: fold in the unversioned sidecar if present
+    ratchet(latest, readTxnsFile(legacySidecarPath))
+  }
+
+  /** Fold `marks` into the sidecar with a createLink-based CAS (the same
+    * publish protocol as manifests): read the latest sidecar version, merge,
+    * link the next version; on a collision another vacuum published first —
+    * re-read and retry. The non-atomic read-modify-write this replaces could
+    * lose a high-water mark between two racing vacuums, re-opening the
+    * replayed-micro-batch double-commit hazard the sidecar exists to close. */
+  private def mergeSidecarTxns(marks: Map[String, Long]): Unit = {
+    while (true) {
+      val cur = sidecarVersions().lastOption
+      val base = sidecarTxns()
+      val merged = ratchet(base, marks)
+      if (merged == base) return // already at or above every mark
+      val json = mapper.createObjectNode()
+      merged.toSeq.sortBy(_._1).foreach { case (k, v) => json.put(k, v) }
+      val tmp = logDir.resolve(s".txns-${java.util.UUID.randomUUID()}.json")
+      Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
+      val next = cur.map(_ + 1L).getOrElse(0L)
+      val won =
+        try { Files.createLink(sidecarPath(next), tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        finally Files.deleteIfExists(tmp)
+      if (won) {
+        // the legacy file is subsumed by the versioned sidecar now
+        Files.deleteIfExists(legacySidecarPath)
+        // retire old sidecar versions, keeping a small tail so a reader that
+        // listed just before this publish can still open what it saw
+        sidecarVersions().dropRight(3).foreach(v => Files.deleteIfExists(sidecarPath(v)))
+        return
+      }
+    }
   }
 
   /** Latest transaction version committed by `appId` — the newest mark in
@@ -485,6 +527,15 @@ final class VersionedTable(val root: String) {
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
     val keyType = schema.find(_.name == targetKey).getOrElse(
       throw new IllegalArgumentException(s"target key $targetKey not in table schema")).dataType
+    // The file pruning is only sound if `condition` implies
+    // source.<sourceKey> = target.<targetKey>; the pair arrives separately
+    // (declarative pruneKeys config), so a typo would silently skip matching
+    // rows in "untouched" files and insert duplicates. Fail fast unless the
+    // condition carries that exact equi-conjunct at its top level.
+    require(conditionHasEquiConjunct(condition, sourceKey, targetKey),
+      s"mergeCow prune keys ($sourceKey, $targetKey) are not implied by the merge " +
+        s"condition '$condition': it must contain a top-level conjunct " +
+        s"source.$sourceKey = target.$targetKey (file pruning would otherwise be unsound)")
     val stats = statsOf(v)
     val (ranged, statless) = all.partition(f => stats.get(f).exists(_.contains(targetKey)))
     val touched: Seq[String] =
@@ -529,6 +580,54 @@ final class VersionedTable(val root: String) {
       Some(v)), touched.size)
   }
 
+  /** True iff `condition` contains a top-level AND-conjunct of the exact
+    * shape `source.<sourceKey> = target.<targetKey>` (either side order,
+    * optional backticks/parens, case-insensitive identifiers). Conjuncts are
+    * split on AND only outside parentheses, so an OR buried in one conjunct
+    * cannot smuggle the equi-clause into a disjunction where it no longer
+    * holds for every matching row. */
+  private def conditionHasEquiConjunct(condition: String, sourceKey: String,
+      targetKey: String): Boolean = {
+    def splitTopLevelAnd(s: String): Seq[String] = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      var i = 0
+      val up = s.toUpperCase
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' => depth += 1; cur += s.charAt(i); i += 1
+          case ')' => depth -= 1; cur += s.charAt(i); i += 1
+          case _ if depth == 0 && up.startsWith("AND", i) &&
+              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+              (i + 3 >= s.length || !Character.isLetterOrDigit(s.charAt(i + 3))) =>
+            parts += cur.toString; cur.clear(); i += 3
+          case ch => cur += ch; i += 1
+        }
+      }
+      parts += cur.toString
+      parts.toSeq
+    }
+    def norm(id: String): String = id.replace("`", "").trim.toLowerCase
+    val sk = norm(sourceKey)
+    val tk = norm(targetKey)
+    val Eq = """(?i)\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*=\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*""".r
+    splitTopLevelAnd(condition).exists { conj =>
+      // a fully parenthesized conjunct is still the same conjunct
+      var c = conj.trim
+      while (c.startsWith("(") && c.endsWith(")") &&
+          splitTopLevelAnd(c.substring(1, c.length - 1)).size == 1)
+        c = c.substring(1, c.length - 1).trim
+      c match {
+        case Eq(q1, c1, q2, c2) =>
+          val l = (norm(q1), norm(c1)); val r = (norm(q2), norm(c2))
+          (l == ("source", sk) && r == ("target", tk)) ||
+            (l == ("target", tk) && r == ("source", sk))
+        case _ => false
+      }
+    }
+  }
+
   /** Stats-pruned read: only files whose recorded [min, max] for `column`
     * intersects [lo, hi] are scanned (Delta-style data skipping — the
     * manifest is the index, no footer reads needed). Falls back to all files
@@ -563,10 +662,30 @@ final class VersionedTable(val root: String) {
     (df, kept.size, all.size)
   }
 
+  /** Publish a rewrite of snapshot `base` as version `base`+1, pinned: if
+    * any other writer committed after `base` was read, the link collides and
+    * [[ConcurrentCommitException]] surfaces instead of silently republishing
+    * a manifest that drops that commit's changes. */
+  private def commitPinned(df: DataFrame, base: Long,
+      numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil): Long = {
+    val (commitId, files) = writeDataFiles(df, numPartitions, sortBy)
+    val stats =
+      if (files.nonEmpty) collectFileStats(df.sparkSession, commitId)
+      else Map.empty[String, Map[String, (String, String, String)]]
+    publish(files, df.schema.json, stats, None, Some(base))
+  }
+
   /** Compaction (OPTIMIZE): rewrite the latest snapshot into `numFiles`
     * files as a NEW version — readers keep snapshot isolation, old versions
     * stay time-travelable, and the small-file problem goes away without a
     * write lock (single-writer protocol as for any commit).
+    *
+    * Snapshot-pinned like [[delete]]/[[mergeCow]]: an append or merge
+    * committed by another writer between this compaction's read and its
+    * publish raises [[ConcurrentCommitException]] (re-run OPTIMIZE on the new
+    * head) rather than silently vanishing from the compacted manifest — the
+    * lost-commit hazard of publishing a stale full snapshot at whatever the
+    * head happens to be at publish time.
     *
     * `zOrderBy` (OPTIMIZE ZORDER parity, exclusive with `sortBy`): files are
     * laid out along a Z-curve over 2-4 numeric columns — each column is
@@ -578,13 +697,15 @@ final class VersionedTable(val root: String) {
   def compact(spark: SparkSession, numFiles: Int = 1,
               sortBy: Seq[String] = Nil, zOrderBy: Seq[String] = Nil): Long = {
     require(sortBy.isEmpty || zOrderBy.isEmpty, "sortBy and zOrderBy are exclusive")
+    val pinned = resolve()
     if (zOrderBy.isEmpty)
-      commit(read(spark), numPartitions = Some(numFiles), sortBy = sortBy)
+      commitPinned(read(spark, versionAsOf = Some(pinned)), pinned,
+        numPartitions = Some(numFiles), sortBy = sortBy)
     else {
       import org.apache.spark.sql.functions.{expr, max => fmax, min => fmin}
       require(zOrderBy.size >= 2 && zOrderBy.size <= 4,
         "zOrderBy takes 2-4 columns (16 bits each in a 64-bit z-value)")
-      val df = read(spark)
+      val df = read(spark, versionAsOf = Some(pinned))
       zOrderBy.foreach { c =>
         val f = df.schema.fields.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(s"zOrderBy column $c not in table"))
@@ -594,9 +715,8 @@ final class VersionedTable(val root: String) {
       // global bounds come from the manifest's per-file stats when every
       // file carries them (zero extra I/O); only a stats-less legacy table
       // pays the pre-scan
-      val v0 = resolve()
-      val fileStats = statsOf(v0)
-      val allFiles = filesOf(v0)
+      val fileStats = statsOf(pinned)
+      val allFiles = filesOf(pinned)
       val fromManifest: Option[Map[String, (Double, Double)]] =
         if (allFiles.nonEmpty && zOrderBy.forall(c =>
               allFiles.forall(f => fileStats.get(f).exists(_.contains(c)))))
@@ -625,7 +745,7 @@ final class VersionedTable(val root: String) {
         .repartitionByRange(numFiles, col("__z"))
         .sortWithinPartitions(col("__z"))
         .drop((0 until k).map(j => s"__zr$j") :+ "__z": _*)
-      commit(laidOut)
+      commitPinned(laidOut, pinned)
     }
   }
 
@@ -639,24 +759,30 @@ final class VersionedTable(val root: String) {
     if (vs.size <= retainVersions) return 0
     val retained = vs.takeRight(retainVersions)
     val dropped = vs.dropRight(retainVersions)
+    // a manifest can vanish mid-run when another vacuum races this one; that
+    // is safe to skip — the racing vacuum folded its txn marks into the
+    // sidecar before deleting it (ordering below), and already handled its
+    // files
+    def tryManifest(v: Long): Option[com.fasterxml.jackson.databind.JsonNode] =
+      try Some(mapper.readTree(Files.readAllBytes(manifestPath(v))))
+      catch { case _: java.nio.file.NoSuchFileException => None }
     // preserve idempotent-writer memory: fold the dropped manifests' txn
     // marks into the sidecar BEFORE deleting them, so lastTxn never forgets
-    val droppedTxns = dropped.flatMap { v =>
-      val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    val droppedTxns = dropped.flatMap(tryManifest).flatMap { node =>
       if (node.has("txnApp")) Some(node.get("txnApp").asText() -> node.get("txnVersion").asLong())
       else None
     }
-    if (droppedTxns.nonEmpty) {
-      val merged = (sidecarTxns().toSeq ++ droppedTxns)
-        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
-      writeSidecarTxns(merged)
-    }
-    val keep = retained.flatMap(filesOf).toSet
+    if (droppedTxns.nonEmpty)
+      mergeSidecarTxns(droppedTxns.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap)
+    val keep = retained.flatMap(v => tryManifest(v).toSeq.flatMap(node =>
+      node.get("files").elements().asScala.map(_.asText()).toSeq)).toSet
     var deleted = 0
     dropped.foreach { v =>
-      filesOf(v).foreach { f =>
-        if (!keep.contains(f)) {
-          if (Files.deleteIfExists(Paths.get(root).resolve(f))) deleted += 1
+      tryManifest(v).foreach { node =>
+        node.get("files").elements().asScala.map(_.asText()).foreach { f =>
+          if (!keep.contains(f)) {
+            if (Files.deleteIfExists(Paths.get(root).resolve(f))) deleted += 1
+          }
         }
       }
       Files.deleteIfExists(manifestPath(v))

@@ -103,6 +103,21 @@ class NotebookJobSpec extends AnyFunSuite with SparkSpec {
     assert(NotebookJob.fromIpynb(ph)._1.stages.isEmpty)
   }
 
+  test("a flagged stage cell is only skipped when it is the real placeholder") {
+    // a backtick-flagged cell that still parses as strict JSON (trailing
+    // prose after the config) is a REAL stage — it must be kept, not vanish
+    val kept = """{"cells": [{"cell_type": "code",
+                 | "source": "{ \"type\": \"ParquetExtract\", \"name\": \"r\", \"inputURI\": \"/x\", \"outputView\": \"v\" }\n`note: backticked trailing prose`"}]}""".stripMargin
+    val (job, _) = NotebookJob.fromIpynb(kept)
+    assert(job.stages.collect { case p: ParquetExtract => p.outputView } === Seq("v"))
+    // a backtick-flagged cell that is NOT parseable and NOT the ??? filler
+    // raises naming the cell instead of silently dropping the stage
+    val bad = """{"cells": [{"cell_type": "code",
+                | "source": "{\n  \"type\": \"SQLTransform\", \"outputView\": \"v\", \"sql\":\n`SELECT 1`\n}"}]}""".stripMargin
+    val e = intercept[IllegalArgumentException](NotebookJob.fromIpynb(bad))
+    assert(e.getMessage.contains("not valid JSON"))
+  }
+
   test("a notebook job runs end-to-end through the Runner") {
     val dir = tmpDir("nb-")
     Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "grp")

@@ -219,6 +219,38 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
       (7L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2L)))
   }
 
+  test("session windows absorb cross-batch late events without corrupting bounds") {
+    val landing = tmpDir("fs3-")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: open session [00:00, 00:10]
+    Seq((7L, ts("2024-01-01 00:00:00")), (7L, ts("2024-01-01 00:10:00")))
+      .toDF("user_id", "ts").coalesce(1).write.mode("overwrite").parquet(landing)
+    Thread.sleep(1100) // distinct mtimes so maxFilesPerTrigger=1 replays in order
+    // batch 2: a LATE event inside the open span (00:05 — pre-fix this
+    // "extended" the session with session_end stuck before absorbed events),
+    // a hopelessly late event (previous evening — dropped), and a fresh
+    // event 2h later that closes the session
+    Seq((7L, ts("2023-12-31 20:00:00")), (7L, ts("2024-01-01 00:05:00")),
+        (7L, ts("2024-01-01 02:10:00")))
+      .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing).as[(Long, java.sql.Timestamp)]
+    val qn = s"fs3_sink_${System.nanoTime()}"
+    val q = StreamingEtl.sessionWindows(stream).writeStream
+      .outputMode("append").format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table(qn)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+    // the late 00:05 folds in (n=3) without dragging session_end backwards;
+    // the 20:00 straggler is dropped, not fused into a 6-hour mega-session
+    assert(closed === Seq(
+      (7L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 3L)))
+  }
+
   test("sessionize assigns gap-based session ids consistent with q18") {
     val ev = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
     val sessions = StreamingEtl.sessionize(ev)

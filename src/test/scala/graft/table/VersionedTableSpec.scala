@@ -304,6 +304,89 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(col("id").between(100, 899)).count() === 800)
   }
 
+  test("compact is snapshot-pinned: a racing append is never silently dropped") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 1000).toDF("id"), numPartitions = Some(8))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val fCompact = Future {
+      gate.await()
+      try { VersionedTable(root).compact(spark, numFiles = 2); true }
+      catch { case _: ConcurrentCommitException => false }
+    }
+    val fAppend = Future {
+      gate.await()
+      VersionedTable(root).append(spark.range(1000, 1010).toDF("id"))
+    }
+    gate.countDown()
+    val compacted = Await.result(fCompact, 120.seconds)
+    Await.result(fAppend, 120.seconds)
+    // the appended batch must survive EVERY interleaving: pre-fix, a compact
+    // publishing at the post-append head would silently drop it
+    val out = t.read(spark)
+    assert(out.count() === 1010)
+    assert(out.filter(col("id") >= 1000).count() === 10)
+    // and a compact on the quiesced table still works
+    if (!compacted) t.compact(spark, numFiles = 2)
+    assert(t.read(spark).count() === 1010)
+  }
+
+  test("mergeCow rejects prune keys not implied by the merge condition") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 100).select(col("id"), (col("id") % 7).as("v")),
+      numPartitions = Some(2), sortBy = Seq("id"))
+    val src = spark.range(10, 15).select(col("id"), col("id").as("v"))
+    def merge(cond: String): Unit = {
+      t.mergeCow(spark, src, cond, "id", "id",
+        whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("v" -> "source.v"))))
+      ()
+    }
+    // a condition on a DIFFERENT column than the declared prune key would
+    // make the file pruning skip genuinely matching rows — fail fast
+    val e = intercept[IllegalArgumentException](merge("source.v = target.v"))
+    assert(e.getMessage.contains("prune keys"))
+    // an OR around the equi-clause no longer guarantees it for every match
+    intercept[IllegalArgumentException](merge("source.id = target.id OR source.v = 1"))
+    intercept[IllegalArgumentException](merge("source.id = target.wrong"))
+    // accepted shapes: plain, reversed, backticked, parenthesized + conjunct
+    merge("source.id = target.id")
+    merge("target.id = source.id")
+    merge("(source.`id` = target.`id`) AND source.v >= 0")
+    assert(t.read(spark).count() === 100)
+  }
+
+  test("racing vacuums never lose a txn high-water mark (CAS sidecar)") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 10).toDF("id"), txn = Some("chk://a" -> 5L))
+    t.append(spark.range(10, 20).toDF("id"), txn = Some("chk://b" -> 9L))
+    t.commit(spark.range(0, 5).toDF("id")) // head without txn marks
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val fs = (1 to 2).map { _ =>
+      Future { gate.await(); VersionedTable(root).vacuum(retainVersions = 1) }
+    }
+    gate.countDown()
+    fs.foreach(Await.result(_, 120.seconds))
+    // both dropped manifests' marks must survive the concurrent fold-in
+    assert(t.lastTxn("chk://a") === Some(5L))
+    assert(t.lastTxn("chk://b") === Some(9L))
+    // and further vacuums keep ratcheting rather than forgetting
+    t.commit(spark.range(0, 3).toDF("id"), txn = Some("chk://a" -> 6L))
+    t.commit(spark.range(0, 2).toDF("id"))
+    t.vacuum(retainVersions = 1)
+    assert(t.lastTxn("chk://a") === Some(6L))
+    assert(t.lastTxn("chk://b") === Some(9L))
+  }
+
   test("delete keeps rows whose condition evaluates to NULL (3VL)") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
