@@ -14,7 +14,8 @@ object SparkEntry {
   def allQueries: Seq[Q] = {
     val qs = CoreQueries.all ++ Scd2Queries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      SourceQueries.all ++ StreamingQueries.all ++ SqlSurfaceQueries.all
+      SourceQueries.all ++ StreamingQueries.all ++ SqlSurfaceQueries.all ++
+      TpchQueries.all
     // a name collision would silently shadow a query in the toMap below,
     // shrinking the correctness gate — fail loudly instead
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
