@@ -91,6 +91,9 @@ object JobSpec {
         JsonExtract(name, str(n, "inputURI"), str(n, "outputView"), envs(n))
       case "OrcExtract" =>
         OrcExtract(name, str(n, "inputURI"), str(n, "outputView"), envs(n))
+      case "XmlExtract" => XmlExtract(
+        name, str(n, "inputURI"), str(n, "outputView"),
+        optStr(n, "rowTag").getOrElse("row"), optStr(n, "schemaDDL"), envs(n))
       case "FileLoad" => FileLoad(
         name, str(n, "inputView"), str(n, "outputURI"),
         optStr(n, "format").getOrElse("parquet"),
@@ -98,7 +101,7 @@ object JobSpec {
         if (n.has("partitionBy"))
           n.get("partitionBy").elements().asScala.map(_.asText()).toSeq
         else Nil,
-        optInt(n, "numPartitions"), envs(n))
+        optInt(n, "numPartitions"), strMap(n, "options"), envs(n))
       case "TypingTransform" => TypingTransform(
         name, str(n, "inputView"), str(n, "outputView"),
         optStr(n, "schemaURI"),

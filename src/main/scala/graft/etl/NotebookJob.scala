@@ -89,7 +89,7 @@ object NotebookJob {
             }
             val parsed =
               try Some(mapper.readTree(normalizeHocon(cell)))
-              catch { case e: Exception if flagged => None }
+              catch { case _: Exception if flagged => None }
             parsed match {
               case Some(node) => stages += JobSpec.parseStage(node)
               case None if cell.contains("???") => () // the tutorial placeholder

@@ -102,18 +102,41 @@ final case class FileLoad(
     name: String,
     inputView: String,
     outputURI: String,
-    format: String = "parquet", // parquet | csv | json | orc
+    format: String = "parquet", // parquet | csv | json | orc | xml
     saveMode: String = "Overwrite",
     partitionBy: Seq[String] = Nil,
     numPartitions: Option[Int] = None,
+    /** Writer options passed through verbatim (csv delimiter, xml rowTag,
+      * compression codec, ...). */
+    options: Map[String, String] = Map.empty,
     environments: Seq[String] = Nil) extends Stage {
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
     val df0 = spark.table(inputView)
     val df = numPartitions.map(df0.repartition(_)).getOrElse(df0)
     val w0 = df.write.mode(saveMode.toLowerCase).format(format.toLowerCase)
+      .options(options.view.mapValues(sub(_, env)).toMap)
     val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
     w.save(sub(outputURI, env))
     None
+  }
+}
+
+/** XML extract → view (extension surface; Spark 4's built-in XML source —
+  * `org.apache.spark.sql.execution.datasources.xml`). `rowTag` selects the
+  * repeated element. Schema inference costs one extra pass over the files;
+  * at scale, pass `schemaDDL` to skip it and pin the exact types. */
+final case class XmlExtract(
+    name: String,
+    inputURI: String,
+    outputView: String,
+    rowTag: String = "row",
+    schemaDDL: Option[String] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val r = spark.read.option("rowTag", rowTag).format("xml")
+    val df = schemaDDL.map(d => r.schema(d)).getOrElse(r).load(sub(inputURI, env))
+    df.createOrReplaceTempView(outputView)
+    Some(df)
   }
 }
 

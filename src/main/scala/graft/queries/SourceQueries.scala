@@ -81,6 +81,31 @@ object SourceQueries {
     },
     Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"))
 
+  /** q70: XML source/sink roundtrip through the real stages (FileLoad xml +
+    * XmlExtract — Spark 4's built-in XML source): orders → XML → back must
+    * reproduce the original values exactly. The read pins the schema by DDL
+    * (no inference pass — at scale inference re-reads every file) and the
+    * write sets rowTag through the generic FileLoad writer options. */
+  val q70XmlRoundtrip: Q = Q(
+    "q70_xml_roundtrip",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-xml-").toString
+      JobSpec(Seq(
+        SQLTransform("project orders",
+          "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders", "orders_for_xml"),
+        FileLoad("to xml", "orders_for_xml", s"$tmp/orders_xml", format = "xml",
+          options = Map("rowTag" -> "order", "rootTag" -> "orders")),
+        XmlExtract("from xml", s"$tmp/orders_xml", "orders_from_xml",
+          rowTag = "order",
+          schemaDDL = Some(
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"))))
+        .run(spark, Map.empty)
+      spark.table("orders_from_xml")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+    Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"))
+
   /** q49: incremental versioned table — append-only ingest (manifest carries
     * prior files forward; commit cost ∝ batch, not table) followed by a
     * copy-on-write DELETE (only files containing matches are rewritten),
@@ -240,5 +265,6 @@ object SourceQueries {
         |FROM orders""".stripMargin))
 
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
-    q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate)
+    q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
+    q70XmlRoundtrip)
 }

@@ -293,10 +293,46 @@ object SqlSurfaceQueries {
       |WINDOW w AS (PARTITION BY o_orderpriority
       |             ORDER BY o_totalprice, o_orderkey)""".stripMargin)
 
+  /** q68: banded range join — every lineitem row lands in the price band
+    * whose [lo, hi) range contains it (inline VALUES dimension). The band
+    * table is tiny, so Catalyst broadcasts it and the range predicate
+    * evaluates as a broadcast nested-loop join: no shuffle of the fact side
+    * at any scale. */
+  val q68RangeJoin: Q = Q.sharedSql("q68_range_join",
+    """SELECT b.bname, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM lineitem
+      |JOIN (VALUES (0.0, 1000.0, 'low'), (1000.0, 10000.0, 'mid'),
+      |             (10000.0, 1000000.0, 'high')) AS b(lo, hi, bname)
+      |  ON l_extendedprice >= b.lo AND l_extendedprice < b.hi
+      |GROUP BY b.bname""".stripMargin)
+
+  /** q69: skew-resistant two-phase (salted) aggregation — phase 1 groups by
+    * (key, salt) so a hot key spreads over 16 reducers, phase 2 folds the
+    * partials. Equal to the direct GROUP BY (the oracle) because SUM and
+    * COUNT decompose over partials; quantities are integer-valued doubles,
+    * so re-association changes no bits. This is the manual fallback when a
+    * key is hot enough that AQE's skew handling (which only splits JOIN
+    * partitions) can't help an aggregation. */
+  val q69SaltedAgg: Q = Q(
+    "q69_salted_agg",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.table(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(16)).as("__salt"))
+        .agg(sum("l_quantity").as("s"), count(lit(1)).as("c"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("s")).as("sum_qty"), sum(col("c")).as("n_rows"))
+    },
+    Some(
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
     q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
     q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames, q44RecursiveCte,
     q45GroupingSets, q46BagSetOps, q47MapFunctions, q54Unpivot, q57StatAggs,
-    q58RankingWindows)
+    q58RankingWindows, q68RangeJoin, q69SaltedAgg)
 }

@@ -171,6 +171,53 @@ object StreamingQueries {
         | AND b.event_type = 'purchase' AND v.event_type = 'view'
         | AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin))
 
+  /** q67: flatMapGroupsWithState session windows through the gate — the
+    * custom-state tier of Structured Streaming (SURVEY.md §2.9) gated by an
+    * ANSI-SQL oracle (gap-based sessionization via window functions). One
+    * AvailableNow-style batch: every user's LAST session stays open in state
+    * and is never emitted, so the oracle anti-joins each user's final
+    * session away. State is per-user O(1) — the scale story for
+    * sessionization over unbounded streams. */
+  val q67StreamSessions: Q = Q(
+    "q67_stream_sessions",
+    (spark, dir) => {
+      import spark.implicits._
+      val landing = java.nio.file.Files.createTempDirectory("graft-sess-").toString
+      val ev = Tables.table(spark, dir, "events").select("user_id", "ts")
+      ev.write.mode("overwrite").parquet(landing)
+      val stream = spark.readStream.schema(ev.schema).parquet(landing)
+        .as[(Long, java.sql.Timestamp)]
+      val qname = s"q67_sink_${System.nanoTime()}"
+      val q = graft.streaming.StreamingEtl.sessionWindows(stream).writeStream
+        .outputMode("append").format("memory").queryName(qname).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(qname)
+        .select("user_id", "session_start", "session_end", "n_events")
+    },
+    Some(
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |agg AS (
+        |  SELECT user_id, sid, min(ts) AS session_start,
+        |    max(ts) AS session_end, count(*) AS n_events
+        |  FROM s GROUP BY user_id, sid),
+        |last AS (SELECT user_id, max(sid) AS sid FROM agg GROUP BY user_id)
+        |SELECT a.user_id, a.session_start, a.session_end, a.n_events
+        |FROM agg a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM last l WHERE l.user_id = a.user_id AND l.sid = a.sid)""".stripMargin))
+
   val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch,
-    q51StreamingDedup, q52StreamStreamJoin)
+    q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions)
 }

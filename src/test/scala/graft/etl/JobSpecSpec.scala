@@ -42,6 +42,27 @@ class JobSpecSpec extends AnyFunSuite with SparkSpec {
     assert(spec.stages(5).asInstanceOf[TableExtract].relativeVersion === Some(-1))
   }
 
+  test("XmlExtract and FileLoad writer options parse and roundtrip") {
+    val loc = tmpDir("xml-")
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "v")
+      .createOrReplaceTempView("xml_src")
+    val spec = JobSpec.fromJson(
+      """{"stages": [
+        |  {"type": "FileLoad", "name": "w", "inputView": "xml_src",
+        |   "outputURI": "${LOC}/out", "format": "xml",
+        |   "options": {"rowTag": "rec", "rootTag": "recs"}},
+        |  {"type": "XmlExtract", "name": "r", "inputURI": "${LOC}/out",
+        |   "outputView": "xml_back", "rowTag": "rec",
+        |   "schemaDDL": "id BIGINT, v STRING"}
+        |]}""".stripMargin)
+    assert(spec.stages.map(_.getClass.getSimpleName) === Seq("FileLoad", "XmlExtract"))
+    assert(spec.stages.head.asInstanceOf[FileLoad].options ===
+      Map("rowTag" -> "rec", "rootTag" -> "recs"))
+    spec.run(spark, Map("LOC" -> loc))
+    assert(spark.table("xml_back").as[(Long, String)].collect().toSet ===
+      Set((1L, "alpha"), (2L, "beta")))
+  }
+
   test("job-level conf (%conf numRows/showLog) parses with defaults") {
     val spec = JobSpec.fromJson(
       """{"conf": {"numRows": 5, "showLog": true},
