@@ -15,7 +15,7 @@ object SparkEntry {
     val qs = CoreQueries.all ++ Scd2Queries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       SourceQueries.all ++ StreamingQueries.all ++ SqlSurfaceQueries.all ++
-      TpchQueries.all
+      TpchQueries.all ++ JoinQueries.all
     // a name collision would silently shadow a query in the toMap below,
     // shrinking the correctness gate — fail loudly instead
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys

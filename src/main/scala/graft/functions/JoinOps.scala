@@ -28,4 +28,52 @@ object JoinOps {
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Bloom-prefiltered semi join (the runtime-filter pattern Spark applies
+    * to shuffle joins, made explicit): build a Bloom filter over the dim
+    * side's join keys on the driver, broadcast it, and drop non-matching
+    * fact rows BEFORE the shuffle; a final exact left-semi join removes the
+    * filter's false positives. Result is row-identical to
+    * `fact SEMI JOIN dim`, but the fact side shuffled into the join shrinks
+    * from |fact| to ~|matches| · (1+fpp) — at 100 TB that is the difference
+    * between shuffling the table and shuffling the answer. Keys must be
+    * integral (cast to long on both sides). */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                    dimKey: String, fpp: Double = 0.01): DataFrame = {
+    val keys = dim.select(col(dimKey).cast("long").as(dimKey)).filter(col(dimKey).isNotNull)
+    // one pass over the (small) dim side sizes the filter; expectedNumItems
+    // only tunes bits-per-key, correctness never depends on it
+    val n = math.max(keys.distinct().count(), 1L)
+    val bf = keys.stat.bloomFilter(dimKey, n, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    fact.filter(mightContain(col(factKey).cast("long")))
+      .join(keys.select(col(dimKey).as("__dk")), col(factKey).cast("long") === col("__dk"),
+        "left_semi")
+  }
+
+  /** Equi-ized time-range join: inner-join left and right rows sharing `key`
+    * with `unix_micros(right.tsR)` in `[unix_micros(left.tsL) - beforeSec,
+    * ... + afterSec]` (seconds). A naive theta join is a per-key cross
+    * product; here time is bucketed at width >= the window span, the left
+    * side explodes to the 1-2 buckets its window overlaps, and the join is a
+    * plain hash equi-join on (key, bucket) with the exact range applied as a
+    * residual — cost O(matches), shuffle on (key, bucket) so a hot key's
+    * rows also spread over time. All non-key column names must be distinct
+    * across the two sides. Epochs must be non-negative (`div` truncation). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   beforeSec: Long, afterSec: Long): DataFrame = {
+    require(beforeSec >= 0 && afterSec >= 0, "window bounds must be non-negative")
+    val w = math.max((beforeSec + afterSec) * 1000000L, 1L)
+    val l = left.withColumn("__b", explode(sequence(
+      expr(s"(unix_micros($leftTs) - ${beforeSec * 1000000L}L) div ${w}L"),
+      expr(s"(unix_micros($leftTs) + ${afterSec * 1000000L}L) div ${w}L"))))
+    val r = right.withColumn("__b", expr(s"unix_micros($rightTs) div ${w}L"))
+    l.join(r, Seq(key, "__b"))
+      .filter(expr(s"""unix_micros($rightTs)
+                      | BETWEEN unix_micros($leftTs) - ${beforeSec * 1000000L}L
+                      | AND unix_micros($leftTs) + ${afterSec * 1000000L}L""".stripMargin))
+      .drop("__b")
+  }
 }

@@ -329,10 +329,32 @@ object SqlSurfaceQueries {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
+  /** q71: CROSS JOIN — the one join type the inventory listed as a trivial
+    * widening (SURVEY.md §2.4 note). Both sides are tiny dims, so the plan
+    * is a broadcast nested loop; a cross join with a LARGE right side would
+    * be the classic scale bug, which is why Spark demands the explicit
+    * keyword. */
+  val q71CrossJoin: Q = Q.sharedSql("q71_cross_join",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation")
+
+  /** q74: lateral generator (UDTF surface, SURVEY.md §2.10) — posexplode
+    * flattens each document's first five tokens with their positions. A
+    * generator is Spark's UDTF shape: one input row → N output rows inside
+    * whole-stage codegen, where a row-at-a-time UDF returning arrays would
+    * materialize every array on the heap first. */
+  val q74LateralExplode: Q = Q.dualSql("q74_lateral_explode",
+    sparkSql = """SELECT doc_id, t.pos, t.word
+                 |FROM documents
+                 |LATERAL VIEW posexplode(slice(split(text, ' '), 1, 5)) t AS pos, word""".stripMargin,
+    duckSql = """SELECT doc_id, i - 1 AS pos, l[i] AS word
+                |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                |     generate_series(1, 5) g(i)
+                |WHERE i <= len(l)""".stripMargin)
+
   val all: Seq[Q] = Seq(
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
     q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
     q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames, q44RecursiveCte,
     q45GroupingSets, q46BagSetOps, q47MapFunctions, q54Unpivot, q57StatAggs,
-    q58RankingWindows, q68RangeJoin, q69SaltedAgg)
+    q58RankingWindows, q68RangeJoin, q69SaltedAgg, q71CrossJoin, q74LateralExplode)
 }

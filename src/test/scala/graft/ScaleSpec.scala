@@ -64,4 +64,39 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(joined.count() ===
       graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "lineitem").count())
   }
+
+  test("bloom semi join is row-identical to the exact semi join") {
+    val orders = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "orders")
+    val dim = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+    val exact = orders.join(dim, orders("o_custkey") === dim("c_custkey"), "left_semi")
+    val bloomed = JoinOps.bloomSemiJoin(orders, dim, "o_custkey", "c_custkey")
+    assert(bloomed.count() === exact.count())
+    assert(bloomed.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(bloomed).count() === 0)
+  }
+
+  test("interval join matches the naive theta join, including window edges") {
+    import java.sql.Timestamp
+    def t(ms: Long) = new Timestamp(ms)
+    // right rows sit exactly ON both window edges (inclusive), just outside
+    // both edges, in a different key, and mid-window
+    val left = Seq((1L, t(100000L), "p1"), (2L, t(100000L), "p2"))
+      .toDF("k", "lts", "ltag")
+    val right = Seq(
+      (1L, t(100000L - 30000L), "on-lo"), (1L, t(100000L + 10000L), "on-hi"),
+      (1L, t(100000L - 30001L), "lo-1"), (1L, t(100000L + 10001L), "hi+1"),
+      (1L, t(100000L), "mid"), (3L, t(100000L), "other-key"))
+      .toDF("k", "rts", "rtag")
+    val got = JoinOps.intervalJoin(left, right, "k", "lts", "rts",
+      beforeSec = 30L, afterSec = 10L)
+    val naive = left.join(right, Seq("k"))
+      .filter($"rts" >= expr("lts - INTERVAL 30 SECOND") &&
+              $"rts" <= expr("lts + INTERVAL 10 SECOND"))
+    assert(got.select("k", "ltag", "rtag").exceptAll(
+      naive.select("k", "ltag", "rtag")).count() === 0)
+    assert(naive.select("k", "ltag", "rtag").exceptAll(
+      got.select("k", "ltag", "rtag")).count() === 0)
+    assert(got.count() === 3) // p1 × {on-lo, on-hi, mid}
+  }
 }
