@@ -20,6 +20,8 @@ object JoinOps {
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
                       salts: Int = 8): DataFrame = {
     require(salts > 0)
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "inputs already have a __salt column — withColumn would silently clobber it")
     // monotonically_increasing_id in the salt spreads even byte-identical
     // duplicate rows of a hot key (hashing row content would send them all
     // to one bucket, defeating the mitigation)
@@ -41,9 +43,10 @@ object JoinOps {
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                     dimKey: String, fpp: Double = 0.01): DataFrame = {
     val keys = dim.select(col(dimKey).cast("long").as(dimKey)).filter(col(dimKey).isNotNull)
-    // one pass over the (small) dim side sizes the filter; expectedNumItems
-    // only tunes bits-per-key, correctness never depends on it
-    val n = math.max(keys.distinct().count(), 1L)
+    // a shuffle-free row count sizes the filter: duplicates overcount, which
+    // only widens bits-per-key — correctness never depends on the size, the
+    // exact semi join below removes every false positive regardless
+    val n = math.max(keys.count(), 1L)
     val bf = keys.stat.bloomFilter(dimKey, n, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
@@ -65,6 +68,8 @@ object JoinOps {
                    leftTs: String, rightTs: String,
                    beforeSec: Long, afterSec: Long): DataFrame = {
     require(beforeSec >= 0 && afterSec >= 0, "window bounds must be non-negative")
+    require(!left.columns.contains("__b") && !right.columns.contains("__b"),
+      "inputs already have a __b column — withColumn would silently clobber it")
     val w = math.max((beforeSec + afterSec) * 1000000L, 1L)
     val l = left.withColumn("__b", explode(sequence(
       expr(s"(unix_micros($leftTs) - ${beforeSec * 1000000L}L) div ${w}L"),

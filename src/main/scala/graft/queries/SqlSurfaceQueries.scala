@@ -317,7 +317,6 @@ object SqlSurfaceQueries {
   val q69SaltedAgg: Q = Q(
     "q69_salted_agg",
     (spark, dir) => {
-      import org.apache.spark.sql.functions._
       val li = Tables.table(spark, dir, "lineitem")
       li.groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(16)).as("__salt"))
         .agg(sum("l_quantity").as("s"), count(lit(1)).as("c"))
