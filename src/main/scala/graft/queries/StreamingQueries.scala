@@ -218,6 +218,45 @@ object StreamingQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM last l WHERE l.user_id = a.user_id AND l.sid = a.sid)""".stripMargin))
 
+  /** q75: continuous CDC upsert — the events table arrives as three
+    * micro-batches (one stream restart each, same checkpoint) and
+    * [[graft.streaming.StreamingEtl.cdcUpsertStream]] folds every batch into
+    * a versioned table keyed by user, newest event winning (strictly-newer
+    * merge condition ⇒ batch arrival order cannot change the final state).
+    * The oracle is the batch formulation: latest row per user over ALL
+    * events. Exercises streaming + file-pruned copy-on-write merge + the
+    * exactly-once txn stamp end-to-end through the correctness gate. */
+  val q75StreamCdcUpsert: Q = Q(
+    "q75_stream_cdc_upsert",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-cdc-").toString
+      val landing = s"$base/landing"
+      val tableRoot = s"$base/table"
+      val ckpt = s"$base/ckpt"
+      val ev = Tables.table(spark, dir, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      // empty v0 pins the table schema so the first merge has a target
+      graft.table.VersionedTable(tableRoot).commit(ev.limit(0))
+      Seq(0, 1, 2).foreach { i =>
+        ev.filter(pmod($"event_id", lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(landing)
+        val q = graft.streaming.StreamingEtl.cdcUpsertStream(spark, landing,
+          ev.schema, tableRoot, "user_id", Seq("ts", "event_id"), ckpt)
+        q.awaitTermination(300000)
+      }
+      graft.table.VersionedTable(tableRoot).read(spark)
+        .select($"user_id", $"ts".as("last_ts"),
+          $"event_type".as("last_type"), $"value".as("last_value"))
+    },
+    Some(
+      """SELECT user_id, ts::TIMESTAMP AS last_ts, event_type AS last_type,
+        |  value AS last_value
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin))
+
   val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch,
-    q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions)
+    q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions, q75StreamCdcUpsert)
 }

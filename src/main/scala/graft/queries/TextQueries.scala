@@ -183,6 +183,47 @@ object TextQueries {
            |  FROM events) t""".stripMargin)
   }
 
+  /** t8: fixed-window chunking with overlap — the pre-tokenization split
+    * every training pipeline runs (context-window packing): 120-char chunks
+    * on a 100-char stride, so consecutive chunks share 20 chars. One
+    * generator row per chunk, pure map+explode, no shuffle. Chunk count is
+    * floor((len-1)/100)+1; int-cast truncation equals floor here because
+    * every document is non-empty (min length 44 in the testdata — an empty
+    * text would make Spark's toward-zero cast and floor diverge). */
+  val t8Chunking: Q = Q.dualSql("t8_chunking",
+    sparkSql =
+      """SELECT doc_id, ci AS chunk_id, substring(text, ci * 100 + 1, 120) AS chunk
+        |FROM documents
+        |LATERAL VIEW explode(sequence(0, CAST((length(text) - 1) / 100 AS INT))) s AS ci""".stripMargin,
+    duckSql =
+      // DuckDB's generate_series cannot take a lateral column bound; a
+      // constant series + filter is equivalent (max text length in the
+      // testdata is 577 chars = 6 chunks, far under the 100-chunk bound)
+      """SELECT doc_id, i - 1 AS chunk_id,
+        |  substring(text, (i - 1) * 100 + 1, 120) AS chunk
+        |FROM documents, generate_series(1, 100) g(i)
+        |WHERE i <= CAST(floor((length(text) - 1) / 100) AS INT) + 1""".stripMargin)
+
+  /** t9: type-token ratio — distinct words / total words, the classic
+    * lexical-diversity quality signal (boilerplate and generated spam sit
+    * low). Per-row higher-order functions only; the 6dp round is the file's
+    * standard cross-engine float discipline. */
+  val t9TypeTokenRatio: Q = Q.dualSql("t9_ttr",
+    sparkSql =
+      """SELECT doc_id,
+        |  size(split(text, ' ')) AS n_tokens,
+        |  size(array_distinct(split(text, ' '))) AS n_types,
+        |  round(CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+        |        / size(split(text, ' ')), 6) AS ttr
+        |FROM documents""".stripMargin,
+    duckSql =
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_types,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS ttr
+        |FROM documents""".stripMargin)
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
-    t5TfIdf, t6StratifiedSample, t7PiiScrub)
+    t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio)
 }

@@ -100,6 +100,46 @@ object StreamingEtl {
         ()
     }
 
+  /** Continuous SCD1 upsert (CDC "latest state per key"): each micro-batch
+    * is reduced to its newest row per `key` (descending `orderCols`,
+    * lexicographic, so include a unique tiebreaker column), then merged into
+    * the versioned table through the file-pruned copy-on-write path —
+    * matched rows are replaced only when the batch row is STRICTLY newer,
+    * unmatched rows insert. Newest-wins makes the final state independent
+    * of micro-batch arrival order: a late-replayed old batch cannot regress
+    * a key. Exactly-once via the manifest txn stamp, like [[appendStream]];
+    * cost per batch is the pruned merge (overlapping files, not the table).
+    * The table must exist (commit an empty, schema-bearing v0 first). */
+  def cdcUpsertStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      tableRoot: String,
+      key: String,
+      orderCols: Seq[String],
+      checkpointDir: String): StreamingQuery = {
+    require(orderCols.nonEmpty, "orderCols must name at least one ordering column")
+    exactlyOnceStream(spark, landingDir, schema, tableRoot, checkpointDir) {
+      (table, batch, batchId) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(key)).orderBy(orderCols.map(col(_).desc): _*)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        // strictly-newer in lexicographic (orderCols) order
+        val newer = orderCols.indices.map { i =>
+          val eqs = (0 until i).map(j => s"source.${orderCols(j)} = target.${orderCols(j)}")
+          (eqs :+ s"source.${orderCols(i)} > target.${orderCols(i)}")
+            .mkString("(", " AND ", ")")
+        }.mkString(" OR ")
+        val setAll = schema.fieldNames.map(c => c -> s"source.$c").toMap
+        table.mergeCow(spark, latest, s"source.$key = target.$key", key, key,
+          whenMatchedUpdate = Some(Merge.MatchedUpdate(Some(newer), setAll)),
+          whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None, Map.empty)),
+          txn = Some(checkpointDir -> batchId))
+        ()
+    }
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * streaming formulation of q12_events_window. */
   def windowedEventCounts(

@@ -56,6 +56,37 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
     assert(expired === Set((2L, "b")))
   }
 
+  test("cdcUpsertStream keeps the newest row per key regardless of batch order") {
+    import java.sql.Timestamp
+    val landing = tmpDir("cdcu-")
+    val tableRoot = tmpDir("cdcu-t-") + "/t"
+    val ckpt = tmpDir("cdcu-c-")
+    def t(ms: Long) = new Timestamp(ms)
+    val empty = Seq.empty[(Long, Timestamp, String)].toDF("id", "ts", "v")
+    VersionedTable(tableRoot).commit(empty)
+    // batch 1 arrives first but carries the NEWER state for id=1
+    Seq((1L, t(2000L), "new"), (2L, t(1000L), "x"))
+      .toDF("id", "ts", "v").coalesce(1).write.mode("append").parquet(landing)
+    val q1 = StreamingEtl.cdcUpsertStream(spark, landing, empty.schema, tableRoot,
+      "id", Seq("ts"), ckpt)
+    assert(q1.awaitTermination(120000))
+    // batch 2 is a LATE replay of older data: id=1 must not regress
+    Seq((1L, t(1000L), "old"), (3L, t(500L), "y"))
+      .toDF("id", "ts", "v").coalesce(1).write.mode("append").parquet(landing)
+    val q2 = StreamingEtl.cdcUpsertStream(spark, landing, empty.schema, tableRoot,
+      "id", Seq("ts"), ckpt)
+    assert(q2.awaitTermination(120000))
+    val got = VersionedTable(tableRoot).read(spark)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "new"), (2L, "x"), (3L, "y")))
+    // restart with nothing new: no batch runs, no version burns
+    val vBefore = VersionedTable(tableRoot).versions().size
+    val q3 = StreamingEtl.cdcUpsertStream(spark, landing, empty.schema, tableRoot,
+      "id", Seq("ts"), ckpt)
+    assert(q3.awaitTermination(120000))
+    assert(VersionedTable(tableRoot).versions().size === vBefore)
+  }
+
   test("appendStream ingests micro-batches exactly-once across restarts") {
     val landing = tmpDir("as-")
     val tableRoot = tmpDir("as-t-") + "/t"
