@@ -157,6 +157,9 @@ object JobSpec {
         else Nil, envs(n))
       case "TableVacuum" => TableVacuum(
         name, str(n, "tableURI"), optInt(n, "retainVersions").getOrElse(2), envs(n))
+      case "TableRestore" => TableRestore(
+        name, str(n, "tableURI"),
+        n.get("versionAsOf").asLong(), envs(n))
       case "SQLExecute" | "JDBCExecute" =>
         // the reference's JDBCExecute carries the SQL in a file (`inputURI`,
         // scd2-job.ipynb:381) rather than inline; `jdbcURL` is accepted and

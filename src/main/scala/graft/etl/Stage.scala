@@ -355,6 +355,20 @@ final case class TableVacuum(
   }
 }
 
+/** RESTORE a versioned table to an earlier version as a new head (Delta
+  * `RESTORE TABLE ... TO VERSION AS OF` parity) — manifest-only, no data
+  * copied; see [[graft.table.VersionedTable.restore]]. */
+final case class TableRestore(
+    name: String,
+    tableURI: String,
+    versionAsOf: Long,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    VersionedTable(sub(tableURI, env)).restore(versionAsOf)
+    None
+  }
+}
+
 /** Execute DDL/side-effecting SQL against the session catalog (the reference's
   * `JDBCExecute` runs DDL on an external endpoint, scd2-job.ipynb:373-384; in
   * a self-contained engine the catalog IS the session catalog). */

@@ -77,6 +77,23 @@ object MediaDecode {
     }
   }
 
+  /** Frame sampling: one output row per sampled frame (doc, frame index,
+    * frame bytes) — the video-ingest shape where a clip becomes N training
+    * rows. Same per-partition batch path as [[decodeFeatures]]; the stub
+    * "keyframes" are fixed-stride byte windows (FakeCodec.sampleFrames), a
+    * real decoder would seek + decode at the stride. Output grows by the
+    * frame/stride ratio, still shuffle-free (pure flatMap over the scan). */
+  def frameSample(payloads: Dataset[(Long, Array[Byte])], stride: Int = 64,
+      frame: Int = 16): Dataset[(Long, Int, Array[Byte])] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { rows =>
+      rows.flatMap { case (id, bytes) =>
+        FakeCodec.sampleFrames(bytes, stride, frame).iterator.zipWithIndex
+          .map { case (f, i) => (id, i, f) }
+      }
+    }
+  }
+
   /** Column-level path: attach payload + metadata struct to any DataFrame —
     * the storage schema for multimodal tables (payload stays opaque binary;
     * metadata is queryable without touching bytes). */

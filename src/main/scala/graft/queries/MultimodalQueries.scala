@@ -90,5 +90,33 @@ object MultimodalQueries {
         |    AS checksum
         |FROM documents""".stripMargin))
 
-  val all: Seq[Q] = Seq(m1BinaryMeta, m2DecodeFeatures, m3Resize)
+  /** m4: frame sampling through the gate — each payload explodes into one
+    * row per sampled "keyframe" ([[graft.multimodal.MediaDecode.frameSample]],
+    * 16-byte windows every 64 bytes via the mapPartitions batch-codec path).
+    * The oracle rebuilds the windows with substring arithmetic and compares
+    * frame count, per-frame length, and md5 of the frame bytes — byte-exact
+    * end to end (ASCII corpus, as in m2/m3). */
+  val m4FrameSample: Q = Q(
+    "m4_frame_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, length => blen, md5}
+      val payloads = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary"))
+        .as[(Long, Array[Byte])]
+      graft.multimodal.MediaDecode.frameSample(payloads, stride = 64, frame = 16)
+        .toDF("doc_id", "frame_idx", "frame")
+        .select(col("doc_id"), col("frame_idx"),
+          blen(col("frame")).as("n_bytes"), md5(col("frame")).as("checksum"))
+    },
+    Some(
+      // bounded series + filter (same pattern as t8): max text length in the
+      // testdata is 577 chars = 10 frames, far under the 100-frame bound
+      """SELECT doc_id, i - 1 AS frame_idx,
+        |  CAST(least(16, length(text) - (i - 1) * 64) AS INT) AS n_bytes,
+        |  md5(substring(text, (i - 1) * 64 + 1, 16)) AS checksum
+        |FROM documents, generate_series(1, 100) g(i)
+        |WHERE i <= (length(text) + 63) // 64""".stripMargin))
+
+  val all: Seq[Q] = Seq(m1BinaryMeta, m2DecodeFeatures, m3Resize, m4FrameSample)
 }

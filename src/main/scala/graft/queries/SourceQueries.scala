@@ -264,7 +264,34 @@ object SourceQueries {
         |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin))
 
+  /** q76: RESTORE + DESCRIBE HISTORY parity — commit the full snapshot (v0),
+    * copy-on-write delete a slice (v1), then restore v0 as a new head (v2,
+    * manifest-only: zero data copied because data files are immutable, and
+    * v1 stays time-travelable). The read of the restored head must equal the
+    * original table exactly; history() is asserted inline (3 versions, the
+    * restored head carrying v0's file list). Runs through the declarative
+    * TableRestore stage so the JSON/notebook job surface is exercised too. */
+  val q76Restore: Q = Q(
+    "q76_restore",
+    (spark, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-restore-").toString + "/t"
+      val t = graft.table.VersionedTable(root)
+      val orders = Tables.table(spark, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      t.commit(orders)                        // v0: full snapshot
+      t.delete(spark, "o_orderstatus = 'F'")  // v1: COW delete of a slice
+      JobSpec(Seq(TableRestore("back to v0", root, versionAsOf = 0L)))
+        .run(spark, Map.empty)                // v2: manifest-level rollback
+      val h = t.history(spark).collect()
+      require(h.length == 3, s"expected 3 history rows, got ${h.length}")
+      require(h.head.getLong(0) == 0L && h.last.getLong(0) == 2L)
+      require(h.head.getInt(1) == h.last.getInt(1),
+        "restored head must carry v0's file list")
+      t.read(spark)
+    },
+    Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
-    q70XmlRoundtrip)
+    q70XmlRoundtrip, q76Restore)
 }

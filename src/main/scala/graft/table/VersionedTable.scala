@@ -749,6 +749,34 @@ final class VersionedTable(val root: String) {
     }
   }
 
+  /** DESCRIBE HISTORY parity: one row per retained version — version number,
+    * file count, the idempotent-writer txn stamp if the commit carried one,
+    * and the manifest's modification time (commit wall-clock, best effort).
+    * Reads only the manifests: O(retained versions), no data I/O. */
+  def history(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    versions().map { v =>
+      val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+      val nFiles = node.get("files").size()
+      val txnApp = if (node.has("txnApp")) Some(node.get("txnApp").asText()) else None
+      val txnVersion = if (node.has("txnVersion")) Some(node.get("txnVersion").asLong()) else None
+      val ts = new java.sql.Timestamp(Files.getLastModifiedTime(manifestPath(v)).toMillis)
+      (v, nFiles, txnApp, txnVersion, ts)
+    }.toDF("version", "n_files", "txn_app", "txn_version", "committed_at")
+  }
+
+  /** RESTORE parity: republish `versionAsOf`'s file list (and schema/stats)
+    * as a NEW head version — a manifest-level operation, zero data copied,
+    * because data files are immutable; the rolled-back-over versions stay
+    * time-travelable until vacuumed. Blind-overwrite intent, so a racing
+    * commit is resolved by retry at the new head like [[commit]]. */
+  def restore(versionAsOf: Long): Long = {
+    val v = resolve(None, Some(versionAsOf))
+    val schemaJson = schemaOf(v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no recorded schema"))
+    retryPublish(publish(filesOf(v), schemaJson, statsOf(v), None, _))
+  }
+
   /** Vacuum: physically delete data files not referenced by the newest
     * `retainVersions` manifests, and drop the older manifests. Time travel
     * before the retention window stops working (as with any lakehouse

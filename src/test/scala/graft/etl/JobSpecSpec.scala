@@ -42,6 +42,13 @@ class JobSpecSpec extends AnyFunSuite with SparkSpec {
     assert(spec.stages(5).asInstanceOf[TableExtract].relativeVersion === Some(-1))
   }
 
+  test("TableRestore parses from JSON") {
+    val spec = JobSpec.fromJson(
+      """{"stages": [{"type": "TableRestore", "name": "rb",
+        |  "tableURI": "/tmp/t", "versionAsOf": 3}]}""".stripMargin)
+    assert(spec.stages === Seq(TableRestore("rb", "/tmp/t", 3L)))
+  }
+
   test("XmlExtract and FileLoad writer options parse and roundtrip") {
     val loc = tmpDir("xml-")
     Seq((1L, "alpha"), (2L, "beta")).toDF("id", "v")

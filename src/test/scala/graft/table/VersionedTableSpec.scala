@@ -494,4 +494,25 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     val out = t.read(spark)
     assert(out.count() === 0 && out.columns.toSeq === Seq("id", "v"))
   }
+
+  test("restore republishes an old version and its files survive vacuum") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    val full = Set((1L, "a"), (2L, "b"), (3L, "c"))
+    t.commit(full.toSeq.toDF("id", "v"))
+    t.delete(spark, "id = 2")
+    assert(t.read(spark).count() === 2)
+    assert(t.restore(0L) === 2L)
+    assert(t.read(spark).as[(Long, String)].collect().toSet === full)
+    // the rolled-back-over delete stays time-travelable
+    assert(t.read(spark, versionAsOf = Some(1L)).count() === 2)
+    // restore is manifest-only: the head references v0's files, so vacuum
+    // retaining just the head must keep them (no data was copied)
+    t.vacuum(retainVersions = 1)
+    assert(t.read(spark).as[(Long, String)].collect().toSet === full)
+    assert(t.history(spark).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // restoring a vacuumed version is refused with the real story
+    val e = intercept[IllegalArgumentException](t.restore(0L))
+    assert(e.getMessage.contains("not committed"))
+  }
 }
