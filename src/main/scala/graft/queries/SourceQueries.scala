@@ -291,7 +291,33 @@ object SourceQueries {
     },
     Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"))
 
+  /** q77: change data feed — commit the snapshot (v0), copy-on-write delete
+    * the F orders (v1), copy-on-write update the O orders (v2), then ask the
+    * table what changed between v0 and v2: the F rows as deletes plus each
+    * updated O row as its delete+insert pair. The oracle reconstructs the
+    * same diff from the raw data. `+ 1` on a double is IEEE-exact in both
+    * engines at these magnitudes, so the hash compare holds bit-for-bit. */
+  val q77ChangeFeed: Q = Q(
+    "q77_change_feed",
+    (spark, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-cdf-").toString + "/t"
+      val t = graft.table.VersionedTable(root)
+      t.commit(Tables.table(spark, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+      t.delete(spark, "o_orderstatus = 'F'")
+      t.update(spark, "o_orderstatus = 'O'",
+        Map("o_totalprice" -> "o_totalprice + 1"))
+      t.changes(spark, 0L, 2L)
+    },
+    Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete' AS _change_type
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(o_totalprice + 1 AS DOUBLE), 'insert'
+        |FROM orders WHERE o_orderstatus = 'O'""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
-    q70XmlRoundtrip, q76Restore)
+    q70XmlRoundtrip, q76Restore, q77ChangeFeed)
 }

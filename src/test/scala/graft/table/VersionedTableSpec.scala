@@ -495,6 +495,28 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() === 0 && out.columns.toSeq === Seq("id", "v"))
   }
 
+  test("changes() diffs versions with bag semantics across schema evolution") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    // v0 carries a duplicate row — multiplicity must survive the diff
+    t.commit(Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.delete(spark, "id = 2") // v1
+    val d01 = t.changes(spark, 0L, 1L)
+      .select("id", "v", "_change_type").as[(Long, String, String)].collect().toSeq
+    assert(d01 === Seq((2L, "b", "delete"))) // the (1,a) pair is unchanged
+    // additive evolution: v2 appends a row with a NEW column
+    t.append(Seq((3L, "c", true)).toDF("id", "v", "flag"))
+    val d02 = t.changes(spark, 0L, 2L)
+      .select("id", "v", "flag", "_change_type")
+      .as[(Long, String, Option[Boolean], String)].collect().toSet
+    assert(d02 === Set((2L, "b", None, "delete"), (3L, "c", Some(true), "insert")))
+    // dropping ONE copy of the duplicate shows exactly one delete
+    t.delete(spark, "id = 99") // no-op keeps version numbering obvious
+    val d10 = t.changes(spark, 1L, 0L)
+      .select("id", "v", "_change_type").as[(Long, String, String)].collect().toSeq
+    assert(d10 === Seq((2L, "b", "insert"))) // reverse diff flips the sign
+  }
+
   test("restore republishes an old version and its files survive vacuum") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
