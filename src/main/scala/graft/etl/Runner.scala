@@ -29,7 +29,11 @@ final case class JobDef(name: String, spec: JobSpec, dependsOn: Seq[String] = Ni
     retries: Int = 0, retryIntervalMs: Long = 10000L,
     /** Job-scoped variables (a notebook job's `%env` declarations); the
       * workflow/caller env wins on conflict. */
-    env: Map[String, String] = Map.empty)
+    env: Map[String, String] = Map.empty,
+    /** Per-job session conf overrides (O4 — the reference's per-task
+      * `sparkConf: --conf k=v`, scd2-job-scheduler.yaml:63-64), applied for
+      * the job's duration and restored afterwards. */
+    sparkConf: Map[String, String] = Map.empty)
 
 object Runner {
 
@@ -57,16 +61,25 @@ object Runner {
     jobs.foreach(j => visit(j.name))
     order.foreach { n =>
       val job = byName(n)
-      var attempt = 0
-      var done = false
-      while (!done) {
-        attempt += 1
-        onAttempt(n, attempt)
-        try { job.spec.run(spark, job.env ++ env, environment); done = true }
-        catch { case e: Exception =>
-          if (attempt > job.retries) throw e
-          if (job.retryIntervalMs > 0) Thread.sleep(job.retryIntervalMs)
+      // O4 scoping: the override must not leak into later jobs (Argo scopes
+      // it to the pod; in-process we save and restore around the job)
+      val prevConf = job.sparkConf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      job.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        var attempt = 0
+        var done = false
+        while (!done) {
+          attempt += 1
+          onAttempt(n, attempt)
+          try { job.spec.run(spark, job.env ++ env, environment); done = true }
+          catch { case e: Exception =>
+            if (attempt > job.retries) throw e
+            if (job.retryIntervalMs > 0) Thread.sleep(job.retryIntervalMs)
+          }
         }
+      } finally prevConf.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
     order.toSeq
@@ -113,6 +126,16 @@ object Runner {
                   env: Map[String, String] = Map.empty,
                   environment: String = "production"): Seq[String] = {
     val (jobs, params) = fromJson(json, env)
+    run(spark, jobs, params ++ env, environment)
+  }
+
+  /** Run an Argo Workflow YAML (entry point B — the reference's scheduler
+    * format, parsed by [[ArgoWorkflow]]) end to end. */
+  def runArgo(spark: SparkSession, path: String,
+              env: Map[String, String] = Map.empty,
+              environment: String = "production",
+              uriRewrite: String => String = identity): Seq[String] = {
+    val (jobs, params) = ArgoWorkflow.fromFile(path, env, uriRewrite)
     run(spark, jobs, params ++ env, environment)
   }
 }
