@@ -38,6 +38,8 @@ object ArgoWorkflow {
     require(root.path("kind").asText() == "Workflow",
       s"not an Argo Workflow document (kind=${root.path("kind").asText()})")
     val spec = root.get("spec")
+    require(spec != null && spec.isObject, "Workflow document has no spec")
+    require(spec.path("templates").isArray, "Workflow spec has no templates list")
     val params = paramMap(spec.path("arguments"))
     val resolved = params ++ env
     def hb(s: String): String = Handlebar.replaceAllIn(s, m =>
@@ -66,9 +68,11 @@ object ArgoWorkflow {
         if (t.has("dependencies"))
           t.get("dependencies").elements().asScala.map(_.asText()).toSeq
         else Nil
-      // CLI parameters override notebook %env defaults, as the reference's
-      // spliced --ETL_CONF_* args do
-      JobDef(taskName, jobSpec, deps, env = nbEnv ++ cliEnv, sparkConf = sparkConf)
+      // precedence: notebook %env are job-scoped DEFAULTS (workflow/caller
+      // env beats them via JobDef.env), but the spliced CLI args are the
+      // container's literal command line and beat everything (envOverride)
+      JobDef(taskName, jobSpec, deps, env = nbEnv, envOverride = cliEnv,
+        sparkConf = sparkConf)
     }.toSeq
     (jobs, params)
   }
@@ -80,9 +84,12 @@ object ArgoWorkflow {
         .map(p => p.get("name").asText() -> p.path("value").asText()).toMap
     else Map.empty
 
-  /** `--ETL_CONF_A=x --ETL_CONF_B=y` → Map(ETL_CONF_A -> x, …). */
+  /** `--ETL_CONF_A=x --ETL_CONF_B=y` → Map(ETL_CONF_A -> x, …). Splitting
+    * only at whitespace that precedes the next `--` keeps values containing
+    * spaces intact (reference values are SQL fragments/timestamps, e.g. the
+    * notebook's `current_timestamp()` or `2024-01-01 00:00:00`). */
   private def parseCli(s: String, task: String): Map[String, String] =
-    s.trim.split("\\s+").iterator.filter(_.nonEmpty).map { tok =>
+    s.trim.split("\\s+(?=--)").iterator.filter(_.nonEmpty).map { tok =>
       require(tok.startsWith("--") && tok.indexOf('=') > 2,
         s"task '$task': bad CLI parameter '$tok' (expected --KEY=value)")
       val kv = tok.drop(2)
@@ -90,15 +97,14 @@ object ArgoWorkflow {
       kv.substring(0, i) -> kv.substring(i + 1)
     }.toMap
 
-  /** `--conf k=v --conf k2=v2` → Map(k -> v, …). */
+  /** `--conf k=v --conf k2=v2` → Map(k -> v, …); values may contain spaces
+    * (split only ahead of the next `--`, as in [[parseCli]]). */
   private def parseConf(s: String, task: String): Map[String, String] =
-    s.trim.split("\\s+").filter(_.nonEmpty).grouped(2).map {
-      case Array("--conf", kv) if kv.indexOf('=') > 0 =>
-        val i = kv.indexOf('=')
-        kv.substring(0, i) -> kv.substring(i + 1)
-      case other =>
-        throw new IllegalArgumentException(
-          s"task '$task': bad sparkConf fragment '${other.mkString(" ")}' " +
-            "(expected --conf key=value pairs)")
+    s.trim.split("\\s+(?=--)").iterator.filter(_.nonEmpty).map { frag =>
+      val kv = frag.stripPrefix("--conf").trim
+      val i = kv.indexOf('=')
+      require(frag.startsWith("--conf") && i > 0,
+        s"task '$task': bad sparkConf fragment '$frag' (expected --conf key=value)")
+      kv.substring(0, i) -> kv.substring(i + 1)
     }.toMap
 }

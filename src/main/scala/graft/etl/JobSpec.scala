@@ -69,6 +69,15 @@ object JobSpec {
     if (n.has(k) && !n.get(k).isNull) Some(n.get(k).asText()) else None
   private def optInt(n: JsonNode, k: String): Option[Int] =
     if (n.has(k) && !n.get(k).isNull) Some(n.get(k).asInt()) else None
+  private def longKey(n: JsonNode, k: String): Long = {
+    require(n.has(k), s"stage missing required key '$k': $n")
+    val v = n.get(k)
+    // Jackson's asLong() turns non-numeric text into a silent 0 — for a
+    // version number that would mean "restore v0", a maximal rollback from a
+    // typo; insist on an actual number
+    require(v.canConvertToLong, s"stage key '$k' must be an integer, got: $v")
+    v.asLong()
+  }
   private def envs(n: JsonNode): Seq[String] =
     if (n.has("environments")) n.get("environments").elements().asScala.map(_.asText()).toSeq
     else Nil
@@ -158,8 +167,7 @@ object JobSpec {
       case "TableVacuum" => TableVacuum(
         name, str(n, "tableURI"), optInt(n, "retainVersions").getOrElse(2), envs(n))
       case "TableRestore" => TableRestore(
-        name, str(n, "tableURI"),
-        n.get("versionAsOf").asLong(), envs(n))
+        name, str(n, "tableURI"), longKey(n, "versionAsOf"), envs(n))
       case "SQLExecute" | "JDBCExecute" =>
         // the reference's JDBCExecute carries the SQL in a file (`inputURI`,
         // scd2-job.ipynb:381) rather than inline; `jdbcURL` is accepted and

@@ -33,7 +33,12 @@ final case class JobDef(name: String, spec: JobSpec, dependsOn: Seq[String] = Ni
     /** Per-job session conf overrides (O4 — the reference's per-task
       * `sparkConf: --conf k=v`, scd2-job-scheduler.yaml:63-64), applied for
       * the job's duration and restored afterwards. */
-    sparkConf: Map[String, String] = Map.empty)
+    sparkConf: Map[String, String] = Map.empty,
+    /** Variables that beat even the workflow/caller env — an Argo task's
+      * spliced `--ETL_CONF_*` CLI args are the container's literal command
+      * line and always win over workflow-level defaults, unlike `env`
+      * (notebook `%env` defaults, which the workflow env overrides). */
+    envOverride: Map[String, String] = Map.empty)
 
 object Runner {
 
@@ -61,25 +66,13 @@ object Runner {
     jobs.foreach(j => visit(j.name))
     order.foreach { n =>
       val job = byName(n)
-      // O4 scoping: the override must not leak into later jobs (Argo scopes
-      // it to the pod; in-process we save and restore around the job)
-      val prevConf = job.sparkConf.keys.map(k => k -> spark.conf.getOption(k)).toMap
-      job.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
-      try {
+      withScopedConf(spark, job.sparkConf) {
         var attempt = 0
-        var done = false
-        while (!done) {
+        runWithRetries(job.retries, job.retryIntervalMs) {
           attempt += 1
           onAttempt(n, attempt)
-          try { job.spec.run(spark, job.env ++ env, environment); done = true }
-          catch { case e: Exception =>
-            if (attempt > job.retries) throw e
-            if (job.retryIntervalMs > 0) Thread.sleep(job.retryIntervalMs)
-          }
+          job.spec.run(spark, job.env ++ env ++ job.envOverride, environment)
         }
-      } finally prevConf.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
       }
     }
     order.toSeq
@@ -127,6 +120,42 @@ object Runner {
                   environment: String = "production"): Seq[String] = {
     val (jobs, params) = fromJson(json, env)
     run(spark, jobs, params ++ env, environment)
+  }
+
+  /** Apply session conf overrides for `body`'s duration, restoring the prior
+    * values afterwards even on failure (O4 scoping — the isolation the pod
+    * boundary provides on a cluster). Keys a running session cannot modify
+    * (static SQL confs, cluster-manager settings — routine in scheduler
+    * documents written for a real cluster) are skipped, not fatal. */
+  private[etl] def withScopedConf[A](spark: SparkSession,
+      conf: Map[String, String])(body: => A): A = {
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      conf.foreach { case (k, v) =>
+        try spark.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+      body
+    } finally prev.foreach {
+      case (k, Some(v)) => try spark.conf.set(k, v) catch { case _: Exception => () }
+      case (k, None) => try spark.conf.unset(k) catch { case _: Exception => () }
+    }
+  }
+
+  /** Re-run `body` up to `retries` extra times on failure with a fixed
+    * backoff (the reference's OnFailure restartPolicy,
+    * native-spark-job-scheduler.yaml:31-36). */
+  private[etl] def runWithRetries(retries: Int, intervalMs: Long)(body: => Unit): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      try { body; done = true }
+      catch { case e: Exception =>
+        if (attempt > retries) throw e
+        if (intervalMs > 0) Thread.sleep(intervalMs)
+      }
+    }
   }
 
   /** Run an Argo Workflow YAML (entry point B — the reference's scheduler

@@ -86,34 +86,18 @@ object SparkApp {
   }
 
   /** Execute: dispatch `mainFile` against `registry`, with the document's
-    * sparkConf applied for the duration (restored after, even on failure)
-    * and the OnFailure restart policy honored. */
+    * sparkConf applied for the duration (restored after, even on failure;
+    * cluster-only confs skipped) and the OnFailure restart policy honored —
+    * both via [[Runner]]'s shared scoped-conf/retry mechanics. */
   def run(spark: SparkSession, app: NativeApp,
           registry: Map[String, (SparkSession, Seq[String]) => Unit]): Unit = {
     val main = registry.getOrElse(app.mainFile, throw new IllegalArgumentException(
       s"no native job registered for '${app.mainFile}' " +
         s"(registry has: ${registry.keys.mkString(", ")})"))
-    val prev = app.sparkConf.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    app.sparkConf.foreach { case (k, v) =>
-      // cluster-manager confs (k8s allocation, s3a impls) are not settable
-      // on a running local session — skip them, keep the runtime-settable ones
-      try spark.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    try {
-      var attempt = 0
-      var done = false
-      while (!done) {
-        attempt += 1
-        try { main(spark, app.arguments); done = true }
-        catch { case e: Exception =>
-          if (attempt > app.retries) throw e
-          if (app.retryIntervalMs > 0) Thread.sleep(app.retryIntervalMs)
-        }
+    Runner.withScopedConf(spark, app.sparkConf) {
+      Runner.runWithRetries(app.retries, app.retryIntervalMs) {
+        main(spark, app.arguments)
       }
-    } finally prev.foreach {
-      case (k, Some(v)) => try spark.conf.set(k, v) catch { case _: Exception => () }
-      case (k, None) => try spark.conf.unset(k) catch { case _: Exception => () }
     }
   }
 }

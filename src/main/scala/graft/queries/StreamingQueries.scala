@@ -243,7 +243,9 @@ object StreamingQueries {
           .coalesce(1).write.mode("append").parquet(landing)
         val q = graft.streaming.StreamingEtl.cdcUpsertStream(spark, landing,
           ev.schema, tableRoot, "user_id", Seq("ts", "event_id"), ckpt)
-        q.awaitTermination(300000)
+        // a timed-out batch must fail loudly here — proceeding would read a
+        // partially-updated table and report a confusing oracle mismatch
+        require(q.awaitTermination(300000), s"CDC batch $i timed out")
       }
       graft.table.VersionedTable(tableRoot).read(spark)
         .select($"user_id", $"ts".as("last_ts"),

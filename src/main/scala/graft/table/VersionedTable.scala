@@ -781,11 +781,14 @@ final class VersionedTable(val root: String) {
     val from = read(spark, versionAsOf = Some(fromVersion))
     val to = read(spark, versionAsOf = Some(toVersion))
     val cols = (from.columns ++ to.columns.filterNot(from.columns.contains)).toSeq
+    // a column may exist on either side only (additive evolution diffed in
+    // either direction) — type the null fill from whichever side has it
+    val typeOf = (from.schema.fields ++ to.schema.fields).map(f => f.name -> f.dataType).toMap
     def aligned(df: DataFrame): DataFrame = {
       val have = df.columns.toSet
       df.select(cols.map(c =>
         if (have(c)) col(c)
-        else lit(null).cast(to.schema(c).dataType).as(c)): _*)
+        else lit(null).cast(typeOf(c)).as(c)): _*)
     }
     val a = aligned(from); val b = aligned(to)
     b.exceptAll(a).withColumn("_change_type", lit("insert"))

@@ -24,10 +24,12 @@ class ArgoWorkflowSpec extends AnyFunSuite with SparkSpec {
     // fan-in: SCD2-merge after both loads (scd2-job-scheduler.yaml:47-48)
     assert(jobs(0).dependsOn === Nil && jobs(1).dependsOn === Nil)
     assert(jobs(2).dependsOn === Seq("initial-load", "delta-load"))
-    // O3: the workflow parameter lands in every task's CLI env splice
+    // O3: the workflow parameter lands in every task's CLI splice — which
+    // rides in envOverride, beating workflow-level env like Argo's rendered
+    // container command line does
     jobs.foreach(j =>
-      assert(j.env("ETL_CONF_DATALAKE_LOC") === "cfn_value", j.name))
-    // the notebook's %env defaults ride along under the CLI splices
+      assert(j.envOverride("ETL_CONF_DATALAKE_LOC") === "cfn_value", j.name))
+    // the notebook's %env declarations stay job-scoped DEFAULTS
     jobs.foreach(j =>
       assert(j.env("ETL_CONF_CURRENT_TIMESTAMP") === "current_timestamp()", j.name))
     // O4: only the merge task carries the sparkConf override
@@ -43,7 +45,7 @@ class ArgoWorkflowSpec extends AnyFunSuite with SparkSpec {
     val dir = tmpDir("argo-")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.json"),
       """{"stages": [{"type": "SQLTransform", "name": "mk",
-        |  "sql": "SELECT '${ETL_CONF_MARK}' AS mark",
+        |  "sql": "SELECT '${ETL_CONF_MARK}' AS mark, '${ETL_CONF_TS}' AS ts",
         |  "outputView": "argo_a"}]}""".stripMargin.getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.json"),
       """{"stages": [{"type": "SQLTransform", "name": "conf",
@@ -58,6 +60,8 @@ class ArgoWorkflowSpec extends AnyFunSuite with SparkSpec {
          |    parameters:
          |    - name: lake
          |      value: "$dir"
+         |    - name: ETL_CONF_MARK
+         |      value: "workflow-default-must-lose"
          |  templates:
          |  - name: p
          |    dag:
@@ -68,7 +72,7 @@ class ArgoWorkflowSpec extends AnyFunSuite with SparkSpec {
          |            - name: configUri
          |              value: "{{workflow.parameters.lake}}/a.json"
          |            - name: parameters
-         |              value: "--ETL_CONF_MARK=from-{{workflow.parameters.lake}}"
+         |              value: "--ETL_CONF_MARK=from-task --ETL_CONF_TS=2024-01-01 00:00:00"
          |        - name: second
          |          dependencies: [first]
          |          arguments:
@@ -76,15 +80,19 @@ class ArgoWorkflowSpec extends AnyFunSuite with SparkSpec {
          |            - name: configUri
          |              value: "{{workflow.parameters.lake}}/b.json"
          |            - name: sparkConf
-         |              value: "--conf graft.test.flag=on"
+         |              value: "--conf graft.test.flag=on --conf spark.sql.extensions=com.example.NotSettable"
          |""".stripMargin
     val yamlPath = s"$dir/wf.yaml"
     java.nio.file.Files.write(java.nio.file.Paths.get(yamlPath), yaml.getBytes("UTF-8"))
     val order = Runner.runArgo(spark, yamlPath)
     assert(order === Seq("first", "second"))
-    // the CLI splice reached the first job's SQL
-    assert(spark.table("argo_a").as[String].collect().toSeq === Seq(s"from-$dir"))
-    // the conf override was visible DURING the second job (SET reads it)...
+    // the task's CLI splice beats the workflow-level parameter (Argo
+    // precedence: the rendered command line wins), and a value containing
+    // a space survives CLI parsing intact
+    val row = spark.table("argo_a").as[(String, String)].collect().head
+    assert(row === ("from-task", "2024-01-01 00:00:00"))
+    // the conf override was visible DURING the second job (SET reads it),
+    // while the non-settable static conf was skipped rather than fatal...
     val flag = spark.table("argo_b").collect().head
     assert(flag.getString(0) === "graft.test.flag" && flag.getString(1) === "on")
     // ...and is restored (unset) after the workflow

@@ -47,6 +47,15 @@ class JobSpecSpec extends AnyFunSuite with SparkSpec {
       """{"stages": [{"type": "TableRestore", "name": "rb",
         |  "tableURI": "/tmp/t", "versionAsOf": 3}]}""".stripMargin)
     assert(spec.stages === Seq(TableRestore("rb", "/tmp/t", 3L)))
+    // a forgotten or non-numeric versionAsOf must fail at parse time — the
+    // silent Jackson default would be 0, i.e. a maximal rollback from a typo
+    val missing = intercept[IllegalArgumentException](JobSpec.fromJson(
+      """{"stages": [{"type": "TableRestore", "name": "rb", "tableURI": "/t"}]}"""))
+    assert(missing.getMessage.contains("versionAsOf"))
+    val bogus = intercept[IllegalArgumentException](JobSpec.fromJson(
+      """{"stages": [{"type": "TableRestore", "name": "rb",
+        |  "tableURI": "/t", "versionAsOf": "latest"}]}""".stripMargin))
+    assert(bogus.getMessage.contains("must be an integer"))
   }
 
   test("XmlExtract and FileLoad writer options parse and roundtrip") {

@@ -515,6 +515,12 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     val d10 = t.changes(spark, 1L, 0L)
       .select("id", "v", "_change_type").as[(Long, String, String)].collect().toSeq
     assert(d10 === Seq((2L, "b", "insert"))) // reverse diff flips the sign
+    // reverse diff ACROSS the evolution: the evolved-only column must type
+    // from the side that has it (the to-side schema lacks `flag` here)
+    val d20 = t.changes(spark, 2L, 0L)
+      .select("id", "v", "flag", "_change_type")
+      .as[(Long, String, Option[Boolean], String)].collect().toSet
+    assert(d20 === Set((2L, "b", None, "insert"), (3L, "c", Some(true), "delete")))
   }
 
   test("restore republishes an old version and its files survive vacuum") {
