@@ -119,6 +119,9 @@ object JobSpec {
         optStr(n, "failMode").getOrElse("permissive"), envs(n))
       case "SQLTransform" => SQLTransform(
         name, str(n, "sql"), str(n, "outputView"), strMap(n, "sqlParams"), envs(n))
+      case "SQLAssert" | "SQLValidate" => SQLAssert(
+        name, str(n, "sql"), optStr(n, "expect").getOrElse("all_true"),
+        strMap(n, "sqlParams"), envs(n))
       case "DeltaLakeLoad" | "TableLoad" => TableLoad(
         name, str(n, "inputView"), str(n, "outputURI"), optInt(n, "numPartitions"), envs(n))
       case "DeltaLakeExtract" | "TableExtract" =>

@@ -189,6 +189,45 @@ final case class SQLTransform(
   }
 }
 
+/** Data-quality gate (the Arc-family `SQLValidate` stage shape — the
+  * reference expresses its UAT checks as plain SQLTransforms a human reads,
+  * scd2-job.ipynb:419-483; this makes the check enforcing): run `sql` and
+  * FAIL THE JOB unless the result satisfies `expect`:
+  *  - `"all_true"` (default): every row's first column is true — the
+  *    assertion-per-row style (`SELECT iscurrent = expected AS ok, id ...`);
+  *  - `"empty"`: no rows at all — the violations-query style (`SELECT * FROM
+  *    t WHERE broken`).
+  * A failure message carries up to three offending rows. Runs on the
+  * executors only to the extent of one aggregate/limit — the violation scan
+  * short-circuits via `limit(3)`, so a passing assert over a 100 TB view
+  * costs one filtered scan, not a collect. */
+final case class SQLAssert(
+    name: String,
+    sql: String,
+    expect: String = "all_true", // all_true | empty
+    sqlParams: Map[String, String] = Map.empty,
+    environments: Seq[String] = Nil) extends Stage {
+  require(expect == "all_true" || expect == "empty",
+    s"SQLAssert '$name': expect must be all_true or empty, got '$expect'")
+
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val resolved = sub(sql, env ++ sqlParams.view.mapValues(sub(_, env)).toMap)
+    val df = spark.sql(resolved)
+    val violations = expect match {
+      case "empty" => df
+      // 3VL: a NULL first column is NOT an assertion pass
+      case _ => df.filter(not(coalesce(col(df.columns.head).cast("boolean"), lit(false))))
+    }
+    val sample = violations.limit(3).collect()
+    if (sample.nonEmpty) throw new IllegalStateException(
+      s"SQLAssert '$name' failed (${if (expect == "empty") "expected no rows"
+        else "rows with first column not true"}); e.g. " +
+        sample.map(_.toString).mkString("; "))
+    None
+  }
+}
+
 /** Full-snapshot write of a view to a versioned table (reference
   * `DeltaLakeLoad`, scd2-job.ipynb:163-172; `numPartitions` knob `:168`). */
 final case class TableLoad(

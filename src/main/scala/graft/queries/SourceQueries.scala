@@ -317,7 +317,28 @@ object SourceQueries {
         |  CAST(o_totalprice + 1 AS DOUBLE), 'insert'
         |FROM orders WHERE o_orderstatus = 'O'""".stripMargin))
 
+  /** q78: incremental consumption — three append batches land in the table
+    * and a consumer that saw v0 asks for everything since: the manifest
+    * file-list diff locates exactly the two newer batches' files (zero data
+    * I/O to find them, cost ∝ new data). The batch face of a streaming-table
+    * source; the oracle recomputes the two batches from the raw data. */
+  val q78AppendsSince: Q = Q(
+    "q78_appends_since",
+    (spark, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-tail-").toString + "/t"
+      val t = graft.table.VersionedTable(root)
+      val orders = Tables.table(spark, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      t.commit(orders.filter("o_orderkey % 3 = 0"))  // v0: what the consumer saw
+      t.append(orders.filter("o_orderkey % 3 = 1"))  // v1
+      t.append(orders.filter("o_orderkey % 3 = 2"))  // v2
+      t.appendsSince(spark, 0L)
+    },
+    Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
-    q70XmlRoundtrip, q76Restore, q77ChangeFeed)
+    q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince)
 }

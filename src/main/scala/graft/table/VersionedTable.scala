@@ -765,6 +765,34 @@ final class VersionedTable(val root: String) {
     }.toDF("version", "n_files", "txn_app", "txn_version", "committed_at")
   }
 
+  /** Incremental consumption of an append-only table: the rows in data files
+    * added after `sinceVersion`, found by a manifest file-list diff — zero
+    * data I/O to locate them, cost proportional to the NEW data only (unlike
+    * [[changes]], which diffs whole snapshots). This is the batch face of a
+    * streaming-table source: a consumer remembers the last version it saw
+    * and reads forward from there. Only sound when intervening commits were
+    * appends; a rewrite (delete/update/merge/compact) re-adds surviving rows
+    * in fresh files, so this raises unless every intervening manifest grew
+    * strictly (append commits carry every prior file forward). */
+  def appendsSince(spark: SparkSession, sinceVersion: Long): DataFrame = {
+    val head = resolve()
+    val base = filesOf(resolve(None, Some(sinceVersion))).toSet
+    versions().filter(v => v > sinceVersion && v <= head).foldLeft(base) { (prev, v) =>
+      val cur = filesOf(v).toSet
+      require(prev.subsetOf(cur),
+        s"version $v of $root is not an append (it drops files of version ${v - 1}); " +
+          "use changes() for row-level diffs across rewrites")
+      cur
+    }
+    val fresh = filesOf(head).filterNot(base)
+    val schema = schemaOf(head).getOrElse(
+      throw new IllegalStateException(s"version $head of $root has no recorded schema"))
+    if (fresh.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(fresh.map(f => Paths.get(root).resolve(f).toString): _*)
+  }
+
   /** Change data feed between two committed versions (Delta CDF parity,
     * computed rather than stored): the row-level diff of the two snapshots —
     * rows only in `toVersion` are `insert`s, rows only in `fromVersion` are

@@ -42,6 +42,34 @@ class JobSpecSpec extends AnyFunSuite with SparkSpec {
     assert(spec.stages(5).asInstanceOf[TableExtract].relativeVersion === Some(-1))
   }
 
+  test("SQLAssert gates data quality in both modes with 3VL semantics") {
+    Seq((1L, true), (2L, true)).toDF("id", "ok")
+      .createOrReplaceTempView("qa_src")
+    // all_true over passing rows: job proceeds
+    JobSpec(Seq(SQLAssert("ok", "SELECT ok, id FROM qa_src")))
+      .run(spark, Map.empty)
+    // a NULL assertion column is NOT a pass (3VL), and the failure message
+    // carries sample rows
+    Seq((1L, Some(true)), (2L, None)).toDF("id", "ok")
+      .createOrReplaceTempView("qa_null")
+    val e = intercept[IllegalStateException](
+      JobSpec(Seq(SQLAssert("nulls", "SELECT ok, id FROM qa_null")))
+        .run(spark, Map.empty))
+    assert(e.getMessage.contains("nulls") && e.getMessage.contains("2"))
+    // violations-query style: empty passes, rows fail
+    JobSpec(Seq(SQLAssert("none", "SELECT * FROM qa_src WHERE id > 99",
+      expect = "empty"))).run(spark, Map.empty)
+    val v = intercept[IllegalStateException](
+      JobSpec(Seq(SQLAssert("viol", "SELECT * FROM qa_src WHERE id = 2",
+        expect = "empty"))).run(spark, Map.empty))
+    assert(v.getMessage.contains("expected no rows"))
+    // parses from JSON under both the graft and Arc stage names
+    val spec = JobSpec.fromJson(
+      """{"stages": [{"type": "SQLValidate", "name": "q",
+        |  "sql": "SELECT true AS ok", "expect": "all_true"}]}""".stripMargin)
+    assert(spec.stages === Seq(SQLAssert("q", "SELECT true AS ok")))
+  }
+
   test("TableRestore parses from JSON") {
     val spec = JobSpec.fromJson(
       """{"stages": [{"type": "TableRestore", "name": "rb",

@@ -523,6 +523,24 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(d20 === Set((2L, "b", None, "insert"), (3L, "c", Some(true), "delete")))
   }
 
+  test("appendsSince reads only post-version files and refuses rewrites") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.appendsSince(spark, 0L).as[(Long, String)].collect().toSet
+      === Set((2L, "b"), (3L, "c")))
+    assert(t.appendsSince(spark, 1L).as[(Long, String)].collect().toSet
+      === Set((3L, "c")))
+    val none = t.appendsSince(spark, 2L)
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id", "v"))
+    // a rewrite breaks the append-only premise — the consumer must be told
+    t.delete(spark, "id = 2")
+    val e = intercept[IllegalArgumentException](t.appendsSince(spark, 0L))
+    assert(e.getMessage.contains("not an append"))
+  }
+
   test("restore republishes an old version and its files survive vacuum") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
