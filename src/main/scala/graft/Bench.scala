@@ -70,10 +70,15 @@ object Bench {
         name -> (if (t2 >= 0) math.min(t, t2) else t)
       } else name -> t
     }
-    val qs = results.map { case (k, v) => Verify.jsonQuote(k) + ":" + v }
+    // millisecond precision keeps the single JSON line compact enough to
+    // survive the driver's bounded output-tail capture (a full-precision
+    // double per query pushed past it and the line arrived truncated)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => Verify.jsonQuote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Verify.jsonQuote(sfDir)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${Verify.jsonQuote(sfDir)}}""")
     spark.stop()
   }
 }
