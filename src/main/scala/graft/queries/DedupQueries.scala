@@ -394,6 +394,64 @@ object DedupQueries {
         |         i -> a.sig[i] = b.sig[i]), m -> m)) AS DOUBLE) / 16 AS est_sim
         |FROM sigs a JOIN sigs b ON a.source < b.source""".stripMargin))
 
+  /** d8: cross-document passage dedup — the corpus-level boilerplate-removal
+    * pass of an LLM data pipeline: chunk every document into fixed 4-word
+    * passages, keep each distinct passage only in its lowest-doc_id
+    * occurrence, drop it everywhere else, and reassemble the surviving text
+    * in original order.
+    *
+    * Scale design: passages are cut by SLICING the split array per row
+    * (codegen'd, order-safe — no per-word explode of the corpus), so the
+    * only shuffles are (1) the hash partition on the passage string for the
+    * min-owner window and (2) the reassembly aggregation keyed on doc_id.
+    * Both are linear in passage count; nothing is quadratic and no driver
+    * state exists. At 100 TB the passage column would be dictionary-heavy —
+    * hashing a 64-bit fingerprint of the passage instead of the string
+    * halves the shuffle bytes (t4's rolling hash does exactly that), kept as
+    * the plain string here so the oracle is byte-identical. */
+  val d8PassageDedup: Q = Q.dualSql("d8_passage_dedup",
+    sparkSql =
+      """WITH passages AS (
+        |  SELECT doc_id, pid,
+        |    array_join(slice(split(text, ' '), pid * 4 + 1, 4), ' ') AS passage
+        |  FROM documents
+        |  LATERAL VIEW explode(sequence(0,
+        |    CAST((size(split(text, ' ')) - 1) / 4 AS INT))) s AS pid
+        |),
+        |marked AS (
+        |  SELECT doc_id, pid, passage,
+        |    MIN(doc_id) OVER (PARTITION BY passage) AS keeper
+        |  FROM passages
+        |)
+        |SELECT doc_id,
+        |  count(CASE WHEN doc_id = keeper THEN 1 END) AS kept,
+        |  count(CASE WHEN doc_id <> keeper THEN 1 END) AS dropped,
+        |  COALESCE(array_join(transform(array_sort(
+        |    collect_list(CASE WHEN doc_id = keeper THEN struct(pid, passage) END)),
+        |    p -> p.passage), ' '), '') AS text_clean
+        |FROM marked
+        |GROUP BY doc_id""".stripMargin,
+    duckSql =
+      """WITH passages AS (
+        |  SELECT doc_id, i - 1 AS pid,
+        |    array_to_string(list_slice(string_split(text, ' '),
+        |      (i - 1) * 4 + 1, (i - 1) * 4 + 4), ' ') AS passage
+        |  FROM documents, generate_series(1, 128) g(i)
+        |  WHERE i <= CAST(floor((len(string_split(text, ' ')) - 1) / 4) AS INT) + 1
+        |),
+        |marked AS (
+        |  SELECT doc_id, pid, passage,
+        |    MIN(doc_id) OVER (PARTITION BY passage) AS keeper
+        |  FROM passages
+        |)
+        |SELECT doc_id,
+        |  count(CASE WHEN doc_id = keeper THEN 1 END) AS kept,
+        |  count(CASE WHEN doc_id <> keeper THEN 1 END) AS dropped,
+        |  COALESCE(string_agg(CASE WHEN doc_id = keeper THEN passage END,
+        |    ' ' ORDER BY pid), '') AS text_clean
+        |FROM marked
+        |GROUP BY doc_id""".stripMargin)
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
-    d6DedupClusters, d7CollectionMinHash)
+    d6DedupClusters, d7CollectionMinHash, d8PassageDedup)
 }

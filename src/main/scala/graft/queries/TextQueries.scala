@@ -224,6 +224,37 @@ object TextQueries {
         |        / len(string_split(text, ' ')), 6) AS ttr
         |FROM documents""".stripMargin)
 
+  /** t10: token-offset packing — assign each document a (pack_id, offset)
+    * inside fixed 2048-token training sequences, packing per `source` stream
+    * in doc_id order (the deterministic sharding step of training-batch
+    * assembly). The running total is a window partitioned BY SOURCE: each
+    * stream packs independently and in parallel — a single global ORDER BY
+    * window would serialize onto one task at 100 TB, so the per-stream
+    * partitioning IS the scale design (streams are the natural unit: a pack
+    * should not mix sources anyway). */
+  val t10Packing: Q = Q.dualSql("t10_packing",
+    sparkSql =
+      """SELECT doc_id, source, n_tokens,
+        |  CAST(floor(COALESCE(SUM(n_tokens) OVER w, 0) / 2048) AS INT)
+        |    AS pack_id,
+        |  CAST(COALESCE(SUM(n_tokens) OVER w, 0) % 2048 AS INT)
+        |    AS pack_offset
+        |FROM (SELECT doc_id, source, size(split(text, ' ')) AS n_tokens
+        |      FROM documents)
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
+    duckSql =
+      """SELECT doc_id, source, n_tokens,
+        |  CAST(floor(COALESCE(SUM(n_tokens) OVER w, 0) / 2048) AS INT)
+        |    AS pack_id,
+        |  CAST(COALESCE(SUM(n_tokens) OVER w, 0) % 2048 AS INT)
+        |    AS pack_offset
+        |FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        |      FROM documents)
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin)
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
-    t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio)
+    t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
+    t10Packing)
 }

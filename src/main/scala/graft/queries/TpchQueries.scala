@@ -145,7 +145,98 @@ object TpchQueries {
       |  FROM lineitem)
       |GROUP BY l_returnflag""".stripMargin)
 
+  /** q79: important-part identification (TPC-H Q11 shape) — a scalar
+    * subquery inside HAVING, i.e. a group filter against a whole-table
+    * aggregate. The threshold comparison stays in DECIMAL on both sides
+    * (the share factor 1/5000 is applied as an integer multiply on the
+    * group sum, never as a double), so group membership is bit-exact
+    * cross-engine. At scale this is two aggregations over one scan — AQE
+    * reuses the exchange — plus a broadcast of the 1-row global sum. */
+  val q79ValueShare: Q = Q.sharedSql("q79_value_share",
+    s"""SELECT l_partkey,
+       |  CAST(sum($price * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+       |    AS part_value
+       |FROM lineitem
+       |GROUP BY l_partkey
+       |HAVING sum($price * CAST(l_quantity AS DECIMAL(12,2))) * 5000 >
+       |  (SELECT sum($price * CAST(l_quantity AS DECIMAL(12,2)))
+       |   FROM lineitem)""".stripMargin)
+
+  /** q80: customer order-count distribution (TPC-H Q13 shape) — a LEFT
+    * OUTER join whose ON clause carries a build-side filter (customers with
+    * zero matching orders must survive with count 0), re-aggregated by the
+    * count itself. Two shuffles: the outer join and the tiny second
+    * aggregation keyed on c_count. */
+  val q80Custdist: Q = Q.sharedSql("q80_custdist",
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o
+      |    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey) per_cust
+      |GROUP BY c_count""".stripMargin)
+
+  /** q81: idle rich customers (TPC-H Q22 shape) — a WHERE gated by BOTH a
+    * global-average scalar subquery and a NOT EXISTS anti join, then a
+    * segment rollup. Catalyst broadcasts the 1-row average and plans the
+    * NOT EXISTS as a left-anti hash join; the money sum follows the DECIMAL
+    * discipline. */
+  val q81IdleCustomers: Q = Q.sharedSql("q81_idle_customers",
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin)
+
+  /** q82: lagging-supplier detection (TPC-H Q21 shape) — the fact table
+    * self-joined twice under correlated EXISTS and NOT EXISTS: count line
+    * items where some OTHER supplier in the order shipped earlier and none
+    * shipped later. Both correlated subqueries decorrelate to semi/anti
+    * joins on l_orderkey — three passes over one table, shuffled once each
+    * on the same key, which AQE collapses onto a shared exchange at scale.
+    *
+    * The oracle is a provably-equivalent manual join (per-(order, supplier)
+    * min/max of the OTHER suppliers' ship dates): DuckDB 1.0 mis-decorrelates
+    * the twin correlated subqueries on the same table (24 rows where the
+    * window-function ground truth says 13.6k), so the subquery text cannot
+    * serve as its own oracle. EXISTS(earlier other) ⟺ min_other < own;
+    * NOT EXISTS(later other) ⟺ max_other <= own; rows with no other-supplier
+    * lines drop out of both forms. */
+  val q82WaitingSupplier: Q = Q.dualSql("q82_waiting_supplier",
+    sparkSql =
+      """SELECT l1.l_suppkey AS s_suppkey, count(*) AS numwait
+        |FROM lineitem l1
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey
+        |      AND l2.l_shipdate < l1.l_shipdate)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY l1.l_suppkey""".stripMargin,
+    duckSql =
+      """WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |others AS (
+        |  SELECT p.l_orderkey, p.l_suppkey,
+        |         max(b.l_shipdate) AS mx_other, min(b.l_shipdate) AS mn_other
+        |  FROM pairs p JOIN lineitem b
+        |    ON b.l_orderkey = p.l_orderkey AND b.l_suppkey <> p.l_suppkey
+        |  GROUP BY p.l_orderkey, p.l_suppkey)
+        |SELECT l1.l_suppkey AS s_suppkey, count(*) AS numwait
+        |FROM lineitem l1 JOIN others o
+        |  ON o.l_orderkey = l1.l_orderkey AND o.l_suppkey = l1.l_suppkey
+        |WHERE o.mn_other < l1.l_shipdate AND o.mx_other <= l1.l_shipdate
+        |GROUP BY l1.l_suppkey""".stripMargin)
+
   val all: Seq[Q] = Seq(q59MarketShare, q60TopSupplier, q61PartsSuppliers,
     q62SmallQtyRevenue, q63LargeVolumeCustomer, q64DisjunctiveRevenue,
-    q65OrderPriority, q66MinMaxBy)
+    q65OrderPriority, q66MinMaxBy, q79ValueShare, q80Custdist,
+    q81IdleCustomers, q82WaitingSupplier)
 }
