@@ -183,6 +183,12 @@ object JobSpec {
           s"stage $name: SQLExecute needs a non-empty 'sql' or an 'inputURI'")
         SQLExecute(name, sqlText.getOrElse(""), strMap(n, "sqlParams"), uri, envs(n))
       case "PrintSchema" => PrintSchema(name, str(n, "inputView"), envs(n))
+      case "ProfileTransform" => ProfileTransform(
+        name, str(n, "inputView"), str(n, "outputView"),
+        if (n.has("columns"))
+          n.get("columns").elements().asScala.map(_.asText()).toSeq
+        else Nil,
+        !n.has("exactNdv") || n.get("exactNdv").asBoolean(), envs(n))
       case other => throw new IllegalArgumentException(s"unknown stage type '$other'")
     }
   }

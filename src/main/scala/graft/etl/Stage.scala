@@ -442,3 +442,22 @@ final case class PrintSchema(
     None
   }
 }
+
+/** ANALYZE-style profiling stage: one-pass long-format column stats of
+  * `inputView` registered as `outputView` (see [[Profiler]]); the systematic
+  * version of the reference's `uat`-gated spot checks + `%printschema`
+  * (scd2-job.ipynb:443-444, 66-67). Pairs with SQLAssert to gate a job on
+  * the profile (e.g. assert n_nonnull = n_rows on a key column). */
+final case class ProfileTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    columns: Seq[String] = Nil,
+    exactNdv: Boolean = true,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val df = Profiler.profile(spark.table(sub(inputView, env)), columns, exactNdv)
+    df.createOrReplaceTempView(outputView)
+    Some(df)
+  }
+}

@@ -338,7 +338,43 @@ object SourceQueries {
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin))
 
+  /** q83: ANALYZE-style column profiling through the real ProfileTransform
+    * stage — one pass over orders produces a long-format stats row per
+    * column (counts, exact NDV, numeric range + decimal-exact mean, string
+    * and fixed-format timestamp ranges). The oracle is the hand-unrolled
+    * per-column UNION ALL the operator replaces. */
+  val q83Profile: Q = Q(
+    "q83_profile",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      JobSpec(Seq(ProfileTransform("profile orders", "orders", "orders_profile")))
+        .run(spark, Map.empty)
+      spark.table("orders_profile")
+    },
+    Some {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / count($c) AS mean,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String, expr: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CAST(NULL AS DOUBLE) AS mean,
+           |  min($expr) AS min_str, max($expr) AS max_str
+           |FROM orders""".stripMargin
+      Seq(
+        num("o_orderkey"), num("o_custkey"),
+        str("o_orderstatus", "o_orderstatus"), num("o_totalprice"),
+        str("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f')"),
+        str("o_orderpriority", "o_orderpriority")
+      ).mkString("\nUNION ALL\n")
+    })
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
-    q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince)
+    q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile)
 }
