@@ -171,6 +171,12 @@ object JobSpec {
         name, str(n, "tableURI"), optInt(n, "retainVersions").getOrElse(2), envs(n))
       case "TableRestore" => TableRestore(
         name, str(n, "tableURI"), longKey(n, "versionAsOf"), envs(n))
+      case "TableConstraint" =>
+        val action = str(n, "action")
+        require(action == "drop" || optStr(n, "expression").exists(_.trim.nonEmpty),
+          s"stage $name: TableConstraint add needs a non-empty 'expression'")
+        TableConstraint(name, str(n, "tableURI"), action,
+          str(n, "constraintName"), optStr(n, "expression").getOrElse(""), envs(n))
       case "SQLExecute" | "JDBCExecute" =>
         // the reference's JDBCExecute carries the SQL in a file (`inputURI`,
         // scd2-job.ipynb:381) rather than inline; `jdbcURL` is accepted and

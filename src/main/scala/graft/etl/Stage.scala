@@ -443,6 +443,30 @@ final case class PrintSchema(
   }
 }
 
+/** ALTER TABLE ADD/DROP CONSTRAINT as a declarative stage: registers (or
+  * removes) a named CHECK expression on a versioned table. Adding proves the
+  * existing snapshot first and every later write to the table gates its own
+  * batch against the registered constraints (see
+  * [[graft.table.VersionedTable.addConstraint]]). */
+final case class TableConstraint(
+    name: String,
+    tableURI: String,
+    action: String,
+    constraintName: String,
+    expression: String = "",
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val t = VersionedTable(sub(tableURI, env))
+    action match {
+      case "add" => t.addConstraint(spark, constraintName, sub(expression, env))
+      case "drop" => t.dropConstraint(constraintName)
+      case other => throw new IllegalArgumentException(
+        s"stage $name: TableConstraint action must be add|drop, got '$other'")
+    }
+    None
+  }
+}
+
 /** ANALYZE-style profiling stage: one-pass long-format column stats of
   * `inputView` registered as `outputView` (see [[Profiler]]); the systematic
   * version of the reference's `uat`-gated spot checks + `%printschema`

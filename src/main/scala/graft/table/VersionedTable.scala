@@ -100,6 +100,17 @@ final class VersionedTable(val root: String) {
     }.toMap
   }
 
+  /** CHECK constraints recorded in a version's manifest: name → SQL
+    * expression every row of the table must satisfy (see [[addConstraint]]).
+    * Constraints are version-pinned metadata like the schema — RESTORE rolls
+    * them back, time travel sees the constraints of the version read. */
+  def constraintsOf(v: Long): Map[String, String] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (!node.has("constraints")) return Map.empty
+    node.get("constraints").properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
   /** The schema recorded in a version's manifest (every commit records it). */
   def schemaOf(v: Long): Option[org.apache.spark.sql.types.StructType] = {
     val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
@@ -284,6 +295,34 @@ final class VersionedTable(val root: String) {
       }.toMap
   }
 
+  /** Count rows of `files` violating each of `constraints` in ONE scan of
+    * exactly those files (the freshly written batch, never the table) and
+    * raise [[ConstraintViolationException]] naming every violated constraint
+    * if any row fails. Delta's CHECK semantics: a row passes only when the
+    * expression evaluates to TRUE — NULL is a violation (a quality gate that
+    * waves nulls through is a hole, not a gate). Called between data-file
+    * write and manifest publish, so a rejected batch is never visible; its
+    * orphaned files are swept by [[vacuum]]. */
+  private def validateWritten(spark: SparkSession, files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      constraints: Map[String, String]): Unit = {
+    if (constraints.isEmpty || files.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val paths = files.map(f => Paths.get(root).resolve(f).toString)
+    val df = schema.map(s => spark.read.schema(s).parquet(paths: _*))
+      .getOrElse(spark.read.parquet(paths: _*))
+    val ordered = constraints.toSeq.sortBy(_._1)
+    val aggs = ordered.map { case (n, e) =>
+      sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L)).as(n) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val violated = ordered.zipWithIndex.collect {
+      case ((n, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$n ('$e'): ${row.getLong(i)} row(s)"
+    }
+    if (violated.nonEmpty) throw new ConstraintViolationException(
+      s"CHECK constraint violation writing to $root — ${violated.mkString("; ")}")
+  }
+
   /** Serialize + atomically publish manifest version `base`+1 (or v0 on an
     * empty table). The hard-link publish is the commit point: createLink
     * fails with FileAlreadyExistsException when the target exists, so two
@@ -300,13 +339,18 @@ final class VersionedTable(val root: String) {
       schemaJson: String,
       stats: Map[String, Map[String, (String, String, String)]],
       txn: Option[(String, Long)],
-      base: Option[Long]): Long = {
+      base: Option[Long],
+      constraints: Map[String, String] = Map.empty): Long = {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1L).getOrElse(0L)
     val json = mapper.createObjectNode()
     json.put("version", next)
     json.put("schema", schemaJson) // keeps empty versions readable
     txn.foreach { case (app, v) => json.put("txnApp", app); json.put("txnVersion", v) }
+    if (constraints.nonEmpty) {
+      val cNode = json.putObject("constraints")
+      constraints.toSeq.sortBy(_._1).foreach { case (n, e) => cNode.put(n, e) }
+    }
     val arr = json.putArray("files")
     files.sorted.foreach(arr.add)
     if (stats.nonEmpty) {
@@ -340,7 +384,14 @@ final class VersionedTable(val root: String) {
     val stats =
       if (collectStats && files.nonEmpty) collectFileStats(df.sparkSession, commitId)
       else Map.empty[String, Map[String, (String, String, String)]]
-    retryPublish(publish(files, df.schema.json, stats, txn, _))
+    // CHECK constraints survive an overwrite (they describe the table, not a
+    // snapshot) and gate the incoming batch; validated per attempt so a retry
+    // against a head whose constraints just changed re-checks honestly
+    retryPublish { base =>
+      val cs = base.map(constraintsOf).getOrElse(Map.empty)
+      validateWritten(df.sparkSession, files, Some(df.schema), cs)
+      publish(files, df.schema.json, stats, txn, base, cs)
+    }
   }
 
   /** Run `attempt` against the current head, retrying on a commit collision
@@ -395,7 +446,11 @@ final class VersionedTable(val root: String) {
           s"append batch is missing table column(s): ${missing.mkString(", ")}")
         val added = df.schema.fields.filterNot(f => priorByName.contains(f.name))
         val union = org.apache.spark.sql.types.StructType(prior.fields ++ added)
-        publish(filesOf(v) ++ files, union.json, statsOf(v) ++ stats, txn, Some(v))
+        val cs = constraintsOf(v)
+        // only the incoming batch is scanned: carried-forward files already
+        // passed their own write-time gate (and addConstraint re-proved them)
+        validateWritten(df.sparkSession, files, Some(df.schema), cs)
+        publish(filesOf(v) ++ files, union.json, statsOf(v) ++ stats, txn, Some(v), cs)
     }
   }
 
@@ -445,9 +500,11 @@ final class VersionedTable(val root: String) {
     val priorStats = statsOf(v).view.filterKeys(untouched.toSet).toMap
     // pinned to the snapshot this delete scanned: a concurrent commit makes
     // the publish raise ConcurrentCommitException instead of silently
-    // dropping that commit's changes — the caller re-runs the delete
+    // dropping that commit's changes — the caller re-runs the delete.
+    // Constraints carry through unvalidated: a delete keeps a subset of rows
+    // that already passed the table's gate.
     (publish(untouched ++ newFiles, schema.map(_.json).getOrElse(keep.schema.json),
-      priorStats ++ stats, None, Some(v)), touched.size)
+      priorStats ++ stats, None, Some(v), constraintsOf(v)), touched.size)
   }
 
   /** Copy-on-write UPDATE: `SET col = expr` on rows matching `condition`,
@@ -491,8 +548,11 @@ final class VersionedTable(val root: String) {
     val stats = if (newFiles.nonEmpty) collectFileStats(spark, commitId)
                 else Map.empty[String, Map[String, (String, String, String)]]
     val priorStats = statsOf(v).view.filterKeys(untouched.toSet).toMap
+    val cs = constraintsOf(v)
+    // SET expressions can push a row out of bounds: gate the rewritten files
+    validateWritten(spark, newFiles, Some(schema), cs)
     (publish(untouched ++ newFiles, schema.json, priorStats ++ stats, None,
-      Some(v)), touched.size)
+      Some(v), cs), touched.size)
   }
 
   /** Copy-on-write MERGE: run the join-based kernel ONLY over the target
@@ -574,10 +634,13 @@ final class VersionedTable(val root: String) {
     val newStats = if (newFiles.nonEmpty) collectFileStats(spark, commitId)
                    else Map.empty[String, Map[String, (String, String, String)]]
     val priorStats = stats.view.filterKeys(untouched.toSet).toMap
+    val cs = constraintsOf(v)
+    // inserted + updated rows land in the new files: gate exactly those
+    validateWritten(spark, newFiles, Some(schema), cs)
     // snapshot-pinned like delete: colliding with another writer raises
     // ConcurrentCommitException rather than losing its commit
     (publish(untouched ++ newFiles, schema.json, priorStats ++ newStats, txn,
-      Some(v)), touched.size)
+      Some(v), cs), touched.size)
   }
 
   /** True iff `condition` contains a top-level AND-conjunct of the exact
@@ -672,7 +735,8 @@ final class VersionedTable(val root: String) {
     val stats =
       if (files.nonEmpty) collectFileStats(df.sparkSession, commitId)
       else Map.empty[String, Map[String, (String, String, String)]]
-    publish(files, df.schema.json, stats, None, Some(base))
+    // compaction rewrites the same rows: constraints carry, nothing re-gates
+    publish(files, df.schema.json, stats, None, Some(base), constraintsOf(base))
   }
 
   /** Compaction (OPTIMIZE): rewrite the latest snapshot into `numFiles`
@@ -832,7 +896,44 @@ final class VersionedTable(val root: String) {
     val v = resolve(None, Some(versionAsOf))
     val schemaJson = schemaOf(v).map(_.json).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
-    retryPublish(publish(filesOf(v), schemaJson, statsOf(v), None, _))
+    // constraints are version-pinned metadata: RESTORE rolls them back with
+    // the data (a constraint added after v does not survive the rollback)
+    retryPublish(publish(filesOf(v), schemaJson, statsOf(v), None, _, constraintsOf(v)))
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT parity: register a named CHECK expression
+    * every row must satisfy (Delta semantics: NULL violates — see
+    * [[validateWritten]]). The EXISTING snapshot is proven against the new
+    * constraint first (one scan; any violating row rejects the ALTER with a
+    * per-constraint count), so "all live data satisfies all live
+    * constraints" is an invariant every later write can rely on — appends,
+    * merges and updates then only ever scan their own batch. Publishes a
+    * metadata-only version pinned to the snapshot proven: a concurrent
+    * write raises [[ConcurrentCommitException]] rather than slipping
+    * unvalidated rows past the ALTER. */
+  def addConstraint(spark: SparkSession, name: String, expression: String): Long = {
+    require(name.nonEmpty && expression.trim.nonEmpty,
+      "constraint needs a name and a non-empty expression")
+    val v = resolve()
+    val existing = constraintsOf(v)
+    require(!existing.contains(name), s"constraint $name already exists at $root")
+    val schemaJson = schemaOf(v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no recorded schema"))
+    validateWritten(spark, filesOf(v), schemaOf(v), Map(name -> expression))
+    publish(filesOf(v), schemaJson, statsOf(v), None, Some(v),
+      existing + (name -> expression))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT parity: metadata-only version without the
+    * named constraint (idempotent error if absent — a typo should not
+    * silently "succeed"). */
+  def dropConstraint(name: String): Long = {
+    val v = resolve()
+    val existing = constraintsOf(v)
+    require(existing.contains(name), s"constraint $name does not exist at $root")
+    val schemaJson = schemaOf(v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no recorded schema"))
+    publish(filesOf(v), schemaJson, statsOf(v), None, Some(v), existing - name)
   }
 
   /** Vacuum: physically delete data files not referenced by the newest
@@ -889,6 +990,11 @@ final class VersionedTable(val root: String) {
   * operations (commit) and appends auto-retry; snapshot-derived rewrites
   * (delete, mergeCow) surface it so the caller re-runs on the new head. */
 final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+/** A write carried rows failing a table CHECK constraint; the batch was
+  * rejected before its manifest published (no partial state is visible —
+  * the orphaned data files fall to vacuum). */
+final class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 
 object VersionedTable {
   def apply(root: String): VersionedTable = new VersionedTable(root)

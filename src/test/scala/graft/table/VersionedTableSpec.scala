@@ -561,4 +561,87 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[IllegalArgumentException](t.restore(0L))
     assert(e.getMessage.contains("not committed"))
   }
+
+  test("addConstraint proves existing data and rejects an ALTER it fails") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, 10.0), (2L, -3.0)).toDF("id", "amount"))
+    val e = intercept[ConstraintViolationException](
+      t.addConstraint(spark, "amount_pos", "amount > 0"))
+    assert(e.getMessage.contains("amount_pos") && e.getMessage.contains("1 row"))
+    assert(t.constraintsOf(t.resolve()).isEmpty) // the ALTER never published
+  }
+
+  test("constraints gate appends, overwrites, updates and merges; NULL violates") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, 10.0), (2L, 3.0)).toDF("id", "amount"))
+    t.addConstraint(spark, "amount_pos", "amount > 0")
+    assert(t.constraintsOf(t.resolve()) === Map("amount_pos" -> "amount > 0"))
+
+    // violating append: rejected, head unchanged
+    val headBefore = t.resolve()
+    intercept[ConstraintViolationException](
+      t.append(Seq((3L, -1.0)).toDF("id", "amount")))
+    assert(t.resolve() === headBefore)
+    // NULL fails the gate too (Delta CHECK semantics)
+    intercept[ConstraintViolationException](
+      t.append(Seq((3L, Option.empty[Double])).toDF("id", "amount")))
+    // a clean batch passes and the constraint survives the append
+    t.append(Seq((3L, 7.0)).toDF("id", "amount"))
+    assert(t.read(spark).count() === 3)
+    assert(t.constraintsOf(t.resolve()).contains("amount_pos"))
+
+    // overwrite commit is gated and keeps the table's constraints
+    intercept[ConstraintViolationException](
+      t.commit(Seq((9L, -9.0)).toDF("id", "amount")))
+    // UPDATE that pushes a row out of bounds is rejected
+    intercept[ConstraintViolationException](
+      t.update(spark, "id = 1", Map("amount" -> "-amount")))
+    // merge INSERT carrying a violation is rejected
+    intercept[ConstraintViolationException](
+      t.mergeCow(spark, Seq((4L, -2.0)).toDF("id", "amount"),
+        "source.id = target.id", targetKey = "id", sourceKey = "id",
+        whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None, Map.empty))))
+    assert(t.read(spark).count() === 3) // nothing above published
+
+    // drop lifts the gate
+    t.dropConstraint("amount_pos")
+    t.append(Seq((5L, -1.0)).toDF("id", "amount"))
+    assert(t.read(spark).count() === 4)
+  }
+
+  test("constraints are version-pinned: compact carries, restore rolls back") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, 5.0)).toDF("id", "amount")) // v0
+    val preConstraint = t.resolve()
+    t.addConstraint(spark, "amount_pos", "amount > 0") // v1
+    t.compact(spark, numFiles = 1) // v2
+    assert(t.constraintsOf(t.resolve()).contains("amount_pos"))
+    t.restore(preConstraint) // back to constraint-free metadata
+    assert(t.constraintsOf(t.resolve()).isEmpty)
+    t.append(Seq((2L, -1.0)).toDF("id", "amount")) // passes: gate rolled back
+    assert(t.read(spark).count() === 2)
+  }
+
+  test("TableConstraint stage parses and runs add/drop from JSON") {
+    val root = tmpDir("vt-")
+    VersionedTable(root).commit(Seq((1L, 2.0)).toDF("id", "amount"))
+    graft.etl.JobSpec.fromJson(
+      s"""{"stages": [
+         |  {"type": "TableConstraint", "name": "c", "tableURI": "$root",
+         |   "action": "add", "constraintName": "amount_pos",
+         |   "expression": "amount > 0"}
+         |]}""".stripMargin).run(spark, Map.empty)
+    val t = VersionedTable(root)
+    assert(t.constraintsOf(t.resolve()) === Map("amount_pos" -> "amount > 0"))
+    // add without expression is a parse-time error, not a mid-job surprise
+    val e = intercept[IllegalArgumentException](graft.etl.JobSpec.fromJson(
+      s"""{"stages": [
+         |  {"type": "TableConstraint", "name": "c", "tableURI": "$root",
+         |   "action": "add", "constraintName": "x"}
+         |]}""".stripMargin))
+    assert(e.getMessage.contains("expression"))
+  }
 }
