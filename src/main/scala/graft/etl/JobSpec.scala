@@ -158,7 +158,8 @@ object JobSpec {
         if (n.has("sortBy")) n.get("sortBy").elements().asScala.map(_.asText()).toSeq
         else Nil, optStr(n, "idempotencyKey"), envs(n))
       case "TableDelete" => TableDelete(
-        name, str(n, "tableURI"), str(n, "condition"), envs(n))
+        name, str(n, "tableURI"), str(n, "condition"),
+        mor = n.has("mor") && n.get("mor").asBoolean(false), environments = envs(n))
       case "TableUpdate" => TableUpdate(
         name, str(n, "tableURI"), str(n, "condition"), strMap(n, "set"), envs(n))
       case "TableCompact" => TableCompact(

@@ -358,9 +358,14 @@ final case class TableDelete(
     name: String,
     tableURI: String,
     condition: String,
+    mor: Boolean = false,
     environments: Seq[String] = Nil) extends Stage {
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
-    VersionedTable(sub(tableURI, env)).delete(spark, sub(condition, env))
+    val t = VersionedTable(sub(tableURI, env))
+    // mor = merge-on-read: tombstone matching rows in a deletion vector
+    // instead of rewriting their files (VersionedTable.deleteMor)
+    if (mor) t.deleteMor(spark, sub(condition, env))
+    else t.delete(spark, sub(condition, env))
     None
   }
 }

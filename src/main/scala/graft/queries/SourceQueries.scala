@@ -374,7 +374,46 @@ object SourceQueries {
       ).mkString("\nUNION ALL\n")
     })
 
+  /** q84: MERGE-ON-READ delete via deletion vectors — two MOR deletes mark
+    * rows dead in (file, row_index) tombstone sidecars WITHOUT rewriting any
+    * data file (asserted: every version carries the identical file list; at
+    * 100 TB that is the difference between writing kilobytes of positions
+    * and rewriting every touched file), then the read applies the tombstones
+    * with a broadcast anti join on the scan's `_metadata` row positions.
+    * Time travel to v0 still sees the pre-delete snapshot. Runs through the
+    * declarative TableDelete(mor=true) stage. */
+  val q84MorDelete: Q = Q(
+    "q84_mor_delete",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mor-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_v")
+      JobSpec(Seq(
+        SQLTransform("project orders",
+          "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
+          "orders_mor"),
+        TableLoad("load", "orders_mor", "${lake}/orders_v", numPartitions = Some(8)),
+        TableDelete("expire finished", "${lake}/orders_v",
+          condition = "o_orderstatus = 'F'", mor = true),
+        TableDelete("drop a key range", "${lake}/orders_v",
+          condition = "o_orderkey BETWEEN 1000 AND 1999", mor = true)))
+        .run(spark, Map("lake" -> tmp))
+      val h = t.history(spark).orderBy("version").collect()
+      require(h.length == 3, s"expected 3 versions, got ${h.length}")
+      require(h.map(_.getInt(1)).distinct.length == 1,
+        "merge-on-read delete must not rewrite or add data files")
+      val v0 = t.read(spark, versionAsOf = Some(0L)).count()
+      val orig = spark.table("orders").count()
+      require(v0 == orig, s"time travel to v0 must see all $orig rows, got $v0")
+      t.read(spark)
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus <> 'F'
+        |  AND o_orderkey NOT BETWEEN 1000 AND 1999""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
-    q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile)
+    q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
+    q84MorDelete)
 }

@@ -21,7 +21,8 @@ import scala.jdk.CollectionConverters._
   * Layout:
   * {{{
   *   <root>/data/<uuid>/part-*.parquet   -- immutable data files, one dir per commit
-  *   <root>/_graft_log/v00000042.json    -- manifest: {"version":42,"files":[...relative...]}
+  *   <root>/dv/<uuid>/part-*.parquet     -- deletion-vector tombstones (file, row_index)
+  *   <root>/_graft_log/v00000042.json    -- manifest: {"version":42,"files":[...],"dvs":[...]}
   * }}}
   *
   * Commit protocol (single-writer): write data files to a fresh uuid dir, write
@@ -40,6 +41,7 @@ final class VersionedTable(val root: String) {
   private val mapper = new ObjectMapper()
   private def logDir: Path = Paths.get(root, "_graft_log")
   private def dataDir: Path = Paths.get(root, "data")
+  private def dvDir: Path = Paths.get(root, "dv")
 
   private def manifestPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
@@ -86,6 +88,17 @@ final class VersionedTable(val root: String) {
     node.get("files").elements().asScala.map(_.asText()).toSeq
   }
 
+  /** Deletion-vector sidecar files of a version (table-relative paths).
+    * Each DV parquet holds (file STRING, row_index BIGINT) tombstones — the
+    * row positions MERGE-ON-READ deletes marked dead without rewriting the
+    * data file (see [[deleteMor]]). The manifest lists every DV file in
+    * force; reads anti-join their union. */
+  private def dvsOf(v: Long): Seq[String] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (!node.has("dvs")) Seq.empty
+    else node.get("dvs").elements().asScala.map(_.asText()).toSeq
+  }
+
   /** Per-file column stats recorded at commit: file → col → (min, max) as
     * strings (numeric-comparable via the original type at prune time). */
   private def statsOf(v: Long): Map[String, Map[String, (String, String, String)]] = {
@@ -119,23 +132,60 @@ final class VersionedTable(val root: String) {
       node.get("schema").asText()).asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** Matches the trailing `data/<commit>/<file>` of a parquet scan's
+    * `_metadata.file_path` URI — the table-relative name the manifest (and a
+    * DV's `file` column) uses. Both trailing segments are generated
+    * URI-safe names, so segment matching is exact. */
+  private val RelExtract = "(data/[^/]+/[^/]+)$"
+
+  /** Union frame of deletion-vector files: (file, row_index) tombstones. */
+  private def dvFrame(spark: SparkSession, dvs: Seq[String]): DataFrame =
+    spark.read.parquet(dvs.map(f => Paths.get(root).resolve(f).toString): _*)
+
+  /** Scan `files` with deletion vectors `dvs` applied: rows whose
+    * (table-relative file, row index) appear in a DV are filtered out by a
+    * BROADCAST anti join on the parquet reader's `_metadata` row positions —
+    * shuffle-free, cost one hashed lookup per scanned row. `keepPos` retains
+    * the `__rel`/`__ri` position columns for callers (COW rewrites) that
+    * reason about row locations. */
+  private def scanLive(spark: SparkSession, files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType], dvs: Seq[String],
+      keepPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, regexp_extract}
+    val paths = files.map(f => Paths.get(root).resolve(f).toString)
+    val base = schema.map(s => spark.read.schema(s).parquet(paths: _*))
+      .getOrElse(spark.read.parquet(paths: _*))
+    if (dvs.isEmpty && !keepPos) return base
+    val withPos = base.select(col("*"),
+      regexp_extract(col("_metadata.file_path"), RelExtract, 1).as("__rel"),
+      col("_metadata.row_index").as("__ri"))
+    val live =
+      if (dvs.isEmpty) withPos
+      else {
+        val dv = dvFrame(spark, dvs)
+        withPos.join(broadcast(dv),
+          withPos("__rel") === dv("file") && withPos("__ri") === dv("row_index"),
+          "left_anti")
+      }
+    if (keepPos) live else live.drop("__rel", "__ri")
+  }
+
   /** Read a specific version as a DataFrame. The scan is schema'd from the
     * manifest, not inferred — zero footer reads before the scan starts, and
     * files written before an additive schema evolution resolve their missing
     * columns to null (the parquet reader's missing-column semantics). Empty
     * -file-list versions (a fully-deleted snapshot) return an empty frame
-    * with the recorded schema. */
+    * with the recorded schema. Deletion vectors of the version, if any, are
+    * applied (merge-on-read: see [[deleteMor]]). */
   def read(spark: SparkSession, relativeVersion: Option[Int] = None,
            versionAsOf: Option[Long] = None): DataFrame = {
     val v = resolve(relativeVersion, versionAsOf)
-    val files = filesOf(v).map(f => Paths.get(root).resolve(f).toString)
-    (files, schemaOf(v)) match {
+    (filesOf(v), schemaOf(v)) match {
       case (Nil, Some(schema)) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case (Nil, None) =>
         throw new IllegalStateException(s"version $v of $root is empty and schemaless")
-      case (fs, Some(schema)) => spark.read.schema(schema).parquet(fs: _*)
-      case (fs, None) => spark.read.parquet(fs: _*)
+      case (fs, schema) => scanLive(spark, fs, schema, dvsOf(v), keepPos = false)
     }
   }
 
@@ -265,6 +315,20 @@ final class VersionedTable(val root: String) {
     (commitId, files)
   }
 
+  /** Write a deletion-vector batch — (file, row_index) tombstones — as
+    * parquet under a fresh `dv/<uuid>` dir; returns table-relative paths.
+    * Coalesced to one file: a DV batch is metadata-sized (positions, not
+    * rows), and reads union every DV file in force. */
+  private def writeDvFiles(df: DataFrame): Seq[String] = {
+    Files.createDirectories(dvDir)
+    val dvId = java.util.UUID.randomUUID().toString
+    val outDir = dvDir.resolve(dvId)
+    df.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+    listNames(outDir)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      .map(n => s"dv/$dvId/$n").sorted
+  }
+
   /** Per-file min/max for leaf scalar columns of freshly written files (one
     * small distributed job over the new files only — carried-over files keep
     * their previously recorded stats). */
@@ -307,10 +371,18 @@ final class VersionedTable(val root: String) {
       schema: Option[org.apache.spark.sql.types.StructType],
       constraints: Map[String, String]): Unit = {
     if (constraints.isEmpty || files.isEmpty) return
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
     val paths = files.map(f => Paths.get(root).resolve(f).toString)
     val df = schema.map(s => spark.read.schema(s).parquet(paths: _*))
       .getOrElse(spark.read.parquet(paths: _*))
+    validateFrame(df, constraints)
+  }
+
+  /** Frame-variant of [[validateWritten]] for callers whose live rows are
+    * not a plain file scan (a DV-carrying snapshot in [[addConstraint]]:
+    * already-deleted rows must not be able to reject an ALTER). */
+  private def validateFrame(df: DataFrame, constraints: Map[String, String]): Unit = {
+    if (constraints.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
     val ordered = constraints.toSeq.sortBy(_._1)
     val aggs = ordered.map { case (n, e) =>
       sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L)).as(n) }
@@ -340,7 +412,8 @@ final class VersionedTable(val root: String) {
       stats: Map[String, Map[String, (String, String, String)]],
       txn: Option[(String, Long)],
       base: Option[Long],
-      constraints: Map[String, String] = Map.empty): Long = {
+      constraints: Map[String, String] = Map.empty,
+      dvs: Seq[String] = Nil): Long = {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1L).getOrElse(0L)
     val json = mapper.createObjectNode()
@@ -350,6 +423,10 @@ final class VersionedTable(val root: String) {
     if (constraints.nonEmpty) {
       val cNode = json.putObject("constraints")
       constraints.toSeq.sortBy(_._1).foreach { case (n, e) => cNode.put(n, e) }
+    }
+    if (dvs.nonEmpty) {
+      val dvArr = json.putArray("dvs")
+      dvs.sorted.foreach(dvArr.add)
     }
     val arr = json.putArray("files")
     files.sorted.foreach(arr.add)
@@ -450,7 +527,10 @@ final class VersionedTable(val root: String) {
         // only the incoming batch is scanned: carried-forward files already
         // passed their own write-time gate (and addConstraint re-proved them)
         validateWritten(df.sparkSession, files, Some(df.schema), cs)
-        publish(filesOf(v) ++ files, union.json, statsOf(v) ++ stats, txn, Some(v), cs)
+        // deletion vectors ride along unchanged: an append touches no
+        // existing file, so no tombstone can be affected
+        publish(filesOf(v) ++ files, union.json, statsOf(v) ++ stats, txn, Some(v), cs,
+          dvs = dvsOf(v))
     }
   }
 
@@ -461,38 +541,28 @@ final class VersionedTable(val root: String) {
     * is the Delta-style shape that matters at scale: deleting one key from a
     * 100 TB table rewrites kilobytes, not the table. Returns (newVersion,
     * rewrittenFileCount). */
-  /** Table-relative `data/<commit>/<file>` suffix of an input_file_name()
-    * URI — matched on the last two path segments (both are URI-safe
-    * generated names), so roots containing URI-special characters can't
-    * break the mapping the way full-string URI decoding would. */
-  private def relOfFileUri(uri: String): String = {
-    val parts = uri.split('/')
-    s"data/${parts(parts.length - 2)}/${parts.last}"
-  }
-
   def delete(spark: SparkSession, condition: String): (Long, Int) = {
-    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val v = resolve()
     val all = filesOf(v)
     val schema = schemaOf(v)
+    val dvs = dvsOf(v)
     val pred = expr(condition)
-    def scan(paths: Seq[String]): DataFrame = schema match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
-    }
     if (all.isEmpty) return (v, 0) // nothing to delete from an empty snapshot
     val allSet = all.toSet
-    val touched = scan(all.map(f => Paths.get(root).resolve(f).toString))
+    // DV-applied scan: a row already merge-on-read-deleted cannot make its
+    // file "touched" (and could otherwise resurrect through the rewrite)
+    val touched = scanLive(spark, all, schema, dvs, keepPos = true)
       .filter(pred)
-      .select(input_file_name().as("__f")).distinct()
-      .collect().map(r => relOfFileUri(r.getString(0)))
+      .select(col("__rel")).distinct()
+      .collect().map(_.getString(0))
       .filter(allSet.contains).toSeq
     if (touched.isEmpty) return (v, 0) // nothing matched: no new version needed
     val untouched = all.filterNot(touched.toSet)
     // SQL three-valued logic: a row whose condition evaluates to NULL did
     // NOT match the delete and must be KEPT — filter(!pred) alone would
     // silently drop it (NULL fails both pred and !pred)
-    val keep = scan(touched.map(f => Paths.get(root).resolve(f).toString))
+    val keep = scanLive(spark, touched, schema, dvs, keepPos = false)
       .filter(not(coalesce(pred, lit(false))))
     val (commitId, newFiles) = writeDataFiles(keep, None, Nil)
     val stats = if (newFiles.nonEmpty) collectFileStats(spark, commitId)
@@ -504,7 +574,56 @@ final class VersionedTable(val root: String) {
     // Constraints carry through unvalidated: a delete keeps a subset of rows
     // that already passed the table's gate.
     (publish(untouched ++ newFiles, schema.map(_.json).getOrElse(keep.schema.json),
-      priorStats ++ stats, None, Some(v), constraintsOf(v)), touched.size)
+      priorStats ++ stats, None, Some(v), constraintsOf(v),
+      dvs = carryDvs(spark, dvs, untouched)), touched.size)
+  }
+
+  /** Deletion vectors carried into a rewrite's new version: tombstones of
+    * files that survive unchanged, consolidated into one fresh DV file;
+    * tombstones of rewritten files drop (their live rows were re-written
+    * without the dead ones). */
+  private def carryDvs(spark: SparkSession, dvs: Seq[String],
+      untouched: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.broadcast
+    if (dvs.isEmpty || untouched.isEmpty) return Nil
+    import spark.implicits._
+    val untouchedDf = untouched.toDF("file")
+    val kept = dvFrame(spark, dvs)
+      .join(broadcast(untouchedDf), Seq("file"), "left_semi")
+    if (kept.isEmpty) Nil else writeDvFiles(kept)
+  }
+
+  /** MERGE-ON-READ delete: mark matching rows dead in a deletion-vector
+    * sidecar instead of rewriting their files — the write is O(matched row
+    * positions), not O(touched files); deleting a handful of rows from a
+    * 100 TB table writes kilobytes where copy-on-write [[delete]] would
+    * rewrite every touched file. Reads apply the tombstones with a broadcast
+    * anti join on the scan's `_metadata` row positions (shuffle-free); the
+    * read-side tax is repaid when [[compact]] or any COW rewrite of the file
+    * materializes the deletes and clears its tombstones. 3VL as in
+    * [[delete]]: a NULL condition keeps the row. Snapshot-pinned publish
+    * like every rewrite. Returns (newVersion, rowsDeleted). */
+  def deleteMor(spark: SparkSession, condition: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val v = resolve()
+    val all = filesOf(v)
+    if (all.isEmpty) return (v, 0L)
+    val schema = schemaOf(v)
+    val dvs = dvsOf(v)
+    // scan with existing DVs applied: an already-dead row must not be
+    // tombstoned twice (double-counted deletes, growing DVs)
+    val matched = scanLive(spark, all, schema, dvs, keepPos = true)
+      .filter(coalesce(expr(condition), lit(false)))
+      .select(col("__rel").as("file"), col("__ri").as("row_index"))
+    val n = matched.count()
+    if (n == 0L) return (v, 0L)
+    val newDv = writeDvFiles(matched)
+    val schemaJson = schema.map(_.json).getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no recorded schema"))
+    // data files and their stats carry verbatim (stats stay sound: a DV only
+    // narrows the live rows, min/max remain valid bounds for skipping)
+    (publish(all, schemaJson, statsOf(v), None, Some(v), constraintsOf(v),
+      dvs = dvs ++ newDv), n)
   }
 
   /** Copy-on-write UPDATE: `SET col = expr` on rows matching `condition`,
@@ -514,7 +633,7 @@ final class VersionedTable(val root: String) {
     * [[mergeCow]]. Returns (newVersion, rewrittenFileCount). */
   def update(spark: SparkSession, condition: String,
              set: Map[String, String]): (Long, Int) = {
-    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, when}
     require(set.nonEmpty,
       "update with an empty SET would rewrite files unchanged — likely a misspelled config key")
     val v = resolve()
@@ -524,19 +643,18 @@ final class VersionedTable(val root: String) {
     set.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"update SET references unknown column $c"))
     val pred = expr(condition)
-    def scan(paths: Seq[String]): DataFrame =
-      spark.read.schema(schema).parquet(paths: _*)
+    val dvs = dvsOf(v)
     if (all.isEmpty) return (v, 0)
     val allSet = all.toSet
-    val touched = scan(all.map(f => Paths.get(root).resolve(f).toString))
+    val touched = scanLive(spark, all, Some(schema), dvs, keepPos = true)
       .filter(pred)
-      .select(input_file_name().as("__f")).distinct()
-      .collect().map(r => relOfFileUri(r.getString(0)))
+      .select(col("__rel")).distinct()
+      .collect().map(_.getString(0))
       .filter(allSet.contains).toSeq
     if (touched.isEmpty) return (v, 0)
     val untouched = all.filterNot(touched.toSet)
     val applies = coalesce(pred, lit(false))
-    val rewritten = scan(touched.map(f => Paths.get(root).resolve(f).toString))
+    val rewritten = scanLive(spark, touched, Some(schema), dvs, keepPos = false)
       .select(schema.fields.map { f =>
         set.get(f.name) match {
           case Some(e) => when(applies, expr(e).cast(f.dataType))
@@ -552,7 +670,7 @@ final class VersionedTable(val root: String) {
     // SET expressions can push a row out of bounds: gate the rewritten files
     validateWritten(spark, newFiles, Some(schema), cs)
     (publish(untouched ++ newFiles, schema.json, priorStats ++ stats, None,
-      Some(v), cs), touched.size)
+      Some(v), cs, dvs = carryDvs(spark, dvs, untouched)), touched.size)
   }
 
   /** Copy-on-write MERGE: run the join-based kernel ONLY over the target
@@ -617,11 +735,11 @@ final class VersionedTable(val root: String) {
     // nothing can change — don't burn a version on a no-op
     if (touched.isEmpty && whenNotMatchedInsert.isEmpty) return (v, 0)
     val untouched = all.filterNot(touched.toSet)
+    val dvs = dvsOf(v)
     val slice =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(touched.map(f => Paths.get(root).resolve(f).toString): _*)
+      else scanLive(spark, touched, Some(schema), dvs, keepPos = false)
     val merged0 = Merge.merge(slice, source, condition,
       whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert)
     // pin the output columns to the TABLE's types: merge expressions can
@@ -640,7 +758,7 @@ final class VersionedTable(val root: String) {
     // snapshot-pinned like delete: colliding with another writer raises
     // ConcurrentCommitException rather than losing its commit
     (publish(untouched ++ newFiles, schema.json, priorStats ++ newStats, txn,
-      Some(v), cs), touched.size)
+      Some(v), cs, dvs = carryDvs(spark, dvs, untouched)), touched.size)
   }
 
   /** True iff `condition` contains a top-level AND-conjunct of the exact
@@ -716,11 +834,10 @@ final class VersionedTable(val root: String) {
         case None => true // no stats → cannot skip
       }
     }
-    val paths = kept.map(f => Paths.get(root).resolve(f).toString)
     // an empty kept-set over a non-empty table is a valid prune result:
     // return an empty frame with the table's schema
     val df =
-      if (paths.nonEmpty) spark.read.parquet(paths: _*)
+      if (kept.nonEmpty) scanLive(spark, kept, schemaOf(v), dvsOf(v), keepPos = false)
       else spark.read.parquet(all.map(f => Paths.get(root).resolve(f).toString): _*).limit(0)
     (df, kept.size, all.size)
   }
@@ -841,10 +958,16 @@ final class VersionedTable(val root: String) {
   def appendsSince(spark: SparkSession, sinceVersion: Long): DataFrame = {
     val head = resolve()
     val base = filesOf(resolve(None, Some(sinceVersion))).toSet
+    val baseDvs = dvsOf(sinceVersion).toSet
     versions().filter(v => v > sinceVersion && v <= head).foldLeft(base) { (prev, v) =>
       val cur = filesOf(v).toSet
       require(prev.subsetOf(cur),
         s"version $v of $root is not an append (it drops files of version ${v - 1}); " +
+          "use changes() for row-level diffs across rewrites")
+      // a merge-on-read delete keeps every file yet removes rows — the file
+      // -list diff would silently miss it, so refuse like any rewrite
+      require(dvsOf(v).toSet == baseDvs,
+        s"version $v of $root is not an append (its deletion vectors changed); " +
           "use changes() for row-level diffs across rewrites")
       cur
     }
@@ -897,8 +1020,10 @@ final class VersionedTable(val root: String) {
     val schemaJson = schemaOf(v).map(_.json).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
     // constraints are version-pinned metadata: RESTORE rolls them back with
-    // the data (a constraint added after v does not survive the rollback)
-    retryPublish(publish(filesOf(v), schemaJson, statsOf(v), None, _, constraintsOf(v)))
+    // the data (a constraint added after v does not survive the rollback);
+    // deletion vectors likewise — the restored head sees v's live rows
+    retryPublish(publish(filesOf(v), schemaJson, statsOf(v), None, _,
+      constraintsOf(v), dvs = dvsOf(v)))
   }
 
   /** ALTER TABLE ADD CONSTRAINT parity: register a named CHECK expression
@@ -919,9 +1044,11 @@ final class VersionedTable(val root: String) {
     require(!existing.contains(name), s"constraint $name already exists at $root")
     val schemaJson = schemaOf(v).map(_.json).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
-    validateWritten(spark, filesOf(v), schemaOf(v), Map(name -> expression))
+    // prove the constraint against LIVE rows: a violating row that a DV
+    // already deleted must not reject the ALTER
+    validateFrame(read(spark, versionAsOf = Some(v)), Map(name -> expression))
     publish(filesOf(v), schemaJson, statsOf(v), None, Some(v),
-      existing + (name -> expression))
+      existing + (name -> expression), dvs = dvsOf(v))
   }
 
   /** ALTER TABLE DROP CONSTRAINT parity: metadata-only version without the
@@ -933,7 +1060,8 @@ final class VersionedTable(val root: String) {
     require(existing.contains(name), s"constraint $name does not exist at $root")
     val schemaJson = schemaOf(v).map(_.json).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
-    publish(filesOf(v), schemaJson, statsOf(v), None, Some(v), existing - name)
+    publish(filesOf(v), schemaJson, statsOf(v), None, Some(v), existing - name,
+      dvs = dvsOf(v))
   }
 
   /** Vacuum: physically delete data files not referenced by the newest
@@ -961,12 +1089,19 @@ final class VersionedTable(val root: String) {
     }
     if (droppedTxns.nonEmpty)
       mergeSidecarTxns(droppedTxns.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap)
-    val keep = retained.flatMap(v => tryManifest(v).toSeq.flatMap(node =>
-      node.get("files").elements().asScala.map(_.asText()).toSeq)).toSet
+    // data files AND deletion-vector files referenced by any retained
+    // manifest stay; everything else the dropped manifests reference goes
+    def refsOf(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+      val files = node.get("files").elements().asScala.map(_.asText()).toSeq
+      val dvs = if (node.has("dvs"))
+        node.get("dvs").elements().asScala.map(_.asText()).toSeq else Seq.empty
+      files ++ dvs
+    }
+    val keep = retained.flatMap(v => tryManifest(v).toSeq.flatMap(refsOf)).toSet
     var deleted = 0
     dropped.foreach { v =>
       tryManifest(v).foreach { node =>
-        node.get("files").elements().asScala.map(_.asText()).foreach { f =>
+        refsOf(node).foreach { f =>
           if (!keep.contains(f)) {
             if (Files.deleteIfExists(Paths.get(root).resolve(f))) deleted += 1
           }
@@ -974,10 +1109,10 @@ final class VersionedTable(val root: String) {
       }
       Files.deleteIfExists(manifestPath(v))
     }
-    // sweep now-empty commit dirs
-    if (Files.isDirectory(dataDir)) {
-      listNames(dataDir).foreach { name =>
-        val d = dataDir.resolve(name)
+    // sweep now-empty commit/dv dirs
+    Seq(dataDir, dvDir).filter(Files.isDirectory(_)).foreach { base =>
+      listNames(base).foreach { name =>
+        val d = base.resolve(name)
         if (Files.isDirectory(d) && listNames(d).isEmpty) Files.delete(d)
       }
     }

@@ -644,4 +644,141 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
          |]}""".stripMargin))
     assert(e.getMessage.contains("expression"))
   }
+
+  // ---- merge-on-read deletion vectors ----
+
+  private def fileListOf(t: VersionedTable, v: Long): Seq[String] = {
+    val log = java.nio.file.Paths.get(t.root, "_graft_log", f"v$v%08d.json")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(log))
+    import scala.jdk.CollectionConverters._
+    node.get("files").elements().asScala.map(_.asText()).toSeq
+  }
+
+  test("deleteMor removes rows without rewriting any data file") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit((1L to 100L).map(i => (i, s"v$i")).toDF("id", "s"), numPartitions = Some(4))
+    val (v1, n) = t.deleteMor(spark, "id % 10 = 0")
+    assert(v1 === 1L && n === 10L)
+    assert(fileListOf(t, 0L) === fileListOf(t, 1L), "file list must be untouched")
+    assert(t.read(spark).as[(Long, String)].collect().map(_._1).sorted.toSeq ===
+      (1L to 100L).filterNot(_ % 10 == 0))
+    // time travel still sees the pre-delete snapshot
+    assert(t.read(spark, versionAsOf = Some(0L)).count() === 100)
+    // 3VL: NULL condition keeps the row
+    val t2 = VersionedTable(tmpDir("vt-"))
+    t2.commit(Seq((1L, Some(1.0)), (2L, None: Option[Double])).toDF("id", "x"))
+    val (_, n2) = t2.deleteMor(spark, "x > 0")
+    assert(n2 === 1L)
+    assert(t2.read(spark).select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("deleteMor accumulates across commits and never double-deletes") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit((1L to 50L).toDF("id"), numPartitions = Some(2))
+    val (_, n1) = t.deleteMor(spark, "id <= 10")
+    val (_, n2) = t.deleteMor(spark, "id <= 20") // 10 already dead
+    assert(n1 === 10L && n2 === 10L)
+    assert(t.read(spark).as[Long].collect().sorted.toSeq === (21L to 50L))
+    // a third delete matching only dead rows is a no-op, no new version
+    val head = t.resolve()
+    val (v, n3) = t.deleteMor(spark, "id <= 20")
+    assert(n3 === 0L && v === head && t.resolve() === head)
+  }
+
+  private def headHasDvs(root: String, t: VersionedTable): Boolean = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_graft_log", f"v${t.resolve()}%08d.json")))
+    node.has("dvs")
+  }
+
+  test("deleteMor composes with append, COW delete/update and compact") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit((1L to 40L).map(i => (i, i * 1.0)).toDF("id", "amount"),
+      numPartitions = Some(4), sortBy = Seq("id"))
+    t.deleteMor(spark, "id BETWEEN 1 AND 5")           // tombstones, no rewrite
+    t.append((41L to 45L).map(i => (i, i * 1.0)).toDF("id", "amount"))
+    // COW update of a high slice: the tombstoned low file is untouched, so
+    // its tombstones must carry into the new version
+    t.update(spark, "id BETWEEN 36 AND 44", Map("amount" -> "amount + 100"))
+    assert(headHasDvs(root, t), "untouched files' tombstones must carry through COW update")
+    val afterUpdate = t.read(spark).as[(Long, Double)].collect().toMap
+    assert(!afterUpdate.contains(3L), "MOR-deleted row must not resurrect through COW update")
+    assert(afterUpdate(40L) === 140.0 && afterUpdate(20L) === 20.0)
+    // compaction materializes live tombstones and clears them
+    t.compact(spark, numFiles = 2)
+    assert(!headHasDvs(root, t), "compact must clear deletion vectors")
+    assert(t.read(spark).count() === 40)
+    // fresh tombstone, then a COW delete whose rewrite must not resurrect it
+    t.deleteMor(spark, "id = 9")
+    t.delete(spark, "id BETWEEN 6 AND 8")
+    val ids = t.read(spark).as[(Long, Double)].collect().map(_._1).toSet
+    assert(!ids.contains(9L) && !ids.contains(7L) && !ids.contains(3L))
+    assert(ids.size === 36) // 45 - 5 mor - 1 mor - 3 cow
+  }
+
+  test("mergeCow over a MOR-deleted table does not resurrect dead rows") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit((1L to 30L).map(i => (i, s"old$i")).toDF("id", "s"),
+      numPartitions = Some(3), sortBy = Seq("id"))
+    t.deleteMor(spark, "id = 7")
+    val source = Seq((7L, "new7"), (31L, "new31")).toDF("id", "s")
+    t.mergeCow(spark, source, "source.id = target.id", "id", "id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("s" -> "source.s"))),
+      whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None, Map.empty)))
+    val rows = t.read(spark).as[(Long, String)].collect().toMap
+    // id=7 was dead at merge time: NOT MATCHED applies, the insert wins
+    assert(rows(7L) === "new7" && rows(31L) === "new31" && rows.size === 31)
+  }
+
+  test("appendsSince refuses a range containing a MOR delete") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit((1L to 10L).toDF("id"))
+    t.append((11L to 20L).toDF("id"))
+    t.deleteMor(spark, "id = 1") // keeps every file — but removes rows
+    val e = intercept[IllegalArgumentException](t.appendsSince(spark, 0L).collect())
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
+  test("vacuum keeps referenced DV files and drops retired ones") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit((1L to 20L).toDF("id"), numPartitions = Some(2))
+    t.deleteMor(spark, "id <= 5")   // v1: dv A
+    t.compact(spark, numFiles = 1)  // v2: clears DVs (A now only referenced by v1)
+    t.deleteMor(spark, "id = 10")   // v3: dv B
+    assert(t.vacuum(retainVersions = 2) > 0) // drops v0, v1 → dv A goes
+    def dvParts: Long = {
+      val dv = java.nio.file.Paths.get(root, "dv")
+      if (!java.nio.file.Files.isDirectory(dv)) 0L
+      else {
+        val s = java.nio.file.Files.walk(dv)
+        try s.filter(p => p.toString.endsWith(".parquet")).count()
+        finally s.close()
+      }
+    }
+    assert(dvParts === 1L, "only v3's DV file may remain")
+    assert(t.read(spark).as[Long].collect().sorted.toSeq ===
+      (6L to 20L).filterNot(_ == 10L))
+  }
+
+  test("addConstraint validates live rows only; restore brings tombstones back") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, 5.0), (2L, -1.0)).toDF("id", "amount"))
+    t.deleteMor(spark, "amount < 0")
+    // the violating row is dead: the ALTER must pass
+    t.addConstraint(spark, "amount_pos", "amount > 0")
+    intercept[ConstraintViolationException](t.append(Seq((3L, -2.0)).toDF("id", "amount")))
+    // restore to the tombstoned version: live rows stay filtered
+    val tombstoned = 1L
+    t.restore(tombstoned)
+    assert(t.read(spark).count() === 1)
+  }
 }
