@@ -255,6 +255,40 @@ object SimilarityQueries {
         |    x -> pow(CAST(round(x / sc) AS INT) * sc - x, 2))) / 64), 6) AS rmse
         |FROM s""".stripMargin))
 
+  /** s5: k-NN JOIN — top-5 neighbours for EVERY query in a batch (each
+    * corpus shard joins the broadcast query set once; the candidate stream
+    * then shuffles only the slim (q_id, vec_id, label, sim) projection — no
+    * vector arrays — to rank per query). This is the batch face of
+    * similarity search a training pipeline runs (link every new document to
+    * its nearest existing ones), where s1 is the single-query face. Exact
+    * kNN is scan-bound by design; the IVF/LSH variants (s2/s3) are the
+    * recall-trading scale path. Self-matches are excluded. */
+  val s5KnnJoin: Q = Q(
+    "s5_knn_join",
+    (spark, dir) => {
+      val e = vectors(spark, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nqv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
+        .select("q_id", "vec_id", "label", "sim")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |pairs AS (
+         |  SELECT q.q_id, e.vec_id, e.label, round(${duckCos("e.v", "q.qv")}, 6) AS sim
+         |  FROM e, q WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, vec_id, label, sim, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |                               ORDER BY sim DESC, vec_id) AS rk
+         |  FROM pairs) t
+         |WHERE rk <= 5""".stripMargin))
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
-    s4QuantizeInt8)
+    s4QuantizeInt8, s5KnnJoin)
 }

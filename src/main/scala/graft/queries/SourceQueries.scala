@@ -412,8 +412,47 @@ object SourceQueries {
         |WHERE o_orderstatus <> 'F'
         |  AND o_orderkey NOT BETWEEN 1000 AND 1999""".stripMargin))
 
+  /** q85: incrementally maintained materialized aggregate — the base table
+    * is built as three appended batches; after each append, refresh() folds
+    * ONLY the appended delta (located by manifest file-list diff) into the
+    * pre-aggregated view: per-refresh cost O(delta + groups), never a
+    * re-scan of the base table. The final view must equal the one-shot
+    * GROUP BY over everything (decimal-exact partial sums make the fold
+    * order invisible), and a replayed refresh at the same base version must
+    * be a no-op (txn-stamped cursor, exactly-once). */
+  val q85IncrementalAgg: Q = Q(
+    "q85_incremental_agg",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mv-").toString
+      val base = graft.table.VersionedTable(s"$tmp/orders_base")
+      val proj = spark.sql(
+        """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+          |  CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders""".stripMargin)
+      val mv = new graft.table.MaterializedAgg(base, s"$tmp/orders_mv",
+        keys = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_price" -> "price"))
+      base.commit(proj.filter("o_orderkey % 3 = 0"), numPartitions = Some(4))
+      mv.refresh(spark)
+      base.append(proj.filter("o_orderkey % 3 = 1"), numPartitions = Some(4))
+      mv.refresh(spark)
+      base.append(proj.filter("o_orderkey % 3 = 2"), numPartitions = Some(4))
+      mv.refresh(spark)
+      require(mv.lastBaseVersion.contains(2L), "cursor must sit at the base head")
+      val headBefore = graft.table.VersionedTable(s"$tmp/orders_mv").latestVersion()
+      mv.refresh(spark) // replay at the same base version
+      require(graft.table.VersionedTable(s"$tmp/orders_mv").latestVersion() == headBefore,
+        "a no-op refresh must not commit a new view version")
+      mv.read(spark).select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+        col("sum_price").cast("double").as("sum_price"))
+    },
+    Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
-    q84MorDelete)
+    q84MorDelete, q85IncrementalAgg)
 }

@@ -254,7 +254,34 @@ object TextQueries {
         |WINDOW w AS (PARTITION BY source ORDER BY doc_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin)
 
+  /** t11: duplicate-bigram fraction — the Gopher-style repetition signal
+    * (high duplicate-n-gram mass marks boilerplate/spam for filtering).
+    * Bigrams are built WITHOUT exploding: `transform(sequence(...))` over
+    * the token array keeps the whole computation inside one codegen'd map
+    * stage — per-row work, zero shuffle, embarrassingly parallel at 100 TB
+    * (an explode + self-join formulation would shuffle every token). */
+  val t11Repetition: Q = Q.dualSql("t11_repetition",
+    sparkSql =
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id,
+        |        transform(sequence(1, size(ws) - 1),
+        |                  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) AS bs
+        |      FROM w WHERE size(ws) >= 2)
+        |SELECT doc_id, size(bs) AS n_bigrams, size(array_distinct(bs)) AS n_uniq,
+        |  round(1.0e0 - CAST(size(array_distinct(bs)) AS DOUBLE) / size(bs), 6)
+        |    AS dup_bigram_frac
+        |FROM b""".stripMargin,
+    duckSql =
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id,
+        |        list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bs
+        |      FROM w WHERE len(ws) >= 2)
+        |SELECT doc_id, len(bs) AS n_bigrams, len(list_distinct(bs)) AS n_uniq,
+        |  round(1.0 - CAST(len(list_distinct(bs)) AS DOUBLE) / len(bs), 6)
+        |    AS dup_bigram_frac
+        |FROM b""".stripMargin)
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
-    t10Packing)
+    t10Packing, t11Repetition)
 }

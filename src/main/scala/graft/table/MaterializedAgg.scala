@@ -1,0 +1,68 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained materialized aggregate over an append-only
+  * [[VersionedTable]] — the "pre-aggregated view" a reporting/serving layer
+  * keeps next to a raw 100 TB fact table.
+  *
+  * The view is `SELECT keys, count(*) AS n, sum(expr) AS name... GROUP BY
+  * keys`, itself stored as a VersionedTable. `refresh()` reads ONLY the rows
+  * appended since the last refresh (manifest file-list diff —
+  * [[VersionedTable.appendsSince]], zero data I/O to locate the delta),
+  * partially aggregates them, and folds the partials into the view: cost
+  * O(delta + |groups|) per refresh, never O(base table). Count/sum are the
+  * associative aggregates this folding is exact for; callers needing avg
+  * derive it as s/n at read time. Exactness across refresh schedules relies
+  * on the caller summing decimal-cast expressions (see queries/Q.scala).
+  *
+  * The base-table high-water mark rides the view's own commit as an
+  * idempotent-writer txn stamp (`matview:<base>` → base version), so the
+  * refresh cursor survives view compaction/vacuum and a replayed refresh of
+  * the same base version is a no-op rather than a double-count — the same
+  * exactly-once protocol the streaming sink uses.
+  *
+  * At 1000-executor scale the fold is a shuffle of |groups| + |delta groups|
+  * rows on the group key — the view table stays small relative to the base;
+  * a view whose key cardinality approaches the base row count is not a
+  * useful materialization and should be a plain query instead.
+  */
+final class MaterializedAgg(
+    val base: VersionedTable,
+    val root: String,
+    keys: Seq[String],
+    sums: Seq[(String, String)]) {
+  require(keys.nonEmpty, "materialized aggregate needs at least one group key")
+
+  private val view = VersionedTable(root)
+  private def appId = s"matview:${base.root}"
+
+  /** The view's base-table cursor: the base version the last refresh folded. */
+  def lastBaseVersion: Option[Long] = view.lastTxn(appId)
+
+  /** Fold appended-since-last-refresh base rows into the view. Returns the
+    * base version now reflected. No-op (no commit) when already current. */
+  def refresh(spark: SparkSession): Long = {
+    val baseV = base.resolve()
+    val cursor = lastBaseVersion
+    if (cursor.contains(baseV)) return baseV // already current: no new version
+    val delta = cursor match {
+      case None => base.read(spark) // first refresh: full aggregation
+      case Some(v) => base.appendsSince(spark, v)
+    }
+    val aggCols = count(lit(1)).as("n") +: sums.map { case (nm, e) => sum(expr(e)).as(nm) }
+    val partial = delta.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val folded = cursor match {
+      case None => partial
+      case Some(_) =>
+        val reAgg = sum(col("n")).as("n") +: sums.map { case (nm, _) => sum(col(nm)).as(nm) }
+        view.read(spark).unionByName(partial)
+          .groupBy(keys.map(col): _*).agg(reAgg.head, reAgg.tail: _*)
+    }
+    view.commit(folded, txn = Some(appId -> baseV))
+    baseV
+  }
+
+  def read(spark: SparkSession): DataFrame = view.read(spark)
+}

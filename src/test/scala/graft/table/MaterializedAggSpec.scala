@@ -1,0 +1,31 @@
+package graft.table
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("refresh folds only appended deltas and matches a one-shot aggregate") {
+    val base = VersionedTable(tmpDir("mv-"))
+    val mv = new MaterializedAgg(base, tmpDir("mv-"), Seq("k"), Seq("s" -> "x"))
+    base.commit(Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
+    mv.refresh(spark)
+    base.append(Seq(("a", 10L), ("c", 5L)).toDF("k", "x"))
+    mv.refresh(spark)
+    val got = mv.read(spark).as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("a", 2L, 11L), ("b", 1L, 2L), ("c", 1L, 5L)))
+    assert(mv.lastBaseVersion.contains(1L))
+  }
+
+  test("a rewrite in the refresh window is refused, not silently mis-counted") {
+    val base = VersionedTable(tmpDir("mv-"))
+    val mv = new MaterializedAgg(base, tmpDir("mv-"), Seq("k"), Seq("s" -> "x"))
+    base.commit(Seq(("a", 1L)).toDF("k", "x"))
+    mv.refresh(spark)
+    base.delete(spark, "x = 1") // rewrite: the file-list diff cannot see it
+    base.append(Seq(("a", 3L)).toDF("k", "x"))
+    val e = intercept[IllegalArgumentException](mv.refresh(spark))
+    assert(e.getMessage.contains("not an append"))
+  }
+}
