@@ -63,5 +63,45 @@ object JoinQueries {
         |WHERE b.event_type = 'purchase'
         |GROUP BY b.event_id, b.user_id, b.ts::TIMESTAMP""".stripMargin))
 
-  val all: Seq[Q] = Seq(q72BloomSemiJoin, q73IntervalJoin)
+  /** q86: bucketed co-located join through the gate — both fact tables are
+    * written `bucketBy(8, key)` + in-bucket sorted, so the equi-join plans
+    * as a SortMergeJoin with ZERO shuffle exchange (asserted on the physical
+    * plan): the bucketing shuffle is paid ONCE at write and amortized over
+    * every later join on that key. At 100 TB this is the difference between
+    * re-shuffling the fact table per query and never shuffling it again.
+    * The result aggregate must match the plain-join oracle. */
+  val q86BucketedJoin: Q = Q(
+    "q86_bucketed_join",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.registerAll(spark, dir)
+      // EXTERNAL bucketed tables at a fresh location: the in-memory catalog
+      // dies with the session but the warehouse dir does not, so a managed
+      // table here would collide with a previous JVM's leftovers
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bkt-").toString
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      spark.table("orders").select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/orders").mode("overwrite").saveAsTable("graft_b_orders")
+      spark.table("lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/lineitem").mode("overwrite").saveAsTable("graft_b_lineitem")
+      val joined = spark.table("graft_b_lineitem").join(
+        spark.table("graft_b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      require(!joinPlan.contains("Exchange hashpartitioning"),
+        s"bucketed join must be shuffle-free, got:\n$joinPlan")
+      joined.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            .as("sum_price"))
+    },
+    Some(
+      """SELECT o_orderstatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin))
+
+  val all: Seq[Q] = Seq(q72BloomSemiJoin, q73IntervalJoin, q86BucketedJoin)
 }

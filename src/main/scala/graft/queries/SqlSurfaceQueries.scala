@@ -350,10 +350,37 @@ object SqlSurfaceQueries {
                 |     generate_series(1, 5) g(i)
                 |WHERE i <= len(l)""".stripMargin)
 
+  /** q87: navigation window functions — nth_value plus first/last_value
+    * with IGNORE NULLS over a per-customer order timeline (nulls injected
+    * via nullif on the low-price band). Frame: full partition, so every row
+    * of a customer carries the same navigation values. Spark spells
+    * null-skipping `first(x, true)`; DuckDB `first_value(x IGNORE NULLS)` —
+    * dialect split, same semantics. */
+  val q87NavWindows: Q = Q.dualSql("q87_nav_windows",
+    sparkSql =
+      """SELECT o_orderkey, o_custkey,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order,
+        |  first(nullif(o_totalprice, 0e0), true) OVER w AS first_price,
+        |  last(CASE WHEN o_totalprice > 150000 THEN o_orderkey END, true) OVER w
+        |    AS last_big_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    duckSql =
+      """SELECT o_orderkey, o_custkey,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order,
+        |  first_value(nullif(o_totalprice, 0) IGNORE NULLS) OVER w AS first_price,
+        |  last_value(CASE WHEN o_totalprice > 150000 THEN o_orderkey END IGNORE NULLS)
+        |    OVER w AS last_big_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)
+
   val all: Seq[Q] = Seq(
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
     q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
     q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames, q44RecursiveCte,
     q45GroupingSets, q46BagSetOps, q47MapFunctions, q54Unpivot, q57StatAggs,
-    q58RankingWindows, q68RangeJoin, q69SaltedAgg, q71CrossJoin, q74LateralExplode)
+    q58RankingWindows, q68RangeJoin, q69SaltedAgg, q71CrossJoin, q74LateralExplode,
+    q87NavWindows)
 }

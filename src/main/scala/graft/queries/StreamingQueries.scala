@@ -259,6 +259,56 @@ object StreamingQueries {
         |      FROM events)
         |WHERE rn = 1""".stripMargin))
 
+  /** q88: watermarked stream-stream LEFT OUTER join — views that did NOT
+    * convert within 30 minutes surface with null purchase columns. The
+    * null-padded row for an unmatched view can only be emitted once the
+    * watermark proves no matching purchase can still arrive (state eviction
+    * — the mechanism that bounds outer-join state at scale); views too near
+    * the stream's end are still held open, so BOTH the streaming result and
+    * the batch oracle restrict to views at least 2 hours before max(ts) — a
+    * margin safely past the 1h-watermark + 30min-window decision boundary,
+    * making the gate deterministic. */
+  val q88StreamOuterJoin: Q = Q(
+    "q88_stream_outer_join",
+    (spark, dir) => {
+      val landing = java.nio.file.Files.createTempDirectory("graft-soj-").toString
+      val ev = Tables.table(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ev.write.mode("overwrite").parquet(landing)
+      val cutoff = ev.agg(org.apache.spark.sql.functions.max("ts")).head.getTimestamp(0)
+      def stream = spark.readStream.schema(ev.schema).parquet(landing)
+      val views = stream.filter(col("event_type") === "view")
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+          col("user_id"))
+      val buys = stream.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"),
+          col("user_id").as("buy_user"), col("value"))
+      val joined = views.join(buys,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      val qname = s"q88_sink_${System.nanoTime()}"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(qname).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(qname)
+        .filter(col("view_ts") < lit(cutoff) - expr("INTERVAL 2 HOURS"))
+        .select("view_id", "user_id", "view_ts", "buy_id", "buy_ts", "value")
+    },
+    Some(
+      """SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+        |  b.event_id AS buy_id, b.ts AS buy_ts, b.value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON b.user_id = v.user_id
+        | AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTE
+        |WHERE v.ts < (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin))
+
   val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch,
-    q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions, q75StreamCdcUpsert)
+    q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions, q75StreamCdcUpsert,
+    q88StreamOuterJoin)
 }
