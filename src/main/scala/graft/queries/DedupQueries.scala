@@ -452,6 +452,42 @@ object DedupQueries {
         |FROM marked
         |GROUP BY doc_id""".stripMargin)
 
+  /** d9: training-set decontamination — drop every training document
+    * (source ≠ src0) sharing ANY 8-word shingle with the evaluation corpus
+    * (source = src0). This is the n-gram-containment decontamination step a
+    * training pipeline runs against its eval suites. Shape at scale: the
+    * shingle explode is linear in corpus tokens; the containment test is a
+    * semi join on the shingle hash — at 100 TB the eval side is tiny and
+    * broadcasts, so the whole pass stays scan-bound with no large shuffle. */
+  val d9Decontaminate: Q = Q.dualSql("d9_decontaminate",
+    sparkSql =
+      """WITH tok AS (SELECT doc_id, source, split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         explode(transform(sequence(1, greatest(size(ws) - 7, 1)),
+        |                 i -> array_join(slice(ws, i, 8), ' '))) AS shingle
+        |       FROM tok),
+        |eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+        |dirty AS (SELECT DISTINCT s.doc_id
+        |          FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+        |          WHERE s.source <> 'src0')
+        |SELECT doc_id, source FROM documents
+        |WHERE source <> 'src0'
+        |  AND doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
+    duckSql =
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |             FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         unnest(list_transform(range(1, greatest(len(ws) - 7, 1) + 1),
+        |                i -> array_to_string(ws[i:i+7], ' '))) AS shingle
+        |       FROM tok),
+        |eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+        |dirty AS (SELECT DISTINCT s.doc_id
+        |          FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+        |          WHERE s.source <> 'src0')
+        |SELECT doc_id, source FROM documents
+        |WHERE source <> 'src0'
+        |  AND doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin)
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
-    d6DedupClusters, d7CollectionMinHash, d8PassageDedup)
+    d6DedupClusters, d7CollectionMinHash, d8PassageDedup, d9Decontaminate)
 }

@@ -87,10 +87,16 @@ object JoinQueries {
       spark.table("lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$tmp/lineitem").mode("overwrite").saveAsTable("graft_b_lineitem")
-      val joined = spark.table("graft_b_lineitem").join(
+      // the merge hint forces the SortMergeJoin path (at gate scale the
+      // optimizer would otherwise broadcast the small side and the bucketing
+      // would go untested); with both sides bucketed on the key, the SMJ
+      // plans with zero shuffle exchange — the 100 TB claim this gate proves
+      val joined = spark.table("graft_b_lineitem").hint("merge").join(
         spark.table("graft_b_orders"), col("l_orderkey") === col("o_orderkey"))
       val joinPlan = joined.queryExecution.executedPlan.toString
-      require(!joinPlan.contains("Exchange hashpartitioning"),
+      require(joinPlan.contains("SortMergeJoin"),
+        s"expected the bucketed sort-merge path, got:\n$joinPlan")
+      require(!joinPlan.contains("Exchange"),
         s"bucketed join must be shuffle-free, got:\n$joinPlan")
       joined.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),

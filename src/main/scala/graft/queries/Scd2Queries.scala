@@ -220,5 +220,45 @@ object Scd2Queries {
     },
     Some(s"$oracleCtes SELECT * FROM initial_load"))
 
-  val all: Seq[Q] = Seq(q8Typing, q9Staged, q10Merge, q20TimeTravel)
+  /** q89: full table sync via MERGE with every clause family — matched
+    * UPDATE, not-matched-by-target INSERT, and NOT MATCHED BY SOURCE DELETE
+    * (the Delta clause that turns MERGE into "make target equal source"):
+    * even keys update in place, odd keys (absent from the source) are
+    * deleted, and a band of brand-new keys inserts. After the sync the
+    * versioned table must equal the source mirror exactly, which is the
+    * oracle. */
+  val q89MergeSync: Q = Q(
+    "q89_merge_sync",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sync-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_v")
+      t.commit(spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"),
+        numPartitions = Some(4))
+      val mirror = spark.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+          |FROM orders WHERE o_orderkey % 2 = 0
+          |UNION ALL
+          |SELECT o_orderkey + 10000000, 'N' AS o_orderstatus, 1.0e0 AS o_totalprice
+          |FROM orders WHERE o_orderkey < 100""".stripMargin)
+      val merged = graft.table.Merge.merge(
+        t.read(spark), mirror, "source.o_orderkey = target.o_orderkey",
+        whenMatchedUpdate = Some(graft.table.Merge.MatchedUpdate(None,
+          Map("o_totalprice" -> "source.o_totalprice",
+              "o_orderstatus" -> "source.o_orderstatus"))),
+        whenNotMatchedInsert = Some(graft.table.Merge.NotMatchedInsert(None, Map.empty)),
+        whenNotMatchedBySourceDelete =
+          Some(graft.table.Merge.NotMatchedBySourceDelete(None)))
+      t.commit(merged, numPartitions = Some(4))
+      t.read(spark)
+    },
+    Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 'N' AS o_orderstatus, 1.0 AS o_totalprice
+        |FROM orders WHERE o_orderkey < 100""".stripMargin))
+
+  val all: Seq[Q] = Seq(q8Typing, q9Staged, q10Merge, q20TimeTravel, q89MergeSync)
 }
