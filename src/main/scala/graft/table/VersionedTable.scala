@@ -195,6 +195,12 @@ final class VersionedTable(val root: String) {
     * table by reading this manifest over the parquet files). */
   def writeSymlinkManifest(version: Option[Long] = None): Path = {
     val v = version.getOrElse(resolve())
+    // a symlink manifest is a bare file list: an external engine reading it
+    // cannot apply deletion vectors and would see deleted rows resurrected —
+    // refuse, like Delta does for DV tables (compact first to materialize)
+    require(dvsOf(v).isEmpty,
+      s"version $v of $root carries deletion vectors; an external engine reading " +
+        "the symlink manifest would see deleted rows — run compact() first")
     val dir = Paths.get(root, "_symlink_format_manifest")
     Files.createDirectories(dir)
     val uris = filesOf(v).map(f => Paths.get(root).resolve(f).toUri.toString)

@@ -768,6 +768,17 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
       (6L to 20L).filterNot(_ == 10L))
   }
 
+  test("symlink manifest refuses a DV-carrying version (external engines can't apply tombstones)") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit((1L to 10L).toDF("id"))
+    t.deleteMor(spark, "id = 1")
+    val e = intercept[IllegalArgumentException](t.writeSymlinkManifest())
+    assert(e.getMessage.contains("deletion vectors"))
+    t.compact(spark) // materializes the delete
+    assert(java.nio.file.Files.exists(t.writeSymlinkManifest()))
+  }
+
   test("addConstraint validates live rows only; restore brings tombstones back") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
