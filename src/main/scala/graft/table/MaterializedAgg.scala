@@ -42,25 +42,35 @@ final class MaterializedAgg(
   def lastBaseVersion: Option[Long] = view.lastTxn(appId)
 
   /** Fold appended-since-last-refresh base rows into the view. Returns the
-    * base version now reflected. No-op (no commit) when already current. */
+    * base version now reflected. No-op (no commit) when already current.
+    *
+    * Every read AND the publish are pinned to the ONE view head captured up
+    * front: a refresh is a read-modify-write whose output depends on the
+    * view state it read, so a concurrent refresh (or any other view writer)
+    * landing in between raises [[ConcurrentCommitException]] — re-run on
+    * the new head — instead of silently double-folding the delta (the
+    * cursor and the view content would otherwise be read at two different
+    * instants and could disagree). The base side is pinned the same way:
+    * delta = appends in (cursor, baseV], never "whatever the head is now". */
   def refresh(spark: SparkSession): Long = {
     val baseV = base.resolve()
+    val viewHead = view.latestVersion()
     val cursor = lastBaseVersion
     if (cursor.contains(baseV)) return baseV // already current: no new version
     val delta = cursor match {
-      case None => base.read(spark) // first refresh: full aggregation
-      case Some(v) => base.appendsSince(spark, v)
+      case None => base.read(spark, versionAsOf = Some(baseV)) // first refresh: full
+      case Some(v) => base.appendsSince(spark, v, toVersion = Some(baseV))
     }
     val aggCols = count(lit(1)).as("n") +: sums.map { case (nm, e) => sum(expr(e)).as(nm) }
     val partial = delta.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-    val folded = cursor match {
-      case None => partial
-      case Some(_) =>
+    val folded = (cursor, viewHead) match {
+      case (None, _) | (_, None) => partial
+      case (Some(_), Some(hv)) =>
         val reAgg = sum(col("n")).as("n") +: sums.map { case (nm, _) => sum(col(nm)).as(nm) }
-        view.read(spark).unionByName(partial)
+        view.read(spark, versionAsOf = Some(hv)).unionByName(partial)
           .groupBy(keys.map(col): _*).agg(reAgg.head, reAgg.tail: _*)
     }
-    view.commit(folded, txn = Some(appId -> baseV))
+    view.commitPinnedAt(folded, viewHead, txn = Some(appId -> baseV))
     baseV
   }
 

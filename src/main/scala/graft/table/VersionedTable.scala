@@ -477,6 +477,26 @@ final class VersionedTable(val root: String) {
     }
   }
 
+  /** Full-snapshot commit PINNED to the head the caller read (`base` = that
+    * version, None = the caller saw an empty table and expects to create
+    * version 0): any concurrent commit makes the publish raise
+    * [[ConcurrentCommitException]] instead of last-writer-wins. This is the
+    * right commit for read-modify-write maintainers — a writer whose OUTPUT
+    * depends on the snapshot it read (e.g. [[MaterializedAgg.refresh]]
+    * folding a delta into the view it just read) must not blindly republish
+    * over a commit it never saw. */
+  def commitPinnedAt(df: DataFrame, base: Option[Long],
+      numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil,
+      collectStats: Boolean = true, txn: Option[(String, Long)] = None): Long = {
+    val (commitId, files) = writeDataFiles(df, numPartitions, sortBy)
+    val stats =
+      if (collectStats && files.nonEmpty) collectFileStats(df.sparkSession, commitId)
+      else Map.empty[String, Map[String, (String, String, String)]]
+    val cs = base.map(constraintsOf).getOrElse(Map.empty)
+    validateWritten(df.sparkSession, files, Some(df.schema), cs)
+    publish(files, df.schema.json, stats, txn, base, cs)
+  }
+
   /** Run `attempt` against the current head, retrying on a commit collision
     * with the refreshed head (bounded; commit contention at a given version
     * resolves in one winner per round, so progress is guaranteed). */
@@ -961,8 +981,9 @@ final class VersionedTable(val root: String) {
     * appends; a rewrite (delete/update/merge/compact) re-adds surviving rows
     * in fresh files, so this raises unless every intervening manifest grew
     * strictly (append commits carry every prior file forward). */
-  def appendsSince(spark: SparkSession, sinceVersion: Long): DataFrame = {
-    val head = resolve()
+  def appendsSince(spark: SparkSession, sinceVersion: Long,
+                   toVersion: Option[Long] = None): DataFrame = {
+    val head = toVersion.map(v => resolve(None, Some(v))).getOrElse(resolve())
     val base = filesOf(resolve(None, Some(sinceVersion))).toSet
     val baseDvs = dvsOf(sinceVersion).toSet
     versions().filter(v => v > sinceVersion && v <= head).foldLeft(base) { (prev, v) =>
@@ -1073,11 +1094,19 @@ final class VersionedTable(val root: String) {
   /** Vacuum: physically delete data files not referenced by the newest
     * `retainVersions` manifests, and drop the older manifests. Time travel
     * before the retention window stops working (as with any lakehouse
-    * vacuum); the retained window is untouched. Returns deleted file count. */
-  def vacuum(retainVersions: Int = 2): Int = {
+    * vacuum); the retained window is untouched. Returns deleted file count.
+    *
+    * Also sweeps ORPHANS: files referenced by NO manifest at all — the
+    * residue of a rejected batch (constraint violation) or a lost publish
+    * race, whose writer never linked a manifest. Orphans are only removed
+    * once older than `orphanRetentionMs` (default 7 days), so a concurrent
+    * writer's freshly written, not-yet-published files are never swept out
+    * from under its commit — the same age-guard Delta's VACUUM uses. */
+  def vacuum(retainVersions: Int = 2,
+             orphanRetentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val vs = versions()
-    if (vs.size <= retainVersions) return 0
+    if (vs.isEmpty) return 0
     val retained = vs.takeRight(retainVersions)
     val dropped = vs.dropRight(retainVersions)
     // a manifest can vanish mid-run when another vacuum races this one; that
@@ -1114,6 +1143,25 @@ final class VersionedTable(val root: String) {
         }
       }
       Files.deleteIfExists(manifestPath(v))
+    }
+    // orphan sweep: on-disk files referenced by NO remaining manifest (a
+    // rejected batch or lost publish race) go once past the age guard
+    val live = versions().flatMap(v => tryManifest(v).toSeq.flatMap(refsOf)).toSet
+    val cutoff = System.currentTimeMillis() - orphanRetentionMs
+    Seq("data" -> dataDir, "dv" -> dvDir).foreach { case (prefix, base) =>
+      if (Files.isDirectory(base)) {
+        listNames(base).foreach { commit =>
+          val d = base.resolve(commit)
+          if (Files.isDirectory(d)) listNames(d).foreach { f =>
+            val rel = s"$prefix/$commit/$f"
+            val p = d.resolve(f)
+            if (!live.contains(rel) &&
+                Files.getLastModifiedTime(p).toMillis < cutoff) {
+              if (Files.deleteIfExists(p)) deleted += 1
+            }
+          }
+        }
+      }
     }
     // sweep now-empty commit/dv dirs
     Seq(dataDir, dvDir).filter(Files.isDirectory(_)).foreach { base =>

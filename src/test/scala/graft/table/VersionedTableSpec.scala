@@ -768,6 +768,40 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
       (6L to 20L).filterNot(_ == 10L))
   }
 
+  test("vacuum sweeps aged orphans of rejected batches but never fresh files") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, 5.0)).toDF("id", "amount"))
+    t.addConstraint(spark, "amount_pos", "amount > 0")
+    // rejected batch: its data files are written, then the publish refuses —
+    // they are referenced by NO manifest (orphans)
+    intercept[ConstraintViolationException](t.append(Seq((2L, -1.0)).toDF("id", "amount")))
+    def dataParts: Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+      try s.filter(p => p.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    val withOrphan = dataParts
+    // fresh orphans survive the age guard (a concurrent writer's unpublished
+    // files must never be swept out from under its commit)
+    t.vacuum(retainVersions = 1)
+    assert(dataParts === withOrphan)
+    // past the age guard they go; the table still reads
+    assert(t.vacuum(retainVersions = 1, orphanRetentionMs = 0L) > 0)
+    assert(dataParts < withOrphan)
+    assert(t.read(spark).count() === 1)
+  }
+
+  test("commitPinnedAt surfaces a concurrent commit instead of clobbering it") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(Seq(1L).toDF("id"))
+    val head = t.latestVersion() // Some(0)
+    t.append(Seq(2L).toDF("id")) // a concurrent writer lands
+    intercept[ConcurrentCommitException](t.commitPinnedAt(Seq(3L).toDF("id"), head))
+    // nothing lost: the concurrent append's rows are still the head
+    assert(t.read(spark).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("symlink manifest refuses a DV-carrying version (external engines can't apply tombstones)") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
