@@ -115,6 +115,53 @@ object CoreQueries {
       |      FROM orders) t
       |WHERE rn <= 3""".stripMargin)
 
+  /** q90: time-series gap fill — daily event counts per type with missing
+    * (type, day) buckets resampled to 0 over the observed span. The dense
+    * day axis is GENERATED (sequence + explode over one min/max row), never
+    * materialized from the fact table, and the fill is a left join against
+    * the tiny dense axis — at 100 TB the cost stays the one groupBy of the
+    * raw events; the axis side is broadcast-sized by construction. */
+  val q90GapFill: Q = Q.dualSql("q90_gap_fill",
+    sparkSql =
+      """WITH d AS (SELECT event_type, CAST(date_trunc('DAY', ts) AS DATE) AS day,
+        |             count(*) AS n
+        |           FROM events GROUP BY event_type, date_trunc('DAY', ts)),
+        |span AS (SELECT explode(sequence(mn, mx, INTERVAL 1 DAY)) AS day
+        |         FROM (SELECT min(day) AS mn, max(day) AS mx FROM d)),
+        |types AS (SELECT DISTINCT event_type FROM d)
+        |SELECT t.event_type, s.day, COALESCE(d.n, 0) AS n
+        |FROM span s CROSS JOIN types t
+        |LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day""".stripMargin,
+    duckSql =
+      """WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |             count(*) AS n
+        |           FROM events GROUP BY event_type, date_trunc('day', ts)),
+        |span AS (SELECT CAST(unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP,
+        |                     INTERVAL '1 day')) AS DATE) AS day
+        |         FROM (SELECT min(day) AS mn, max(day) AS mx FROM d)),
+        |types AS (SELECT DISTINCT event_type FROM d)
+        |SELECT t.event_type, s.day, COALESCE(d.n, 0) AS n
+        |FROM span s CROSS JOIN types t
+        |LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day""".stripMargin)
+
+  /** q91: three-step conversion funnel (view → click → purchase, strictly
+    * ordered per user via each step's FIRST qualifying timestamp) — the
+    * product-analytics shape: three self-aggregations of the fact table,
+    * each a hash join + min-agg on user_id; no window over the full event
+    * stream, so the plan is shuffle-bounded by distinct users, not events. */
+  val q91Funnel: Q = Q.sharedSql("q91_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |      JOIN v ON v.user_id = e.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |      JOIN c ON c.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_viewed,
+      |       (SELECT count(*) FROM c) AS n_clicked_after,
+      |       (SELECT count(*) FROM p) AS n_purchased_after""".stripMargin)
+
   /** Distinct aggregation (COUNT(DISTINCT) expands to two-phase agg). */
   val q11AggDistinct: Q = Q.sharedSql("q11_agg_distinct",
     """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
@@ -253,5 +300,6 @@ object CoreQueries {
     q1PricingSummary, q2FilterProject, q3JoinAgg, q4StarJoin, q5Union, q5Except,
     q6WordCount, q7WindowTopN, q11AggDistinct, q12EventsWindow, q13EventsJson,
     q14Semi, q15Anti, q16Rollup, q17SortLimit, q18Sessions, q19Running,
-    q22ShippingPriority, q23LocalSupplier, q24DateFunctions, q25Median)
+    q22ShippingPriority, q23LocalSupplier, q24DateFunctions, q25Median,
+    q90GapFill, q91Funnel)
 }
