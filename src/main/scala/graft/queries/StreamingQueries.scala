@@ -308,7 +308,55 @@ object StreamingQueries {
         | AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTE
         |WHERE v.ts < (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin))
 
+  /** q92: per-user running totals via transformWithState — Spark 4's
+    * arbitrary-state v2 API (typed ValueState in the RocksDB store) through
+    * the gate: update-mode totals after draining the stream must equal the
+    * batch GROUP BY. Decimal-exact sums so state-fold order is invisible to
+    * the hash compare. The RocksDB provider is required by the v2 operator
+    * and restored afterwards (other streaming gates run on the default
+    * store). */
+  val q92StreamTws: Q = Q(
+    "q92_stream_tws",
+    (spark, dir) => {
+      import spark.implicits._
+      val landing = java.nio.file.Files.createTempDirectory("graft-tws-").toString
+      // land CENTS (integer-valued doubles): the processor folds doubles in
+      // arrival order, and only integer addition is order-invariant at the
+      // bit level — the oracle's decimal sum then matches exactly
+      Tables.table(spark, dir, "events")
+        .selectExpr("user_id",
+          "CAST(round(CAST(value AS DECIMAL(14,2)) * 100) AS DOUBLE) AS value")
+        .write.mode("overwrite").parquet(landing)
+      val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val schema = spark.read.parquet(landing).schema
+        val stream = spark.readStream.schema(schema).parquet(landing)
+          .as[graft.streaming.UserEvent]
+        val qname = s"q92_sink_${System.nanoTime()}"
+        val q = graft.streaming.StreamingEtl.statefulUserTotalsTws(stream)
+          .writeStream.outputMode("update").format("memory").queryName(qname).start()
+        q.processAllAvailable()
+        q.stop()
+        // single AvailableNow-style batch: the last update per key IS the
+        // total; cents back to currency with one exact-rounding division
+        spark.table(qname).groupBy("user_id")
+          .agg(max("n").as("n"),
+            (max("sum_value") / lit(100.0)).as("sum_value"))
+      } finally {
+        prior match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+    Some(
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch,
     q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions, q75StreamCdcUpsert,
-    q88StreamOuterJoin)
+    q88StreamOuterJoin, q92StreamTws)
 }

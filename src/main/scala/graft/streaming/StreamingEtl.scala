@@ -27,6 +27,32 @@ final case class UserTotal(user_id: Long, n: Long, sum_value: Double)
 /** Open-session state for [[StreamingEtl.sessionWindows]] (micros). */
 final case class SessionState(start: Long, last: Long, n: Long)
 
+/** StatefulProcessor for [[StreamingEtl.statefulUserTotalsTws]]: one typed
+  * ValueState slot per user holding the running (count, sum). `init` runs
+  * once per partition at query (re)start — the handle hands out state bound
+  * to the current grouping key at call time. No TTL: totals are forever
+  * (a bounded-retention variant would pass TTLConfig(duration)). */
+final class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserTotal] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[UserTotal] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserTotal]("totals",
+      org.apache.spark.sql.Encoders.product[UserTotal], TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[UserTotal] = {
+    val prev = if (state.exists()) state.get() else UserTotal(userId, 0L, 0.0)
+    var n = prev.n
+    var sum = prev.sum_value
+    rows.foreach { e => n += 1; sum += e.value }
+    val next = UserTotal(userId, n, sum)
+    state.update(next)
+    Iterator.single(next)
+  }
+}
+
 object StreamingEtl {
 
   /** Shared exactly-once micro-batch scaffold: parquet landing-dir stream,
@@ -191,6 +217,24 @@ object StreamingEtl {
           state.update(next)
           next
       }
+  }
+
+  /** Per-user running totals via `transformWithState` — Spark 4's
+    * arbitrary-state v2 API (typed `ValueState` handles in the RocksDB
+    * store, optional per-state TTL, timers): the successor to
+    * `mapGroupsWithState` and the API a new pipeline should target. Same
+    * semantics as [[statefulUserTotals]] (update-mode refreshed totals per
+    * key per batch), kept side-by-side so both state APIs stay covered.
+    * Requires the RocksDB state-store provider (the v2 operator does not
+    * run on the default HDFS-backed store). */
+  def statefulUserTotalsTws(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** One closed session: contiguous events of a user with < `gap` between

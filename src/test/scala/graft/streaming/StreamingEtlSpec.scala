@@ -178,6 +178,45 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
     assert(got === expect)
   }
 
+  test("transformWithState running totals match mapGroupsWithState and the batch aggregate") {
+    val dir = tmpDir("tws-")
+    graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "value")
+      .write.mode("overwrite").parquet(dir)
+    // the v2 state API only runs on the RocksDB store
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1) // force state to carry across batches
+        .parquet(dir).as[UserEvent]
+      val totals = StreamingEtl.statefulUserTotalsTws(stream)
+      val qn = s"tws_sink_${System.nanoTime()}"
+      val q = totals.writeStream.outputMode("update")
+        .format("memory").queryName(qn).start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(qn)
+        .groupBy("user_id").agg(max("n").as("n"), max("sum_value").as("s"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val expect = spark.read.parquet(dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("s"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.view.mapValues(_._1).toMap === expect.view.mapValues(_._1).toMap)
+      // sums: same additions in per-batch order; compare with a tolerance
+      got.foreach { case (k, (_, s)) =>
+        assert(math.abs(s - expect(k)._2) < 1e-6, s"user $k sum drifted")
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("HLL++ sketch estimate stays within its error bound of the exact count") {
     val out = graft.queries.StreamingQueries.q27SketchDistinct
       .run(spark, "/root/testdata/sf0.01").collect()
