@@ -167,7 +167,7 @@ object JobSpec {
         if (n.has("sortBy")) n.get("sortBy").elements().asScala.map(_.asText()).toSeq
         else Nil,
         if (n.has("zOrderBy")) n.get("zOrderBy").elements().asScala.map(_.asText()).toSeq
-        else Nil, envs(n))
+        else Nil, optInt(n, "targetFileSizeMb"), envs(n))
       case "TableVacuum" => TableVacuum(
         name, str(n, "tableURI"), optInt(n, "retainVersions").getOrElse(2), envs(n))
       case "TableRestore" => TableRestore(

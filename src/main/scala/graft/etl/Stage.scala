@@ -379,9 +379,14 @@ final case class TableCompact(
     numFiles: Int = 1,
     sortBy: Seq[String] = Nil,
     zOrderBy: Seq[String] = Nil,
+    /** Size-targeted binpacking: overrides numFiles with ceil(snapshot
+      * bytes / target) — the knob that keeps file sizes stable as the
+      * table grows. */
+    targetFileSizeMb: Option[Int] = None,
     environments: Seq[String] = Nil) extends Stage {
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
-    VersionedTable(sub(tableURI, env)).compact(spark, numFiles, sortBy, zOrderBy)
+    VersionedTable(sub(tableURI, env)).compact(spark, numFiles, sortBy, zOrderBy,
+      targetFileSizeMb.map(_.toLong * 1024 * 1024))
     None
   }
 }

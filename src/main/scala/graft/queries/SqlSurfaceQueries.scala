@@ -376,11 +376,25 @@ object SqlSurfaceQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)
 
+  /** q93: RANGE frame with a calendar-interval boundary — a trailing-7-day
+    * moving sum per customer, ordered by event time. RANGE (value-based)
+    * frames differ from q43's ROWS frames on ties and gaps: all peer rows
+    * at the same date join the frame, and the window widens by TIME, not by
+    * row count — the rolling-metric shape time-series pipelines need.
+    * Decimal-exact sum so the frame-fold order is invisible. */
+  val q93RangeFrame: Q = Q.sharedSql("q93_range_frame",
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS sum_7d
+      |FROM orders""".stripMargin)
+
   val all: Seq[Q] = Seq(
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
     q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
     q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames, q44RecursiveCte,
     q45GroupingSets, q46BagSetOps, q47MapFunctions, q54Unpivot, q57StatAggs,
     q58RankingWindows, q68RangeJoin, q69SaltedAgg, q71CrossJoin, q74LateralExplode,
-    q87NavWindows)
+    q87NavWindows, q93RangeFrame)
 }

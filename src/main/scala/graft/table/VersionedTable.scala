@@ -902,12 +902,25 @@ final class VersionedTable(val root: String) {
     * can only ever prune its one leading column; multi-dimensional skipping
     * is what makes selective reads on a second key feasible at 100 TB. */
   def compact(spark: SparkSession, numFiles: Int = 1,
-              sortBy: Seq[String] = Nil, zOrderBy: Seq[String] = Nil): Long = {
+              sortBy: Seq[String] = Nil, zOrderBy: Seq[String] = Nil,
+              targetFileSizeBytes: Option[Long] = None): Long = {
     require(sortBy.isEmpty || zOrderBy.isEmpty, "sortBy and zOrderBy are exclusive")
     val pinned = resolve()
+    // size-targeted binpacking: derive the output file count from the
+    // snapshot's ON-DISK bytes (manifest file list, no data read) — the
+    // operational OPTIMIZE knob: "keep files near 1 GB" holds as the table
+    // grows, where a fixed numFiles silently drifts toward giant files
+    val numFiles0 = targetFileSizeBytes match {
+      case Some(target) =>
+        require(target > 0, "targetFileSizeBytes must be positive")
+        val bytes = filesOf(pinned)
+          .map(f => scala.util.Try(Files.size(Paths.get(root).resolve(f))).getOrElse(0L)).sum
+        math.max(1, math.ceil(bytes.toDouble / target).toInt)
+      case None => numFiles
+    }
     if (zOrderBy.isEmpty)
       commitPinned(read(spark, versionAsOf = Some(pinned)), pinned,
-        numPartitions = Some(numFiles), sortBy = sortBy)
+        numPartitions = Some(numFiles0), sortBy = sortBy)
     else {
       import org.apache.spark.sql.functions.{expr, max => fmax, min => fmin}
       require(zOrderBy.size >= 2 && zOrderBy.size <= 4,
@@ -949,7 +962,7 @@ final class VersionedTable(val root: String) {
       val terms = for (i <- 0 until 16; j <- 0 until k)
         yield s"shiftleft(shiftright(__zr$j, $i) & 1L, ${i * k + j})"
       val laidOut = ranked.withColumn("__z", expr(terms.mkString(" + ")))
-        .repartitionByRange(numFiles, col("__z"))
+        .repartitionByRange(numFiles0, col("__z"))
         .sortWithinPartitions(col("__z"))
         .drop((0 until k).map(j => s"__zr$j") :+ "__z": _*)
       commitPinned(laidOut, pinned)

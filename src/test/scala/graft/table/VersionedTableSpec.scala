@@ -791,6 +791,27 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).count() === 1)
   }
 
+  test("compact with a target file size binpacks by on-disk bytes") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit((1L to 20000L).map(i => (i, s"pad-$i-${"x" * 40}")).toDF("id", "s"),
+      numPartitions = Some(16))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def headFiles: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      mapper.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_graft_log", f"v${t.resolve()}%08d.json")))
+        .get("files").elements().asScala.map(_.asText()).toSeq
+    }
+    val totalBytes = headFiles
+      .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(root).resolve(f))).sum
+    val target = totalBytes / 3 // expect ceil(total/target) = 3-4 output files
+    t.compact(spark, targetFileSizeBytes = Some(target))
+    val n = headFiles.size
+    assert(n >= 3 && n <= 4, s"expected ~3 binpacked files, got $n")
+    assert(t.read(spark).count() === 20000L)
+  }
+
   test("commitPinnedAt surfaces a concurrent commit instead of clobbering it") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
