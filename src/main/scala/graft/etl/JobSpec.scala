@@ -172,6 +172,17 @@ object JobSpec {
         name, str(n, "tableURI"), optInt(n, "retainVersions").getOrElse(2), envs(n))
       case "TableRestore" => TableRestore(
         name, str(n, "tableURI"), longKey(n, "versionAsOf"), envs(n))
+      case "MatViewRefresh" =>
+        val sumsNode = n.get("sums")
+        require(sumsNode != null && sumsNode.isObject,
+          s"stage $name: MatViewRefresh needs a 'sums' object (name -> expression)")
+        require(n.has("keys") && n.get("keys").isArray && n.get("keys").size() > 0,
+          s"stage $name: MatViewRefresh needs a non-empty 'keys' array")
+        // Jackson preserves declaration order: it becomes the view's column order
+        val sums = sumsNode.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toSeq
+        MatViewRefresh(name, str(n, "baseURI"), str(n, "viewURI"),
+          n.get("keys").elements().asScala.map(_.asText()).toSeq, sums, envs(n))
       case "TableConstraint" =>
         val action = str(n, "action")
         require(action == "drop" || optStr(n, "expression").exists(_.trim.nonEmpty),

@@ -404,6 +404,27 @@ final case class TableVacuum(
   }
 }
 
+/** Refresh an incrementally maintained materialized aggregate (see
+  * [[graft.table.MaterializedAgg]]): fold the base table's appends since
+  * the last refresh into the pre-aggregated view — the declarative face of
+  * the "maintain a serving view next to the fact table" pattern. `sums`
+  * preserves declaration order (it becomes the view's column order). */
+final case class MatViewRefresh(
+    name: String,
+    baseURI: String,
+    viewURI: String,
+    keys: Seq[String],
+    sums: Seq[(String, String)],
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    new graft.table.MaterializedAgg(
+      VersionedTable(sub(baseURI, env)), sub(viewURI, env),
+      keys.map(sub(_, env)), sums.map { case (n, e) => n -> sub(e, env) })
+      .refresh(spark)
+    None
+  }
+}
+
 /** RESTORE a versioned table to an earlier version as a new head (Delta
   * `RESTORE TABLE ... TO VERSION AS OF` parity) — manifest-only, no data
   * copied; see [[graft.table.VersionedTable.restore]]. */

@@ -18,6 +18,25 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
     assert(mv.lastBaseVersion.contains(1L))
   }
 
+  test("MatViewRefresh stage parses and maintains the view from JSON") {
+    val baseRoot = tmpDir("mv-")
+    val viewRoot = tmpDir("mv-")
+    val base = VersionedTable(baseRoot)
+    base.commit(Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
+    val job = graft.etl.JobSpec.fromJson(
+      s"""{"stages": [
+         |  {"type": "MatViewRefresh", "name": "refresh view",
+         |   "baseURI": "$baseRoot", "viewURI": "$viewRoot",
+         |   "keys": ["k"], "sums": {"s": "x"}}
+         |]}""".stripMargin)
+    job.run(spark, Map.empty)
+    base.append(Seq(("a", 10L)).toDF("k", "x"))
+    job.run(spark, Map.empty) // second refresh folds only the delta
+    val got = VersionedTable(viewRoot).read(spark)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("a", 2L, 11L), ("b", 1L, 2L)))
+  }
+
   test("a rewrite in the refresh window is refused, not silently mis-counted") {
     val base = VersionedTable(tmpDir("mv-"))
     val mv = new MaterializedAgg(base, tmpDir("mv-"), Seq("k"), Seq("s" -> "x"))
