@@ -329,7 +329,10 @@ final class VersionedTable(val root: String) {
     Files.createDirectories(dvDir)
     val dvId = java.util.UUID.randomUUID().toString
     val outDir = dvDir.resolve(dvId)
-    df.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+    // repartition, NOT coalesce: coalesce(1) would collapse the upstream
+    // predicate scan into one task; repartition shuffles only the matched
+    // positions (metadata-sized) and the scan stays parallel
+    df.repartition(1).write.mode("overwrite").parquet(outDir.toString)
     listNames(outDir)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
       .map(n => s"dv/$dvId/$n").sorted
@@ -641,9 +644,12 @@ final class VersionedTable(val root: String) {
     val matched = scanLive(spark, all, schema, dvs, keepPos = true)
       .filter(coalesce(expr(condition), lit(false)))
       .select(col("__rel").as("file"), col("__ri").as("row_index"))
-    val n = matched.count()
-    if (n == 0L) return (v, 0L)
+    // write first, count the (tiny) written tombstones: counting `matched`
+    // directly would run the full predicate scan a second time
     val newDv = writeDvFiles(matched)
+    val n = spark.read.parquet(
+      newDv.map(f => Paths.get(root).resolve(f).toString): _*).count()
+    if (n == 0L) return (v, 0L) // no match: the empty DV dir falls to vacuum
     val schemaJson = schema.map(_.json).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
     // data files and their stats carry verbatim (stats stay sound: a DV only
