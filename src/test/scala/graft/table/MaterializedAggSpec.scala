@@ -37,6 +37,33 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq(("a", 2L, 11L), ("b", 1L, 2L)))
   }
 
+  test("racing refreshes never double-fold a delta") {
+    val baseRoot = tmpDir("mv-")
+    val viewRoot = tmpDir("mv-")
+    val base = VersionedTable(baseRoot)
+    base.commit(Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
+    new MaterializedAgg(base, viewRoot, Seq("k"), Seq("s" -> "x")).refresh(spark)
+    base.append(Seq(("a", 10L)).toDF("k", "x"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def attempt(): Future[Boolean] = Future {
+      gate.await()
+      try { new MaterializedAgg(base, viewRoot, Seq("k"), Seq("s" -> "x")).refresh(spark); true }
+      catch { case _: ConcurrentCommitException => false }
+    }
+    val fa = attempt(); val fb = attempt()
+    gate.countDown()
+    val (aOk, bOk) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(aOk || bOk, "at least one racing refresh must win")
+    // the invariant under ANY interleaving: the view equals the one-shot
+    // aggregate — a lost-update double fold would show a=12
+    val got = VersionedTable(viewRoot).read(spark)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("a", 2L, 11L), ("b", 1L, 2L)))
+  }
+
   test("a rewrite in the refresh window is refused, not silently mis-counted") {
     val base = VersionedTable(tmpDir("mv-"))
     val mv = new MaterializedAgg(base, tmpDir("mv-"), Seq("k"), Seq("s" -> "x"))
