@@ -281,7 +281,116 @@ object TextQueries {
         |    AS dup_bigram_frac
         |FROM b""".stripMargin)
 
+  /** t12: quality-gate funnel — the fused keep/drop report a corpus filter
+    * emits per source: each document is dropped by its FIRST failing rule
+    * (too short → low lexical diversity → repetitive) or kept, so the
+    * counts are a cascade that sums to n_docs. One scan, per-row signal
+    * computation (no shuffle beyond the tiny per-source aggregate); the
+    * thresholds sit at realistic percentiles of the corpus signals. */
+  val t12QualityGate: Q = Q.dualSql("t12_quality_gate",
+    sparkSql =
+      """WITH m AS (
+        |  SELECT source, size(split(text, ' ')) AS n_tok,
+        |    CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+        |      / size(split(text, ' ')) AS ttr,
+        |    1.0e0 - CAST(size(array_distinct(transform(
+        |        sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
+        |        i -> concat(element_at(split(text, ' '), i), ' ',
+        |             element_at(split(text, ' '), least(i + 1, size(split(text, ' '))))))))
+        |        AS DOUBLE)
+        |      / greatest(size(split(text, ' ')) - 1, 1) AS dup
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_tok < 15 THEN 1 ELSE 0 END) AS BIGINT) AS drop_short,
+        |  CAST(sum(CASE WHEN n_tok >= 15 AND ttr < 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS drop_lowdiv,
+        |  CAST(sum(CASE WHEN n_tok >= 15 AND ttr >= 0.35 AND dup > 0.06
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS drop_repetitive,
+        |  CAST(sum(CASE WHEN n_tok >= 15 AND ttr >= 0.35 AND dup <= 0.06
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |FROM m GROUP BY source""".stripMargin,
+    duckSql =
+      """WITH m AS (
+        |  SELECT source, len(string_split(text, ' ')) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS ttr,
+        |    1.0 - CAST(len(list_distinct(list_transform(
+        |        range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+        |        i -> string_split(text, ' ')[i] || ' ' ||
+        |             string_split(text, ' ')[least(i + 1, len(string_split(text, ' ')))])))
+        |        AS DOUBLE)
+        |      / greatest(len(string_split(text, ' ')) - 1, 1) AS dup
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_tok < 15 THEN 1 ELSE 0 END) AS BIGINT) AS drop_short,
+        |  CAST(sum(CASE WHEN n_tok >= 15 AND ttr < 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS drop_lowdiv,
+        |  CAST(sum(CASE WHEN n_tok >= 15 AND ttr >= 0.35 AND dup > 0.06
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS drop_repetitive,
+        |  CAST(sum(CASE WHEN n_tok >= 15 AND ttr >= 0.35 AND dup <= 0.06
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |FROM m GROUP BY source""".stripMargin)
+
+  /** t13: temperature-flattened source mixing — per-source sampling quotas
+    * ∝ sqrt(char mass) (temperature-0.5 mixing: big sources are downweighted
+    * so small sources aren't drowned), each source then contributing its
+    * `quota` documents chosen by md5 order (deterministic, uniform).
+    * floor(sqrt(integer)) is IEEE-exact cross-engine, unlike pow(x, α) —
+    * that is WHY the temperature here is 0.5. At scale: one aggregate for
+    * the quota table (broadcast), one hash-ranked window per source. */
+  val t13TemperatureMix: Q = Q.dualSql("t13_temperature_mix",
+    sparkSql =
+      """WITH w AS (SELECT source, sum(n_chars) AS mass FROM documents GROUP BY source),
+        |q AS (SELECT source, CAST(floor(sqrt(mass) / 10) AS INT) AS quota FROM w),
+        |ranked AS (
+        |  SELECT d.doc_id, d.source,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(CAST(d.doc_id AS STRING) AS BINARY)), d.doc_id) AS rk
+        |  FROM documents d)
+        |SELECT r.source, r.doc_id, r.rk
+        |FROM ranked r JOIN q ON q.source = r.source
+        |WHERE r.rk <= q.quota""".stripMargin,
+    duckSql =
+      """WITH w AS (SELECT source, sum(n_chars) AS mass FROM documents GROUP BY source),
+        |q AS (SELECT source, CAST(floor(sqrt(mass) / 10) AS INT) AS quota FROM w),
+        |ranked AS (
+        |  SELECT d.doc_id, d.source,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+        |  FROM documents d)
+        |SELECT r.source, r.doc_id, r.rk
+        |FROM ranked r JOIN q ON q.source = r.source
+        |WHERE r.rk <= q.quota""".stripMargin)
+
+  /** t14: deterministic train/val/test split — assignment by the first hex
+    * digit of md5(doc_id) (12/2/2 of 16), the content-stable hash split
+    * every training pipeline needs (reshuffling the corpus never moves a
+    * document across splits). Pure map + small aggregate. */
+  val t14Split: Q = Q.dualSql("t14_split",
+    sparkSql =
+      """WITH s AS (
+        |  SELECT source,
+        |    CASE WHEN substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 1)
+        |              BETWEEN '0' AND 'b' THEN 'train'
+        |         WHEN substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 1)
+        |              BETWEEN 'c' AND 'd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, count(*) AS n
+        |FROM s GROUP BY source, split""".stripMargin,
+    duckSql =
+      """WITH s AS (
+        |  SELECT source,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |              BETWEEN '0' AND 'b' THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |              BETWEEN 'c' AND 'd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, count(*) AS n
+        |FROM s GROUP BY source, split""".stripMargin)
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
-    t10Packing, t11Repetition)
+    t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split)
 }
