@@ -289,17 +289,17 @@ object TextQueries {
     * thresholds sit at realistic percentiles of the corpus signals. */
   val t12QualityGate: Q = Q.dualSql("t12_quality_gate",
     sparkSql =
-      """WITH m AS (
-        |  SELECT source, size(split(text, ' ')) AS n_tok,
-        |    CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
-        |      / size(split(text, ' ')) AS ttr,
+      """WITH w AS (SELECT source, split(text, ' ') AS ws FROM documents),
+        |m AS (
+        |  SELECT source, size(ws) AS n_tok,
+        |    CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws) AS ttr,
         |    1.0e0 - CAST(size(array_distinct(transform(
-        |        sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
-        |        i -> concat(element_at(split(text, ' '), i), ' ',
-        |             element_at(split(text, ' '), least(i + 1, size(split(text, ' '))))))))
+        |        sequence(1, greatest(size(ws) - 1, 1)),
+        |        i -> concat(element_at(ws, i), ' ',
+        |             element_at(ws, least(i + 1, size(ws)))))))
         |        AS DOUBLE)
-        |      / greatest(size(split(text, ' ')) - 1, 1) AS dup
-        |  FROM documents)
+        |      / greatest(size(ws) - 1, 1) AS dup
+        |  FROM w)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN n_tok < 15 THEN 1 ELSE 0 END) AS BIGINT) AS drop_short,
         |  CAST(sum(CASE WHEN n_tok >= 15 AND ttr < 0.35 THEN 1 ELSE 0 END) AS BIGINT)
