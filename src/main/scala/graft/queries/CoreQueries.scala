@@ -232,6 +232,43 @@ object CoreQueries {
     Q.dualSql("q18_sessions", sql("unix_micros(ts)"), sql("epoch_us(ts::TIMESTAMP)"))
   }
 
+  /** q94: Spark's NATIVE session_window operator (batch face of the
+    * streaming session aggregation): one groupBy plans a SessionWindow
+    * aggregate — no self-join, no window-function pass; Spark merges
+    * per-key sorted runs in one shuffle. Semantics differ from the q18
+    * lag-formulation at the boundary: session_window starts a NEW session
+    * when the inter-event gap is >= the 30-minute gap (merge condition is
+    * strict <), and session_end is last event + gap — the oracle mirrors
+    * both exactly. */
+  val q94SessionWindow: Q = Q(
+    "q94_session_window",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit, session_window}
+      Tables.table(spark, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+    },
+    Some(
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts::TIMESTAMP) - epoch_us(prev::TIMESTAMP) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM (SELECT user_id, ts,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |        FROM events) t),
+        |s AS (SELECT user_id, ts,
+        |        sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin))
+
   /** Running total per key (window frame aggregation). */
   val q19Running: Q = Q.sharedSql("q19_running_total",
     """SELECT o_custkey, o_orderkey,
@@ -301,5 +338,5 @@ object CoreQueries {
     q6WordCount, q7WindowTopN, q11AggDistinct, q12EventsWindow, q13EventsJson,
     q14Semi, q15Anti, q16Rollup, q17SortLimit, q18Sessions, q19Running,
     q22ShippingPriority, q23LocalSupplier, q24DateFunctions, q25Median,
-    q90GapFill, q91Funnel)
+    q90GapFill, q91Funnel, q94SessionWindow)
 }

@@ -65,6 +65,37 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "lineitem").count())
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // manual salting (previous test) is the fallback; AQE's skew join is the
+    // first line of defense at scale — prove it actually engages: a hot key
+    // carrying half the fact table must be split into subpartitions by the
+    // runtime re-plan, with row counts unaffected.
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prior = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val facts = spark.range(0, 400000)
+        .select(when($"id" % 2 === 0, lit(0L)).otherwise($"id").as("k"), $"id".as("v"))
+      val dim = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = facts.join(dim, "k")
+      val n = joined.count()
+      assert(n === 200000L + 500L) // even ids -> k=0; odd ids < 1000 match k=id
+      joined.collect() // finalize joined's own adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join split:\n$plan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bloom semi join is row-identical to the exact semi join") {
     val orders = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "orders")
     val dim = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "customer")
