@@ -390,7 +390,34 @@ object TextQueries {
         |SELECT source, split, count(*) AS n
         |FROM s GROUP BY source, split""".stripMargin)
 
+  /** t15: unigram log-probability scoring — the perplexity-filter shape: a
+    * corpus-level unigram LM (one aggregation, broadcast back) scores every
+    * document by its mean token log-probability; low scorers are the
+    * gibberish/boilerplate candidates. Exactness design: each token's
+    * logprob is rounded to 6dp and summed as DECIMAL(18,6) — an exact,
+    * order-invariant sum (a double sum would expose the two engines'
+    * different fold orders), divided once at the end. */
+  val t15UnigramLogprob: Q = {
+    def sql(tokFrom: String) =
+      s"""WITH tok AS ($tokFrom),
+         |freq AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+         |sc AS (
+         |  SELECT t.doc_id,
+         |    CAST(round(ln(CAST(f.c AS DOUBLE) / nd.n), 6) AS DECIMAL(18,6)) AS lp
+         |  FROM tok t JOIN freq f ON f.word = t.word CROSS JOIN tot nd)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+         |FROM sc GROUP BY doc_id""".stripMargin
+    Q.dualSql("t15_unigram_logprob",
+      sparkSql = sql(
+        "SELECT doc_id, explode(split(text, ' ')) AS word FROM documents"),
+      duckSql = sql(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"))
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
-    t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split)
+    t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split,
+    t15UnigramLogprob)
 }
