@@ -16,6 +16,7 @@ object TableVerbProps extends Properties("TableVerbs") with SparkSpec {
   private case class Append(rows: Seq[(Long, Long)]) extends Op
   private case class Update(loKey: Long, hiKey: Long, delta: Long) extends Op
   private case class Delete(loKey: Long, hiKey: Long) extends Op
+  private case class MorDelete(loKey: Long, hiKey: Long) extends Op
 
   private val appendGen: Gen[Op] = for {
     n <- Gen.chooseNum(1, 12)
@@ -32,7 +33,8 @@ object TableVerbProps extends Properties("TableVerbs") with SparkSpec {
     3 -> appendGen,
     2 -> rangeGen.flatMap { case (l, h) =>
       Gen.chooseNum(1L, 50L).map(Update(l, h, _)) },
-    2 -> rangeGen.map { case (l, h) => Delete(l, h) })
+    2 -> rangeGen.map { case (l, h) => Delete(l, h) },
+    2 -> rangeGen.map { case (l, h) => MorDelete(l, h) })
 
   property("random verb sequences match the in-memory reference; versions = state changes") =
     Prop.forAll(Gen.listOfN(5, opGen)) { ops =>
@@ -56,6 +58,11 @@ object TableVerbProps extends Properties("TableVerbs") with SparkSpec {
           case Delete(lo, hi) =>
             t.delete(spark, s"id BETWEEN $lo AND $hi")
             ref = ref.filterNot { case (k, _) => k >= lo && k <= hi }
+          case MorDelete(lo, hi) =>
+            // merge-on-read: same observable semantics as Delete, but via
+            // deletion-vector tombstones — zero data files rewritten
+            t.deleteMor(spark, s"id BETWEEN $lo AND $hi")
+            ref = ref.filterNot { case (k, _) => k >= lo && k <= hi }
         }
         if (ref != before) expected = expected :+ ref.sorted
       }
@@ -67,6 +74,10 @@ object TableVerbProps extends Properties("TableVerbs") with SparkSpec {
         t.read(spark, versionAsOf = Some(ver)).as[(Long, Long)]
           .collect().toVector.sorted == snap
       }
-      stateOk && countOk && travelOk
+      // compaction must materialize any outstanding tombstones and
+      // preserve the final state bit-for-bit
+      t.compact(spark, numFiles = 2)
+      val afterCompact = t.read(spark).as[(Long, Long)].collect().toVector.sorted
+      stateOk && countOk && travelOk && afterCompact == ref.sorted
     }
 }
