@@ -118,5 +118,27 @@ object MultimodalQueries {
         |FROM documents, generate_series(1, 100) g(i)
         |WHERE i <= (length(text) + 63) // 64""".stripMargin))
 
-  val all: Seq[Q] = Seq(m1BinaryMeta, m2DecodeFeatures, m3Resize, m4FrameSample)
+  /** m5: payload-level exact dedup — the multimodal face of d1: media rows
+    * dedup on the digest of their OPAQUE BINARY payload (identical bytes ⇒
+    * identical asset, whatever the format), keeping the lowest id as the
+    * canonical copy. One hash per payload computed in the scan, one count
+    * shuffle on the 16-byte digest — at 100 TB the digest, not the payload,
+    * crosses the wire. (The corpus is ASCII text-as-bytes, so DuckDB's
+    * string md5 sees the same bytes as Spark's binary md5.) */
+  val m5PayloadDedup: Q = Q.dualSql("m5_payload_dedup",
+    sparkSql =
+      """SELECT min(doc_id) AS canonical_id,
+        |  md5(CAST(text AS BINARY)) AS payload_md5,
+        |  count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(CAST(text AS BINARY))""".stripMargin,
+    duckSql =
+      """SELECT min(doc_id) AS canonical_id,
+        |  md5(text) AS payload_md5,
+        |  count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)""".stripMargin)
+
+  val all: Seq[Q] = Seq(m1BinaryMeta, m2DecodeFeatures, m3Resize, m4FrameSample,
+    m5PayloadDedup)
 }

@@ -451,8 +451,50 @@ object SourceQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin))
 
+  /** q95: dynamic partition pruning — the fact table is laid out
+    * hive-partitioned on the join key; joining a SELECTIVE small dim makes
+    * Spark inject a runtime `dynamicpruning` subquery into the fact scan's
+    * partition filters, so only the dim-surviving partitions are READ at
+    * all. This is the partition-layout complement of the manifest
+    * stats-skipping path (q40/q55): at 100 TB it is the difference between
+    * scanning two priority partitions and scanning five. Asserted on the
+    * plan, gated on the values. */
+  val q95DynamicPartitionPruning: Q = Q(
+    "q95_dpp",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dpp-").toString
+      spark.table("orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.partitionBy("o_orderpriority").parquet(s"$tmp/orders_part")
+      val fact = spark.read.parquet(s"$tmp/orders_part")
+      // the dim must be a SOURCE with a surviving filter: an in-memory
+      // LocalRelation constant-folds the predicate away and the DPP rule
+      // sees no selective side to prune with
+      Seq(("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+        ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+        .toDF("o_orderpriority", "tier")
+        .write.parquet(s"$tmp/priority_dim")
+      val dim = spark.read.parquet(s"$tmp/priority_dim")
+        .filter(col("tier") === "hot")
+      val joined = fact.join(dim, "o_orderpriority")
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruning"),
+        s"expected a dynamic partition pruning subquery in the fact scan:\n$plan")
+      joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+    },
+    Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
-    q84MorDelete, q85IncrementalAgg)
+    q84MorDelete, q85IncrementalAgg, q95DynamicPartitionPruning)
 }
