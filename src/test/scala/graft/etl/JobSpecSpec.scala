@@ -116,6 +116,26 @@ class JobSpecSpec extends AnyFunSuite with SparkSpec {
     assert(JobSpec.fromJson("""{"stages": []}""").conf === JobConf(12, false))
   }
 
+  test("TableCompact/TableDelete new knobs parse from JSON") {
+    val job = JobSpec.fromJson(
+      """{"stages": [
+        |  {"type": "TableCompact", "name": "opt", "tableURI": "/t",
+        |   "targetFileSizeMb": 128},
+        |  {"type": "TableDelete", "name": "expire", "tableURI": "/t",
+        |   "condition": "x < 0", "mor": true}
+        |]}""".stripMargin)
+    val compact = job.stages.head.asInstanceOf[TableCompact]
+    assert(compact.targetFileSizeMb === Some(128))
+    val del = job.stages(1).asInstanceOf[TableDelete]
+    assert(del.mor)
+    // absent knobs keep their conservative defaults
+    val plain = JobSpec.fromJson(
+      """{"stages": [
+        |  {"type": "TableDelete", "name": "d", "tableURI": "/t", "condition": "x < 0"}
+        |]}""".stripMargin).stages.head.asInstanceOf[TableDelete]
+    assert(!plain.mor)
+  }
+
   test("unknown stage type fails fast") {
     assertThrows[IllegalArgumentException](
       JobSpec.fromJson("""{"stages": [{"type": "Nope"}]}"""))
