@@ -493,23 +493,44 @@ object DedupQueries {
     * always share their head) plus the |len(a)-len(b)| ≤ k lower bound,
     * then VERIFIED with levenshtein ≤ 5. The blocking-then-verify shape is
     * the classic fuzzy-dedup pipeline: the quadratic distance only ever
-    * runs on surviving candidate pairs, never corpus-wide. The inner LIMIT
-    * is an optimizer barrier with a deliberate purpose: without it Catalyst
-    * folds the levenshtein predicate INTO the join condition, where it runs
-    * on every hash-bucket probe ahead of the cheap guards (measured 7.4s →
-    * 1.1s at sf0.1). Both engines implement unit-cost Levenshtein, so the
-    * distances hash-match exactly. */
-  val d10EditDistance: Q = Q.sharedSql("d10_edit_distance",
-    """WITH b AS (SELECT doc_id, text, substring(text, 1, 24) AS pfx FROM documents),
-      |cand AS (
-      |  SELECT a.doc_id AS a_id, c.doc_id AS b_id, a.text AS ta, c.text AS tb
-      |  FROM b a JOIN b c
-      |    ON a.pfx = c.pfx AND a.doc_id < c.doc_id
-      |   AND abs(length(a.text) - length(c.text)) <= 5
-      |  LIMIT 1000000000)
-      |SELECT a_id, b_id, levenshtein(ta, tb) AS lev
-      |FROM cand
-      |WHERE levenshtein(ta, tb) <= 5""".stripMargin)
+    * runs on surviving candidate pairs, never corpus-wide. The Spark side
+    * pins that staging with a row-preserving optimizer barrier
+    * (mapPartitions identity → SerializeFromObject, which predicates cannot
+    * cross): without it Catalyst folds the levenshtein predicate INTO the
+    * join condition, where it runs on every hash-bucket probe ahead of the
+    * cheap guards (measured 7.4s → 1.1s at sf0.1). A LIMIT would also
+    * barrier but silently truncates past its cap — this cannot drop rows.
+    * Both engines implement unit-cost Levenshtein, so the distances
+    * hash-match exactly. */
+  val d10EditDistance: Q = Q("d10_edit_distance",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val cand = s.sql(
+        """SELECT a.doc_id AS a_id, c.doc_id AS b_id, a.text AS ta, c.text AS tb
+          |FROM (SELECT doc_id, text, substring(text, 1, 24) AS pfx FROM documents) a
+          |JOIN (SELECT doc_id, text, substring(text, 1, 24) AS pfx FROM documents) c
+          |  ON a.pfx = c.pfx AND a.doc_id < c.doc_id
+          | AND abs(length(a.text) - length(c.text)) <= 5""".stripMargin)
+      // identity mapPartitions: a serialization fence on the (small,
+      // blocking-pruned) candidate set only — the corpus-wide join above it
+      // keeps whole-stage codegen
+      val fenced = cand.mapPartitions(it => it)(
+        org.apache.spark.sql.Encoders.row(cand.schema))
+      fenced.createOrReplaceTempView("d10_cand")
+      s.sql(
+        """SELECT a_id, b_id, levenshtein(ta, tb) AS lev
+          |FROM d10_cand WHERE levenshtein(ta, tb) <= 5""".stripMargin)
+    },
+    Some(
+      """WITH b AS (SELECT doc_id, text, substring(text, 1, 24) AS pfx FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, c.doc_id AS b_id, a.text AS ta, c.text AS tb
+        |  FROM b a JOIN b c
+        |    ON a.pfx = c.pfx AND a.doc_id < c.doc_id
+        |   AND abs(length(a.text) - length(c.text)) <= 5)
+        |SELECT a_id, b_id, levenshtein(ta, tb) AS lev
+        |FROM cand
+        |WHERE levenshtein(ta, tb) <= 5""".stripMargin))
 
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d6DedupClusters, d7CollectionMinHash, d8PassageDedup, d9Decontaminate,

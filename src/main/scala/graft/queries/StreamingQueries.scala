@@ -340,10 +340,13 @@ object StreamingQueries {
         q.processAllAvailable()
         q.stop()
         // single AvailableNow-style batch: the last update per key IS the
-        // total; cents back to currency with one exact-rounding division
+        // total. n is strictly increasing per key, so max_by picks the final
+        // update even if values are negative (a plain max(sum_value) would
+        // pick a mid-stream snapshot for non-monotone running sums); cents
+        // back to currency with one exact-rounding division
         spark.table(qname).groupBy("user_id")
           .agg(max("n").as("n"),
-            (max("sum_value") / lit(100.0)).as("sum_value"))
+            (max_by(col("sum_value"), col("n")) / lit(100.0)).as("sum_value"))
       } finally {
         prior match {
           case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)

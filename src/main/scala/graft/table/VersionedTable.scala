@@ -138,6 +138,9 @@ final class VersionedTable(val root: String) {
     * URI-safe names, so segment matching is exact. */
   private val RelExtract = "(data/[^/]+/[^/]+)$"
 
+  /** Column names claimed by scanLive's position bookkeeping. */
+  private val Reserved = Set("__rel", "__ri")
+
   /** Union frame of deletion-vector files: (file, row_index) tombstones. */
   private def dvFrame(spark: SparkSession, dvs: Seq[String]): DataFrame =
     spark.read.parquet(dvs.map(f => Paths.get(root).resolve(f).toString): _*)
@@ -303,6 +306,14 @@ final class VersionedTable(val root: String) {
     * commit id and the written files' table-relative paths. */
   private def writeDataFiles(df: DataFrame, numPartitions: Option[Int],
       sortBy: Seq[String]): (String, Seq[String]) = {
+    // __rel/__ri are scanLive's row-position helper columns; a user column
+    // with either name would collide in the DV anti-join frame and then be
+    // dropped, corrupting DV reads and COW touched-file detection. Reserve
+    // them at the single write funnel, as Delta reserves _metadata.
+    val reserved = df.columns.filter(Reserved.contains)
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} are reserved by $root " +
+        "(internal row-position bookkeeping); rename before committing")
     Files.createDirectories(dataDir)
     val commitId = java.util.UUID.randomUUID().toString
     val outDir = dataDir.resolve(commitId)
@@ -1003,6 +1014,9 @@ final class VersionedTable(val root: String) {
   def appendsSince(spark: SparkSession, sinceVersion: Long,
                    toVersion: Option[Long] = None): DataFrame = {
     val head = toVersion.map(v => resolve(None, Some(v))).getOrElse(resolve())
+    require(head >= sinceVersion,
+      s"toVersion $head precedes sinceVersion $sinceVersion for $root; " +
+        "a reversed range would skip the append validation fold entirely")
     val base = filesOf(resolve(None, Some(sinceVersion))).toSet
     val baseDvs = dvsOf(sinceVersion).toSet
     versions().filter(v => v > sinceVersion && v <= head).foldLeft(base) { (prev, v) =>
@@ -1174,8 +1188,11 @@ final class VersionedTable(val root: String) {
           if (Files.isDirectory(d)) listNames(d).foreach { f =>
             val rel = s"$prefix/$commit/$f"
             val p = d.resolve(f)
-            if (!live.contains(rel) &&
-                Files.getLastModifiedTime(p).toMillis < cutoff) {
+            // a racing vacuum may delete p between listNames and the mtime
+            // read — tolerate the vanish like tryManifest does
+            val old = scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+              .toOption.exists(_ < cutoff)
+            if (!live.contains(rel) && old) {
               if (Files.deleteIfExists(p)) deleted += 1
             }
           }

@@ -199,7 +199,8 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       q.stop()
       val got = spark.table(qn)
-        .groupBy("user_id").agg(max("n").as("n"), max("sum_value").as("s"))
+        .groupBy("user_id").agg(max("n").as("n"),
+          max_by(col("sum_value"), col("n")).as("s"))
         .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
       val expect = spark.read.parquet(dir)
         .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("s"))
