@@ -235,8 +235,171 @@ object TpchQueries {
         |WHERE o.mn_other < l1.l_shipdate AND o.mx_other <= l1.l_shipdate
         |GROUP BY l1.l_suppkey""".stripMargin)
 
+  // ---- The remaining TPC-H query numbers (h<N> = TPC-H Q<N> adapted to the
+  // testdata star schema, which has no partsupp/shipmode/commitdate columns:
+  // supply cost becomes the min observed lineitem price per (part, supplier),
+  // availability becomes shipped quantity — the SHAPES are preserved exactly).
+
+  /** h2: min-cost supplier (TPC-H Q2) — a CTE consumed twice, once through a
+    * CORRELATED scalar MIN subquery that itself carries a 3-table join chain
+    * (supplier→nation→region) plus the outer part correlation. Catalyst
+    * decorrelates into an aggregate-join; the dimension chain broadcasts both
+    * times, so the only real shuffle is the offers aggregation — which AQE
+    * reuses across the two consumers. min over doubles is order-insensitive,
+    * hence bit-exact cross-engine. */
+  val h2MinCostSupplier: Q = Q.sharedSql("h2_min_cost_supplier",
+    """WITH offers AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |  o.supply_cost
+      |FROM part
+      |JOIN offers o ON p_partkey = o.l_partkey
+      |JOIN supplier ON s_suppkey = o.l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size BETWEEN 1 AND 8 AND r_name = 'EUROPE'
+      |  AND o.supply_cost = (
+      |    SELECT min(o2.supply_cost)
+      |    FROM offers o2
+      |    JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE o2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')""".stripMargin)
+
+  /** h6: forecast revenue change (TPC-H Q6) — the canonical scan-only
+    * aggregate: one predicate-pushed pass, zero joins, one 1-row result. At
+    * scale this is the query that proves pushdown works: every predicate
+    * (date range, discount band, quantity cap) reaches the parquet reader. */
+  val h6ForecastRevenue: Q = Q.sharedSql("h6_forecast_revenue",
+    s"""SELECT CAST(sum($price * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+       |  AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.03 AND 0.07
+       |  AND l_quantity < 24""".stripMargin)
+
+  /** h7: volume shipping (TPC-H Q7) — bidirectional nation-pair filter over a
+    * 6-table join, grouped by the pair and the ship year. The nation table
+    * joins TWICE (supplier side and customer side) under a symmetric OR; the
+    * dimensions broadcast, leaving lineitem⋈orders as the one real shuffle. */
+  val h7VolumeShipping: Q = Q.sharedSql("h7_volume_shipping",
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  CAST(sum(volume) AS DOUBLE) AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       |    $price * $disc AS volume
+       |  FROM supplier
+       |  JOIN lineitem ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+       |) shipping
+       |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  /** h9: product-type profit (TPC-H Q9) — profit = revenue minus a cost
+    * proxy (retail price × quantity; the schema has no ps_supplycost),
+    * grouped by supplier nation and order year, part filter via LIKE on
+    * p_name. Both decimal products stay exact and the mixed-scale subtraction
+    * is exact in DECIMAL, so the nation-year sums hash identically. */
+  val h9ProductProfit: Q = Q.sharedSql("h9_product_profit",
+    s"""SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation,
+       |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       |    $price * $disc
+       |      - CAST(p_retailprice AS DECIMAL(12,2))
+       |        * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+       |  FROM lineitem
+       |  JOIN part ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE p_name LIKE '%gear%'
+       |) profit
+       |GROUP BY nation, o_year""".stripMargin)
+
+  /** h10: returned-item reporting (TPC-H Q10) — revenue lost to returns per
+    * customer over a quarter, top 20. The LIMIT rides a fully deterministic
+    * ORDER BY (revenue is an exact decimal rendered to double; ties broken by
+    * the unique customer key), so both engines truncate identically. */
+  val h10ReturnedItems: Q = Q.sharedSql("h10_returned_items",
+    s"""SELECT c_custkey, c_name, n_name,
+       |  CAST(sum($price * $disc) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin)
+
+  /** h12: shipping-priority classes (TPC-H Q12 shape; the schema has no
+    * shipmode, so the low-cardinality group key is l_linestatus) — dual
+    * conditional counts of urgent vs non-urgent orders among lines shipped
+    * late (> 30 days after the order date), one join + one tiny agg. */
+  val h12PriorityLines: Q = Q.sharedSql("h12_priority_lines",
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |                 OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+      |                AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus""".stripMargin)
+
+  /** h14: promotion effect (TPC-H Q14) — the share of one month's revenue
+    * from PROMO parts: two conditional sums over one join, combined in a
+    * single-row double division (exact: both operands are exact decimals
+    * rendered to double, and one IEEE division is bit-deterministic). */
+  val h14PromoEffect: Q = Q.sharedSql("h14_promo_effect",
+    s"""SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+       |                        THEN $price * $disc END) AS DOUBLE)
+       |     / CAST(sum($price * $disc) AS DOUBLE) AS promo_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin)
+
+  /** h20: potential part promotion (TPC-H Q20) — nested IN subqueries: the
+    * supplier list is gated by an aggregated HAVING subquery that is itself
+    * gated by a part-name IN subquery ("suppliers who shipped an
+    * above-average volume of the promoted parts this year"); the HAVING
+    * threshold is itself a scalar subquery over the same aggregation, so the
+    * query stays ~50% selective at ANY scale factor. Decorrelates to two
+    * hash semi-joins over one lineitem aggregation (AQE reuses the exchange
+    * for the scalar threshold); the part list broadcasts. Exact cross-engine:
+    * quantity sums are integer-valued doubles, avg = one IEEE division. */
+  val h20ExcessSuppliers: Q = Q.sharedSql("h20_excess_suppliers",
+    """WITH shipped AS (
+      |  SELECT l_suppkey, sum(l_quantity) AS qty
+      |  FROM lineitem
+      |  WHERE l_partkey IN (
+      |      SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_name, s_acctbal, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM shipped
+      |  WHERE qty > (SELECT avg(qty) FROM shipped))""".stripMargin)
+
   val all: Seq[Q] = Seq(q59MarketShare, q60TopSupplier, q61PartsSuppliers,
     q62SmallQtyRevenue, q63LargeVolumeCustomer, q64DisjunctiveRevenue,
     q65OrderPriority, q66MinMaxBy, q79ValueShare, q80Custdist,
-    q81IdleCustomers, q82WaitingSupplier)
+    q81IdleCustomers, q82WaitingSupplier,
+    h2MinCostSupplier, h6ForecastRevenue, h7VolumeShipping, h9ProductProfit,
+    h10ReturnedItems, h12PriorityLines, h14PromoEffect, h20ExcessSuppliers)
 }
