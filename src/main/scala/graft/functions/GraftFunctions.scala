@@ -46,7 +46,20 @@ object GraftFunctions {
         text, k.eval().asInstanceOf[Number].intValue())
       case other => throw new IllegalArgumentException(
         s"rolling_min_hash expects (text[, k]), got ${other.size} args")
-    }))
+    }),
+    // Spark's own codegen'd Bloom probe (the expression behind its injected
+    // runtime filters), surfaced by name: the filter argument must be a
+    // CONSTANT binary (a serialized sketch BloomFilter) so the expression
+    // deserializes it once per task, not per row — exactly the contract
+    // JoinOps.bloomSemiJoin satisfies with a literal.
+    ("bloom_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(filter, value) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(filter, value)
+        case other => throw new IllegalArgumentException(
+          s"bloom_might_contain expects (binary, long), got ${other.size} args")
+      }))
 
   def registerAll(spark: SparkSession): Unit =
     builders.foreach { case (name, _, builder) =>

@@ -48,9 +48,14 @@ object JoinOps {
     // exact semi join below removes every false positive regardless
     val n = math.max(keys.count(), 1L)
     val bf = keys.stat.bloomFilter(dimKey, n, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey).cast("long")))
+    // the probe is Spark's native BloomFilterMightContain (the codegen'd
+    // expression behind its injected runtime filters), NOT a Scala UDF: the
+    // filter ships as a plan literal — deserialized once per task, evaluated
+    // inside whole-stage codegen, no serialization boundary on the fact scan
+    val bytes = { val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray }
+    GraftFunctions.registerAll(fact.sparkSession)
+    fact.filter(call_function("bloom_might_contain", lit(bytes), col(factKey).cast("long")))
       .join(keys.select(col(dimKey).as("__dk")), col(factKey).cast("long") === col("__dk"),
         "left_semi")
   }

@@ -21,7 +21,16 @@ object JoinQueries {
       val orders = Tables.table(spark, dir, "orders")
       val dim = Tables.table(spark, dir, "customer")
         .filter(col("c_mktsegment") === "AUTOMOBILE")
-      JoinOps.bloomSemiJoin(orders, dim, "o_custkey", "c_custkey")
+      val filtered = JoinOps.bloomSemiJoin(orders, dim, "o_custkey", "c_custkey")
+      // the probe must be the native codegen'd expression: a Scala UDF (or
+      // worse, a Python eval) would put a serialization boundary on every
+      // fact row — the exact cost this operator exists to avoid at 100 TB
+      val plan = filtered.queryExecution.executedPlan.toString
+      require(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"bloom probe fell off the codegen path:\n$plan")
+      require(plan.contains("might_contain"),
+        s"expected the native bloom_might_contain probe in the plan:\n$plan")
+      filtered
         .agg(count(lit(1)).as("n"),
           expr("CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)").as("total"))
     },
