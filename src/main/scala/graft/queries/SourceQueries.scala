@@ -493,8 +493,123 @@ object SourceQueries {
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** q96: partition-aware versioned table — the orders snapshot is committed
+    * hive-partitioned on `o_orderstatus` into the versioned format (partition
+    * values recorded in the manifest), then read back twice:
+    *  - statically pruned (`readPartitioned "o_orderstatus = 'F'"`), asserting
+    *    the scan lists ONLY the surviving partition's files (the
+    *    manifest-level mirror of q95's dynamicpruning plan proof);
+    *  - join-pruned (`readPrunedByJoinKeys` from a 2-row dim), the DPP shape
+    *    where the dim side prunes the fact file list before any fact I/O.
+    * At 100 TB this is the difference between listing one partition and
+    * stats-skipping through every file of an unpartitioned table. The final
+    * aggregate hash-matches DuckDB over the raw orders table. */
+  val q96PartitionedTable: Q = Q(
+    "q96_partitioned_table",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ptab-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_pt")
+      t.commit(spark.table("orders"), partitionBy = Seq("o_orderstatus"))
+      // static partition pruning: file-list proof, not just a row filter
+      val (fOnly, scanned, total) = t.readPartitioned(spark, "o_orderstatus = 'F'")
+      require(scanned < total,
+        s"partition filter must prune the file list ($scanned of $total)")
+      require(fOnly.inputFiles.nonEmpty &&
+        fOnly.inputFiles.forall(_.contains("o_orderstatus=F")),
+        "a partition-filtered read must list only the surviving partition's files")
+      // DPP shape: the dim side prunes the fact's file list driver-side
+      val dim = Seq(("F", "closed"), ("P", "pending")).toDF("code", "label")
+      val (fact, scanned2, total2) = t.readPrunedByJoinKeys(spark, dim, "code", "o_orderstatus")
+      require(scanned2 < total2,
+        s"join keys must prune the fact file list ($scanned2 of $total2)")
+      require(fact.inputFiles.forall(f =>
+        f.contains("o_orderstatus=F") || f.contains("o_orderstatus=P")),
+        "the join-pruned read must list only dim-surviving partitions' files")
+      fact.join(dim, col("o_orderstatus") === col("code"))
+        .groupBy("o_orderstatus", "label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+    },
+    Some(
+      """SELECT o_orderstatus,
+        |  CASE o_orderstatus WHEN 'F' THEN 'closed' ELSE 'pending' END AS label,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'P')
+        |GROUP BY o_orderstatus""".stripMargin))
+
+  /** q97: write-time change-data-feed — a five-version CDC scenario (seed
+    * commit, append, COW delete, COW update, file-pruned merge) whose
+    * per-commit changes are served ENTIRELY from write-time capture:
+    * `changeFeed` reads the cdf/ batches the rewrites persisted and the
+    * append's fresh files, never re-diffing snapshots (asserted via
+    * `cdfKindOf` on every step — the 100 TB property: CDC cost is O(changes)
+    * per commit, not O(two snapshots)). The per-(version, change-type)
+    * counts and exact decimal sums hash-match a DuckDB reconstruction of the
+    * same timeline from the raw orders table. */
+  val q97ChangeFeedStored: Q = Q(
+    "q97_change_feed_stored",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_cdc")
+      val orders = spark.table("orders")
+      t.commit(orders.filter("o_orderkey <= 1000"))                       // v0
+      t.append(orders.filter("o_orderkey > 1000"))                        // v1
+      t.delete(spark, "o_orderstatus = 'P'")                              // v2
+      t.update(spark, "o_orderstatus = 'F'",
+        Map("o_totalprice" -> "o_totalprice + 1"))                        // v3
+      val src = orders.filter("o_orderkey <= 100")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      t.mergeCow(spark, src, "source.o_orderkey = target.o_orderkey",
+        targetKey = "o_orderkey", sourceKey = "o_orderkey",
+        whenMatchedUpdate = Some(graft.table.Merge.MatchedUpdate(None,
+          Map("o_totalprice" -> "source.o_totalprice"))),
+        whenNotMatchedInsert = Some(graft.table.Merge.NotMatchedInsert(None,
+          Map("o_orderkey" -> "source.o_orderkey", "o_custkey" -> "source.o_custkey",
+            "o_orderstatus" -> "source.o_orderstatus",
+            "o_totalprice" -> "source.o_totalprice",
+            "o_orderdate" -> "source.o_orderdate",
+            "o_orderpriority" -> "source.o_orderpriority"))))              // v4
+      // the serving path must be write-time capture on EVERY step — a
+      // fallback re-diff would silently reintroduce the O(snapshot) cost
+      (1L to 4L).foreach(v => require(
+        t.cdfKindOf(v).exists(k => k == "append" || k == "files"),
+        s"version $v lacks write-time capture (kind=${t.cdfKindOf(v)})"))
+      t.changeFeed(spark, 0L, 4L)
+        .groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("sum_price"))
+    },
+    Some(
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |  CAST(o_totalprice AS DECIMAL(14,2)) AS p FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+        |  count(*) AS n, CAST(sum(p) AS DOUBLE) AS sum_price
+        |FROM o WHERE o_orderkey > 1000
+        |UNION ALL
+        |SELECT 2, 'delete', count(*), CAST(sum(p) AS DOUBLE)
+        |FROM o WHERE o_orderstatus = 'P'
+        |UNION ALL
+        |SELECT 3, 'delete', count(*), CAST(sum(p) AS DOUBLE)
+        |FROM o WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 3, 'insert', count(*), CAST(sum(p + 1) AS DOUBLE)
+        |FROM o WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 4, 'delete', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN p + 1 ELSE p END) AS DOUBLE)
+        |FROM o WHERE o_orderkey <= 100 AND o_orderstatus <> 'P'
+        |UNION ALL
+        |SELECT 4, 'insert', count(*), CAST(sum(p * 2) AS DOUBLE)
+        |FROM o WHERE o_orderkey <= 100""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
-    q84MorDelete, q85IncrementalAgg, q95DynamicPartitionPruning)
+    q84MorDelete, q85IncrementalAgg, q95DynamicPartitionPruning,
+    q96PartitionedTable, q97ChangeFeedStored)
 }

@@ -42,6 +42,7 @@ final class VersionedTable(val root: String) {
   private def logDir: Path = Paths.get(root, "_graft_log")
   private def dataDir: Path = Paths.get(root, "data")
   private def dvDir: Path = Paths.get(root, "dv")
+  private def cdfDir: Path = Paths.get(root, "cdf")
 
   private def manifestPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
@@ -99,6 +100,27 @@ final class VersionedTable(val root: String) {
     else node.get("dvs").elements().asScala.map(_.asText()).toSeq
   }
 
+  /** How version `v`'s row-level changes were captured at write time:
+    *  - `Some("files")`  — change rows stored under `cdf/` ([[cdfFilesOf]])
+    *  - `Some("append")` — the inserts ARE the fresh data files (file-list
+    *    diff against the previous version; nothing stored twice)
+    *  - `Some("none")`   — provably no row changes (compaction, metadata-only)
+    *  - `None`           — unknown (overwrite/restore/legacy): [[changeFeed]]
+    *    falls back to a stepwise snapshot re-diff for this version. */
+  def cdfKindOf(v: Long): Option[String] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (!node.has("cdfKind")) None else Some(node.get("cdfKind").asText())
+  }
+
+  /** Table-relative parquet files holding version `v`'s stored change rows
+    * (full row + `_change_type` 'insert'/'delete'), present iff
+    * `cdfKindOf(v) == Some("files")`. */
+  def cdfFilesOf(v: Long): Seq[String] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (!node.has("cdf")) Seq.empty
+    else node.get("cdf").elements().asScala.map(_.asText()).toSeq
+  }
+
   /** Per-file column stats recorded at commit: file → col → (min, max) as
     * strings (numeric-comparable via the original type at prune time). */
   private def statsOf(v: Long): Map[String, Map[String, (String, String, String)]] = {
@@ -132,11 +154,34 @@ final class VersionedTable(val root: String) {
       node.get("schema").asText()).asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
-  /** Matches the trailing `data/<commit>/<file>` of a parquet scan's
-    * `_metadata.file_path` URI — the table-relative name the manifest (and a
-    * DV's `file` column) uses. Both trailing segments are generated
-    * URI-safe names, so segment matching is exact. */
-  private val RelExtract = "(data/[^/]+/[^/]+)$"
+  /** Partition columns recorded in a version's manifest (Delta-style
+    * partition layout: [[commit]]'s `partitionBy`). Empty = unpartitioned. */
+  def partitionByOf(v: Long): Seq[String] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (!node.has("partitionBy")) Seq.empty
+    else node.get("partitionBy").elements().asScala.map(_.asText()).toSeq
+  }
+
+  /** Per-file partition values recorded at commit: file → col → value
+    * (None = the hive null partition). The manifest is the partition index —
+    * [[readPartitioned]] prunes the file list against these values with NO
+    * data or directory I/O, the Delta partition-pruning shape. */
+  def partitionValuesOf(v: Long): Map[String, Map[String, Option[String]]] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (!node.has("partitions")) return Map.empty
+    node.get("partitions").properties().asScala.map { e =>
+      e.getKey -> e.getValue.properties().asScala.map { c =>
+        c.getKey -> (if (c.getValue.isNull) None else Some(c.getValue.asText()))
+      }.toMap
+    }.toMap
+  }
+
+  /** Matches the trailing `data/<commit>[/<part>=<val>...]/<file>` of a
+    * parquet scan's `_metadata.file_path` URI — the table-relative name the
+    * manifest (and a DV's `file` column) uses. The commit id and file name
+    * are generated URI-safe names and hive partition segments always carry
+    * `=`, so segment matching is exact. */
+  private val RelExtract = "(data/[^/=]+(?:/[^/=]+=[^/]*)*/[^/]+)$"
 
   /** Column names claimed by scanLive's position bookkeeping. */
   private val Reserved = Set("__rel", "__ri")
@@ -150,15 +195,29 @@ final class VersionedTable(val root: String) {
     * BROADCAST anti join on the parquet reader's `_metadata` row positions —
     * shuffle-free, cost one hashed lookup per scanned row. `keepPos` retains
     * the `__rel`/`__ri` position columns for callers (COW rewrites) that
-    * reason about row locations. */
+    * reason about row locations.
+    *
+    * Partitioned tables (`partitionBy` non-empty): data files are hive-laid
+    *-out and do NOT store the partition columns; their values come from the
+    * manifest (`partValues`) and are re-attached by a BROADCAST inner join
+    * on the scan's `_metadata` file path — one hashed lookup per row against
+    * a metadata-sized map, no directory listing or partition inference, and
+    * every row of a file shares one value so the join never widens. The
+    * values ride as strings in the manifest and are cast to the recorded
+    * column types here. */
   private def scanLive(spark: SparkSession, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType], dvs: Seq[String],
-      keepPos: Boolean): DataFrame = {
+      keepPos: Boolean, partitionBy: Seq[String] = Nil,
+      partValues: Map[String, Map[String, Option[String]]] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, regexp_extract}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val paths = files.map(f => Paths.get(root).resolve(f).toString)
-    val base = schema.map(s => spark.read.schema(s).parquet(paths: _*))
+    val dataSchema = schema.map(s =>
+      if (partitionBy.isEmpty) s
+      else StructType(s.fields.filterNot(f => partitionBy.contains(f.name))))
+    val base = dataSchema.map(s => spark.read.schema(s).parquet(paths: _*))
       .getOrElse(spark.read.parquet(paths: _*))
-    if (dvs.isEmpty && !keepPos) return base
+    if (dvs.isEmpty && !keepPos && partitionBy.isEmpty) return base
     val withPos = base.select(col("*"),
       regexp_extract(col("_metadata.file_path"), RelExtract, 1).as("__rel"),
       col("_metadata.row_index").as("__ri"))
@@ -170,7 +229,30 @@ final class VersionedTable(val root: String) {
           withPos("__rel") === dv("file") && withPos("__ri") === dv("row_index"),
           "left_anti")
       }
-    if (keepPos) live else live.drop("__rel", "__ri")
+    val withParts =
+      if (partitionBy.isEmpty) live
+      else {
+        val full = schema.getOrElse(throw new IllegalStateException(
+          s"partitioned table $root has no recorded schema"))
+        val typeOf = full.fields.map(f => f.name -> f.dataType).toMap
+        val rows = files.map { f =>
+          val vals = partValues.getOrElse(f, Map.empty)
+          org.apache.spark.sql.Row.fromSeq(
+            f +: partitionBy.map(c => vals.get(c).flatten.orNull))
+        }
+        val partSchema = StructType(StructField("__pfile", StringType) +:
+          partitionBy.map(c => StructField(s"__pv_$c", StringType)))
+        val pframe = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), partSchema)
+        val joined = live.join(broadcast(pframe), live("__rel") === pframe("__pfile"))
+        // reproduce the recorded column ORDER and types exactly
+        joined.select((full.fields.map { f =>
+          if (partitionBy.contains(f.name))
+            col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
+          else col(f.name)
+        } ++ (if (keepPos || dvs.nonEmpty) Seq(col("__rel"), col("__ri")) else Nil)).toSeq: _*)
+      }
+    if (keepPos) withParts else withParts.drop("__rel", "__ri")
   }
 
   /** Read a specific version as a DataFrame. The scan is schema'd from the
@@ -188,8 +270,91 @@ final class VersionedTable(val root: String) {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case (Nil, None) =>
         throw new IllegalStateException(s"version $v of $root is empty and schemaless")
-      case (fs, schema) => scanLive(spark, fs, schema, dvsOf(v), keepPos = false)
+      case (fs, schema) => scanLive(spark, fs, schema, dvsOf(v), keepPos = false,
+        partitionByOf(v), partitionValuesOf(v))
     }
+  }
+
+  /** Partition-pruned read (Delta-style static partition pruning): evaluate
+    * `predicate` — any SQL boolean over the partition columns — against each
+    * file's manifest-recorded partition values and scan ONLY the surviving
+    * files. The pruning is pure manifest metadata: no directory listing, no
+    * footer reads, no data I/O for eliminated partitions — at 100 TB a
+    * one-partition read lists exactly that partition's files. Rows of a
+    * NULL-evaluating predicate are pruned (SQL filter semantics). Returns
+    * (df, scannedFiles, totalFiles) so callers can observe the skipping. */
+  def readPartitioned(spark: SparkSession, predicate: String,
+      relativeVersion: Option[Int] = None,
+      versionAsOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    val v = resolve(relativeVersion, versionAsOf)
+    val kept = prunePartitions(spark, v, predicate)
+    val all = filesOf(v)
+    val df =
+      if (kept.nonEmpty)
+        scanLive(spark, kept, schemaOf(v), dvsOf(v), keepPos = false,
+          partitionByOf(v), partitionValuesOf(v))
+      else {
+        val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+          s"version $v of $root has no recorded schema"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    (df, kept.size, all.size)
+  }
+
+  /** Dynamic partition pruning for a versioned-table join: prune the FACT
+    * side's file list to partitions whose `partCol` value appears in
+    * `dim`'s `dimKey` column, then return the pruned scan for the caller to
+    * join. This is DPP's broadcast-reuse shape made explicit over the
+    * manifest: the dim side is evaluated first (it must be the SMALL side —
+    * the same assumption Spark's DPP makes before reusing a broadcast), its
+    * distinct keys prune partitions driver-side, and eliminated partitions
+    * are never listed or read. Returns (df, scannedFiles, totalFiles). */
+  def readPrunedByJoinKeys(spark: SparkSession, dim: DataFrame, dimKey: String,
+      partCol: String): (DataFrame, Int, Int) = {
+    val v = resolve()
+    val pb = partitionByOf(v)
+    require(pb.contains(partCol), s"$partCol is not a partition column of $root ($pb)")
+    val keys = dim.select(col(dimKey).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0))).toSet
+    val all = filesOf(v)
+    val vals = partitionValuesOf(v)
+    val kept = all.filter(f => keys.contains(vals.getOrElse(f, Map.empty).getOrElse(partCol, None)))
+    val df =
+      if (kept.nonEmpty)
+        scanLive(spark, kept, schemaOf(v), dvsOf(v), keepPos = false, pb, vals)
+      else {
+        val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+          s"version $v of $root has no recorded schema"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    (df, kept.size, all.size)
+  }
+
+  /** Files of version `v` whose partition values satisfy `predicate`,
+    * evaluated by Catalyst over a LOCAL frame of the manifest's partition
+    * values (one row per file, typed from the table schema) — full SQL
+    * expression semantics without data I/O. */
+  private def prunePartitions(spark: SparkSession, v: Long, predicate: String): Seq[String] = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val pb = partitionByOf(v)
+    require(pb.nonEmpty, s"$root version $v is not partitioned; " +
+      "use readPruned (stats skipping) for unpartitioned tables")
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema"))
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    val vals = partitionValuesOf(v)
+    val rows = filesOf(v).map { f =>
+      val m = vals.getOrElse(f, Map.empty)
+      org.apache.spark.sql.Row.fromSeq(f +: pb.map(c => m.getOrElse(c, None).orNull))
+    }
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(StructField("__pfile", StringType) +:
+        pb.map(c => StructField(c, StringType))))
+    local.select(col("__pfile") +: pb.map(c => col(c).cast(typeOf(c)).as(c)): _*)
+      .filter(expr(predicate))
+      .select("__pfile").collect().map(_.getString(0)).toSeq
   }
 
   /** Write the reference's Athena-interop `_symlink_format_manifest` for a
@@ -204,6 +369,12 @@ final class VersionedTable(val root: String) {
     require(dvsOf(v).isEmpty,
       s"version $v of $root carries deletion vectors; an external engine reading " +
         "the symlink manifest would see deleted rows — run compact() first")
+    // partitioned data files do not store the partition columns; a bare file
+    // list loses them unless the consumer does its own hive-path parsing.
+    // Refuse rather than silently serve a narrower schema.
+    require(partitionByOf(v).isEmpty,
+      s"version $v of $root is hive-partitioned; the symlink manifest cannot " +
+        "convey the partition columns — materialize with commit(partitionBy=Nil) first")
     val dir = Paths.get(root, "_symlink_format_manifest")
     Files.createDirectories(dir)
     val uris = filesOf(v).map(f => Paths.get(root).resolve(f).toUri.toString)
@@ -303,9 +474,14 @@ final class VersionedTable(val root: String) {
   }
 
   /** Write `df` as immutable parquet under a fresh commit dir; returns the
-    * commit id and the written files' table-relative paths. */
+    * commit id, the written files' table-relative paths, and (for
+    * partitioned writes) each file's partition values parsed back from the
+    * hive layout the writer produced (URL-unescaped; the hive null marker →
+    * None). Partitioned writes store only the DATA columns in the files —
+    * the partition values live in the directory names and the manifest. */
   private def writeDataFiles(df: DataFrame, numPartitions: Option[Int],
-      sortBy: Seq[String]): (String, Seq[String]) = {
+      sortBy: Seq[String], partitionBy: Seq[String] = Nil)
+      : (String, Seq[String], Map[String, Map[String, Option[String]]]) = {
     // __rel/__ri are scanLive's row-position helper columns; a user column
     // with either name would collide in the DV anti-join frame and then be
     // dropped, corrupting DV reads and COW touched-file detection. Reserve
@@ -314,6 +490,8 @@ final class VersionedTable(val root: String) {
     require(reserved.isEmpty,
       s"column name(s) ${reserved.mkString(", ")} are reserved by $root " +
         "(internal row-position bookkeeping); rename before committing")
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not in the frame being written"))
     Files.createDirectories(dataDir)
     val commitId = java.util.UUID.randomUUID().toString
     val outDir = dataDir.resolve(commitId)
@@ -322,14 +500,57 @@ final class VersionedTable(val root: String) {
         df.repartitionByRange(n, s.map(col): _*).sortWithinPartitions(s.map(col): _*)
       case (None, s) if s.nonEmpty =>
         df.repartitionByRange(s.map(col): _*).sortWithinPartitions(s.map(col): _*)
+      // co-locate rows of one partition value in one task, so a partitioned
+      // write of n tasks yields ~one file per (task, value) instead of
+      // n × values small files
+      case (Some(n), _) if partitionBy.nonEmpty => df.repartition(n, partitionBy.map(col): _*)
       case (Some(n), _) => df.repartition(n)
       case _ => df
     }
-    out.write.mode("overwrite").parquet(outDir.toString)
-    val files = listNames(outDir)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-      .map(n => s"data/$commitId/$n").sorted
-    (commitId, files)
+    val writer = out.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(outDir.toString)
+    def isData(n: String) =
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    if (partitionBy.isEmpty) {
+      val files = listNames(outDir).filter(isData).map(n => s"data/$commitId/$n").sorted
+      (commitId, files, Map.empty)
+    } else {
+      // walk the hive layout: every leaf parquet sits under one k=v segment
+      // per partition column, in partitionBy order. Hive escaping is plain
+      // %XX (no '+'-for-space), so decode only percent sequences.
+      def unescape(s: String): String = {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '%' && i + 2 < s.length) {
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      }
+      val found = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, Option[String]])]
+      def walk(dir: Path, relSegs: List[String], vals: Map[String, Option[String]]): Unit =
+        listNames(dir).sorted.foreach { n =>
+          val p = dir.resolve(n)
+          if (Files.isDirectory(p)) {
+            val eq = n.indexOf('=')
+            if (eq > 0) {
+              val c = unescape(n.substring(0, eq))
+              val raw = n.substring(eq + 1)
+              val v = if (raw == "__HIVE_DEFAULT_PARTITION__") None
+                      else Some(unescape(raw))
+              walk(p, n :: relSegs, vals + (c -> v))
+            }
+          } else if (isData(n)) {
+            found += ((s"data/$commitId/" + (n :: relSegs).reverse.mkString("/"), vals))
+          }
+        }
+      walk(outDir, Nil, Map.empty)
+      val files = found.map(_._1).sorted
+      (commitId, files.toSeq, found.map { case (f, v) => f -> v }.toMap)
+    }
   }
 
   /** Write a deletion-vector batch — (file, row_index) tombstones — as
@@ -349,34 +570,71 @@ final class VersionedTable(val root: String) {
       .map(n => s"dv/$dvId/$n").sorted
   }
 
+  /** Write a change-data batch (full rows + `_change_type`) as parquet under
+    * a fresh `cdf/<uuid>` dir; returns table-relative paths. Like DV files,
+    * a CDF batch is change-sized, not table-sized — one file suffices and
+    * the upstream diff stays parallel (repartition, not coalesce). */
+  private def writeCdfFiles(df: DataFrame): Seq[String] = {
+    Files.createDirectories(cdfDir)
+    val cdfId = java.util.UUID.randomUUID().toString
+    val outDir = cdfDir.resolve(cdfId)
+    df.repartition(1).write.mode("overwrite").parquet(outDir.toString)
+    listNames(outDir)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      .map(n => s"cdf/$cdfId/$n").sorted
+  }
+
   /** Per-file min/max for leaf scalar columns of freshly written files (one
     * small distributed job over the new files only — carried-over files keep
-    * their previously recorded stats). */
-  private def collectFileStats(spark: SparkSession, commitId: String)
+    * their previously recorded stats). Partitioned commits scan the leaf
+    * files directly (no partition inference) and inject each file's
+    * partition values as exact min=max=value stats, typed from the table
+    * schema — so [[readPruned]] skips on partition columns for free. */
+  private def collectFileStats(spark: SparkSession, commitId: String,
+      files: Seq[String],
+      partValues: Map[String, Map[String, Option[String]]] = Map.empty,
+      partTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
       : Map[String, Map[String, (String, String, String)]] = {
     import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
     import org.apache.spark.sql.types._
-    val written = spark.read.parquet(dataDir.resolve(commitId).toString)
+    if (files.isEmpty) return Map.empty
+    val written = spark.read.parquet(
+      files.map(f => Paths.get(root).resolve(f).toString): _*)
     // kind drives the prune-time comparison: "num" compares numerically,
     // everything else lexicographically (ISO-rendered timestamps/dates sort
     // correctly as strings)
-    val statCols = written.schema.fields.collect {
-      case StructField(n, _: NumericType, _, _) => (n, "num")
-      case StructField(n, StringType | TimestampType | DateType, _, _) => (n, "str")
-    }.toSeq
-    if (statCols.isEmpty) return Map.empty
+    def kindOf(dt: DataType): Option[String] = dt match {
+      case _: NumericType => Some("num")
+      case StringType | TimestampType | DateType => Some("str")
+      case _ => None
+    }
+    val statCols = written.schema.fields.flatMap(f => kindOf(f.dataType).map(f.name -> _)).toSeq
+    val partStats: Map[String, Map[String, (String, String, String)]] =
+      files.map { f =>
+        f -> partValues.getOrElse(f, Map.empty).flatMap { case (c, v) =>
+          for { value <- v; kind <- partTypes.get(c).flatMap(kindOf) }
+            yield c -> (value, value, kind)
+        }
+      }.toMap
+    if (statCols.isEmpty) return partStats
     val aggs = statCols.flatMap { case (c, _) =>
       Seq(fmin(col(c)).cast("string").as(s"min_$c"), fmax(col(c)).cast("string").as(s"max_$c")) }
-    written.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
+    val dataStats = written.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
       .collect().map { row =>
         val fname = row.getString(0)
-        val rel = s"data/$commitId/" + fname.substring(fname.lastIndexOf('/') + 1)
+        // table-relative path: everything from the commit dir onward (works
+        // for hive-partitioned sub-paths, unlike basename splicing)
+        val idx = fname.indexOf(s"data/$commitId/")
+        require(idx >= 0, s"scanned file $fname is not under commit $commitId")
+        val rel = fname.substring(idx)
         rel -> statCols.flatMap { case (c, kind) =>
           val mn = row.getAs[String](s"min_$c")
           val mx = row.getAs[String](s"max_$c")
           if (mn != null && mx != null) Some(c -> (mn, mx, kind)) else None
         }.toMap
       }.toMap
+    files.map(f => f -> (dataStats.getOrElse(f, Map.empty) ++ partStats.getOrElse(f, Map.empty)))
+      .toMap
   }
 
   /** Count rows of `files` violating each of `constraints` in ONE scan of
@@ -433,13 +691,36 @@ final class VersionedTable(val root: String) {
       txn: Option[(String, Long)],
       base: Option[Long],
       constraints: Map[String, String] = Map.empty,
-      dvs: Seq[String] = Nil): Long = {
+      dvs: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil,
+      partitions: Map[String, Map[String, Option[String]]] = Map.empty,
+      cdfKind: Option[String] = None,
+      cdf: Seq[String] = Nil): Long = {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1L).getOrElse(0L)
     val json = mapper.createObjectNode()
     json.put("version", next)
     json.put("schema", schemaJson) // keeps empty versions readable
     txn.foreach { case (app, v) => json.put("txnApp", app); json.put("txnVersion", v) }
+    cdfKind.foreach(k => json.put("cdfKind", k))
+    if (cdf.nonEmpty) {
+      val cdfArr = json.putArray("cdf")
+      cdf.sorted.foreach(cdfArr.add)
+    }
+    if (partitionBy.nonEmpty) {
+      val pbArr = json.putArray("partitionBy")
+      partitionBy.foreach(pbArr.add)
+      val pNode = json.putObject("partitions")
+      partitions.toSeq.sortBy(_._1).foreach { case (f, vals) =>
+        val fNode = pNode.putObject(f)
+        partitionBy.foreach { c =>
+          vals.getOrElse(c, None) match {
+            case Some(v) => fNode.put(c, v)
+            case None => fNode.putNull(c)
+          }
+        }
+      }
+    }
     if (constraints.nonEmpty) {
       val cNode = json.putObject("constraints")
       constraints.toSeq.sortBy(_._1).foreach { case (n, e) => cNode.put(n, e) }
@@ -476,18 +757,26 @@ final class VersionedTable(val root: String) {
     * as a blind overwrite means). */
   def commit(df: DataFrame, numPartitions: Option[Int] = None,
              sortBy: Seq[String] = Nil, collectStats: Boolean = true,
-             txn: Option[(String, Long)] = None): Long = {
-    val (commitId, files) = writeDataFiles(df, numPartitions, sortBy)
+             txn: Option[(String, Long)] = None,
+             partitionBy: Seq[String] = Nil): Long = {
+    val (commitId, files, partVals) = writeDataFiles(df, numPartitions, sortBy, partitionBy)
+    val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
-      if (collectStats && files.nonEmpty) collectFileStats(df.sparkSession, commitId)
+      if (collectStats && files.nonEmpty)
+        collectFileStats(df.sparkSession, commitId, files, partVals, partTypes)
       else Map.empty[String, Map[String, (String, String, String)]]
     // CHECK constraints survive an overwrite (they describe the table, not a
     // snapshot) and gate the incoming batch; validated per attempt so a retry
     // against a head whose constraints just changed re-checks honestly
     retryPublish { base =>
       val cs = base.map(constraintsOf).getOrElse(Map.empty)
-      validateWritten(df.sparkSession, files, Some(df.schema), cs)
-      publish(files, df.schema.json, stats, txn, base, cs)
+      // partitioned files don't store the partition columns, so a constraint
+      // referencing one would see nulls in a file scan — validate the input
+      // frame instead (same rows, pre-layout)
+      if (partitionBy.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), cs)
+      else validateFrame(df, cs)
+      publish(files, df.schema.json, stats, txn, base, cs,
+        partitionBy = partitionBy, partitions = partVals)
     }
   }
 
@@ -501,14 +790,19 @@ final class VersionedTable(val root: String) {
     * over a commit it never saw. */
   def commitPinnedAt(df: DataFrame, base: Option[Long],
       numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil,
-      collectStats: Boolean = true, txn: Option[(String, Long)] = None): Long = {
-    val (commitId, files) = writeDataFiles(df, numPartitions, sortBy)
+      collectStats: Boolean = true, txn: Option[(String, Long)] = None,
+      partitionBy: Seq[String] = Nil): Long = {
+    val (commitId, files, partVals) = writeDataFiles(df, numPartitions, sortBy, partitionBy)
+    val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
-      if (collectStats && files.nonEmpty) collectFileStats(df.sparkSession, commitId)
+      if (collectStats && files.nonEmpty)
+        collectFileStats(df.sparkSession, commitId, files, partVals, partTypes)
       else Map.empty[String, Map[String, (String, String, String)]]
     val cs = base.map(constraintsOf).getOrElse(Map.empty)
-    validateWritten(df.sparkSession, files, Some(df.schema), cs)
-    publish(files, df.schema.json, stats, txn, base, cs)
+    if (partitionBy.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), cs)
+    else validateFrame(df, cs)
+    publish(files, df.schema.json, stats, txn, base, cs,
+      partitionBy = partitionBy, partitions = partVals)
   }
 
   /** Run `attempt` against the current head, retrying on a commit collision
@@ -538,16 +832,29 @@ final class VersionedTable(val root: String) {
   def append(df: DataFrame, numPartitions: Option[Int] = None,
              sortBy: Seq[String] = Nil, collectStats: Boolean = true,
              txn: Option[(String, Long)] = None): Long = {
-    val (commitId, files) = writeDataFiles(df, numPartitions, sortBy)
+    // the batch is laid out with the TABLE's partitioning (read from the
+    // head manifest): partition layout is a table property, not a per-batch
+    // choice — a mixed layout would break partition pruning silently.
+    // A benign race: if the head changes between this read and the publish,
+    // the retry below re-validates against the new head; the layout check
+    // there refuses a partitioning mismatch.
+    val tablePb = latestVersion().map(partitionByOf).getOrElse(Nil)
+    val (commitId, files, partVals) = writeDataFiles(df, numPartitions, sortBy, tablePb)
+    val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
-      if (collectStats && files.nonEmpty) collectFileStats(df.sparkSession, commitId)
+      if (collectStats && files.nonEmpty)
+        collectFileStats(df.sparkSession, commitId, files, partVals, partTypes)
       else Map.empty[String, Map[String, (String, String, String)]]
     // appends never conflict semantically: on a commit collision the carried
     // file set is simply rebased onto the new head and re-published (the
     // batch's own data files are written exactly once, above)
     retryPublish {
-      case None => publish(files, df.schema.json, stats, txn, None)
+      case None => publish(files, df.schema.json, stats, txn, None,
+        partitionBy = tablePb, partitions = partVals, cdfKind = Some("append"))
       case Some(v) =>
+        require(partitionByOf(v) == tablePb,
+          s"table partitioning changed concurrently (${partitionByOf(v)} vs $tablePb); " +
+            "re-run the append against the new head")
         val prior = schemaOf(v).getOrElse(
           throw new IllegalStateException(s"version $v of $root has no recorded schema"))
         val priorByName = prior.fields.map(f => f.name -> f).toMap
@@ -566,11 +873,13 @@ final class VersionedTable(val root: String) {
         val cs = constraintsOf(v)
         // only the incoming batch is scanned: carried-forward files already
         // passed their own write-time gate (and addConstraint re-proved them)
-        validateWritten(df.sparkSession, files, Some(df.schema), cs)
+        if (tablePb.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), cs)
+        else validateFrame(df, cs)
         // deletion vectors ride along unchanged: an append touches no
         // existing file, so no tombstone can be affected
         publish(filesOf(v) ++ files, union.json, statsOf(v) ++ stats, txn, Some(v), cs,
-          dvs = dvsOf(v))
+          dvs = dvsOf(v), partitionBy = tablePb,
+          partitions = partitionValuesOf(v) ++ partVals, cdfKind = Some("append"))
     }
   }
 
@@ -587,12 +896,14 @@ final class VersionedTable(val root: String) {
     val all = filesOf(v)
     val schema = schemaOf(v)
     val dvs = dvsOf(v)
+    val pb = partitionByOf(v)
+    val pVals = partitionValuesOf(v)
     val pred = expr(condition)
     if (all.isEmpty) return (v, 0) // nothing to delete from an empty snapshot
     val allSet = all.toSet
     // DV-applied scan: a row already merge-on-read-deleted cannot make its
     // file "touched" (and could otherwise resurrect through the rewrite)
-    val touched = scanLive(spark, all, schema, dvs, keepPos = true)
+    val touched = scanLive(spark, all, schema, dvs, keepPos = true, pb, pVals)
       .filter(pred)
       .select(col("__rel")).distinct()
       .collect().map(_.getString(0))
@@ -602,10 +913,19 @@ final class VersionedTable(val root: String) {
     // SQL three-valued logic: a row whose condition evaluates to NULL did
     // NOT match the delete and must be KEPT — filter(!pred) alone would
     // silently drop it (NULL fails both pred and !pred)
-    val keep = scanLive(spark, touched, schema, dvs, keepPos = false)
+    val keep = scanLive(spark, touched, schema, dvs, keepPos = false, pb, pVals)
       .filter(not(coalesce(pred, lit(false))))
-    val (commitId, newFiles) = writeDataFiles(keep, None, Nil)
-    val stats = if (newFiles.nonEmpty) collectFileStats(spark, commitId)
+    // write-time CDF: the deleted rows, captured from the touched slice only
+    // (old slice = keep ⊎ deleted, so this equals the snapshot bag-diff the
+    // legacy changes() path computes — without ever re-scanning the table)
+    val cdfFiles = writeCdfFiles(
+      scanLive(spark, touched, schema, dvs, keepPos = false, pb, pVals)
+        .filter(coalesce(pred, lit(false)))
+        .withColumn("_change_type", lit("delete")))
+    val (commitId, newFiles, newPartVals) = writeDataFiles(keep, None, Nil, pb)
+    val partTypes = keep.schema.fields.map(f => f.name -> f.dataType).toMap
+    val stats = if (newFiles.nonEmpty)
+                  collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
                 else Map.empty[String, Map[String, (String, String, String)]]
     val priorStats = statsOf(v).view.filterKeys(untouched.toSet).toMap
     // pinned to the snapshot this delete scanned: a concurrent commit makes
@@ -615,7 +935,10 @@ final class VersionedTable(val root: String) {
     // that already passed the table's gate.
     (publish(untouched ++ newFiles, schema.map(_.json).getOrElse(keep.schema.json),
       priorStats ++ stats, None, Some(v), constraintsOf(v),
-      dvs = carryDvs(spark, dvs, untouched)), touched.size)
+      dvs = carryDvs(spark, dvs, untouched), partitionBy = pb,
+      partitions = pVals.view.filterKeys(untouched.toSet).toMap ++ newPartVals,
+      cdfKind = Some("files"), cdf = cdfFiles),
+      touched.size)
   }
 
   /** Deletion vectors carried into a rewrite's new version: tombstones of
@@ -652,8 +975,10 @@ final class VersionedTable(val root: String) {
     val dvs = dvsOf(v)
     // scan with existing DVs applied: an already-dead row must not be
     // tombstoned twice (double-counted deletes, growing DVs)
-    val matched = scanLive(spark, all, schema, dvs, keepPos = true)
+    val matchedRows = scanLive(spark, all, schema, dvs, keepPos = true,
+        partitionByOf(v), partitionValuesOf(v))
       .filter(coalesce(expr(condition), lit(false)))
+    val matched = matchedRows
       .select(col("__rel").as("file"), col("__ri").as("row_index"))
     // write first, count the (tiny) written tombstones: counting `matched`
     // directly would run the full predicate scan a second time
@@ -661,12 +986,18 @@ final class VersionedTable(val root: String) {
     val n = spark.read.parquet(
       newDv.map(f => Paths.get(root).resolve(f).toString): _*).count()
     if (n == 0L) return (v, 0L) // no match: the empty DV dir falls to vacuum
+    // write-time CDF: the tombstoned rows in full (one more predicate-pushed
+    // pass over the matching files; the DV itself stores only positions)
+    val cdfFiles = writeCdfFiles(matchedRows.drop("__rel", "__ri")
+      .withColumn("_change_type", lit("delete")))
     val schemaJson = schema.map(_.json).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
     // data files and their stats carry verbatim (stats stay sound: a DV only
     // narrows the live rows, min/max remain valid bounds for skipping)
     (publish(all, schemaJson, statsOf(v), None, Some(v), constraintsOf(v),
-      dvs = dvs ++ newDv), n)
+      dvs = dvs ++ newDv, partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v), cdfKind = Some("files"),
+      cdf = cdfFiles), n)
   }
 
   /** Copy-on-write UPDATE: `SET col = expr` on rows matching `condition`,
@@ -687,9 +1018,11 @@ final class VersionedTable(val root: String) {
       s"update SET references unknown column $c"))
     val pred = expr(condition)
     val dvs = dvsOf(v)
+    val pb = partitionByOf(v)
+    val pVals = partitionValuesOf(v)
     if (all.isEmpty) return (v, 0)
     val allSet = all.toSet
-    val touched = scanLive(spark, all, Some(schema), dvs, keepPos = true)
+    val touched = scanLive(spark, all, Some(schema), dvs, keepPos = true, pb, pVals)
       .filter(pred)
       .select(col("__rel")).distinct()
       .collect().map(_.getString(0))
@@ -697,7 +1030,7 @@ final class VersionedTable(val root: String) {
     if (touched.isEmpty) return (v, 0)
     val untouched = all.filterNot(touched.toSet)
     val applies = coalesce(pred, lit(false))
-    val rewritten = scanLive(spark, touched, Some(schema), dvs, keepPos = false)
+    val rewritten = scanLive(spark, touched, Some(schema), dvs, keepPos = false, pb, pVals)
       .select(schema.fields.map { f =>
         set.get(f.name) match {
           case Some(e) => when(applies, expr(e).cast(f.dataType))
@@ -705,15 +1038,29 @@ final class VersionedTable(val root: String) {
           case None => col(f.name)
         }
       }.toSeq: _*)
-    val (commitId, newFiles) = writeDataFiles(rewritten, None, Nil)
-    val stats = if (newFiles.nonEmpty) collectFileStats(spark, commitId)
+    val (commitId, newFiles, newPartVals) = writeDataFiles(rewritten, None, Nil, pb)
+    // write-time CDF: bag-diff of the touched slice before/after the SET —
+    // a row the SET left byte-identical cancels out, exactly as it does in
+    // the snapshot diff changes() computes; cost is two exceptAll passes
+    // over the TOUCHED slice, never the table
+    val old = scanLive(spark, touched, Some(schema), dvs, keepPos = false, pb, pVals)
+    val cdfFiles = writeCdfFiles(
+      old.exceptAll(rewritten).withColumn("_change_type", lit("delete"))
+        .unionByName(rewritten.exceptAll(old).withColumn("_change_type", lit("insert"))))
+    val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+    val stats = if (newFiles.nonEmpty)
+                  collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
                 else Map.empty[String, Map[String, (String, String, String)]]
     val priorStats = statsOf(v).view.filterKeys(untouched.toSet).toMap
     val cs = constraintsOf(v)
     // SET expressions can push a row out of bounds: gate the rewritten files
-    validateWritten(spark, newFiles, Some(schema), cs)
+    if (pb.isEmpty) validateWritten(spark, newFiles, Some(schema), cs)
+    else validateFrame(rewritten, cs)
     (publish(untouched ++ newFiles, schema.json, priorStats ++ stats, None,
-      Some(v), cs, dvs = carryDvs(spark, dvs, untouched)), touched.size)
+      Some(v), cs, dvs = carryDvs(spark, dvs, untouched), partitionBy = pb,
+      partitions = pVals.view.filterKeys(untouched.toSet).toMap ++ newPartVals,
+      cdfKind = Some("files"), cdf = cdfFiles),
+      touched.size)
   }
 
   /** Copy-on-write MERGE: run the join-based kernel ONLY over the target
@@ -741,7 +1088,7 @@ final class VersionedTable(val root: String) {
       whenNotMatchedInsert: Option[Merge.NotMatchedInsert] = None,
       numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): (Long, Int) = {
-    import org.apache.spark.sql.functions.{broadcast, expr}
+    import org.apache.spark.sql.functions.{broadcast, expr, lit}
     val v = resolve()
     val all = filesOf(v)
     val schema = schemaOf(v).getOrElse(
@@ -779,10 +1126,12 @@ final class VersionedTable(val root: String) {
     if (touched.isEmpty && whenNotMatchedInsert.isEmpty) return (v, 0)
     val untouched = all.filterNot(touched.toSet)
     val dvs = dvsOf(v)
+    val pb = partitionByOf(v)
+    val pVals = partitionValuesOf(v)
     val slice =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else scanLive(spark, touched, Some(schema), dvs, keepPos = false)
+      else scanLive(spark, touched, Some(schema), dvs, keepPos = false, pb, pVals)
     val merged0 = Merge.merge(slice, source, condition,
       whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert)
     // pin the output columns to the TABLE's types: merge expressions can
@@ -791,17 +1140,29 @@ final class VersionedTable(val root: String) {
     // likewise casts SET/INSERT values to the target column type
     val merged = merged0.select(schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    val (commitId, newFiles) = writeDataFiles(merged, numPartitions, sortBy)
-    val newStats = if (newFiles.nonEmpty) collectFileStats(spark, commitId)
+    val (commitId, newFiles, newPartVals) = writeDataFiles(merged, numPartitions, sortBy, pb)
+    // write-time CDF: bag-diff of the touched slice vs the merge kernel's
+    // output — updates surface as delete+insert pairs, inserts as bare
+    // inserts, no-op matches cancel; O(touched slice + batch), not O(table)
+    val cdfFiles = writeCdfFiles(
+      slice.exceptAll(merged).withColumn("_change_type", lit("delete"))
+        .unionByName(merged.exceptAll(slice).withColumn("_change_type", lit("insert"))))
+    val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+    val newStats = if (newFiles.nonEmpty)
+                     collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
                    else Map.empty[String, Map[String, (String, String, String)]]
     val priorStats = stats.view.filterKeys(untouched.toSet).toMap
     val cs = constraintsOf(v)
     // inserted + updated rows land in the new files: gate exactly those
-    validateWritten(spark, newFiles, Some(schema), cs)
+    if (pb.isEmpty) validateWritten(spark, newFiles, Some(schema), cs)
+    else validateFrame(merged, cs)
     // snapshot-pinned like delete: colliding with another writer raises
     // ConcurrentCommitException rather than losing its commit
     (publish(untouched ++ newFiles, schema.json, priorStats ++ newStats, txn,
-      Some(v), cs, dvs = carryDvs(spark, dvs, untouched)), touched.size)
+      Some(v), cs, dvs = carryDvs(spark, dvs, untouched), partitionBy = pb,
+      partitions = pVals.view.filterKeys(untouched.toSet).toMap ++ newPartVals,
+      cdfKind = Some("files"), cdf = cdfFiles),
+      touched.size)
   }
 
   /** True iff `condition` contains a top-level AND-conjunct of the exact
@@ -880,8 +1241,14 @@ final class VersionedTable(val root: String) {
     // an empty kept-set over a non-empty table is a valid prune result:
     // return an empty frame with the table's schema
     val df =
-      if (kept.nonEmpty) scanLive(spark, kept, schemaOf(v), dvsOf(v), keepPos = false)
-      else spark.read.parquet(all.map(f => Paths.get(root).resolve(f).toString): _*).limit(0)
+      if (kept.nonEmpty) scanLive(spark, kept, schemaOf(v), dvsOf(v), keepPos = false,
+        partitionByOf(v), partitionValuesOf(v))
+      else schemaOf(v) match {
+        case Some(s) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None =>
+          spark.read.parquet(all.map(f => Paths.get(root).resolve(f).toString): _*).limit(0)
+      }
     (df, kept.size, all.size)
   }
 
@@ -891,12 +1258,18 @@ final class VersionedTable(val root: String) {
     * a manifest that drops that commit's changes. */
   private def commitPinned(df: DataFrame, base: Long,
       numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil): Long = {
-    val (commitId, files) = writeDataFiles(df, numPartitions, sortBy)
+    // a rewrite of the snapshot keeps the TABLE's partition layout
+    val pb = partitionByOf(base)
+    val (commitId, files, partVals) = writeDataFiles(df, numPartitions, sortBy, pb)
+    val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
-      if (files.nonEmpty) collectFileStats(df.sparkSession, commitId)
+      if (files.nonEmpty) collectFileStats(df.sparkSession, commitId, files, partVals, partTypes)
       else Map.empty[String, Map[String, (String, String, String)]]
-    // compaction rewrites the same rows: constraints carry, nothing re-gates
-    publish(files, df.schema.json, stats, None, Some(base), constraintsOf(base))
+    // compaction rewrites the same rows: constraints carry, nothing re-gates;
+    // CDF kind "none" records that the transition changed NO rows, so a
+    // change-feed consumer skips it without any diffing
+    publish(files, df.schema.json, stats, None, Some(base), constraintsOf(base),
+      partitionBy = pb, partitions = partVals, cdfKind = Some("none"))
   }
 
   /** Compaction (OPTIMIZE): rewrite the latest snapshot into `numFiles`
@@ -940,6 +1313,10 @@ final class VersionedTable(val root: String) {
         numPartitions = Some(numFiles0), sortBy = sortBy)
     else {
       import org.apache.spark.sql.functions.{expr, max => fmax, min => fmin}
+      require(partitionByOf(pinned).isEmpty,
+        "zOrderBy on a partitioned table is not supported: the z-curve layout " +
+          "would fight the hive partition dirs — compact with sortBy instead " +
+          "(files are already partition-pruned before stats skipping applies)")
       require(zOrderBy.size >= 2 && zOrderBy.size <= 4,
         "zOrderBy takes 2-4 columns (16 bits each in a 64-bit z-value)")
       val df = read(spark, versionAsOf = Some(pinned))
@@ -1036,8 +1413,12 @@ final class VersionedTable(val root: String) {
       throw new IllegalStateException(s"version $head of $root has no recorded schema"))
     if (fresh.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .parquet(fresh.map(f => Paths.get(root).resolve(f).toString): _*)
+    else
+      // scanLive re-attaches partition values on a partitioned table (the
+      // fresh files don't store those columns); unpartitioned it reduces to
+      // the plain manifest-schema'd scan
+      scanLive(spark, fresh, Some(schema), Nil, keepPos = false,
+        partitionByOf(head), partitionValuesOf(head))
   }
 
   /** Change data feed between two committed versions (Delta CDF parity,
@@ -1070,6 +1451,73 @@ final class VersionedTable(val root: String) {
       .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }
 
+  /** Per-commit change feed over `(fromVersion, toVersion]` (Delta
+    * `table_changes` parity, SERVED FROM WRITE-TIME CAPTURE): each step's
+    * rows carry `_change_type` ('insert'/'delete'; an update is its
+    * delete+insert pair) and `_commit_version`. The cost model is what makes
+    * continuous CDC viable at 100 TB:
+    *  - rewrites (delete/update/merge/MOR-delete) read the CHANGE ROWS the
+    *    writer persisted under `cdf/` — O(changes), zero table I/O;
+    *  - appends read exactly the fresh data files (manifest file-list diff)
+    *    — O(batch), nothing stored twice;
+    *  - compactions and metadata-only commits are skipped outright
+    *    (`cdfKind` "none");
+    *  - only legacy/overwrite/restore versions (no capture possible) fall
+    *    back to the [[changes]] snapshot re-diff, per STEP, so one such
+    *    version never forces re-diffing the whole range.
+    * Columns align by name across additive schema evolution (absent columns
+    * null). Unlike the [[changes]] endpoint diff, intermediate churn is
+    * VISIBLE: a row inserted then deleted inside the range appears twice —
+    * per-commit semantics, the contract CDC consumers (and Delta CDF) use. */
+  def changeFeed(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions()
+    require(vs.contains(fromVersion) && vs.contains(toVersion),
+      s"versions $fromVersion/$toVersion not both retained at $root")
+    require(toVersion >= fromVersion,
+      s"changeFeed range is reversed: ($fromVersion, $toVersion]")
+    val steps = vs.filter(v => v > fromVersion && v <= toVersion)
+    val headSchema = schemaOf(toVersion).getOrElse(
+      throw new IllegalStateException(s"version $toVersion of $root has no recorded schema"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      headSchema.add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType))
+    steps.zip(vs.filter(_ >= fromVersion)).map { case (v, prev) =>
+      stepChanges(spark, prev, v).withColumn("_commit_version", lit(v))
+    }.foldLeft(empty)((acc, df) => acc.unionByName(df, allowMissingColumns = true))
+  }
+
+  /** One version transition's changes, from the cheapest sound source (see
+    * [[changeFeed]]). `prev` is the retained version directly before `v`. */
+  private def stepChanges(spark: SparkSession, prev: Long, v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    cdfKindOf(v) match {
+      case Some("none") =>
+        val s = schemaOf(v).getOrElse(throw new IllegalStateException(
+          s"version $v of $root has no recorded schema"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          s.add("_change_type", org.apache.spark.sql.types.StringType))
+      case Some("append") =>
+        val fresh = filesOf(v).filterNot(filesOf(prev).toSet)
+        val s = schemaOf(v).getOrElse(throw new IllegalStateException(
+          s"version $v of $root has no recorded schema"))
+        if (fresh.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            s.add("_change_type", org.apache.spark.sql.types.StringType))
+        else scanLive(spark, fresh, Some(s), Nil, keepPos = false,
+          partitionByOf(v), partitionValuesOf(v))
+          .withColumn("_change_type", lit("insert"))
+      case Some("files") =>
+        val fs = cdfFilesOf(v)
+        if (fs.isEmpty)
+          throw new IllegalStateException(
+            s"version $v of $root claims stored CDF but lists no cdf files")
+        spark.read.parquet(fs.map(f => Paths.get(root).resolve(f).toString): _*)
+      case _ => changes(spark, prev, v)
+    }
+  }
+
   /** RESTORE parity: republish `versionAsOf`'s file list (and schema/stats)
     * as a NEW head version — a manifest-level operation, zero data copied,
     * because data files are immutable; the rolled-back-over versions stay
@@ -1083,7 +1531,8 @@ final class VersionedTable(val root: String) {
     // the data (a constraint added after v does not survive the rollback);
     // deletion vectors likewise — the restored head sees v's live rows
     retryPublish(publish(filesOf(v), schemaJson, statsOf(v), None, _,
-      constraintsOf(v), dvs = dvsOf(v)))
+      constraintsOf(v), dvs = dvsOf(v), partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v)))
   }
 
   /** ALTER TABLE ADD CONSTRAINT parity: register a named CHECK expression
@@ -1108,7 +1557,9 @@ final class VersionedTable(val root: String) {
     // already deleted must not reject the ALTER
     validateFrame(read(spark, versionAsOf = Some(v)), Map(name -> expression))
     publish(filesOf(v), schemaJson, statsOf(v), None, Some(v),
-      existing + (name -> expression), dvs = dvsOf(v))
+      existing + (name -> expression), dvs = dvsOf(v),
+      partitionBy = partitionByOf(v), partitions = partitionValuesOf(v),
+      cdfKind = Some("none"))
   }
 
   /** ALTER TABLE DROP CONSTRAINT parity: metadata-only version without the
@@ -1121,7 +1572,8 @@ final class VersionedTable(val root: String) {
     val schemaJson = schemaOf(v).map(_.json).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
     publish(filesOf(v), schemaJson, statsOf(v), None, Some(v), existing - name,
-      dvs = dvsOf(v))
+      dvs = dvsOf(v), partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v), cdfKind = Some("none"))
   }
 
   /** Vacuum: physically delete data files not referenced by the newest
@@ -1163,7 +1615,9 @@ final class VersionedTable(val root: String) {
       val files = node.get("files").elements().asScala.map(_.asText()).toSeq
       val dvs = if (node.has("dvs"))
         node.get("dvs").elements().asScala.map(_.asText()).toSeq else Seq.empty
-      files ++ dvs
+      val cdf = if (node.has("cdf"))
+        node.get("cdf").elements().asScala.map(_.asText()).toSeq else Seq.empty
+      files ++ dvs ++ cdf
     }
     val keep = retained.flatMap(v => tryManifest(v).toSeq.flatMap(refsOf)).toSet
     var deleted = 0
@@ -1181,31 +1635,36 @@ final class VersionedTable(val root: String) {
     // rejected batch or lost publish race) go once past the age guard
     val live = versions().flatMap(v => tryManifest(v).toSeq.flatMap(refsOf)).toSet
     val cutoff = System.currentTimeMillis() - orphanRetentionMs
-    Seq("data" -> dataDir, "dv" -> dvDir).foreach { case (prefix, base) =>
-      if (Files.isDirectory(base)) {
-        listNames(base).foreach { commit =>
-          val d = base.resolve(commit)
-          if (Files.isDirectory(d)) listNames(d).foreach { f =>
-            val rel = s"$prefix/$commit/$f"
-            val p = d.resolve(f)
-            // a racing vacuum may delete p between listNames and the mtime
-            // read — tolerate the vanish like tryManifest does
-            val old = scala.util.Try(Files.getLastModifiedTime(p).toMillis)
-              .toOption.exists(_ < cutoff)
-            if (!live.contains(rel) && old) {
-              if (Files.deleteIfExists(p)) deleted += 1
-            }
+    // recursive: hive-partitioned commits nest k=v dirs under the commit dir
+    def sweepOrphans(prefix: String, dir: Path): Unit =
+      listNames(dir).foreach { n =>
+        val p = dir.resolve(n)
+        val rel = s"$prefix/$n"
+        if (Files.isDirectory(p)) sweepOrphans(rel, p)
+        else {
+          // a racing vacuum may delete p between listNames and the mtime
+          // read — tolerate the vanish like tryManifest does
+          val old = scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+            .toOption.exists(_ < cutoff)
+          if (!live.contains(rel) && old) {
+            if (Files.deleteIfExists(p)) deleted += 1
           }
         }
       }
+    Seq("data" -> dataDir, "dv" -> dvDir, "cdf" -> cdfDir).foreach { case (prefix, base) =>
+      if (Files.isDirectory(base)) sweepOrphans(prefix, base)
     }
-    // sweep now-empty commit/dv dirs
-    Seq(dataDir, dvDir).filter(Files.isDirectory(_)).foreach { base =>
-      listNames(base).foreach { name =>
-        val d = base.resolve(name)
-        if (Files.isDirectory(d) && listNames(d).isEmpty) Files.delete(d)
+    // sweep now-empty dirs bottom-up (partition subdirs before commit dirs)
+    def sweepEmpty(dir: Path): Unit = {
+      listNames(dir).foreach { n =>
+        val p = dir.resolve(n)
+        if (Files.isDirectory(p)) {
+          sweepEmpty(p)
+          if (listNames(p).isEmpty) Files.deleteIfExists(p)
+        }
       }
     }
+    Seq(dataDir, dvDir, cdfDir).filter(Files.isDirectory(_)).foreach(sweepEmpty)
     deleted
   }
 }
