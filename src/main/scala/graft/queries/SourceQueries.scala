@@ -443,13 +443,25 @@ object SourceQueries {
       mv.refresh(spark) // replay at the same base version
       require(graft.table.VersionedTable(s"$tmp/orders_mv").latestVersion() == headBefore,
         "a no-op refresh must not commit a new view version")
+      // rewrites maintain the view too (signed change-feed fold, round 5):
+      // a COW delete drops whole groups, a COW update shifts sums — each
+      // refresh folds only the stored change rows, never re-scans the base
+      base.delete(spark, "o_orderstatus = 'P'")
+      base.update(spark, "o_orderpriority = '1-URGENT'",
+        Map("price" -> "price + 1"))
+      mv.refresh(spark)
       mv.read(spark).select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
         col("sum_price").cast("double").as("sum_price"))
     },
     Some(
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin))
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |           THEN CAST(o_totalprice AS DECIMAL(12,2)) + 1
+        |           ELSE CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus, o_orderpriority""".stripMargin))
 
   /** q95: dynamic partition pruning — the fact table is laid out
     * hive-partitioned on the join key; joining a SELECTIVE small dim makes

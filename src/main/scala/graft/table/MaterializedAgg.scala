@@ -8,14 +8,21 @@ import org.apache.spark.sql.functions._
   * keeps next to a raw 100 TB fact table.
   *
   * The view is `SELECT keys, count(*) AS n, sum(expr) AS name... GROUP BY
-  * keys`, itself stored as a VersionedTable. `refresh()` reads ONLY the rows
-  * appended since the last refresh (manifest file-list diff —
-  * [[VersionedTable.appendsSince]], zero data I/O to locate the delta),
-  * partially aggregates them, and folds the partials into the view: cost
-  * O(delta + |groups|) per refresh, never O(base table). Count/sum are the
-  * associative aggregates this folding is exact for; callers needing avg
-  * derive it as s/n at read time. Exactness across refresh schedules relies
-  * on the caller summing decimal-cast expressions (see queries/Q.scala).
+  * keys`, itself stored as a VersionedTable. `refresh()` reads ONLY the
+  * changes since the last refresh — the write-time change feed
+  * ([[VersionedTable.changeFeed]]): appends arrive as their fresh files,
+  * deletes/updates/merges as the cdf/ batches their writers persisted —
+  * partially aggregates them SIGNED (inserts +, deletes −), and folds the
+  * partials into the view: cost O(changes + |groups|) per refresh, never
+  * O(base table), through ANY mix of appends and rewrites. A group whose
+  * row count folds to zero leaves the view. Count/sum are the associative,
+  * invertible aggregates this signed folding is exact for; callers needing
+  * avg derive it as s/n at read time; min/max are NOT invertible and do not
+  * belong here. Exactness across refresh schedules relies on the caller
+  * summing decimal-cast expressions (see queries/Q.scala). Only an
+  * overwrite/restore base commit (no write-time capture possible) degrades
+  * the delta to that step's snapshot re-diff — still correct, just not
+  * O(changes) for that one step.
   *
   * The base-table high-water mark rides the view's own commit as an
   * idempotent-writer txn stamp (`matview:<base>` → base version), so the
@@ -57,19 +64,34 @@ final class MaterializedAgg(
     val viewHead = view.latestVersion()
     val cursor = lastBaseVersion
     if (cursor.contains(baseV)) return baseV // already current: no new version
+    // the sign column rides the delta frame under the feed's column name —
+    // a base column with that name would be silently clobbered
+    base.schemaOf(baseV).foreach(s => require(!s.fieldNames.contains("_change_type"),
+      s"base table ${base.root} has a _change_type column, which the change " +
+        "feed reserves"))
+    // signed delta: +row for an insert, −row for a delete (an update is its
+    // delete+insert pair, so only its NET effect folds in)
     val delta = cursor match {
-      case None => base.read(spark, versionAsOf = Some(baseV)) // first refresh: full
-      case Some(v) => base.appendsSince(spark, v, toVersion = Some(baseV))
+      case None => base.read(spark, versionAsOf = Some(baseV))
+        .withColumn("_change_type", lit("insert")) // first refresh: full load
+      case Some(v) => base.changeFeed(spark, v, baseV).drop("_commit_version")
     }
-    val aggCols = count(lit(1)).as("n") +: sums.map { case (nm, e) => sum(expr(e)).as(nm) }
+    val isInsert = col("_change_type") === "insert"
+    val aggCols = sum(when(isInsert, 1L).otherwise(-1L)).as("n") +:
+      sums.map { case (nm, e) =>
+        sum(when(isInsert, expr(e)).otherwise(-expr(e))).as(nm) }
     val partial = delta.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-    val folded = (cursor, viewHead) match {
+    val folded0 = (cursor, viewHead) match {
       case (None, _) | (_, None) => partial
       case (Some(_), Some(hv)) =>
         val reAgg = sum(col("n")).as("n") +: sums.map { case (nm, _) => sum(col(nm)).as(nm) }
         view.read(spark, versionAsOf = Some(hv)).unionByName(partial)
           .groupBy(keys.map(col): _*).agg(reAgg.head, reAgg.tail: _*)
     }
+    // a fully-deleted group folds to n=0 (its sums cancel exactly — the
+    // change feed is bag-balanced): it must LEAVE the view, not linger as a
+    // zero row the one-shot aggregate would never produce
+    val folded = folded0.filter(col("n") =!= 0L)
     view.commitPinnedAt(folded, viewHead, txn = Some(appId -> baseV))
     baseV
   }

@@ -64,14 +64,46 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq(("a", 2L, 11L), ("b", 1L, 2L)))
   }
 
-  test("a rewrite in the refresh window is refused, not silently mis-counted") {
+  test("rewrites in the refresh window fold through the change feed") {
     val base = VersionedTable(tmpDir("mv-"))
     val mv = new MaterializedAgg(base, tmpDir("mv-"), Seq("k"), Seq("s" -> "x"))
-    base.commit(Seq(("a", 1L)).toDF("k", "x"))
+    base.commit(Seq(("a", 1L), ("a", 4L), ("b", 2L), ("c", 7L)).toDF("k", "x"))
     mv.refresh(spark)
-    base.delete(spark, "x = 1") // rewrite: the file-list diff cannot see it
-    base.append(Seq(("a", 3L)).toDF("k", "x"))
-    val e = intercept[IllegalArgumentException](mv.refresh(spark))
-    assert(e.getMessage.contains("not an append"))
+    // a mixed window: delete, update, append — served from write-time CDF
+    base.delete(spark, "x = 1")                               // -(a,1)
+    base.update(spark, "k = 'b'", Map("x" -> "x + 10"))       // b: 2 -> 12
+    base.append(Seq(("a", 3L)).toDF("k", "x"))                // +(a,3)
+    mv.refresh(spark)
+    val got = mv.read(spark).as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("a", 2L, 7L), ("b", 1L, 12L), ("c", 1L, 7L)))
+    // the invariant: view == one-shot recompute over the current snapshot
+    val recompute = base.read(spark).groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("x").as("s"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === recompute)
+  }
+
+  test("a fully-deleted group leaves the view instead of lingering at zero") {
+    val base = VersionedTable(tmpDir("mv-"))
+    val mv = new MaterializedAgg(base, tmpDir("mv-"), Seq("k"), Seq("s" -> "x"))
+    base.commit(Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
+    mv.refresh(spark)
+    base.delete(spark, "k = 'b'")
+    mv.refresh(spark)
+    val got = mv.read(spark).as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 1L, 1L)))
+  }
+
+  test("a MOR delete folds like a COW delete (positions in, rows out)") {
+    val base = VersionedTable(tmpDir("mv-"))
+    val mv = new MaterializedAgg(base, tmpDir("mv-"), Seq("k"), Seq("s" -> "x"))
+    base.commit(Seq(("a", 1L), ("a", 4L), ("b", 2L)).toDF("k", "x"))
+    mv.refresh(spark)
+    base.deleteMor(spark, "x = 4")
+    mv.refresh(spark)
+    val got = mv.read(spark).as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("a", 1L, 1L), ("b", 1L, 2L)))
   }
 }
