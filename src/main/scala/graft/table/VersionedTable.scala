@@ -37,7 +37,8 @@ import scala.jdk.CollectionConverters._
   * An empty `files` list is a valid version (empty table). Version 0 is created
   * by the first commit.
   */
-final class VersionedTable(val root: String) {
+final class VersionedTable(val root: String,
+    store: CommitStore = LinkCommitStore) {
   private val mapper = new ObjectMapper()
   private def logDir: Path = Paths.get(root, "_graft_log")
   private def dataDir: Path = Paths.get(root, "data")
@@ -440,13 +441,9 @@ final class VersionedTable(val root: String) {
       if (merged == base) return // already at or above every mark
       val json = mapper.createObjectNode()
       merged.toSeq.sortBy(_._1).foreach { case (k, v) => json.put(k, v) }
-      val tmp = logDir.resolve(s".txns-${java.util.UUID.randomUUID()}.json")
-      Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
       val next = cur.map(_ + 1L).getOrElse(0L)
-      val won =
-        try { Files.createLink(sidecarPath(next), tmp); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        finally Files.deleteIfExists(tmp)
+      val won = store.putIfAbsent(sidecarPath(next),
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
       if (won) {
         // the legacy file is subsumed by the versioned sidecar now
         Files.deleteIfExists(legacySidecarPath)
@@ -459,18 +456,124 @@ final class VersionedTable(val root: String) {
   }
 
   /** Latest transaction version committed by `appId` — the newest mark in
-    * the retained manifests, or the vacuum sidecar's high-water mark for
-    * marks whose manifests were dropped (the Delta `txnVersion`/`txnAppId`
+    * the post-checkpoint manifests, the latest checkpoint's accumulated
+    * marks, or the vacuum sidecar's high-water mark for marks whose
+    * manifests were dropped (the Delta `txnVersion`/`txnAppId`
     * idempotent-writer protocol: a replaying writer asks "did my batch N
-    * already commit?"). */
+    * already commit?"). The checkpoint FLOOR is what bounds this at scale:
+    * without it a missing appId scans every retained manifest — O(versions)
+    * driver JSON reads; with it, only the tail since the last checkpoint. */
   def lastTxn(appId: String): Option[Long] = {
-    val live = versions().reverseIterator.map { v =>
+    val ckpt = latestCheckpointMeta()
+    val floor = ckpt.map(_._1).getOrElse(-1L)
+    val live = versions().reverseIterator.takeWhile(_ > floor).map { v =>
       val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
       if (node.has("txnApp") && node.get("txnApp").asText() == appId)
         Some(node.get("txnVersion").asLong())
       else None
     }.collectFirst { case Some(t) => t }
-    (live.toSeq ++ sidecarTxns().get(appId).toSeq).maxOption
+    (live.toSeq ++ ckpt.flatMap(_._2.get(appId)).toSeq ++
+      sidecarTxns().get(appId).toSeq).maxOption
+  }
+
+  // ---- Manifest checkpointing -------------------------------------------
+  //
+  // A manifest is one self-contained JSON parsed on the DRIVER. That is the
+  // right shape for head resolution (read exactly one document), but two
+  // costs grow with the table:
+  //  - the FILE LIST inside the head manifest (millions of files at 100 TB)
+  //    is driver-parsed JSON — a distributed consumer should be able to
+  //    read it as columnar data instead;
+  //  - lastTxn for an absent appId walks EVERY retained manifest.
+  // A checkpoint is the Delta-checkpoint analogue: the head state written
+  // once as parquet (distributed-readable, splittable) plus a small meta
+  // document carrying the schema and the RATCHETED txn marks of everything
+  // up to it, so later reads and txn lookups never open the older JSONs.
+
+  private def ckptMetaPath(v: Long): Path = logDir.resolve(f"_ckpt-v$v%08d.meta.json")
+  private def ckptDataDir(v: Long): Path = logDir.resolve(f"_ckpt-v$v%08d.parquet")
+
+  /** Versions with a completed checkpoint (meta present), ascending. */
+  def checkpointVersions(): Seq[Long] =
+    listNames(logDir)
+      .collect { case s if s.matches("_ckpt-v\\d{8}\\.meta\\.json") =>
+        s.substring(7, 15).toLong }
+      .sorted
+
+  /** (version, accumulated txn marks) of the newest checkpoint, if any. */
+  private def latestCheckpointMeta(): Option[(Long, Map[String, Long])] =
+    checkpointVersions().lastOption.map { v =>
+      val node = mapper.readTree(Files.readAllBytes(ckptMetaPath(v)))
+      val marks =
+        if (!node.has("txns")) Map.empty[String, Long]
+        else node.get("txns").properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap
+      (v, marks)
+    }
+
+  /** Write a checkpoint of the CURRENT head: one parquet dataset under the
+    * log dir holding every live reference (data/dv/cdf) with its partition
+    * values and stats — splittable, schema'd, readable by any executor —
+    * plus a meta document with the schema and the txn marks accumulated
+    * from the previous checkpoint through the head. Publishing the meta is
+    * a [[CommitStore.putIfAbsent]], so racing checkpointers resolve to one
+    * winner; the call is idempotent at an already-checkpointed head. Old
+    * checkpoints beyond a small tail are retired. Returns the checkpointed
+    * version. */
+  def checkpoint(spark: SparkSession): Long = {
+    import spark.implicits._
+    val v = resolve()
+    if (checkpointVersions().contains(v)) return v
+    val prev = latestCheckpointMeta()
+    val floor = prev.map(_._1).getOrElse(-1L)
+    // ratchet every txn mark between the previous checkpoint and the head
+    val tailMarks = versions().filter(x => x > floor && x <= v).flatMap { x =>
+      val node = mapper.readTree(Files.readAllBytes(manifestPath(x)))
+      if (node.has("txnApp"))
+        Some(node.get("txnApp").asText() -> node.get("txnVersion").asLong())
+      else None
+    }
+    val marks = ratchet(prev.map(_._2).getOrElse(Map.empty),
+      tailMarks.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap)
+    val stats = statsOf(v)
+    val parts = partitionValuesOf(v)
+    val rows =
+      filesOf(v).map { f => (f, "data",
+        parts.getOrElse(f, Map.empty).collect { case (c, Some(x)) => c -> x },
+        stats.getOrElse(f, Map.empty).map { case (c, (mn, mx, k)) => c -> Seq(mn, mx, k) }) } ++
+      dvsOf(v).map(f => (f, "dv", Map.empty[String, String], Map.empty[String, Seq[String]])) ++
+      cdfFilesOf(v).map(f => (f, "cdf", Map.empty[String, String], Map.empty[String, Seq[String]]))
+    rows.toDF("path", "kind", "partitions", "stats")
+      .repartition(1).write.mode("overwrite").parquet(ckptDataDir(v).toString)
+    val json = mapper.createObjectNode()
+    json.put("version", v)
+    schemaOf(v).foreach(s => json.put("schema", s.json))
+    if (marks.nonEmpty) {
+      val tNode = json.putObject("txns")
+      marks.toSeq.sortBy(_._1).foreach { case (k, x) => tNode.put(k, x) }
+    }
+    store.putIfAbsent(ckptMetaPath(v),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
+    // retire old checkpoints, keeping a short tail for in-flight readers
+    checkpointVersions().dropRight(2).foreach { old =>
+      Files.deleteIfExists(ckptMetaPath(old))
+      val d = ckptDataDir(old)
+      if (Files.isDirectory(d)) {
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
+    }
+    v
+  }
+
+  /** The latest checkpoint's reference list as a DataFrame — the
+    * distributed-readable face of the manifest: (path, kind, partitions,
+    * stats) per live file. A 1000-executor consumer plans file work from
+    * this WITHOUT the driver parsing a multi-million-entry JSON. */
+  def checkpointFiles(spark: SparkSession): DataFrame = {
+    val v = checkpointVersions().lastOption.getOrElse(
+      throw new IllegalStateException(s"no checkpoint at $root"))
+    spark.read.parquet(ckptDataDir(v).toString)
   }
 
   /** Write `df` as immutable parquet under a fresh commit dir; returns the
@@ -674,11 +777,11 @@ final class VersionedTable(val root: String) {
   }
 
   /** Serialize + atomically publish manifest version `base`+1 (or v0 on an
-    * empty table). The hard-link publish is the commit point: createLink
-    * fails with FileAlreadyExistsException when the target exists, so two
-    * writers racing to the same version number cannot both win — unlike
-    * rename, which POSIX maps to rename(2) and silently REPLACES the target.
-    * Readers still only ever see a complete manifest (link is atomic).
+    * empty table). The [[CommitStore.putIfAbsent]] is the commit point: two
+    * writers racing to the same version number cannot both win (hard-link
+    * CAS on POSIX/HDFS, conditional PUT on object stores — the pluggable
+    * seam), and readers only ever see a complete manifest (create is
+    * atomic).
     *
     * `base` is the snapshot version the CALLER's computation read — pinning
     * `next` to it turns the link into an optimistic-concurrency check: if
@@ -740,14 +843,10 @@ final class VersionedTable(val root: String) {
         }
       }
     }
-    val tmp = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
-    try Files.createLink(manifestPath(next), tmp)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      throw new ConcurrentCommitException(
-        s"concurrent commit of version $next at $root")
-    }
-    finally Files.deleteIfExists(tmp)
+    val won = store.putIfAbsent(manifestPath(next),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
+    if (!won) throw new ConcurrentCommitException(
+      s"concurrent commit of version $next at $root")
     next
   }
 
@@ -1682,6 +1781,8 @@ final class ConstraintViolationException(msg: String) extends RuntimeException(m
 
 object VersionedTable {
   def apply(root: String): VersionedTable = new VersionedTable(root)
+  def apply(root: String, store: CommitStore): VersionedTable =
+    new VersionedTable(root, store)
   def exists(root: String): Boolean =
     Files.isDirectory(Paths.get(root, "_graft_log")) &&
       new VersionedTable(root).latestVersion().isDefined

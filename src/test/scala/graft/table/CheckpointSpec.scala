@@ -1,0 +1,95 @@
+package graft.table
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Manifest checkpointing: head state as distributed-readable parquet plus
+  * accumulated txn marks, bounding driver JSON cost as version and file
+  * counts grow (the Delta-checkpoint analogue). */
+class CheckpointSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("a 1k-version table serves head ops from the checkpoint after the " +
+      "older JSON manifests are gone") {
+    val root = tmpDir("ckpt-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1, "a"), (2, "b")).toDF("id", "k"), txn = Some("app://x" -> 7L))
+    // 1000 metadata-only versions (constraint add/drop pairs publish pure
+    // JSON — no Spark jobs), the cheap way to a deep manifest chain
+    (1 to 500).foreach { i =>
+      t.addConstraint(spark, s"c$i", "id > 0")
+      t.dropConstraint(s"c$i")
+    }
+    assert(t.latestVersion().contains(1000L))
+    t.checkpoint(spark)
+    assert(t.checkpointVersions() === Seq(1000L))
+    // simulate the deep history becoming unreadable (vacuumed to cold
+    // storage): physically move every manifest but the newest away — any
+    // code path still touching them now fails loudly
+    val graveyard = Files.createDirectories(Paths.get(root, "_gone"))
+    (0L to 998L).foreach { v =>
+      val m = Paths.get(root, "_graft_log", f"v$v%08d.json")
+      Files.move(m, graveyard.resolve(m.getFileName))
+    }
+    // head resolution + read: the head manifest is self-contained
+    assert(t.latestVersion().contains(1000L))
+    assert(t.read(spark).as[(Int, String)].collect().sorted.toSeq ===
+      Seq((1, "a"), (2, "b")))
+    // the v0 txn mark is ONLY recoverable via the checkpoint now (its
+    // manifest is gone and no vacuum ever fed the sidecar) — without the
+    // checkpoint floor this lookup would have walked 999 dead JSONs
+    assert(t.lastTxn("app://x") === Some(7L))
+    assert(t.lastTxn("app://absent").isEmpty)
+  }
+
+  test("checkpointFiles exposes the live references as a queryable DataFrame") {
+    val t = VersionedTable(tmpDir("ckpt-"))
+    t.commit(Seq((1L, "F", 1.0), (2L, "O", 2.0)).toDF("id", "s", "amt"),
+      partitionBy = Seq("s"))
+    t.deleteMor(spark, "id = 2")
+    t.checkpoint(spark)
+    val ck = t.checkpointFiles(spark)
+    assert(ck.columns.toSet === Set("path", "kind", "partitions", "stats"))
+    val byKind = ck.groupBy("kind").count().as[(String, Long)].collect().toMap
+    assert(byKind("data") >= 2L) // one file per partition at least
+    assert(byKind("dv") === 1L)
+    assert(byKind("cdf") === 1L)
+    // partition values ride the checkpoint rows
+    val parts = ck.filter("kind = 'data'")
+      .selectExpr("partitions['s']").as[String].collect().toSet
+    assert(parts === Set("F", "O"))
+  }
+
+  test("checkpoint is idempotent at a head and retires old checkpoints") {
+    val t = VersionedTable(tmpDir("ckpt-"))
+    t.commit(Seq(1).toDF("x"))
+    assert(t.checkpoint(spark) === 0L)
+    assert(t.checkpoint(spark) === 0L) // same head: no-op
+    assert(t.checkpointVersions() === Seq(0L))
+    (1 to 3).foreach { i =>
+      t.append(Seq(i).toDF("x"))
+      t.checkpoint(spark)
+    }
+    // only a short tail survives
+    assert(t.checkpointVersions() === Seq(2L, 3L))
+  }
+
+  test("txn marks ratchet across chained checkpoints") {
+    val t = VersionedTable(tmpDir("ckpt-"))
+    t.commit(Seq(1).toDF("x"), txn = Some("a" -> 1L))
+    t.checkpoint(spark)
+    t.append(Seq(2).toDF("x"), txn = Some("b" -> 5L))
+    t.append(Seq(3).toDF("x"), txn = Some("a" -> 2L))
+    t.checkpoint(spark)
+    // second checkpoint folded the first's marks plus the tail's
+    val graveyard = Files.createDirectories(Paths.get(t.root, "_gone"))
+    (0L to 1L).foreach { v =>
+      Files.move(Paths.get(t.root, "_graft_log", f"v$v%08d.json"),
+        graveyard.resolve(f"v$v%08d.json"))
+    }
+    assert(t.lastTxn("a") === Some(2L))
+    assert(t.lastTxn("b") === Some(5L))
+  }
+}
