@@ -289,6 +289,94 @@ object SimilarityQueries {
          |  FROM pairs) t
          |WHERE rk <= 5""".stripMargin))
 
+  /** s6: IVF+PQ serving shape — the standard 100 TB ANN layout that s2 and
+    * s4 each covered half of: vectors are stored BUCKETED by IVF centroid
+    * (s2's layout) and QUANTIZED to int8 (s4's compression), so the probe
+    * phase scans 4-byte-per-dim codes in the probed buckets only (4× less
+    * I/O than float32, ~an order less than the full scan); the top-50
+    * candidates by approximate (dequantized) similarity are then re-ranked
+    * EXACTLY by fetching just those 50 full vectors — the recall knob is the
+    * candidate depth, not the storage format. Approximate and exact
+    * similarities both ride the output so the gate proves the two-phase
+    * ranking, not just the final order.
+    *
+    * Exactness: scale and quantized codes use the same sequential folds as
+    * s4 (bit-identical cross-engine); dequantized cosine is an
+    * identically-ordered fold of exact int×double products; both sims are
+    * rounded to 6dp before ranking with a vec_id tiebreak. */
+  val s6IvfPq: Q = Q(
+    "s6_ivf_pq",
+    (spark, dir) => {
+      val e = vectors(spark, dir)
+      val cents = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("ncv"))
+      val q = e.filter(col("vec_id") === 3)
+        .select(col("v").as("qv"), col("nv").as("nqv"))
+      val probed = cents.crossJoin(broadcast(q))
+        .withColumn("qsim", cosineWithNorms6(col("cv"), col("ncv"), col("qv"), col("nqv")))
+        .orderBy(col("qsim").desc, col("c_id")).limit(4)
+        .select(col("c_id").as("probe_c"))
+      // the quantized store: (vec_id, c_id, scale, int8 codes) — what the
+      // probe scans instead of the float vectors. The scale is let-bound
+      // through a singleton-aggregate barrier (s4's trick) so the max-abs
+      // fold runs once per vector, not once per element.
+      val sc = "aggregate(v, 0D, (m, y) -> greatest(m, abs(y))) / 127"
+      val quant = assigned(spark, dir).selectExpr(
+        "vec_id", "label", "c_id",
+        s"round($sc, 6) AS sc6",
+        s"""aggregate(array($sc), CAST(array() AS ARRAY<INT>), (z, sc) ->
+           |  transform(v, x -> CAST(round(x / sc) AS INT))) AS codes""".stripMargin,
+        s"$sc AS sc")
+      // probe phase: approximate similarity from DEQUANTIZED codes only
+      val cand = quant.join(broadcast(probed), col("c_id") === col("probe_c"))
+        .crossJoin(broadcast(q))
+        .selectExpr("vec_id", "label", "c_id", "sc6",
+          """round(
+            |  aggregate(zip_with(transform(codes, qi -> qi * sc), qv,
+            |                     (x, y) -> x * y), 0D, (s, t) -> s + t)
+            |  / (sqrt(aggregate(transform(codes, qi -> qi * sc * qi * sc),
+            |                    0D, (s, t) -> s + t)) * nqv), 6) AS approx_sim""".stripMargin)
+        .orderBy(col("approx_sim").desc, col("vec_id"))
+        .limit(50)
+      // re-rank phase: fetch the 50 candidates' EXACT vectors and re-score
+      cand.join(e.select(col("vec_id").as("e_id"), col("v"), col("nv")),
+          col("vec_id") === col("e_id"))
+        .crossJoin(broadcast(q))
+        .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "c_id", "approx_sim", "sim")
+    },
+    Some(
+      s"""WITH $duckAssigned,
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 3),
+         |probed AS (
+         |  SELECT c_id AS probe_c
+         |  FROM cents, q
+         |  ORDER BY round(${duckCos("cv", "qv")}, 6) DESC, c_id
+         |  LIMIT 4),
+         |quant AS (
+         |  SELECT vec_id, label, c_id, round(sc, 6) AS sc6,
+         |    list_transform(v, x -> CAST(round(x / sc) AS INT)) AS codes, sc
+         |  FROM (SELECT a.*,
+         |          list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127 AS sc
+         |        FROM assigned a)),
+         |cand AS (
+         |  SELECT vec_id, label, c_id, sc6,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        j -> codes[j] * sc * qv[j]))
+         |      / (sqrt(list_sum(list_transform(codes, qi -> qi * sc * qi * sc)))
+         |         * sqrt(list_sum(list_transform(qv, y -> y * y)))), 6) AS approx_sim
+         |  FROM quant JOIN probed ON c_id = probe_c, q
+         |  ORDER BY approx_sim DESC, vec_id
+         |  LIMIT 50)
+         |SELECT c.vec_id, c.label, c.c_id, c.approx_sim,
+         |  round(${duckCos("e.v", "q.qv")}, 6) AS sim
+         |FROM cand c JOIN e ON e.vec_id = c.vec_id, q
+         |ORDER BY sim DESC, c.vec_id
+         |LIMIT 10""".stripMargin))
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
-    s4QuantizeInt8, s5KnnJoin)
+    s4QuantizeInt8, s5KnnJoin, s6IvfPq)
 }
