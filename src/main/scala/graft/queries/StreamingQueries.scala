@@ -359,7 +359,70 @@ object StreamingQueries {
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id""".stripMargin))
 
+  /** q98: TIMER-driven session windows via transformWithState — the
+    * capability gap between q67's flatMapGroupsWithState variant and Spark
+    * 4's v2 state API: each user's final session is emitted by its
+    * EVENT-TIME TIMER once the stream's watermark passes `session_end +
+    * gap`, instead of staying open forever waiting for a next event. The
+    * oracle therefore includes every non-final session (in-batch closures,
+    * q67 semantics) PLUS the final sessions whose expiry precedes the final
+    * watermark (`max(ts)` at zero delay) — the timer-fired tail q67 had to
+    * anti-join away. RocksDB provider required/restored as in q92. */
+  val q98TwsSessionTimers: Q = Q(
+    "q98_tws_session_timers",
+    (spark, dir) => {
+      import spark.implicits._
+      val landing = java.nio.file.Files.createTempDirectory("graft-twt-").toString
+      val ev = Tables.table(spark, dir, "events").select("user_id", "ts")
+      ev.write.mode("overwrite").parquet(landing)
+      val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val schema = spark.read.parquet(landing).schema
+        val stream = spark.readStream.schema(schema).parquet(landing)
+          .as[(Long, java.sql.Timestamp)]
+        val qname = s"q98_sink_${System.nanoTime()}"
+        val q = graft.streaming.StreamingEtl
+          .sessionWindowsTws(stream, gapMinutes = 30, delay = "0 seconds")
+          .writeStream.outputMode("append").format("memory").queryName(qname).start()
+        q.processAllAvailable()
+        q.stop()
+        spark.table(qname)
+          .select("user_id", "session_start", "session_end", "n_events")
+      } finally {
+        prior match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+    Some(
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |agg AS (
+        |  SELECT user_id, sid, min(ts) AS session_start,
+        |    max(ts) AS session_end, count(*) AS n_events
+        |  FROM s GROUP BY user_id, sid),
+        |last AS (SELECT user_id, max(sid) AS sid FROM agg GROUP BY user_id),
+        |wm AS (SELECT max(ts) AS w FROM events)
+        |SELECT a.user_id, a.session_start, a.session_end, a.n_events
+        |FROM agg a, wm
+        |WHERE NOT EXISTS (
+        |    SELECT 1 FROM last l WHERE l.user_id = a.user_id AND l.sid = a.sid)
+        |   OR a.session_end + INTERVAL 30 MINUTE < wm.w""".stripMargin))
+
   val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch,
     q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions, q75StreamCdcUpsert,
-    q88StreamOuterJoin, q92StreamTws)
+    q88StreamOuterJoin, q92StreamTws, q98TwsSessionTimers)
 }

@@ -27,6 +27,12 @@ final case class UserTotal(user_id: Long, n: Long, sum_value: Double)
 /** Open-session state for [[StreamingEtl.sessionWindows]] (micros). */
 final case class SessionState(start: Long, last: Long, n: Long)
 
+/** One closed session: contiguous events of a user with < `gap` between
+  * neighbours. */
+final case class ClosedSession(
+    user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
+
 /** StatefulProcessor for [[StreamingEtl.statefulUserTotalsTws]]: one typed
   * ValueState slot per user holding the running (count, sum). `init` runs
   * once per partition at query (re)start — the handle hands out state bound
@@ -50,6 +56,115 @@ final class RunningTotalsProcessor
     val next = UserTotal(userId, n, sum)
     state.update(next)
     Iterator.single(next)
+  }
+}
+
+/** [[RunningTotalsProcessor]] with state TTL: a key's running total is
+  * EVICTED after `ttlMs` of processing time without an update — the
+  * bounded-retention variant a production pipeline runs so state size
+  * tracks the ACTIVE key set, not every key ever seen (at 100 TB of
+  * events, unbounded per-key state is the thing that kills the job weeks
+  * in). TTL is enforced by the state store itself (RocksDB TTL column
+  * semantics): an expired value is simply absent at the next read, across
+  * query restarts too, because the expiry rides the checkpointed state. */
+final class RunningTotalsTtlProcessor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserTotal] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[UserTotal] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserTotal]("totals",
+      org.apache.spark.sql.Encoders.product[UserTotal],
+      TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+  override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[UserTotal] = {
+    // an expired slot reads as absent — the total restarts, by design
+    val prev = if (state.exists()) state.get() else UserTotal(userId, 0L, 0.0)
+    var n = prev.n
+    var sum = prev.sum_value
+    rows.foreach { e => n += 1; sum += e.value }
+    val next = UserTotal(userId, n, sum)
+    state.update(next) // update refreshes the TTL clock
+    Iterator.single(next)
+  }
+}
+
+/** Timer-driven event-time sessionization via `transformWithState` — the
+  * capability [[StreamingEtl.sessionWindows]]'s flatMapGroupsWithState
+  * variant lacks: an IDLE user's final session is emitted when the
+  * WATERMARK passes `session_end + gap` (an event-time timer the processor
+  * re-arms on every update), instead of waiting forever for a next event
+  * that may never come. In-batch closures (an event arriving past the gap)
+  * emit immediately, exactly like the fmgws variant; the timer only covers
+  * the idle tail. One ValueState slot + at most one live timer per user —
+  * O(1) state per key, the sessionization shape that holds at 100 TB.
+  *
+  * Times: state tracks event-time MICROS (full precision); timers are
+  * registered in epoch MILLIS (the timer API's unit) at
+  * `floor(last/1000) + gapMs`. */
+final class SessionTimerProcessor(gapMinutes: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), ClosedSession] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode,
+    TimerValues, TTLConfig, ValueState}
+
+  private val gapMicros = gapMinutes * 60L * 1000000L
+  @transient private var state: ValueState[SessionState] = _
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + t.getNanos / 1000 % 1000
+  private def ts(m: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(m / 1000)
+    t.setNanos((m % 1000000L).toInt * 1000)
+    t
+  }
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[SessionState]("open_session",
+      org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[ClosedSession] = {
+    val sorted = rows.map(r => micros(r._2)).toArray.sorted
+    var closed = List.empty[ClosedSession]
+    var cur = if (state.exists()) Option(state.get()) else None
+    sorted.foreach { m =>
+      cur match {
+        // same late-event semantics as sessionWindows: a cross-batch
+        // straggler inside the open span folds in; one older than the span
+        // minus the gap is unattributable and drops
+        case Some(s) if m < s.start - gapMicros => ()
+        case Some(s) if m <= s.last =>
+          cur = Some(s.copy(start = math.min(s.start, m), n = s.n + 1))
+        case Some(s) if m - s.last <= gapMicros =>
+          cur = Some(s.copy(last = m, n = s.n + 1))
+        case Some(s) =>
+          closed ::= ClosedSession(userId, ts(s.start), ts(s.last), s.n)
+          cur = Some(SessionState(m, m, 1))
+        case None =>
+          cur = Some(SessionState(m, m, 1))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      // re-arm THE timer: at most one live per key — the previous expiry is
+      // obsolete the moment the session extends
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(s.last / 1000L + gapMinutes * 60L * 1000L)
+    }
+    closed.reverseIterator
+  }
+
+  override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+    // the watermark passed session_end + gap with no extending event: the
+    // session is definitively closed — emit and free the state
+    if (state.exists()) {
+      val s = state.get()
+      state.clear()
+      Iterator.single(ClosedSession(userId, ts(s.start), ts(s.last), s.n))
+    } else Iterator.empty
   }
 }
 
@@ -237,11 +352,37 @@ object StreamingEtl {
         TimeMode.None(), OutputMode.Update())
   }
 
-  /** One closed session: contiguous events of a user with < `gap` between
-    * neighbours. */
-  final case class ClosedSession(
-      user_id: Long, session_start: java.sql.Timestamp,
-      session_end: java.sql.Timestamp, n_events: Long)
+  /** Timer-driven session windows via `transformWithState` (see
+    * [[SessionTimerProcessor]]): event-time mode with a `delay` watermark;
+    * idle sessions are emitted by their event-time timer when the watermark
+    * passes `session_end + gap` — the half of Spark 4's streaming-state
+    * story (timers) that [[sessionWindows]] cannot express. Requires the
+    * RocksDB state-store provider like every v2-state operator. */
+  def sessionWindowsTws(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+      gapMinutes: Int = 30, delay: String = "1 minute")
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.toDF("user_id", "ts")
+      .withWatermark("ts", delay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[statefulUserTotalsTws]] with bounded state retention: totals whose
+    * key stays idle past `ttlMs` of processing time are evicted by the
+    * state store (see [[RunningTotalsTtlProcessor]]). */
+  def statefulUserTotalsTwsTtl(events: org.apache.spark.sql.Dataset[UserEvent],
+      ttlMs: Long): org.apache.spark.sql.Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsTtlProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
 
   /** Session windows via `flatMapGroupsWithState` — the most general custom
     * -state tier of Structured Streaming (SURVEY.md §2.9): per-user state
