@@ -123,7 +123,13 @@ object JobSpec {
         name, str(n, "sql"), optStr(n, "expect").getOrElse("all_true"),
         strMap(n, "sqlParams"), envs(n))
       case "DeltaLakeLoad" | "TableLoad" => TableLoad(
-        name, str(n, "inputView"), str(n, "outputURI"), optInt(n, "numPartitions"), envs(n))
+        name, str(n, "inputView"), str(n, "outputURI"), optInt(n, "numPartitions"),
+        if (n.has("partitionBy")) n.get("partitionBy").elements().asScala.map(_.asText()).toSeq
+        else Nil, envs(n))
+      case "TableCheckpoint" => TableCheckpoint(name, str(n, "tableURI"), envs(n))
+      case "TableChangeFeed" => TableChangeFeed(
+        name, str(n, "tableURI"), str(n, "outputView"), longKey(n, "fromVersion"),
+        optInt(n, "toVersion").map(_.toLong), envs(n))
       case "DeltaLakeExtract" | "TableExtract" =>
         val opts = if (n.has("options")) n.get("options") else n
         TableExtract(name, str(n, "inputURI"), str(n, "outputView"),

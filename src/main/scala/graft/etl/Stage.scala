@@ -229,16 +229,56 @@ final case class SQLAssert(
 }
 
 /** Full-snapshot write of a view to a versioned table (reference
-  * `DeltaLakeLoad`, scd2-job.ipynb:163-172; `numPartitions` knob `:168`). */
+  * `DeltaLakeLoad`, scd2-job.ipynb:163-172; `numPartitions` knob `:168`).
+  * `partitionBy` lays the table out hive-partitioned with partition values
+  * recorded in the manifest — the layout the reference's S3 lake tables use
+  * and the lever behind `VersionedTable.readPartitioned` pruning. */
 final case class TableLoad(
     name: String,
     inputView: String,
     outputURI: String,
     numPartitions: Option[Int] = None,
+    partitionBy: Seq[String] = Nil,
     environments: Seq[String] = Nil) extends Stage {
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
-    VersionedTable(sub(outputURI, env)).commit(spark.table(inputView), numPartitions)
+    VersionedTable(sub(outputURI, env)).commit(spark.table(inputView), numPartitions,
+      partitionBy = partitionBy)
     None
+  }
+}
+
+/** Write a manifest checkpoint of a versioned table's head (see
+  * [[graft.table.VersionedTable.checkpoint]]): the live file references as
+  * splittable parquet plus ratcheted txn marks — the maintenance stage a
+  * scheduler runs alongside TableCompact/TableVacuum. */
+final case class TableCheckpoint(
+    name: String,
+    tableURI: String,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    VersionedTable(sub(tableURI, env)).checkpoint(spark)
+    None
+  }
+}
+
+/** Register a table's per-commit change feed as a view (see
+  * [[graft.table.VersionedTable.changeFeed]]): rows with `_change_type` and
+  * `_commit_version` over `(fromVersion, toVersion]` (toVersion defaults to
+  * the head) — the declarative face of CDC consumption, served from
+  * write-time capture. */
+final case class TableChangeFeed(
+    name: String,
+    tableURI: String,
+    outputView: String,
+    fromVersion: Long,
+    toVersion: Option[Long] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val t = VersionedTable(sub(tableURI, env))
+    val df = t.changeFeed(spark, fromVersion,
+      toVersion.getOrElse(t.resolve()))
+    df.createOrReplaceTempView(outputView)
+    Some(df)
   }
 }
 

@@ -141,6 +141,32 @@ class JobSpecSpec extends AnyFunSuite with SparkSpec {
       JobSpec.fromJson("""{"stages": [{"type": "Nope"}]}"""))
   }
 
+  test("TableLoad partitionBy / TableCheckpoint / TableChangeFeed parse and run") {
+    import spark.implicits._
+    val lake = tmpDir("job-")
+    Seq((1L, "F", 10.0), (2L, "O", 20.0), (3L, "F", 30.0))
+      .toDF("id", "status", "amount").createOrReplaceTempView("pt_src")
+    val job = JobSpec.fromJson(
+      s"""{"stages": [
+         |  {"type": "TableLoad", "name": "load", "inputView": "pt_src",
+         |   "outputURI": "$lake/t", "partitionBy": ["status"]},
+         |  {"type": "TableDelete", "name": "del", "tableURI": "$lake/t",
+         |   "condition": "status = 'O'"},
+         |  {"type": "TableCheckpoint", "name": "ckpt", "tableURI": "$lake/t"},
+         |  {"type": "TableChangeFeed", "name": "feed", "tableURI": "$lake/t",
+         |   "outputView": "t_changes", "fromVersion": 0}
+         |]}""".stripMargin)
+    assert(job.stages.head.asInstanceOf[TableLoad].partitionBy === Seq("status"))
+    job.run(spark, Map.empty)
+    val t = graft.table.VersionedTable(s"$lake/t")
+    assert(t.partitionByOf(0L) === Seq("status"))
+    assert(t.checkpointVersions().nonEmpty)
+    val feed = spark.table("t_changes")
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(feed === Seq((2L, "delete", 1L)))
+  }
+
   test("end-to-end: CSV extract → typing → SQL → versioned load, with env gating") {
     val loc = tmpDir("job-")
     java.nio.file.Files.writeString(
