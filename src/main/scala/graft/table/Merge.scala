@@ -45,6 +45,14 @@ object Merge {
   final case class NotMatchedBySourceUpdate(condition: Option[String], values: Map[String, String])
   final case class NotMatchedBySourceDelete(condition: Option[String])
 
+  /** With `emitChanges`, the output additionally carries two hidden columns
+    * and KEEPS deleted target rows (marked) instead of dropping them:
+    *  - `__change_kind`: 'update' / 'delete' / 'insert', null for rows the
+    *    merge left untouched;
+    *  - `__pre`: the target row's PREIMAGE as a struct (null for inserts).
+    * This is the single-pass change capture a write-time CDF needs — the
+    * caller splits result rows from change rows with two filters over the
+    * SAME join, instead of re-deriving changes with bag-diff shuffles. */
   def merge(
       target: DataFrame,
       source: DataFrame,
@@ -54,7 +62,8 @@ object Merge {
       whenNotMatchedInsert: Option[NotMatchedInsert] = None,
       whenNotMatchedBySourceUpdate: Option[NotMatchedBySourceUpdate] = None,
       whenNotMatchedBySourceDelete: Option[NotMatchedBySourceDelete] = None,
-      validateCardinality: Boolean = true): DataFrame = {
+      validateCardinality: Boolean = true,
+      emitChanges: Boolean = false): DataFrame = {
 
     val targetCols = target.columns.toSeq
     val sourceCols = source.columns.toSet
@@ -93,6 +102,21 @@ object Merge {
       (matched && delCond.map(!_).getOrElse(lit(true))) ||
         insCond.getOrElse(lit(false)) ||
         (targetOnly && nmsDelCond.map(!_).getOrElse(lit(true)))
+
+    // change accounting (emitChanges): which clause actually fired on a row.
+    // Deleted rows additionally survive the filter below, marked, so the
+    // caller can capture their preimages from the same join execution.
+    val isDelete = Seq(delCond, nmsDelCond).flatten.reduceOption(_ || _).getOrElse(lit(false))
+    val changeKind = {
+      val upd = Seq(updCond, nmsUpdCond).flatten.reduceOption(_ || _).getOrElse(lit(false))
+      when(isDelete, lit("delete"))
+        .when(upd, lit("update"))
+        .when(insCond.getOrElse(lit(false)), lit("insert"))
+        .otherwise(lit(null).cast("string"))
+    }
+    val preimage = when(col("target.__t_present").isNotNull,
+      struct(targetCols.map(c => col(s"target.$c").as(c)): _*))
+    val retain = if (emitChanges) keep || isDelete else keep
 
     val outCols = targetCols.map { c =>
       val base = col(s"target.$c")
@@ -152,22 +176,25 @@ object Merge {
             (col("__nmod") <= 1 ||
               raise_error(lit("MERGE cardinality violation: multiple source rows " +
                 "attempted to modify the same target row")).cast("boolean"))
-              && col("__rn") === 1 && keep)
+              && col("__rn") === 1 && retain)
       } else if (whenMatchedUpdate.isEmpty && whenMatchedDelete.isEmpty) {
         // Insert-only / no-matched-clause merges: a multiply-matched target
         // row still appears exactly once (its emitted copies are
         // bit-identical — output = target columns only), so a hash
         // dropDuplicates on row identity suffices; inserts (null __t_id)
         // are keyed by their source row id.
-        joined.filter(keep)
-      } else joined.filter(keep) // validateCardinality=false escape hatch: raw join semantics
+        joined.filter(retain)
+      } else joined.filter(retain) // validateCardinality=false escape hatch: raw join semantics
+    val marker =
+      if (emitChanges) Seq(changeKind.as("__change_kind"), preimage.as("__pre"))
+      else Nil
     val result =
       if (whenMatchedUpdate.isEmpty && whenMatchedDelete.isEmpty) {
-        kept.select(outCols :+ col("target.__t_id").as("__t_id")
+        kept.select(outCols ++ marker :+ col("target.__t_id").as("__t_id")
           :+ when(col("target.__t_id").isNull, col("source.__s_id")).as("__row_key"): _*)
           .dropDuplicates("__t_id", "__row_key")
           .drop("__t_id", "__row_key")
-      } else kept.select(outCols: _*)
+      } else kept.select(outCols ++ marker: _*)
     result
   }
 }

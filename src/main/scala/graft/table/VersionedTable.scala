@@ -1138,14 +1138,30 @@ final class VersionedTable(val root: String,
         }
       }.toSeq: _*)
     val (commitId, newFiles, newPartVals) = writeDataFiles(rewritten, None, Nil, pb)
-    // write-time CDF: bag-diff of the touched slice before/after the SET —
-    // a row the SET left byte-identical cancels out, exactly as it does in
-    // the snapshot diff changes() computes; cost is two exceptAll passes
-    // over the TOUCHED slice, never the table
-    val old = scanLive(spark, touched, Some(schema), dvs, keepPos = false, pb, pVals)
-    val cdfFiles = writeCdfFiles(
-      old.exceptAll(rewritten).withColumn("_change_type", lit("delete"))
-        .unionByName(rewritten.exceptAll(old).withColumn("_change_type", lit("insert"))))
+    // write-time CDF: per-row preimage+postimage pairs from ONE more
+    // predicate-pushed scan of the matching rows (no bag-diff shuffles —
+    // the exceptAll formulation hashed the whole touched slice twice).
+    // Identity SETs (post <=> pre) drop, matching the snapshot-diff view.
+    val cdfFiles = {
+      import org.apache.spark.sql.functions.{array, explode, struct}
+      val matchedOld = scanLive(spark, touched, Some(schema), dvs, keepPos = false, pb, pVals)
+        .filter(applies)
+      val preS = struct(schema.fields.map(f => col(f.name).as(f.name)).toSeq: _*)
+      val postS = struct(schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) => expr(e).cast(f.dataType).as(f.name)
+          case None => col(f.name).as(f.name)
+        }
+      }.toSeq: _*)
+      val pairs = matchedOld
+        .withColumn("__pre_s", preS).withColumn("__post_s", postS)
+        .filter(!(col("__pre_s") <=> col("__post_s")))
+        .select(explode(array(
+          struct(col("__pre_s").as("row"), lit("delete").as("_change_type")),
+          struct(col("__post_s").as("row"), lit("insert").as("_change_type")))).as("c"))
+        .select(col("c.row.*"), col("c._change_type"))
+      writeCdfFiles(pairs)
+    }
     val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
     val stats = if (newFiles.nonEmpty)
                   collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
@@ -1187,7 +1203,7 @@ final class VersionedTable(val root: String,
       whenNotMatchedInsert: Option[Merge.NotMatchedInsert] = None,
       numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): (Long, Int) = {
-    import org.apache.spark.sql.functions.{broadcast, expr, lit}
+    import org.apache.spark.sql.functions.{array, broadcast, explode, expr, lit, struct, when}
     val v = resolve()
     val all = filesOf(v)
     val schema = schemaOf(v).getOrElse(
@@ -1231,21 +1247,41 @@ final class VersionedTable(val root: String,
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else scanLive(spark, touched, Some(schema), dvs, keepPos = false, pb, pVals)
-    val merged0 = Merge.merge(slice, source, condition,
-      whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert)
+    val marked0 = Merge.merge(slice, source, condition,
+      whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert,
+      emitChanges = true)
     // pin the output columns to the TABLE's types: merge expressions can
     // silently widen (e.g. an int column SET from a long source) and the
     // manifest-schema'd read would then choke on the widened files — Delta
     // likewise casts SET/INSERT values to the target column type
-    val merged = merged0.select(schema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val marked = marked0.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)) ++
+      Seq(col("__change_kind"), col("__pre")): _*)
+    val merged = marked
+      .filter(col("__change_kind").isNull || col("__change_kind") =!= "delete")
+      .drop("__change_kind", "__pre")
     val (commitId, newFiles, newPartVals) = writeDataFiles(merged, numPartitions, sortBy, pb)
-    // write-time CDF: bag-diff of the touched slice vs the merge kernel's
-    // output — updates surface as delete+insert pairs, inserts as bare
-    // inserts, no-op matches cancel; O(touched slice + batch), not O(table)
-    val cdfFiles = writeCdfFiles(
-      slice.exceptAll(merged).withColumn("_change_type", lit("delete"))
-        .unionByName(merged.exceptAll(slice).withColumn("_change_type", lit("insert"))))
+    // write-time CDF from the kernel's OWN change markers — one more
+    // execution of the merge join, zero bag-diff shuffles (the exceptAll
+    // formulation hashed the whole touched slice twice): updates emit their
+    // preimage+postimage pair (identity SETs drop), deletes their preimage,
+    // inserts their row — Delta CDF's per-row semantics
+    val postS = struct(schema.fields.map(f => col(f.name).as(f.name)).toSeq: _*)
+    val preS = struct(schema.fields.map(f =>
+      col(s"__pre.${f.name}").cast(f.dataType).as(f.name)).toSeq: _*)
+    val changed = marked.filter(col("__change_kind").isNotNull)
+      .withColumn("__post_s", postS).withColumn("__pre_s", preS)
+      .filter(col("__change_kind") =!= "update" || !(col("__pre_s") <=> col("__post_s")))
+    val cdfRows = changed.select(explode(
+      when(col("__change_kind") === "insert",
+        array(struct(col("__post_s").as("row"), lit("insert").as("_change_type"))))
+      .when(col("__change_kind") === "delete",
+        array(struct(col("__pre_s").as("row"), lit("delete").as("_change_type"))))
+      .otherwise(array(
+        struct(col("__pre_s").as("row"), lit("delete").as("_change_type")),
+        struct(col("__post_s").as("row"), lit("insert").as("_change_type"))))).as("c"))
+      .select(col("c.row.*"), col("c._change_type"))
+    val cdfFiles = writeCdfFiles(cdfRows)
     val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
     val newStats = if (newFiles.nonEmpty)
                      collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
