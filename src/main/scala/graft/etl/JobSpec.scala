@@ -127,6 +127,8 @@ object JobSpec {
         if (n.has("partitionBy")) n.get("partitionBy").elements().asScala.map(_.asText()).toSeq
         else Nil, envs(n))
       case "TableCheckpoint" => TableCheckpoint(name, str(n, "tableURI"), envs(n))
+      case "TableProperties" => TableProperties(
+        name, str(n, "tableURI"), strMap(n, "properties"), envs(n))
       case "TableChangeFeed" => TableChangeFeed(
         name, str(n, "tableURI"), str(n, "outputView"), longKey(n, "fromVersion"),
         optInt(n, "toVersion").map(_.toLong), envs(n))
@@ -197,15 +199,34 @@ object JobSpec {
           str(n, "constraintName"), optStr(n, "expression").getOrElse(""), envs(n))
       case "SQLExecute" | "JDBCExecute" =>
         // the reference's JDBCExecute carries the SQL in a file (`inputURI`,
-        // scd2-job.ipynb:381) rather than inline; `jdbcURL` is accepted and
-        // ignored (we execute against the session catalog — see SQLExecute).
+        // scd2-job.ipynb:381) rather than inline. With a `jdbcURL` it runs
+        // against that endpoint for real; without one it executes against
+        // the session catalog (the self-contained mapping — see SQLExecute).
         // One of the two SQL carriers must be present — failing at parse
         // time beats an opaque empty-SQL error mid-job.
         val sqlText = optStr(n, "sql")
         val uri = optStr(n, "inputURI")
         require(sqlText.exists(_.trim.nonEmpty) || uri.isDefined,
           s"stage $name: SQLExecute needs a non-empty 'sql' or an 'inputURI'")
-        SQLExecute(name, sqlText.getOrElse(""), strMap(n, "sqlParams"), uri, envs(n))
+        optStr(n, "jdbcURL") match {
+          case Some(url) => JDBCExecute(
+            name, url, sqlText.getOrElse(""), strMap(n, "sqlParams"), uri, envs(n))
+          case None =>
+            SQLExecute(name, sqlText.getOrElse(""), strMap(n, "sqlParams"), uri, envs(n))
+        }
+      case "JDBCExtract" => JDBCExtract(
+        name, str(n, "jdbcURL"), str(n, "tableName"), str(n, "outputView"),
+        optStr(n, "partitionColumn"), optInt(n, "numPartitions"),
+        optStr(n, "lowerBound").map(_.toLong), optStr(n, "upperBound").map(_.toLong),
+        if (n.has("predicates"))
+          n.get("predicates").elements().asScala.map(_.asText()).toSeq
+        else Nil,
+        optInt(n, "fetchsize").getOrElse(1000), envs(n))
+      case "JDBCLoad" => JDBCLoad(
+        name, str(n, "inputView"), str(n, "jdbcURL"), str(n, "tableName"),
+        optStr(n, "saveMode").getOrElse("Append"), optInt(n, "numPartitions"),
+        optInt(n, "batchsize").getOrElse(1000),
+        n.has("truncate") && n.get("truncate").asBoolean(), envs(n))
       case "PrintSchema" => PrintSchema(name, str(n, "inputView"), envs(n))
       case "ProfileTransform" => ProfileTransform(
         name, str(n, "inputView"), str(n, "outputView"),

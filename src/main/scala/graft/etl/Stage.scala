@@ -2,7 +2,7 @@ package graft.etl
 
 import graft.table.{Merge, VersionedTable}
 import graft.typing.SchemaDoc
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Typed stage ADT — the engine's equivalent of the reference's JSON/HOCON
   * stage configs (`"type"`, `"name"`, `"environments"`, `"inputView"`,
@@ -257,6 +257,23 @@ final case class TableCheckpoint(
     environments: Seq[String] = Nil) extends Stage {
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
     VersionedTable(sub(tableURI, env)).checkpoint(spark)
+    None
+  }
+}
+
+/** Merge key→value pairs into a versioned table's properties (Delta
+  * `ALTER TABLE ... SET TBLPROPERTIES` analogue) — notably
+  * `enableChangeDataFeed=true`, which opts the table's rewrites into
+  * write-time change capture (see [[graft.table.VersionedTable.cdfEnabled]]).
+  * An empty value removes the key. */
+final case class TableProperties(
+    name: String,
+    tableURI: String,
+    properties: Map[String, String],
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    VersionedTable(sub(tableURI, env))
+      .setProperties(properties.view.mapValues(sub(_, env)).toMap)
     None
   }
 }
@@ -554,5 +571,100 @@ final case class ProfileTransform(
     val df = Profiler.profile(spark.table(sub(inputView, env)), columns, exactNdv)
     df.createOrReplaceTempView(outputView)
     Some(df)
+  }
+}
+
+/** Execute side-effecting SQL on an external JDBC endpoint (reference
+  * `JDBCExecute`, scd2-job.ipynb:373-384: Athena
+  * `CREATE EXTERNAL TABLE ... LOCATION ${datalake_loc}` from a `.sql`
+  * object with `sqlParams` substitution). Multi-statement scripts run in
+  * order on one connection. */
+final case class JDBCExecute(
+    name: String,
+    jdbcURL: String,
+    sql: String,
+    sqlParams: Map[String, String] = Map.empty,
+    inputURI: Option[String] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val text = inputURI match {
+      case Some(uri) => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sub(uri, env))), "UTF-8")
+      case None => sql
+    }
+    val resolved = sub(text, env ++ sqlParams.view.mapValues(sub(_, env)).toMap)
+    Jdbc.withConnection(sub(jdbcURL, env)) { conn =>
+      val st = conn.createStatement()
+      try Jdbc.splitStatements(resolved).foreach(st.execute) finally st.close()
+    }
+    None
+  }
+}
+
+/** Parallel JDBC table read → view. `tableName` may be a table or a
+  * parenthesized subquery alias. With `partitionColumn`, Spark plans
+  * `numPartitions` range-disjoint queries (bounds auto-probed when
+  * absent); with `predicates`, one query per predicate — the two standard
+  * shapes for draining an RDBMS without serializing through the driver. */
+final case class JDBCExtract(
+    name: String,
+    jdbcURL: String,
+    tableName: String,
+    outputView: String,
+    partitionColumn: Option[String] = None,
+    numPartitions: Option[Int] = None,
+    lowerBound: Option[Long] = None,
+    upperBound: Option[Long] = None,
+    predicates: Seq[String] = Nil,
+    fetchsize: Int = 1000,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val url = sub(jdbcURL, env)
+    val table = sub(tableName, env)
+    val props = new java.util.Properties()
+    props.setProperty("fetchsize", fetchsize.toString)
+    val df =
+      if (predicates.nonEmpty)
+        spark.read.jdbc(url, table, predicates.map(sub(_, env)).toArray, props)
+      else partitionColumn match {
+        case Some(colName) =>
+          val (lo, hi) = (lowerBound, upperBound) match {
+            case (Some(l), Some(h)) => (l, h)
+            case _ => Jdbc.probeBounds(url, table, colName)
+          }
+          spark.read.jdbc(url, table, colName, lo, hi,
+            numPartitions.getOrElse(spark.sparkContext.defaultParallelism), props)
+        case None => spark.read.jdbc(url, table, props)
+      }
+    df.createOrReplaceTempView(outputView)
+    Some(df)
+  }
+}
+
+/** Write a view to an external JDBC table in `batchsize`d inserts.
+  * `saveMode` follows the reference's Load vocabulary
+  * (Append/Overwrite/ErrorIfExists/Ignore); `truncate` keeps Overwrite
+  * from dropping the table (preserves grants/indexes — Spark's
+  * JDBC-writer semantics). */
+final case class JDBCLoad(
+    name: String,
+    inputView: String,
+    jdbcURL: String,
+    tableName: String,
+    saveMode: String = "Append",
+    numPartitions: Option[Int] = None,
+    batchsize: Int = 1000,
+    truncate: Boolean = false,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val w = spark.table(inputView).write
+      .mode(SaveMode.valueOf(saveMode))
+      .option("batchsize", batchsize.toString)
+      .option("truncate", truncate.toString)
+    // the JDBC writer coalesces to `numPartitions` itself — the documented
+    // way to cap concurrent connections against the endpoint
+    numPartitions.foreach(n => w.option("numPartitions", n.toString))
+    w.jdbc(sub(jdbcURL, env), sub(tableName, env), new java.util.Properties())
+    None
   }
 }

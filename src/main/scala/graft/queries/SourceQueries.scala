@@ -302,6 +302,7 @@ object SourceQueries {
     (spark, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-cdf-").toString + "/t"
       val t = graft.table.VersionedTable(root)
+      t.setProperties(Map("enableChangeDataFeed" -> "true"))
       t.commit(Tables.table(spark, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice"))
       t.delete(spark, "o_orderstatus = 'F'")
@@ -426,6 +427,7 @@ object SourceQueries {
       Tables.registerAll(spark, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-mv-").toString
       val base = graft.table.VersionedTable(s"$tmp/orders_base")
+      base.setProperties(Map("enableChangeDataFeed" -> "true"))
       val proj = spark.sql(
         """SELECT o_orderkey, o_orderstatus, o_orderpriority,
           |  CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders""".stripMargin)
@@ -568,6 +570,7 @@ object SourceQueries {
       Tables.registerAll(spark, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-").toString
       val t = graft.table.VersionedTable(s"$tmp/orders_cdc")
+      t.setProperties(Map("enableChangeDataFeed" -> "true"))
       val orders = spark.table("orders")
       t.commit(orders.filter("o_orderkey <= 1000"))                       // v0
       t.append(orders.filter("o_orderkey > 1000"))                        // v1
@@ -619,9 +622,57 @@ object SourceQueries {
         |SELECT 4, 'insert', count(*), CAST(sum(p * 2) AS DOUBLE)
         |FROM o WHERE o_orderkey <= 100""".stripMargin))
 
+  /** q99: real-JDBC roundtrip through embedded Derby — [[JDBCLoad]] ships a
+    * supplier projection into the RDBMS from executors, [[JDBCExecute]]
+    * runs endpoint-side DML driver-side (the reference's Athena-DDL shape,
+    * scd2-job.ipynb:373-384), [[JDBCExtract]] reads it back as FOUR
+    * range-partitioned queries with auto-probed bounds (no driver funnel —
+    * the 1000-executor drain shape), and the aggregate over the extracted
+    * view must match DuckDB computing the same filter+group directly.
+    * Decimal-exact sum (s_acctbal is 2dp) keeps the hash compare exact. */
+  val q99JdbcRoundtrip: Q = Q(
+    "q99_jdbc_roundtrip",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      System.setProperty("derby.system.home",
+        java.nio.file.Files.createTempDirectory("graft-derby-").toString)
+      val db = "g" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      spark.sql(
+        """SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+          |FROM supplier""".stripMargin)
+        .createOrReplaceTempView("supplier_jdbc_in")
+      try {
+        JobSpec(Seq(
+          JDBCLoad("ship", "supplier_jdbc_in", url, "s", numPartitions = Some(2)),
+          // Spark's JDBC writer creates columns QUOTED (case-preserved) —
+          // endpoint-side DML must quote them too
+          JDBCExecute("trim", url, "DELETE FROM s WHERE \"s_acctbal\" < 0"),
+          JDBCExtract("drain", url, "s", "supplier_back",
+            partitionColumn = Some("s_suppkey"), numPartitions = Some(4))))
+          .run(spark, Map.empty)
+        spark.table("supplier_back")
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("s_acctbal").cast("decimal(12,2)")).cast("double").as("bal"))
+          // materialized before the in-memory db drops below
+          .localCheckpoint(true)
+      } finally {
+        // free the in-memory database (Derby signals a successful drop by
+        // refusing the connection)
+        try Jdbc.withConnection(s"jdbc:derby:memory:$db;drop=true")(_ => ())
+        catch { case _: java.sql.SQLException => }
+      }
+    },
+    Some(
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |FROM supplier WHERE s_acctbal >= 0
+        |GROUP BY s_nationkey""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
     q84MorDelete, q85IncrementalAgg, q95DynamicPartitionPruning,
-    q96PartitionedTable, q97ChangeFeedStored)
+    q96PartitionedTable, q97ChangeFeedStored, q99JdbcRoundtrip)
 }

@@ -455,6 +455,55 @@ final class VersionedTable(val root: String,
     }
   }
 
+  private def propsPath(v: Long): Path = logDir.resolve(f"_props-v$v%08d.json")
+  private def propsVersions(): Seq[Long] =
+    listNames(logDir)
+      .collect { case s if s.matches("_props-v\\d{8}\\.json") => s.substring(8, 16).toLong }
+      .sorted
+
+  /** Table properties (Delta `TBLPROPERTIES` analogue). Stored as their own
+    * CAS-versioned document in the log dir, NOT per data version: properties
+    * steer WRITE-time behavior (e.g. `enableChangeDataFeed` — does a rewrite
+    * capture its row changes?), while what a version actually did is
+    * recorded version-pinned in its manifest (`cdfKind`), which is all a
+    * reader consults. */
+  def properties: Map[String, String] =
+    propsVersions().lastOption.map { v =>
+      mapper.readTree(Files.readAllBytes(propsPath(v))).properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+
+  /** Merge `kv` into the table properties (a `null`/empty value removes the
+    * key) via the same CAS-retry protocol as the txn sidecar — racing
+    * setters serialize, neither's keys are lost. */
+  def setProperties(kv: Map[String, String]): Unit = {
+    Files.createDirectories(logDir) // properties may precede the first commit
+    while (true) {
+      val cur = propsVersions().lastOption
+      val base = properties
+      val merged = (base ++ kv).filter { case (_, v) => v != null && v.nonEmpty }
+      if (merged == base) return
+      val json = mapper.createObjectNode()
+      merged.toSeq.sortBy(_._1).foreach { case (k, v) => json.put(k, v) }
+      val next = cur.map(_ + 1L).getOrElse(0L)
+      if (store.putIfAbsent(propsPath(next),
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))) {
+        propsVersions().dropRight(3).foreach(v => Files.deleteIfExists(propsPath(v)))
+        return
+      }
+    }
+  }
+
+  /** Whether rewrites (delete/update/merge) capture their row-level changes
+    * as stored CDF at write time (Delta `delta.enableChangeDataFeed`
+    * analogue, same default: OFF — a 100 TB merge should not pay a second
+    * pass for a feed nobody consumes). Appends always record
+    * `cdfKind="append"` (the fresh files ARE the change set, free), and
+    * [[changeFeed]] falls back to a snapshot re-diff for uncaptured
+    * versions, so the feed stays CORRECT either way — the property only
+    * buys the cheap read path. */
+  def cdfEnabled: Boolean = properties.get("enableChangeDataFeed").contains("true")
+
   /** Latest transaction version committed by `appId` — the newest mark in
     * the post-checkpoint manifests, the latest checkpoint's accumulated
     * marks, or the vacuum sidecar's high-water mark for marks whose
@@ -1014,13 +1063,16 @@ final class VersionedTable(val root: String,
     // silently drop it (NULL fails both pred and !pred)
     val keep = scanLive(spark, touched, schema, dvs, keepPos = false, pb, pVals)
       .filter(not(coalesce(pred, lit(false))))
-    // write-time CDF: the deleted rows, captured from the touched slice only
-    // (old slice = keep ⊎ deleted, so this equals the snapshot bag-diff the
-    // legacy changes() path computes — without ever re-scanning the table)
-    val cdfFiles = writeCdfFiles(
-      scanLive(spark, touched, schema, dvs, keepPos = false, pb, pVals)
-        .filter(coalesce(pred, lit(false)))
-        .withColumn("_change_type", lit("delete")))
+    // write-time CDF (iff enabled): the deleted rows, captured from the
+    // touched slice only (old slice = keep ⊎ deleted, so this equals the
+    // snapshot bag-diff the legacy changes() path computes — without ever
+    // re-scanning the table)
+    val cdfFiles =
+      if (!cdfEnabled) Nil
+      else writeCdfFiles(
+        scanLive(spark, touched, schema, dvs, keepPos = false, pb, pVals)
+          .filter(coalesce(pred, lit(false)))
+          .withColumn("_change_type", lit("delete")))
     val (commitId, newFiles, newPartVals) = writeDataFiles(keep, None, Nil, pb)
     val partTypes = keep.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats = if (newFiles.nonEmpty)
@@ -1036,7 +1088,7 @@ final class VersionedTable(val root: String,
       priorStats ++ stats, None, Some(v), constraintsOf(v),
       dvs = carryDvs(spark, dvs, untouched), partitionBy = pb,
       partitions = pVals.view.filterKeys(untouched.toSet).toMap ++ newPartVals,
-      cdfKind = Some("files"), cdf = cdfFiles),
+      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdf = cdfFiles),
       touched.size)
   }
 
@@ -1085,17 +1137,21 @@ final class VersionedTable(val root: String,
     val n = spark.read.parquet(
       newDv.map(f => Paths.get(root).resolve(f).toString): _*).count()
     if (n == 0L) return (v, 0L) // no match: the empty DV dir falls to vacuum
-    // write-time CDF: the tombstoned rows in full (one more predicate-pushed
-    // pass over the matching files; the DV itself stores only positions)
-    val cdfFiles = writeCdfFiles(matchedRows.drop("__rel", "__ri")
-      .withColumn("_change_type", lit("delete")))
+    // write-time CDF (iff enabled): the tombstoned rows in full (one more
+    // predicate-pushed pass over the matching files; the DV itself stores
+    // only positions)
+    val cdfFiles =
+      if (!cdfEnabled) Nil
+      else writeCdfFiles(matchedRows.drop("__rel", "__ri")
+        .withColumn("_change_type", lit("delete")))
     val schemaJson = schema.map(_.json).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
     // data files and their stats carry verbatim (stats stay sound: a DV only
     // narrows the live rows, min/max remain valid bounds for skipping)
     (publish(all, schemaJson, statsOf(v), None, Some(v), constraintsOf(v),
       dvs = dvs ++ newDv, partitionBy = partitionByOf(v),
-      partitions = partitionValuesOf(v), cdfKind = Some("files"),
+      partitions = partitionValuesOf(v),
+      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None,
       cdf = cdfFiles), n)
   }
 
@@ -1138,11 +1194,12 @@ final class VersionedTable(val root: String,
         }
       }.toSeq: _*)
     val (commitId, newFiles, newPartVals) = writeDataFiles(rewritten, None, Nil, pb)
-    // write-time CDF: per-row preimage+postimage pairs from ONE more
-    // predicate-pushed scan of the matching rows (no bag-diff shuffles —
-    // the exceptAll formulation hashed the whole touched slice twice).
-    // Identity SETs (post <=> pre) drop, matching the snapshot-diff view.
-    val cdfFiles = {
+    // write-time CDF (iff enabled): per-row preimage+postimage pairs from
+    // ONE more predicate-pushed scan of the matching rows (no bag-diff
+    // shuffles — the exceptAll formulation hashed the whole touched slice
+    // twice). Identity SETs (post <=> pre) drop, matching the snapshot-diff
+    // view.
+    val cdfFiles = if (!cdfEnabled) Nil else {
       import org.apache.spark.sql.functions.{array, explode, struct}
       val matchedOld = scanLive(spark, touched, Some(schema), dvs, keepPos = false, pb, pVals)
         .filter(applies)
@@ -1174,7 +1231,7 @@ final class VersionedTable(val root: String,
     (publish(untouched ++ newFiles, schema.json, priorStats ++ stats, None,
       Some(v), cs, dvs = carryDvs(spark, dvs, untouched), partitionBy = pb,
       partitions = pVals.view.filterKeys(untouched.toSet).toMap ++ newPartVals,
-      cdfKind = Some("files"), cdf = cdfFiles),
+      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdf = cdfFiles),
       touched.size)
   }
 
@@ -1247,41 +1304,46 @@ final class VersionedTable(val root: String,
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else scanLive(spark, touched, Some(schema), dvs, keepPos = false, pb, pVals)
+    val captureCdf = cdfEnabled
     val marked0 = Merge.merge(slice, source, condition,
       whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert,
-      emitChanges = true)
+      emitChanges = captureCdf)
     // pin the output columns to the TABLE's types: merge expressions can
     // silently widen (e.g. an int column SET from a long source) and the
     // manifest-schema'd read would then choke on the widened files — Delta
     // likewise casts SET/INSERT values to the target column type
     val marked = marked0.select(schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)) ++
-      Seq(col("__change_kind"), col("__pre")): _*)
-    val merged = marked
-      .filter(col("__change_kind").isNull || col("__change_kind") =!= "delete")
-      .drop("__change_kind", "__pre")
+      (if (captureCdf) Seq(col("__change_kind"), col("__pre")) else Nil): _*)
+    val merged =
+      if (!captureCdf) marked
+      else marked
+        .filter(col("__change_kind").isNull || col("__change_kind") =!= "delete")
+        .drop("__change_kind", "__pre")
     val (commitId, newFiles, newPartVals) = writeDataFiles(merged, numPartitions, sortBy, pb)
-    // write-time CDF from the kernel's OWN change markers — one more
-    // execution of the merge join, zero bag-diff shuffles (the exceptAll
-    // formulation hashed the whole touched slice twice): updates emit their
-    // preimage+postimage pair (identity SETs drop), deletes their preimage,
-    // inserts their row — Delta CDF's per-row semantics
-    val postS = struct(schema.fields.map(f => col(f.name).as(f.name)).toSeq: _*)
-    val preS = struct(schema.fields.map(f =>
-      col(s"__pre.${f.name}").cast(f.dataType).as(f.name)).toSeq: _*)
-    val changed = marked.filter(col("__change_kind").isNotNull)
-      .withColumn("__post_s", postS).withColumn("__pre_s", preS)
-      .filter(col("__change_kind") =!= "update" || !(col("__pre_s") <=> col("__post_s")))
-    val cdfRows = changed.select(explode(
-      when(col("__change_kind") === "insert",
-        array(struct(col("__post_s").as("row"), lit("insert").as("_change_type"))))
-      .when(col("__change_kind") === "delete",
-        array(struct(col("__pre_s").as("row"), lit("delete").as("_change_type"))))
-      .otherwise(array(
-        struct(col("__pre_s").as("row"), lit("delete").as("_change_type")),
-        struct(col("__post_s").as("row"), lit("insert").as("_change_type"))))).as("c"))
-      .select(col("c.row.*"), col("c._change_type"))
-    val cdfFiles = writeCdfFiles(cdfRows)
+    // write-time CDF (iff enabled) from the kernel's OWN change markers —
+    // one more execution of the merge join, zero bag-diff shuffles (the
+    // exceptAll formulation hashed the whole touched slice twice): updates
+    // emit their preimage+postimage pair (identity SETs drop), deletes
+    // their preimage, inserts their row — Delta CDF's per-row semantics
+    val cdfFiles = if (!captureCdf) Nil else {
+      val postS = struct(schema.fields.map(f => col(f.name).as(f.name)).toSeq: _*)
+      val preS = struct(schema.fields.map(f =>
+        col(s"__pre.${f.name}").cast(f.dataType).as(f.name)).toSeq: _*)
+      val changed = marked.filter(col("__change_kind").isNotNull)
+        .withColumn("__post_s", postS).withColumn("__pre_s", preS)
+        .filter(col("__change_kind") =!= "update" || !(col("__pre_s") <=> col("__post_s")))
+      val cdfRows = changed.select(explode(
+        when(col("__change_kind") === "insert",
+          array(struct(col("__post_s").as("row"), lit("insert").as("_change_type"))))
+        .when(col("__change_kind") === "delete",
+          array(struct(col("__pre_s").as("row"), lit("delete").as("_change_type"))))
+        .otherwise(array(
+          struct(col("__pre_s").as("row"), lit("delete").as("_change_type")),
+          struct(col("__post_s").as("row"), lit("insert").as("_change_type"))))).as("c"))
+        .select(col("c.row.*"), col("c._change_type"))
+      writeCdfFiles(cdfRows)
+    }
     val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
     val newStats = if (newFiles.nonEmpty)
                      collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
@@ -1296,7 +1358,7 @@ final class VersionedTable(val root: String,
     (publish(untouched ++ newFiles, schema.json, priorStats ++ newStats, txn,
       Some(v), cs, dvs = carryDvs(spark, dvs, untouched), partitionBy = pb,
       partitions = pVals.view.filterKeys(untouched.toSet).toMap ++ newPartVals,
-      cdfKind = Some("files"), cdf = cdfFiles),
+      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdf = cdfFiles),
       touched.size)
   }
 

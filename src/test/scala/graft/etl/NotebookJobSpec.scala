@@ -33,7 +33,7 @@ class NotebookJobSpec extends AnyFunSuite with SparkSpec {
       "SQLTransform",       // add calc field for CDC
       "SQLTransform",       // staged_update dual-row
       "TableMergeLoad",     // DeltaLakeMergeLoad
-      "SQLExecute",         // JDBCExecute (Athena DDL from .sql file)
+      "JDBCExecute",        // Athena DDL from .sql file against jdbcURL
       "TableExtract",       // uat validation read
       "SQLTransform",       // uat validate_type2
       "TableExtract",       // uat time travel

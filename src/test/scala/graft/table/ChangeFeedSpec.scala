@@ -16,12 +16,19 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
   private def bag(df: DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
 
+  /** Write-time capture is opt-in (Delta `delta.enableChangeDataFeed`
+    * parity) — every table in this suite asserts the stored path, so
+    * enable it at creation. */
+  private def cdfOn(t: VersionedTable): VersionedTable = {
+    t.setProperties(Map("enableChangeDataFeed" -> "true")); t
+  }
+
   private def base = Seq(
     (1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0))
     .toDF("id", "k", "amount")
 
   test("each op records its capture kind in the manifest") {
-    val t = VersionedTable(tmpDir("cdf-"))
+    val t = cdfOn(VersionedTable(tmpDir("cdf-")))
     t.commit(base)                                    // v0: overwrite, no capture
     t.append(Seq((5L, "d", 50.0)).toDF("id", "k", "amount")) // v1
     t.delete(spark, "k = 'c'")                        // v2
@@ -38,7 +45,7 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("stored CDF equals the computed snapshot diff for every rewrite kind") {
-    val t = VersionedTable(tmpDir("cdf-"))
+    val t = cdfOn(VersionedTable(tmpDir("cdf-")))
     t.commit(base)
     t.append(Seq((5L, "d", 50.0)).toDF("id", "k", "amount"))          // v1
     t.delete(spark, "k = 'c'")                                        // v2
@@ -57,7 +64,7 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("the stored path reads only cdf/fresh files, never the snapshots") {
-    val t = VersionedTable(tmpDir("cdf-"))
+    val t = cdfOn(VersionedTable(tmpDir("cdf-")))
     t.commit(base)
     t.append(Seq((5L, "d", 50.0)).toDF("id", "k", "amount")) // v1
     t.delete(spark, "k = 'a'")                               // v2
@@ -74,7 +81,7 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("per-commit semantics: churn inside the range stays visible") {
-    val t = VersionedTable(tmpDir("cdf-"))
+    val t = cdfOn(VersionedTable(tmpDir("cdf-")))
     t.commit(base)
     t.append(Seq((7L, "x", 70.0)).toDF("id", "k", "amount")) // v1: insert 7
     t.delete(spark, "id = 7")                                // v2: delete 7
@@ -88,7 +95,7 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("compaction and constraint commits contribute nothing and scan nothing") {
-    val t = VersionedTable(tmpDir("cdf-"))
+    val t = cdfOn(VersionedTable(tmpDir("cdf-")))
     t.commit(base)
     t.compact(spark)                       // v1
     t.addConstraint(spark, "amt", "amount > 0") // v2
@@ -98,7 +105,7 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("legacy/overwrite steps fall back to the snapshot re-diff per step") {
-    val t = VersionedTable(tmpDir("cdf-"))
+    val t = cdfOn(VersionedTable(tmpDir("cdf-")))
     t.commit(base)
     t.commit(base.filter("id <= 2"))       // v1: overwrite — no capture possible
     t.append(Seq((8L, "y", 80.0)).toDF("id", "k", "amount")) // v2: captured
@@ -109,7 +116,7 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("vacuum drops dropped versions' cdf files and keeps retained ones") {
-    val t = VersionedTable(tmpDir("cdf-"))
+    val t = cdfOn(VersionedTable(tmpDir("cdf-")))
     t.commit(base)
     t.delete(spark, "id = 1")   // v1 — cdf batch A
     t.delete(spark, "id = 2")   // v2 — cdf batch B
@@ -130,7 +137,7 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("partitioned tables serve CDF with partition columns attached") {
-    val t = VersionedTable(tmpDir("cdf-"))
+    val t = cdfOn(VersionedTable(tmpDir("cdf-")))
     t.commit(base, partitionBy = Seq("k"))
     t.delete(spark, "k = 'a'") // v1
     val feed = t.changeFeed(spark, 0L, 1L)
@@ -144,7 +151,7 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("additive schema evolution aligns by name across the feed") {
-    val t = VersionedTable(tmpDir("cdf-"))
+    val t = cdfOn(VersionedTable(tmpDir("cdf-")))
     t.commit(Seq((1L, "a")).toDF("id", "k"))
     t.append(Seq((2L, "b", 5.0)).toDF("id", "k", "extra")) // v1 widens
     val feed = t.changeFeed(spark, 0L, 1L)

@@ -46,6 +46,8 @@ class CheckpointSpec extends AnyFunSuite with SparkSpec {
 
   test("checkpointFiles exposes the live references as a queryable DataFrame") {
     val t = VersionedTable(tmpDir("ckpt-"))
+    // CDF capture is opt-in; this test asserts cdf refs ride the checkpoint
+    t.setProperties(Map("enableChangeDataFeed" -> "true"))
     t.commit(Seq((1L, "F", 1.0), (2L, "O", 2.0)).toDF("id", "s", "amt"),
       partitionBy = Seq("s"))
     t.deleteMor(spark, "id = 2")

@@ -6,8 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  /** The incremental rewrite-fold path consumes stored CDF — opt in at
+    * creation (write-time capture is off by default, Delta parity). */
+  private def cdfOn(t: VersionedTable): VersionedTable = {
+    t.setProperties(Map("enableChangeDataFeed" -> "true")); t
+  }
+
   test("refresh folds only appended deltas and matches a one-shot aggregate") {
-    val base = VersionedTable(tmpDir("mv-"))
+    val base = cdfOn(VersionedTable(tmpDir("mv-")))
     val mv = new MaterializedAgg(base, tmpDir("mv-"), Seq("k"), Seq("s" -> "x"))
     base.commit(Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
     mv.refresh(spark)
@@ -21,7 +27,7 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
   test("MatViewRefresh stage parses and maintains the view from JSON") {
     val baseRoot = tmpDir("mv-")
     val viewRoot = tmpDir("mv-")
-    val base = VersionedTable(baseRoot)
+    val base = cdfOn(VersionedTable(baseRoot))
     base.commit(Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
     val job = graft.etl.JobSpec.fromJson(
       s"""{"stages": [
@@ -40,7 +46,7 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
   test("racing refreshes never double-fold a delta") {
     val baseRoot = tmpDir("mv-")
     val viewRoot = tmpDir("mv-")
-    val base = VersionedTable(baseRoot)
+    val base = cdfOn(VersionedTable(baseRoot))
     base.commit(Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
     new MaterializedAgg(base, viewRoot, Seq("k"), Seq("s" -> "x")).refresh(spark)
     base.append(Seq(("a", 10L)).toDF("k", "x"))
@@ -65,7 +71,7 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("rewrites in the refresh window fold through the change feed") {
-    val base = VersionedTable(tmpDir("mv-"))
+    val base = cdfOn(VersionedTable(tmpDir("mv-")))
     val mv = new MaterializedAgg(base, tmpDir("mv-"), Seq("k"), Seq("s" -> "x"))
     base.commit(Seq(("a", 1L), ("a", 4L), ("b", 2L), ("c", 7L)).toDF("k", "x"))
     mv.refresh(spark)
@@ -86,7 +92,7 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("a fully-deleted group leaves the view instead of lingering at zero") {
-    val base = VersionedTable(tmpDir("mv-"))
+    val base = cdfOn(VersionedTable(tmpDir("mv-")))
     val mv = new MaterializedAgg(base, tmpDir("mv-"), Seq("k"), Seq("s" -> "x"))
     base.commit(Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
     mv.refresh(spark)
@@ -97,7 +103,7 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("a MOR delete folds like a COW delete (positions in, rows out)") {
-    val base = VersionedTable(tmpDir("mv-"))
+    val base = cdfOn(VersionedTable(tmpDir("mv-")))
     val mv = new MaterializedAgg(base, tmpDir("mv-"), Seq("k"), Seq("s" -> "x"))
     base.commit(Seq(("a", 1L), ("a", 4L), ("b", 2L)).toDF("k", "x"))
     mv.refresh(spark)
