@@ -422,7 +422,51 @@ object StreamingQueries {
         |    SELECT 1 FROM last l WHERE l.user_id = a.user_id AND l.sid = a.sid)
         |   OR a.session_end + INTERVAL 30 MINUTE < wm.w""".stripMargin))
 
+  /** q100: the versioned table AS a streaming source ([[graft.streaming
+    * .TableStreamProvider]], Delta streaming-source parity; the reference's
+    * Delta-role table scd2-job.ipynb:163-172 feeds downstream consumers the
+    * same way). A CDC timeline (seed commit → append → COW delete) streams
+    * its CHANGE FEED from cursor v0 through `format("graft-table")` with
+    * one AvailableNow drain into a parquet sink; the per-(commit,
+    * change-type) aggregate of what ARRIVED must match DuckDB reconstructing
+    * the same timeline from raw orders. Offsets are table versions (exactly-
+    * once resume = one number in the checkpoint); batch planning reads
+    * manifests only — the 100 TB CDC-consumer shape. */
+  val q100StreamTableSource: Q = Q(
+    "q100_stream_table_source",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tsrc-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_t")
+      t.setProperties(Map("enableChangeDataFeed" -> "true"))
+      val orders = spark.table("orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      t.commit(orders.filter("o_orderkey <= 2000"))        // v0 (cursor)
+      t.append(orders.filter("o_orderkey > 2000"))         // v1: inserts
+      t.delete(spark, "o_orderstatus = 'F'")               // v2: deletes
+      val q = spark.readStream.format("graft-table")
+        .option("path", s"$tmp/orders_t")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(s"$tmp/out")
+        .groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("sum_price"))
+    },
+    Some(
+      """SELECT 1 AS _commit_version, 'insert' AS _change_type, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey > 2000
+        |UNION ALL
+        |SELECT 2, 'delete', count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin))
+
   val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch,
     q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions, q75StreamCdcUpsert,
-    q88StreamOuterJoin, q92StreamTws, q98TwsSessionTimers)
+    q88StreamOuterJoin, q92StreamTws, q98TwsSessionTimers, q100StreamTableSource)
 }

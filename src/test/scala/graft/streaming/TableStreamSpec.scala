@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.table.VersionedTable
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[TableStreamProvider]]: a VersionedTable as a Structured-Streaming
+  * source. Offsets are table versions; batches are planned from manifests
+  * (appends → fresh files, CDF mode → stored change rows). Runs use
+  * Trigger.AvailableNow — drain-and-stop, so each assertion sees a
+  * quiesced stream; restart tests sink to parquet (memory sinks cannot
+  * recover from a checkpoint). */
+class TableStreamSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination(60000); ()
+  }
+
+  test("append mode: snapshot first, then exactly the fresh appends, resumable") {
+    val root = tmpDir("ts-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    val ckpt = tmpDir("ts-ckpt-")
+
+    val out = tmpDir("ts-out-")
+
+    // memory sinks cannot recover from a checkpoint — a parquet sink is the
+    // restart-capable shape
+    def runOnce(): Unit = drain(spark.readStream.format("graft-table")
+      .option("path", root).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start())
+    def sunk(): Seq[(Long, String)] =
+      spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq
+
+    runOnce() // batch 0: the full snapshot
+    assert(sunk() === Seq((1L, "a"), (2L, "b")))
+
+    t.append(Seq((3L, "c")).toDF("id", "k"))
+    t.compact(spark) // cdfKind="none": contributes no rows, breaks nothing
+    t.append(Seq((4L, "d")).toDF("id", "k"))
+    runOnce() // resumed from the checkpointed version offset
+    assert(sunk() === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // replay with nothing new: no duplicate delivery
+    runOnce()
+    assert(sunk().size === 4)
+  }
+
+  test("append mode refuses a rewrite commit unless skipChangeCommits") {
+    val root = tmpDir("ts-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    val ckpt = tmpDir("ts-ckpt-")
+    val out = tmpDir("ts-out-")
+    def runOnce(extra: Map[String, String]): Unit =
+      drain(spark.readStream.format("graft-table").option("path", root)
+        .options(extra).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start())
+    runOnce(Map.empty)
+    t.delete(spark, "id = 1")
+    t.append(Seq((3L, "c")).toDF("id", "k"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(Map.empty)
+    }
+    assert(e.getMessage.contains("not an append"))
+    // same offsets, rewrites dropped: only the append flows
+    runOnce(Map("skipChangeCommits" -> "true"))
+    assert(spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("readChangeFeed streams per-commit change rows from write-time capture") {
+    val root = tmpDir("ts-") + "/t"
+    val t = VersionedTable(root)
+    t.setProperties(Map("enableChangeDataFeed" -> "true"))
+    t.commit(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "amt"))
+    t.append(Seq((3L, "c", 30.0)).toDF("id", "k", "amt"))     // v1
+    t.delete(spark, "k = 'b'")                                 // v2
+    t.update(spark, "k = 'a'", Map("amt" -> "amt + 5"))        // v3
+    val got = {
+      drain(spark.readStream.format("graft-table").option("path", root)
+        .option("readChangeFeed", "true").option("startingVersion", "0").load()
+        .writeStream.format("memory").queryName("ts_cdf")
+        .option("checkpointLocation", tmpDir("ts-ckpt-"))
+        .trigger(Trigger.AvailableNow()).start())
+      spark.table("ts_cdf")
+        .select("id", "k", "amt", "_change_type", "_commit_version")
+        .as[(Long, String, Double, String, Long)].collect().sorted.toSeq
+    }
+    val want = t.changeFeed(spark, 0L, 3L)
+      .select("id", "k", "amt", "_change_type", "_commit_version")
+      .as[(Long, String, Double, String, Long)].collect().sorted.toSeq
+    assert(got === want)
+    assert(got.map(_._4).groupBy(identity).view.mapValues(_.size).toMap
+      === Map("insert" -> 2, "delete" -> 2)) // +c, -b, a→a+5 as delete+insert
+  }
+
+  test("first CDF batch without a cursor is the snapshot as seed inserts") {
+    val root = tmpDir("ts-") + "/t"
+    val t = VersionedTable(root)
+    t.setProperties(Map("enableChangeDataFeed" -> "true"))
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    t.append(Seq((3L, "c")).toDF("id", "k"))
+    drain(spark.readStream.format("graft-table").option("path", root)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("ts_seed")
+      .option("checkpointLocation", tmpDir("ts-ckpt-"))
+      .trigger(Trigger.AvailableNow()).start())
+    val rows = spark.table("ts_seed")
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+    assert(rows === Seq((1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 1L)))
+  }
+}
