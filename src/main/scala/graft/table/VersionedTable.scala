@@ -899,6 +899,68 @@ final class VersionedTable(val root: String,
     next
   }
 
+  /** Publish a rewrite (delete/update/merge/MOR-delete) computed against
+    * snapshot `scannedV`, resolving commit races the way Delta's
+    * WriteSerializable level does: a collision with commits that are PURE
+    * APPENDS with stable metadata (no dropped files, unchanged DVs/schema/
+    * partitioning/constraints) whose fresh files provably cannot interact
+    * with this rewrite (`freshSafe` — a predicate/key-range scan of JUST
+    * those files, cost O(interloper batch)) is resolved by REBASING: the
+    * same new/cdf files republish at the new head with the appended files
+    * carried forward, which equals the serial append-then-rewrite result.
+    * Any other interloper (a rewrite, a metadata change, an append that
+    * overlaps the predicate) rethrows [[ConcurrentCommitException]] — the
+    * caller re-runs against the new head for full serializability. At
+    * 100 TB this is the difference between a big merge surviving the
+    * steady drip of small ingest commits and re-running per collision. */
+  private def publishRewrite(
+      scannedV: Long,
+      touched: Set[String],
+      newFiles: Seq[String],
+      newStats: Map[String, Map[String, (String, String, String)]],
+      schemaJson: String,
+      dvsCarried: Seq[String],
+      newPartVals: Map[String, Map[String, Option[String]]],
+      cdfKind: Option[String],
+      cdfFiles: Seq[String],
+      txn: Option[(String, Long)],
+      freshSafe: (Long, Seq[String]) => Boolean,
+      maxRebases: Int = 10): Long = {
+    val pb = partitionByOf(scannedV)
+    val cs = constraintsOf(scannedV)
+    var base = scannedV
+    var rebases = 0
+    while (true) {
+      try {
+        return publish(
+          filesOf(base).filterNot(touched) ++ newFiles,
+          schemaJson, statsOf(base).view.filterKeys(f => !touched(f)).toMap ++ newStats,
+          txn, Some(base), cs, dvs = dvsCarried, partitionBy = pb,
+          partitions = partitionValuesOf(base).view.filterKeys(f => !touched(f)).toMap
+            ++ newPartVals,
+          cdfKind = cdfKind, cdf = cdfFiles)
+      } catch { case e: ConcurrentCommitException =>
+        rebases += 1
+        if (rebases > maxRebases) throw e
+        val h = resolve()
+        val vs = versions()
+        val steps = vs.filter(x => x > base && x <= h)
+        val pureAppends = steps.zip(vs.filter(_ >= base)).forall { case (x, prev) =>
+          filesOf(prev).toSet.subsetOf(filesOf(x).toSet) &&
+            dvsOf(x) == dvsOf(base) &&
+            partitionByOf(x) == pb &&
+            constraintsOf(x) == cs &&
+            schemaOf(x).map(_.json).contains(schemaJson)
+        }
+        if (!pureAppends) throw e
+        val fresh = filesOf(h).filterNot(filesOf(base).toSet)
+        if (!freshSafe(h, fresh)) throw e
+        base = h
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Full-snapshot commit (Overwrite semantics). A racing writer is resolved
     * by optimistic retry: the data files are already immutable on disk, so a
     * collision only re-targets the manifest at the new head (last-writer-wins,
@@ -1078,17 +1140,20 @@ final class VersionedTable(val root: String,
     val stats = if (newFiles.nonEmpty)
                   collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
                 else Map.empty[String, Map[String, (String, String, String)]]
-    val priorStats = statsOf(v).view.filterKeys(untouched.toSet).toMap
-    // pinned to the snapshot this delete scanned: a concurrent commit makes
-    // the publish raise ConcurrentCommitException instead of silently
-    // dropping that commit's changes — the caller re-runs the delete.
+    // snapshot-pinned with append rebase: pure-append interlopers whose
+    // fresh files hold NO predicate-matching rows fold in (serial
+    // equivalence is exact — the delete would not have touched them); any
+    // other collision raises and the caller re-runs the delete.
     // Constraints carry through unvalidated: a delete keeps a subset of rows
     // that already passed the table's gate.
-    (publish(untouched ++ newFiles, schema.map(_.json).getOrElse(keep.schema.json),
-      priorStats ++ stats, None, Some(v), constraintsOf(v),
-      dvs = carryDvs(spark, dvs, untouched), partitionBy = pb,
-      partitions = pVals.view.filterKeys(untouched.toSet).toMap ++ newPartVals,
-      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdf = cdfFiles),
+    (publishRewrite(v, touched.toSet, newFiles, stats,
+      schema.map(_.json).getOrElse(keep.schema.json),
+      carryDvs(spark, dvs, untouched), newPartVals,
+      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdfFiles = cdfFiles,
+      txn = None,
+      freshSafe = (h, fresh) => fresh.isEmpty ||
+        scanLive(spark, fresh, schema, Nil, keepPos = false, pb, partitionValuesOf(h))
+          .filter(coalesce(pred, lit(false))).isEmpty),
       touched.size)
   }
 
@@ -1147,12 +1212,16 @@ final class VersionedTable(val root: String,
     val schemaJson = schema.map(_.json).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
     // data files and their stats carry verbatim (stats stay sound: a DV only
-    // narrows the live rows, min/max remain valid bounds for skipping)
-    (publish(all, schemaJson, statsOf(v), None, Some(v), constraintsOf(v),
-      dvs = dvs ++ newDv, partitionBy = partitionByOf(v),
-      partitions = partitionValuesOf(v),
-      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None,
-      cdf = cdfFiles), n)
+    // narrows the live rows, min/max remain valid bounds for skipping);
+    // append rebase as in delete — fresh files with no matching rows fold in
+    (publishRewrite(v, Set.empty, Nil, Map.empty, schemaJson,
+      dvsCarried = dvs ++ newDv, newPartVals = Map.empty,
+      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdfFiles = cdfFiles,
+      txn = None,
+      freshSafe = (h, fresh) => fresh.isEmpty ||
+        scanLive(spark, fresh, schema, Nil, keepPos = false,
+          partitionByOf(v), partitionValuesOf(h))
+          .filter(coalesce(expr(condition), lit(false))).isEmpty), n)
   }
 
   /** Copy-on-write UPDATE: `SET col = expr` on rows matching `condition`,
@@ -1223,15 +1292,19 @@ final class VersionedTable(val root: String,
     val stats = if (newFiles.nonEmpty)
                   collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
                 else Map.empty[String, Map[String, (String, String, String)]]
-    val priorStats = statsOf(v).view.filterKeys(untouched.toSet).toMap
     val cs = constraintsOf(v)
     // SET expressions can push a row out of bounds: gate the rewritten files
     if (pb.isEmpty) validateWritten(spark, newFiles, Some(schema), cs)
     else validateFrame(rewritten, cs)
-    (publish(untouched ++ newFiles, schema.json, priorStats ++ stats, None,
-      Some(v), cs, dvs = carryDvs(spark, dvs, untouched), partitionBy = pb,
-      partitions = pVals.view.filterKeys(untouched.toSet).toMap ++ newPartVals,
-      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdf = cdfFiles),
+    // append rebase as in delete: fresh files with no predicate-matching
+    // rows fold in (a serial update would have left them untouched)
+    (publishRewrite(v, touched.toSet, newFiles, stats, schema.json,
+      carryDvs(spark, dvs, untouched), newPartVals,
+      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdfFiles = cdfFiles,
+      txn = None,
+      freshSafe = (h, fresh) => fresh.isEmpty ||
+        scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
+          .filter(coalesce(pred, lit(false))).isEmpty),
       touched.size)
   }
 
@@ -1348,17 +1421,27 @@ final class VersionedTable(val root: String,
     val newStats = if (newFiles.nonEmpty)
                      collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
                    else Map.empty[String, Map[String, (String, String, String)]]
-    val priorStats = stats.view.filterKeys(untouched.toSet).toMap
     val cs = constraintsOf(v)
     // inserted + updated rows land in the new files: gate exactly those
     if (pb.isEmpty) validateWritten(spark, newFiles, Some(schema), cs)
     else validateFrame(merged, cs)
-    // snapshot-pinned like delete: colliding with another writer raises
-    // ConcurrentCommitException rather than losing its commit
-    (publish(untouched ++ newFiles, schema.json, priorStats ++ newStats, txn,
-      Some(v), cs, dvs = carryDvs(spark, dvs, untouched), partitionBy = pb,
-      partitions = pVals.view.filterKeys(untouched.toSet).toMap ++ newPartVals,
-      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdf = cdfFiles),
+    // append rebase: fresh files whose targetKey range is disjoint from the
+    // source's key range cannot match any merge clause (this merge has no
+    // NOT-MATCHED-BY-SOURCE face), so serial merge-after-append would have
+    // carried them verbatim — fold them in; anything else raises
+    (publishRewrite(v, touched.toSet, newFiles, newStats, schema.json,
+      carryDvs(spark, dvs, untouched), newPartVals,
+      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdfFiles = cdfFiles,
+      txn = txn,
+      freshSafe = (h, fresh) => fresh.isEmpty || {
+        val bounds = source.agg(
+          org.apache.spark.sql.functions.min(expr(sourceKey).cast(keyType)),
+          org.apache.spark.sql.functions.max(expr(sourceKey).cast(keyType))).head()
+        bounds.isNullAt(0) || // empty/all-null source: no clause can match
+          scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
+            .filter(col(targetKey).cast(keyType) >= bounds.get(0) &&
+              col(targetKey).cast(keyType) <= bounds.get(1)).isEmpty
+      }),
       touched.size)
   }
 

@@ -1,0 +1,154 @@
+package graft.table
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Path
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** Optimistic-concurrency rebase for rewrites (Delta WriteSerializable
+  * shape): a delete/update/merge computed against snapshot v that collides
+  * with PURE APPEND commits whose fresh rows cannot interact with the
+  * rewrite republishes at the new head with the appended files carried
+  * forward — the exact serial append-then-rewrite result. Overlapping or
+  * non-append interlopers still raise [[ConcurrentCommitException]].
+  *
+  * The race is made deterministic by interposing on the commit store: the
+  * interloper commits through a SECOND table handle the instant the rewrite
+  * first tries to publish its manifest — maximal badness, zero sleeps. */
+class RebaseSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Delegates to [[LinkCommitStore]], running `interlope` once immediately
+    * BEFORE the first manifest put (sidecar/props/checkpoint writes pass
+    * through untouched). */
+  private final class InterposingStore(interlope: () => Unit) extends CommitStore {
+    private val fired = new AtomicBoolean(false)
+    override def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean = {
+      if (target.getFileName.toString.matches("v\\d{8}\\.json") &&
+          fired.compareAndSet(false, true)) interlope()
+      LinkCommitStore.putIfAbsent(target, bytes)
+    }
+  }
+
+  private def seed(root: String): Unit =
+    VersionedTable(root).commit(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "k", "amt"))
+
+  test("delete rebases over a non-matching concurrent append") {
+    val root = tmpDir("rb-") + "/t"
+    seed(root)
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).append(Seq((9L, "z", 90.0)).toDF("id", "k", "amt"))))
+    val (ver, n) = t.delete(spark, "k = 'a'")
+    assert(n === 2)
+    assert(ver === 2L) // rebased past the interloper's v1
+    val rows = VersionedTable(root).read(spark)
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    // serial result: append lands, then the delete drops the two 'a' rows
+    assert(rows === Seq((2L, "b", 20.0), (9L, "z", 90.0)))
+  }
+
+  test("delete raises when the concurrent append DOES match the predicate") {
+    val root = tmpDir("rb-") + "/t"
+    seed(root)
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).append(Seq((9L, "a", 90.0)).toDF("id", "k", "amt"))))
+    val e = intercept[ConcurrentCommitException](t.delete(spark, "k = 'a'"))
+    assert(e.getMessage.contains("concurrent commit"))
+    // the standard recovery — re-run against the new head — then covers the
+    // appended row too (full serializability, nothing lost)
+    val (_, n2) = VersionedTable(root).delete(spark, "k = 'a'")
+    assert(n2 === 3)
+  }
+
+  test("delete raises when the interloper is itself a rewrite") {
+    val root = tmpDir("rb-") + "/t"
+    seed(root)
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).update(spark, "k = 'b'", Map("amt" -> "amt + 1"))))
+    intercept[ConcurrentCommitException](t.delete(spark, "k = 'a'"))
+  }
+
+  test("update rebases over a non-matching concurrent append") {
+    val root = tmpDir("rb-") + "/t"
+    seed(root)
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).append(Seq((9L, "z", 90.0)).toDF("id", "k", "amt"))))
+    val (_, n) = t.update(spark, "k = 'a'", Map("amt" -> "amt + 1"))
+    assert(n === 2)
+    val rows = VersionedTable(root).read(spark)
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(rows === Seq((1L, "a", 11.0), (2L, "b", 20.0), (3L, "a", 31.0),
+      (9L, "z", 90.0)))
+  }
+
+  test("MOR delete rebases over a non-matching concurrent append") {
+    val root = tmpDir("rb-") + "/t"
+    seed(root)
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).append(Seq((9L, "z", 90.0)).toDF("id", "k", "amt"))))
+    val (_, n) = t.deleteMor(spark, "k = 'a'")
+    assert(n === 2L)
+    val rows = VersionedTable(root).read(spark)
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(rows === Seq((2L, "b", 20.0), (9L, "z", 90.0)))
+  }
+
+  test("mergeCow rebases over an append outside the source key range") {
+    val root = tmpDir("rb-") + "/t"
+    seed(root)
+    val src = Seq((2L, 200.0), (4L, 40.0)).toDF("id", "amt")
+      .selectExpr("id", "'s' AS k", "amt")
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).append(Seq((9L, "z", 90.0)).toDF("id", "k", "amt"))))
+    t.mergeCow(spark, src, "source.id = target.id",
+      targetKey = "id", sourceKey = "id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("amt" -> "source.amt"))),
+      whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None,
+        Map("id" -> "source.id", "k" -> "source.k", "amt" -> "source.amt"))))
+    val rows = VersionedTable(root).read(spark)
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    // serial: +9z, then merge updates id=2 and inserts id=4
+    assert(rows === Seq((1L, "a", 10.0), (2L, "b", 200.0), (3L, "a", 30.0),
+      (4L, "s", 40.0), (9L, "z", 90.0)))
+  }
+
+  test("mergeCow raises when the append lands inside the source key range") {
+    val root = tmpDir("rb-") + "/t"
+    seed(root)
+    val src = Seq((2L, 200.0), (9L, 900.0)).toDF("id", "amt")
+      .selectExpr("id", "'s' AS k", "amt")
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).append(Seq((9L, "z", 90.0)).toDF("id", "k", "amt"))))
+    intercept[ConcurrentCommitException] {
+      t.mergeCow(spark, src, "source.id = target.id",
+        targetKey = "id", sourceKey = "id",
+        whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("amt" -> "source.amt"))),
+        whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None,
+          Map("id" -> "source.id", "k" -> "source.k", "amt" -> "source.amt"))))
+    }
+  }
+
+  test("rebase chains across repeated interloping appends") {
+    val root = tmpDir("rb-") + "/t"
+    seed(root)
+    // fire a fresh append before EVERY manifest attempt (up to 3): the
+    // rewrite must chase the head and still land the serial result
+    val count = new java.util.concurrent.atomic.AtomicLong(0)
+    val store = new CommitStore {
+      override def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean = {
+        if (target.getFileName.toString.matches("v\\d{8}\\.json") &&
+            count.incrementAndGet() <= 3)
+          VersionedTable(root).append(
+            Seq((100L + count.get(), "z", 1.0)).toDF("id", "k", "amt"))
+        LinkCommitStore.putIfAbsent(target, bytes)
+      }
+    }
+    val (_, n) = new VersionedTable(root, store).delete(spark, "k = 'a'")
+    assert(n === 2)
+    val rows = VersionedTable(root).read(spark).as[(Long, String, Double)]
+      .collect().sorted.toSeq
+    assert(rows.map(_._1) === Seq(2L, 101L, 102L, 103L))
+  }
+}
