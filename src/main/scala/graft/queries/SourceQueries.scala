@@ -670,9 +670,49 @@ object SourceQueries {
         |FROM supplier WHERE s_acctbal >= 0
         |GROUP BY s_nationkey""".stripMargin))
 
+  /** q101: the versioned table through the STANDARD DataFrame/SQL surface —
+    * writer save() (range-sorted via the sortBy option), SQL
+    * `CREATE TABLE USING graft-table`, and a predicated aggregate whose
+    * pushed filter prunes the manifest file list before any I/O (asserted:
+    * the bound machinery the scan uses keeps 1 of 8 files). The Delta-
+    * parity integration face — a reference user's existing
+    * `spark.read`/`spark.sql` code runs unchanged against this format. */
+  val q101TableRelationSql: Q = Q(
+    "q101_table_relation_sql",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-rel-").toString + "/t"
+      spark.sql(
+        """SELECT l_orderkey, l_returnflag,
+          |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem""".stripMargin)
+        .write.format("graft-table").option("path", root)
+        .option("numPartitions", "8").option("sortBy", "l_orderkey")
+        .mode("overwrite").save()
+      // the pushed range must skip files at the manifest (1 of 8 survives)
+      val (_, kept, total) = graft.table.VersionedTable(root)
+        .readBounded(spark, Seq(("l_orderkey", Some("1"), Some("400"))))
+      require(kept < total, s"stats skipping did not engage ($kept/$total files)")
+      val tbl = s"rel_li_${math.abs(root.hashCode)}"
+      spark.sql(s"CREATE TABLE $tbl USING `graft-table` OPTIONS (path '$root')")
+      try
+        spark.sql(
+          s"""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(price) AS DOUBLE) AS revenue
+             |FROM $tbl WHERE l_orderkey BETWEEN 1 AND 400
+             |GROUP BY l_returnflag""".stripMargin)
+          .localCheckpoint(true)
+      finally spark.sql(s"DROP TABLE $tbl")
+    },
+    Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem WHERE l_orderkey BETWEEN 1 AND 400
+        |GROUP BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
     q84MorDelete, q85IncrementalAgg, q95DynamicPartitionPruning,
-    q96PartitionedTable, q97ChangeFeedStored, q99JdbcRoundtrip)
+    q96PartitionedTable, q97ChangeFeedStored, q99JdbcRoundtrip,
+    q101TableRelationSql)
 }

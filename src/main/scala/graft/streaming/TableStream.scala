@@ -1,11 +1,12 @@
 package graft.streaming
 
 import graft.table.VersionedTable
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.StreamShim
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 /** Structured-Streaming SOURCE over a [[VersionedTable]] — the table-as-
@@ -42,12 +43,58 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * At 100 TB the scale story is the manifest protocol's: planning reads
   * JSON manifests (bounded by the checkpointed log), batches scan only
   * fresh/cdf files, and the source never lists data directories. */
-final class TableStreamProvider extends StreamSourceProvider with DataSourceRegister {
+final class TableStreamProvider extends StreamSourceProvider
+    with RelationProvider with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
 
-  private def table(parameters: Map[String, String]): VersionedTable =
-    VersionedTable(parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-table source needs option 'path'")))
+  private def table(parameters: Map[String, String]): VersionedTable = {
+    val p = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table source needs option 'path'"))
+    // the SQL path (CREATE TABLE ... OPTIONS (path ...)) arrives qualified
+    // with a file: scheme; the table layer speaks local paths
+    VersionedTable(if (p.startsWith("file:")) new java.net.URI(p).getPath else p)
+  }
+
+  /** Batch read: `spark.read.format("graft-table").option("path", root)`
+    * (+ `versionAsOf` / `relativeVersion` time travel). Also what SQL
+    * `CREATE TABLE ... USING `graft-table`` resolves to. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new TableRelation(sqlContext.sparkSession, table(parameters),
+      versionAsOf = parameters.get("versionAsOf").map(_.toLong),
+      relativeVersion = parameters.get("relativeVersion").map(_.toInt))
+
+  /** Batch write: `df.write.format("graft-table").mode(...)` — Overwrite is
+    * a snapshot commit, Append an incremental append (first write creates);
+    * `option("partitionBy", "a,b")` lays out a NEW table hive-partitioned. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val t = table(parameters)
+    val pb = parameters.get("partitionBy").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    // numPartitions/sortBy shape the data files: range-sorted commits get
+    // tight per-file min/max stats, which is what makes the read side's
+    // manifest skipping bite (same knobs as the TableLoad stage)
+    val np = parameters.get("numPartitions").map(_.toInt)
+    val sb = parameters.get("sortBy").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val exists = t.latestVersion().isDefined
+    def create(): Unit = { t.commit(data, np, sb, partitionBy = pb); () }
+    mode match {
+      case SaveMode.Overwrite => create()
+      case SaveMode.Append => if (exists) { t.append(data, np, sb); () } else create()
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft-table at ${t.root} already exists (SaveMode.ErrorIfExists)")
+        create()
+      case SaveMode.Ignore => if (!exists) create()
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   private def feedSchema(t: VersionedTable, cdf: Boolean): StructType = {
     val base = t.schemaOf(t.resolve()).getOrElse(throw new IllegalStateException(
@@ -149,4 +196,65 @@ final class TableStreamSource(
   override def stop(): Unit = ()
 
   override def toString: String = s"TableStreamSource[${table.root}]"
+}
+
+/** V1 batch relation over a [[VersionedTable]] snapshot. The scan is the
+  * standard versioned read (manifest file list, DV anti-join, partition
+  * values) with one scale-critical addition: pushed-down conjunctive
+  * range/equality filters prune the FILE LIST via manifest stats
+  * ([[VersionedTable.readBounded]]) before any I/O — so a selective SQL
+  * WHERE over a 100 TB table opens only the files whose recorded [min,max]
+  * can match. Every filter is also left in `unhandledFilters`, so Spark
+  * re-applies them row-level above the scan: pruning is advisory,
+  * correctness never depends on it. SQL `INSERT INTO` / `INSERT OVERWRITE`
+  * map to append / snapshot commit via [[InsertableRelation]]. */
+final class TableRelation(
+    spark: SparkSession,
+    t: VersionedTable,
+    versionAsOf: Option[Long],
+    relativeVersion: Option[Int]) extends BaseRelation
+    with PrunedFilteredScan with InsertableRelation {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType = {
+    val v = t.resolve(relativeVersion, versionAsOf)
+    t.schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of ${t.root} has no recorded schema"))
+  }
+
+  /** Conjunctive filters → per-column [lo, hi] bounds for stats skipping.
+    * Only shapes whose bound is exact survive; everything else contributes
+    * no bound (and is still applied row-level by Spark). */
+  private def bounds(filters: Array[Filter]): Seq[(String, Option[String], Option[String])] =
+    filters.toSeq.flatMap {
+      case EqualTo(c, v) if v != null => Seq((c, Some(v.toString), Some(v.toString)))
+      case GreaterThan(c, v) if v != null => Seq((c, Some(v.toString), None))
+      case GreaterThanOrEqual(c, v) if v != null => Seq((c, Some(v.toString), None))
+      case LessThan(c, v) if v != null => Seq((c, None, Some(v.toString)))
+      case LessThanOrEqual(c, v) if v != null => Seq((c, None, Some(v.toString)))
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        val s = vs.map(_.toString)
+        Seq((c, Some(s.min), Some(s.max)))
+      case And(l, r) => bounds(Array(l)) ++ bounds(Array(r))
+      case _ => Nil
+    }
+
+  /** All filters stay unhandled: the scan only SKIPS FILES on them, it does
+    * not evaluate them row-level. */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val (df, _, _) = t.readBounded(spark, bounds(filters), relativeVersion, versionAsOf)
+    import org.apache.spark.sql.functions.col
+    df.select(requiredColumns.toSeq.map(col): _*).rdd
+  }
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    if (overwrite) t.commit(data, partitionBy = t.latestVersion()
+      .map(t.partitionByOf).getOrElse(Nil))
+    else if (t.latestVersion().isDefined) t.append(data)
+    else t.commit(data)
+    ()
+  }
 }

@@ -1499,27 +1499,46 @@ final class VersionedTable(val root: String,
     * when stats are absent. Values compare numerically when both sides parse
     * as numbers, lexicographically otherwise. Returns (df, scannedFiles,
     * totalFiles) so callers can observe the skipping. */
-  def readPruned(spark: SparkSession, column: String, lo: String, hi: String,
-                 relativeVersion: Option[Int] = None): (DataFrame, Int, Int) = {
-    val v = resolve(relativeVersion, None)
+  /** Version-pinned scan with manifest-stats file skipping driven by
+    * per-column `[lo, hi]` bounds (either side optional; a file survives
+    * only if its recorded stats overlap EVERY bound). This is the batch
+    * relation's filter-pushdown hook ([[graft.streaming.TableStreamProvider]]):
+    * a `WHERE o_orderkey <= 100` on `spark.read.format("graft-table")`
+    * prunes at the FILE LIST, before any I/O — the manifest-stat analogue
+    * of parquet predicate pushdown, decisive at 100 TB. Returns the frame
+    * plus (kept, total) file counts for plan assertions. */
+  def readBounded(spark: SparkSession,
+      bounds: Seq[(String, Option[String], Option[String])],
+      relativeVersion: Option[Int] = None,
+      versionAsOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    val v = resolve(relativeVersion, versionAsOf)
     val all = filesOf(v)
     val stats = statsOf(v)
     def num(s: String): Option[BigDecimal] = scala.util.Try(BigDecimal(s)).toOption
-    def overlaps(mn: String, mx: String, kind: String): Boolean =
-      if (kind == "num")
-        (num(mn), num(mx), num(lo), num(hi)) match {
-          case (Some(a), Some(b), Some(l), Some(h)) => b >= l && a <= h
+    def overlaps(mn: String, mx: String, kind: String,
+                 lo: Option[String], hi: Option[String]): Boolean = {
+      val aboveLo = lo.forall { l =>
+        if (kind == "num") (num(mx), num(l)) match {
+          case (Some(b), Some(x)) => b >= x
           case _ => true // unparseable → cannot skip safely
-        }
-      else mx >= lo && mn <= hi
+        } else mx >= l
+      }
+      val belowHi = hi.forall { h =>
+        if (kind == "num") (num(mn), num(h)) match {
+          case (Some(a), Some(x)) => a <= x
+          case _ => true
+        } else mn <= h
+      }
+      aboveLo && belowHi
+    }
     val kept = all.filter { f =>
-      stats.get(f).flatMap(_.get(column)) match {
-        case Some((mn, mx, kind)) => overlaps(mn, mx, kind)
-        case None => true // no stats → cannot skip
+      bounds.forall { case (c, lo, hi) =>
+        stats.get(f).flatMap(_.get(c)) match {
+          case Some((mn, mx, kind)) => overlaps(mn, mx, kind, lo, hi)
+          case None => true // no stats → cannot skip
+        }
       }
     }
-    // an empty kept-set over a non-empty table is a valid prune result:
-    // return an empty frame with the table's schema
     val df =
       if (kept.nonEmpty) scanLive(spark, kept, schemaOf(v), dvsOf(v), keepPos = false,
         partitionByOf(v), partitionValuesOf(v))
@@ -1531,6 +1550,10 @@ final class VersionedTable(val root: String,
       }
     (df, kept.size, all.size)
   }
+
+  def readPruned(spark: SparkSession, column: String, lo: String, hi: String,
+                 relativeVersion: Option[Int] = None): (DataFrame, Int, Int) =
+    readBounded(spark, Seq((column, Some(lo), Some(hi))), relativeVersion)
 
   /** Publish a rewrite of snapshot `base` as version `base`+1, pinned: if
     * any other writer committed after `base` was read, the link collides and
