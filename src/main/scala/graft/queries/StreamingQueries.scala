@@ -441,8 +441,10 @@ object StreamingQueries {
       t.setProperties(Map("enableChangeDataFeed" -> "true"))
       val orders = spark.table("orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      t.commit(orders.filter("o_orderkey <= 2000"))        // v0 (cursor)
-      t.append(orders.filter("o_orderkey > 2000"))         // v1: inserts
+      // data-derived split so BOTH halves are non-empty at every scale factor
+      val thr = orders.agg(floor(max(col("o_orderkey")) / 2)).head.getLong(0)
+      t.commit(orders.filter(s"o_orderkey <= $thr"))       // v0 (cursor)
+      t.append(orders.filter(s"o_orderkey > $thr"))        // v1: inserts
       t.delete(spark, "o_orderstatus = 'F'")               // v2: deletes
       val q = spark.readStream.format("graft-table")
         .option("path", s"$tmp/orders_t")
@@ -460,13 +462,59 @@ object StreamingQueries {
     Some(
       """SELECT 1 AS _commit_version, 'insert' AS _change_type, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
-        |FROM orders WHERE o_orderkey > 2000
+        |FROM orders
+        |WHERE o_orderkey > (SELECT CAST(floor(max(o_orderkey) / 2) AS BIGINT) FROM orders)
         |UNION ALL
         |SELECT 2, 'delete', count(*),
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin))
 
+  /** q102: the versioned table as a streaming SINK
+    * (`writeStream.format("graft-table")`), closing the source/sink pair —
+    * the reference's landing-zone→Delta ingestion leg (scd2-job.ipynb
+    * DeltaLakeLoad) as a continuous pipeline. Three micro-batches (file
+    * source, 2 files/trigger) append three table versions, each commit
+    * carrying its `(txnAppId, batchId)` mark atomically with the data; a
+    * RESTART from the same checkpoint then proves idempotence — no new
+    * versions, no duplicated rows (the crash-replay guarantee a 100 TB
+    * continuous ingest lives on). Oracle: the batch formulation over the
+    * same events, read back through the relation surface. */
+  val q102StreamTableSink: Q = Q(
+    "q102_stream_table_sink",
+    (spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tsink-").toString
+      val ev = Tables.table(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ev.repartition(6).write.mode("overwrite").parquet(s"$tmp/landing")
+      def run(): Unit = {
+        val q = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "2").parquet(s"$tmp/landing")
+          .filter(col("value") >= 0)
+          .writeStream.format("graft-table")
+          .option("path", s"$tmp/t").option("txnAppId", "q102")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
+      run()
+      val t = graft.table.VersionedTable(s"$tmp/t")
+      val v = t.latestVersion()
+      require(v.exists(_ >= 1), s"expected multiple micro-batch commits, got $v")
+      run() // restart, same checkpoint, no new data: must commit NOTHING
+      require(t.latestVersion() == v,
+        s"restart re-committed a replayed batch: $v -> ${t.latestVersion()}")
+      spark.read.format("graft-table").option("path", s"$tmp/t").load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+    },
+    Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE value >= 0 GROUP BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch,
     q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions, q75StreamCdcUpsert,
-    q88StreamOuterJoin, q92StreamTws, q98TwsSessionTimers, q100StreamTableSource)
+    q88StreamOuterJoin, q92StreamTws, q98TwsSessionTimers, q100StreamTableSource,
+    q102StreamTableSink)
 }

@@ -43,9 +43,38 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * At 100 TB the scale story is the manifest protocol's: planning reads
   * JSON manifests (bounded by the checkpointed log), batches scan only
   * fresh/cdf files, and the source never lists data directories. */
-final class TableStreamProvider extends StreamSourceProvider
+final class TableStreamProvider extends StreamSourceProvider with StreamSinkProvider
     with RelationProvider with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  /** Streaming SINK: `df.writeStream.format("graft-table").option("path", root)`.
+    * Exactly-once via the table's txn marks ([[VersionedTable.lastTxn]]):
+    * every commit records `(txnAppId, batchId)` ATOMICALLY with the data, so
+    * a replayed micro-batch (restart after a crash between commit and
+    * checkpoint advance) is detected and skipped — Delta's idempotent-sink
+    * protocol. `txnAppId` defaults to the query's checkpoint location, the
+    * stable identity of the retrying writer. Append mode appends; Complete
+    * snapshots the table per batch; Update is refused (a keyed upsert needs
+    * merge keys — use foreachBatch + mergeCow, the q75 pattern). */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    if (outputMode == OutputMode.Update) throw new IllegalArgumentException(
+      "graft-table sink supports Append and Complete; for Update-as-upsert " +
+        "use foreachBatch with mergeCow (merge keys are per-query, not sink options)")
+    val appId = parameters.getOrElse("txnAppId", parameters.getOrElse("checkpointLocation",
+      throw new IllegalArgumentException(
+        "graft-table sink needs option 'txnAppId' (or a checkpointLocation to default to)")))
+    new TableStreamSink(sqlContext.sparkSession, table(parameters), appId,
+      complete = outputMode == OutputMode.Complete,
+      partitionBy = partitionColumns,
+      numPartitions = parameters.get("numPartitions").map(_.toInt),
+      sortBy = parameters.get("sortBy").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+  }
 
   private def table(parameters: Map[String, String]): VersionedTable = {
     val p = parameters.getOrElse("path",
@@ -198,6 +227,34 @@ final class TableStreamSource(
   override def toString: String = s"TableStreamSource[${table.root}]"
 }
 
+/** Micro-batch sink writing a [[VersionedTable]] — see
+  * [[TableStreamProvider.createSink]] for the contract. The replay check and
+  * the commit are not atomic with EACH OTHER, but they don't need to be: the
+  * txn protocol assumes one live writer per `appId` (Spark guarantees one
+  * active run per checkpoint), and the mark is atomic WITH THE DATA, so the
+  * crash-replay window — the only race that exists — always sees the mark. */
+final class TableStreamSink(
+    spark: SparkSession,
+    t: VersionedTable,
+    appId: String,
+    complete: Boolean,
+    partitionBy: Seq[String],
+    numPartitions: Option[Int],
+    sortBy: Seq[String]) extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (t.lastTxn(appId).exists(_ >= batchId)) return // replayed batch: already durable
+    // re-brand the incremental plan as a one-shot batch frame (see StreamShim)
+    val batch = StreamShim.asBatchFrame(spark, data)
+    val txn = Some(appId -> batchId)
+    if (complete) { t.commit(batch, numPartitions, sortBy, txn = txn, partitionBy = partitionBy); () }
+    else if (t.latestVersion().isDefined) { t.append(batch, numPartitions, sortBy, txn = txn); () }
+    else { t.commit(batch, numPartitions, sortBy, txn = txn, partitionBy = partitionBy); () }
+  }
+
+  override def toString: String = s"TableStreamSink[${t.root}, appId=$appId]"
+}
+
 /** V1 batch relation over a [[VersionedTable]] snapshot. The scan is the
   * standard versioned read (manifest file list, DV anti-join, partition
   * values) with one scale-critical addition: pushed-down conjunctive
@@ -244,10 +301,18 @@ final class TableRelation(
     * not evaluate them row-level. */
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
+  /** The scan hands Spark the inner plan's OWN compiled rows (`toRdd`, cast
+    * per the `needConversion=false` contract) instead of `.rdd` — skipping a
+    * full InternalRow→Row→InternalRow round trip per row at the source
+    * boundary. The projection keeps column pruning inside the inner plan, so
+    * the parquet reader still reads only `requiredColumns`. */
+  override def needConversion: Boolean = false
+
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val (df, _, _) = t.readBounded(spark, bounds(filters), relativeVersion, versionAsOf)
     import org.apache.spark.sql.functions.col
-    df.select(requiredColumns.toSeq.map(col): _*).rdd
+    df.select(requiredColumns.toSeq.map(col): _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {

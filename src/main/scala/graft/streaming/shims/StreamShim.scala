@@ -18,4 +18,18 @@ object StreamShim {
     classic.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse bridge a V1 streaming `Sink` needs: the frame handed to
+    * `Sink.addBatch` carries the micro-batch's `IncrementalExecution`, and
+    * calling writer actions on it directly would RE-PLAN the batch as a new
+    * query (wrong for stateful operators, which advance their stores per
+    * execution). Wrapping the already-planned `toRdd` in a fresh batch frame
+    * executes the incremental plan exactly once, inside the sink's own write
+    * job — the same move Delta's `DeltaSink.addBatch` makes before handing
+    * the data to its transaction log. */
+  def asBatchFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
