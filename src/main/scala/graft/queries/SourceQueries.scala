@@ -709,10 +709,67 @@ object SourceQueries {
         |FROM lineitem WHERE l_orderkey BETWEEN 1 AND 400
         |GROUP BY l_returnflag""".stripMargin))
 
+  /** q103: MERGE-ON-READ merge — q53's CDC batch (doubled prices + shifted
+    * inserts) applied via [[graft.table.VersionedTable.mergeMor]] plus a
+    * matched-DELETE clause: matched rows are tombstoned in a DV sidecar and
+    * post-images/inserts APPEND — zero data files rewritten (asserted: the
+    * new version carries every base file). At 100 TB this is the
+    * write-optimal merge for narrow batches into wide tables: kilobytes of
+    * positions + the batch itself, where COW rewrites every touched file. */
+  val q103MorMerge: Q = Q(
+    "q103_mor_merge",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mor-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_v")
+      t.commit(
+        spark.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM orders"),
+        numPartitions = Some(8), sortBy = Seq("o_orderkey"))
+      val baseFiles = t.history(spark).filter("version = 0")
+        .head.getInt(1)
+      val src = spark.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+          |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+          |UNION ALL
+          |SELECT o_orderkey + 10000000, o_custkey, 1.0
+          |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin)
+      val (v1, tombs) = t.mergeMor(spark, src,
+        condition = "source.o_orderkey = target.o_orderkey",
+        targetKey = "o_orderkey", sourceKey = "o_orderkey",
+        whenMatchedUpdate = Some(graft.table.Merge.MatchedUpdate(
+          Some("source.o_orderkey < 2000"), Map("o_totalprice" -> "source.o_totalprice"))),
+        whenMatchedDelete = Some(graft.table.Merge.MatchedDelete(
+          Some("source.o_orderkey >= 2000"))),
+        whenNotMatchedInsert = Some(graft.table.Merge.NotMatchedInsert(None, Map.empty)))
+      require(tombs > 0, "expected matched rows to be tombstoned")
+      // the MOR proof: no base data file was dropped — the head manifest
+      // still references all of them (plus the appended batch files)
+      val headFiles = t.history(spark).filter(s"version = $v1").head.getInt(1)
+      require(headFiles > baseFiles,
+        s"expected appends on top of all $baseFiles base files, got $headFiles")
+      t.read(spark).select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+    Some(
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 1.0
+        |  FROM orders WHERE o_orderkey % 1000 = 0)
+        |SELECT b.o_orderkey, b.o_custkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL AND s.o_orderkey < 2000
+        |       THEN s.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+        |FROM orders b LEFT JOIN src s ON s.o_orderkey = b.o_orderkey
+        |WHERE s.o_orderkey IS NULL OR s.o_orderkey < 2000
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |FROM src s
+        |WHERE NOT EXISTS (SELECT 1 FROM orders b WHERE b.o_orderkey = s.o_orderkey)""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
     q84MorDelete, q85IncrementalAgg, q95DynamicPartitionPruning,
     q96PartitionedTable, q97ChangeFeedStored, q99JdbcRoundtrip,
-    q101TableRelationSql)
+    q101TableRelationSql, q103MorMerge)
 }

@@ -1349,23 +1349,7 @@ final class VersionedTable(val root: String,
       s"mergeCow prune keys ($sourceKey, $targetKey) are not implied by the merge " +
         s"condition '$condition': it must contain a top-level conjunct " +
         s"source.$sourceKey = target.$targetKey (file pruning would otherwise be unsound)")
-    val stats = statsOf(v)
-    val (ranged, statless) = all.partition(f => stats.get(f).exists(_.contains(targetKey)))
-    val touched: Seq[String] =
-      if (ranged.isEmpty) all
-      else {
-        import spark.implicits._
-        val ranges = ranged.map { f =>
-          val (mn, mx, _) = stats(f)(targetKey); (f, mn, mx)
-        }.toDF("__file", "__lo", "__hi")
-          .select(col("__file"),
-            col("__lo").cast(keyType).as("__lo"), col("__hi").cast(keyType).as("__hi"))
-        val hit = source.select(expr(sourceKey).cast(keyType).as("__k"))
-          .filter(col("__k").isNotNull).distinct()
-          .join(broadcast(ranges), col("__k") >= col("__lo") && col("__k") <= col("__hi"))
-          .select("__file").distinct().as[String].collect().toSeq
-        statless ++ hit
-      }
+    val touched = filesOverlappingSourceKeys(spark, v, source, sourceKey, targetKey, keyType)
     // no file overlaps a source key and no insert clause can add rows:
     // nothing can change — don't burn a version on a no-op
     if (touched.isEmpty && whenNotMatchedInsert.isEmpty) return (v, 0)
@@ -1399,24 +1383,7 @@ final class VersionedTable(val root: String,
     // exceptAll formulation hashed the whole touched slice twice): updates
     // emit their preimage+postimage pair (identity SETs drop), deletes
     // their preimage, inserts their row — Delta CDF's per-row semantics
-    val cdfFiles = if (!captureCdf) Nil else {
-      val postS = struct(schema.fields.map(f => col(f.name).as(f.name)).toSeq: _*)
-      val preS = struct(schema.fields.map(f =>
-        col(s"__pre.${f.name}").cast(f.dataType).as(f.name)).toSeq: _*)
-      val changed = marked.filter(col("__change_kind").isNotNull)
-        .withColumn("__post_s", postS).withColumn("__pre_s", preS)
-        .filter(col("__change_kind") =!= "update" || !(col("__pre_s") <=> col("__post_s")))
-      val cdfRows = changed.select(explode(
-        when(col("__change_kind") === "insert",
-          array(struct(col("__post_s").as("row"), lit("insert").as("_change_type"))))
-        .when(col("__change_kind") === "delete",
-          array(struct(col("__pre_s").as("row"), lit("delete").as("_change_type"))))
-        .otherwise(array(
-          struct(col("__pre_s").as("row"), lit("delete").as("_change_type")),
-          struct(col("__post_s").as("row"), lit("insert").as("_change_type"))))).as("c"))
-        .select(col("c.row.*"), col("c._change_type"))
-      writeCdfFiles(cdfRows)
-    }
+    val cdfFiles = if (!captureCdf) Nil else captureMergeCdf(marked, schema)
     val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
     val newStats = if (newFiles.nonEmpty)
                      collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
@@ -1443,6 +1410,166 @@ final class VersionedTable(val root: String,
               col(targetKey).cast(keyType) <= bounds.get(1)).isEmpty
       }),
       touched.size)
+  }
+
+  /** Files of version `v` whose recorded `[min, max]` for `targetKey` can
+    * contain at least one source merge key — the shared pruning primitive of
+    * [[mergeCow]] and [[mergeMor]]. The source's distinct keys join a
+    * BROADCAST table of per-file ranges, so the cost is one pass over the
+    * source batch regardless of table size; files lacking stats for the key
+    * are conservatively treated as touched. */
+  private def filesOverlappingSourceKeys(spark: SparkSession, v: Long,
+      source: DataFrame, sourceKey: String, targetKey: String,
+      keyType: org.apache.spark.sql.types.DataType): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val all = filesOf(v)
+    val stats = statsOf(v)
+    val (ranged, statless) = all.partition(f => stats.get(f).exists(_.contains(targetKey)))
+    if (ranged.isEmpty) all
+    else {
+      import spark.implicits._
+      val ranges = ranged.map { f =>
+        val (mn, mx, _) = stats(f)(targetKey); (f, mn, mx)
+      }.toDF("__file", "__lo", "__hi")
+        .select(col("__file"),
+          col("__lo").cast(keyType).as("__lo"), col("__hi").cast(keyType).as("__hi"))
+      val hit = source.select(expr(sourceKey).cast(keyType).as("__k"))
+        .filter(col("__k").isNotNull).distinct()
+        .join(broadcast(ranges), col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+        .select("__file").distinct().as[String].collect().toSeq
+      statless ++ hit
+    }
+  }
+
+  /** Write-time CDF rows from the merge kernel's own change markers (shared
+    * by [[mergeCow]] and [[mergeMor]]): updates emit their preimage+postimage
+    * pair (identity SETs drop), deletes their preimage, inserts their row —
+    * Delta CDF's per-row semantics, zero bag-diff shuffles. `marked` carries
+    * the table's columns (type-pinned) plus `__change_kind`/`__pre`. */
+  private def captureMergeCdf(marked: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.functions.{array, explode, lit, struct, when}
+    val postS = struct(schema.fields.map(f => col(f.name).as(f.name)).toSeq: _*)
+    val preS = struct(schema.fields.map(f =>
+      col(s"__pre.${f.name}").cast(f.dataType).as(f.name)).toSeq: _*)
+    val changed = marked.filter(col("__change_kind").isNotNull)
+      .withColumn("__post_s", postS).withColumn("__pre_s", preS)
+      .filter(col("__change_kind") =!= "update" || !(col("__pre_s") <=> col("__post_s")))
+    val cdfRows = changed.select(explode(
+      when(col("__change_kind") === "insert",
+        array(struct(col("__post_s").as("row"), lit("insert").as("_change_type"))))
+      .when(col("__change_kind") === "delete",
+        array(struct(col("__pre_s").as("row"), lit("delete").as("_change_type"))))
+      .otherwise(array(
+        struct(col("__pre_s").as("row"), lit("delete").as("_change_type")),
+        struct(col("__post_s").as("row"), lit("insert").as("_change_type"))))).as("c"))
+      .select(col("c.row.*"), col("c._change_type"))
+    writeCdfFiles(cdfRows)
+  }
+
+  /** MERGE-ON-READ merge: same clause surface and file pruning as
+    * [[mergeCow]], but matched rows are tombstoned in a deletion-vector
+    * sidecar and their post-images (plus inserts) land in APPENDED files —
+    * no data file is rewritten. The write cost is O(changed rows), not
+    * O(touched files): merging a narrow CDC batch whose keys scatter across
+    * thousands of wide 100 TB-table files writes kilobytes of DV positions
+    * plus the batch itself, where COW would rewrite every touched file.
+    * The read-side tax (DV anti-join) is repaid at the next [[compact]],
+    * which materializes the tombstones. Identity updates (post <=> pre) are
+    * detected and skipped outright — no DV entry, no appended row, no CDF
+    * pair — so a re-delivered CDC batch is write-free, not write-doubling.
+    *
+    * Physical shape: the merge kernel runs over the position-tagged touched
+    * slice; one slim execution projects `(file, row_index)` tombstones, one
+    * projects the appended row images (and one more the CDF pairs iff
+    * enabled) — multiple executions of the same pruned join, each writing a
+    * narrow projection, the MOR trade Delta's own DV-merge makes.
+    *
+    * Returns (newVersion, tombstonedRowCount). */
+  def mergeMor(spark: SparkSession, source: DataFrame, condition: String,
+      targetKey: String, sourceKey: String,
+      whenMatchedUpdate: Option[Merge.MatchedUpdate] = None,
+      whenMatchedDelete: Option[Merge.MatchedDelete] = None,
+      whenNotMatchedInsert: Option[Merge.NotMatchedInsert] = None,
+      numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): (Long, Long) = {
+    import org.apache.spark.sql.functions.{expr, struct}
+    val v = resolve()
+    val schema = schemaOf(v).getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no recorded schema"))
+    val keyType = schema.find(_.name == targetKey).getOrElse(
+      throw new IllegalArgumentException(s"target key $targetKey not in table schema")).dataType
+    require(conditionHasEquiConjunct(condition, sourceKey, targetKey),
+      s"mergeMor prune keys ($sourceKey, $targetKey) are not implied by the merge " +
+        s"condition '$condition': it must contain a top-level conjunct " +
+        s"source.$sourceKey = target.$targetKey (file pruning would otherwise be unsound)")
+    val touched = filesOverlappingSourceKeys(spark, v, source, sourceKey, targetKey, keyType)
+    if (touched.isEmpty && whenNotMatchedInsert.isEmpty) return (v, 0L)
+    val dvs = dvsOf(v)
+    val pb = partitionByOf(v)
+    val pVals = partitionValuesOf(v)
+    // position-tagged slice: __rel/__ri ride through the kernel as plain
+    // target columns (null on inserted rows), pointing each matched row at
+    // the file position its tombstone must name
+    val slice =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema.add("__rel", org.apache.spark.sql.types.StringType)
+            .add("__ri", org.apache.spark.sql.types.LongType))
+      else scanLive(spark, touched, Some(schema), dvs, keepPos = true, pb, pVals)
+    val marked0 = Merge.merge(slice, source, condition,
+      whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert,
+      emitChanges = true)
+    // identity detection: an update whose type-pinned post-image equals its
+    // preimage changes nothing — treat as untouched everywhere
+    val postS = struct(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val preS = struct(schema.fields.map(f =>
+      col(s"__pre.${f.name}").cast(f.dataType).as(f.name)).toSeq: _*)
+    val effective = marked0.filter(col("__change_kind").isNotNull)
+      .filter(col("__change_kind") =!= "update" || !(preS <=> postS))
+    val newDv = writeDvFiles(effective
+      .filter(col("__change_kind").isin("update", "delete") && col("__rel").isNotNull)
+      .select(col("__rel").as("file"), col("__ri").as("row_index")))
+    val nTomb =
+      if (newDv.isEmpty) 0L
+      else spark.read.parquet(newDv.map(f => Paths.get(root).resolve(f).toString): _*).count()
+    val appendRows = effective.filter(col("__change_kind").isin("update", "insert"))
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val (commitId, newFiles, newPartVals) = writeDataFiles(appendRows, numPartitions, sortBy, pb)
+    // provable no-op (e.g. a re-delivered batch: all identity updates, all
+    // inserts already present): don't burn a version. The writer may have
+    // emitted empty part files — left unreferenced, vacuum's orphan sweep
+    // collects them. Footer-only count: cheap, and only on the 0-tombstone
+    // path.
+    if (nTomb == 0L && (newFiles.isEmpty || spark.read.parquet(
+        newFiles.map(f => Paths.get(root).resolve(f).toString): _*).count() == 0L))
+      return (v, 0L)
+    val cdfFiles = if (!cdfEnabled) Nil else captureMergeCdf(
+      marked0.filter(col("__change_kind").isNotNull)
+        .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+          Seq(col("__change_kind"), col("__pre")): _*), schema)
+    val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+    val newStats = if (newFiles.nonEmpty)
+                     collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
+                   else Map.empty[String, Map[String, (String, String, String)]]
+    val cs = constraintsOf(v)
+    if (pb.isEmpty) validateWritten(spark, newFiles, Some(schema), cs)
+    else validateFrame(appendRows, cs)
+    // no file is dropped (touched = empty set): carried stats stay sound —
+    // a DV only narrows live rows, min/max remain valid skip bounds
+    (publishRewrite(v, Set.empty, newFiles, newStats, schema.json,
+      dvsCarried = dvs ++ newDv, newPartVals,
+      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdfFiles = cdfFiles,
+      txn = txn,
+      freshSafe = (h, fresh) => fresh.isEmpty || {
+        val bounds = source.agg(
+          org.apache.spark.sql.functions.min(expr(sourceKey).cast(keyType)),
+          org.apache.spark.sql.functions.max(expr(sourceKey).cast(keyType))).head()
+        bounds.isNullAt(0) ||
+          scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
+            .filter(col(targetKey).cast(keyType) >= bounds.get(0) &&
+              col(targetKey).cast(keyType) <= bounds.get(1)).isEmpty
+      }), nTomb)
   }
 
   /** True iff `condition` contains a top-level AND-conjunct of the exact
