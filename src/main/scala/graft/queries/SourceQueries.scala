@@ -766,10 +766,43 @@ object SourceQueries {
         |FROM src s
         |WHERE NOT EXISTS (SELECT 1 FROM orders b WHERE b.o_orderkey = s.o_orderkey)""".stripMargin))
 
+  /** q104: SHALLOW CLONE — a zero-copy branch of the versioned table
+    * (hard-linked data files, asserted via inode link counts) that then
+    * DIVERGES: a COW delete on the clone must leave the source snapshot
+    * byte-identical (asserted in-query). The branch-for-experimentation
+    * workflow Delta CLONE serves; at 100 TB the clone costs O(files)
+    * metadata operations and zero data movement. */
+  val q104ShallowClone: Q = Q(
+    "q104_shallow_clone",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-clone-").toString
+      val src = graft.table.VersionedTable(s"$tmp/src")
+      src.commit(
+        spark.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"),
+        numPartitions = Some(8), sortBy = Seq("o_orderkey"))
+      val total = src.read(spark).count()
+      val clone = src.cloneShallow(s"$tmp/dst")
+      // zero-copy proof: cloned parquet files share their source inodes
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/dst/data"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+      require(files.nonEmpty && files.forall(p =>
+        java.nio.file.Files.getAttribute(p, "unix:nlink").asInstanceOf[Int] >= 2),
+        "clone data files are not hard links")
+      clone.delete(spark, "o_orderstatus = 'F'")
+      require(src.read(spark).count() == total,
+        "a delete on the clone mutated the source table")
+      clone.read(spark).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+    Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
     q84MorDelete, q85IncrementalAgg, q95DynamicPartitionPruning,
     q96PartitionedTable, q97ChangeFeedStored, q99JdbcRoundtrip,
-    q101TableRelationSql, q103MorMerge)
+    q101TableRelationSql, q103MorMerge, q104ShallowClone)
 }

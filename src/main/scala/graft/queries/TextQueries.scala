@@ -416,8 +416,59 @@ object TextQueries {
         "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"))
   }
 
+  /** t16: hashing-trick linear quality classifier — the fastText/DCLM-style
+    * model-based quality filter: tokenize, hash each token into a weight
+    * slot (md5 → 6-hex Horner → mod 2001, the hashing trick's bucket), mean
+    * the weights, squash through a sigmoid. The WEIGHTS here are a
+    * deterministic stub standing in for a trained vector (derived from the
+    * hash itself — this sandbox trains nothing), but the pipeline shape is
+    * the production one: per-document score = sigmoid(mean of w[h(tok)]).
+    *
+    * Scale/exactness design: the Spark side is a PER-ROW higher-order fold
+    * (`aggregate(transform(split(...)))`) — zero shuffle, whole-stage
+    * codegen, 100 TB-ready — while the oracle uses the explode+GROUP BY
+    * formulation; both sum integer MILLI-weights (exact, order-invariant —
+    * a double sum would expose fold order) and apply exp/round once at the
+    * end. The keep/drop label compares the integer sum, fully exact. */
+  val t16QualityClassifier: Q = {
+    // Horner fold of the first 6 hex digits of md5(token) → [0, 16^6)
+    def horner(hx: String) = (1 to 6)
+      .map(i => s"CAST(instr('0123456789abcdef', substr($hx, $i, 1)) - 1 AS BIGINT)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+    val sparkWm = s"${horner("md5(CAST(w AS BINARY))")} % 2001 - 1000"
+    val duckWm = s"${horner("md5(w)")} % 2001 - 1000"
+    Q(
+      "t16_quality_classifier",
+      (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        spark.sql(
+          s"""SELECT doc_id,
+             |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tok,
+             |  round(1 / (1 + exp(-(CAST(aggregate(
+             |      transform(split(text, ' '), w -> CAST($sparkWm AS BIGINT)),
+             |      0L, (a, x) -> a + x) AS DOUBLE)
+             |    / (1000.0 * size(split(text, ' ')))))), 6) AS quality_score,
+             |  CASE WHEN aggregate(
+             |      transform(split(text, ' '), w -> CAST($sparkWm AS BIGINT)),
+             |      0L, (a, x) -> a + x) >= 0 THEN 'keep' ELSE 'drop' END AS label
+             |FROM documents""".stripMargin)
+      },
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           |s AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           |    sum(CAST($duckWm AS BIGINT)) AS wm
+           |  FROM tok GROUP BY doc_id)
+           |SELECT doc_id, n_tok,
+           |  round(1 / (1 + exp(-(CAST(wm AS DOUBLE) / (1000.0 * n_tok)))), 6)
+           |    AS quality_score,
+           |  CASE WHEN wm >= 0 THEN 'keep' ELSE 'drop' END AS label
+           |FROM s""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
     t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split,
-    t15UnigramLogprob)
+    t15UnigramLogprob, t16QualityClassifier)
 }

@@ -85,14 +85,24 @@ final class TableStreamProvider extends StreamSourceProvider with StreamSinkProv
   }
 
   /** Batch read: `spark.read.format("graft-table").option("path", root)`
-    * (+ `versionAsOf` / `relativeVersion` time travel). Also what SQL
+    * (+ `versionAsOf` / `relativeVersion` / `timestampAsOf` time travel;
+    * the timestamp accepts epoch millis, `yyyy-MM-dd HH:mm:ss`, or ISO-8601
+    * instants, Delta-style). Also what SQL
     * `CREATE TABLE ... USING `graft-table`` resolves to. */
   override def createRelation(
       sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation =
-    new TableRelation(sqlContext.sparkSession, table(parameters),
-      versionAsOf = parameters.get("versionAsOf").map(_.toLong),
+      parameters: Map[String, String]): BaseRelation = {
+    val t = table(parameters)
+    val tsVersion = parameters.get("timestampAsOf").map { s =>
+      val millis = scala.util.Try(s.toLong).getOrElse(
+        scala.util.Try(java.sql.Timestamp.valueOf(s).getTime).getOrElse(
+          java.time.Instant.parse(s).toEpochMilli))
+      t.resolveAsOfTimestamp(millis)
+    }
+    new TableRelation(sqlContext.sparkSession, t,
+      versionAsOf = parameters.get("versionAsOf").map(_.toLong).orElse(tsVersion),
       relativeVersion = parameters.get("relativeVersion").map(_.toInt))
+  }
 
   /** Batch write: `df.write.format("graft-table").mode(...)` — Overwrite is
     * a snapshot commit, Append an incremental append (first write creates);

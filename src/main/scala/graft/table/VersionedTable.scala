@@ -85,6 +85,65 @@ final class VersionedTable(val root: String,
     }
   }
 
+  /** SHALLOW CLONE (Delta `CLONE` parity): a new independent table at
+    * `targetRoot` whose version 0 is this table's current snapshot — data
+    * files, stats, deletion vectors, partition layout, constraints, and
+    * table properties — created WITHOUT copying data: every referenced file
+    * is hard-linked (same-filesystem, O(files) metadata ops, zero bytes;
+    * cross-device falls back to a copy per file). Hard links keep names
+    * table-relative, so every existing mechanism — DV keys, touched-file
+    * detection, stats skipping, vacuum — works on the clone unchanged, and
+    * divergence is free: writes to either side rewrite/append their OWN
+    * manifest chain, and vacuum unlinks only a root's own links (the inode
+    * survives while any table references it). On object stores the analogue
+    * is server-side copy or absolute-path references (the CommitStore
+    * conditional-PUT discussion); hard links are the local/HDFS-native form
+    * of the same zero-copy contract. Txn marks and the CDF history do NOT
+    * carry (Delta semantics: the clone is a new table with a fresh history).
+    * Returns the clone. */
+  def cloneShallow(targetRoot: String): VersionedTable = {
+    val v = resolve()
+    val tgt = VersionedTable(targetRoot)
+    require(tgt.latestVersion().isEmpty,
+      s"cloneShallow target $targetRoot already has a committed version")
+    val refs = filesOf(v) ++ dvsOf(v)
+    refs.foreach { f =>
+      val src = Paths.get(root).resolve(f)
+      val dst = Paths.get(targetRoot).resolve(f)
+      Files.createDirectories(dst.getParent)
+      try { Files.createLink(dst, src); () }
+      catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    }
+    tgt.publish(filesOf(v), schemaOf(v).map(_.json).getOrElse(
+        throw new IllegalStateException(s"version $v of $root has no recorded schema")),
+      statsOf(v), txn = None, base = None, constraints = constraintsOf(v),
+      dvs = dvsOf(v), partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v))
+    val props = properties
+    if (props.nonEmpty) tgt.setProperties(props)
+    tgt
+  }
+
+  /** Timestamp time travel (Delta's `timestampAsOf`): the newest version
+    * whose manifest was published at or before `ts`. Commit times are the
+    * manifests' filesystem mtimes — the same clock [[history]] reports, and
+    * the only one the format has (a manifest is immutable once linked, so
+    * its mtime IS its publish time). Millisecond input; refuses a timestamp
+    * that precedes the oldest RETAINED version (vacuum may have dropped
+    * earlier ones — resolving to a wrong-but-plausible version would be a
+    * silent correctness hole). */
+  def resolveAsOfTimestamp(ts: Long): Long = {
+    val vs = versions()
+    require(vs.nonEmpty, s"no committed version at $root")
+    val stamped = vs.map(v => v -> Files.getLastModifiedTime(manifestPath(v)).toMillis)
+    val at = stamped.filter(_._2 <= ts).map(_._1).maxOption
+    at.getOrElse(throw new IllegalArgumentException(
+      s"timestamp $ts precedes the oldest retained version of $root " +
+        s"(earliest commit at ${stamped.head._2}); earlier versions may have been vacuumed"))
+  }
+
   private def filesOf(v: Long): Seq[String] = {
     val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
     node.get("files").elements().asScala.map(_.asText()).toSeq

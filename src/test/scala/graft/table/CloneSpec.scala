@@ -1,0 +1,77 @@
+package graft.table
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shallow clone ([[VersionedTable.cloneShallow]]) and timestamp time
+  * travel ([[VersionedTable.resolveAsOfTimestamp]] + the reader's
+  * `timestampAsOf` option). */
+class CloneSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("clone is zero-copy, reads identically, and diverges independently") {
+    val base = tmpDir("clone-")
+    val src = VersionedTable(base + "/src")
+    src.commit(spark.range(0, 1000).selectExpr("id AS k", "id % 7 AS v"),
+      numPartitions = Some(4), sortBy = Seq("k"))
+    src.deleteMor(spark, "k = 5") // a DV must carry into the clone
+    val clone = src.cloneShallow(base + "/dst")
+    assert(clone.read(spark).as[(Long, Long)].collect().sorted.toSeq
+      === src.read(spark).as[(Long, Long)].collect().sorted.toSeq)
+    // zero-copy: every cloned data file shares its source inode (hard link)
+    val linked = java.nio.file.Files.walk(java.nio.file.Paths.get(base + "/dst/data"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path]).filter(_.toString.endsWith(".parquet"))
+    assert(linked.nonEmpty)
+    linked.foreach { p =>
+      assert(java.nio.file.Files.getAttribute(p, "unix:nlink").asInstanceOf[Int] >= 2,
+        s"$p is not hard-linked")
+    }
+    // divergence: a delete on the clone leaves the source untouched
+    clone.delete(spark, "v = 0")
+    assert(src.read(spark).count() === 999)
+    assert(clone.read(spark).filter("v = 0").count() === 0)
+    // ...and an append to the source leaves the clone untouched
+    src.append(Seq((5000L, 1L)).toDF("k", "v"))
+    assert(clone.read(spark).filter("k = 5000").count() === 0)
+  }
+
+  test("clone carries stats (skipping works), constraints, and properties") {
+    val base = tmpDir("clone-")
+    val src = VersionedTable(base + "/src")
+    src.commit(spark.range(0, 4000).selectExpr("id", "id % 7 AS v"),
+      numPartitions = Some(8), sortBy = Seq("id"))
+    src.setProperties(Map("enableChangeDataFeed" -> "true"))
+    val clone = src.cloneShallow(base + "/dst")
+    val (_, kept, total) = clone.readBounded(spark, Seq(("id", Some("1"), Some("400"))))
+    assert(total === 8 && kept === 1)
+    assert(clone.cdfEnabled)
+    // fresh history: the clone starts at version 0 with no txn marks
+    assert(clone.versions() === Seq(0L))
+    assert(clone.lastTxn("any").isEmpty)
+  }
+
+  test("cloning onto an existing table is refused") {
+    val base = tmpDir("clone-")
+    val src = VersionedTable(base + "/src")
+    src.commit(Seq((1L, 1L)).toDF("k", "v"))
+    src.cloneShallow(base + "/dst")
+    intercept[IllegalArgumentException] { src.cloneShallow(base + "/dst") }
+  }
+
+  test("timestampAsOf resolves to the newest commit at or before the instant") {
+    val base = tmpDir("ts-")
+    val t = VersionedTable(base + "/t")
+    t.commit(Seq((1L, "a")).toDF("id", "k"))
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    t.append(Seq((2L, "b")).toDF("id", "k"))
+    assert(t.resolveAsOfTimestamp(between) === 0L)
+    assert(t.resolveAsOfTimestamp(System.currentTimeMillis()) === 1L)
+    intercept[IllegalArgumentException] { t.resolveAsOfTimestamp(1000L) } // pre-history
+    // through the reader option (epoch-millis form)
+    val v0 = spark.read.format("graft-table").option("path", base + "/t")
+      .option("timestampAsOf", between.toString).load()
+    assert(v0.count() === 1)
+  }
+}
