@@ -377,6 +377,41 @@ object SimilarityQueries {
          |ORDER BY sim DESC, c.vec_id
          |LIMIT 10""".stripMargin))
 
+  /** d11: SemDeDup-style SEMANTIC deduplication — the embedding-space
+    * analogue of MinHash dedup (Abbas et al. 2023): cluster every vector to
+    * its nearest centroid (the same broadcast assignment as d5/s2), then
+    * within each cluster DROP every item that has a lower-id near-duplicate
+    * (cosine ≥ τ). The keep rule is id-ordered dominance — the deterministic,
+    * join-expressible form of SemDeDup's greedy keep-one (equal to it
+    * whenever near-duplicate sets are cliques, the common case at tight τ).
+    * Scale: pairs form ONLY within clusters (the d5 bucketing argument —
+    * no all-pairs join), the drop set is a distinct projection of the edge
+    * list, and the final anti join is broadcastable (drop set ≪ corpus). */
+  val d11SemanticDedup: Q = Q(
+    "d11_semantic_dedup",
+    (spark, dir) => {
+      val a = assigned(spark, dir)
+      val left = a.select(col("c_id"), col("vec_id").as("a_id"),
+        col("v").as("va"), col("nv").as("na"))
+      val right = a.select(col("c_id").as("c_id2"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nv").as("nb"))
+      val dropped = left
+        .join(right, col("c_id") === col("c_id2") && col("a_id") < col("b_id"))
+        .withColumn("sim", cosineWithNorms6(col("va"), col("na"), col("vb"), col("nb")))
+        .filter(col("sim") >= 0.45)
+        .select(col("b_id")).distinct()
+      a.select(col("vec_id"), col("label"), col("c_id"))
+        .join(broadcast(dropped), col("vec_id") === col("b_id"), "left_anti")
+    },
+    Some(
+      s"""WITH $duckAssigned,
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+         |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         |  WHERE round(${duckCos("a.v", "b.v")}, 6) >= 0.45)
+         |SELECT vec_id, label, c_id FROM assigned
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin))
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
-    s4QuantizeInt8, s5KnnJoin, s6IvfPq)
+    s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup)
 }

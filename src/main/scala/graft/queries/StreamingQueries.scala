@@ -513,8 +513,49 @@ object StreamingQueries {
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE value >= 0 GROUP BY event_type""".stripMargin))
 
+  /** q105: q75's continuous CDC upsert with the MERGE-ON-READ path — every
+    * micro-batch lands as DV tombstones + appended post-images
+    * (O(changed rows) write cost) instead of COW file rewrites, then one
+    * final [[graft.table.VersionedTable.compact]] materializes the
+    * tombstones (asserted: DVs cleared). The steady-state 100 TB CDC shape:
+    * cheap continuous writes, amortized off-path compaction. Same
+    * latest-per-key oracle as q75. */
+  val q105StreamCdcMor: Q = Q(
+    "q105_stream_cdc_mor",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-cdcm-").toString
+      val ev = Tables.table(spark, dir, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      graft.table.VersionedTable(s"$base/table").commit(ev.limit(0))
+      Seq(0, 1, 2).foreach { i =>
+        ev.filter(pmod($"event_id", lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(s"$base/landing")
+        val q = graft.streaming.StreamingEtl.cdcUpsertStream(spark, s"$base/landing",
+          ev.schema, s"$base/table", "user_id", Seq("ts", "event_id"),
+          s"$base/ckpt", mor = true)
+        require(q.awaitTermination(300000), s"CDC batch $i timed out")
+      }
+      val t = graft.table.VersionedTable(s"$base/table")
+      require(t.dvFileCount() > 0, "expected MOR batches to leave DV tombstones")
+      t.compact(spark)
+      // compaction materialized the tombstones: the head carries no DVs
+      // (delete-free reads from here on — the amortization actually landed)
+      require(t.dvFileCount() == 0, "compact did not clear the deletion vectors")
+      t.read(spark)
+        .select($"user_id", $"ts".as("last_ts"),
+          $"event_type".as("last_type"), $"value".as("last_value"))
+    },
+    Some(
+      """SELECT user_id, ts::TIMESTAMP AS last_ts, event_type AS last_type,
+        |  value AS last_value
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin))
+
   val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch,
     q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions, q75StreamCdcUpsert,
     q88StreamOuterJoin, q92StreamTws, q98TwsSessionTimers, q100StreamTableSource,
-    q102StreamTableSink)
+    q102StreamTableSink, q105StreamCdcMor)
 }

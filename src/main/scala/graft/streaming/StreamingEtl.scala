@@ -258,7 +258,8 @@ object StreamingEtl {
       tableRoot: String,
       key: String,
       orderCols: Seq[String],
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      mor: Boolean = false): StreamingQuery = {
     require(orderCols.nonEmpty, "orderCols must name at least one ordering column")
     exactlyOnceStream(spark, landingDir, schema, tableRoot, checkpointDir) {
       (table, batch, batchId) =>
@@ -273,9 +274,16 @@ object StreamingEtl {
             .mkString("(", " AND ", ")")
         }.mkString(" OR ")
         val setAll = schema.fieldNames.map(c => c -> s"source.$c").toMap
-        table.mergeCow(spark, latest, s"source.$key = target.$key", key, key,
-          whenMatchedUpdate = Some(Merge.MatchedUpdate(Some(newer), setAll)),
-          whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None, Map.empty)),
+        val cond = s"source.$key = target.$key"
+        val upd = Some(Merge.MatchedUpdate(Some(newer), setAll))
+        val ins = Some(Merge.NotMatchedInsert(None, Map.empty))
+        // mor: each micro-batch writes DV tombstones + the batch itself
+        // (O(changed rows)) instead of rewriting the touched files — the
+        // steady-state shape for continuous CDC into a wide 100 TB table,
+        // with compaction amortizing the read-side DV tax off-path
+        if (mor) table.mergeMor(spark, latest, cond, key, key, upd, None, ins,
+          txn = Some(checkpointDir -> batchId))
+        else table.mergeCow(spark, latest, cond, key, key, upd, None, ins,
           txn = Some(checkpointDir -> batchId))
         ()
     }

@@ -159,7 +159,8 @@ final class TableStreamProvider extends StreamSourceProvider with StreamSinkProv
     new TableStreamSource(sqlContext.sparkSession, table(parameters),
       readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean),
       startingVersion = parameters.get("startingVersion").map(_.toLong),
-      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
+      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toLong))
 }
 
 final class TableStreamSource(
@@ -167,7 +168,25 @@ final class TableStreamSource(
     table: VersionedTable,
     readChangeFeed: Boolean,
     startingVersion: Option[Long],
-    skipChangeCommits: Boolean) extends Source {
+    skipChangeCommits: Boolean,
+    maxVersionsPerBatch: Option[Long] = None) extends Source {
+
+  maxVersionsPerBatch.foreach(m => require(m >= 1,
+    s"maxVersionsPerBatch must be >= 1, got $m"))
+
+  /** Admission control (Delta's maxFilesPerTrigger analogue, by commit
+    * count): with `maxVersionsPerBatch=m`, [[getOffset]] advertises at most
+    * `m` versions past the last batch end this source has PLANNED — pacing
+    * a stream that falls far behind a hot table into bounded micro-batches
+    * instead of one giant catch-up batch. V1-source honesty: the planned
+    * end is tracked here (the checkpoint replays it through [[getBatch]] on
+    * restart, re-seeding the cursor before the first new [[getOffset]]), so
+    * pacing survives restarts; the FIRST batch of a fresh stream without a
+    * `startingVersion` has no cursor yet and is the full snapshot, exactly
+    * like Delta's initial snapshot batch (a snapshot cannot be split in
+    * append mode); with a `startingVersion` the cursor seeds there and the
+    * cap applies from batch one. */
+  private var plannedEnd: Option[Long] = startingVersion
 
   override val schema: StructType = {
     val base = table.schemaOf(table.resolve()).getOrElse(throw new IllegalStateException(
@@ -177,7 +196,13 @@ final class TableStreamSource(
   }
 
   override def getOffset: Option[Offset] =
-    table.latestVersion().map(LongOffset(_))
+    table.latestVersion().map { latest =>
+      val capped = (maxVersionsPerBatch, plannedEnd) match {
+        case (Some(m), Some(c)) => math.min(latest, c + m)
+        case _ => latest
+      }
+      LongOffset(capped)
+    }
 
   /** Offsets round-trip through the checkpoint as JSON — accept both live
     * [[LongOffset]]s and replayed serialized ones. */
@@ -211,6 +236,7 @@ final class TableStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val e = ver(end)
+    plannedEnd = Some(e)
     val batch = (start.map(ver), readChangeFeed) match {
       // first batch, CDF: the starting snapshot plays the seed inserts
       // (startingVersion, when set, is a CURSOR — emit changes after it)

@@ -85,6 +85,12 @@ final class VersionedTable(val root: String,
     }
   }
 
+  /** Number of deletion-vector sidecar files the head (or `v`) references —
+    * the observable MOR debt: 0 means every read is DV-join-free. The
+    * DESCRIBE DETAIL-style health probe a compaction scheduler keys on. */
+  def dvFileCount(v: Option[Long] = None): Int =
+    dvsOf(v.getOrElse(resolve())).size
+
   /** SHALLOW CLONE (Delta `CLONE` parity): a new independent table at
     * `targetRoot` whose version 0 is this table's current snapshot — data
     * files, stats, deletion vectors, partition layout, constraints, and

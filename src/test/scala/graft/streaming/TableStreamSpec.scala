@@ -117,4 +117,29 @@ class TableStreamSpec extends AnyFunSuite with SparkSpec {
     assert(rows === Seq((1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
       (3L, "c", "insert", 1L)))
   }
+
+  test("maxVersionsPerBatch paces catch-up into bounded micro-batches") {
+    val root = tmpDir("ts-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(Seq((0L, "s")).toDF("id", "k"))
+    (1 to 6).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "k")))
+    // a ProcessingTime stream over the 6-versions-behind table: with the
+    // cap at 2, catch-up needs ceil(6/2)=3 incremental batches after the
+    // snapshot batch, each spanning at most 2 versions
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("startingVersion", "0").option("maxVersionsPerBatch", "2").load()
+      .writeStream.format("memory").queryName("ts_paced")
+      .option("checkpointLocation", tmpDir("ts-ckpt-"))
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table("ts_paced").count() < 6 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q.stop()
+    assert(spark.table("ts_paced").count() === 6) // every appended row, once
+    // the progress log proves the pacing: no batch carried more than 2
+    // versions' worth of rows (one row per version here)
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(sizes.nonEmpty && sizes.forall(_ <= 2),
+      s"batch sizes ${sizes.mkString(",")} exceeded the 2-version cap")
+  }
 }
