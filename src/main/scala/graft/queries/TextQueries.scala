@@ -467,8 +467,48 @@ object TextQueries {
            |FROM s""".stripMargin))
   }
 
+  /** t17: BIGRAM conditional log-probability scoring — t15's unigram LM
+    * upgraded to the perplexity-filter shape real pipelines run (KenLM-style
+    * n-gram scoring, n=2): a corpus-level conditional model
+    * `p(w2|w1) = c(w1,w2) / c(w1·)` scores each document by its mean bigram
+    * log-probability. Low scorers are word-salad candidates a unigram model
+    * cannot see (every word common, transitions nonsense). Same exactness
+    * discipline as t15: per-bigram logprob rounds to 6dp and sums as
+    * DECIMAL(18,6) — order-invariant — before one final division. Documents
+    * with fewer than two tokens have no bigrams and drop out (both sides).
+    * Scale: two corpus-count aggregations (bigram + prefix marginal) joined
+    * back — three hash shuffles total, no per-document state. */
+  val t17BigramLogprob: Q = {
+    def score(pairsFrom: String) =
+      s"""WITH $pairsFrom,
+         |cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+         |        FROM pairs GROUP BY w1, w2),
+         |pre AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw
+         |        FROM pairs GROUP BY w1),
+         |sc AS (
+         |  SELECT p.doc_id,
+         |    CAST(round(ln(CAST(c.c AS DOUBLE) / pr.cw), 6) AS DECIMAL(18,6)) AS lp
+         |  FROM pairs p
+         |  JOIN cnt c ON c.w1 = p.w1 AND c.w2 = p.w2
+         |  JOIN pre pr ON pr.w1 = p.w1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+         |FROM sc GROUP BY doc_id""".stripMargin
+    Q.dualSql("t17_bigram_logprob",
+      sparkSql = score(
+        """t AS (SELECT doc_id, split(text, ' ') AS l FROM documents),
+          |pairs AS (
+          |  SELECT doc_id, w AS w1, l[pos + 1] AS w2
+          |  FROM t LATERAL VIEW posexplode(slice(l, 1, size(l) - 1)) p AS pos, w)""".stripMargin),
+      duckSql = score(
+        """t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          |z AS (SELECT doc_id,
+          |        unnest(list_zip(l[1:length(l)-1], l[2:])) AS zz FROM t),
+          |pairs AS (SELECT doc_id, zz[1] AS w1, zz[2] AS w2 FROM z)""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
     t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split,
-    t15UnigramLogprob, t16QualityClassifier)
+    t15UnigramLogprob, t16QualityClassifier, t17BigramLogprob)
 }

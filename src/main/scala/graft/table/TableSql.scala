@@ -1,0 +1,64 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Maintenance-DDL surface for [[VersionedTable]] — the Delta-SQL verbs a
+  * reference user drives their lake with (`scd2-job.ipynb` runs its table
+  * maintenance through SQL stages), mapped onto the table API:
+  *
+  * {{{
+  *   OPTIMIZE '<path>' [ZORDER BY (c1[, c2...])]
+  *   VACUUM '<path>' [RETAIN <n> VERSIONS]
+  *   DESCRIBE HISTORY '<path>'
+  *   RESTORE '<path>' TO VERSION AS OF <v>
+  *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>'
+  * }}}
+  *
+  * Parsing is a small anchored-regex dispatcher, NOT a SQL engine: data
+  * queries belong to Spark SQL (`CREATE TABLE ... USING graft-table` and
+  * everything after it); this surface exists so the five maintenance verbs,
+  * which Spark's parser cannot route to a V1 relation, still have a SQL
+  * spelling. Every verb returns a DataFrame: `DESCRIBE HISTORY` the real
+  * history, the others a one-row status frame (verb, path, result version).
+  */
+object TableSql {
+
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  private val Clone =
+    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'\s*""".r
+
+  private def status(spark: SparkSession, verb: String, path: String,
+      version: Long): DataFrame = {
+    import spark.implicits._
+    Seq((verb, path, version)).toDF("operation", "path", "version")
+  }
+
+  def run(spark: SparkSession, sql: String): DataFrame = sql match {
+    case Optimize(path, null) =>
+      status(spark, "OPTIMIZE", path, VersionedTable(path).compact(spark))
+    case Optimize(path, cols) =>
+      status(spark, "OPTIMIZE ZORDER", path, VersionedTable(path).compact(spark,
+        zOrderBy = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq))
+    case Vacuum(path, retain) =>
+      val t = VersionedTable(path)
+      val n = t.vacuum(retainVersions = Option(retain).map(_.toInt).getOrElse(2))
+      status(spark, "VACUUM", path, n.toLong) // version column carries the sweep count
+    case History(path) => VersionedTable(path).history(spark)
+    case Restore(path, v) =>
+      status(spark, "RESTORE", path, VersionedTable(path).restore(v.toLong))
+    case Clone(dst, src) =>
+      VersionedTable(src).cloneShallow(dst)
+      status(spark, "SHALLOW CLONE", dst, 0L)
+    case other => throw new IllegalArgumentException(
+      s"unrecognized graft maintenance statement: '$other' — supported: OPTIMIZE, " +
+        "VACUUM, DESCRIBE HISTORY, RESTORE ... TO VERSION AS OF, CREATE TABLE ... SHALLOW CLONE")
+  }
+}
