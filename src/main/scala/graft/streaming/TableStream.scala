@@ -218,7 +218,16 @@ final class TableStreamSource(
   private def appendBatch(s: Long, e: Long): DataFrame = {
     val vs = table.versions()
     val steps = vs.filter(v => v > s && v <= e)
-    val frames = steps.zip(vs.filter(_ >= s)).flatMap { case (v, prev) =>
+    // the checkpointed cursor must itself still be retained: if vacuum
+    // dropped version s, pairing steps against the surviving list would
+    // misalign (prev == v for the first step) and SILENTLY skip that
+    // commit's appended rows — fail loudly instead, like changeFeed does
+    // for a vacuumed endpoint
+    if (steps.nonEmpty && !vs.contains(s))
+      throw new IllegalStateException(
+        s"stream offset version $s of ${table.root} is no longer retained " +
+          "(vacuumed); restart from a fresh checkpoint or a retained startingVersion")
+    val frames = steps.zip(s +: steps).flatMap { case (v, prev) =>
       table.cdfKindOf(v) match {
         case Some("append") => Some(table.appendsSince(spark, prev, Some(v)))
         case Some("none") => None
@@ -316,19 +325,71 @@ final class TableRelation(
       s"version $v of ${t.root} has no recorded schema"))
   }
 
+  /** Render a pushed filter value EXACTLY as the manifest stats render
+    * column values (Spark's cast-to-string of the scanned column): the
+    * prune-time comparison is string-vs-string (BigDecimal for kind "num",
+    * lexicographic for "str"), so a value rendered any other way silently
+    * drops live files — and file pruning is NOT advisory (row-level
+    * re-filtering cannot resurrect a pruned file). Temporals: the stats
+    * cast renders the instant in the SESSION time zone with the fractional
+    * second trimmed of trailing zeros and omitted when whole —
+    * `java.sql.Timestamp.toString` instead renders ".0" for whole seconds
+    * and uses the JVM default zone, so both Timestamp and Instant go
+    * through one session-zone formatter. Dates are zone-free ISO either
+    * way. A value of any unrecognized type contributes NO bound: no
+    * pruning, always safe. */
+  private def render(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some(s)
+    case n: java.lang.Number => Some(n.toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case t: java.sql.Timestamp => renderInstant(t.toInstant)
+    case i: java.time.Instant => renderInstant(i)
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case _ => None
+  }
+
+  private def renderInstant(i: java.time.Instant): Option[String] = {
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val t = java.time.LocalDateTime.ofInstant(i, zone)
+    val frac =
+      if (t.getNano == 0) ""
+      else "." + f"${t.getNano}%09d".reverse.dropWhile(_ == '0').reverse
+    Some(f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d " +
+      f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d$frac")
+  }
+
   /** Conjunctive filters → per-column [lo, hi] bounds for stats skipping.
     * Only shapes whose bound is exact survive; everything else contributes
-    * no bound (and is still applied row-level by Spark). */
+    * no bound (and is still applied row-level by Spark). An In's min/max is
+    * taken in the ORDER the prune-time comparison will use — numeric when
+    * every value is numeric (a numeric column's stats kind is "num"),
+    * lexicographic otherwise — never the lexicographic order of numeric
+    * strings (IN (5, 3000) would otherwise bound to [3000, 5] and prune
+    * every matching file). */
   private def bounds(filters: Array[Filter]): Seq[(String, Option[String], Option[String])] =
     filters.toSeq.flatMap {
-      case EqualTo(c, v) if v != null => Seq((c, Some(v.toString), Some(v.toString)))
-      case GreaterThan(c, v) if v != null => Seq((c, Some(v.toString), None))
-      case GreaterThanOrEqual(c, v) if v != null => Seq((c, Some(v.toString), None))
-      case LessThan(c, v) if v != null => Seq((c, None, Some(v.toString)))
-      case LessThanOrEqual(c, v) if v != null => Seq((c, None, Some(v.toString)))
+      case EqualTo(c, v) => render(v).map(s => (c, Some(s), Some(s))).toSeq
+      case GreaterThan(c, v) => render(v).map(s => (c, Some(s), None: Option[String])).toSeq
+      case GreaterThanOrEqual(c, v) => render(v).map(s => (c, Some(s), None: Option[String])).toSeq
+      case LessThan(c, v) => render(v).map(s => (c, None: Option[String], Some(s))).toSeq
+      case LessThanOrEqual(c, v) => render(v).map(s => (c, None: Option[String], Some(s))).toSeq
       case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
-        val s = vs.map(_.toString)
-        Seq((c, Some(s.min), Some(s.max)))
+        val rendered = vs.toSeq.map(render)
+        if (rendered.exists(_.isEmpty)) Nil
+        else {
+          val ss = rendered.flatten
+          if (vs.forall(_.isInstanceOf[java.lang.Number])) {
+            // NaN renders unparseable — emit no bound rather than misorder
+            val keys = ss.map(s => scala.util.Try(BigDecimal(s)).toOption)
+            if (keys.exists(_.isEmpty)) Nil
+            else {
+              val sorted = ss.sortBy(s => BigDecimal(s))
+              Seq((c, Some(sorted.head), Some(sorted.last)))
+            }
+          } else Seq((c, Some(ss.min), Some(ss.max)))
+        }
       case And(l, r) => bounds(Array(l)) ++ bounds(Array(r))
       case _ => Nil
     }

@@ -39,14 +39,23 @@ object LinkCommitStore extends CommitStore {
   }
 }
 
-/** Conditional-PUT shape: one atomic CREATE_NEW write, no temp file — the
-  * local-filesystem model of `PUT If-None-Match: *`. Kept separate from
-  * [[LinkCommitStore]] so the protocol is proven against BOTH semantics
-  * (the race specs run against each). */
+/** Conditional-PUT shape: the local-filesystem model of
+  * `PUT If-None-Match: *`. A real conditional PUT is atomic at OBJECT
+  * granularity — the key either doesn't exist or holds the complete bytes,
+  * never a prefix. `Files.write(CREATE_NEW)` does NOT model that: the name
+  * becomes visible at create, before the bytes land, so a concurrent
+  * manifest reader could observe a truncated document — violating the
+  * trait's no-partial-reads contract. Model the visible-name semantics the
+  * same way [[LinkCommitStore]] does (full temp write, then an atomic
+  * create-only link); a deployment subclasses with the store SDK's own
+  * conditional PUT, which is atomic natively. Kept a separate object so the
+  * race specs keep proving the protocol against both entry points. */
 object ConditionalPutCommitStore extends CommitStore {
-  override def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean =
-    try {
-      Files.write(target, bytes, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      true
-    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  override def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean = {
+    val tmp = target.getParent.resolve(s".put-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, bytes, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    try { Files.createLink(target, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally { Files.deleteIfExists(tmp); () }
+  }
 }

@@ -249,6 +249,24 @@ final class VersionedTable(val root: String,
     * `=`, so segment matching is exact. */
   private val RelExtract = "(data/[^/=]+(?:/[^/=]+=[^/]*)*/[^/]+)$"
 
+  /** Decode the percent-escapes a Path→URI rendering adds (space → `%20`,
+    * the literal '%' of a Hive-escaped dir name → `%25`…), recovering the
+    * ON-DISK name the manifest records. URI semantics, not form-decoding: a
+    * literal '+' is a legal raw path char and must survive, so it is
+    * protected before URLDecoder (which would read it as a space). Scan
+    * paths (`_metadata.file_path`, `input_file_name`) are URI renderings;
+    * manifest/DV/partition-frame names are on-disk — every comparison
+    * between the two goes through this decode or its column form below. */
+  private def uriDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Column form of [[uriDecode]] (codegen'd, no UDF). */
+  private def uriDecodeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, replace => strReplace, url_decode}
+    url_decode(strReplace(c, lit("+"), lit("%2B")))
+  }
+
   /** Column names claimed by scanLive's position bookkeeping. */
   private val Reserved = Set("__rel", "__ri")
 
@@ -285,7 +303,7 @@ final class VersionedTable(val root: String,
       .getOrElse(spark.read.parquet(paths: _*))
     if (dvs.isEmpty && !keepPos && partitionBy.isEmpty) return base
     val withPos = base.select(col("*"),
-      regexp_extract(col("_metadata.file_path"), RelExtract, 1).as("__rel"),
+      uriDecodeCol(regexp_extract(col("_metadata.file_path"), RelExtract, 1)).as("__rel"),
       col("_metadata.row_index").as("__ri"))
     val live =
       if (dvs.isEmpty) withPos
@@ -838,7 +856,10 @@ final class VersionedTable(val root: String,
       Seq(fmin(col(c)).cast("string").as(s"min_$c"), fmax(col(c)).cast("string").as(s"max_$c")) }
     val dataStats = written.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
       .collect().map { row =>
-        val fname = row.getString(0)
+        // input_file_name is a URI rendering; the manifest records on-disk
+        // names — decode so stats key by the SAME string (a %20-encoded
+        // partition dir would otherwise silently lose its data-column stats)
+        val fname = uriDecode(row.getString(0))
         // table-relative path: everything from the commit dir onward (works
         // for hive-partitioned sub-paths, unlike basename splicing)
         val idx = fname.indexOf(s"data/$commitId/")

@@ -118,6 +118,29 @@ class TableStreamSpec extends AnyFunSuite with SparkSpec {
       (3L, "c", "insert", 1L)))
   }
 
+  test("a vacuumed stream offset fails loudly instead of skipping commits") {
+    val root = tmpDir("ts-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(Seq((0L, "s")).toDF("id", "k"))
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "k")))
+    t.vacuum(retainVersions = 2, orphanRetentionMs = 0) // retained: {3, 4}
+    // a cursor at vacuumed version 0 cannot know which of versions 1-2's
+    // rows it already delivered — the batch must refuse, not misalign the
+    // step pairing and silently drop version 3's append
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName("ts_vac")
+      .option("checkpointLocation", tmpDir("ts-ckpt-"))
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no longer retained")), s"unexpected failure: $e")
+  }
+
   test("maxVersionsPerBatch paces catch-up into bounded micro-batches") {
     val root = tmpDir("ts-") + "/t"
     val t = VersionedTable(root)

@@ -86,6 +86,34 @@ class CommitStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  stores.foreach { case (name, store) =>
+    test(s"[$name] a visible manifest is always COMPLETE (no partial reads)") {
+      // the trait's contract the whole protocol leans on: latestVersion()
+      // followed by a manifest read must never see a truncated document. A
+      // polling reader races 64 puts; any observation of a visible target
+      // with fewer bytes than the full payload is a violation (CREATE_NEW
+      // without a temp stage exposes the name before the bytes land).
+      val dir = Paths.get(tmpDir("cs-"))
+      val payload = Array.fill(512 * 1024)('x'.toByte)
+      @volatile var running = true
+      @volatile var violation: Option[Long] = None
+      val reader = new Thread(() => {
+        while (running) {
+          Option(dir.toFile.list()).toSeq.flatten.filterNot(_.startsWith(".")).foreach { n =>
+            val sz = try Files.size(dir.resolve(n)) catch { case _: Exception => payload.length.toLong }
+            if (sz != payload.length.toLong && violation.isEmpty) violation = Some(sz)
+          }
+        }
+      })
+      reader.start()
+      (0 until 64).foreach(i => assert(store.putIfAbsent(dir.resolve(f"v$i%08d.json"), payload)))
+      running = false
+      reader.join(10000)
+      assert(violation.isEmpty,
+        s"reader observed a partial manifest of ${violation.getOrElse(-1L)} bytes")
+    }
+  }
+
   test("cross-impl: a link writer and a conditional-put writer cannot both win") {
     // one table, two processes configured with DIFFERENT store impls (a
     // migration window): the primitive is create-if-absent either way, so

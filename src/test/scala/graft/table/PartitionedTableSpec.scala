@@ -171,6 +171,27 @@ class PartitionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("partition values with URI-hostile characters round-trip exactly") {
+    // a space stays raw on disk but renders %20 in the scan's file_path URI;
+    // ':' is Hive-escaped to %3A on disk and double-encodes to %253A; '+'
+    // stays raw in both but form-decoding would read it as a space. The
+    // partition-value re-attach and DV joins compare scan paths against
+    // manifest names, so any rendering mismatch SILENTLY drops whole files.
+    val t = VersionedTable(tmpDir("pt-"))
+    val rows = Seq((1L, "a b"), (2L, "a:b"), (3L, "a+b"), (4L, "a%b"), (5L, "plain"))
+    t.commit(rows.toDF("id", "status"), partitionBy = Seq("status"))
+    assert(t.read(spark).as[(Long, String)].collect().sorted.toSeq === rows)
+    // DV tombstones key by the same decoded path: delete inside an escaped
+    // partition removes exactly that row
+    t.deleteMor(spark, "id = 2")
+    assert(t.read(spark).as[(Long, String)].collect().sorted.toSeq ===
+      rows.filterNot(_._1 == 2L))
+    // manifest partition pruning keys off the recorded (unescaped) value
+    val (pr, scanned, total) = t.readPartitioned(spark, "status = 'a b'")
+    assert(scanned === 1 && total === 5)
+    assert(pr.as[(Long, String)].collect().toSeq === Seq((1L, "a b")))
+  }
+
   test("symlink manifest refuses a partitioned version") {
     val t = VersionedTable(tmpDir("pt-"))
     t.commit(sample, partitionBy = Seq("status"))

@@ -75,6 +75,27 @@ class TableRelationSpec extends AnyFunSuite with SparkSpec {
     assert(k2 === 1)
   }
 
+  test("numeric IN and timestamp-boundary pushed filters never prune live files") {
+    val root = tmpDir("rel-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 4000).selectExpr("id",
+      "timestampadd(SECOND, CAST(id AS INT), timestamp'2024-01-01 00:00:00') AS ts"),
+      numPartitions = Some(8), sortBy = Seq("id"))
+    val df = spark.read.format("graft-table").option("path", root).load()
+    // IN with values straddling files: a lexicographic min/max of
+    // ("5", "3000") would bound [3000, 5] and prune EVERY file
+    assert(df.filter("id IN (5, 3000)").count() === 2)
+    // whole-second timestamp equality at a file's max: Timestamp.toString
+    // renders a trailing ".0" the stats rendering omits, so the boundary
+    // file would fail mx >= lo lexicographically and lose the row
+    assert(df.filter("ts = timestamp'2024-01-01 00:08:19'").count() === 1)
+    assert(df.filter("ts <= timestamp'2024-01-01 00:00:59'").count() === 60)
+    assert(df.filter("ts >= timestamp'2024-01-01 01:06:39'").count() === 1)
+    // and pruning still ENGAGES for well-rendered shapes (not just disabled)
+    val (_, kIn, total) = t.readBounded(spark, Seq(("id", Some("5"), Some("5"))))
+    assert(total === 8 && kIn === 1)
+  }
+
   test("reads apply deletion vectors and rewrites like any versioned read") {
     val root = tmpDir("rel-") + "/t"
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k")
