@@ -23,6 +23,8 @@ object Bench {
       // q44-style recursive CTEs materialize one row per (row, ancestor);
       // the 1M default cap is a scale cliff the DuckDB oracle does not share
       .config("spark.sql.cteRecursionRowLimit", "100000000")
+      .config("spark.sql.catalog.graft", classOf[graft.catalog.GraftCatalog].getName)
+      .withExtensions(new graft.catalog.GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -38,6 +38,11 @@ object Verify {
       // q44-style recursive CTEs materialize one row per (row, ancestor);
       // the 1M default cap is a scale cliff the DuckDB oracle does not share
       .config("spark.sql.cteRecursionRowLimit", "100000000")
+      // the SQL row-level surface (MERGE INTO / UPDATE / DELETE as SQL
+      // text) — the catalog resolves graft.<ns>.<table> identifiers, the
+      // extensions route the analyzed statements to the versioned kernel
+      .config("spark.sql.catalog.graft", classOf[graft.catalog.GraftCatalog].getName)
+      .withExtensions(new graft.catalog.GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,203 @@
+package graft.catalog
+
+import graft.table.VersionedTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** DSv2 `TableCatalog` over [[VersionedTable]] roots — the SQL front door
+  * the reference's users have through Delta's catalog: register once
+  * (`spark.sql.catalog.graft=graft.catalog.GraftCatalog`, plus
+  * `...graft.warehouse=<dir>`) and every catalog-identified statement works:
+  *
+  * {{{
+  *   CREATE TABLE graft.ns.t (id BIGINT, k STRING) PARTITIONED BY (k)
+  *   INSERT INTO graft.ns.t ...            -- append commit
+  *   INSERT OVERWRITE graft.ns.t ...       -- snapshot commit
+  *   SELECT * FROM graft.ns.t VERSION AS OF 3        -- time travel
+  *   SELECT * FROM graft.ns.t TIMESTAMP AS OF '...'  -- mtime-based
+  *   DELETE FROM graft.ns.t WHERE ...      -- SupportsDeleteV2 / kernel
+  *   UPDATE / MERGE INTO                   -- via GraftExtensions
+  * }}}
+  *
+  * Identifier → path mapping: `<warehouse>/<namespace...>/<name>`, or — the
+  * Delta `delta.`/abs/path`` idiom — an identifier NAME that is an absolute
+  * path addresses that table directly (`SELECT * FROM graft.`/tmp/t``).
+  *
+  * Scale note: the catalog holds NO state beyond the directory layout; table
+  * resolution is one directory existence probe, so a 10⁵-table warehouse
+  * costs nothing until a table is actually read (manifests stay lazy). */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
+      SparkSession.active.sessionState.conf.warehousePath
+        .stripPrefix("file:") + s"/graft-$name"))
+    Files.createDirectories(warehouse)
+    ()
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def isPathIdent(ident: Identifier): Boolean =
+    ident.name.startsWith("/") && ident.namespace.isEmpty
+
+  private def tablePath(ident: Identifier): Path =
+    if (isPathIdent(ident)) Paths.get(ident.name)
+    else (ident.namespace :+ ident.name).foldLeft(warehouse)(_.resolve(_))
+
+  private def nsPath(ns: Array[String]): Path = ns.foldLeft(warehouse)(_.resolve(_))
+
+  override def tableExists(ident: Identifier): Boolean =
+    VersionedTable.exists(tablePath(ident).toString)
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!VersionedTable.exists(p.toString)) throw new NoSuchTableException(ident)
+    new GraftTable(VersionedTable(p.toString), ident.toString, versionAsOf = None)
+  }
+
+  /** `VERSION AS OF <v>` — Spark hands the version text through verbatim. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!VersionedTable.exists(p.toString)) throw new NoSuchTableException(ident)
+    val t = VersionedTable(p.toString)
+    new GraftTable(t, ident.toString, versionAsOf = Some(version.toLong))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = tablePath(ident)
+    if (!VersionedTable.exists(p.toString)) throw new NoSuchTableException(ident)
+    val t = VersionedTable(p.toString)
+    new GraftTable(t, ident.toString,
+      versionAsOf = Some(t.resolveAsOfTimestamp(timestamp / 1000L)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partitionBy = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only, got $other")
+    }
+    val spark = SparkSession.active
+    val t = VersionedTable(tablePath(ident).toString)
+    // version 0: an empty snapshot carrying the declared schema + layout —
+    // the same "empty file list is a valid version" rule the format already
+    // has, so readers and appends work immediately
+    t.commit(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      partitionBy = partitionBy)
+    val userProps = properties.asScala.toMap -- Seq(
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_COMMENT)
+    if (userProps.nonEmpty) t.setProperties(userProps)
+    new GraftTable(t, ident.toString, versionAsOf = None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = VersionedTable(tablePath(ident).toString)
+    changes.foreach {
+      case set: TableChange.SetProperty => t.setProperties(Map(set.property -> set.value))
+      case rm: TableChange.RemoveProperty => t.setProperties(Map(rm.property -> null))
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"graft tables support top-level column adds only, got ${add.fieldNames.mkString(".")}")
+        // metadata-only additive widen (also the hook Spark's own
+        // MERGE WITH SCHEMA EVOLUTION resolution drives)
+        t.evolveSchema(Seq(org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType, nullable = true)))
+        ()
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported on graft tables " +
+          "(only properties and additive columns)")
+    }
+    new GraftTable(t, ident.toString, versionAsOf = None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!VersionedTable.exists(p.toString)) false
+    else { deleteRecursively(p); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val to = tablePath(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(tablePath(oldIdent), to)
+    ()
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Option(dir.toFile.list()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(n => VersionedTable.exists(dir.resolve(n).toString))
+      .sorted.map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  // -- namespaces: directories under the warehouse ---------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(warehouse.toFile.list()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(n => Files.isDirectory(warehouse.resolve(n)) &&
+        !VersionedTable.exists(warehouse.resolve(n).toString))
+      .sorted.map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || Files.isDirectory(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(nsPath(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val dir = nsPath(namespace)
+    if (!cascade && Option(dir.toFile.list()).exists(_.nonEmpty))
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    deleteRecursively(dir); true
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Option(p.toFile.list()).toSeq.flatten.foreach(n => deleteRecursively(p.resolve(n)))
+    Files.deleteIfExists(p)
+    ()
+  }
+}

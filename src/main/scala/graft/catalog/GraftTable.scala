@@ -1,0 +1,217 @@
+package graft.catalog
+
+import graft.table.{StatsBounds, VersionedTable}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => VExpression, Literal => VLiteral}
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue, Predicate, And => VAnd, Not => VNot, Or => VOr}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwriteV2, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** DSv2 face of a [[VersionedTable]]: batch reads through the same
+  * stats-pruned scan the `graft-table` V1 relation uses (the V1Scan
+  * fallback keeps Spark's whole parquet read/write machinery — columnar
+  * batches, codegen — instead of reimplementing a reader), appends and
+  * overwrites as versioned commits, and row-level SQL:
+  *
+  *  - `DELETE FROM` with a translatable predicate routes here natively via
+  *    [[SupportsDeleteV2]] — COW rewrite or MOR deletion vectors, chosen by
+  *    the `enableDeletionVectors` table property (Delta's knob);
+  *  - `UPDATE` / `MERGE INTO` (and untranslatable deletes) go through
+  *    [[GraftExtensions]]' analyzer rule to the merge kernel.
+  *
+  * A `versionAsOf` instance (from `VERSION AS OF` / `TIMESTAMP AS OF`) is a
+  * read-only snapshot: writes and deletes refuse. */
+class GraftTable(val table: VersionedTable, tableName: String,
+    versionAsOf: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+
+  override def schema(): StructType =
+    table.schemaOf(table.resolve(None, versionAsOf)).getOrElse(new StructType())
+
+  override def partitioning(): Array[Transform] =
+    table.latestVersion().map(table.partitionByOf).getOrElse(Nil)
+      .map(c => Expressions.identity(c)).toArray
+
+  override def properties(): java.util.Map[String, String] =
+    (table.properties + ("path" -> table.root)).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      // MERGE WITH SCHEMA EVOLUTION: Spark computes the additive column
+      // set, drives it through GraftCatalog.alterTable (→ evolveSchema,
+      // metadata-only), and re-resolves the widened target
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, table, versionAsOf, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      s"cannot write to a time-travel snapshot of ${table.root}")
+    new GraftWriteBuilder(table)
+  }
+
+  private def morEnabled: Boolean =
+    table.properties.get("enableDeletionVectors").contains("true")
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    versionAsOf.isEmpty && predicates.forall(p => PredicateSql.translate(p).isDefined)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    require(versionAsOf.isEmpty,
+      s"cannot delete from a time-travel snapshot of ${table.root}")
+    val cond =
+      if (predicates.isEmpty) "TRUE"
+      else predicates.map(p => PredicateSql.translate(p).getOrElse(
+        throw new UnsupportedOperationException(s"untranslatable delete predicate $p")))
+        .mkString(" AND ")
+    if (morEnabled) table.deleteMor(spark, cond) else table.delete(spark, cond)
+    ()
+  }
+
+  override def toString: String = s"GraftTable($tableName)"
+}
+
+/** Filter pushdown feeds the same manifest-stats file pruning as the V1
+  * relation; every filter is returned as residual, so Spark still applies
+  * them row-level (pruning only SKIPS FILES, exactly like [[
+  * graft.streaming.TableRelation]]). */
+final class GraftScanBuilder(spark: SparkSession, t: VersionedTable,
+    versionAsOf: Option[Long], fullSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual: the scan skips files, Spark filters rows
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new GraftV1TableScan(context, spark, t, versionAsOf, required, pushed)
+        .asInstanceOf[T]
+    override def description(): String =
+      s"GraftScan(${t.root}, pushed=${pushed.mkString(",")})"
+  }
+}
+
+private final class GraftV1TableScan(ctx: SQLContext, spark: SparkSession,
+    t: VersionedTable, versionAsOf: Option[Long], required: StructType,
+    pushed: Array[Filter]) extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+  // hand Spark the inner plan's own compiled rows (same move as
+  // TableRelation.buildScan): no InternalRow→Row round trip per row
+  override def needConversion: Boolean = false
+  override def buildScan(): RDD[Row] = {
+    val (df, _, _) = t.readBounded(spark,
+      StatsBounds.bounds(pushed, spark.sessionState.conf.sessionLocalTimeZone),
+      None, versionAsOf)
+    df.select(required.fieldNames.toSeq.map(col): _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+/** Append / truncate-overwrite / predicate-overwrite as versioned commits,
+  * through the V1 write fallback (`InsertableRelation` — the data lands via
+  * the table's own partition-aware write path, not a per-row DSv2 writer). */
+final class GraftWriteBuilder(t: VersionedTable) extends WriteBuilder
+    with SupportsOverwriteV2 {
+
+  // None = append; Some("TRUE") = full overwrite; Some(pred) = replaceWhere
+  private var overwriteCond: Option[String] = None
+
+  override def truncate(): WriteBuilder = { overwriteCond = Some("TRUE"); this }
+
+  override def canOverwrite(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p => PredicateSql.translate(p).isDefined)
+
+  override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+    val conds = predicates.toSeq.map(p => PredicateSql.translate(p).getOrElse(
+      throw new UnsupportedOperationException(s"untranslatable overwrite predicate $p")))
+    overwriteCond = Some(if (conds.isEmpty || conds.contains("TRUE")) "TRUE"
+                         else conds.mkString(" AND "))
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        val pb = t.latestVersion().map(t.partitionByOf).getOrElse(Nil)
+        overwriteCond match {
+          case Some("TRUE") => t.commit(data, partitionBy = pb)
+          case Some(cond) => t.replaceWhere(data, cond)
+          case None =>
+            if (overwrite) t.commit(data, partitionBy = pb)
+            else if (t.latestVersion().isDefined) t.append(data)
+            else t.commit(data, partitionBy = pb)
+        }
+        ()
+      }
+    }
+  }
+}
+
+/** DSv2 `Predicate` → Spark SQL text, for the delete/overwrite conditions
+  * the kernel evaluates. Conservative: any shape without an exact rendering
+  * translates to None and the caller reports unsupported (correctness over
+  * coverage — the extensions rule handles arbitrary conditions). */
+object PredicateSql {
+
+  def quote(name: String): String =
+    if (name.matches("[a-zA-Z_][a-zA-Z0-9_]*")) name
+    else "`" + name.replace("`", "``") + "`"
+
+  def translate(p: Predicate): Option[String] = p match {
+    case _: AlwaysTrue => Some("TRUE")
+    case _: AlwaysFalse => Some("FALSE")
+    case a: VAnd =>
+      for { l <- translate(a.left); r <- translate(a.right) } yield s"($l AND $r)"
+    case o: VOr =>
+      for { l <- translate(o.left); r <- translate(o.right) } yield s"($l OR $r)"
+    case n: VNot => translate(n.child).map(c => s"(NOT $c)")
+    case _ => (p.name, p.children) match {
+      case (op @ ("=" | "<>" | "<" | "<=" | ">" | ">=" | "<=>"), Array(l, r)) =>
+        for { ls <- operand(l); rs <- operand(r) } yield s"($ls $op $rs)"
+      case ("IS_NULL", Array(c)) => operand(c).map(x => s"($x IS NULL)")
+      case ("IS_NOT_NULL", Array(c)) => operand(c).map(x => s"($x IS NOT NULL)")
+      case ("IN", children) if children.length >= 2 =>
+        val vals = children.tail.toSeq.map(operand)
+        for {
+          x <- operand(children.head)
+          vs <- if (vals.exists(_.isEmpty)) None else Some(vals.flatten)
+        } yield s"($x IN (${vs.mkString(", ")}))"
+      case _ => None
+    }
+  }
+
+  private def operand(e: VExpression): Option[String] = e match {
+    case ref: NamedReference if ref.fieldNames.length == 1 =>
+      Some(quote(ref.fieldNames.head))
+    case l: VLiteral[_] =>
+      Some(org.apache.spark.sql.catalyst.expressions.Literal(l.value, l.dataType).sql)
+    case _ => None
+  }
+}

@@ -353,7 +353,7 @@ final case class TableMergeLoad(
     pruneKeys match {
       case Some((tk, sk)) =>
         table.mergeCow(spark, spark.table(inputView), sub(condition, env),
-          tk, sk, upd, del, ins, numPartitions, txn = txn)
+          tk, sk, upd, del, ins, numPartitions = numPartitions, txn = txn)
         ()
       case None =>
         val merged = Merge.merge(table.read(spark), spark.table(inputView),

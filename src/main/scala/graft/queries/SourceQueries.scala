@@ -799,10 +799,139 @@ object SourceQueries {
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin))
 
+  /** q106: MERGE INTO issued as SQL TEXT — the reference's whole idiom (its
+    * SCD2 merge is declarative config compiled to Delta's SQL MERGE,
+    * scd2-job.ipynb:338-353). The statement goes through the real analyzer —
+    * user aliases, implicit casts, clause conditions — and
+    * [[graft.catalog.GraftExtensions]] routes the analyzed plan to the SAME
+    * file-pruned COW merge kernel the Scala API uses; the `graft` catalog
+    * resolves the table by path identifier. Update + delete + insert
+    * clauses in one statement, hash-matched against the join-based oracle. */
+  val q106SqlMerge: Q = Q(
+    "q106_sql_merge",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sqlmerge-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_v")
+      t.commit(
+        spark.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM orders"),
+        numPartitions = Some(8), sortBy = Seq("o_orderkey"))
+      spark.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+          |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+          |UNION ALL
+          |SELECT o_orderkey + 10000000, o_custkey, 1.0
+          |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin)
+        .createOrReplaceTempView("q106_src")
+      spark.sql(
+        s"""MERGE INTO graft.`$tmp/orders_v` AS tgt USING q106_src AS src
+           |ON tgt.o_orderkey = src.o_orderkey
+           |WHEN MATCHED AND src.o_orderkey >= 2000 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(t.latestVersion().contains(1L), "SQL MERGE did not commit")
+      spark.sql(s"SELECT o_orderkey, o_custkey, o_totalprice FROM graft.`$tmp/orders_v`")
+        .localCheckpoint(true)
+    },
+    Some(
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 1.0
+        |  FROM orders WHERE o_orderkey % 1000 = 0)
+        |SELECT b.o_orderkey, b.o_custkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL AND s.o_orderkey < 2000
+        |       THEN s.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+        |FROM orders b LEFT JOIN src s ON s.o_orderkey = b.o_orderkey
+        |WHERE s.o_orderkey IS NULL OR s.o_orderkey < 2000
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |FROM src s
+        |WHERE NOT EXISTS (SELECT 1 FROM orders b WHERE b.o_orderkey = s.o_orderkey)""".stripMargin))
+
+  /** q107: predicate-scoped overwrite (Delta's replaceWhere): one atomic
+    * commit deletes the 'F'-status slice of a partitioned table and lands a
+    * replacement batch; the OTHER partitions' manifest files are asserted
+    * IDENTICAL (the file-list proof that only the matching slice was
+    * rewritten — at 100 TB, replacing one partition must cost that
+    * partition, not the table). The replaceWhere constraint (every inserted
+    * row satisfies the predicate) is exercised by construction. */
+  val q107ReplaceWhere: Q = Q(
+    "q107_replace_where",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rw-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_v")
+      t.commit(
+        spark.sql("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"),
+        partitionBy = Seq("o_orderstatus"))
+      def files(): Set[String] =
+        t.read(spark).inputFiles.filter(_.contains("/data/")).toSet
+      val untouchedBefore = files().filterNot(_.contains("o_orderstatus=F"))
+      val replacement = spark.sql(
+        """SELECT o_orderkey, o_totalprice * 10 AS o_totalprice,
+          |       'F' AS o_orderstatus
+          |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey < 5000""".stripMargin)
+      val (v1, rewritten) = t.replaceWhere(replacement, "o_orderstatus = 'F'")
+      require(rewritten > 0, "replaceWhere touched no files")
+      require(t.latestVersion().contains(v1))
+      val untouchedAfter = files().filterNot(_.contains("o_orderstatus=F"))
+      require(untouchedAfter == untouchedBefore,
+        "replaceWhere rewrote files outside the predicate's partitions")
+      t.read(spark).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    },
+    Some(
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice * 10 AS o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey < 5000""".stripMargin))
+
+  /** q108: MERGE WITH SCHEMA EVOLUTION as SQL — the source carries a column
+    * the target lacks; Spark computes the additive change, drives it through
+    * the catalog's alterTable (→ metadata-only
+    * [[graft.table.VersionedTable.evolveSchema]] — zero data I/O at any
+    * table size), re-resolves the widened target, and the merge kernel runs
+    * under the widened schema: matched rows take the new column's value,
+    * every untouched row back-fills null through the schema'd scan. */
+  val q108MergeEvolution: Q = Q(
+    "q108_merge_evolution",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-evo-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_v")
+      t.commit(spark.sql("SELECT o_orderkey, o_totalprice FROM orders"),
+        numPartitions = Some(8), sortBy = Seq("o_orderkey"))
+      spark.sql(
+        """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'hot' AS flag
+          |FROM orders WHERE o_orderkey < 1000""".stripMargin)
+        .createOrReplaceTempView("q108_src")
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$tmp/orders_v` AS tgt
+           |USING q108_src AS src ON tgt.o_orderkey = src.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = spark.sql(
+        s"SELECT o_orderkey, o_totalprice, flag FROM graft.`$tmp/orders_v`")
+      require(out.schema.fieldNames.contains("flag"), "schema did not widen")
+      out.localCheckpoint(true)
+    },
+    Some(
+      """WITH src AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'hot' AS flag
+        |  FROM orders WHERE o_orderkey < 1000)
+        |SELECT b.o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |       ELSE b.o_totalprice END AS o_totalprice,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN 'hot' END AS flag
+        |FROM orders b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
     q84MorDelete, q85IncrementalAgg, q95DynamicPartitionPruning,
     q96PartitionedTable, q97ChangeFeedStored, q99JdbcRoundtrip,
-    q101TableRelationSql, q103MorMerge, q104ShallowClone)
+    q101TableRelationSql, q103MorMerge, q104ShallowClone, q106SqlMerge,
+    q107ReplaceWhere, q108MergeEvolution)
 }

@@ -312,10 +312,12 @@ final class TableStreamSink(
   * map to append / snapshot commit via [[InsertableRelation]]. */
 final class TableRelation(
     spark: SparkSession,
-    t: VersionedTable,
+    val table: VersionedTable,
     versionAsOf: Option[Long],
     relativeVersion: Option[Int]) extends BaseRelation
     with PrunedFilteredScan with InsertableRelation {
+
+  private def t: VersionedTable = table
 
   override def sqlContext: SQLContext = spark.sqlContext
 
@@ -325,74 +327,11 @@ final class TableRelation(
       s"version $v of ${t.root} has no recorded schema"))
   }
 
-  /** Render a pushed filter value EXACTLY as the manifest stats render
-    * column values (Spark's cast-to-string of the scanned column): the
-    * prune-time comparison is string-vs-string (BigDecimal for kind "num",
-    * lexicographic for "str"), so a value rendered any other way silently
-    * drops live files — and file pruning is NOT advisory (row-level
-    * re-filtering cannot resurrect a pruned file). Temporals: the stats
-    * cast renders the instant in the SESSION time zone with the fractional
-    * second trimmed of trailing zeros and omitted when whole —
-    * `java.sql.Timestamp.toString` instead renders ".0" for whole seconds
-    * and uses the JVM default zone, so both Timestamp and Instant go
-    * through one session-zone formatter. Dates are zone-free ISO either
-    * way. A value of any unrecognized type contributes NO bound: no
-    * pruning, always safe. */
-  private def render(v: Any): Option[String] = v match {
-    case null => None
-    case s: String => Some(s)
-    case n: java.lang.Number => Some(n.toString)
-    case b: java.lang.Boolean => Some(b.toString)
-    case t: java.sql.Timestamp => renderInstant(t.toInstant)
-    case i: java.time.Instant => renderInstant(i)
-    case d: java.sql.Date => Some(d.toString)
-    case d: java.time.LocalDate => Some(d.toString)
-    case _ => None
-  }
-
-  private def renderInstant(i: java.time.Instant): Option[String] = {
-    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
-    val t = java.time.LocalDateTime.ofInstant(i, zone)
-    val frac =
-      if (t.getNano == 0) ""
-      else "." + f"${t.getNano}%09d".reverse.dropWhile(_ == '0').reverse
-    Some(f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d " +
-      f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d$frac")
-  }
-
-  /** Conjunctive filters → per-column [lo, hi] bounds for stats skipping.
-    * Only shapes whose bound is exact survive; everything else contributes
-    * no bound (and is still applied row-level by Spark). An In's min/max is
-    * taken in the ORDER the prune-time comparison will use — numeric when
-    * every value is numeric (a numeric column's stats kind is "num"),
-    * lexicographic otherwise — never the lexicographic order of numeric
-    * strings (IN (5, 3000) would otherwise bound to [3000, 5] and prune
-    * every matching file). */
+  /** Pushed-filter → stats-bounds translation (exact value rendering and
+    * type-aware IN ordering) lives in [[graft.table.StatsBounds]], shared
+    * with the DSv2 catalog scan. */
   private def bounds(filters: Array[Filter]): Seq[(String, Option[String], Option[String])] =
-    filters.toSeq.flatMap {
-      case EqualTo(c, v) => render(v).map(s => (c, Some(s), Some(s))).toSeq
-      case GreaterThan(c, v) => render(v).map(s => (c, Some(s), None: Option[String])).toSeq
-      case GreaterThanOrEqual(c, v) => render(v).map(s => (c, Some(s), None: Option[String])).toSeq
-      case LessThan(c, v) => render(v).map(s => (c, None: Option[String], Some(s))).toSeq
-      case LessThanOrEqual(c, v) => render(v).map(s => (c, None: Option[String], Some(s))).toSeq
-      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
-        val rendered = vs.toSeq.map(render)
-        if (rendered.exists(_.isEmpty)) Nil
-        else {
-          val ss = rendered.flatten
-          if (vs.forall(_.isInstanceOf[java.lang.Number])) {
-            // NaN renders unparseable — emit no bound rather than misorder
-            val keys = ss.map(s => scala.util.Try(BigDecimal(s)).toOption)
-            if (keys.exists(_.isEmpty)) Nil
-            else {
-              val sorted = ss.sortBy(s => BigDecimal(s))
-              Seq((c, Some(sorted.head), Some(sorted.last)))
-            }
-          } else Seq((c, Some(ss.min), Some(ss.max)))
-        }
-      case And(l, r) => bounds(Array(l)) ++ bounds(Array(r))
-      case _ => Nil
-    }
+    graft.table.StatsBounds.bounds(filters, spark.sessionState.conf.sessionLocalTimeZone)
 
   /** All filters stay unhandled: the scan only SKIPS FILES on them, it does
     * not evaluate them row-level. */

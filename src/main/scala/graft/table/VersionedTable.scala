@@ -1031,7 +1031,10 @@ final class VersionedTable(val root: String,
         val h = resolve()
         val vs = versions()
         val steps = vs.filter(x => x > base && x <= h)
-        val pureAppends = steps.zip(vs.filter(_ >= base)).forall { case (x, prev) =>
+        // base must itself still be retained: a vacuumed base would misalign
+        // the (step, prev) pairing below and could misclassify a rewrite as
+        // a pure append — refuse the rebase instead (rethrow)
+        val pureAppends = vs.contains(base) && steps.zip(base +: steps).forall { case (x, prev) =>
           filesOf(prev).toSet.subsetOf(filesOf(x).toSet) &&
             dvsOf(x) == dvsOf(base) &&
             partitionByOf(x) == pb &&
@@ -1243,6 +1246,122 @@ final class VersionedTable(val root: String,
       touched.size)
   }
 
+  /** `prior` plus `source`-only columns (forced nullable), matched
+    * case-insensitively by name — the widened schema a `schemaEvolution`
+    * merge commits. Existing columns keep their recorded type: the merge
+    * kernel's type pinning casts source values to them, never the reverse. */
+  private def widenWith(prior: org.apache.spark.sql.types.StructType,
+      source: DataFrame): org.apache.spark.sql.types.StructType = {
+    val existing = prior.fieldNames.map(_.toLowerCase).toSet
+    val added = source.schema.fields
+      .filterNot(f => existing.contains(f.name.toLowerCase))
+      .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true))
+    org.apache.spark.sql.types.StructType(prior.fields ++ added)
+  }
+
+  /** Metadata-only ADDITIVE schema evolution: publish a new version with
+    * the SAME files and `added` columns appended (forced nullable) to the
+    * recorded schema. Old files resolve the new columns to null at read —
+    * the schema'd-scan semantics every reader already has — so the commit
+    * costs one manifest write, zero data I/O, at any table size. This is
+    * the primitive behind ALTER TABLE ADD COLUMNS through the catalog and
+    * the alterTable hook `MERGE WITH SCHEMA EVOLUTION` drives. */
+  def evolveSchema(added: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(added.nonEmpty, "no columns to add")
+    val v = resolve()
+    val prior = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema"))
+    val lower = prior.fieldNames.map(_.toLowerCase).toSet
+    added.foreach(f => require(!lower.contains(f.name.toLowerCase),
+      s"column ${f.name} already exists in $root — only additive evolution is supported"))
+    val widened = org.apache.spark.sql.types.StructType(
+      prior.fields ++ added.map(_.copy(nullable = true)))
+    publish(filesOf(v), widened.json, statsOf(v), None, Some(v),
+      constraintsOf(v), dvs = dvsOf(v), partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v), cdfKind = Some("none"))
+  }
+
+  /** Predicate-scoped overwrite (Delta's `replaceWhere` / DataFrameWriterV2
+    * `.overwrite(condition)`): ONE atomic commit that deletes every row
+    * matching `condition` and lands `data` in its place. Files with no
+    * matching row — proven by the same predicate-pushed scan COW [[delete]]
+    * uses, so partition values and parquet stats prune most of them before
+    * any row is read — carry over untouched, stats included: overwriting one
+    * partition's slice of a 100 TB table rewrites that partition's files,
+    * nothing else.
+    *
+    * Delta's replaceWhere constraint is enforced: every inserted row must
+    * itself satisfy `condition` (the verb means "replace that slice"; a row
+    * outside the slice would silently leak into territory the predicate
+    * promised not to touch). 3VL as in [[delete]]: rows where the predicate
+    * is NULL are kept. Returns (newVersion, rewrittenFileCount). */
+  def replaceWhere(data: DataFrame, condition: String,
+      numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil): (Long, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val spark = data.sparkSession
+    val v = resolve()
+    val all = filesOf(v)
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema — replaceWhere needs one"))
+    val dvs = dvsOf(v)
+    val pb = partitionByOf(v)
+    val pVals = partitionValuesOf(v)
+    val pred = expr(condition)
+    // type-pin the incoming batch to the table schema by name, as every
+    // write funnel does (a widened column would poison the manifest-schema'd
+    // read of the mixed keep∪data files)
+    val pinned = data.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    require(pinned.filter(not(coalesce(pred, lit(false)))).isEmpty,
+      s"replaceWhere($condition): the incoming batch contains rows that do NOT " +
+        "match the predicate — they would leak outside the replaced slice")
+    val allSet = all.toSet
+    val touched =
+      if (all.isEmpty) Seq.empty[String]
+      else scanLive(spark, all, Some(schema), dvs, keepPos = true, pb, pVals)
+        .filter(pred)
+        .select(col("__rel")).distinct()
+        .collect().map(_.getString(0))
+        .filter(allSet.contains).toSeq
+    val untouched = all.filterNot(touched.toSet)
+    val keep =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else scanLive(spark, touched, Some(schema), dvs, keepPos = false, pb, pVals)
+        .filter(not(coalesce(pred, lit(false))))
+    val merged = keep.unionByName(pinned)
+    val cdfFiles =
+      if (!cdfEnabled) Nil
+      else {
+        val deleted =
+          if (touched.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else scanLive(spark, touched, Some(schema), dvs, keepPos = false, pb, pVals)
+            .filter(coalesce(pred, lit(false)))
+        writeCdfFiles(deleted.withColumn("_change_type", lit("delete"))
+          .unionByName(pinned.withColumn("_change_type", lit("insert"))))
+      }
+    val (commitId, newFiles, newPartVals) = writeDataFiles(merged, numPartitions, sortBy, pb)
+    val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+    val stats = if (newFiles.nonEmpty)
+                  collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
+                else Map.empty[String, Map[String, (String, String, String)]]
+    // only the incoming batch needs the constraint gate: kept rows already
+    // passed their own write-time check
+    validateFrame(pinned, constraintsOf(v))
+    // append rebase exactly as delete: a concurrent pure append whose fresh
+    // files hold no predicate-matching rows folds in (serial equivalence —
+    // the replace would not have touched them); anything else raises
+    (publishRewrite(v, touched.toSet, newFiles, stats, schema.json,
+      carryDvs(spark, dvs, untouched), newPartVals,
+      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdfFiles = cdfFiles,
+      txn = None,
+      freshSafe = (h, fresh) => fresh.isEmpty ||
+        scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
+          .filter(coalesce(pred, lit(false))).isEmpty),
+      touched.size)
+  }
+
   /** Deletion vectors carried into a rewrite's new version: tombstones of
     * files that survive unchanged, consolidated into one fresh DV file;
     * tombstones of rewritten files drop (their live rows were re-written
@@ -1407,8 +1526,11 @@ final class VersionedTable(val root: String,
     *  - `condition` must imply `source.<sourceKey> = target.<targetKey>`
     *    (the equi-key the pruning reasons about) — rows in a file whose
     *    range excludes every source key can then never match;
-    *  - no NOT MATCHED BY SOURCE clause (those would modify untouched rows),
-    *    enforced by this signature simply not accepting them;
+    *  - a NOT MATCHED BY SOURCE clause (Delta's "make target equal source"
+    *    face) can modify ANY target row, so its presence disables key
+    *    pruning — every file is treated as touched — and disables append
+    *    rebase (a concurrently appended row is by definition not matched by
+    *    source, so serial execution would have acted on it);
     *  - files lacking stats for `targetKey` are always treated as touched.
     *
     * Returns (newVersion, rewrittenFileCount). */
@@ -1417,13 +1539,20 @@ final class VersionedTable(val root: String,
       whenMatchedUpdate: Option[Merge.MatchedUpdate] = None,
       whenMatchedDelete: Option[Merge.MatchedDelete] = None,
       whenNotMatchedInsert: Option[Merge.NotMatchedInsert] = None,
+      whenNotMatchedBySourceUpdate: Option[Merge.NotMatchedBySourceUpdate] = None,
+      whenNotMatchedBySourceDelete: Option[Merge.NotMatchedBySourceDelete] = None,
+      schemaEvolution: Boolean = false,
       numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): (Long, Int) = {
     import org.apache.spark.sql.functions.{array, broadcast, explode, expr, lit, struct, when}
     val v = resolve()
     val all = filesOf(v)
-    val schema = schemaOf(v).getOrElse(
+    val schema0 = schemaOf(v).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
+    // opt-in additive evolution (Delta's autoMerge): source-only columns
+    // append to the schema (nullable); the widened schema'd scan back-fills
+    // them with null on every existing file, touched or carried
+    val schema = if (!schemaEvolution) schema0 else widenWith(schema0, source)
     val keyType = schema.find(_.name == targetKey).getOrElse(
       throw new IllegalArgumentException(s"target key $targetKey not in table schema")).dataType
     // The file pruning is only sound if `condition` implies
@@ -1435,7 +1564,10 @@ final class VersionedTable(val root: String,
       s"mergeCow prune keys ($sourceKey, $targetKey) are not implied by the merge " +
         s"condition '$condition': it must contain a top-level conjunct " +
         s"source.$sourceKey = target.$targetKey (file pruning would otherwise be unsound)")
-    val touched = filesOverlappingSourceKeys(spark, v, source, sourceKey, targetKey, keyType)
+    val nms = whenNotMatchedBySourceUpdate.isDefined || whenNotMatchedBySourceDelete.isDefined
+    val touched =
+      if (nms) all // a by-source clause can modify any row: pruning is unsound
+      else filesOverlappingSourceKeys(spark, v, source, sourceKey, targetKey, keyType)
     // no file overlaps a source key and no insert clause can add rows:
     // nothing can change — don't burn a version on a no-op
     if (touched.isEmpty && whenNotMatchedInsert.isEmpty) return (v, 0)
@@ -1450,6 +1582,7 @@ final class VersionedTable(val root: String,
     val captureCdf = cdfEnabled
     val marked0 = Merge.merge(slice, source, condition,
       whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert,
+      whenNotMatchedBySourceUpdate, whenNotMatchedBySourceDelete,
       emitChanges = captureCdf)
     // pin the output columns to the TABLE's types: merge expressions can
     // silently widen (e.g. an int column SET from a long source) and the
@@ -1479,14 +1612,15 @@ final class VersionedTable(val root: String,
     if (pb.isEmpty) validateWritten(spark, newFiles, Some(schema), cs)
     else validateFrame(merged, cs)
     // append rebase: fresh files whose targetKey range is disjoint from the
-    // source's key range cannot match any merge clause (this merge has no
-    // NOT-MATCHED-BY-SOURCE face), so serial merge-after-append would have
-    // carried them verbatim — fold them in; anything else raises
+    // source's key range cannot match any merge clause, so serial
+    // merge-after-append would have carried them verbatim — fold them in;
+    // anything else raises. With a NOT-MATCHED-BY-SOURCE face every fresh
+    // row WOULD have been acted on, so only an empty fresh set is safe.
     (publishRewrite(v, touched.toSet, newFiles, newStats, schema.json,
       carryDvs(spark, dvs, untouched), newPartVals,
       cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdfFiles = cdfFiles,
       txn = txn,
-      freshSafe = (h, fresh) => fresh.isEmpty || {
+      freshSafe = (h, fresh) => fresh.isEmpty || (!nms && {
         val bounds = source.agg(
           org.apache.spark.sql.functions.min(expr(sourceKey).cast(keyType)),
           org.apache.spark.sql.functions.max(expr(sourceKey).cast(keyType))).head()
@@ -1494,7 +1628,7 @@ final class VersionedTable(val root: String,
           scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
             .filter(col(targetKey).cast(keyType) >= bounds.get(0) &&
               col(targetKey).cast(keyType) <= bounds.get(1)).isEmpty
-      }),
+      })),
       touched.size)
   }
 
@@ -1577,19 +1711,26 @@ final class VersionedTable(val root: String,
       whenMatchedUpdate: Option[Merge.MatchedUpdate] = None,
       whenMatchedDelete: Option[Merge.MatchedDelete] = None,
       whenNotMatchedInsert: Option[Merge.NotMatchedInsert] = None,
+      whenNotMatchedBySourceUpdate: Option[Merge.NotMatchedBySourceUpdate] = None,
+      whenNotMatchedBySourceDelete: Option[Merge.NotMatchedBySourceDelete] = None,
+      schemaEvolution: Boolean = false,
       numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.{expr, struct}
     val v = resolve()
-    val schema = schemaOf(v).getOrElse(
+    val schema0 = schemaOf(v).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
+    val schema = if (!schemaEvolution) schema0 else widenWith(schema0, source)
     val keyType = schema.find(_.name == targetKey).getOrElse(
       throw new IllegalArgumentException(s"target key $targetKey not in table schema")).dataType
     require(conditionHasEquiConjunct(condition, sourceKey, targetKey),
       s"mergeMor prune keys ($sourceKey, $targetKey) are not implied by the merge " +
         s"condition '$condition': it must contain a top-level conjunct " +
         s"source.$sourceKey = target.$targetKey (file pruning would otherwise be unsound)")
-    val touched = filesOverlappingSourceKeys(spark, v, source, sourceKey, targetKey, keyType)
+    val nms = whenNotMatchedBySourceUpdate.isDefined || whenNotMatchedBySourceDelete.isDefined
+    val touched =
+      if (nms) filesOf(v) // a by-source clause can modify any row: no pruning
+      else filesOverlappingSourceKeys(spark, v, source, sourceKey, targetKey, keyType)
     if (touched.isEmpty && whenNotMatchedInsert.isEmpty) return (v, 0L)
     val dvs = dvsOf(v)
     val pb = partitionByOf(v)
@@ -1605,6 +1746,7 @@ final class VersionedTable(val root: String,
       else scanLive(spark, touched, Some(schema), dvs, keepPos = true, pb, pVals)
     val marked0 = Merge.merge(slice, source, condition,
       whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert,
+      whenNotMatchedBySourceUpdate, whenNotMatchedBySourceDelete,
       emitChanges = true)
     // identity detection: an update whose type-pinned post-image equals its
     // preimage changes nothing — treat as untouched everywhere
@@ -1647,7 +1789,7 @@ final class VersionedTable(val root: String,
       dvsCarried = dvs ++ newDv, newPartVals,
       cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdfFiles = cdfFiles,
       txn = txn,
-      freshSafe = (h, fresh) => fresh.isEmpty || {
+      freshSafe = (h, fresh) => fresh.isEmpty || (!nms && {
         val bounds = source.agg(
           org.apache.spark.sql.functions.min(expr(sourceKey).cast(keyType)),
           org.apache.spark.sql.functions.max(expr(sourceKey).cast(keyType))).head()
@@ -1655,7 +1797,7 @@ final class VersionedTable(val root: String,
           scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
             .filter(col(targetKey).cast(keyType) >= bounds.get(0) &&
               col(targetKey).cast(keyType) <= bounds.get(1)).isEmpty
-      }), nTomb)
+      })), nTomb)
   }
 
   /** True iff `condition` contains a top-level AND-conjunct of the exact

@@ -31,5 +31,11 @@ object SparkSpec {
     .config("spark.sql.cteRecursionRowLimit", "100000000")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
+    // the SQL row-level surface, exactly as graft.Verify configures it
+    .config("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-cat-wh-").toString)
+    .withExtensions(new graft.catalog.GraftExtensions()(_))
     .getOrCreate()
 }

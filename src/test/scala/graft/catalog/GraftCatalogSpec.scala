@@ -1,0 +1,255 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.table.VersionedTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL front door: [[GraftCatalog]] resolving `graft.<ns>.<t>`
+  * identifiers to versioned tables, and [[GraftExtensions]] routing SQL
+  * `MERGE INTO` / `UPDATE` / `DELETE` statements to the kernel — the
+  * reference's whole idiom is SQL-declarative row-level ops against a
+  * Delta-role table (scd2-job.ipynb:338-353), and this is that surface. */
+class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def fresh(): String = { n += 1; s"t${System.nanoTime()}_$n" }
+
+  /** The VersionedTable behind a `graft.default.<name>` identifier — file
+    * -level proofs go through the table handle because `Dataset.inputFiles`
+    * is empty for DSv2 scans (the analyzed plan has no file info). */
+  private def handle(qualified: String): VersionedTable = {
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    VersionedTable(s"$wh/default/${qualified.split('.').last}")
+  }
+
+  /** Manifest data files of the CURRENT version (table-relative-ish proof:
+    * the scan's parquet paths filtered to data/ — DV sidecars excluded). */
+  private def dataFiles(vt: VersionedTable): Set[String] =
+    vt.read(spark).inputFiles.filter(_.contains("/data/")).toSet
+
+  test("CREATE TABLE / INSERT INTO / SELECT / INSERT OVERWRITE round-trip") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, k STRING, amt DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c', 30.0)")
+    assert(spark.sql(s"SELECT sum(amt) FROM $t").head.getDouble(0) === 60.0)
+    assert(spark.sql(s"SELECT * FROM $t WHERE id = 2").count() === 1)
+    spark.sql(s"INSERT OVERWRITE $t VALUES (9, 'z', 90.0)")
+    assert(spark.sql(s"SELECT * FROM $t").as[(Long, String, Double)].collect()
+      .toSeq === Seq((9L, "z", 90.0)))
+    // versions: create(0), insert(1), insert(2), overwrite(3)
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 2").count() === 3)
+    spark.sql(s"DROP TABLE $t")
+    assert(!spark.catalog.tableExists(t))
+  }
+
+  test("CTAS, partitioned CREATE, and partition-pruned reads") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t PARTITIONED BY (k) AS " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS k " +
+      "FROM range(10)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE k = 'even'").head.getLong(0) === 5)
+    // hive layout landed and manifest partition pruning engages
+    val vt = handle(t)
+    val (pr, scanned, total) = vt.readPartitioned(spark, "k = 'even'")
+    assert(scanned < total && pr.count() === 5)
+    assert(dataFiles(vt).exists(_.contains("k=even")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("SQL DELETE routes to the kernel (COW and MOR)") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, k STRING)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('k', id) FROM range(100)")
+    spark.sql(s"DELETE FROM $t WHERE id >= 90")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 90)
+    // arbitrary (non-filter-translatable) predicate still works via the rule
+    spark.sql(s"DELETE FROM $t WHERE id % 7 = 0 AND length(k) > 1")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 90 - 13)
+    // MOR: same statement, deletion vectors instead of rewrites
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('enableDeletionVectors' = 'true')")
+    val before = dataFiles(handle(t))
+    spark.sql(s"DELETE FROM $t WHERE id = 1")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 90 - 13 - 1)
+    assert(dataFiles(handle(t)) === before, "MOR delete must not rewrite data files")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("SQL UPDATE rewrites only matching rows, expressions see preimages") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, amt DOUBLE, note STRING)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE), 'x' FROM range(10)")
+    spark.sql(s"UPDATE $t SET amt = amt * 10, note = concat(note, '!') WHERE id < 3")
+    val rows = spark.sql(s"SELECT * FROM $t ORDER BY id")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(rows.take(3) === Seq((0L, 0.0, "x!"), (1L, 10.0, "x!"), (2L, 20.0, "x!")))
+    assert(rows.drop(3).forall { case (id, amt, note) => amt === id.toDouble && note === "x" })
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("SQL MERGE INTO: update + delete + insert clauses, hash-exact result") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, status STRING, amt DOUBLE)")
+    spark.sql(s"INSERT INTO $t SELECT id, 'old', CAST(id AS DOUBLE) FROM range(10)")
+    Seq((0L, "upd", 100.0), (5L, "del", 0.0), (20L, "new", 7.0))
+      .toDF("id", "status", "amt").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING merge_src AS src ON tgt.id = src.id
+         |WHEN MATCHED AND src.status = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET amt = src.amt, status = src.status
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(s"SELECT * FROM $t ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((0L, "upd", 100.0)) ++
+      (1L to 4L).map(i => (i, "old", i.toDouble)) ++
+      (6L to 9L).map(i => (i, "old", i.toDouble)) :+ (20L, "new", 7.0))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("SQL MERGE clause ORDER is first-match-wins (delete before update)") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(6)")
+    spark.range(0, 6).select(col("id"), (col("id") * 100).as("v"))
+      .createOrReplaceTempView("merge_src2")
+    // the delete clause FIRES FIRST for even ids even though the update's
+    // condition also matches them
+    spark.sql(
+      s"""MERGE INTO $t USING merge_src2 src ON $t.id = src.id
+         |WHEN MATCHED AND src.id % 2 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = src.v""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $t ORDER BY id").as[(Long, Long)].collect()
+      .toSeq === Seq((1L, 100L), (3L, 300L), (5L, 500L)))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("SQL MERGE NOT MATCHED BY SOURCE makes target equal source") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(10)")
+    spark.range(5, 15).select(col("id"), (col("id") + 1000).as("v"))
+      .createOrReplaceTempView("merge_src3")
+    spark.sql(
+      s"""MERGE INTO $t USING merge_src3 src ON $t.id = src.id
+         |WHEN MATCHED THEN UPDATE SET v = src.v
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $t ORDER BY id").as[(Long, Long)].collect()
+      .toSeq === (5L to 14L).map(i => (i, i + 1000L)))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("MOR merge via table property: files untouched, DVs + appends") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('enableDeletionVectors' = 'true')")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(100)")
+    val before = dataFiles(handle(t))
+    assert(before.nonEmpty)
+    spark.range(0, 5).select(col("id"), (col("id") + 500).as("v"))
+      .createOrReplaceTempView("merge_src4")
+    spark.sql(
+      s"""MERGE INTO $t USING merge_src4 src ON $t.id = src.id
+         |WHEN MATCHED THEN UPDATE SET v = src.v""".stripMargin)
+    val after = dataFiles(handle(t))
+    assert(before.subsetOf(after) && after.size > before.size,
+      "MOR merge must keep every existing file and append post-images")
+    assert(spark.sql(s"SELECT sum(v) FROM $t").head.getLong(0) ===
+      (0L until 100L).sum + 5 * 500L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("replaceWhere via DataFrameWriterV2 overwrite: scoped, file-proof") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t PARTITIONED BY (k) AS " +
+      "SELECT id, CASE WHEN id < 5 THEN 'keep' ELSE 'swap' END AS k FROM range(10)")
+    val keepFiles = dataFiles(handle(t)).filter(_.contains("k=keep"))
+    assert(keepFiles.nonEmpty)
+    spark.range(100, 103).select(col("id"), lit("swap").as("k"))
+      .writeTo(t).overwrite(col("k") === "swap")
+    val got = spark.sql(s"SELECT id FROM $t ORDER BY id").as[Long].collect().toSeq
+    assert(got === (0L to 4L) ++ (100L to 102L))
+    // the untouched partition's files carried over IDENTICALLY (no rewrite)
+    val keepAfter = dataFiles(handle(t)).filter(_.contains("k=keep"))
+    assert(keepAfter === keepFiles, "replaceWhere rewrote an untouched partition")
+    // a batch leaking outside the predicate refuses
+    val e = intercept[Exception] {
+      spark.range(0, 2).select(col("id"), lit("keep").as("k"))
+        .writeTo(t).overwrite(col("k") === "swap")
+    }
+    assert(e.getMessage.contains("leak") || e.getMessage.contains("match"),
+      s"unexpected: ${e.getMessage}")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("path identifier + TIMESTAMP AS OF + RENAME") {
+    val dir = tmpDir("cat-path-") + "/t"
+    VersionedTable(dir).commit(Seq((1L, "a")).toDF("id", "k"))
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() === 1)
+    VersionedTable(dir).append(Seq((2L, "b")).toDF("id", "k"))
+    val hist = VersionedTable(dir)
+    val t0 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "_graft_log", "v00000000.json")).toMillis
+    val asOf = new java.sql.Timestamp(t0).toString
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` TIMESTAMP AS OF '$asOf'")
+      .count() === 1)
+    assert(hist.latestVersion().contains(1L))
+    val aName = fresh(); val bName = fresh()
+    val a = s"graft.default.$aName"
+    val b = s"graft.default.$bName"
+    spark.sql(s"CREATE TABLE $a AS SELECT 1 AS x")
+    // the rename target is resolved INSIDE the table's catalog — repeating
+    // the catalog name would read as a two-level namespace
+    spark.sql(s"ALTER TABLE $a RENAME TO default.$bName")
+    assert(spark.sql(s"SELECT * FROM $b").count() === 1)
+    assert(!spark.catalog.tableExists(a))
+    spark.sql(s"DROP TABLE $b")
+  }
+
+  test("ALTER TABLE ADD COLUMNS + MERGE WITH SCHEMA EVOLUTION widen additively") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(5)")
+    // DDL widen: metadata-only, old rows read the new column as null
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING)")
+    assert(spark.sql(s"SELECT * FROM $t").columns.toSeq === Seq("id", "v", "note"))
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE note IS NULL").head.getLong(0) === 5)
+    // merge-time widen: a source with one MORE column evolves the schema
+    spark.range(3, 8).selectExpr("id", "id * 10 AS v", "'n' AS note",
+      "CAST(id AS DOUBLE) AS score").createOrReplaceTempView("merge_evo_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $t USING merge_evo_src src
+         |ON $t.id = src.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.sql(s"SELECT * FROM $t ORDER BY id")
+    assert(out.columns.toSeq === Seq("id", "v", "note", "score"))
+    val rows = out.collect()
+    assert(rows.length === 8)
+    assert(rows.take(3).forall(_.isNullAt(3)), "old rows must back-fill null")
+    assert(rows.drop(3).forall(r => r.getDouble(3) === r.getLong(0).toDouble))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("filter pushdown through the catalog scan prunes files via stats") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    // range-sorted insert → tight per-file id stats
+    val tbl = handle(t)
+    tbl.append(spark.range(0, 4000).selectExpr("id", "id % 7 AS v"),
+      numPartitions = Some(8), sortBy = Seq("id"))
+    // correctness through the catalog scan (numeric IN straddling files)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE id IN (5, 3000)")
+      .head.getLong(0) === 2)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE id >= 100 AND id <= 150")
+      .head.getLong(0) === 51)
+    // the pruning engine the scan feeds (same StatsBounds translation)
+    val (_, kept, total) = tbl.readBounded(spark,
+      Seq(("id", Some("100"), Some("150"))))
+    // total may include the CREATE TABLE commit's empty seed file
+    assert(total >= 8 && kept <= 2 && kept >= 1, s"kept $kept of $total")
+    spark.sql(s"DROP TABLE $t")
+  }
+}

@@ -65,6 +65,21 @@ class MergeMorSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).count() === 1001)
   }
 
+  test("schemaEvolution on the MOR path: DVs + appends under the widened schema") {
+    val t = seed(tmpDir("mor-evo-") + "/t")
+    val src = Seq((10L, -1.0, "x"), (2000L, 9.0, "y")).toDF("k", "v", "tag")
+    val (v1, tombs) = t.mergeMor(spark, src, "source.k = target.k", "k", "k",
+      Some(MatchedUpdate(None, Map("v" -> "source.v", "tag" -> "source.tag"))),
+      None, insert, schemaEvolution = true)
+    assert(v1 === 1L && tombs === 1L)
+    val out = t.read(spark)
+    assert(out.columns.toSeq === Seq("k", "v", "tag"))
+    assert(out.count() === 1001)
+    assert(out.filter("k = 10").head.getString(2) === "x")
+    assert(out.filter("k = 2000").head.getString(2) === "y")
+    assert(out.filter("tag IS NULL").count() === 999) // old files: null back-fill
+  }
+
   test("CDF capture parity with the COW merge") {
     val base = tmpDir("mor-")
     val src = Seq((10L, -1.0), (500L, 500.0), (2000L, 9.0)).toDF("k", "v")

@@ -183,6 +183,39 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(out2.select("id").orderBy("id").collect().toSeq === Seq(Row(1L), Row(2L)))
   }
 
+  test("schemaEvolution widens the target with source-only columns; off = refuses nothing silently") {
+    val root = tmpDir("mrg-evo-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+      numPartitions = Some(4), sortBy = Seq("k"))
+    val src = Seq((10L, -1.0, "ten"), (200L, 2.0, "two hundred"))
+      .toDF("k", "v", "label")
+    // without the flag: the widened column simply does not exist in the
+    // output (the kernel pins to the recorded schema) — prove the flag is
+    // load-bearing, not cosmetic
+    t.mergeCow(spark, src, "source.k = target.k", "k", "k",
+      Some(Merge.MatchedUpdate(None, Map("v" -> "source.v"))), None,
+      Some(Merge.NotMatchedInsert(None, Map.empty)))
+    assert(t.read(spark).columns.toSeq === Seq("k", "v"))
+    // with the flag: label appends (nullable), old rows back-fill null,
+    // matched updates can SET it, inserts carry it
+    val src2 = Seq((20L, -2.0, "twenty"), (300L, 3.0, "three hundred"))
+      .toDF("k", "v", "label")
+    t.mergeCow(spark, src2, "source.k = target.k", "k", "k",
+      Some(Merge.MatchedUpdate(None, Map("v" -> "source.v", "label" -> "source.label"))),
+      None, Some(Merge.NotMatchedInsert(None, Map.empty)),
+      schemaEvolution = true)
+    val out = t.read(spark)
+    assert(out.columns.toSeq === Seq("k", "v", "label"))
+    assert(out.filter("k = 20").head.getString(2) === "twenty")
+    assert(out.filter("k = 300").head.getString(2) === "three hundred")
+    assert(out.filter("k = 10").head.isNullAt(2)) // untouched rows: null back-fill
+    assert(out.filter("label IS NULL").count() === 100) // 99 originals + k=200
+    // the widened schema is RECORDED: a fresh read (new reader, no state)
+    // sees it, and stats-bounded reads still work
+    assert(VersionedTable(root).read(spark).schema.fieldNames.contains("label"))
+  }
+
   test("SCD2 merge result equals the window-function formulation (independent oracle)") {
     // randomized-ish CDC via hashing over a range
     val n = 500
