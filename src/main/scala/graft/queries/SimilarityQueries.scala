@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   * this is the scan-bound exact path.
   *
   * s2 is the IVF (inverted-file) scale path: partition vectors by nearest
-  * centroid (here: a deterministic centroid subset — in production, k-means
-  * trained offline), store bucketed by centroid, probe only the nearest
-  * `n_probe` centroid buckets at query time — turning top-k from a full scan
-  * into a pruned partition read. The bucketing shuffle happens once at write.
+  * centroid (trained by deterministic seeded k-means — see `trainedCents`),
+  * store bucketed by centroid, probe only the nearest `n_probe` centroid
+  * buckets at query time — turning top-k from a full scan into a pruned
+  * partition read. The bucketing shuffle happens once at write.
   *
   * d5 is embedding-cosine near-dup detection on the same IVF buckets:
   * candidate pairs are generated only WITHIN a centroid bucket (linear-ish,
@@ -43,8 +43,8 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nv", l2Norm(col("v"))) // norm once per vector, reused per pair
 
-  /** Deterministic IVF assignment: every vector → nearest centroid
-    * (vec_id % 25 = 0 subset), rounded-sim ranking with centroid-id tiebreak.
+  /** Assign every vector to its nearest centroid, rounded-sim ranking with
+    * centroid-id tiebreak.
     *
     * Shuffle shape (the 100 TB concern): the winner is picked with a
     * map-side-combinable `max_by` over the SLIM (vec_id, c_id, csim)
@@ -54,10 +54,7 @@ object SimilarityQueries {
     * one equi-join against the winners table, so they cross the wire exactly
     * once. `max_by` on struct(csim, -c_id) = highest similarity, then lowest
     * centroid id — identical to the window's (csim DESC, c_id ASC). */
-  private def assigned(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
-    val cents = e.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("ncv"))
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
     val best = e.crossJoin(broadcast(cents))
       .withColumn("csim", cosineWithNorms6(col("v"), col("nv"), col("cv"), col("ncv")))
       .select(col("vec_id").as("b_vec"), col("c_id"), col("csim"))
@@ -67,18 +64,80 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), col("v"), col("nv"), col("c_id"))
   }
 
-  /** DuckDB CTEs mirroring vectors/centroids/assignment. */
-  private val duckAssigned =
-    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-       |cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 25 = 0),
-       |assigned AS (
-       |  SELECT vec_id, label, v, c_id FROM (
-       |    SELECT e.vec_id, e.label, e.v, c.c_id,
-       |      row_number() OVER (
-       |        PARTITION BY e.vec_id
-       |        ORDER BY round(${duckCos("e.v", "c.cv")}, 6) DESC, c.c_id) AS rk
-       |    FROM e, cents c) t
-       |  WHERE rk = 1)""".stripMargin
+  /** Lloyd centroid update in EXACT integer space: per (cluster, dimension),
+    * sum `round(x·10⁶)` as BIGINT — order-independent (so map-side
+    * combinable and identical across engines, unlike a float mean whose
+    * value depends on partial-aggregation order) — then re-assemble the 64
+    * sums into the centroid array. The sum is NOT divided by the member
+    * count: cosine similarity is scale-invariant, so the un-normalized sum
+    * points exactly where the mean does, and skipping the division keeps
+    * the arithmetic closed over integers. The explode is a slim
+    * (c_id, i, x) stream — vectors never shuffle whole. */
+  private def centUpdate(a: DataFrame): DataFrame =
+    a.select(col("c_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("c_id"), col("i"))
+      .agg(sum(expr("CAST(round(x * 1000000) AS BIGINT)")).as("s"))
+      .groupBy(col("c_id"))
+      .agg(sort_array(collect_list(struct(col("i"), col("s")))).as("ps"))
+      .select(col("c_id"), expr("transform(ps, p -> CAST(p.s AS DOUBLE))").as("cv"))
+      .withColumn("ncv", l2Norm(col("cv")))
+
+  private val KmeansIters = 2
+
+  /** Deterministic seeded k-means (k=25): init from the `vec_id % 25 = 0`
+    * subset, then [[KmeansIters]] Lloyd iterations (assign by rounded
+    * cosine, update via [[centUpdate]]'s exact integer sums). The trained
+    * centroids are `localCheckpoint`ed — 25 rows materialized once, the
+    * "train offline, broadcast at serving time" shape of a real IVF index;
+    * downstream probes and assignments reuse them without replaying the
+    * training lineage. Cluster identity is the seed vector's id. */
+  private def trainedCents(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    var c = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("ncv"))
+    for (_ <- 1 to KmeansIters) c = centUpdate(assignTo(e, c))
+    c.localCheckpoint(true)
+  }
+
+  private def assigned(spark: SparkSession, dir: String): DataFrame =
+    assignTo(vectors(spark, dir), trainedCents(spark, dir))
+
+  /** DuckDB CTEs mirroring the k-means training + final assignment: `c0` is
+    * the seed subset, `a{t}`/`c{t}` the Lloyd iterations (same round-6
+    * cosine ranking, same exact BIGINT dimension sums), `cents`/`assigned`
+    * the trained index every consumer query reads. */
+  private val duckAssigned: String = {
+    val init =
+      s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 25 = 0)""".stripMargin
+    val iters = (1 to KmeansIters).map { t =>
+      s"""a$t AS (
+         |  SELECT vec_id, v, c_id FROM (
+         |    SELECT e.vec_id, e.v, c.c_id,
+         |      row_number() OVER (
+         |        PARTITION BY e.vec_id
+         |        ORDER BY round(${duckCos("e.v", "c.cv")}, 6) DESC, c.c_id) AS rk
+         |    FROM e, c${t - 1} c) t
+         |  WHERE rk = 1),
+         |c$t AS (
+         |  SELECT c_id, list(CAST(s AS DOUBLE) ORDER BY i) AS cv FROM (
+         |    SELECT a.c_id, r.i, SUM(CAST(round(a.v[r.i] * 1000000) AS BIGINT)) AS s
+         |    FROM a$t a, range(1, 65) r(i)
+         |    GROUP BY a.c_id, r.i) u
+         |  GROUP BY c_id)""".stripMargin
+    }
+    val fin =
+      s"""cents AS (SELECT c_id, cv FROM c$KmeansIters),
+         |assigned AS (
+         |  SELECT vec_id, label, v, c_id FROM (
+         |    SELECT e.vec_id, e.label, e.v, c.c_id,
+         |      row_number() OVER (
+         |        PARTITION BY e.vec_id
+         |        ORDER BY round(${duckCos("e.v", "c.cv")}, 6) DESC, c.c_id) AS rk
+         |    FROM e, cents c) t
+         |  WHERE rk = 1)""".stripMargin
+    (Seq(init) ++ iters ++ Seq(fin)).mkString(",\n")
+  }
 
   /** s1: brute-force cosine top-10 neighbours of the vec_id=0 vector. */
   val s1CosineTopK: Q = Q(
@@ -106,14 +165,13 @@ object SimilarityQueries {
     "s2_ann_ivf",
     (spark, dir) => {
       val e = vectors(spark, dir)
-      val cents = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("ncv"))
+      val cents = trainedCents(spark, dir)
       val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"), col("nv").as("nqv"))
       val probed = cents.crossJoin(broadcast(q))
         .withColumn("qsim", cosineWithNorms6(col("cv"), col("ncv"), col("qv"), col("nqv")))
         .orderBy(col("qsim").desc, col("c_id")).limit(4)
         .select(col("c_id").as("probe_c"))
-      assigned(spark, dir).join(broadcast(probed), col("c_id") === col("probe_c"))
+      assignTo(e, cents).join(broadcast(probed), col("c_id") === col("probe_c"))
         .crossJoin(broadcast(q))
         .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
         .orderBy(col("sim").desc, col("vec_id"))
@@ -308,8 +366,7 @@ object SimilarityQueries {
     "s6_ivf_pq",
     (spark, dir) => {
       val e = vectors(spark, dir)
-      val cents = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("ncv"))
+      val cents = trainedCents(spark, dir)
       val q = e.filter(col("vec_id") === 3)
         .select(col("v").as("qv"), col("nv").as("nqv"))
       val probed = cents.crossJoin(broadcast(q))
@@ -321,7 +378,7 @@ object SimilarityQueries {
       // through a singleton-aggregate barrier (s4's trick) so the max-abs
       // fold runs once per vector, not once per element.
       val sc = "aggregate(v, 0D, (m, y) -> greatest(m, abs(y))) / 127"
-      val quant = assigned(spark, dir).selectExpr(
+      val quant = assignTo(e, cents).selectExpr(
         "vec_id", "label", "c_id",
         s"round($sc, 6) AS sc6",
         s"""aggregate(array($sc), CAST(array() AS ARRAY<INT>), (z, sc) ->
@@ -412,6 +469,35 @@ object SimilarityQueries {
          |SELECT vec_id, label, c_id FROM assigned
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin))
 
+  /** s7: the k-means TRAINING itself as a gate — per trained cluster, the
+    * membership census (count, id range) and an exact integer checksum of
+    * the members' similarity to their centroid (`Σ round(sim₆·10⁶)` as
+    * BIGINT — order-independent, so no float-summation ambiguity). A wrong
+    * Lloyd iteration (bad assignment tiebreak, wrong dimension order in the
+    * update, a lost cluster) shifts memberships and fails the hash; this is
+    * the direct oracle over the index that s2/s6/d5/d11 serve from. */
+  val s7KmeansTrain: Q = Q(
+    "s7_kmeans_train",
+    (spark, dir) => {
+      val e = vectors(spark, dir)
+      val cents = trainedCents(spark, dir)
+      assignTo(e, cents)
+        .join(broadcast(cents), "c_id")
+        .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("cv"), col("ncv")))
+        .groupBy(col("c_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min("vec_id").as("min_vec"), max("vec_id").as("max_vec"),
+          sum(expr("CAST(round(sim * 1000000) AS BIGINT)")).as("sim_sum_u"))
+    },
+    Some(
+      s"""WITH $duckAssigned
+         |SELECT a.c_id, COUNT(*) AS n_members,
+         |  MIN(a.vec_id) AS min_vec, MAX(a.vec_id) AS max_vec,
+         |  CAST(SUM(CAST(round(round(${duckCos("a.v", "c.cv")}, 6) * 1000000)
+         |           AS BIGINT)) AS BIGINT) AS sim_sum_u
+         |FROM assigned a JOIN cents c ON a.c_id = c.c_id
+         |GROUP BY a.c_id""".stripMargin))
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
-    s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup)
+    s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain)
 }
