@@ -1634,30 +1634,56 @@ final class VersionedTable(val root: String,
 
   /** Files of version `v` whose recorded `[min, max]` for `targetKey` can
     * contain at least one source merge key — the shared pruning primitive of
-    * [[mergeCow]] and [[mergeMor]]. The source's distinct keys join a
-    * BROADCAST table of per-file ranges, so the cost is one pass over the
-    * source batch regardless of table size; files lacking stats for the key
-    * are conservatively treated as touched. */
+    * [[mergeCow]] and [[mergeMor]]. Files lacking stats for the key are
+    * conservatively treated as touched.
+    *
+    * Two plans, picked by what the log offers:
+    *  - **checkpointed head**: the per-file range table is read from the
+    *    checkpoint PARQUET ([[checkpointFiles]]) — a distributed scan, so
+    *    planning a merge against a million-file table never materializes
+    *    the file list on the driver; the (CDC-batch-bounded) distinct
+    *    source keys broadcast to the range scan, and only the PRUNED hit
+    *    list comes back.
+    *  - **no checkpoint at `v`**: the manifest's driver-parsed stats build
+    *    a broadcast range table — fine at thousands of files, and the only
+    *    option when the head moved past the last checkpoint. */
   private def filesOverlappingSourceKeys(spark: SparkSession, v: Long,
       source: DataFrame, sourceKey: String, targetKey: String,
       keyType: org.apache.spark.sql.types.DataType): Seq[String] = {
-    import org.apache.spark.sql.functions.{broadcast, expr}
-    val all = filesOf(v)
-    val stats = statsOf(v)
-    val (ranged, statless) = all.partition(f => stats.get(f).exists(_.contains(targetKey)))
-    if (ranged.isEmpty) all
-    else {
-      import spark.implicits._
-      val ranges = ranged.map { f =>
-        val (mn, mx, _) = stats(f)(targetKey); (f, mn, mx)
-      }.toDF("__file", "__lo", "__hi")
-        .select(col("__file"),
-          col("__lo").cast(keyType).as("__lo"), col("__hi").cast(keyType).as("__hi"))
-      val hit = source.select(expr(sourceKey).cast(keyType).as("__k"))
-        .filter(col("__k").isNotNull).distinct()
-        .join(broadcast(ranges), col("__k") >= col("__lo") && col("__k") <= col("__hi"))
-        .select("__file").distinct().as[String].collect().toSeq
+    import org.apache.spark.sql.functions.{broadcast, element_at, expr, lit}
+    import spark.implicits._
+    val keys = source.select(expr(sourceKey).cast(keyType).as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+    if (checkpointVersions().lastOption.contains(v)) {
+      val cf = checkpointFiles(spark).filter(col("kind") === "data")
+        .select(col("path"), element_at(col("stats"), lit(targetKey)).as("__st"))
+      val statless = cf.filter(col("__st").isNull)
+        .select("path").as[String].collect().toSeq
+      val ranges = cf.filter(col("__st").isNotNull)
+        .select(col("path").as("__file"),
+          element_at(col("__st"), 1).cast(keyType).as("__lo"),
+          element_at(col("__st"), 2).cast(keyType).as("__hi"))
+      val hit = ranges
+        .join(broadcast(keys),
+          col("__k") >= col("__lo") && col("__k") <= col("__hi"), "leftsemi")
+        .select("__file").as[String].collect().toSeq
       statless ++ hit
+    } else {
+      val all = filesOf(v)
+      val stats = statsOf(v)
+      val (ranged, statless) = all.partition(f => stats.get(f).exists(_.contains(targetKey)))
+      if (ranged.isEmpty) all
+      else {
+        val ranges = ranged.map { f =>
+          val (mn, mx, _) = stats(f)(targetKey); (f, mn, mx)
+        }.toDF("__file", "__lo", "__hi")
+          .select(col("__file"),
+            col("__lo").cast(keyType).as("__lo"), col("__hi").cast(keyType).as("__hi"))
+        val hit = keys
+          .join(broadcast(ranges), col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select("__file").distinct().as[String].collect().toSeq
+        statless ++ hit
+      }
     }
   }
 

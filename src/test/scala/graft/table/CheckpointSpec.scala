@@ -78,6 +78,34 @@ class CheckpointSpec extends AnyFunSuite with SparkSpec {
     assert(t.checkpointVersions() === Seq(2L, 3L))
   }
 
+  test("merge planning at a checkpointed head prunes exactly like the " +
+      "manifest path") {
+    // two identical range-sorted tables (4 files, disjoint id ranges); one
+    // gets a checkpoint at its head, so its merge plans from the checkpoint
+    // parquet instead of the driver-parsed manifest stats — same touched
+    // count, same result
+    val data = spark.range(0, 400).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    val src = Seq((7L, -7.0), (13L, -13.0), (777L, 1.0)).toDF("k", "v")
+    def merge(t: VersionedTable): (Long, Int) =
+      t.mergeCow(spark, src, "source.k = target.k", "k", "k",
+        Some(Merge.MatchedUpdate(None, Map("v" -> "source.v"))), None,
+        Some(Merge.NotMatchedInsert(None, Map.empty)))
+    val plain = VersionedTable(tmpDir("ckpt-mrg-") + "/plain")
+    val ckptd = VersionedTable(tmpDir("ckpt-mrg-") + "/ckptd")
+    Seq(plain, ckptd).foreach(_.commit(data, numPartitions = Some(4), sortBy = Seq("k")))
+    ckptd.checkpoint(spark)
+    assert(ckptd.checkpointVersions().lastOption === ckptd.latestVersion())
+    val (_, touchedPlain) = merge(plain)
+    val (_, touchedCkpt) = merge(ckptd)
+    // keys 7 and 13 both land in the first 100-key file: 1 of 4 touched
+    assert(touchedPlain === 1)
+    assert(touchedCkpt === touchedPlain)
+    val expect = plain.read(spark).as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(ckptd.read(spark).as[(Long, Double)].collect().sortBy(_._1).toSeq === expect)
+    assert(expect.filter(r => Set(7L, 13L, 777L)(r._1)).map(_._2) ===
+      Seq(-7.0, -13.0, 1.0))
+  }
+
   test("txn marks ratchet across chained checkpoints") {
     val t = VersionedTable(tmpDir("ckpt-"))
     t.commit(Seq(1).toDF("x"), txn = Some("a" -> 1L))
