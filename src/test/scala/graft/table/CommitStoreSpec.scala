@@ -114,6 +114,42 @@ class CommitStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  stores.foreach { case (name, _) =>
+    test(s"[$name] exactly one of N concurrent OS PROCESSES wins, and the " +
+        "visible document is the winner's complete bytes") {
+      // the in-JVM races above share one filesystem view through one page
+      // cache handle table; real deployments race across machines. Forked
+      // JVMs are the strongest local proxy: separate processes, separate
+      // file descriptors, no shared JVM state — only the filesystem's own
+      // atomicity can arbitrate. A start-barrier file lines all children up
+      // before any putIfAbsent fires.
+      val dir = tmpDir("cs-proc-")
+      val target = Paths.get(dir, "v00000001.json")
+      val go = Paths.get(dir, "go")
+      val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+      val cp = System.getProperty("java.class.path")
+      val storeArg = if (name == "link") "link" else "put"
+      val procs = (1 to 6).map { i =>
+        new ProcessBuilder(javaBin, "-cp", cp, "graft.table.CommitRaceChild",
+          storeArg, target.toString, i.toString, go.toString)
+          .redirectErrorStream(true).start()
+      }
+      Files.write(go, Array.emptyByteArray)
+      val outs = procs.map { p =>
+        assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
+          "race child did not exit")
+        new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      }
+      val winners = outs.filter(_.startsWith("WIN"))
+      assert(winners.size === 1, s"outputs: $outs")
+      assert(outs.count(_.startsWith("LOSE")) === 5)
+      val id = winners.head.split(" ").last
+      val content = new String(Files.readAllBytes(target), "UTF-8")
+      // complete, untorn, unmixed: exactly the winner's payload
+      assert(content === s"writer-$id:" + ("x" * 65536) + s":end-$id")
+    }
+  }
+
   test("cross-impl: a link writer and a conditional-put writer cannot both win") {
     // one table, two processes configured with DIFFERENT store impls (a
     // migration window): the primitive is create-if-absent either way, so
