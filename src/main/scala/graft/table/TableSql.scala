@@ -23,16 +23,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TableSql {
 
+  // path literal: standard SQL single-quote string, '' = an embedded quote
+  private val P = """'((?:[^']|'')+)'"""
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$P(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?\\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*""".r
   private val History =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
+    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$P\\s*""".r
   private val Restore =
-    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+    s"""(?is)\\s*RESTORE\\s+$P\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*""".r
   private val Clone =
-    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'\s*""".r
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+$P\\s+SHALLOW\\s+CLONE\\s+$P\\s*""".r
+
+  private def unq(s: String): String = s.replace("''", "'")
 
   private def status(spark: SparkSession, verb: String, path: String,
       version: Long): DataFrame = {
@@ -41,22 +45,29 @@ object TableSql {
   }
 
   def run(spark: SparkSession, sql: String): DataFrame = sql match {
-    case Optimize(path, null) =>
+    case Optimize(p, null) =>
+      val path = unq(p)
       status(spark, "OPTIMIZE", path, VersionedTable(path).compact(spark))
-    case Optimize(path, cols) =>
+    case Optimize(p, cols) =>
+      val path = unq(p)
       status(spark, "OPTIMIZE ZORDER", path, VersionedTable(path).compact(spark,
         zOrderBy = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq))
-    case Vacuum(path, retain) =>
+    case Vacuum(p, retain) =>
+      val path = unq(p)
       val t = VersionedTable(path)
       val n = t.vacuum(retainVersions = Option(retain).map(_.toInt).getOrElse(2))
-      status(spark, "VACUUM", path, n.toLong) // version column carries the sweep count
-    case History(path) => VersionedTable(path).history(spark)
-    case Restore(path, v) =>
+      // a sweep has no resulting version — report the swept count under
+      // its own name instead of overloading `version`
+      import spark.implicits._
+      Seq(("VACUUM", path, n.toLong)).toDF("operation", "path", "swept")
+    case History(p) => VersionedTable(unq(p)).history(spark)
+    case Restore(p, v) =>
+      val path = unq(p)
       status(spark, "RESTORE", path, VersionedTable(path).restore(v.toLong))
     case Clone(dst, src) =>
-      VersionedTable(src).cloneShallow(dst)
-      status(spark, "SHALLOW CLONE", dst, 0L)
+      VersionedTable(unq(src)).cloneShallow(unq(dst))
+      status(spark, "SHALLOW CLONE", unq(dst), 0L)
     case other => throw new IllegalArgumentException(
       s"unrecognized graft maintenance statement: '$other' — supported: OPTIMIZE, " +
         "VACUUM, DESCRIBE HISTORY, RESTORE ... TO VERSION AS OF, CREATE TABLE ... SHALLOW CLONE")

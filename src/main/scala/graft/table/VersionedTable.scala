@@ -1789,14 +1789,19 @@ final class VersionedTable(val root: String,
       else spark.read.parquet(newDv.map(f => Paths.get(root).resolve(f).toString): _*).count()
     val appendRows = effective.filter(col("__change_kind").isin("update", "insert"))
       .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    val (commitId, newFiles, newPartVals) = writeDataFiles(appendRows, numPartitions, sortBy, pb)
+    // the appended-row count rides the write itself as an Observation — no
+    // post-hoc footer re-read to decide the no-op below
+    val obs = org.apache.spark.sql.Observation()
+    val (commitId, newFiles, newPartVals) = writeDataFiles(
+      appendRows.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")),
+      numPartitions, sortBy, pb)
+    val nAppended = if (newFiles.isEmpty) 0L else obs.get("n").asInstanceOf[Long]
     // provable no-op (e.g. a re-delivered batch: all identity updates, all
     // inserts already present): don't burn a version. The writer may have
     // emitted empty part files — left unreferenced, vacuum's orphan sweep
-    // collects them. Footer-only count: cheap, and only on the 0-tombstone
-    // path.
-    if (nTomb == 0L && (newFiles.isEmpty || spark.read.parquet(
-        newFiles.map(f => Paths.get(root).resolve(f).toString): _*).count() == 0L))
+    // collects them.
+    if (nTomb == 0L && nAppended == 0L)
       return (v, 0L)
     val cdfFiles = if (!cdfEnabled) Nil else captureMergeCdf(
       marked0.filter(col("__change_kind").isNotNull)

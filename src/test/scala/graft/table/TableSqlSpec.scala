@@ -38,4 +38,20 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
       TableSql.run(spark, s"TRUNCATE '$root'")
     }
   }
+
+  test("paths containing a single quote address via SQL '' escaping") {
+    val root = tmpDir("tsql-q-") + "/o'brien"
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 10).toDF("id"))
+    t.append(spark.range(10, 20).toDF("id"))
+    val lit = root.replace("'", "''")
+    val hist = TableSql.run(spark, s"DESCRIBE HISTORY '$lit'")
+    assert(hist.count() === 2)
+    val opt = TableSql.run(spark, s"OPTIMIZE '$lit'")
+    assert(opt.head.getString(1) === root) // unescaped path in the status row
+    assert(t.read(spark).count() === 20)
+    // VACUUM reports its sweep count under `swept`, not `version`
+    val vac = TableSql.run(spark, s"VACUUM '$lit' RETAIN 2 VERSIONS")
+    assert(vac.columns.toSeq === Seq("operation", "path", "swept"))
+  }
 }
