@@ -59,7 +59,19 @@ object GraftFunctions {
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(filter, value)
         case other => throw new IllegalArgumentException(
           s"bloom_might_contain expects (binary, long), got ${other.size} args")
-      }))
+      }),
+    ("bloom_build_agg", classOf[BloomBuildAgg], (exprs: Seq[Expression]) => exprs match {
+      case Seq(hashed, items, fpp) => BloomBuildAgg(hashed,
+        items.eval().asInstanceOf[Number].longValue(),
+        fpp.eval().asInstanceOf[Number].doubleValue())
+      case other => throw new IllegalArgumentException(
+        s"bloom_build_agg expects (bigint, expectedItems, fpp), got ${other.size} args")
+    }),
+    ("bloom_any_contain", classOf[BloomAnyContain], (exprs: Seq[Expression]) => exprs match {
+      case Seq(bloom, keys) => BloomAnyContain(bloom, keys)
+      case other => throw new IllegalArgumentException(
+        s"bloom_any_contain expects (binary, array<bigint>), got ${other.size} args")
+    }))
 
   def registerAll(spark: SparkSession): Unit =
     builders.foreach { case (name, _, builder) =>
