@@ -117,7 +117,13 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
       nmbs: Seq[MergeAction], withSchemaEvolution: Boolean): LogicalPlan = {
     val tset = AttributeSet(tout)
     val sset = AttributeSet(source.output)
-    val sourceNames = source.output.map(_.name).toSet
+    // star-expansion name matching follows the session's resolution rules
+    // (case-insensitive unless spark.sql.caseSensitive), keyed to the
+    // TARGET column's recorded name
+    val caseSensitive = session.sessionState.conf.caseSensitiveAnalysis
+    def sourceColFor(targetName: String): Option[String] =
+      if (caseSensitive) source.output.map(_.name).find(_ == targetName)
+      else source.output.map(_.name).find(_.equalsIgnoreCase(targetName))
     def pref(e: Expression): String = rendered(e, a =>
       if (tset.contains(a)) Seq("target", a.name)
       else if (sset.contains(a)) Seq("source", a.name)
@@ -135,9 +141,12 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
       var upd: Option[(Option[String], Map[String, String])] = None
       var del: Option[Option[String]] = None
       var earlierDeletes: Seq[String] = Nil
+      // Weaken null-safely: a NULL earlier-delete condition must not veto
+      // the update (SQL 3VL would turn the whole conjunction NULL, which
+      // Merge.cond coalesces to false). `IS NOT TRUE` keeps NULL → true.
       def effective(own: Option[String]): Option[String] = {
         val parts = own.map(c => s"($c)").toSeq ++
-          earlierDeletes.map(c => s"(NOT ($c))")
+          earlierDeletes.map(c => s"(($c) IS NOT TRUE)")
         if (parts.isEmpty) None else Some(parts.mkString(" AND "))
       }
       actions.foreach {
@@ -150,8 +159,8 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
           require(upd.isEmpty,
             s"graft MERGE supports at most one $family UPDATE clause")
           upd = Some((effective(c.map(pref)),
-            tout.map(_.name).filter(sourceNames)
-              .map(n => n -> s"source.${PredicateSql.quote(n)}").toMap))
+            tout.map(_.name).flatMap(n => sourceColFor(n)
+              .map(sn => n -> s"source.${PredicateSql.quote(sn)}")).toMap))
         case DeleteAction(c) =>
           require(del.isEmpty,
             s"graft MERGE supports at most one $family DELETE clause")
