@@ -20,6 +20,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // q44-style recursive CTEs materialize one row per (row, ancestor);
       // the 1M default cap is a scale cliff the DuckDB oracle does not share
       .config("spark.sql.cteRecursionRowLimit", "100000000")

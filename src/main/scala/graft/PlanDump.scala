@@ -18,6 +18,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.cteRecursionRowLimit", "100000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

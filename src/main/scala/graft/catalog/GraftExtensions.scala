@@ -186,12 +186,24 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
         s"graft MERGE supports at most one WHEN NOT MATCHED INSERT clause, got $other")
     }
 
-    // the file-pruning equi key: a bare target.col = source.col conjunct
+    // the file-pruning equi key: a bare target.col = source.col conjunct.
+    // The analyzer inserts implicit casts when the key types differ (e.g. a
+    // VALUES source yields INT against a BIGINT target) — an UP-cast
+    // preserves equality, so strip it for key extraction; the full ON
+    // condition (cast included) is still what the join evaluates.
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    val keys = conjuncts(cond).collectFirst {
+    def stripUpCast(e: Expression): Expression = e match {
+      case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) =>
+        stripUpCast(c.child)
+      case other => other
+    }
+    val keys = conjuncts(cond).map {
+      case EqualTo(l, r) => EqualTo(stripUpCast(l), stripUpCast(r))
+      case other => other
+    }.collectFirst {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if tset.contains(a) && sset.contains(b) => (a.name, b.name)
       case EqualTo(a: AttributeReference, b: AttributeReference)

@@ -40,10 +40,15 @@ case class RabinFingerprint(child: Expression, k: Int)
     StructField("n_distinct_grams", LongType, nullable = false)))
 
   override def nullSafeEval(input: Any): Any =
-    RabinFingerprint.eval(input.asInstanceOf[UTF8String], k)
+    RabinFingerprint.hash(input.asInstanceOf[UTF8String], k)
 
+  // NOTE: the companion method must NOT be named `eval` — the case class
+  // inherits Expression.eval(InternalRow), which suppresses the static
+  // forwarder, so generated Java would resolve `RabinFingerprint.eval` to
+  // the instance method and every codegen stage containing this expression
+  // would silently fall back to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.RabinFingerprint.eval($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.RabinFingerprint.hash($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): RabinFingerprint =
     copy(child = newChild)
@@ -56,7 +61,7 @@ object RabinFingerprint {
   final val P: Long = 9007199254740881L
   final val B: Long = 257L
 
-  def eval(text: UTF8String, k: Int): InternalRow = {
+  def hash(text: UTF8String, k: Int): InternalRow = {
     val cp = text.toString.codePoints().toArray
     val n = cp.length
     val grams = math.max(n - k + 1, 1)

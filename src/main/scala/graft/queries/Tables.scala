@@ -11,13 +11,22 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // The driver writes timestamps without an isAdjustedToUTC flag; Spark 4
+    // would infer TIMESTAMP_NTZ, which breaks streaming watermarks and
+    // time functions that expect TIMESTAMP. Session zone is UTC, so reading
+    // them as LTZ preserves the exact instants DuckDB's oracle sees.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if (name == "events") {
-      // events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's reader
-      // rejects; read it as raw nanos and truncate to micros (identical to
-      // DuckDB's ts::TIMESTAMP truncation, verified on the testdata)
+      // Some testdata generations write events.ts as parquet INT64
+      // TIMESTAMP(NANOS), which Spark's reader rejects; others write plain
+      // micros. Read nanos as raw longs and truncate to micros (identical
+      // to DuckDB's ts::TIMESTAMP truncation) ONLY when the file actually
+      // carries nanos — a micros file arrives as a timestamp already.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

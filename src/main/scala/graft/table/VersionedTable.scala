@@ -1862,7 +1862,12 @@ final class VersionedTable(val root: String,
     def norm(id: String): String = id.replace("`", "").trim.toLowerCase
     val sk = norm(sourceKey)
     val tk = norm(targetKey)
-    val Eq = """(?i)\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*=\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*""".r
+    // Either side may carry an analyzer-inserted implicit cast (e.g.
+    // `target.id = CAST(source.ID AS BIGINT)` when a VALUES source yields
+    // INT against a BIGINT key). Spark's equality coercion only widens, so
+    // a cast-wrapped key column is still an equality on the same values.
+    val side = """(?:CAST\s*\(\s*)?`?(\w+)`?\s*\.\s*`?(\w+)`?(?:\s+AS\s+\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*\))?"""
+    val Eq = s"""(?i)\\s*$side\\s*=\\s*$side\\s*""".r
     splitTopLevelAnd(condition).exists { conj =>
       // a fully parenthesized conjunct is still the same conjunct
       var c = conj.trim

@@ -233,6 +233,54 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("NULL delete-flag does not veto a later UPDATE (3VL clause weakening)") {
+    // canonical CDC shape: WHEN MATCHED AND src.op='D' THEN DELETE /
+    // WHEN MATCHED THEN UPDATE. When op IS NULL the delete condition is
+    // NULL — SQL skips the clause, and the update MUST still fire (a naive
+    // `NOT (op='D')` weakening would turn the update's condition NULL too).
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(4)")
+    Seq((0L, Some("D"), 100L), (1L, None, 111L), (2L, Some("U"), 222L))
+      .toDF("id", "op", "v").createOrReplaceTempView("merge_null_src")
+    spark.sql(
+      s"""MERGE INTO $t USING merge_null_src src ON $t.id = src.id
+         |WHEN MATCHED AND src.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = src.v""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $t ORDER BY id").as[(Long, Long)].collect()
+      .toSeq === Seq((1L, 111L), (2L, 222L), (3L, 3L)))
+    // same 3VL rule on the NOT MATCHED BY SOURCE side
+    val t2 = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t2 (id BIGINT, v BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $t2 VALUES (1, 1, NULL), (2, 2, 'x'), (9, 9, NULL)")
+    spark.range(9, 10).selectExpr("id").createOrReplaceTempView("merge_null_src2")
+    spark.sql(
+      s"""MERGE INTO $t2 USING merge_null_src2 src ON $t2.id = src.id
+         |WHEN NOT MATCHED BY SOURCE AND tag = 'x' THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1""".stripMargin)
+    assert(spark.sql(s"SELECT id, v FROM $t2 ORDER BY id").as[(Long, Long)]
+      .collect().toSeq === Seq((1L, -1L), (9L, 9L)),
+      "NULL tag row must take the UPDATE branch, 'x' row must delete")
+    spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE $t2")
+  }
+
+  test("UPDATE SET * / INSERT * match source columns case-insensitively") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, amt DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 1.0), (2, 2.0)")
+    // source spells the columns ID / Amt — default resolution is
+    // case-insensitive, so star expansion must still assign them
+    spark.sql("SELECT * FROM VALUES (2, 20.0), (3, 30.0) AS src(ID, Amt)")
+      .createOrReplaceTempView("merge_case_src")
+    spark.sql(
+      s"""MERGE INTO $t USING merge_case_src src ON $t.id = src.ID
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $t ORDER BY id").as[(Long, Double)]
+      .collect().toSeq === Seq((1L, 1.0), (2L, 20.0), (3L, 30.0)))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("filter pushdown through the catalog scan prunes files via stats") {
     val t = s"graft.default.${fresh()}"
     spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")

@@ -37,11 +37,11 @@ class RabinFingerprintSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("short and empty texts produce exactly one gram") {
-    val one = RabinFingerprint.eval(
+    val one = RabinFingerprint.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString(""), 8)
     assert(one.getLong(1) === 1L) // n_distinct_grams
     assert(one.getLong(0) === 0L) // all-pad gram hashes to 0
-    val short = RabinFingerprint.eval(
+    val short = RabinFingerprint.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString("ab"), 8)
     assert(short.getLong(1) === 1L)
     // 'a'*B + 'b', then six zero-pad steps: h * B^6 mod P
@@ -51,7 +51,7 @@ class RabinFingerprintSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("duplicate grams collapse in the distinct count") {
-    val r = RabinFingerprint.eval(
+    val r = RabinFingerprint.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString("aaaaaaaaaa"), 8)
     // 3 positions, all grams "aaaaaaaa" → 1 distinct
     assert(r.getLong(1) === 1L)
