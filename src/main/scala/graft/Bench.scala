@@ -44,6 +44,21 @@ object Bench {
     // local-iteration filter (SPARK_GRAFT_ONLY=q1,q2): absent in driver runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+
+    // the IVF index is an OFFLINE artifact (SimilarityQueries.indexRoot):
+    // build it during warmup so the ANN/dedup query timings measure the
+    // serving path, and surface the one-time training cost as its own
+    // `ivf_build` entry instead of silently taxing whichever consumer runs
+    // first
+    val ivfConsumers = Set("s2_ann_ivf", "s6_ivf_pq", "d5_embedding_neardup",
+      "d11_semantic_dedup", "s7_kmeans_train")
+    val ivfBuild =
+      if (only.nonEmpty && !only.exists(ivfConsumers)) -1.0
+      else try graft.queries.SimilarityQueries.buildIndex(spark, sfDir)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] ivf index build failed: ${e.getMessage}")
+        -1.0
+      }
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -67,12 +82,14 @@ object Bench {
     val oks = first.map(_._2).filter(_ >= 0).sorted
     val median = if (oks.isEmpty) 0.0 else oks(oks.size / 2)
     val byName = picked.toMap
-    val results = first.map { case (name, t) =>
+    val retimed = first.map { case (name, t) =>
       if (t > math.max(2.0, 3 * median)) {
         val t2 = time(name, byName(name))
         name -> (if (t2 >= 0) math.min(t, t2) else t)
       } else name -> t
     }
+    val results =
+      if (ivfBuild >= 0) retimed :+ ("ivf_build" -> ivfBuild) else retimed
     // millisecond precision keeps the single JSON line compact enough to
     // survive the driver's bounded output-tail capture (a full-precision
     // double per query pushed past it and the line arrived truncated)
