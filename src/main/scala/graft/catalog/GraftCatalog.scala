@@ -49,6 +49,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  /** Opt in to `ALTER TABLE ... ADD/DROP CONSTRAINT` routing here — without
+    * this capability Spark rejects the statement before the catalog sees
+    * it. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def defaultNamespace(): Array[String] = Array("default")
 
   private def isPathIdent(ident: Identifier): Boolean =
@@ -89,6 +95,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // CREATE TABLE ... LOCATION: the catalog's only state is the directory
+    // layout, so a table materialized away from <warehouse>/<ns>/<name>
+    // could never be resolved again by its identifier. Reject rather than
+    // silently materializing at the default path (every other unsupported
+    // feature here throws too); external roots are addressed directly via
+    // the path-identifier idiom instead.
+    Option(properties.get(TableCatalog.PROP_LOCATION)).foreach { loc =>
+      val resolved = tablePath(ident).toString
+      if (Paths.get(loc.stripPrefix("file:")).toString != resolved)
+        throw new UnsupportedOperationException(
+          s"graft tables live at <warehouse>/<namespace>/<name> ($resolved); " +
+            s"LOCATION '$loc' cannot be honored — address an external root " +
+            "directly with a path identifier: SELECT * FROM graft.`" + loc + "`")
+    }
     val partitionBy = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
@@ -124,9 +144,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         t.evolveSchema(Seq(org.apache.spark.sql.types.StructField(
           add.fieldNames.head, add.dataType, nullable = true)))
         ()
+      case add: TableChange.AddConstraint => add.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          // the kernel validates against LIVE rows and refuses a constraint
+          // existing data violates — the ADD CONSTRAINT contract
+          t.addConstraint(SparkSession.active, c.name, c.predicateSql)
+          ()
+        case other => throw new UnsupportedOperationException(
+          s"graft tables enforce CHECK constraints only, got ${other.toDDL}")
+      }
+      case drop: TableChange.DropConstraint =>
+        if (drop.ifExists && !VersionedTable(tablePath(ident).toString)
+              .latestVersion().exists(v => t.constraintsOf(v).contains(drop.name)))
+          ()
+        else { t.dropConstraint(drop.name); () }
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported on graft tables " +
-          "(only properties and additive columns)")
+          "(only properties, additive columns, and CHECK constraints)")
     }
     new GraftTable(t, ident.toString, versionAsOf = None)
   }

@@ -55,6 +55,17 @@ class GraftTable(val table: VersionedTable, tableName: String,
       // metadata-only), and re-resolves the widened target
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
+  /** Report the manifest's CHECK constraints (version-pinned metadata) so
+    * DESCRIBE and the ADD/DROP CONSTRAINT analyzer see the live set. */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    table.constraintsOf(table.resolve(None, versionAsOf)).toSeq.sortBy(_._1)
+      .map { case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(sql).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, table, versionAsOf, schema())
 
@@ -126,8 +137,12 @@ private final class GraftV1TableScan(ctx: SQLContext, spark: SparkSession,
   // TableRelation.buildScan): no InternalRow→Row round trip per row
   override def needConversion: Boolean = false
   override def buildScan(): RDD[Row] = {
+    // temporal filter values render in the MANIFEST's recorded stats zone
+    // (falling back to the session zone for legacy manifests) — rendering
+    // in the read session's zone would mis-prune when writer and reader
+    // zones differ
     val (df, _, _) = t.readBounded(spark,
-      StatsBounds.bounds(pushed, spark.sessionState.conf.sessionLocalTimeZone),
+      StatsBounds.bounds(pushed, t.statsRenderZone(spark, None, versionAsOf)),
       None, versionAsOf)
     df.select(required.fieldNames.toSeq.map(col): _*)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]

@@ -331,7 +331,10 @@ final class TableRelation(
     * type-aware IN ordering) lives in [[graft.table.StatsBounds]], shared
     * with the DSv2 catalog scan. */
   private def bounds(filters: Array[Filter]): Seq[(String, Option[String], Option[String])] =
-    graft.table.StatsBounds.bounds(filters, spark.sessionState.conf.sessionLocalTimeZone)
+    // rendered in the manifest's recorded stats zone, not the read
+    // session's — see VersionedTable.statsRenderZone
+    graft.table.StatsBounds.bounds(filters,
+      t.statsRenderZone(spark, relativeVersion, versionAsOf))
 
   /** All filters stay unhandled: the scan only SKIPS FILES on them, it does
     * not evaluate them row-level. */

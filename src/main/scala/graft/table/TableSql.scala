@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * {{{
   *   OPTIMIZE '<path>' [ZORDER BY (c1[, c2...])]
-  *   VACUUM '<path>' [RETAIN <n> VERSIONS]
+  *   VACUUM '<path>' [RETAIN <n> VERSIONS | RETAIN <n> HOURS [FORCE]]
   *   DESCRIBE HISTORY '<path>'
   *   RESTORE '<path>' TO VERSION AS OF <v>
   *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>'
@@ -28,7 +28,7 @@ object TableSql {
   private val Optimize =
     s"""(?is)\\s*OPTIMIZE\\s+$P(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?\\s*""".r
   private val Vacuum =
-    s"""(?is)\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?(\\s+FORCE)?\\s*""".r
   private val History =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$P\\s*""".r
   private val Restore =
@@ -53,10 +53,15 @@ object TableSql {
       status(spark, "OPTIMIZE ZORDER", path, VersionedTable(path).compact(spark,
         zOrderBy = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq))
-    case Vacuum(p, retain) =>
+    case Vacuum(p, retain, unit, force) =>
       val path = unq(p)
       val t = VersionedTable(path)
-      val n = t.vacuum(retainVersions = Option(retain).map(_.toInt).getOrElse(2))
+      val n =
+        if (unit != null && unit.equalsIgnoreCase("HOURS"))
+          // hours-based retention (Delta's spelling); FORCE overrides the
+          // 168 h safety floor the kernel enforces
+          t.vacuumHours(retain.toDouble, force = force != null)
+        else t.vacuum(retainVersions = Option(retain).map(_.toInt).getOrElse(2))
       // a sweep has no resulting version — report the swept count under
       // its own name instead of overloading `version`
       import spark.implicits._

@@ -201,6 +201,27 @@ final class VersionedTable(val root: String,
     }.toMap
   }
 
+  /** The session time zone the manifest's stats strings were RENDERED in
+    * (absent in manifests predating zone recording). Temporal stats are
+    * zone-dependent (`cast(ts AS STRING)` renders the instant in the writer
+    * session's zone); the prune-time comparison is lexicographic, so filter
+    * values must be rendered in the SAME zone or live files can be silently
+    * dropped. */
+  def statsZoneOf(v: Long): Option[String] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (node.has("statsZone")) Some(node.get("statsZone").asText()) else None
+  }
+
+  /** The zone to render pushed temporal filter values in when pruning
+    * version `v` (or the resolved head): the manifest's recorded stats zone
+    * when present, else the read session's zone (the pre-recording
+    * assumption — correct whenever writer and reader share a zone, which
+    * legacy manifests cannot distinguish). */
+  def statsRenderZone(spark: SparkSession, relativeVersion: Option[Int] = None,
+      versionAsOf: Option[Long] = None): String =
+    statsZoneOf(resolve(relativeVersion, versionAsOf))
+      .getOrElse(spark.sessionState.conf.sessionLocalTimeZone)
+
   /** CHECK constraints recorded in a version's manifest: name → SQL
     * expression every row of the table must satisfy (see [[addConstraint]]).
     * Constraints are version-pinned metadata like the schema — RESTORE rolls
@@ -970,8 +991,29 @@ final class VersionedTable(val root: String,
     val arr = json.putArray("files")
     files.sorted.foreach(arr.add)
     if (stats.nonEmpty) {
+      // temporal stats are rendered in the writer session's zone; record it
+      // so prune-time filter rendering can match it exactly. A manifest
+      // holds ONE zone — if the base was recorded under a different zone,
+      // the carried-forward timestamp stats would mix renderings, so those
+      // columns' entries are dropped (they stop pruning; never wrong).
+      // DATE renders zone-free and is kept.
+      val zone = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.conf.sessionLocalTimeZone)
+      val baseZone = base.flatMap(statsZoneOf)
+      val tsCols: Set[String] =
+        org.apache.spark.sql.types.DataType.fromJson(schemaJson) match {
+          case s: org.apache.spark.sql.types.StructType =>
+            s.fields.collect {
+              case f if f.dataType == org.apache.spark.sql.types.TimestampType => f.name
+            }.toSet
+          case _ => Set.empty
+        }
+      val zoneSafe =
+        if (zone.isEmpty || baseZone.isEmpty || baseZone == zone) stats
+        else stats.view.mapValues(_.filterNot { case (c, _) => tsCols(c) }).toMap
+      zone.foreach(z => json.put("statsZone", z))
       val statsNode = json.putObject("stats")
-      stats.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+      zoneSafe.toSeq.sortBy(_._1).foreach { case (f, cols) =>
         val fileNode = statsNode.putObject(f)
         cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx, kind)) =>
           val a = fileNode.putArray(c); a.add(mn); a.add(mx); a.add(kind)
@@ -1655,7 +1697,14 @@ final class VersionedTable(val root: String,
     val keys = source.select(expr(sourceKey).cast(keyType).as("__k"))
       .filter(col("__k").isNotNull).distinct()
     if (checkpointVersions().lastOption.contains(v)) {
-      val cf = checkpointFiles(spark).filter(col("kind") === "data")
+      // read the PINNED version's checkpoint directly — going through
+      // checkpointFiles() would re-resolve the latest checkpoint, and a
+      // concurrent commit+checkpoint between the guard and the read would
+      // make the merge plan its touched set from a different version's
+      // file list (an appended statless file could then be both rewritten
+      // into the merge output and folded back by the rebase)
+      val cf = spark.read.parquet(ckptDataDir(v).toString)
+        .filter(col("kind") === "data")
         .select(col("path"), element_at(col("stats"), lit(targetKey)).as("__st"))
       val statless = cf.filter(col("__st").isNull)
         .select("path").as[String].collect().toSeq
@@ -2281,6 +2330,33 @@ final class VersionedTable(val root: String,
     * once older than `orphanRetentionMs` (default 7 days), so a concurrent
     * writer's freshly written, not-yet-published files are never swept out
     * from under its commit — the same age-guard Delta's VACUUM uses. */
+  /** Hours-based VACUUM (the lake-operations idiom, and Delta's default
+    * spelling): sweep versions whose manifest is older than `retainHours`,
+    * keeping AT LEAST the head — the current snapshot is never swept no
+    * matter how small the window. Retention below the 168-hour safety
+    * floor (Delta's default) is refused unless `force` — a `RETAIN 0
+    * HOURS` typo would otherwise destroy every reader's time travel and
+    * any in-flight query's snapshot. Granularity is the version: a version
+    * inside the window keeps all its files. */
+  def vacuumHours(retainHours: Double, force: Boolean = false,
+                  orphanRetentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    require(retainHours >= 0, "retention hours must be non-negative")
+    require(force || retainHours >= 168,
+      s"retaining $retainHours h is below the 168 h safety floor; " +
+        "pass force=true (SQL: VACUUM ... FORCE) to override")
+    val vs = versions()
+    if (vs.isEmpty) return 0
+    val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
+    // commit order is time order, so the retained set is a suffix; an
+    // unreadable mtime counts as recent (never sweep on missing evidence)
+    val recent = vs.count { v =>
+      scala.util.Try(Files.getLastModifiedTime(manifestPath(v)).toMillis)
+        .toOption.forall(_ >= cutoff)
+    }
+    vacuum(retainVersions = math.max(1, recent),
+      orphanRetentionMs = orphanRetentionMs)
+  }
+
   def vacuum(retainVersions: Int = 2,
              orphanRetentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")

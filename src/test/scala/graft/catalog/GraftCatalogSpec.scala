@@ -281,6 +281,43 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT routes SQL CHECK constraints to the kernel") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, amt DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0), (2, 20.0)")
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+    val vt = handle(t)
+    assert(vt.constraintsOf(vt.resolve()).get("amt_pos").exists(_.contains("amt")))
+    // the new constraint gates writes: a violating insert must fail
+    intercept[Exception] { spark.sql(s"INSERT INTO $t VALUES (3, -1.0)") }
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 2)
+    // a constraint EXISTING DATA violates is refused at ADD time
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD CONSTRAINT amt_big CHECK (amt > 15)")
+    }
+    assert(!vt.constraintsOf(vt.resolve()).contains("amt_big"))
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT amt_pos")
+    assert(vt.constraintsOf(vt.resolve()).isEmpty)
+    spark.sql(s"INSERT INTO $t VALUES (3, -1.0)") // gate gone
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 3)
+    // DROP ... IF EXISTS on an absent name is a no-op, bare DROP errors
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT IF EXISTS nope")
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP CONSTRAINT nope") }
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("CREATE TABLE ... LOCATION is rejected, not silently dropped") {
+    val t = s"graft.default.${fresh()}"
+    val ex = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $t (id BIGINT) LOCATION '/tmp/elsewhere-${fresh()}'")
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[UnsupportedOperationException]))
+    assert(spark.sql(s"SHOW TABLES IN graft.default").collect()
+      .forall(!_.getString(1).equals(t.split('.').last)))
+  }
+
   test("filter pushdown through the catalog scan prunes files via stats") {
     val t = s"graft.default.${fresh()}"
     spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")

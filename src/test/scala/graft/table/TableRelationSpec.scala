@@ -96,6 +96,45 @@ class TableRelationSpec extends AnyFunSuite with SparkSpec {
     assert(total === 8 && kIn === 1)
   }
 
+  test("timestamp pruning renders filter values in the manifest's stats zone") {
+    val root = tmpDir("rel-") + "/t"
+    val t = VersionedTable(root)
+    // 48 hourly rows in 4 ts-sorted files, written under the UTC session:
+    // the manifest's ts stats are UTC renderings and statsZone records it
+    t.commit(spark.range(0, 48).selectExpr("id",
+      "timestampadd(HOUR, CAST(id AS INT), timestamp'2024-03-01 00:00:00') AS ts"),
+      numPartitions = Some(4), sortBy = Seq("ts"))
+    assert(t.statsZoneOf(0L).contains("UTC"))
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // a reader in a +05:30 zone: rendering the pushed value in the READ
+      // session's zone would shift it past its file's recorded [min, max]
+      // and silently drop the row — the scan must render in the RECORDED
+      // zone (hour 10 sits in file 0 [0h, 11h]; shifted +5:30 it would
+      // probe file 1 and prune file 0)
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      assert(t.statsRenderZone(spark) === "UTC")
+      val target = java.time.Instant.parse("2024-03-01T10:00:00Z")
+      val df = spark.read.format("graft-table").option("path", root).load()
+        .filter(org.apache.spark.sql.functions.col("ts")
+          === org.apache.spark.sql.functions.lit(target))
+      assert(df.count() === 1)
+      // appending under the DIFFERENT zone may not mix renderings in one
+      // manifest: the new manifest drops ts stats (no pruning — safe)
+      // rather than carrying UTC strings under a Kolkata statsZone
+      t.append(spark.range(48, 49).selectExpr("id",
+        "timestampadd(HOUR, 48, timestamp'2024-03-01 00:00:00') AS ts"))
+      assert(t.statsZoneOf(1L).contains("Asia/Kolkata"))
+      val (_, keptTs, totalTs) = t.readBounded(spark,
+        Seq(("ts", Some("2024-03-01 05:00:00"), Some("2024-03-01 06:00:00"))))
+      assert(keptTs === totalTs, "ts stats must be absent after a zone mix")
+      // id stats are zone-free and must still prune
+      val (_, keptId, totalId) = t.readBounded(spark,
+        Seq(("id", Some("1"), Some("1"))))
+      assert(keptId < totalId)
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
   test("reads apply deletion vectors and rewrites like any versioned read") {
     val root = tmpDir("rel-") + "/t"
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k")

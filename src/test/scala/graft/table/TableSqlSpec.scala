@@ -39,6 +39,37 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("VACUUM RETAIN n HOURS sweeps by manifest age behind a safety floor") {
+    val root = tmpDir("tsql-h-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 10).toDF("id"))
+    // v1 OVERWRITES: v0's data files are referenced by no later version,
+    // so an age-based sweep of v0 has real files to delete
+    t.commit(spark.range(0, 20).toDF("id"))
+    t.append(spark.range(20, 30).toDF("id"))
+    // below the 168 h floor without FORCE → refused, nothing swept
+    val ex = intercept[IllegalArgumentException] {
+      TableSql.run(spark, s"VACUUM '$root' RETAIN 1 HOURS")
+    }
+    assert(ex.getMessage.contains("safety floor"))
+    assert(t.versions().size === 3)
+    // age v0 and v1 beyond a 1 h window; v2 (head) stays recent
+    import java.nio.file.{Files, Paths}
+    val twoHoursAgo = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000)
+    Seq(0L, 1L).foreach { v =>
+      Files.setLastModifiedTime(
+        Paths.get(root, "_graft_log", f"v$v%08d.json"), twoHoursAgo)
+    }
+    val vac = TableSql.run(spark, s"VACUUM '$root' RETAIN 1 HOURS FORCE")
+    assert(vac.head.getLong(2) > 0)
+    assert(t.versions() === Seq(2L))
+    assert(t.read(spark).count() === 30)
+    // everything inside the window → sweep is a no-op, head never goes
+    val vac2 = TableSql.run(spark, s"VACUUM '$root' RETAIN 1 HOURS FORCE")
+    assert(vac2.head.getLong(2) === 0 && t.versions() === Seq(2L))
+  }
+
   test("paths containing a single quote address via SQL '' escaping") {
     val root = tmpDir("tsql-q-") + "/o'brien"
     val t = VersionedTable(root)
