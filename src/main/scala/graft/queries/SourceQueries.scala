@@ -927,11 +927,51 @@ object SourceQueries {
         |  CASE WHEN s.o_orderkey IS NOT NULL THEN 'hot' END AS flag
         |FROM orders b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey""".stripMargin))
 
+  /** q109: Bloom-sidecar point-lookup merge — the file-skip case min-max
+    * stats cannot serve. The table is committed ROUND-ROBIN (no sort), so
+    * every file's [o_orderkey min, max] spans the whole key domain and
+    * range pruning keeps all 8 files; the per-file Bloom sidecar
+    * (`bloomIndexColumns` property, built at the write funnel) knows which
+    * files actually hold the two probed keys, and the merge plans ≤ half
+    * the files (asserted in-query — the 100 TB point: a 2-row CDC upsert
+    * against a million-file table must not rewrite-scan every file whose
+    * range happens to cover the key). Result equality is the oracle's. */
+  val q109BloomMerge: Q = Q(
+    "q109_bloom_merge",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_v")
+      t.setProperties(Map("bloomIndexColumns" -> "o_orderkey"))
+      // round-robin layout: uniform keys per file defeat min-max pruning
+      t.commit(spark.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM orders"),
+        numPartitions = Some(8))
+      val src = spark.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice * 0.5 AS o_totalprice
+          |FROM orders
+          |WHERE o_orderkey IN (SELECT MIN(o_orderkey) FROM orders
+          |                     UNION ALL SELECT MAX(o_orderkey) FROM orders)""".stripMargin)
+      val (_, touched) = t.mergeCow(spark, src,
+        condition = "source.o_orderkey = target.o_orderkey",
+        targetKey = "o_orderkey", sourceKey = "o_orderkey",
+        whenMatchedUpdate = Some(graft.table.Merge.MatchedUpdate(
+          None, Map("o_totalprice" -> "source.o_totalprice"))))
+      require(touched <= 4,
+        s"bloom sidecar should prune most of the 8 range-unprunable files, touched $touched")
+      t.read(spark).select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey IN (SELECT MIN(o_orderkey) FROM orders
+        |                           UNION ALL SELECT MAX(o_orderkey) FROM orders)
+        |       THEN o_totalprice * 0.5 ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
     q84MorDelete, q85IncrementalAgg, q95DynamicPartitionPruning,
     q96PartitionedTable, q97ChangeFeedStored, q99JdbcRoundtrip,
     q101TableRelationSql, q103MorMerge, q104ShallowClone, q106SqlMerge,
-    q107ReplaceWhere, q108MergeEvolution)
+    q107ReplaceWhere, q108MergeEvolution, q109BloomMerge)
 }

@@ -44,6 +44,7 @@ final class VersionedTable(val root: String,
   private def dataDir: Path = Paths.get(root, "data")
   private def dvDir: Path = Paths.get(root, "dv")
   private def cdfDir: Path = Paths.get(root, "cdf")
+  private def bloomDir: Path = Paths.get(root, "bloom")
 
   private def manifestPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
@@ -770,6 +771,7 @@ final class VersionedTable(val root: String,
       n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
     if (partitionBy.isEmpty) {
       val files = listNames(outDir).filter(isData).map(n => s"data/$commitId/$n").sorted
+      buildBloomSidecar(df.sparkSession, commitId, files)
       (commitId, files, Map.empty)
     } else {
       // walk the hive layout: every leaf parquet sits under one k=v segment
@@ -805,8 +807,92 @@ final class VersionedTable(val root: String,
         }
       walk(outDir, Nil, Map.empty)
       val files = found.map(_._1).sorted
+      buildBloomSidecar(df.sparkSession, commitId, files.toSeq)
       (commitId, files.toSeq, found.map { case (f, v) => f -> v }.toMap)
     }
+  }
+
+  /** Columns carrying a per-file Bloom sidecar (table property
+    * `bloomIndexColumns`, comma-separated). Min-max ranges cannot prune
+    * point lookups on a high-cardinality key whose values are uniform
+    * across files (every file's [min, max] spans the domain); the Bloom
+    * sidecar is exactly that gap — the role Delta's/Iceberg's Bloom
+    * indexes fill. */
+  private def bloomIndexColumns: Seq[String] =
+    properties.get("bloomIndexColumns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** One sidecar parquet dataset per commit, addressed BY COMMIT ID
+    * (`bloom/<commitId>.parquet`) — data files are immutable and so are
+    * their filters, so deterministic pathing needs no manifest threading;
+    * a candidate file's sidecar is found from its own path, and [[vacuum]]
+    * retires a sidecar with its commit. Rows are (path, column, bloom). */
+  private def bloomSidecarPath(commitId: String): Path =
+    bloomDir.resolve(s"$commitId.parquet")
+
+  /** Build the Bloom sidecar for a freshly written commit: one filter per
+    * (file, indexed column) over `xxhash64(col)` — pre-hashed so build and
+    * probe agree on the rendering of any column type. Runs as ONE
+    * distributed grouped aggregation over the new batch (map-side
+    * combinable; the vectors never leave the executors — only
+    * filter bytes land in the sidecar). Partition columns don't live in
+    * the data files and are served by partition pruning, so only
+    * file-resident columns index. */
+  private def buildBloomSidecar(spark: SparkSession, commitId: String,
+      files: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{expr, input_file_name}
+    if (bloomIndexColumns.isEmpty || files.isEmpty) return
+    val written = spark.read.parquet(
+      files.map(f => Paths.get(root).resolve(f).toString): _*)
+    val cols = bloomIndexColumns.filter(written.columns.contains)
+    if (cols.isEmpty) return
+    graft.functions.GraftFunctions.registerAll(spark)
+    val items = properties.get("bloomIndexExpectedItems").map(_.toLong).getOrElse(100000L)
+    val fpp = properties.get("bloomIndexFpp").map(_.toDouble).getOrElse(0.01)
+    val aggs = cols.map(c =>
+      expr(s"bloom_build_agg(xxhash64(`$c`), ${items}L, ${fpp}D)").as(s"__b_$c"))
+    val perFile = written.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'${c.replace("'", "''")}', `__b_$c`").mkString(", ")
+    // normalize to the manifest's table-relative on-disk names (same
+    // uriDecode + commit-dir anchoring as collectFileStats, kept
+    // distributed — only filter bytes land in the sidecar)
+    perFile.select(uriDecodeCol(col("__f")).as("__fd"),
+        expr(s"stack(${cols.size}, $stackArgs)").as(Seq("column", "bloom")))
+      .filter(expr(s"instr(__fd, 'data/$commitId/') > 0"))
+      .select(expr(s"substring(__fd, instr(__fd, 'data/$commitId/'))").as("path"),
+        col("column"), col("bloom"))
+      .write.mode("overwrite").parquet(bloomSidecarPath(commitId).toString)
+  }
+
+  /** Bloom pass over a range-pruned candidate file list: drop every
+    * candidate whose sidecar filter says NONE of `hashedKeys` (a one-column
+    * `__h` BIGINT frame of `xxhash64` key hashes) can be present in
+    * `column`. Files without a sidecar entry (unindexed commits, missing
+    * column) always survive — the index can only prune, never resurrect.
+    * The probe is a distributed join of the candidate list against the
+    * per-commit sidecar datasets with the (batch-bounded) key-hash array
+    * broadcast; only the surviving paths come back to the driver. */
+  private def bloomPruneCandidates(spark: SparkSession, candidates: Seq[String],
+      column: String, hashedKeys: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, collect_list, expr}
+    if (candidates.isEmpty || !bloomIndexColumns.contains(column)) return candidates
+    val cids = candidates.flatMap(_.split('/') match {
+      case Array("data", cid, _*) => Some(cid)
+      case _ => None
+    }).distinct
+    val sidecars = cids.map(bloomSidecarPath).filter(Files.isDirectory(_))
+    if (sidecars.isEmpty) return candidates
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val keyArr = hashedKeys.agg(collect_list(col("__h")).as("__ks"))
+    val sc = spark.read.parquet(sidecars.map(_.toString): _*)
+      .filter(col("column") === column)
+    candidates.toDF("path")
+      .join(sc, Seq("path"), "left")
+      .crossJoin(broadcast(keyArr))
+      .filter(col("bloom").isNull || expr("bloom_any_contain(bloom, __ks)"))
+      .select("path").as[String].collect().toSeq
   }
 
   /** Write a deletion-vector batch — (file, row_index) tombstones — as
@@ -1716,12 +1802,16 @@ final class VersionedTable(val root: String,
         .join(broadcast(keys),
           col("__k") >= col("__lo") && col("__k") <= col("__hi"), "leftsemi")
         .select("__file").as[String].collect().toSeq
-      statless ++ hit
+      bloomPruneCandidates(spark, statless ++ hit, targetKey,
+        keys.select(expr("xxhash64(__k)").as("__h")))
     } else {
       val all = filesOf(v)
       val stats = statsOf(v)
       val (ranged, statless) = all.partition(f => stats.get(f).exists(_.contains(targetKey)))
-      if (ranged.isEmpty) all
+      if (ranged.isEmpty)
+        // no ranges to pass — the Bloom sidecar (if any) is the only prune
+        bloomPruneCandidates(spark, all, targetKey,
+          keys.select(expr("xxhash64(__k)").as("__h")))
       else {
         val ranges = ranged.map { f =>
           val (mn, mx, _) = stats(f)(targetKey); (f, mn, mx)
@@ -1731,7 +1821,8 @@ final class VersionedTable(val root: String,
         val hit = keys
           .join(broadcast(ranges), col("__k") >= col("__lo") && col("__k") <= col("__hi"))
           .select("__file").distinct().as[String].collect().toSeq
-        statless ++ hit
+        bloomPruneCandidates(spark, statless ++ hit, targetKey,
+          keys.select(expr("xxhash64(__k)").as("__h")))
       }
     }
   }
@@ -1971,13 +2062,33 @@ final class VersionedTable(val root: String,
       }
       aboveLo && belowHi
     }
-    val kept = all.filter { f =>
+    val ranged = all.filter { f =>
       bounds.forall { case (c, lo, hi) =>
         stats.get(f).flatMap(_.get(c)) match {
           case Some((mn, mx, kind)) => overlaps(mn, mx, kind, lo, hi)
           case None => true // no stats → cannot skip
         }
       }
+    }
+    // Bloom pass for EQUALITY bounds on indexed columns: hash the typed
+    // value exactly as the build side hashed the column (cast the rendered
+    // string back through the schema type, then xxhash64) and drop files
+    // whose sidecar filter excludes it — the point-lookup prune min-max
+    // ranges cannot do on a high-cardinality uniform key
+    val kept = bounds.foldLeft(ranged) {
+      case (cand, (c, Some(lo), Some(hi))) if lo == hi && bloomIndexColumns.contains(c) =>
+        // timestamps are excluded: the rendered bound would re-parse in
+        // the SESSION zone, which may differ from the stats zone the value
+        // was rendered in — a mismatched instant hashes differently and
+        // would wrongly prune live files
+        schemaOf(v).flatMap(s => s.fields.find(f => f.name == c &&
+            f.dataType != org.apache.spark.sql.types.TimestampType)).fold(cand) { f =>
+          import org.apache.spark.sql.functions.expr
+          val esc = lo.replace("\\", "\\\\").replace("'", "\\'")
+          bloomPruneCandidates(spark, cand, c, spark.range(1).select(
+            expr(s"xxhash64(CAST('$esc' AS ${f.dataType.sql}))").as("__h")))
+        }
+      case (cand, _) => cand
     }
     val df =
       if (kept.nonEmpty) scanLive(spark, kept, schemaOf(v), dvsOf(v), keepPos = false,
@@ -2435,6 +2546,22 @@ final class VersionedTable(val root: String,
       }
     }
     Seq(dataDir, dvDir, cdfDir).filter(Files.isDirectory(_)).foreach(sweepEmpty)
+    // Bloom sidecars are per-commit (deterministic pathing, no manifest
+    // refs): a sidecar whose commit has no live data file left is dead
+    if (Files.isDirectory(bloomDir)) {
+      val liveCids = live.flatMap(_.split('/') match {
+        case Array("data", cid, _*) => Some(cid)
+        case _ => None
+      })
+      listNames(bloomDir).filter(_.endsWith(".parquet")).foreach { n =>
+        if (!liveCids.contains(n.stripSuffix(".parquet"))) {
+          val d = bloomDir.resolve(n)
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+      }
+      if (listNames(bloomDir).isEmpty) Files.deleteIfExists(bloomDir)
+    }
     deleted
   }
 }

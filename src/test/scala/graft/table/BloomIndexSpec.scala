@@ -1,0 +1,88 @@
+package graft.table
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** The per-file Bloom sidecar (`bloomIndexColumns` table property): built
+  * at the write funnel, probed by merge file-pruning and equality-bounded
+  * reads. The scenario min-max stats CANNOT serve: a high-cardinality key
+  * whose values are uniform across files — every file's [min, max] spans
+  * the whole domain, so range pruning keeps everything; the Bloom filter
+  * knows which file actually holds a key. */
+class BloomIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** 8 files, each a round-robin (uniform) sample of the key domain:
+    * every file's range covers every key, the worst case for min-max. */
+  private def uniformTable(root: String, indexed: Boolean): VersionedTable = {
+    val t = VersionedTable(root)
+    if (indexed) t.setProperties(Map("bloomIndexColumns" -> "k",
+      "bloomIndexExpectedItems" -> "2000", "bloomIndexFpp" -> "0.01"))
+    t.commit(spark.range(0, 8000).selectExpr("id * 37 % 8000 AS k", "id AS v"),
+      numPartitions = Some(8))
+    t
+  }
+
+  test("point-lookup merge prunes files via the Bloom sidecar where ranges cannot") {
+    val base = tmpDir("bloom-")
+    val control = uniformTable(base + "/plain", indexed = false)
+    val (_, touchedAll) = control.mergeCow(spark,
+      spark.sql("SELECT 1234L AS k, -1L AS v"),
+      condition = "source.k = target.k", targetKey = "k", sourceKey = "k",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("v" -> "source.v"))))
+    assert(touchedAll === 8, "uniform keys defeat min-max pruning entirely")
+
+    val t = uniformTable(base + "/t", indexed = true)
+    // the sidecar landed next to the commit
+    assert(Files.isDirectory(Paths.get(base, "t", "bloom")))
+    val (_, touched) = t.mergeCow(spark,
+      spark.sql("SELECT 1234L AS k, -1L AS v"),
+      condition = "source.k = target.k", targetKey = "k", sourceKey = "k",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("v" -> "source.v"))))
+    // the key lives in one file; 1% fpp may pass the odd extra file but
+    // never most of them — and the merge result is still exact
+    assert(touched >= 1 && touched <= 3,
+      s"bloom should prune ~7 of 8 files, touched $touched")
+    assert(t.read(spark).filter("k = 1234").select("v").as[Long].head() === -1L)
+    assert(t.read(spark).count() === 8000)
+
+    // equality-bounded read probes the sidecar too (file-skip observable)
+    val (df, kept, total) = t.readBounded(spark,
+      Seq(("k", Some("1234"), Some("1234"))))
+    assert(total === 8 && kept <= 3 && kept >= 1)
+    assert(df.filter("k = 1234").count() === 1)
+    // a range bound (not a point) does not probe blooms and keeps all
+    val (_, keptRange, _) = t.readBounded(spark,
+      Seq(("k", Some("10"), Some("7990"))))
+    assert(keptRange === 8)
+  }
+
+  test("bloom prune never drops a live key (every key of one file found)") {
+    val t = uniformTable(tmpDir("bloom-all-") + "/t", indexed = true)
+    // merge a batch touching MANY keys spread over all files: nothing lost
+    val src = spark.range(0, 200).selectExpr("id * 41 % 8000 AS k", "0L - id AS v")
+    val (_, touched) = t.mergeCow(spark, src,
+      condition = "source.k = target.k", targetKey = "k", sourceKey = "k",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("v" -> "source.v"))))
+    assert(touched === 8, "200 uniform keys hit every file")
+    val updated = t.read(spark).filter("v <= 0").count()
+    assert(updated === 200)
+  }
+
+  test("vacuum retires a sidecar with its commit") {
+    val root = tmpDir("bloom-vac-") + "/t"
+    val t = uniformTable(root, indexed = true)
+    val before = Files.list(Paths.get(root, "bloom")).count()
+    assert(before === 1)
+    t.commit(spark.range(0, 100).selectExpr("id AS k", "id AS v")) // overwrite
+    t.vacuum(retainVersions = 1)
+    // old commit's files AND its sidecar are gone; the new commit's remains
+    assert(Files.list(Paths.get(root, "bloom")).count() === 1)
+    // reads still work and the new commit's own sidecar keeps serving
+    val (df, kept, total) = t.readBounded(spark, Seq(("k", Some("5"), Some("5"))))
+    assert(t.read(spark).count() === 100 && kept >= 1 && kept <= total)
+    assert(df.filter("k = 5").count() === 1)
+  }
+}
