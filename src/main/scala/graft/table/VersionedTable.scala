@@ -1310,6 +1310,87 @@ final class VersionedTable(val root: String,
     }
   }
 
+  /** Rewrite-predicate candidate files planned from the checkpoint parquet
+    * — the delete/update/replaceWhere analogue of
+    * [[filesOverlappingSourceKeys]]'s checkpointed branch. Bounds derive
+    * from the predicate's top-level equality/range conjuncts on
+    * numeric/string columns (temporals excluded: their stats rendering is
+    * zone-dependent) and are evaluated DISTRIBUTED against the per-file
+    * stats rows with type-pinned casts; a file with no stats for a bounded
+    * column or an uncastable bound survives — the pass is a prepass to the
+    * row-level touched scan, so a surviving false candidate costs I/O,
+    * never correctness. None when the head isn't checkpointed or no bound
+    * is derivable (callers then scan the full manifest list). */
+  private[table] def checkpointPlanCandidates(spark: SparkSession, v: Long,
+      condition: String): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.functions.{coalesce, element_at, lit}
+    import spark.implicits._
+    if (!checkpointVersions().lastOption.contains(v)) return None
+    val schema = schemaOf(v).getOrElse(return None)
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(condition)
+      catch { case _: Exception => return None }
+    def conj(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    def attr(e: ce.Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case _ => None
+    }
+    def ext(l: ce.Literal): Option[Any] = l.value match {
+      case null => None
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+      case n: java.lang.Number => Some(n)
+      case _ => None
+    }
+    val raw: Seq[(String, Option[Any], Option[Any])] = conj(parsed).flatMap {
+      case ce.EqualTo(a, l: ce.Literal) =>
+        for (c <- attr(a); x <- ext(l)) yield (c, Some(x): Option[Any], Some(x): Option[Any])
+      case ce.EqualTo(l: ce.Literal, a) =>
+        for (c <- attr(a); x <- ext(l)) yield (c, Some(x): Option[Any], Some(x): Option[Any])
+      case ce.GreaterThan(a, l: ce.Literal) =>
+        for (c <- attr(a); x <- ext(l)) yield (c, Some(x): Option[Any], None: Option[Any])
+      case ce.GreaterThanOrEqual(a, l: ce.Literal) =>
+        for (c <- attr(a); x <- ext(l)) yield (c, Some(x): Option[Any], None: Option[Any])
+      case ce.LessThan(a, l: ce.Literal) =>
+        for (c <- attr(a); x <- ext(l)) yield (c, None: Option[Any], Some(x): Option[Any])
+      case ce.LessThanOrEqual(a, l: ce.Literal) =>
+        for (c <- attr(a); x <- ext(l)) yield (c, None: Option[Any], Some(x): Option[Any])
+      case ce.GreaterThan(l: ce.Literal, a) =>
+        for (c <- attr(a); x <- ext(l)) yield (c, None: Option[Any], Some(x): Option[Any])
+      case ce.GreaterThanOrEqual(l: ce.Literal, a) =>
+        for (c <- attr(a); x <- ext(l)) yield (c, None: Option[Any], Some(x): Option[Any])
+      case ce.LessThan(l: ce.Literal, a) =>
+        for (c <- attr(a); x <- ext(l)) yield (c, Some(x): Option[Any], None: Option[Any])
+      case ce.LessThanOrEqual(l: ce.Literal, a) =>
+        for (c <- attr(a); x <- ext(l)) yield (c, Some(x): Option[Any], None: Option[Any])
+      case _ => Nil
+    }
+    val usable = raw.flatMap { case (c, lo, hi) =>
+      schema.fields.find(_.name == c).collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+            f.dataType == org.apache.spark.sql.types.StringType =>
+          (f.name, f.dataType, lo, hi)
+      }
+    }
+    if (usable.isEmpty) return None
+    var cf = spark.read.parquet(ckptDataDir(v).toString)
+      .filter(col("kind") === "data")
+    usable.foreach { case (c, dt, lo, hi) =>
+      val st = element_at(col("stats"), lit(c))
+      val mn = element_at(st, 1).cast(dt)
+      val mx = element_at(st, 2).cast(dt)
+      val loOk = lo.map(x => coalesce(mx >= lit(x).cast(dt), lit(true))).getOrElse(lit(true))
+      val hiOk = hi.map(x => coalesce(mn <= lit(x).cast(dt), lit(true))).getOrElse(lit(true))
+      cf = cf.filter(st.isNull || (loOk && hiOk))
+    }
+    Some(cf.select("path").as[String].collect().toSeq)
+  }
+
   /** Copy-on-write DELETE: rewrite ONLY the files that contain a matching
     * row; untouched files (found by one predicate-pushed scan over the
     * snapshot — parquet row-group stats prune most of them before any row is
@@ -1328,13 +1409,19 @@ final class VersionedTable(val root: String,
     val pred = expr(condition)
     if (all.isEmpty) return (v, 0) // nothing to delete from an empty snapshot
     val allSet = all.toSet
+    // checkpointed head: the touched scan reads only stat-surviving
+    // candidates (planned distributed from the checkpoint parquet), not
+    // the whole snapshot
+    val cand = checkpointPlanCandidates(spark, v, condition).getOrElse(all)
     // DV-applied scan: a row already merge-on-read-deleted cannot make its
     // file "touched" (and could otherwise resurrect through the rewrite)
-    val touched = scanLive(spark, all, schema, dvs, keepPos = true, pb, pVals)
-      .filter(pred)
-      .select(col("__rel")).distinct()
-      .collect().map(_.getString(0))
-      .filter(allSet.contains).toSeq
+    val touched =
+      if (cand.isEmpty) Seq.empty[String]
+      else scanLive(spark, cand, schema, dvs, keepPos = true, pb, pVals)
+        .filter(pred)
+        .select(col("__rel")).distinct()
+        .collect().map(_.getString(0))
+        .filter(allSet.contains).toSeq
     if (touched.isEmpty) return (v, 0) // nothing matched: no new version needed
     val untouched = all.filterNot(touched.toSet)
     // SQL three-valued logic: a row whose condition evaluates to NULL did
@@ -1444,9 +1531,12 @@ final class VersionedTable(val root: String,
       s"replaceWhere($condition): the incoming batch contains rows that do NOT " +
         "match the predicate — they would leak outside the replaced slice")
     val allSet = all.toSet
-    val touched =
+    val cand =
       if (all.isEmpty) Seq.empty[String]
-      else scanLive(spark, all, Some(schema), dvs, keepPos = true, pb, pVals)
+      else checkpointPlanCandidates(spark, v, condition).getOrElse(all)
+    val touched =
+      if (cand.isEmpty) Seq.empty[String]
+      else scanLive(spark, cand, Some(schema), dvs, keepPos = true, pb, pVals)
         .filter(pred)
         .select(col("__rel")).distinct()
         .collect().map(_.getString(0))
@@ -1579,11 +1669,14 @@ final class VersionedTable(val root: String,
     val pVals = partitionValuesOf(v)
     if (all.isEmpty) return (v, 0)
     val allSet = all.toSet
-    val touched = scanLive(spark, all, Some(schema), dvs, keepPos = true, pb, pVals)
-      .filter(pred)
-      .select(col("__rel")).distinct()
-      .collect().map(_.getString(0))
-      .filter(allSet.contains).toSeq
+    val cand = checkpointPlanCandidates(spark, v, condition).getOrElse(all)
+    val touched =
+      if (cand.isEmpty) Seq.empty[String]
+      else scanLive(spark, cand, Some(schema), dvs, keepPos = true, pb, pVals)
+        .filter(pred)
+        .select(col("__rel")).distinct()
+        .collect().map(_.getString(0))
+        .filter(allSet.contains).toSeq
     if (touched.isEmpty) return (v, 0)
     val untouched = all.filterNot(touched.toSet)
     val applies = coalesce(pred, lit(false))

@@ -106,6 +106,52 @@ class CheckpointSpec extends AnyFunSuite with SparkSpec {
       Seq(-7.0, -13.0, 1.0))
   }
 
+  test("delete/update/replaceWhere at a checkpointed head plan from the " +
+      "checkpoint parquet and match the manifest path exactly") {
+    val data = spark.range(0, 400).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    val plain = VersionedTable(tmpDir("ckpt-rw-") + "/plain")
+    val ckptd = VersionedTable(tmpDir("ckpt-rw-") + "/ckptd")
+    Seq(plain, ckptd).foreach(_.commit(data, numPartitions = Some(4), sortBy = Seq("k")))
+    ckptd.checkpoint(spark)
+    // the planner derives bounds from the predicate and evaluates them
+    // against the checkpoint's stats rows: `k = 7` lands in exactly the
+    // first 100-key file — the same single file the manifest stats name
+    val headV = ckptd.resolve()
+    val planned = ckptd.checkpointPlanCandidates(spark, headV, "k = 7")
+    assert(planned.isDefined && planned.get.size === 1)
+    val rangePlanned = ckptd.checkpointPlanCandidates(spark, headV,
+      "k >= 150 AND k < 250 AND v >= 0.0")
+    assert(rangePlanned.isDefined && rangePlanned.get.size === 2,
+      "a [150, 250) range spans exactly the 2nd and 3rd of 4 range-sorted files")
+    // no derivable bound → None (callers fall back to the full list)
+    assert(ckptd.checkpointPlanCandidates(spark, headV, "k % 2 = 0").isEmpty)
+    // an un-checkpointed head → None
+    assert(plain.checkpointPlanCandidates(spark, plain.resolve(), "k = 7").isEmpty)
+
+    // all three verbs: identical touched counts and results on both paths
+    // (re-checkpointing before each verb so every one of them plans from
+    // the checkpoint — a rewrite moves the head past the last checkpoint)
+    def run(t: VersionedTable, ckpt: Boolean): Seq[Int] = {
+      if (ckpt) t.checkpoint(spark)
+      val (_, d) = t.delete(spark, "k >= 390")
+      if (ckpt) t.checkpoint(spark)
+      val (_, u) = t.update(spark, "k = 7", Map("v" -> "-7.0"))
+      if (ckpt) t.checkpoint(spark)
+      val (_, r) = t.replaceWhere(
+        spark.range(100, 200).selectExpr("id AS k", "0.0 - id AS v"),
+        "k >= 100 AND k < 200")
+      Seq(d, u, r)
+    }
+    val touchedCkpt = run(ckptd, ckpt = true)
+    val touchedPlain = run(plain, ckpt = false)
+    assert(touchedCkpt === touchedPlain)
+    assert(touchedCkpt === Seq(1, 1, 1),
+      "each predicate confines to one of the 4 range-sorted files")
+    val expect = plain.read(spark).as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(ckptd.read(spark).as[(Long, Double)].collect().sortBy(_._1).toSeq === expect)
+    assert(expect.size === 390 && expect.count(_._2 < 0) === 100 + 1)
+  }
+
   test("txn marks ratchet across chained checkpoints") {
     val t = VersionedTable(tmpDir("ckpt-"))
     t.commit(Seq(1).toDF("x"), txn = Some("a" -> 1L))
