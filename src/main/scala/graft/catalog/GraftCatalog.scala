@@ -144,6 +144,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         t.evolveSchema(Seq(org.apache.spark.sql.types.StructField(
           add.fieldNames.head, add.dataType, nullable = true)))
         ()
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"graft tables support top-level column renames only, got ${ren.fieldNames.mkString(".")}")
+        t.renameColumn(ren.fieldNames.head, ren.newName)
+        ()
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"graft tables support top-level column drops only, got ${del.fieldNames.mkString(".")}")
+        if (del.ifExists != null && del.ifExists &&
+            !t.latestVersion().flatMap(t.schemaOf)
+              .exists(_.fieldNames.contains(del.fieldNames.head))) ()
+        else { t.dropColumn(del.fieldNames.head); () }
       case add: TableChange.AddConstraint => add.constraint() match {
         case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
           // the kernel validates against LIVE rows and refuses a constraint

@@ -967,11 +967,37 @@ object SourceQueries {
         |       THEN o_totalprice * 0.5 ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin))
 
+  /** q110: metadata-only RENAME COLUMN via stable column ids — half the
+    * corpus is written under the OLD name, the column is renamed (asserted
+    * in-query: zero files rewritten), the other half lands under the NEW
+    * name, and one read resolves both generations by parquet field id.
+    * At 100 TB this is the difference between an ALTER costing one
+    * manifest write and a full-table rewrite. */
+  val q110ColumnRename: Q = Q(
+    "q110_column_rename",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rename-").toString
+      val t = graft.table.VersionedTable(s"$tmp/ord")
+      t.commit(spark.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0"),
+        numPartitions = Some(4))
+      val before = t.read(spark).inputFiles.toSet
+      t.renameColumn("o_totalprice", "price")
+      require(t.read(spark).inputFiles.toSet == before,
+        "RENAME COLUMN must not rewrite any data file")
+      t.append(spark.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders WHERE o_orderkey % 2 = 1"))
+      t.read(spark).select("o_orderkey", "o_custkey", "price")
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders"""))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
     q84MorDelete, q85IncrementalAgg, q95DynamicPartitionPruning,
     q96PartitionedTable, q97ChangeFeedStored, q99JdbcRoundtrip,
     q101TableRelationSql, q103MorMerge, q104ShallowClone, q106SqlMerge,
-    q107ReplaceWhere, q108MergeEvolution, q109BloomMerge)
+    q107ReplaceWhere, q108MergeEvolution, q109BloomMerge, q110ColumnRename)
 }

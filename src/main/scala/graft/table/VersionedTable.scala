@@ -234,12 +234,49 @@ final class VersionedTable(val root: String,
       .map(e => e.getKey -> e.getValue.asText()).toMap
   }
 
-  /** The schema recorded in a version's manifest (every commit records it). */
+  /** Stable column ids of a version's logical schema (name → id), the
+    * identity that survives RENAME COLUMN: data files carry the id in
+    * their parquet field metadata, so reads resolve by id and a rename is
+    * one manifest write — no file is touched. Absent (empty) for manifests
+    * predating id tracking: those tables read by name exactly as before
+    * and cannot rename without a rewrite. */
+  def columnIdsOf(v: Long): Map[String, Long] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (!node.has("columnIds")) return Map.empty
+    node.get("columnIds").properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+
+  /** High-water column id (never reused): a column dropped and re-added
+    * under the same name gets a FRESH id, so by-id reads correctly resolve
+    * the old files' same-named column to null — re-adding does not
+    * resurrect dropped data. */
+  def maxColumnIdOf(v: Long): Long = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (node.has("maxColumnId")) node.get("maxColumnId").asLong()
+    else columnIdsOf(v).values.maxOption.getOrElse(0L)
+  }
+
+  /** The schema recorded in a version's manifest (every commit records it).
+    * When the version tracks column ids, each top-level field carries its
+    * stable id as `parquet.field.id` metadata — the read funnel's parquet
+    * resolution then matches files BY ID, which is what makes RENAME
+    * COLUMN metadata-only. */
   def schemaOf(v: Long): Option[org.apache.spark.sql.types.StructType] = {
     val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
     if (!node.has("schema")) None
-    else Some(org.apache.spark.sql.types.DataType.fromJson(
-      node.get("schema").asText()).asInstanceOf[org.apache.spark.sql.types.StructType])
+    else {
+      val s = org.apache.spark.sql.types.DataType.fromJson(
+        node.get("schema").asText()).asInstanceOf[org.apache.spark.sql.types.StructType]
+      val ids = columnIdsOf(v)
+      if (ids.isEmpty) Some(s)
+      else Some(org.apache.spark.sql.types.StructType(s.fields.map { f =>
+        ids.get(f.name).fold(f) { id =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(VersionedTable.FieldIdKey, id).build())
+        }
+      }))
+    }
   }
 
   /** Partition columns recorded in a version's manifest (Delta-style
@@ -321,6 +358,12 @@ final class VersionedTable(val root: String,
     val dataSchema = schema.map(s =>
       if (partitionBy.isEmpty) s
       else StructType(s.fields.filterNot(f => partitionBy.contains(f.name))))
+    // id-tracked tables resolve parquet columns BY FIELD ID (the schema
+    // from schemaOf carries `parquet.field.id` metadata) — the mechanism
+    // that lets RENAME COLUMN be metadata-only: old files keep the old
+    // physical name but the id matches. The conf is read lazily per scan.
+    if (dataSchema.exists(_.fields.exists(_.metadata.contains(VersionedTable.FieldIdKey))))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val base = dataSchema.map(s => spark.read.schema(s).parquet(paths: _*))
       .getOrElse(spark.read.parquet(paths: _*))
     if (dvs.isEmpty && !keepPos && partitionBy.isEmpty) return base
@@ -730,6 +773,28 @@ final class VersionedTable(val root: String,
     spark.read.parquet(ckptDataDir(v).toString)
   }
 
+  /** Stamp every top-level column of an outgoing frame with its stable
+    * column id as parquet field-id metadata (written into the files —
+    * `spark.sql.parquet.fieldId.write.enabled` is on by default), so by-id
+    * reads keep resolving the column across renames. Known names take the
+    * recorded id; new names take maxColumnId+1… in FRAME ORDER — the same
+    * order [[publish]] mints ids for new schema names, so file ids and the
+    * manifest always agree. Legacy tables (no recorded ids) pass through
+    * untouched. */
+  private def stampFieldIds(df: DataFrame): DataFrame = {
+    val base = latestVersion()
+    val ids = base.map(columnIdsOf).getOrElse(Map.empty)
+    if (base.isDefined && ids.isEmpty) return df // legacy: stays by-name
+    var next = base.map(maxColumnIdOf).getOrElse(0L)
+    val cols = df.schema.fields.map { f =>
+      val id = ids.getOrElse(f.name, { next += 1; next })
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong(VersionedTable.FieldIdKey, id).build()
+      col(f.name).as(f.name, md)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   /** Write `df` as immutable parquet under a fresh commit dir; returns the
     * commit id, the written files' table-relative paths, and (for
     * partitioned writes) each file's partition values parsed back from the
@@ -752,17 +817,18 @@ final class VersionedTable(val root: String,
     Files.createDirectories(dataDir)
     val commitId = java.util.UUID.randomUUID().toString
     val outDir = dataDir.resolve(commitId)
+    val stamped = stampFieldIds(df)
     val out = (numPartitions, sortBy) match {
       case (Some(n), s) if s.nonEmpty =>
-        df.repartitionByRange(n, s.map(col): _*).sortWithinPartitions(s.map(col): _*)
+        stamped.repartitionByRange(n, s.map(col): _*).sortWithinPartitions(s.map(col): _*)
       case (None, s) if s.nonEmpty =>
-        df.repartitionByRange(s.map(col): _*).sortWithinPartitions(s.map(col): _*)
+        stamped.repartitionByRange(s.map(col): _*).sortWithinPartitions(s.map(col): _*)
       // co-locate rows of one partition value in one task, so a partitioned
       // write of n tasks yields ~one file per (task, value) instead of
       // n × values small files
-      case (Some(n), _) if partitionBy.nonEmpty => df.repartition(n, partitionBy.map(col): _*)
-      case (Some(n), _) => df.repartition(n)
-      case _ => df
+      case (Some(n), _) if partitionBy.nonEmpty => stamped.repartition(n, partitionBy.map(col): _*)
+      case (Some(n), _) => stamped.repartition(n)
+      case _ => stamped
     }
     val writer = out.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -1040,12 +1106,45 @@ final class VersionedTable(val root: String,
       partitionBy: Seq[String] = Nil,
       partitions: Map[String, Map[String, Option[String]]] = Map.empty,
       cdfKind: Option[String] = None,
-      cdf: Seq[String] = Nil): Long = {
+      cdf: Seq[String] = Nil,
+      columnIdsOverride: Option[Map[String, Long]] = None): Long = {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1L).getOrElse(0L)
     val json = mapper.createObjectNode()
     json.put("version", next)
     json.put("schema", schemaJson) // keeps empty versions readable
+    // stable column ids: carry the base's id for every surviving name,
+    // mint fresh ids (maxColumnId+1...) for new names IN SCHEMA ORDER —
+    // the same order writeDataFiles stamps unknown columns, so the ids in
+    // freshly written parquet always agree with the manifest. A rename
+    // passes columnIdsOverride to keep the old id under the new name.
+    val schemaNames =
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson) match {
+        case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSeq
+        case _ => Seq.empty
+      }
+    val baseIds = base.map(columnIdsOf).getOrElse(Map.empty)
+    val baseMax = base.map(maxColumnIdOf).getOrElse(0L)
+    // legacy guard: a table whose existing versions track NO ids has
+    // id-less parquet on disk — by-id reads would break on those files, so
+    // such tables stay by-name forever (rename needs a rewrite there).
+    // Only a BRAND-NEW table (no base) starts id tracking.
+    val legacy = base.isDefined && baseIds.isEmpty
+    val colIds =
+      if (legacy) Map.empty[String, Long]
+      else columnIdsOverride.getOrElse {
+        var nextId = baseMax
+        schemaNames.map { n =>
+          n -> baseIds.getOrElse(n, { nextId += 1; nextId })
+        }.toMap
+      }
+    if (colIds.nonEmpty && schemaNames.nonEmpty) {
+      val idNode = json.putObject("columnIds")
+      schemaNames.filter(colIds.contains)
+        .foreach(n => idNode.put(n, colIds(n)))
+      json.put("maxColumnId",
+        math.max(baseMax, colIds.values.maxOption.getOrElse(0L)))
+    }
     txn.foreach { case (app, v) => json.put("txnApp", app); json.put("txnVersion", v) }
     cdfKind.foreach(k => json.put("cdfKind", k))
     if (cdf.nonEmpty) {
@@ -2477,9 +2576,82 @@ final class VersionedTable(val root: String,
     // constraints are version-pinned metadata: RESTORE rolls them back with
     // the data (a constraint added after v does not survive the rollback);
     // deletion vectors likewise — the restored head sees v's live rows
+    // column ids are pinned to the RESTORED version: auto-derivation would
+    // mint a fresh id for a pre-rename name whose files carry the original
     retryPublish(publish(filesOf(v), schemaJson, statsOf(v), None, _,
       constraintsOf(v), dvs = dvsOf(v), partitionBy = partitionByOf(v),
-      partitions = partitionValuesOf(v)))
+      partitions = partitionValuesOf(v),
+      columnIdsOverride = Some(columnIdsOf(v)).filter(_.nonEmpty)))
+  }
+
+  /** `ALTER TABLE RENAME COLUMN` as a metadata-only commit: the logical
+    * name changes, the stable column id does not, and by-id reads keep
+    * resolving every existing file's physically-old-named column — zero
+    * data I/O at any table size. Refused on legacy (id-less) tables, on
+    * partition columns (their name lives in hive directory layout and the
+    * manifest partition index), and on columns a CHECK constraint
+    * references (the stored expression text would silently stop matching).
+    * Older files' stats stay keyed by the old name, so stat-pruning on the
+    * renamed column skips them conservatively until they are rewritten. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val v = resolve()
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema"))
+    val ids = columnIdsOf(v)
+    require(ids.nonEmpty,
+      s"$root predates column-id tracking — RENAME COLUMN needs a rewrite here")
+    val field = schema.fields.find(_.name == oldName).getOrElse(
+      throw new IllegalArgumentException(s"column $oldName does not exist in $root"))
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column $newName already exists in $root")
+    require(!partitionByOf(v).contains(oldName),
+      s"cannot rename partition column $oldName (hive layout + partition index key)")
+    constraintReferencing(v, oldName).foreach(n => throw new IllegalArgumentException(
+      s"cannot rename $oldName: CHECK constraint $n references it — drop it first"))
+    val renamed = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      if (f.name == oldName) field.copy(name = newName) else f))
+    publish(filesOf(v), renamed.json, statsOf(v), None, Some(v), constraintsOf(v),
+      dvs = dvsOf(v), partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v), cdfKind = Some("none"),
+      columnIdsOverride = Some(ids - oldName + (newName -> ids(oldName))))
+  }
+
+  /** `ALTER TABLE DROP COLUMN` as a metadata-only commit: the column
+    * leaves the logical schema; existing files keep the physical bytes as
+    * dead weight until a rewrite (Delta's shape). The id is retired and
+    * NEVER reused — re-adding the same name mints a fresh id, so by-id
+    * reads resolve the re-added column to null on old files instead of
+    * resurrecting dropped data. Same refusals as [[renameColumn]]. */
+  def dropColumn(name: String): Long = {
+    val v = resolve()
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema"))
+    val ids = columnIdsOf(v)
+    require(ids.nonEmpty,
+      s"$root predates column-id tracking — DROP COLUMN needs a rewrite here")
+    require(schema.fieldNames.contains(name),
+      s"column $name does not exist in $root")
+    require(schema.fields.length > 1, s"cannot drop the only column of $root")
+    require(!partitionByOf(v).contains(name),
+      s"cannot drop partition column $name (hive layout + partition index key)")
+    constraintReferencing(v, name).foreach(n => throw new IllegalArgumentException(
+      s"cannot drop $name: CHECK constraint $n references it — drop it first"))
+    val remaining = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    publish(filesOf(v), remaining.json, statsOf(v).map { case (f, cols) =>
+      f -> (cols - name) }, None, Some(v), constraintsOf(v),
+      dvs = dvsOf(v), partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v), cdfKind = Some("none"),
+      columnIdsOverride = Some(ids - name))
+  }
+
+  /** Name of a CHECK constraint whose expression mentions `column` as a
+    * word (conservative textual check — a false positive merely asks the
+    * user to drop/re-add the constraint). */
+  private def constraintReferencing(v: Long, column: String): Option[String] = {
+    val p = java.util.regex.Pattern.compile(
+      "(?i)\\b" + java.util.regex.Pattern.quote(column) + "\\b")
+    constraintsOf(v).collectFirst { case (n, e) if p.matcher(e).find() => n }
   }
 
   /** ALTER TABLE ADD CONSTRAINT parity: register a named CHECK expression
@@ -2671,6 +2843,12 @@ final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 final class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 
 object VersionedTable {
+  /** Spark's parquet field-id metadata key (`ParquetUtils.FIELD_ID_METADATA_KEY`):
+    * writers populate parquet field ids from it, and with
+    * `spark.sql.parquet.fieldId.read.enabled` readers resolve requested
+    * columns by id instead of name. */
+  val FieldIdKey = "parquet.field.id"
+
   def apply(root: String): VersionedTable = new VersionedTable(root)
   def apply(root: String, store: CommitStore): VersionedTable =
     new VersionedTable(root, store)

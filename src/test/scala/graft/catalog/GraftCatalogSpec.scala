@@ -306,6 +306,52 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN are metadata-only via column ids") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, amt DOUBLE, tag STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a'), (2, 20.0, 'b')")
+    val vt = handle(t)
+    val filesBefore = dataFiles(vt)
+    // rename: data written under the OLD physical name keeps resolving by
+    // field id — and NO file was rewritten
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN amt TO amount")
+    assert(dataFiles(vt) === filesBefore, "rename must be metadata-only")
+    assert(spark.sql(s"SELECT id, amount FROM $t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 10.0), (2L, 20.0)))
+    // writes after the rename mix with pre-rename files transparently
+    spark.sql(s"INSERT INTO $t VALUES (3, 30.0, 'c')")
+    assert(spark.sql(s"SELECT sum(amount) FROM $t").head.getDouble(0) === 60.0)
+    // time travel still shows the version-pinned OLD name
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").columns.toSeq
+      === Seq("id", "amt", "tag"))
+    // drop is metadata-only too, and re-adding the name does NOT
+    // resurrect dropped data (fresh column id ≠ the retired one)
+    val filesAtDrop = dataFiles(vt)
+    spark.sql(s"ALTER TABLE $t DROP COLUMN tag")
+    assert(dataFiles(vt) === filesAtDrop, "drop must be metadata-only")
+    assert(spark.sql(s"SELECT * FROM $t").columns.toSeq === Seq("id", "amount"))
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (tag STRING)")
+    assert(spark.sql(s"SELECT tag FROM $t WHERE id = 1").head.isNullAt(0),
+      "re-added column must read null on old files, not the dropped values")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("RENAME/DROP COLUMN refuse partition and constraint-referenced columns") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, amt DOUBLE, k STRING) PARTITIONED BY (k)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 1.0, 'x')")
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN k") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t RENAME COLUMN amt TO amount") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN amt") }
+    // dropping the constraint unblocks the rename
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT amt_pos")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN amt TO amount")
+    assert(spark.sql(s"SELECT amount FROM $t").head.getDouble(0) === 1.0)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("CREATE TABLE ... LOCATION is rejected, not silently dropped") {
     val t = s"graft.default.${fresh()}"
     val ex = intercept[Exception] {
