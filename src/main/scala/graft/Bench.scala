@@ -50,8 +50,8 @@ object Bench {
     // serving path, and surface the one-time training cost as its own
     // `ivf_build` entry instead of silently taxing whichever consumer runs
     // first
-    val ivfConsumers = Set("s2_ann_ivf", "s6_ivf_pq", "d5_embedding_neardup",
-      "d11_semantic_dedup", "s7_kmeans_train")
+    val ivfConsumers = Set("s2_ann_ivf", "s3_srp_lsh", "s6_ivf_pq",
+      "d5_embedding_neardup", "d11_semantic_dedup", "s7_kmeans_train")
     val ivfBuild =
       if (only.nonEmpty && !only.exists(ivfConsumers)) -1.0
       else try graft.queries.SimilarityQueries.buildIndex(spark, sfDir)

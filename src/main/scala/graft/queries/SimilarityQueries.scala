@@ -118,6 +118,11 @@ object SimilarityQueries {
         .coalesce(1).write.mode("overwrite").parquet(s"$root/cents")
       assignTo(vectors(spark, dir), spark.read.parquet(s"$root/cents"))
         .write.mode("overwrite").partitionBy("c_id").parquet(s"$root/assigned")
+      // the SRP-LSH store rides the same offline build: corpus partitioned
+      // by 8-bit signature, so a multi-probe read (Hamming ≤ 2 → 37 of 256
+      // buckets) is partition-pruned instead of a full scan (s3)
+      vectors(spark, dir).withColumn("bucket", expr(srpBucketSpark))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/srp")
       root
     })
 
@@ -139,6 +144,13 @@ object SimilarityQueries {
     spark.read.parquet(s"${indexRoot(spark, dir)}/assigned")
       .select(col("vec_id"), col("label"), col("v"), col("nv"),
         col("c_id").cast("bigint").as("c_id"))
+
+  /** The stored SRP-bucketed corpus; `bucket` is a partition directory
+    * (cast back to the BIGINT the oracle schema expects). */
+  private def storedSrp(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${indexRoot(spark, dir)}/srp")
+      .select(col("vec_id"), col("label"), col("v"), col("nv"),
+        col("bucket").cast("bigint").as("bucket"))
 
   /** The 4 probe-centroid ids nearest the query vector. Collecting them is
     * a BOUNDED driver fetch (n_probe rows of one BIGINT — the serving path
@@ -300,18 +312,25 @@ object SimilarityQueries {
     * per-row map, no shuffle, no training step unlike IVF); at query time
     * only buckets within Hamming distance 2 of the query's bucket are
     * scanned (multi-probe LSH), then exact cosine ranks the candidates.
-    * NOTE: here the signature is computed per query (it's a cheap per-row
-    * map over the scan, unlike s2's trained index); the 100 TB layout would
-    * write the table partitioned by signature — the `indexRoot` pattern —
-    * so a probe reads ~14% of buckets instead of the full scan s1 needs. */
+    * Served from the STORED signature-partitioned layout (`indexRoot`'s
+    * `srp/` store): the query's bucket is one collected BIGINT, the 37
+    * buckets within Hamming distance 2 enumerate statically (8-bit space),
+    * and the probe is a partition-pruned read of ~14% of the store instead
+    * of the full scan s1 needs. */
   val s3SrpLsh: Q = Q(
     "s3_srp_lsh",
     (spark, dir) => {
-      val e = vectors(spark, dir).withColumn("bucket", expr(srpBucketSpark))
+      val e = vectors(spark, dir)
       val q = e.filter(col("vec_id") === 2)
-        .select(col("v").as("qv"), col("nv").as("nqv"), col("bucket").as("qb"))
-      e.crossJoin(broadcast(q))
-        .filter(expr("bit_count(bucket ^ qb) <= 2"))
+        .withColumn("qb", expr(srpBucketSpark))
+        .select(col("v").as("qv"), col("nv").as("nqv"), col("qb"))
+      // the query's own bucket: ONE bounded value, then the multi-probe
+      // bucket list is a static 8-bit enumeration → partition pruning
+      val qbVal = q.select("qb").head.getLong(0)
+      val probeBuckets = (0L until 256L)
+        .filter(b => java.lang.Long.bitCount(b ^ qbVal) <= 2)
+      storedSrp(spark, dir).filter(col("bucket").isin(probeBuckets: _*))
+        .crossJoin(broadcast(q.select(col("qv"), col("nqv"))))
         .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)

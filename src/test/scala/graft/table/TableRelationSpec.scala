@@ -135,6 +135,29 @@ class TableRelationSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", before)
   }
 
+  test("OPTIMIZE regenerates stats under a renamed column") {
+    val root = tmpDir("rel-ren-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 4000).selectExpr("id AS k", "id % 7 AS v"),
+      numPartitions = Some(8), sortBy = Seq("k"))
+    t.renameColumn("k", "kk")
+    // old files' stats are keyed by the OLD name: pruning on the new name
+    // finds none and conservatively keeps everything (sound, not fast)
+    val (_, keptBefore, totalBefore) = t.readBounded(spark,
+      Seq(("kk", Some("100"), Some("150"))))
+    assert(keptBefore === totalBefore && totalBefore === 8)
+    // ... and the data still reads correctly by field id
+    assert(t.read(spark).filter("kk BETWEEN 100 AND 150").count() === 51)
+    // a compaction rewrite re-collects stats under the CURRENT name,
+    // restoring pruning on the renamed column
+    t.compact(spark, numFiles = 8, sortBy = Seq("kk"))
+    val (_, keptAfter, totalAfter) = t.readBounded(spark,
+      Seq(("kk", Some("100"), Some("150"))))
+    assert(totalAfter === 8 && keptAfter === 1,
+      s"post-OPTIMIZE stats must prune on the renamed column, kept $keptAfter")
+    assert(t.read(spark).filter("kk BETWEEN 100 AND 150").count() === 51)
+  }
+
   test("reads apply deletion vectors and rewrites like any versioned read") {
     val root = tmpDir("rel-") + "/t"
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k")
