@@ -123,11 +123,18 @@ final class VersionedTable(val root: String,
         Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
       }
     }
+    // column ids must be COPIED, not re-derived: the hard-linked files
+    // carry the SOURCE's parquet field ids, and after a source rename/drop
+    // those are not ordinals — freshly minted ids would make the clone's
+    // by-id reads resolve the wrong columns. An id-less source clones
+    // id-less (Some(empty) suppresses derivation), staying by-name.
     tgt.publish(filesOf(v), schemaOf(v).map(_.json).getOrElse(
         throw new IllegalStateException(s"version $v of $root has no recorded schema")),
       statsOf(v), txn = None, base = None, constraints = constraintsOf(v),
       dvs = dvsOf(v), partitionBy = partitionByOf(v),
-      partitions = partitionValuesOf(v))
+      partitions = partitionValuesOf(v),
+      columnIdsOverride = Some(columnIdsOf(v)),
+      maxColumnIdFloor = maxColumnIdOf(v))
     val props = properties
     if (props.nonEmpty) tgt.setProperties(props)
     tgt
@@ -1107,7 +1114,8 @@ final class VersionedTable(val root: String,
       partitions: Map[String, Map[String, Option[String]]] = Map.empty,
       cdfKind: Option[String] = None,
       cdf: Seq[String] = Nil,
-      columnIdsOverride: Option[Map[String, Long]] = None): Long = {
+      columnIdsOverride: Option[Map[String, Long]] = None,
+      maxColumnIdFloor: Long = 0L): Long = {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1L).getOrElse(0L)
     val json = mapper.createObjectNode()
@@ -1143,7 +1151,7 @@ final class VersionedTable(val root: String,
       schemaNames.filter(colIds.contains)
         .foreach(n => idNode.put(n, colIds(n)))
       json.put("maxColumnId",
-        math.max(baseMax, colIds.values.maxOption.getOrElse(0L)))
+        Seq(baseMax, maxColumnIdFloor, colIds.values.maxOption.getOrElse(0L)).max)
     }
     txn.foreach { case (app, v) => json.put("txnApp", app); json.put("txnVersion", v) }
     cdfKind.foreach(k => json.put("cdfKind", k))

@@ -50,6 +50,29 @@ class CloneSpec extends AnyFunSuite with SparkSpec {
     assert(clone.lastTxn("any").isEmpty)
   }
 
+  test("clone copies column ids verbatim — a renamed source reads right") {
+    val base = tmpDir("clone-ids-")
+    val src = VersionedTable(base + "/src")
+    src.commit(spark.range(0, 100).selectExpr("id", "id * 2 AS a", "id * 3 AS b"))
+    // drop then rename: ids are no longer ordinal (a's id retired, b kept)
+    src.dropColumn("a")
+    src.renameColumn("b", "bb")
+    val clone = src.cloneShallow(base + "/dst")
+    // freshly minted ordinal ids would resolve the linked files' id-3
+    // column ('b') under the wrong name — the copied ids must keep bb=3
+    assert(clone.columnIdsOf(clone.resolve()) ===
+      src.columnIdsOf(src.resolve()))
+    assert(clone.maxColumnIdOf(clone.resolve()) ===
+      src.maxColumnIdOf(src.resolve()))
+    assert(clone.read(spark).selectExpr("sum(bb)").head.getLong(0) ===
+      (0L until 100L).map(_ * 3).sum)
+    // re-adding the dropped name on the CLONE must not resurrect: the
+    // inherited high-water mark prevents re-minting the retired id
+    clone.evolveSchema(Seq(org.apache.spark.sql.types.StructField(
+      "a", org.apache.spark.sql.types.LongType, nullable = true)))
+    assert(clone.read(spark).filter("a IS NOT NULL").count() === 0)
+  }
+
   test("cloning onto an existing table is refused") {
     val base = tmpDir("clone-")
     val src = VersionedTable(base + "/src")
