@@ -141,9 +141,11 @@ private final class GraftV1TableScan(ctx: SQLContext, spark: SparkSession,
     // (falling back to the session zone for legacy manifests) — rendering
     // in the read session's zone would mis-prune when writer and reader
     // zones differ
+    val zone = t.statsRenderZone(spark, None, versionAsOf)
     val (df, _, _) = t.readBounded(spark,
-      StatsBounds.bounds(pushed, t.statsRenderZone(spark, None, versionAsOf)),
-      None, versionAsOf)
+      StatsBounds.bounds(pushed, zone),
+      None, versionAsOf,
+      exactValues = StatsBounds.exactValues(pushed, zone))
     df.select(required.fieldNames.toSeq.map(col): _*)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }

@@ -348,7 +348,9 @@ final class TableRelation(
   override def needConversion: Boolean = false
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val (df, _, _) = t.readBounded(spark, bounds(filters), relativeVersion, versionAsOf)
+    val (df, _, _) = t.readBounded(spark, bounds(filters), relativeVersion, versionAsOf,
+      exactValues = graft.table.StatsBounds.exactValues(filters,
+        t.statsRenderZone(spark, relativeVersion, versionAsOf)))
     import org.apache.spark.sql.functions.col
     df.select(requiredColumns.toSeq.map(col): _*)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]

@@ -41,6 +41,23 @@ object StatsBounds {
       f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d$frac")
   }
 
+  /** Conjunctive filters → per-column EXACT value lists (`IN`-shaped
+    * pushdowns) for Bloom-sidecar probing: a range bound [min(IN), max(IN)]
+    * loses the individual values, but a Bloom filter can test each one.
+    * Values are rendered exactly as [[render]] does (the stats zone
+    * convention); null members disable the column (NULL semantics differ).
+    * Plain equality is not re-emitted — [[bounds]] already carries it as a
+    * degenerate [v, v] range the equality probe uses. */
+  def exactValues(filters: Array[Filter], sessionZone: String)
+      : Seq[(String, Seq[String])] =
+    filters.toSeq.flatMap {
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        val rendered = vs.toSeq.map(v => render(v, sessionZone))
+        if (rendered.exists(_.isEmpty)) Nil else Seq((c, rendered.flatten))
+      case And(l, r) => exactValues(Array(l), sessionZone) ++ exactValues(Array(r), sessionZone)
+      case _ => Nil
+    }
+
   /** Conjunctive filters → per-column [lo, hi] bounds for stats skipping.
     * Only shapes whose bound is exact survive; everything else contributes
     * no bound (and is still applied row-level by Spark). An In's min/max is

@@ -2241,7 +2241,8 @@ final class VersionedTable(val root: String,
   def readBounded(spark: SparkSession,
       bounds: Seq[(String, Option[String], Option[String])],
       relativeVersion: Option[Int] = None,
-      versionAsOf: Option[Long] = None): (DataFrame, Int, Int) = {
+      versionAsOf: Option[Long] = None,
+      exactValues: Seq[(String, Seq[String])] = Nil): (DataFrame, Int, Int) = {
     val v = resolve(relativeVersion, versionAsOf)
     val all = filesOf(v)
     val stats = statsOf(v)
@@ -2275,7 +2276,24 @@ final class VersionedTable(val root: String,
     // string back through the schema type, then xxhash64) and drop files
     // whose sidecar filter excludes it — the point-lookup prune min-max
     // ranges cannot do on a high-cardinality uniform key
-    val kept = bounds.foldLeft(ranged) {
+    // IN-list pushdowns probe per VALUE (the range [min, max] the bounds
+    // carry cannot use the sidecar; each member can): same typed-hash
+    // convention as the equality probe below
+    val inProbed = exactValues.foldLeft(ranged) {
+      case (cand, (c, vals)) if vals.nonEmpty && bloomIndexColumns.contains(c) =>
+        schemaOf(v).flatMap(s => s.fields.find(f => f.name == c &&
+            f.dataType != org.apache.spark.sql.types.TimestampType)).fold(cand) { f =>
+          import org.apache.spark.sql.functions.expr
+          val lits = vals.map(x =>
+            "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'").mkString(", ")
+          bloomPruneCandidates(spark, cand, c,
+            spark.range(1).select(expr(
+              s"explode(array($lits))").as("__s"))
+              .select(expr(s"xxhash64(CAST(__s AS ${f.dataType.sql}))").as("__h")))
+        }
+      case (cand, _) => cand
+    }
+    val kept = bounds.foldLeft(inProbed) {
       case (cand, (c, Some(lo), Some(hi))) if lo == hi && bloomIndexColumns.contains(c) =>
         // timestamps are excluded: the rendered bound would re-parse in
         // the SESSION zone, which may differ from the stats zone the value

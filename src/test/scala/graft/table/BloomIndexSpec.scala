@@ -59,6 +59,25 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     assert(keptRange === 8)
   }
 
+  test("IN-list point lookups probe the sidecar per member value") {
+    val t = uniformTable(tmpDir("bloom-in-") + "/t", indexed = true)
+    // the bounds channel would collapse IN (3, 7005) to the range
+    // [3, 7005] — which covers every file's span and prunes nothing; the
+    // exact-value channel probes each member's hash against the filters
+    val (df, kept, total) = t.readBounded(spark,
+      Seq(("k", Some("3"), Some("7005"))),
+      exactValues = Seq(("k", Seq("3", "7005"))))
+    assert(total === 8 && kept <= 4 && kept >= 1,
+      s"two keys live in at most two files, kept $kept")
+    assert(df.filter("k IN (3, 7005)").count() === 2)
+    // the same lookup through the SQL front door (pushed In filter on the
+    // graft-table relation) returns exact rows
+    val reader = spark.read.format("graft-table")
+      .option("path", t.root).load()
+    assert(reader.filter("k IN (3, 7005)").count() === 2)
+    assert(reader.count() === 8000)
+  }
+
   test("bloom prune never drops a live key (every key of one file found)") {
     val t = uniformTable(tmpDir("bloom-all-") + "/t", indexed = true)
     // merge a batch touching MANY keys spread over all files: nothing lost
