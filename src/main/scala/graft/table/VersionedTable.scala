@@ -1428,6 +1428,33 @@ final class VersionedTable(val root: String,
     * row-level touched scan, so a surviving false candidate costs I/O,
     * never correctness. None when the head isn't checkpointed or no bound
     * is derivable (callers then scan the full manifest list). */
+  /** Top-level AND conjuncts of a parsed predicate. */
+  private def conjunctsOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  /** A bare single-part column reference, if that's what `e` is. */
+  private def bareAttr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.length == 1 => Some(a.nameParts.head)
+    case _ => None
+  }
+
+  /** A literal's external (driver-side) value for the types our stats and
+    * hashes handle; None disables the conjunct. */
+  private def literalValue(l: org.apache.spark.sql.catalyst.expressions.Literal)
+      : Option[Any] = l.value match {
+    case null => None
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+    case n: java.lang.Number => Some(n)
+    case _ => None
+  }
+
   private[table] def checkpointPlanCandidates(spark: SparkSession, v: Long,
       condition: String): Option[Seq[String]] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
@@ -1438,22 +1465,9 @@ final class VersionedTable(val root: String,
     val parsed =
       try spark.sessionState.sqlParser.parseExpression(condition)
       catch { case _: Exception => return None }
-    def conj(e: ce.Expression): Seq[ce.Expression] = e match {
-      case ce.And(l, r) => conj(l) ++ conj(r)
-      case x => Seq(x)
-    }
-    def attr(e: ce.Expression): Option[String] = e match {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          if a.nameParts.length == 1 => Some(a.nameParts.head)
-      case _ => None
-    }
-    def ext(l: ce.Literal): Option[Any] = l.value match {
-      case null => None
-      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-      case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
-      case n: java.lang.Number => Some(n)
-      case _ => None
-    }
+    def conj(e: ce.Expression): Seq[ce.Expression] = conjunctsOf(e)
+    def attr(e: ce.Expression): Option[String] = bareAttr(e)
+    def ext(l: ce.Literal): Option[Any] = literalValue(l)
     val raw: Seq[(String, Option[Any], Option[Any])] = conj(parsed).flatMap {
       case ce.EqualTo(a, l: ce.Literal) =>
         for (c <- attr(a); x <- ext(l)) yield (c, Some(x): Option[Any], Some(x): Option[Any])
@@ -1498,6 +1512,45 @@ final class VersionedTable(val root: String,
     Some(cf.select("path").as[String].collect().toSeq)
   }
 
+  /** Bloom pass for an arbitrary rewrite predicate: equality and IN
+    * conjuncts on Bloom-indexed, non-temporal columns probe the per-file
+    * sidecars (typed hash of each literal), dropping candidate files that
+    * provably hold none of the probed values — the point-lookup prune the
+    * stats range pass cannot make on a high-cardinality uniform key.
+    * Anything unparseable or un-probeable passes through unchanged. */
+  private[table] def bloomPruneForPredicate(spark: SparkSession, v: Long,
+      candidates: Seq[String], condition: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    if (candidates.isEmpty || bloomIndexColumns.isEmpty) return candidates
+    val schema = schemaOf(v).getOrElse(return candidates)
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(condition)
+      catch { case _: Exception => return candidates }
+    val probes: Seq[(String, Seq[Any])] = conjunctsOf(parsed).flatMap {
+      case ce.EqualTo(a, l: ce.Literal) =>
+        for (c <- bareAttr(a); x <- literalValue(l)) yield (c, Seq(x))
+      case ce.EqualTo(l: ce.Literal, a) =>
+        for (c <- bareAttr(a); x <- literalValue(l)) yield (c, Seq(x))
+      case ce.In(a, ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[ce.Literal]) =>
+        val vals = ls.map(l => literalValue(l.asInstanceOf[ce.Literal]))
+        for (c <- bareAttr(a); if vals.forall(_.isDefined)) yield (c, vals.flatten)
+      case _ => Nil
+    }
+    probes.foldLeft(candidates) {
+      case (cand, (c, vals)) if bloomIndexColumns.contains(c) =>
+        schema.fields.find(f => f.name == c &&
+            f.dataType != org.apache.spark.sql.types.TimestampType).fold(cand) { f =>
+          import org.apache.spark.sql.functions.expr
+          val lits = vals.map(x =>
+            "'" + x.toString.replace("\\", "\\\\").replace("'", "\\'") + "'").mkString(", ")
+          bloomPruneCandidates(spark, cand, c,
+            spark.range(1).select(expr(s"explode(array($lits))").as("__s"))
+              .select(expr(s"xxhash64(CAST(__s AS ${f.dataType.sql}))").as("__h")))
+        }
+      case (cand, _) => cand
+    }
+  }
+
   /** Copy-on-write DELETE: rewrite ONLY the files that contain a matching
     * row; untouched files (found by one predicate-pushed scan over the
     * snapshot — parquet row-group stats prune most of them before any row is
@@ -1519,7 +1572,8 @@ final class VersionedTable(val root: String,
     // checkpointed head: the touched scan reads only stat-surviving
     // candidates (planned distributed from the checkpoint parquet), not
     // the whole snapshot
-    val cand = checkpointPlanCandidates(spark, v, condition).getOrElse(all)
+    val cand = bloomPruneForPredicate(spark, v,
+      checkpointPlanCandidates(spark, v, condition).getOrElse(all), condition)
     // DV-applied scan: a row already merge-on-read-deleted cannot make its
     // file "touched" (and could otherwise resurrect through the rewrite)
     val touched =
@@ -1640,7 +1694,8 @@ final class VersionedTable(val root: String,
     val allSet = all.toSet
     val cand =
       if (all.isEmpty) Seq.empty[String]
-      else checkpointPlanCandidates(spark, v, condition).getOrElse(all)
+      else bloomPruneForPredicate(spark, v,
+        checkpointPlanCandidates(spark, v, condition).getOrElse(all), condition)
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else scanLive(spark, cand, Some(schema), dvs, keepPos = true, pb, pVals)
@@ -1719,9 +1774,14 @@ final class VersionedTable(val root: String,
     if (all.isEmpty) return (v, 0L)
     val schema = schemaOf(v)
     val dvs = dvsOf(v)
+    // checkpointed head: the match scan reads only stats-surviving
+    // candidate files, like the COW verbs
+    val cand = bloomPruneForPredicate(spark, v,
+      checkpointPlanCandidates(spark, v, condition).getOrElse(all), condition)
+    if (cand.isEmpty) return (v, 0L)
     // scan with existing DVs applied: an already-dead row must not be
     // tombstoned twice (double-counted deletes, growing DVs)
-    val matchedRows = scanLive(spark, all, schema, dvs, keepPos = true,
+    val matchedRows = scanLive(spark, cand, schema, dvs, keepPos = true,
         partitionByOf(v), partitionValuesOf(v))
       .filter(coalesce(expr(condition), lit(false)))
     val matched = matchedRows
@@ -1776,7 +1836,8 @@ final class VersionedTable(val root: String,
     val pVals = partitionValuesOf(v)
     if (all.isEmpty) return (v, 0)
     val allSet = all.toSet
-    val cand = checkpointPlanCandidates(spark, v, condition).getOrElse(all)
+    val cand = bloomPruneForPredicate(spark, v,
+      checkpointPlanCandidates(spark, v, condition).getOrElse(all), condition)
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else scanLive(spark, cand, Some(schema), dvs, keepPos = true, pb, pVals)

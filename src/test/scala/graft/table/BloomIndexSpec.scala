@@ -90,6 +90,31 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     assert(updated === 200)
   }
 
+  test("COW delete/update point lookups prune their scan input via the sidecar") {
+    val base = tmpDir("bloom-cow-")
+    val t = uniformTable(base + "/t", indexed = true)
+    // the touched-file COUNT is row-exact either way (the verbs row-scan);
+    // what the sidecar narrows is the SCAN INPUT — assert the candidate
+    // list the predicate pass plans (range stats alone keep all 8: every
+    // file's [min, max] spans the key domain)
+    val v = t.resolve()
+    val files = t.read(spark).inputFiles
+      .map(f => f.substring(f.indexOf("data/"))).toSeq
+    assert(files.size === 8)
+    val candEq = t.bloomPruneForPredicate(spark, v, files, "k = 1234")
+    assert(candEq.size >= 1 && candEq.size <= 3,
+      s"equality probe should confine the scan, planned ${candEq.size}")
+    val (_, delTouched) = t.delete(spark, "k = 1234")
+    assert(delTouched === 1 && t.read(spark).count() === 7999)
+    val (_, updTouched) = t.update(spark, "k IN (7, 4321)", Map("v" -> "-1"))
+    assert(updTouched >= 1 && updTouched <= 2)
+    assert(t.read(spark).filter("v = -1").count() === 2)
+    // MOR delete probes too (tombstones only matching files' rows)
+    val (_, tombs) = t.deleteMor(spark, "k = 999")
+    assert(tombs === 1L)
+    assert(t.read(spark).count() === 7998)
+  }
+
   test("vacuum retires a sidecar with its commit") {
     val root = tmpDir("bloom-vac-") + "/t"
     val t = uniformTable(root, indexed = true)
