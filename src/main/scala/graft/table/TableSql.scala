@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * maintenance through SQL stages), mapped onto the table API:
   *
   * {{{
-  *   OPTIMIZE '<path>' [ZORDER BY (c1[, c2...])]
+  *   OPTIMIZE '<path>' [ZORDER BY (c1[, c2...]) | WHERE <partition predicate>]
   *   VACUUM '<path>' [RETAIN <n> VERSIONS | RETAIN <n> HOURS [FORCE]]
   *   DESCRIBE HISTORY '<path>'
   *   RESTORE '<path>' TO VERSION AS OF <v>
@@ -26,7 +26,7 @@ object TableSql {
   // path literal: standard SQL single-quote string, '' = an embedded quote
   private val P = """'((?:[^']|'')+)'"""
   private val Optimize =
-    s"""(?is)\\s*OPTIMIZE\\s+$P(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$P(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?(?:\\s+WHERE\\s+(.+?))?\\s*""".r
   private val Vacuum =
     s"""(?is)\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?(\\s+FORCE)?\\s*""".r
   private val History =
@@ -45,10 +45,19 @@ object TableSql {
   }
 
   def run(spark: SparkSession, sql: String): DataFrame = sql match {
-    case Optimize(p, null) =>
+    case Optimize(p, null, null) =>
       val path = unq(p)
       status(spark, "OPTIMIZE", path, VersionedTable(path).compact(spark))
-    case Optimize(p, cols) =>
+    case Optimize(p, null, where) =>
+      // partition-scoped compaction: only matching partitions rewrite
+      val path = unq(p)
+      status(spark, "OPTIMIZE WHERE", path,
+        VersionedTable(path).compactWhere(spark, where.trim))
+    case Optimize(p, cols, where) =>
+      require(where == null,
+        "OPTIMIZE ZORDER BY ... WHERE is not supported: z-order is a " +
+          "whole-table layout — scope with a partitioned table + plain " +
+          "OPTIMIZE ... WHERE instead")
       val path = unq(p)
       status(spark, "OPTIMIZE ZORDER", path, VersionedTable(path).compact(spark,
         zOrderBy = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))

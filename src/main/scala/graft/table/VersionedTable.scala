@@ -2424,6 +2424,41 @@ final class VersionedTable(val root: String,
     * skips files for predicates on any of them. A single-column range sort
     * can only ever prune its one leading column; multi-dimensional skipping
     * is what makes selective reads on a second key feasible at 100 TB. */
+  /** Partition-scoped OPTIMIZE (`OPTIMIZE ... WHERE <partition predicate>`):
+    * compact ONLY the files of matching partitions into ≤`numFiles` tasks'
+    * worth of output; every other partition's files (and their stats)
+    * carry verbatim. At 100 TB this is how compaction actually runs —
+    * yesterday's hot partition gets binpacked, the other 3000 partitions
+    * cost nothing. The rewritten slice materializes its deletion-vector
+    * tombstones (like full OPTIMIZE); untouched files keep theirs. Racing
+    * pure appends rebase (a compaction preserves rows, an append adds
+    * disjoint files — serial equivalence is exact); any other interloper
+    * raises [[ConcurrentCommitException]]. */
+  def compactWhere(spark: SparkSession, predicate: String, numFiles: Int = 1,
+                   sortBy: Seq[String] = Nil): Long = {
+    val pinned = resolve()
+    val matching = prunePartitions(spark, pinned, predicate)
+    if (matching.isEmpty) return pinned // no partition matches: no-op, no version burned
+    val schema = schemaOf(pinned).getOrElse(throw new IllegalStateException(
+      s"version $pinned of $root has no recorded schema"))
+    val dvs = dvsOf(pinned)
+    val pb = partitionByOf(pinned)
+    val pVals = partitionValuesOf(pinned)
+    val untouched = filesOf(pinned).filterNot(matching.toSet)
+    val slice = scanLive(spark, matching, Some(schema), dvs, keepPos = false, pb, pVals)
+    val (commitId, newFiles, newPartVals) =
+      writeDataFiles(slice, Some(numFiles), sortBy, pb)
+    val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+    val stats =
+      if (newFiles.nonEmpty)
+        collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
+      else Map.empty[String, Map[String, (String, String, String)]]
+    publishRewrite(pinned, matching.toSet, newFiles, stats, schema.json,
+      carryDvs(spark, dvs, untouched), newPartVals,
+      cdfKind = Some("none"), cdfFiles = Nil, txn = None,
+      freshSafe = (_, _) => true)
+  }
+
   def compact(spark: SparkSession, numFiles: Int = 1,
               sortBy: Seq[String] = Nil, zOrderBy: Seq[String] = Nil,
               targetFileSizeBytes: Option[Long] = None): Long = {

@@ -50,6 +50,24 @@ class TableStreamSpec extends AnyFunSuite with SparkSpec {
     assert(sunk().size === 4)
   }
 
+  test("streaming reads span a RENAME COLUMN: old files resolve by field id") {
+    val root = tmpDir("ts-ren-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt"))
+    t.renameColumn("amt", "amount")
+    t.append(Seq((3L, 30.0)).toDF("id", "amount"))
+    val out = tmpDir("ts-ren-out-")
+    drain(spark.readStream.format("graft-table").option("path", root).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("ts-ren-ckpt-"))
+      .trigger(Trigger.AvailableNow()).start())
+    // the snapshot batch carries pre-rename files (physical name `amt`)
+    // AND the post-rename append in one schema — values intact
+    assert(spark.read.parquet(out).columns.toSeq === Seq("id", "amount"))
+    assert(spark.read.parquet(out).as[(Long, Double)].collect().sorted.toSeq
+      === Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+  }
+
   test("append mode refuses a rewrite commit unless skipChangeCommits") {
     val root = tmpDir("ts-") + "/t"
     val t = VersionedTable(root)

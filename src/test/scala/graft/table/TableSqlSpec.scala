@@ -39,6 +39,35 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("OPTIMIZE ... WHERE compacts only the matching partitions") {
+    val root = tmpDir("tsql-ow-") + "/t"
+    val t = VersionedTable(root)
+    // 3 partitions × several small files each
+    t.commit(spark.range(0, 300).selectExpr(
+      "id", "CAST(id % 3 AS STRING) AS p"),
+      numPartitions = Some(4), partitionBy = Seq("p"))
+    t.append(spark.range(300, 600).selectExpr(
+      "id", "CAST(id % 3 AS STRING) AS p"), numPartitions = Some(4))
+    def filesByPart(): Map[String, Int] =
+      t.read(spark).inputFiles.toSeq
+        .groupBy(f => "p=(\\d)".r.findFirstMatchIn(f).get.group(1))
+        .view.mapValues(_.size).toMap
+    val before = filesByPart()
+    assert(before.values.forall(_ >= 2), s"need multiple files per partition: $before")
+    val beforeOther = t.read(spark).inputFiles.filterNot(_.contains("p=1")).toSet
+    TableSql.run(spark, s"OPTIMIZE '$root' WHERE p = '1'")
+    val after = filesByPart()
+    assert(after("1") === 1, s"partition 1 must binpack to one file: $after")
+    assert(t.read(spark).inputFiles.filterNot(_.contains("p=1")).toSet === beforeOther,
+      "untouched partitions' files must carry verbatim")
+    assert(t.read(spark).count() === 600)
+    assert(t.read(spark).filter("p = '1'").count() === 200)
+    // ZORDER + WHERE is rejected, not silently partial
+    intercept[IllegalArgumentException] {
+      TableSql.run(spark, s"OPTIMIZE '$root' ZORDER BY (id) WHERE p = '1'")
+    }
+  }
+
   test("VACUUM RETAIN n HOURS sweeps by manifest age behind a safety floor") {
     val root = tmpDir("tsql-h-") + "/t"
     val t = VersionedTable(root)
