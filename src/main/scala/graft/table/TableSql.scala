@@ -10,6 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   OPTIMIZE '<path>' [ZORDER BY (c1[, c2...]) | WHERE <partition predicate>]
   *   VACUUM '<path>' [RETAIN <n> VERSIONS | RETAIN <n> HOURS [FORCE]]
   *   DESCRIBE HISTORY '<path>'
+  *   DESCRIBE DETAIL '<path>'
   *   RESTORE '<path>' TO VERSION AS OF <v>
   *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>'
   * }}}
@@ -31,6 +32,8 @@ object TableSql {
     s"""(?is)\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?(\\s+FORCE)?\\s*""".r
   private val History =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$P\\s*""".r
+  private val Detail =
+    s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$P\\s*""".r
   private val Restore =
     s"""(?is)\\s*RESTORE\\s+$P\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*""".r
   private val Clone =
@@ -76,6 +79,7 @@ object TableSql {
       import spark.implicits._
       Seq(("VACUUM", path, n.toLong)).toDF("operation", "path", "swept")
     case History(p) => VersionedTable(unq(p)).history(spark)
+    case Detail(p) => VersionedTable(unq(p)).detail(spark)
     case Restore(p, v) =>
       val path = unq(p)
       status(spark, "RESTORE", path, VersionedTable(path).restore(v.toLong))

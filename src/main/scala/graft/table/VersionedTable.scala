@@ -2547,6 +2547,30 @@ final class VersionedTable(val root: String,
     }.toDF("version", "n_files", "txn_app", "txn_version", "committed_at")
   }
 
+  /** `DESCRIBE DETAIL` parity: one row of head-snapshot metadata — version,
+    * counts and on-disk bytes of the live files, partition columns,
+    * deletion-vector and constraint counts, properties, and the timestamps
+    * the history derives from. Pure manifest metadata (plus `Files.size`
+    * per live file): no data I/O at any table size. */
+  def detail(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val v = resolve()
+    val fs = filesOf(v)
+    val bytes = fs.map(f =>
+      scala.util.Try(Files.size(Paths.get(root).resolve(f))).getOrElse(0L)).sum
+    val created = versions().headOption
+      .map(x => new java.sql.Timestamp(Files.getLastModifiedTime(manifestPath(x)).toMillis))
+    val modified = new java.sql.Timestamp(
+      Files.getLastModifiedTime(manifestPath(v)).toMillis)
+    Seq((root, v, fs.size.toLong, bytes, partitionByOf(v),
+      dvsOf(v).size.toLong, constraintsOf(v).size.toLong,
+      properties.toSeq.sorted.map { case (k, x) => s"$k=$x" },
+      created, modified))
+      .toDF("location", "version", "num_files", "size_bytes",
+        "partition_columns", "num_deletion_vectors", "num_constraints",
+        "properties", "created_at", "last_modified")
+  }
+
   /** Incremental consumption of an append-only table: the rows in data files
     * added after `sinceVersion`, found by a manifest file-list diff — zero
     * data I/O to locate them, cost proportional to the NEW data only (unlike

@@ -39,6 +39,24 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("DESCRIBE DETAIL reports head-snapshot metadata in one row") {
+    val root = tmpDir("tsql-dd-") + "/t"
+    val t = VersionedTable(root)
+    t.setProperties(Map("enableDeletionVectors" -> "true"))
+    t.commit(spark.range(0, 100).selectExpr("id", "CAST(id % 2 AS STRING) AS p"),
+      partitionBy = Seq("p"))
+    t.addConstraint(spark, "id_pos", "id >= 0")
+    t.deleteMor(spark, "id = 5")
+    val d = TableSql.run(spark, s"DESCRIBE DETAIL '$root'").head
+    assert(d.getAs[String]("location") === root)
+    assert(d.getAs[Long]("version") === t.resolve())
+    assert(d.getAs[Long]("num_files") >= 2L && d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[Seq[String]]("partition_columns") === Seq("p"))
+    assert(d.getAs[Long]("num_deletion_vectors") === 1L)
+    assert(d.getAs[Long]("num_constraints") === 1L)
+    assert(d.getAs[Seq[String]]("properties").exists(_.startsWith("enableDeletionVectors=")))
+  }
+
   test("OPTIMIZE ... WHERE compacts only the matching partitions") {
     val root = tmpDir("tsql-ow-") + "/t"
     val t = VersionedTable(root)
