@@ -316,7 +316,10 @@ object SimilarityQueries {
     * `srp/` store): the query's bucket is one collected BIGINT, the 37
     * buckets within Hamming distance 2 enumerate statically (8-bit space),
     * and the probe is a partition-pruned read of ~14% of the store instead
-    * of the full scan s1 needs. */
+    * of the full scan s1 needs. (At toy corpus sizes the 37 small
+    * partition reads cost slightly more than computing signatures in-query
+    * — the layout pays off once the corpus dwarfs the directory overhead,
+    * which is the regime this store exists for.) */
   val s3SrpLsh: Q = Q(
     "s3_srp_lsh",
     (spark, dir) => {
