@@ -116,12 +116,17 @@ object SimilarityQueries {
       val root = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
       trainedCents(spark, dir)
         .coalesce(1).write.mode("overwrite").parquet(s"$root/cents")
+      // co-locate each partition value in one task before the partitioned
+      // write: the default layout would emit (tasks × values) tiny files —
+      // slow to write, slower to probe
       assignTo(vectors(spark, dir), spark.read.parquet(s"$root/cents"))
+        .repartition(col("c_id"))
         .write.mode("overwrite").partitionBy("c_id").parquet(s"$root/assigned")
       // the SRP-LSH store rides the same offline build: corpus partitioned
       // by 8-bit signature, so a multi-probe read (Hamming ≤ 2 → 37 of 256
       // buckets) is partition-pruned instead of a full scan (s3)
       vectors(spark, dir).withColumn("bucket", expr(srpBucketSpark))
+        .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/srp")
       root
     })
