@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   VACUUM '<path>' [RETAIN <n> VERSIONS | RETAIN <n> HOURS [FORCE]]
   *   DESCRIBE HISTORY '<path>'
   *   DESCRIBE DETAIL '<path>'
+  *   SHOW PARTITIONS '<path>'
   *   RESTORE '<path>' TO VERSION AS OF <v>
   *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>'
   * }}}
@@ -34,6 +35,8 @@ object TableSql {
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$P\\s*""".r
   private val Detail =
     s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$P\\s*""".r
+  private val ShowParts =
+    s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$P\\s*""".r
   private val Restore =
     s"""(?is)\\s*RESTORE\\s+$P\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*""".r
   private val Clone =
@@ -80,6 +83,7 @@ object TableSql {
       Seq(("VACUUM", path, n.toLong)).toDF("operation", "path", "swept")
     case History(p) => VersionedTable(unq(p)).history(spark)
     case Detail(p) => VersionedTable(unq(p)).detail(spark)
+    case ShowParts(p) => VersionedTable(unq(p)).showPartitions(spark)
     case Restore(p, v) =>
       val path = unq(p)
       status(spark, "RESTORE", path, VersionedTable(path).restore(v.toLong))

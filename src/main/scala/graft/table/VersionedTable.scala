@@ -2571,6 +2571,36 @@ final class VersionedTable(val root: String,
         "properties", "created_at", "last_modified")
   }
 
+  /** `SHOW PARTITIONS` parity: the head snapshot's distinct partition
+    * value tuples with live file and row-less byte counts — pure manifest
+    * metadata (the partition index IS the manifest), no directory listing
+    * or data I/O. Hive's null marker reads back as SQL NULL. */
+  def showPartitions(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val v = resolve()
+    val pb = partitionByOf(v)
+    require(pb.nonEmpty, s"$root is not partitioned")
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema"))
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    val vals = partitionValuesOf(v)
+    val rows = filesOf(v).map { f =>
+      val m = vals.getOrElse(f, Map.empty)
+      val bytes = scala.util.Try(Files.size(Paths.get(root).resolve(f))).getOrElse(0L)
+      org.apache.spark.sql.Row.fromSeq(
+        pb.map(c => m.getOrElse(c, None).orNull) ++ Seq(1L, bytes))
+    }
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(pb.map(c => StructField(c, StringType)) ++
+        Seq(StructField("__nf", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("__sz", org.apache.spark.sql.types.LongType, nullable = false))))
+    raw.groupBy(pb.map(c => col(c).cast(typeOf(c)).as(c)): _*)
+      .agg(expr("sum(__nf)").as("num_files"), expr("sum(__sz)").as("size_bytes"))
+      .orderBy(pb.map(col): _*)
+  }
+
   /** Incremental consumption of an append-only table: the rows in data files
     * added after `sinceVersion`, found by a manifest file-list diff — zero
     * data I/O to locate them, cost proportional to the NEW data only (unlike

@@ -57,6 +57,23 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     assert(d.getAs[Seq[String]]("properties").exists(_.startsWith("enableDeletionVectors=")))
   }
 
+  test("SHOW PARTITIONS lists manifest partition values with file counts") {
+    val root = tmpDir("tsql-sp-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 90).selectExpr("id", "CAST(id % 3 AS STRING) AS p"),
+      partitionBy = Seq("p"))
+    val parts = TableSql.run(spark, s"SHOW PARTITIONS '$root'")
+    assert(parts.columns.toSeq === Seq("p", "num_files", "size_bytes"))
+    val rows = parts.collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("0", "1", "2"))
+    assert(rows.forall(r => r.getLong(1) >= 1L && r.getLong(2) > 0L))
+    intercept[IllegalArgumentException] {
+      val flat = tmpDir("tsql-sp2-") + "/t"
+      VersionedTable(flat).commit(spark.range(3).toDF("id"))
+      TableSql.run(spark, s"SHOW PARTITIONS '$flat'")
+    }
+  }
+
   test("OPTIMIZE ... WHERE compacts only the matching partitions") {
     val root = tmpDir("tsql-ow-") + "/t"
     val t = VersionedTable(root)
