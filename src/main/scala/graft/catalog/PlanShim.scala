@@ -14,4 +14,13 @@ object PlanShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** An identical twin of `spark` (same SparkContext and shared state, a
+    * COPY of the session conf/state) — `SparkSession.cloneSession()` is
+    * `private[sql]`, hence surfaced from this shim. Used to give by-field-id
+    * parquet scans a session with the read flag on WITHOUT mutating the
+    * user's session (the flag is only honored from the session conf, not
+    * per-relation options — verified against Spark 4.1's read path). */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }

@@ -368,11 +368,16 @@ final class VersionedTable(val root: String,
     // id-tracked tables resolve parquet columns BY FIELD ID (the schema
     // from schemaOf carries `parquet.field.id` metadata) — the mechanism
     // that lets RENAME COLUMN be metadata-only: old files keep the old
-    // physical name but the id matches. The conf is read lazily per scan.
-    if (dataSchema.exists(_.fields.exists(_.metadata.contains(VersionedTable.FieldIdKey))))
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val base = dataSchema.map(s => spark.read.schema(s).parquet(paths: _*))
-      .getOrElse(spark.read.parquet(paths: _*))
+    // physical name but the id matches. The flag is scoped to THIS relation
+    // via [[GraftParquetFileFormat]] (it is only honored from the session
+    // conf, which merely reading a table must not mutate).
+    val byId = dataSchema.exists(_.fields.exists(
+      _.metadata.contains(VersionedTable.FieldIdKey)))
+    val base = dataSchema.map { s =>
+      val r = spark.read.schema(s)
+      if (byId) r.format(classOf[GraftParquetFileFormat].getName).load(paths: _*)
+      else r.parquet(paths: _*)
+    }.getOrElse(spark.read.parquet(paths: _*))
     if (dvs.isEmpty && !keepPos && partitionBy.isEmpty) return base
     val withPos = base.select(col("*"),
       uriDecodeCol(regexp_extract(col("_metadata.file_path"), RelExtract, 1)).as("__rel"),
@@ -470,8 +475,18 @@ final class VersionedTable(val root: String,
     val v = resolve()
     val pb = partitionByOf(v)
     require(pb.contains(partCol), s"$partCol is not a partition column of $root ($pb)")
-    val keys = dim.select(col(dimKey).cast("string")).distinct()
-      .collect().map(r => Option(r.getString(0))).toSet
+    // the dim side's distinct keys come to the driver (the same move Spark's
+    // DPP makes before reusing a broadcast) — guard the "small side"
+    // assumption with a hard ceiling so a mis-aimed large dim fails with a
+    // clear message instead of a driver OOM
+    val maxKeys = 1000000
+    val collected = dim.select(col(dimKey).cast("string")).distinct()
+      .limit(maxKeys + 1).collect()
+    require(collected.length <= maxKeys,
+      s"readPrunedByJoinKeys: dim side has more than $maxKeys distinct " +
+        s"$dimKey values — it must be the SMALL side of the join (prune by " +
+        "partition predicate or a broadcast join instead)")
+    val keys = collected.map(r => Option(r.getString(0))).toSet
     val all = filesOf(v)
     val vals = partitionValuesOf(v)
     val kept = all.filter(f => keys.contains(vals.getOrElse(f, Map.empty).getOrElse(partCol, None)))
@@ -787,19 +802,26 @@ final class VersionedTable(val root: String,
     * recorded id; new names take maxColumnId+1… in FRAME ORDER — the same
     * order [[publish]] mints ids for new schema names, so file ids and the
     * manifest always agree. Legacy tables (no recorded ids) pass through
-    * untouched. */
-  private def stampFieldIds(df: DataFrame): DataFrame = {
+    * untouched. Returns the stamped frame AND the exact (name -> id) map
+    * written into the files: [[publish]] must record THESE ids, not re-mint
+    * against a possibly-moved head — a retry/rebase that re-derived ids
+    * would let two concurrent schema-evolving writers stamp the same fresh
+    * id into different columns, silently corrupting by-id reads. */
+  private def stampFieldIds(df: DataFrame): (DataFrame, Option[Map[String, Long]]) = {
     val base = latestVersion()
     val ids = base.map(columnIdsOf).getOrElse(Map.empty)
-    if (base.isDefined && ids.isEmpty) return df // legacy: stays by-name
+    if (base.isDefined && ids.isEmpty) return (df, None) // legacy: stays by-name
     var next = base.map(maxColumnIdOf).getOrElse(0L)
+    val assigned = df.schema.fields.map { f =>
+      f.name -> ids.getOrElse(f.name, { next += 1; next })
+    }
+    val byName = assigned.toMap
     val cols = df.schema.fields.map { f =>
-      val id = ids.getOrElse(f.name, { next += 1; next })
       val md = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata).putLong(VersionedTable.FieldIdKey, id).build()
+        .withMetadata(f.metadata).putLong(VersionedTable.FieldIdKey, byName(f.name)).build()
       col(f.name).as(f.name, md)
     }
-    df.select(cols.toIndexedSeq: _*)
+    (df.select(cols.toIndexedSeq: _*), Some(byName))
   }
 
   /** Write `df` as immutable parquet under a fresh commit dir; returns the
@@ -810,7 +832,8 @@ final class VersionedTable(val root: String,
     * the partition values live in the directory names and the manifest. */
   private def writeDataFiles(df: DataFrame, numPartitions: Option[Int],
       sortBy: Seq[String], partitionBy: Seq[String] = Nil)
-      : (String, Seq[String], Map[String, Map[String, Option[String]]]) = {
+      : (String, Seq[String], Map[String, Map[String, Option[String]]],
+         Option[Map[String, Long]]) = {
     // __rel/__ri are scanLive's row-position helper columns; a user column
     // with either name would collide in the DV anti-join frame and then be
     // dropped, corrupting DV reads and COW touched-file detection. Reserve
@@ -824,7 +847,7 @@ final class VersionedTable(val root: String,
     Files.createDirectories(dataDir)
     val commitId = java.util.UUID.randomUUID().toString
     val outDir = dataDir.resolve(commitId)
-    val stamped = stampFieldIds(df)
+    val (stamped, stampedIds) = stampFieldIds(df)
     val out = (numPartitions, sortBy) match {
       case (Some(n), s) if s.nonEmpty =>
         stamped.repartitionByRange(n, s.map(col): _*).sortWithinPartitions(s.map(col): _*)
@@ -845,7 +868,7 @@ final class VersionedTable(val root: String,
     if (partitionBy.isEmpty) {
       val files = listNames(outDir).filter(isData).map(n => s"data/$commitId/$n").sorted
       buildBloomSidecar(df.sparkSession, commitId, files)
-      (commitId, files, Map.empty)
+      (commitId, files, Map.empty, stampedIds)
     } else {
       // walk the hive layout: every leaf parquet sits under one k=v segment
       // per partition column, in partitionBy order. Hive escaping is plain
@@ -881,7 +904,7 @@ final class VersionedTable(val root: String,
       walk(outDir, Nil, Map.empty)
       val files = found.map(_._1).sorted
       buildBloomSidecar(df.sparkSession, commitId, files.toSeq)
-      (commitId, files.toSeq, found.map { case (f, v) => f -> v }.toMap)
+      (commitId, files.toSeq, found.map { case (f, v) => f -> v }.toMap, stampedIds)
     }
   }
 
@@ -958,7 +981,21 @@ final class VersionedTable(val root: String,
     if (sidecars.isEmpty) return candidates
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
-    val keyArr = hashedKeys.agg(collect_list(col("__h")).as("__ks"))
+    // merge sources are UNBOUNDED: collecting every key hash into one driver
+    // array (broadcast into every task) is only sane for batch-sized key
+    // sets — a 100 M-key merge would materialize ~800 MB on the driver and
+    // per task. Collect at most cap+1 hashes in one bounded pass; above the
+    // cap the Bloom pass is skipped outright (range + checkpoint pruning
+    // still bound the candidates), mirroring how Delta caps its
+    // file-skipping key collection. Callers pass deduplicated key frames,
+    // so the raw count is the distinct count. Tunable per table
+    // (`bloomProbeMaxKeys`) for deployments with bigger driver headroom.
+    val cap = properties.get("bloomProbeMaxKeys").map(_.toInt)
+      .getOrElse(VersionedTable.BloomProbeMaxKeys)
+    val capped = hashedKeys.limit(cap + 1)
+      .agg(collect_list(col("__h")).as("__ks")).head.getSeq[Long](0)
+    if (capped.length > cap) return candidates
+    val keyArr = Seq(Tuple1(capped)).toDF("__ks")
     val sc = spark.read.parquet(sidecars.map(_.toString): _*)
       .filter(col("column") === column)
     candidates.toDF("path")
@@ -1115,7 +1152,8 @@ final class VersionedTable(val root: String,
       cdfKind: Option[String] = None,
       cdf: Seq[String] = Nil,
       columnIdsOverride: Option[Map[String, Long]] = None,
-      maxColumnIdFloor: Long = 0L): Long = {
+      maxColumnIdFloor: Long = 0L,
+      stampedIds: Option[Map[String, Long]] = None): Long = {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1L).getOrElse(0L)
     val json = mapper.createObjectNode()
@@ -1141,9 +1179,33 @@ final class VersionedTable(val root: String,
     val colIds =
       if (legacy) Map.empty[String, Long]
       else columnIdsOverride.getOrElse {
-        var nextId = baseMax
+        // the ids stamped into this commit's parquet (threaded from
+        // writeDataFiles) are authoritative for new names: re-minting
+        // against a head that moved during retry/rebase would disagree
+        // with the bytes already on disk. If the new base conflicts with
+        // the stamped ids — a racing schema-evolving writer claimed the
+        // same fresh id for a different column, or re-recorded a stamped
+        // name under another id — the files themselves are unusable for
+        // by-id reads, so fail hard (no silent re-derive); the caller
+        // must re-run the write against the new head.
+        stampedIds.foreach(_.foreach { case (n, id) =>
+          baseIds.get(n).filter(_ != id).foreach { bid =>
+            throw new IllegalStateException(
+              s"concurrent schema change at $root: column $n was stamped " +
+                s"field id $id but the committed head records $bid; re-run the write")
+          }
+          baseIds.find { case (bn, bid) => bn != n && bid == id }.foreach {
+            case (bn, _) => throw new IllegalStateException(
+              s"concurrent schema change at $root: column $n was stamped " +
+                s"field id $id, already held by column $bn at the committed " +
+                "head; re-run the write")
+          }
+        })
+        var nextId = math.max(baseMax,
+          stampedIds.map(_.values.maxOption.getOrElse(0L)).getOrElse(0L))
         schemaNames.map { n =>
-          n -> baseIds.getOrElse(n, { nextId += 1; nextId })
+          n -> baseIds.getOrElse(n,
+            stampedIds.flatMap(_.get(n)).getOrElse { nextId += 1; nextId })
         }.toMap
       }
     if (colIds.nonEmpty && schemaNames.nonEmpty) {
@@ -1201,8 +1263,14 @@ final class VersionedTable(val root: String,
             }.toSet
           case _ => Set.empty
         }
+      // a base manifest that predates statsZone recording is as unsafe as a
+      // known mismatch: its carried timestamp stats were rendered under an
+      // UNKNOWN zone, and stamping the current zone over them would let
+      // readers wrongly prune live files — drop them too (they stop
+      // pruning; never wrong; new commits re-record with a zone)
       val zoneSafe =
-        if (zone.isEmpty || baseZone.isEmpty || baseZone == zone) stats
+        if (zone.isEmpty || (baseZone == zone) ||
+            (base.isEmpty && baseZone.isEmpty)) stats
         else stats.view.mapValues(_.filterNot { case (c, _) => tsCols(c) }).toMap
       zone.foreach(z => json.put("statsZone", z))
       val statsNode = json.putObject("stats")
@@ -1246,7 +1314,8 @@ final class VersionedTable(val root: String,
       cdfFiles: Seq[String],
       txn: Option[(String, Long)],
       freshSafe: (Long, Seq[String]) => Boolean,
-      maxRebases: Int = 10): Long = {
+      maxRebases: Int = 10,
+      stampedIds: Option[Map[String, Long]] = None): Long = {
     val pb = partitionByOf(scannedV)
     val cs = constraintsOf(scannedV)
     var base = scannedV
@@ -1259,7 +1328,7 @@ final class VersionedTable(val root: String,
           txn, Some(base), cs, dvs = dvsCarried, partitionBy = pb,
           partitions = partitionValuesOf(base).view.filterKeys(f => !touched(f)).toMap
             ++ newPartVals,
-          cdfKind = cdfKind, cdf = cdfFiles)
+          cdfKind = cdfKind, cdf = cdfFiles, stampedIds = stampedIds)
       } catch { case e: ConcurrentCommitException =>
         rebases += 1
         if (rebases > maxRebases) throw e
@@ -1293,7 +1362,7 @@ final class VersionedTable(val root: String,
              sortBy: Seq[String] = Nil, collectStats: Boolean = true,
              txn: Option[(String, Long)] = None,
              partitionBy: Seq[String] = Nil): Long = {
-    val (commitId, files, partVals) = writeDataFiles(df, numPartitions, sortBy, partitionBy)
+    val (commitId, files, partVals, stamped) = writeDataFiles(df, numPartitions, sortBy, partitionBy)
     val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
       if (collectStats && files.nonEmpty)
@@ -1310,7 +1379,7 @@ final class VersionedTable(val root: String,
       if (partitionBy.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), cs)
       else validateFrame(df, cs)
       publish(files, df.schema.json, stats, txn, base, cs,
-        partitionBy = partitionBy, partitions = partVals)
+        partitionBy = partitionBy, partitions = partVals, stampedIds = stamped)
     }
   }
 
@@ -1326,7 +1395,7 @@ final class VersionedTable(val root: String,
       numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil,
       collectStats: Boolean = true, txn: Option[(String, Long)] = None,
       partitionBy: Seq[String] = Nil): Long = {
-    val (commitId, files, partVals) = writeDataFiles(df, numPartitions, sortBy, partitionBy)
+    val (commitId, files, partVals, stamped) = writeDataFiles(df, numPartitions, sortBy, partitionBy)
     val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
       if (collectStats && files.nonEmpty)
@@ -1336,7 +1405,7 @@ final class VersionedTable(val root: String,
     if (partitionBy.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), cs)
     else validateFrame(df, cs)
     publish(files, df.schema.json, stats, txn, base, cs,
-      partitionBy = partitionBy, partitions = partVals)
+      partitionBy = partitionBy, partitions = partVals, stampedIds = stamped)
   }
 
   /** Run `attempt` against the current head, retrying on a commit collision
@@ -1373,7 +1442,7 @@ final class VersionedTable(val root: String,
     // the retry below re-validates against the new head; the layout check
     // there refuses a partitioning mismatch.
     val tablePb = latestVersion().map(partitionByOf).getOrElse(Nil)
-    val (commitId, files, partVals) = writeDataFiles(df, numPartitions, sortBy, tablePb)
+    val (commitId, files, partVals, stamped) = writeDataFiles(df, numPartitions, sortBy, tablePb)
     val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
       if (collectStats && files.nonEmpty)
@@ -1384,7 +1453,8 @@ final class VersionedTable(val root: String,
     // batch's own data files are written exactly once, above)
     retryPublish {
       case None => publish(files, df.schema.json, stats, txn, None,
-        partitionBy = tablePb, partitions = partVals, cdfKind = Some("append"))
+        partitionBy = tablePb, partitions = partVals, cdfKind = Some("append"),
+        stampedIds = stamped)
       case Some(v) =>
         require(partitionByOf(v) == tablePb,
           s"table partitioning changed concurrently (${partitionByOf(v)} vs $tablePb); " +
@@ -1413,7 +1483,8 @@ final class VersionedTable(val root: String,
         // existing file, so no tombstone can be affected
         publish(filesOf(v) ++ files, union.json, statsOf(v) ++ stats, txn, Some(v), cs,
           dvs = dvsOf(v), partitionBy = tablePb,
-          partitions = partitionValuesOf(v) ++ partVals, cdfKind = Some("append"))
+          partitions = partitionValuesOf(v) ++ partVals, cdfKind = Some("append"),
+          stampedIds = stamped)
     }
   }
 
@@ -1455,6 +1526,20 @@ final class VersionedTable(val root: String,
     case _ => None
   }
 
+  /** A stats bound or Bloom probe is only sound when the literal's value
+    * category matches the column's type: SQL coerces `strCol > 20` to a
+    * DOUBLE comparison, but the recorded min/max are strings — comparing
+    * the numeric literal against them lexicographically ('100' < '20')
+    * would prune files that hold matching rows. Cross-category conjuncts
+    * are dropped so those files conservatively survive to the row scan. */
+  private def literalMatchesType(dt: org.apache.spark.sql.types.DataType,
+      v: Any): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType =>
+      v.isInstanceOf[java.lang.Number] || v.isInstanceOf[scala.math.BigDecimal]
+    case org.apache.spark.sql.types.StringType => v.isInstanceOf[String]
+    case _ => false
+  }
+
   private[table] def checkpointPlanCandidates(spark: SparkSession, v: Long,
       condition: String): Option[Seq[String]] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
@@ -1493,8 +1578,7 @@ final class VersionedTable(val root: String,
     }
     val usable = raw.flatMap { case (c, lo, hi) =>
       schema.fields.find(_.name == c).collect {
-        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-            f.dataType == org.apache.spark.sql.types.StringType =>
+        case f if (lo.toSeq ++ hi.toSeq).forall(literalMatchesType(f.dataType, _)) =>
           (f.name, f.dataType, lo, hi)
       }
     }
@@ -1538,8 +1622,12 @@ final class VersionedTable(val root: String,
     }
     probes.foldLeft(candidates) {
       case (cand, (c, vals)) if bloomIndexColumns.contains(c) =>
+        // same category rule as the stats pass: hashing the canonical
+        // rendering CAST('20' AS STRING) of a numeric literal would miss
+        // numerically-equal string values like '20.0', so cross-category
+        // probes are skipped and those candidates survive
         schema.fields.find(f => f.name == c &&
-            f.dataType != org.apache.spark.sql.types.TimestampType).fold(cand) { f =>
+            vals.forall(literalMatchesType(f.dataType, _))).fold(cand) { f =>
           import org.apache.spark.sql.functions.expr
           val lits = vals.map(x =>
             "'" + x.toString.replace("\\", "\\\\").replace("'", "\\'") + "'").mkString(", ")
@@ -1600,7 +1688,7 @@ final class VersionedTable(val root: String,
         scanLive(spark, touched, schema, dvs, keepPos = false, pb, pVals)
           .filter(coalesce(pred, lit(false)))
           .withColumn("_change_type", lit("delete")))
-    val (commitId, newFiles, newPartVals) = writeDataFiles(keep, None, Nil, pb)
+    val (commitId, newFiles, newPartVals, stamped) = writeDataFiles(keep, None, Nil, pb)
     val partTypes = keep.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats = if (newFiles.nonEmpty)
                   collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
@@ -1618,7 +1706,8 @@ final class VersionedTable(val root: String,
       txn = None,
       freshSafe = (h, fresh) => fresh.isEmpty ||
         scanLive(spark, fresh, schema, Nil, keepPos = false, pb, partitionValuesOf(h))
-          .filter(coalesce(pred, lit(false))).isEmpty),
+          .filter(coalesce(pred, lit(false))).isEmpty,
+      stampedIds = stamped),
       touched.size)
   }
 
@@ -1721,7 +1810,7 @@ final class VersionedTable(val root: String,
         writeCdfFiles(deleted.withColumn("_change_type", lit("delete"))
           .unionByName(pinned.withColumn("_change_type", lit("insert"))))
       }
-    val (commitId, newFiles, newPartVals) = writeDataFiles(merged, numPartitions, sortBy, pb)
+    val (commitId, newFiles, newPartVals, stamped) = writeDataFiles(merged, numPartitions, sortBy, pb)
     val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
     val stats = if (newFiles.nonEmpty)
                   collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
@@ -1738,7 +1827,8 @@ final class VersionedTable(val root: String,
       txn = None,
       freshSafe = (h, fresh) => fresh.isEmpty ||
         scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
-          .filter(coalesce(pred, lit(false))).isEmpty),
+          .filter(coalesce(pred, lit(false))).isEmpty,
+      stampedIds = stamped),
       touched.size)
   }
 
@@ -1856,7 +1946,7 @@ final class VersionedTable(val root: String,
           case None => col(f.name)
         }
       }.toSeq: _*)
-    val (commitId, newFiles, newPartVals) = writeDataFiles(rewritten, None, Nil, pb)
+    val (commitId, newFiles, newPartVals, stamped) = writeDataFiles(rewritten, None, Nil, pb)
     // write-time CDF (iff enabled): per-row preimage+postimage pairs from
     // ONE more predicate-pushed scan of the matching rows (no bag-diff
     // shuffles — the exceptAll formulation hashed the whole touched slice
@@ -1898,7 +1988,8 @@ final class VersionedTable(val root: String,
       txn = None,
       freshSafe = (h, fresh) => fresh.isEmpty ||
         scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
-          .filter(coalesce(pred, lit(false))).isEmpty),
+          .filter(coalesce(pred, lit(false))).isEmpty,
+      stampedIds = stamped),
       touched.size)
   }
 
@@ -1949,10 +2040,14 @@ final class VersionedTable(val root: String,
     // (declarative pruneKeys config), so a typo would silently skip matching
     // rows in "untouched" files and insert duplicates. Fail fast unless the
     // condition carries that exact equi-conjunct at its top level.
-    require(conditionHasEquiConjunct(condition, sourceKey, targetKey),
+    require(conditionHasEquiConjunct(condition, sourceKey, targetKey,
+        sourceType = source.schema.fields
+          .find(_.name.equalsIgnoreCase(sourceKey)).map(_.dataType),
+        targetType = Some(keyType)),
       s"mergeCow prune keys ($sourceKey, $targetKey) are not implied by the merge " +
         s"condition '$condition': it must contain a top-level conjunct " +
-        s"source.$sourceKey = target.$targetKey (file pruning would otherwise be unsound)")
+        s"source.$sourceKey = target.$targetKey, with at most a WIDENING cast " +
+        "on either side (file pruning would otherwise be unsound)")
     val nms = whenNotMatchedBySourceUpdate.isDefined || whenNotMatchedBySourceDelete.isDefined
     val touched =
       if (nms) all // a by-source clause can modify any row: pruning is unsound
@@ -1985,7 +2080,7 @@ final class VersionedTable(val root: String,
       else marked
         .filter(col("__change_kind").isNull || col("__change_kind") =!= "delete")
         .drop("__change_kind", "__pre")
-    val (commitId, newFiles, newPartVals) = writeDataFiles(merged, numPartitions, sortBy, pb)
+    val (commitId, newFiles, newPartVals, stamped) = writeDataFiles(merged, numPartitions, sortBy, pb)
     // write-time CDF (iff enabled) from the kernel's OWN change markers —
     // one more execution of the merge join, zero bag-diff shuffles (the
     // exceptAll formulation hashed the whole touched slice twice): updates
@@ -2017,7 +2112,8 @@ final class VersionedTable(val root: String,
           scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
             .filter(col(targetKey).cast(keyType) >= bounds.get(0) &&
               col(targetKey).cast(keyType) <= bounds.get(1)).isEmpty
-      })),
+      }),
+      stampedIds = stamped),
       touched.size)
   }
 
@@ -2150,10 +2246,14 @@ final class VersionedTable(val root: String,
     val schema = if (!schemaEvolution) schema0 else widenWith(schema0, source)
     val keyType = schema.find(_.name == targetKey).getOrElse(
       throw new IllegalArgumentException(s"target key $targetKey not in table schema")).dataType
-    require(conditionHasEquiConjunct(condition, sourceKey, targetKey),
+    require(conditionHasEquiConjunct(condition, sourceKey, targetKey,
+        sourceType = source.schema.fields
+          .find(_.name.equalsIgnoreCase(sourceKey)).map(_.dataType),
+        targetType = Some(keyType)),
       s"mergeMor prune keys ($sourceKey, $targetKey) are not implied by the merge " +
         s"condition '$condition': it must contain a top-level conjunct " +
-        s"source.$sourceKey = target.$targetKey (file pruning would otherwise be unsound)")
+        s"source.$sourceKey = target.$targetKey, with at most a WIDENING cast " +
+        "on either side (file pruning would otherwise be unsound)")
     val nms = whenNotMatchedBySourceUpdate.isDefined || whenNotMatchedBySourceDelete.isDefined
     val touched =
       if (nms) filesOf(v) // a by-source clause can modify any row: no pruning
@@ -2193,7 +2293,7 @@ final class VersionedTable(val root: String,
     // the appended-row count rides the write itself as an Observation — no
     // post-hoc footer re-read to decide the no-op below
     val obs = org.apache.spark.sql.Observation()
-    val (commitId, newFiles, newPartVals) = writeDataFiles(
+    val (commitId, newFiles, newPartVals, stamped) = writeDataFiles(
       appendRows.observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n")),
       numPartitions, sortBy, pb)
@@ -2229,7 +2329,7 @@ final class VersionedTable(val root: String,
           scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
             .filter(col(targetKey).cast(keyType) >= bounds.get(0) &&
               col(targetKey).cast(keyType) <= bounds.get(1)).isEmpty
-      })), nTomb)
+      }), stampedIds = stamped), nTomb)
   }
 
   /** True iff `condition` contains a top-level AND-conjunct of the exact
@@ -2237,9 +2337,17 @@ final class VersionedTable(val root: String,
     * optional backticks/parens, case-insensitive identifiers). Conjuncts are
     * split on AND only outside parentheses, so an OR buried in one conjunct
     * cannot smuggle the equi-clause into a disjunction where it no longer
-    * holds for every matching row. */
+    * holds for every matching row. A CAST wrapping either key side is
+    * accepted ONLY when it provably widens that key column's type
+    * (`Cast.canUpCast` against the passed column types — mirroring the
+    * stripUpCast check in GraftExtensions): this path receives raw user SQL,
+    * and a user-written NARROWING cast (e.g. `target.id = CAST(source.k AS
+    * INT)` with a BIGINT `source.k`) wraps values, so treating it as an
+    * equi-key would make the range/Bloom file pruning unsound. */
   private def conditionHasEquiConjunct(condition: String, sourceKey: String,
-      targetKey: String): Boolean = {
+      targetKey: String,
+      sourceType: Option[org.apache.spark.sql.types.DataType] = None,
+      targetType: Option[org.apache.spark.sql.types.DataType] = None): Boolean = {
     def splitTopLevelAnd(s: String): Seq[String] = {
       val parts = scala.collection.mutable.ArrayBuffer.empty[String]
       val cur = new StringBuilder
@@ -2263,12 +2371,19 @@ final class VersionedTable(val root: String,
     def norm(id: String): String = id.replace("`", "").trim.toLowerCase
     val sk = norm(sourceKey)
     val tk = norm(targetKey)
-    // Either side may carry an analyzer-inserted implicit cast (e.g.
-    // `target.id = CAST(source.ID AS BIGINT)` when a VALUES source yields
-    // INT against a BIGINT key). Spark's equality coercion only widens, so
-    // a cast-wrapped key column is still an equality on the same values.
-    val side = """(?:CAST\s*\(\s*)?`?(\w+)`?\s*\.\s*`?(\w+)`?(?:\s+AS\s+\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*\))?"""
+    // Either side may carry a cast (the analyzer inserts WIDENING ones for
+    // implicit coercion, e.g. `target.id = CAST(source.ID AS BIGINT)` when a
+    // VALUES source yields INT against a BIGINT key) — captured and verified
+    // to widen below; a narrowing user cast rejects the conjunct.
+    val side = """(?:CAST\s*\(\s*)?`?(\w+)`?\s*\.\s*`?(\w+)`?(?:\s+AS\s+(\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*\))?"""
     val Eq = s"""(?i)\\s*$side\\s*=\\s*$side\\s*""".r
+    def castWidens(castType: String,
+        colType: Option[org.apache.spark.sql.types.DataType]): Boolean =
+      castType == null || colType.exists { from =>
+        scala.util.Try(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(castType)).toOption
+          .exists(to => org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to))
+      }
     splitTopLevelAnd(condition).exists { conj =>
       // a fully parenthesized conjunct is still the same conjunct
       var c = conj.trim
@@ -2276,10 +2391,15 @@ final class VersionedTable(val root: String,
           splitTopLevelAnd(c.substring(1, c.length - 1)).size == 1)
         c = c.substring(1, c.length - 1).trim
       c match {
-        case Eq(q1, c1, q2, c2) =>
+        case Eq(q1, c1, t1, q2, c2, t2) =>
           val l = (norm(q1), norm(c1)); val r = (norm(q2), norm(c2))
-          (l == ("source", sk) && r == ("target", tk)) ||
-            (l == ("target", tk) && r == ("source", sk))
+          def sideOk(s: (String, String), t: String): Boolean =
+            if (s == ("source", sk)) castWidens(t, sourceType)
+            else if (s == ("target", tk)) castWidens(t, targetType)
+            else true // wrong pair: the pair check below rejects anyway
+          ((l == ("source", sk) && r == ("target", tk)) ||
+            (l == ("target", tk) && r == ("source", sk))) &&
+            sideOk(l, t1) && sideOk(r, t2)
         case _ => false
       }
     }
@@ -2393,7 +2513,7 @@ final class VersionedTable(val root: String,
       numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil): Long = {
     // a rewrite of the snapshot keeps the TABLE's partition layout
     val pb = partitionByOf(base)
-    val (commitId, files, partVals) = writeDataFiles(df, numPartitions, sortBy, pb)
+    val (commitId, files, partVals, stamped) = writeDataFiles(df, numPartitions, sortBy, pb)
     val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
       if (files.nonEmpty) collectFileStats(df.sparkSession, commitId, files, partVals, partTypes)
@@ -2402,7 +2522,8 @@ final class VersionedTable(val root: String,
     // CDF kind "none" records that the transition changed NO rows, so a
     // change-feed consumer skips it without any diffing
     publish(files, df.schema.json, stats, None, Some(base), constraintsOf(base),
-      partitionBy = pb, partitions = partVals, cdfKind = Some("none"))
+      partitionBy = pb, partitions = partVals, cdfKind = Some("none"),
+      stampedIds = stamped)
   }
 
   /** Compaction (OPTIMIZE): rewrite the latest snapshot into `numFiles`
@@ -2446,7 +2567,7 @@ final class VersionedTable(val root: String,
     val pVals = partitionValuesOf(pinned)
     val untouched = filesOf(pinned).filterNot(matching.toSet)
     val slice = scanLive(spark, matching, Some(schema), dvs, keepPos = false, pb, pVals)
-    val (commitId, newFiles, newPartVals) =
+    val (commitId, newFiles, newPartVals, stamped) =
       writeDataFiles(slice, Some(numFiles), sortBy, pb)
     val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
@@ -2456,7 +2577,7 @@ final class VersionedTable(val root: String,
     publishRewrite(pinned, matching.toSet, newFiles, stats, schema.json,
       carryDvs(spark, dvs, untouched), newPartVals,
       cdfKind = Some("none"), cdfFiles = Nil, txn = None,
-      freshSafe = (_, _) => true)
+      freshSafe = (_, _) => true, stampedIds = stamped)
   }
 
   def compact(spark: SparkSession, numFiles: Int = 1,
@@ -3024,6 +3145,12 @@ object VersionedTable {
     * `spark.sql.parquet.fieldId.read.enabled` readers resolve requested
     * columns by id instead of name. */
   val FieldIdKey = "parquet.field.id"
+
+  /** Hard ceiling on the per-probe Bloom key broadcast (hashes collected to
+    * the driver and shipped to every task): above this, the sidecar pass is
+    * skipped and range/checkpoint pruning alone bound the candidate list.
+    * 1 M longs ≈ 8 MB — batch-sized; a 100 M-key merge stays off the driver. */
+  val BloomProbeMaxKeys = 1000000
 
   def apply(root: String): VersionedTable = new VersionedTable(root)
   def apply(root: String, store: CommitStore): VersionedTable =

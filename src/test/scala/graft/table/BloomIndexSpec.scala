@@ -115,6 +115,48 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).count() === 7998)
   }
 
+  test("a larger-than-cap key set skips the Bloom pass; the plan equals the range pass") {
+    val root = tmpDir("bloom-cap-") + "/t"
+    val t = VersionedTable(root)
+    t.setProperties(Map("bloomIndexColumns" -> "k",
+      "bloomIndexExpectedItems" -> "2000", "bloomIndexFpp" -> "0.01",
+      "bloomProbeMaxKeys" -> "2")) // tiny cap to exercise the skip
+    t.commit(spark.range(0, 8000).selectExpr("id * 37 % 8000 AS k", "id AS v"),
+      numPartitions = Some(8))
+    // under the cap the sidecar prunes (a single-key probe confines the scan)
+    val files = t.read(spark).inputFiles
+      .map(f => f.substring(f.indexOf("data/"))).toSeq
+    assert(files.size === 8)
+    val under = t.bloomPruneForPredicate(spark, t.resolve(), files, "k = 1234")
+    assert(under.size < files.size, "a single-key probe is under the cap and prunes")
+    // 3 point values > cap 2: the probe is skipped, the plan equals the
+    // (range) candidate list unchanged
+    assert(t.bloomPruneForPredicate(spark, t.resolve(), files,
+      "k IN (1234, 777, 4321)") === files)
+    // and a larger-than-cap merge still completes exactly, sidecar ignored:
+    // range stats alone keep all 8 uniform files (the cap bounds DRIVER
+    // memory, never correctness)
+    val src = Seq(1234L, 777L, 4321L).toDF("k").selectExpr("k", "-1L AS v")
+    val (_, touched) = t.mergeCow(spark, src,
+      condition = "source.k = target.k", targetKey = "k", sourceKey = "k",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("v" -> "source.v"))))
+    assert(touched === 8,
+      s"above the cap the Bloom prune must not run (range pass keeps all 8), touched $touched")
+    assert(t.read(spark).filter("v = -1").count() === 3)
+  }
+
+  test("cross-category probes are skipped (string literal vs numeric column)") {
+    val t = uniformTable(tmpDir("bloom-cat-") + "/t", indexed = true)
+    val v = t.resolve()
+    val files = t.read(spark).inputFiles
+      .map(f => f.substring(f.indexOf("data/"))).toSeq
+    // a STRING literal against the BIGINT column must not probe (hashing a
+    // canonical re-rendering can miss numerically-equal values like '20.0')
+    assert(t.bloomPruneForPredicate(spark, v, files, "k = '1234'") === files)
+    // the same-category probe still prunes
+    assert(t.bloomPruneForPredicate(spark, v, files, "k = 1234").size < files.size)
+  }
+
   test("vacuum retires a sidecar with its commit") {
     val root = tmpDir("bloom-vac-") + "/t"
     val t = uniformTable(root, indexed = true)

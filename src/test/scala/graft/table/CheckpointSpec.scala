@@ -152,6 +152,26 @@ class CheckpointSpec extends AnyFunSuite with SparkSpec {
     assert(expect.size === 390 && expect.count(_._2 < 0) === 100 + 1)
   }
 
+  test("cross-category predicates derive no checkpoint bounds " +
+      "(numeric literal vs string column)") {
+    val t = VersionedTable(tmpDir("ckpt-cat-") + "/t")
+    t.commit(Seq(("100", 1L), ("300", 2L)).toDF("s", "v"),
+      numPartitions = Some(2), sortBy = Seq("s"))
+    t.checkpoint(spark)
+    val headV = t.resolve()
+    // SQL coerces `s > 20` to a DOUBLE comparison, but the recorded min/max
+    // are strings: '100' < '20' LEXICOGRAPHICALLY, so deriving a string
+    // bound would wrongly prune the file holding '100'. No bound derives.
+    assert(t.checkpointPlanCandidates(spark, headV, "s > 20").isEmpty)
+    // the same-category bound still derives and prunes
+    val samecat = t.checkpointPlanCandidates(spark, headV, "s > '20'")
+    assert(samecat.isDefined && samecat.get.size === 1)
+    // and the checkpoint-planned delete is row-exact: both rows match
+    val (_, touched) = t.delete(spark, "s > 20")
+    assert(touched === 2, "both string rows compare > 20 numerically")
+    assert(t.read(spark).count() === 0)
+  }
+
   test("txn marks ratchet across chained checkpoints") {
     val t = VersionedTable(tmpDir("ckpt-"))
     t.commit(Seq(1).toDF("x"), txn = Some("a" -> 1L))

@@ -216,6 +216,33 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(VersionedTable(root).read(spark).schema.fieldNames.contains("label"))
   }
 
+  test("a narrowing cast on a merge key side rejects the prune pair; widening passes") {
+    val t = VersionedTable(tmpDir("mrg-cast-") + "/t")
+    t.commit(spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+    val src = Seq((5L, -5.0)).toDF("k", "v")
+    // CAST(source.k AS INT) with a BIGINT source.k WRAPS values: two distinct
+    // longs can collide after the cast, so the conjunct does not imply the
+    // equi-key and file pruning on it would be unsound — refuse fast
+    val e = intercept[IllegalArgumentException] {
+      t.mergeCow(spark, src, "target.k = CAST(source.k AS INT)", "k", "k",
+        Some(Merge.MatchedUpdate(None, Map("v" -> "source.v"))))
+    }
+    assert(e.getMessage.contains("WIDENING"))
+    // the analyzer-shaped WIDENING cast is still accepted (INT source
+    // against the BIGINT key)
+    val srcInt = Seq((5, -5.0)).toDF("k", "v")
+    val (_, touched) = t.mergeCow(spark, srcInt,
+      "target.k = CAST(source.k AS BIGINT)", "k", "k",
+      Some(Merge.MatchedUpdate(None, Map("v" -> "source.v"))))
+    assert(touched >= 1)
+    assert(t.read(spark).filter("v = -5.0").count() === 1)
+    // mergeMor applies the same gate
+    intercept[IllegalArgumentException] {
+      t.mergeMor(spark, src, "CAST(target.k AS INT) = source.k", "k", "k",
+        Some(Merge.MatchedUpdate(None, Map("v" -> "source.v"))))
+    }
+  }
+
   test("SCD2 merge result equals the window-function formulation (independent oracle)") {
     // randomized-ish CDC via hashing over a range
     val n = 500

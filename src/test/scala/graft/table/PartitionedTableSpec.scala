@@ -56,6 +56,19 @@ class PartitionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(df.join(dim, col("status") === col("code")).count() === 3L)
   }
 
+  test("readPrunedByJoinKeys refuses a large dim side with a clear message") {
+    val t = VersionedTable(tmpDir("pt-"))
+    t.commit(sample, partitionBy = Seq("status"))
+    // the dim side's distinct keys collect to the driver (the DPP "small
+    // side" assumption): a mis-aimed large dim must fail with a clear error,
+    // not a driver OOM
+    val bigDim = spark.range(0, 1000001).selectExpr("CAST(id AS STRING) AS code")
+    val e = intercept[IllegalArgumentException] {
+      t.readPrunedByJoinKeys(spark, bigDim, "code", "status")
+    }
+    assert(e.getMessage.contains("SMALL side"))
+  }
+
   test("append inherits the table partitioning; appendsSince re-attaches values") {
     val t = VersionedTable(tmpDir("pt-"))
     t.commit(sample, partitionBy = Seq("status"))

@@ -130,6 +130,42 @@ class RebaseSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("overwrite racing a schema-evolving append fails hard on a stamped " +
+      "field-id conflict instead of mis-recording ids") {
+    val root = tmpDir("rb-ids-") + "/t"
+    seed(root) // schema (id, k, amt) → column ids 1, 2, 3
+    // the interloper claims field id 4 for colA the instant the overwrite —
+    // whose files were already STAMPED colB = 4 — first tries to publish.
+    // Re-deriving ids at the new head would record colB = 5 while the bytes
+    // on disk say 4 (which now means colA): by-id reads would resolve the
+    // wrong column. The commit must fail hard instead.
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).append(
+        Seq((9L, "z", 90.0, "x")).toDF("id", "k", "amt", "colA"))))
+    val e = intercept[IllegalStateException] {
+      t.commit(Seq((1L, "a", 1.0, 5L)).toDF("id", "k", "amt", "colB"))
+    }
+    assert(e.getMessage.contains("stamped"))
+    // recovery: re-running the write against the new head stamps a fresh,
+    // conflict-free id (colA holds 4, colB takes 5) and everything reads
+    val t2 = VersionedTable(root)
+    t2.commit(Seq((1L, "a", 1.0, 5L)).toDF("id", "k", "amt", "colB"))
+    assert(t2.read(spark).selectExpr("colB").as[Long].collect().toSeq === Seq(5L))
+  }
+
+  test("concurrent writers agreeing on the new column keep their stamped id") {
+    val root = tmpDir("rb-ids2-") + "/t"
+    seed(root)
+    // both writers add the SAME column: both stamp id 4, the ids agree at
+    // the retried head, and the race resolves without a failure
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).append(
+        Seq((9L, "z", 90.0, "x")).toDF("id", "k", "amt", "extra"))))
+    t.commit(Seq((1L, "a", 1.0, "y")).toDF("id", "k", "amt", "extra"))
+    assert(VersionedTable(root).read(spark)
+      .selectExpr("extra").as[String].collect().toSeq === Seq("y"))
+  }
+
   test("rebase chains across repeated interloping appends") {
     val root = tmpDir("rb-") + "/t"
     seed(root)

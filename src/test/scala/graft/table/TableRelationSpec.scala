@@ -158,6 +158,28 @@ class TableRelationSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).filter("kk BETWEEN 100 AND 150").count() === 51)
   }
 
+  test("by-id reads are relation-scoped, not a shared session conf flip") {
+    val key = "spark.sql.parquet.fieldId.read.enabled"
+    val prev = spark.conf.getOption(key)
+    // pin the SESSION conf off: the table's own file format must still
+    // resolve renamed columns by field id, and reading the table must not
+    // flip the session flag for unrelated parquet reads
+    spark.conf.set(key, "false")
+    try {
+      val root = tmpDir("rel-") + "/t"
+      val t = VersionedTable(root)
+      t.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt"))
+      t.renameColumn("amt", "amount")
+      assert(t.read(spark).selectExpr("sum(amount)").head.getDouble(0) === 30.0,
+        "rename resolution by field id must work with the session conf off")
+      assert(spark.conf.get(key) === "false",
+        "reading an id-tracked table must not mutate the session conf")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("reads apply deletion vectors and rewrites like any versioned read") {
     val root = tmpDir("rel-") + "/t"
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k")

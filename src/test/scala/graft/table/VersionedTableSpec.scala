@@ -847,4 +847,34 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     t.restore(tombstoned)
     assert(t.read(spark).count() === 1)
   }
+
+  test("carried timestamp stats drop when the base manifest predates statsZone") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = tmpDir("zone-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts"))
+    // simulate a manifest written before statsZone recording existed: its
+    // timestamp stats were rendered under an UNKNOWN zone
+    val m0 = JPaths.get(root, "_graft_log", "v00000000.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(JFiles.readAllBytes(m0))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    assert(node.has("statsZone"))
+    node.remove("statsZone")
+    JFiles.write(m0, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    // the next commit must NOT stamp the session zone over those legacy ts
+    // stats (a different original zone would make readers wrongly prune
+    // live files) — they drop; non-temporal stats carry unharmed
+    VersionedTable(root).append(
+      Seq((2L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))).toDF("id", "ts"))
+    val n1 = mapper.readTree(JFiles.readAllBytes(
+      JPaths.get(root, "_graft_log", "v00000001.json")))
+    assert(n1.has("statsZone"))
+    n1.get("stats").properties().forEach { e =>
+      assert(!e.getValue.has("ts"),
+        s"legacy-zone ts stats must drop for ${e.getKey}")
+      assert(e.getValue.has("id"), s"id stats must survive for ${e.getKey}")
+    }
+  }
 }
