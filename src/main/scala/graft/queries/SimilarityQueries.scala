@@ -84,55 +84,141 @@ object SimilarityQueries {
 
   private val KmeansIters = 2
 
-  /** Deterministic seeded k-means (k=25): init from the `vec_id % 25 = 0`
-    * subset, then [[KmeansIters]] Lloyd iterations (assign by rounded
-    * cosine, update via [[centUpdate]]'s exact integer sums). Called ONLY
-    * from the one-time offline build in [[indexRoot]]; consumers read the
-    * stored artifact. Cluster identity is the seed vector's id. */
-  private def trainedCents(spark: SparkSession, dir: String): DataFrame = {
+  /** Target rows per IVF cluster: the seed modulus is
+    * `max(25, N / TargetClusterRows)`, so the CLUSTER COUNT is
+    * `N / modulus = min(N / 25, TargetClusterRows)` — it grows linearly
+    * with the corpus up to a ceiling of 100k clusters (the SemDeDup
+    * operating range), then cluster SIZE absorbs further growth.
+    *
+    * Bucket cost model (d5/d11): the within-cluster pair join costs
+    * O(N × clusterSize) comparisons. Below the ceiling clusterSize ≈ 25 →
+    * linear in N; above it clusterSize = N/100k, so a 10^10-vector corpus
+    * pays 10^10 × 10^5 pairwise cosines spread over 100k independent
+    * buckets — parallel and bounded per task, where a single global
+    * all-pairs join (10^20) is not runnable at all. The broadcast of the
+    * centroid table in [[assignTo]] stays ≤ 100k × 64 doubles ≈ 50 MB —
+    * broadcastable, which an unbounded N/25 cluster count is not. */
+  private val TargetClusterRows = 100000L
+
+  private def seedModulus(n: Long): Long = math.max(25L, n / TargetClusterRows)
+
+  /** Deterministic seeded k-means: init from the `vec_id % m = 0` subset
+    * (m = [[seedModulus]] of the corpus count), then [[KmeansIters]] Lloyd
+    * iterations (assign by rounded cosine, update via [[centUpdate]]'s
+    * exact integer sums). Called ONLY from the one-time offline build in
+    * [[indexRoot]]; consumers read the stored artifact. Cluster identity
+    * is the seed vector's id. */
+  private def trainedCents(spark: SparkSession, dir: String, m: Long): DataFrame = {
     val e = vectors(spark, dir)
-    var c = e.filter(col("vec_id") % 25 === 0)
+    var c = e.filter(col("vec_id") % m === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("ncv"))
     for (_ <- 1 to KmeansIters) c = centUpdate(assignTo(e, c))
     c.localCheckpoint(true)
   }
 
-  /** The stored IVF index — train ONCE per (JVM, corpus), serve every
-    * consumer from the artifact. The offline build writes two tables under
-    * a scratch root: `cents` (25 rows: c_id, cv, ncv) and `assigned`, the
-    * corpus PARTITIONED BY nearest centroid — the physical inverted-file
-    * layout, so a probe of 4/25 centroids is a partition-pruned read of
-    * ~16% of the store instead of a scan + retrain. s2/s6/d5/d11/s7 all
-    * read the store; none replays the k-means lineage (previously each
-    * consumer re-ran two Lloyd iterations — at 100 TB, retraining per
-    * query is a non-starter; this is the "train offline, serve online"
-    * shape of a real ANN index, with the training cost paid exactly once
-    * and reported separately by the bench as `ivf_build`). */
-  private val indexRoots =
+  /** The stored ANN index — LAKE-RESIDENT and VERSIONED: three
+    * [[graft.table.VersionedTable]]s under one per-corpus root — `cents`
+    * (c_id, cv, ncv), `assigned` (the corpus PARTITIONED BY nearest
+    * centroid: the physical inverted-file layout, so a probe of n_probe
+    * centroids is a partition-pruned read), and `srp` (the corpus
+    * partitioned by 8-bit SRP signature for s3's multi-probe reads).
+    *
+    * This is the reference's "state lives in the lake" idiom
+    * (scd2-job.ipynb:163-172 — write once, later jobs consume the table):
+    * a SECOND driver process finds the committed tables, verifies them
+    * against the corpus, and serves WITHOUT retraining. Staleness is
+    * DETECTED, never silently served: the build records the corpus
+    * fingerprint (file names + sizes + mtimes of the embeddings source) in
+    * the cents table's properties; every consumer re-fingerprints the
+    * corpus (one directory stat — metadata-plane) and a mismatch triggers
+    * a rebuild, which commits NEW VERSIONS of the three tables (the old
+    * index stays time-travelable, exactly like any other lake table).
+    *
+    * The root defaults to a stable per-corpus directory under the JVM temp
+    * root and is overridable with `spark.graft.index.root` — on a real
+    * deployment that points into the lake next to the corpus. */
+  private def indexLakeRoot(spark: SparkSession, dir: String): String = {
+    val base = spark.conf.getOption("spark.graft.index.root")
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft-index")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    s"$base/$key"
+  }
+
+  /** Fingerprint of the embeddings source: (name, size, mtime) of the
+    * parquet file — or every file of the parquet directory — hashed.
+    * Metadata-plane only; no data read. */
+  private def corpusFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    import scala.jdk.CollectionConverters._
+    val entries: Seq[String] =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          .toSeq.sorted
+        finally s.close()
+      } else Seq(s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** JVM fast path only: corpus roots whose stored index this process has
+    * already VERIFIED fresh (root -> fingerprint at verification). Never a
+    * source of truth — the fingerprint is recomputed per call, so an
+    * in-place corpus update is still detected; a fresh process verifies
+    * against the stored properties and serves without retraining. */
+  private val verifiedFresh =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def indexRoot(spark: SparkSession, dir: String): String =
-    indexRoots.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
-      trainedCents(spark, dir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/cents")
-      // co-locate each partition value in one task before the partitioned
-      // write: the default layout would emit (tasks × values) tiny files —
-      // slow to write, slower to probe
-      assignTo(vectors(spark, dir), spark.read.parquet(s"$root/cents"))
-        .repartition(col("c_id"))
-        .write.mode("overwrite").partitionBy("c_id").parquet(s"$root/assigned")
-      // the SRP-LSH store rides the same offline build: corpus partitioned
-      // by 8-bit signature, so a multi-probe read (Hamming ≤ 2 → 37 of 256
-      // buckets) is partition-pruned instead of a full scan (s3)
-      vectors(spark, dir).withColumn("bucket", expr(srpBucketSpark))
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/srp")
-      root
-    })
+  /** Test hook: forget JVM verifications, forcing the next consumer down
+    * the stored-properties verification path (what a new process does). */
+  private[graft] def resetIndexCache(): Unit = verifiedFresh.clear()
 
-  /** Force the offline index build; returns seconds spent (0 if cached).
-    * Bench calls this in warmup so per-query timings measure serving. */
+  private def indexRoot(spark: SparkSession, dir: String): String = {
+    val root = indexLakeRoot(spark, dir)
+    val fp = corpusFingerprint(dir)
+    if (verifiedFresh.get(root) == fp) return root
+    this.synchronized {
+      if (verifiedFresh.get(root) == fp) return root
+      val cents = graft.table.VersionedTable(s"$root/cents")
+      val fresh = graft.table.VersionedTable.exists(s"$root/cents") &&
+        cents.properties.get("corpusFingerprint").contains(fp)
+      if (!fresh) {
+        val n = vectors(spark, dir).count()
+        val m = seedModulus(n)
+        // co-locate each partition value in one task before the partitioned
+        // commits: the default layout would emit (tasks × values) tiny files
+        graft.table.VersionedTable(s"$root/cents")
+          .commit(trainedCents(spark, dir, m).coalesce(1))
+        val centsDf = graft.table.VersionedTable(s"$root/cents").read(spark)
+        graft.table.VersionedTable(s"$root/assigned").commit(
+          assignTo(vectors(spark, dir), centsDf).repartition(col("c_id")),
+          partitionBy = Seq("c_id"))
+        graft.table.VersionedTable(s"$root/srp").commit(
+          vectors(spark, dir).withColumn("bucket", expr(srpBucketSpark))
+            .repartition(col("bucket")),
+          partitionBy = Seq("bucket"))
+        // properties last: a half-built index is never marked fresh
+        cents.setProperties(Map(
+          "corpusFingerprint" -> fp,
+          "corpusPath" -> java.nio.file.Paths.get(dir).toAbsolutePath.toString,
+          "corpusRows" -> n.toString,
+          "seedModulus" -> m.toString))
+      }
+      verifiedFresh.put(root, fp)
+      root
+    }
+  }
+
+  /** Force the offline index build/verification; returns seconds spent
+    * (near 0 if the stored index is fresh). Bench calls this in warmup so
+    * per-query timings measure serving. */
   def buildIndex(spark: SparkSession, dir: String): Double = {
     val t0 = System.nanoTime()
     indexRoot(spark, dir)
@@ -140,22 +226,28 @@ object SimilarityQueries {
   }
 
   private def storedCents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${indexRoot(spark, dir)}/cents")
+    graft.table.VersionedTable(s"${indexRoot(spark, dir)}/cents").read(spark)
 
-  /** The stored corpus in IVF layout. `c_id` is a partition directory on
-    * disk; partition-column type inference would narrow it to INT, so cast
-    * it back to the BIGINT the oracle schema expects. */
+  /** The stored corpus in IVF layout (manifest-recorded schema: `c_id`
+    * keeps its committed BIGINT type — no partition-dir inference). */
   private def storedAssigned(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${indexRoot(spark, dir)}/assigned")
-      .select(col("vec_id"), col("label"), col("v"), col("nv"),
-        col("c_id").cast("bigint").as("c_id"))
+    graft.table.VersionedTable(s"${indexRoot(spark, dir)}/assigned").read(spark)
+      .select("vec_id", "label", "v", "nv", "c_id")
 
-  /** The stored SRP-bucketed corpus; `bucket` is a partition directory
-    * (cast back to the BIGINT the oracle schema expects). */
-  private def storedSrp(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${indexRoot(spark, dir)}/srp")
-      .select(col("vec_id"), col("label"), col("v"), col("nv"),
-        col("bucket").cast("bigint").as("bucket"))
+  /** Partition-pruned probe of the IVF store: only the probed centroids'
+    * files are listed or read (manifest partition pruning). */
+  private def storedAssignedProbed(spark: SparkSession, dir: String,
+      probes: Seq[Long]): DataFrame =
+    graft.table.VersionedTable(s"${indexRoot(spark, dir)}/assigned")
+      .readPartitioned(spark, s"c_id IN (${probes.mkString(", ")})")._1
+      .select("vec_id", "label", "v", "nv", "c_id")
+
+  /** The stored SRP-bucketed corpus, partition-pruned to `buckets`. */
+  private def storedSrpProbed(spark: SparkSession, dir: String,
+      buckets: Seq[Long]): DataFrame =
+    graft.table.VersionedTable(s"${indexRoot(spark, dir)}/srp")
+      .readPartitioned(spark, s"bucket IN (${buckets.mkString(", ")})")._1
+      .select("vec_id", "label", "v", "nv", "bucket")
 
   /** The 4 probe-centroid ids nearest the query vector. Collecting them is
     * a BOUNDED driver fetch (n_probe rows of one BIGINT — the serving path
@@ -176,11 +268,16 @@ object SimilarityQueries {
   /** DuckDB CTEs mirroring the k-means training + final assignment: `c0` is
     * the seed subset, `a{t}`/`c{t}` the Lloyd iterations (same round-6
     * cosine ranking, same exact BIGINT dimension sums), `cents`/`assigned`
-    * the trained index every consumer query reads. */
+    * the trained index every consumer query reads. The seed modulus is
+    * derived IN-QUERY from the corpus count — `GREATEST(25, COUNT(*) //
+    * 100000)`, the exact SQL image of [[seedModulus]] — so the oracle
+    * tracks the engine at every scale factor with a static query text. */
   private val duckAssigned: String = {
     val init =
       s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 25 = 0)""".stripMargin
+         |params AS (SELECT GREATEST(25, COUNT(*) // $TargetClusterRows) AS m FROM e),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e
+         |       WHERE vec_id % (SELECT m FROM params) = 0)""".stripMargin
     val iters = (1 to KmeansIters).map { t =>
       s"""a$t AS (
          |  SELECT vec_id, v, c_id FROM (
@@ -238,7 +335,7 @@ object SimilarityQueries {
       val e = vectors(spark, dir)
       val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"), col("nv").as("nqv"))
       val probes = probeIds(spark, dir, queryVecId = 1, nProbe = 4)
-      storedAssigned(spark, dir).filter(col("c_id").isin(probes: _*))
+      storedAssignedProbed(spark, dir, probes)
         .crossJoin(broadcast(q))
         .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
         .orderBy(col("sim").desc, col("vec_id"))
@@ -337,7 +434,7 @@ object SimilarityQueries {
       val qbVal = q.select("qb").head.getLong(0)
       val probeBuckets = (0L until 256L)
         .filter(b => java.lang.Long.bitCount(b ^ qbVal) <= 2)
-      storedSrp(spark, dir).filter(col("bucket").isin(probeBuckets: _*))
+      storedSrpProbed(spark, dir, probeBuckets)
         .crossJoin(broadcast(q.select(col("qv"), col("nqv"))))
         .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
         .orderBy(col("sim").desc, col("vec_id"))
@@ -454,8 +551,7 @@ object SimilarityQueries {
       // through a singleton-aggregate barrier (s4's trick) so the max-abs
       // fold runs once per vector, not once per element.
       val sc = "aggregate(v, 0D, (m, y) -> greatest(m, abs(y))) / 127"
-      val quant = storedAssigned(spark, dir)
-        .filter(col("c_id").isin(probes: _*)).selectExpr(
+      val quant = storedAssignedProbed(spark, dir, probes).selectExpr(
         "vec_id", "label", "c_id",
         s"round($sc, 6) AS sc6",
         s"""aggregate(array($sc), CAST(array() AS ARRAY<INT>), (z, sc) ->
