@@ -1297,11 +1297,16 @@ final class VersionedTable(val root: String,
     * those files, cost O(interloper batch)) is resolved by REBASING: the
     * same new/cdf files republish at the new head with the appended files
     * carried forward, which equals the serial append-then-rewrite result.
-    * Any other interloper (a rewrite, a metadata change, an append that
-    * overlaps the predicate) rethrows [[ConcurrentCommitException]] — the
-    * caller re-runs against the new head for full serializability. At
-    * 100 TB this is the difference between a big merge surviving the
-    * steady drip of small ingest commits and re-running per collision. */
+    * A colliding REWRITE whose removed+added files all live in partitions
+    * disjoint from this rewrite's footprint folds in the same way (disjoint
+    * rewrites commute — the reference's scheduler runs per-partition jobs
+    * in a parallel DAG, `scd2-job-scheduler.yaml:47-48`). Any other
+    * interloper (an overlapping rewrite, a DV change, a metadata change, an
+    * append that overlaps the predicate) rethrows
+    * [[ConcurrentCommitException]] — the caller re-runs against the new
+    * head for full serializability. At 100 TB this is the difference
+    * between a big merge surviving the steady drip of small ingest commits
+    * and re-running per collision. */
   private def publishRewrite(
       scannedV: Long,
       touched: Set[String],
@@ -1335,17 +1340,50 @@ final class VersionedTable(val root: String,
         val h = resolve()
         val vs = versions()
         val steps = vs.filter(x => x > base && x <= h)
-        // base must itself still be retained: a vacuumed base would misalign
-        // the (step, prev) pairing below and could misclassify a rewrite as
-        // a pure append — refuse the rebase instead (rethrow)
-        val pureAppends = vs.contains(base) && steps.zip(base +: steps).forall { case (x, prev) =>
-          filesOf(prev).toSet.subsetOf(filesOf(x).toSet) &&
-            dvsOf(x) == dvsOf(base) &&
+        // this rewrite's partition footprint: the partition values of every
+        // file it removes plus every file it writes. None when the footprint
+        // is unknowable (a file with no recorded partition values) — the
+        // disjointness classification below then conservatively refuses.
+        lazy val ourParts: Option[Set[Map[String, Option[String]]]] = {
+          val pv = partitionValuesOf(base)
+          val vals = touched.toSeq.map(pv.get) ++ newFiles.map(newPartVals.get)
+          if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
+        }
+        // An interloper commit folds in safely when, versus its predecessor,
+        // it is (a) a PURE APPEND with stable metadata, or (b) a REWRITE
+        // whose removed+added files all live in partitions disjoint from
+        // this rewrite's footprint (partition-disjoint rewrites commute: our
+        // files are untouched by theirs and vice versa, so carrying their
+        // file-list delta forward equals the serial ours-then-theirs result;
+        // `scd2-job-scheduler.yaml:47-48` runs such jobs in a parallel DAG).
+        // DV changes stay a hard conflict — a DV parquet's covered data
+        // files are only known by reading it, so its partition scope can't
+        // be established from the manifest alone.
+        def stepSafe(prev: Long, x: Long): Boolean = {
+          val stableMeta = dvsOf(x) == dvsOf(base) &&
             partitionByOf(x) == pb &&
             constraintsOf(x) == cs &&
             schemaOf(x).map(_.json).contains(schemaJson)
+          if (!stableMeta) return false
+          val prevFiles = filesOf(prev).toSet
+          val xFiles = filesOf(x).toSet
+          if (prevFiles.subsetOf(xFiles)) return true // pure append
+          if (pb.isEmpty) return false // unpartitioned: one implicit partition
+          val removed = prevFiles -- xFiles
+          if (removed.exists(touched)) return false // they rewrote our input
+          val added = xFiles -- prevFiles
+          val pvPrev = partitionValuesOf(prev)
+          val pvX = partitionValuesOf(x)
+          val theirs = removed.toSeq.map(pvPrev.get) ++ added.toSeq.map(pvX.get)
+          ourParts.exists(ours =>
+            theirs.forall(_.exists(p => !ours(p))))
         }
-        if (!pureAppends) throw e
+        // base must itself still be retained: a vacuumed base would misalign
+        // the (step, prev) pairing below and could misclassify a rewrite as
+        // a pure append — refuse the rebase instead (rethrow)
+        val safe = vs.contains(base) &&
+          steps.zip(base +: steps).forall { case (x, prev) => stepSafe(prev, x) }
+        if (!safe) throw e
         val fresh = filesOf(h).filterNot(filesOf(base).toSet)
         if (!freshSafe(h, fresh)) throw e
         base = h

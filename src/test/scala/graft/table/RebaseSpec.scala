@@ -166,6 +166,53 @@ class RebaseSpec extends AnyFunSuite with SparkSpec {
       .selectExpr("extra").as[String].collect().toSeq === Seq("y"))
   }
 
+  private def seedPartitioned(root: String): Unit = {
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "amt"),
+      partitionBy = Seq("k"))
+    // second file per partition so a partition-scoped compaction has work
+    t.append(Seq((3L, "a", 30.0), (4L, "b", 40.0)).toDF("id", "k", "amt"))
+  }
+
+  test("partition-scoped compactions of DISJOINT partitions both commit") {
+    val root = tmpDir("rb-part-") + "/t"
+    seedPartitioned(root)
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).compactWhere(spark, "k = 'b'")))
+    val ver = t.compactWhere(spark, "k = 'a'")
+    assert(ver === 3L) // rebased past the interloper's v2
+    val rows = VersionedTable(root).read(spark)
+      .selectExpr("id", "k", "amt").as[(Long, String, Double)]
+      .collect().sorted.toSeq
+    assert(rows === Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0),
+      (4L, "b", 40.0)))
+  }
+
+  test("deletes scoped to DISJOINT partitions both commit") {
+    val root = tmpDir("rb-part-") + "/t"
+    seedPartitioned(root)
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).delete(spark, "k = 'b' AND id = 2")))
+    val (_, n) = t.delete(spark, "k = 'a' AND id = 1")
+    assert(n === 1)
+    val rows = VersionedTable(root).read(spark)
+      .selectExpr("id", "k", "amt").as[(Long, String, Double)]
+      .collect().sorted.toSeq
+    // serial result: both partition-local deletes land
+    assert(rows === Seq((3L, "a", 30.0), (4L, "b", 40.0)))
+  }
+
+  test("OVERLAPPING partition rewrites still raise") {
+    val root = tmpDir("rb-part-") + "/t"
+    seedPartitioned(root)
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).compactWhere(spark, "k = 'a'")))
+    intercept[ConcurrentCommitException](t.delete(spark, "k = 'a' AND id = 1"))
+    // recovery: re-run against the new head
+    val (_, n2) = VersionedTable(root).delete(spark, "k = 'a' AND id = 1")
+    assert(n2 === 1)
+  }
+
   test("rebase chains across repeated interloping appends") {
     val root = tmpDir("rb-") + "/t"
     seed(root)
