@@ -529,9 +529,18 @@ final class VersionedTable(val root: String,
   }
 
   /** Write the reference's Athena-interop `_symlink_format_manifest` for a
-    * version (default latest): a text file listing that version's data files
-    * as absolute URIs (`scd2-job.ipynb:382` — external engines query the
-    * table by reading this manifest over the parquet files). */
+    * version (default latest): text file(s) listing that version's data
+    * files as absolute URIs (`scd2-job.ipynb:382` — external engines query
+    * the table by reading this manifest over the parquet files).
+    *
+    * Unpartitioned tables get the single `_symlink_format_manifest/manifest`
+    * (returned); a hive-partitioned table gets one
+    * `_symlink_format_manifest/<k>=<v>/.../manifest` PER PARTITION — the
+    * shape Delta's `GENERATE symlink_format_manifest` produces, which is
+    * what lets the external catalog register each partition's location and
+    * partition-prune. The manifest tree is regenerated from scratch so a
+    * partition emptied since the last generate doesn't leave a stale file
+    * list behind. Returns the manifest root dir for partitioned tables. */
   def writeSymlinkManifest(version: Option[Long] = None): Path = {
     val v = version.getOrElse(resolve())
     // a symlink manifest is a bare file list: an external engine reading it
@@ -540,18 +549,32 @@ final class VersionedTable(val root: String,
     require(dvsOf(v).isEmpty,
       s"version $v of $root carries deletion vectors; an external engine reading " +
         "the symlink manifest would see deleted rows — run compact() first")
-    // partitioned data files do not store the partition columns; a bare file
-    // list loses them unless the consumer does its own hive-path parsing.
-    // Refuse rather than silently serve a narrower schema.
-    require(partitionByOf(v).isEmpty,
-      s"version $v of $root is hive-partitioned; the symlink manifest cannot " +
-        "convey the partition columns — materialize with commit(partitionBy=Nil) first")
     val dir = Paths.get(root, "_symlink_format_manifest")
+    if (Files.exists(dir)) // wipe: stale per-partition manifests must not linger
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
     Files.createDirectories(dir)
-    val uris = filesOf(v).map(f => Paths.get(root).resolve(f).toUri.toString)
-    val out = dir.resolve("manifest")
-    Files.write(out, uris.mkString("\n").getBytes("UTF-8"))
-    out
+    def writeList(out: Path, fs: Seq[String]): Unit =
+      Files.write(out,
+        fs.sorted.map(f => Paths.get(root).resolve(f).toUri.toString)
+          .mkString("\n").getBytes("UTF-8"))
+    if (partitionByOf(v).isEmpty) {
+      val out = dir.resolve("manifest")
+      writeList(out, filesOf(v))
+      out
+    } else {
+      // a data file's table-relative path is data/<commit>/<k>=<v>.../<file>
+      // — reuse its own (already hive-escaped) partition segments as the
+      // manifest subdir, so the manifest tree matches the data layout
+      // byte-for-byte regardless of escaping rules
+      filesOf(v).groupBy(_.split('/').drop(2).dropRight(1).toSeq)
+        .toSeq.sortBy(_._1.mkString("/")).foreach { case (segs, fs) =>
+          val pdir = segs.foldLeft(dir)(_.resolve(_))
+          Files.createDirectories(pdir)
+          writeList(pdir.resolve("manifest"), fs)
+        }
+      dir
+    }
   }
 
   /** Commit `df` as the next version (full snapshot — `DeltaLakeLoad` with
@@ -1578,10 +1601,51 @@ final class VersionedTable(val root: String,
     case _ => false
   }
 
+  /** A temporal literal rendered EXACTLY as version `v`'s stats strings
+    * were (the [[StatsBounds.render]] convention in the manifest's recorded
+    * stats zone): string literals parse with Spark's own cast semantics in
+    * the SESSION zone (what row-level evaluation will do), then the instant
+    * re-renders in the STATS zone — so a checkpoint-planned rewrite keyed
+    * on a time column prunes from the same lexicographic comparison the
+    * read path uses, instead of scanning the full file list. None for an
+    * unparseable value: the conjunct contributes no bound, always safe. */
+  private def temporalBound(spark: SparkSession, statsZone: String,
+      dt: org.apache.spark.sql.types.DataType,
+      l: org.apache.spark.sql.catalyst.expressions.Literal): Option[String] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val sessionZone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    dt match {
+      case org.apache.spark.sql.types.TimestampType =>
+        val micros: Option[Long] = (l.dataType, l.value) match {
+          case (org.apache.spark.sql.types.TimestampType, m: java.lang.Long) =>
+            Some(m)
+          case (org.apache.spark.sql.types.StringType,
+                u: org.apache.spark.unsafe.types.UTF8String) =>
+            DateTimeUtils.stringToTimestamp(u, sessionZone)
+          case _ => None
+        }
+        micros.flatMap(m =>
+          StatsBounds.render(DateTimeUtils.microsToInstant(m), statsZone))
+      case org.apache.spark.sql.types.DateType =>
+        val days: Option[Int] = (l.dataType, l.value) match {
+          case (org.apache.spark.sql.types.DateType, d: java.lang.Integer) =>
+            Some(d)
+          case (org.apache.spark.sql.types.StringType,
+                u: org.apache.spark.unsafe.types.UTF8String) =>
+            DateTimeUtils.stringToDate(u)
+          case _ => None
+        }
+        days.map(d => java.time.LocalDate.ofEpochDay(d.toLong).toString)
+      case _ => None
+    }
+  }
+
   private[table] def checkpointPlanCandidates(spark: SparkSession, v: Long,
       condition: String): Option[Seq[String]] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     import org.apache.spark.sql.functions.{coalesce, element_at, lit}
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampType}
     import spark.implicits._
     if (!checkpointVersions().lastOption.contains(v)) return None
     val schema = schemaOf(v).getOrElse(return None)
@@ -1590,45 +1654,79 @@ final class VersionedTable(val root: String,
       catch { case _: Exception => return None }
     def conj(e: ce.Expression): Seq[ce.Expression] = conjunctsOf(e)
     def attr(e: ce.Expression): Option[String] = bareAttr(e)
-    def ext(l: ce.Literal): Option[Any] = literalValue(l)
-    val raw: Seq[(String, Option[Any], Option[Any])] = conj(parsed).flatMap {
+    type L = Option[ce.Literal]
+    val raw: Seq[(String, L, L)] = conj(parsed).flatMap {
       case ce.EqualTo(a, l: ce.Literal) =>
-        for (c <- attr(a); x <- ext(l)) yield (c, Some(x): Option[Any], Some(x): Option[Any])
+        attr(a).map(c => (c, Some(l): L, Some(l): L))
       case ce.EqualTo(l: ce.Literal, a) =>
-        for (c <- attr(a); x <- ext(l)) yield (c, Some(x): Option[Any], Some(x): Option[Any])
+        attr(a).map(c => (c, Some(l): L, Some(l): L))
       case ce.GreaterThan(a, l: ce.Literal) =>
-        for (c <- attr(a); x <- ext(l)) yield (c, Some(x): Option[Any], None: Option[Any])
+        attr(a).map(c => (c, Some(l): L, None: L))
       case ce.GreaterThanOrEqual(a, l: ce.Literal) =>
-        for (c <- attr(a); x <- ext(l)) yield (c, Some(x): Option[Any], None: Option[Any])
+        attr(a).map(c => (c, Some(l): L, None: L))
       case ce.LessThan(a, l: ce.Literal) =>
-        for (c <- attr(a); x <- ext(l)) yield (c, None: Option[Any], Some(x): Option[Any])
+        attr(a).map(c => (c, None: L, Some(l): L))
       case ce.LessThanOrEqual(a, l: ce.Literal) =>
-        for (c <- attr(a); x <- ext(l)) yield (c, None: Option[Any], Some(x): Option[Any])
+        attr(a).map(c => (c, None: L, Some(l): L))
       case ce.GreaterThan(l: ce.Literal, a) =>
-        for (c <- attr(a); x <- ext(l)) yield (c, None: Option[Any], Some(x): Option[Any])
+        attr(a).map(c => (c, None: L, Some(l): L))
       case ce.GreaterThanOrEqual(l: ce.Literal, a) =>
-        for (c <- attr(a); x <- ext(l)) yield (c, None: Option[Any], Some(x): Option[Any])
+        attr(a).map(c => (c, None: L, Some(l): L))
       case ce.LessThan(l: ce.Literal, a) =>
-        for (c <- attr(a); x <- ext(l)) yield (c, Some(x): Option[Any], None: Option[Any])
+        attr(a).map(c => (c, Some(l): L, None: L))
       case ce.LessThanOrEqual(l: ce.Literal, a) =>
-        for (c <- attr(a); x <- ext(l)) yield (c, Some(x): Option[Any], None: Option[Any])
+        attr(a).map(c => (c, Some(l): L, None: L))
       case _ => Nil
     }
-    val usable = raw.flatMap { case (c, lo, hi) =>
-      schema.fields.find(_.name == c).collect {
-        case f if (lo.toSeq ++ hi.toSeq).forall(literalMatchesType(f.dataType, _)) =>
-          (f.name, f.dataType, lo, hi)
+    val statsZone = statsZoneOf(v)
+      .getOrElse(spark.sessionState.conf.sessionLocalTimeZone)
+    // a bound survives only when the literal converts soundly for the
+    // column's type: numeric literal on a numeric column (cast compare),
+    // string literal on a string column (lexicographic, the stats' own
+    // order), and temporal literal/castable-string on a temporal column
+    // (rendered in the STATS zone, compared lexicographically — the exact
+    // comparison the read path's [[StatsBounds]] pruning performs). A
+    // cross-category conjunct contributes nothing and its files survive.
+    // `lex` = compare raw stats strings; false = cast both sides to `dt`.
+    def bound(dt: org.apache.spark.sql.types.DataType,
+        l: ce.Literal): Option[(Any, Boolean)] = dt match {
+      case _: NumericType => literalValue(l).collect {
+        case n: java.lang.Number => (n, false)
+        case d: scala.math.BigDecimal => (d, false)
       }
+      case StringType => literalValue(l).collect { case s: String => (s, true) }
+      case TimestampType | DateType =>
+        temporalBound(spark, statsZone, dt, l).map((_, true))
+      case _ => None
     }
+    val usable: Seq[(String, org.apache.spark.sql.types.DataType,
+        Option[(Any, Boolean)], Option[(Any, Boolean)])] =
+      raw.flatMap { case (c, lo, hi) =>
+        schema.fields.find(_.name == c).flatMap { f =>
+          val loB = lo.map(bound(f.dataType, _))
+          val hiB = hi.map(bound(f.dataType, _))
+          // Some(None) = a literal that did NOT convert soundly: drop the
+          // whole conjunct rather than half of an equality
+          if (loB.contains(None) || hiB.contains(None)) None
+          else if (loB.isEmpty && hiB.isEmpty) None
+          else Some((f.name, f.dataType, loB.flatten, hiB.flatten))
+        }
+      }
     if (usable.isEmpty) return None
     var cf = spark.read.parquet(ckptDataDir(v).toString)
       .filter(col("kind") === "data")
     usable.foreach { case (c, dt, lo, hi) =>
       val st = element_at(col("stats"), lit(c))
-      val mn = element_at(st, 1).cast(dt)
-      val mx = element_at(st, 2).cast(dt)
-      val loOk = lo.map(x => coalesce(mx >= lit(x).cast(dt), lit(true))).getOrElse(lit(true))
-      val hiOk = hi.map(x => coalesce(mn <= lit(x).cast(dt), lit(true))).getOrElse(lit(true))
+      def side(raw: org.apache.spark.sql.Column, lex: Boolean) =
+        if (lex) raw else raw.cast(dt)
+      def boundLit(x: Any, lex: Boolean) =
+        if (lex) lit(x) else lit(x).cast(dt)
+      val loOk = lo.map { case (x, lex) =>
+        coalesce(side(element_at(st, 2), lex) >= boundLit(x, lex), lit(true))
+      }.getOrElse(lit(true))
+      val hiOk = hi.map { case (x, lex) =>
+        coalesce(side(element_at(st, 1), lex) <= boundLit(x, lex), lit(true))
+      }.getOrElse(lit(true))
       cf = cf.filter(st.isNull || (loOk && hiOk))
     }
     Some(cf.select("path").as[String].collect().toSeq)

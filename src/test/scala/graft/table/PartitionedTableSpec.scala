@@ -205,11 +205,35 @@ class PartitionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(pr.as[(Long, String)].collect().toSeq === Seq((1L, "a b")))
   }
 
-  test("symlink manifest refuses a partitioned version") {
+  test("symlink manifest writes one per-partition file listing exactly the live files") {
     val t = VersionedTable(tmpDir("pt-"))
     t.commit(sample, partitionBy = Seq("status"))
-    val e = intercept[IllegalArgumentException](t.writeSymlinkManifest())
-    assert(e.getMessage.contains("partition"))
+    val dir = t.writeSymlinkManifest()
+    assert(dir.getFileName.toString === "_symlink_format_manifest")
+    def listed(part: String): Seq[String] = {
+      val m = dir.resolve(part).resolve("manifest")
+      assert(java.nio.file.Files.exists(m), s"missing manifest for $part")
+      new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+    }
+    // every partition's manifest lists that partition's data files as URIs
+    val vals = t.partitionValuesOf(0L)
+    Seq("F", "O", "P").foreach { s =>
+      val expected = vals.collect {
+        case (f, v) if v.get("status").contains(Some(s)) => f }.toSet
+      val got = listed(s"status=$s")
+      assert(got.nonEmpty && got.forall(_.startsWith("file:")))
+      assert(got.map(_.split("/data/").last).map("data/" + _).toSet === expected)
+    }
+    // a delete empties nothing here but rewrites partition F's file; the
+    // regenerated tree must list only the LIVE files (no stale entries)
+    t.delete(spark, "id = 1")
+    val dir2 = t.writeSymlinkManifest()
+    val f2 = listed("status=F")
+    val liveF = t.partitionValuesOf(t.latestVersion().get).collect {
+      case (f, v) if v.get("status").contains(Some("F")) => f }.toSet
+    assert(f2.map(_.split("/data/").last).map("data/" + _).toSet === liveF)
+    assert(dir2 === dir)
   }
 
   private implicit class ToMap2(rows: Array[(Long, String, Double)]) {
