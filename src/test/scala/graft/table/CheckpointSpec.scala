@@ -172,6 +172,38 @@ class CheckpointSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).count() === 0)
   }
 
+  test("temporal predicates derive ZONE-SAFE checkpoint bounds " +
+      "(stats rendered in another session zone)") {
+    val t = VersionedTable(tmpDir("ckpt-ts-") + "/t")
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    // write (and render stats) under Los Angeles; plan under the restored
+    // session zone — the planner must render the filter value in the
+    // RECORDED stats zone or the lexicographic comparison misprunes
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val data = spark.range(0, 400).selectExpr("id AS k",
+        "timestamp_seconds(1600000000 + id * 3600) AS ts")
+      t.commit(data, numPartitions = Some(4), sortBy = Seq("ts"))
+      t.checkpoint(spark)
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+    assert(t.statsZoneOf(t.resolve()).contains("America/Los_Angeles"))
+    val headV = t.resolve()
+    // 4 range-sorted files of 100 hourly rows; the cut falls inside file 0
+    val planned = t.checkpointPlanCandidates(spark, headV,
+      "ts < TIMESTAMP '2020-09-17 16:00:00'")
+    assert(planned.isDefined && planned.get.size === 1,
+      s"expected exactly file 0, got $planned")
+    // the string-literal form parses with Spark's cast semantics and plans
+    // the same single file
+    val asString = t.checkpointPlanCandidates(spark, headV,
+      "ts < '2020-09-17 16:00:00'")
+    assert(asString === planned)
+    // and the checkpoint-planned delete is row-exact: 100 rows in 1 file
+    val (_, touched) = t.delete(spark, "ts < TIMESTAMP '2020-09-17 16:00:00'")
+    assert(touched === 1)
+    assert(t.read(spark).count() === 300)
+  }
+
   test("txn marks ratchet across chained checkpoints") {
     val t = VersionedTable(tmpDir("ckpt-"))
     t.commit(Seq(1).toDF("x"), txn = Some("a" -> 1L))
