@@ -52,6 +52,14 @@ object DedupQueries {
       |  FROM documents) t
       |WHERE rn = 1""".stripMargin)
 
+  /** d2's inverted-index bucket cap: a shingle shared by more than this
+    * many documents contributes only stop-shingle pairs (quadratic in the
+    * bucket) and is dropped BEFORE pair explosion. 1000 bounds a worst-case
+    * bucket at ~500k pairs — one task's work — and sits far above any
+    * bucket the test corpora produce (25 docs at sf0.1), so the gate
+    * result is identical with or without the cap. */
+  private val MaxShingleBucket = 1000
+
   /** d2: exact n-gram Jaccard near-dup pairs (threshold 0.5) via the
     * inverted-index formulation. */
   val d2NgramJaccard: Q = Q(
@@ -67,15 +75,21 @@ object DedupQueries {
       // shingle counts need NO shuffle at all — size(array_distinct(...))
       // per row — and join the pair table as an auto-broadcast. At 100 TB
       // this formulation is the honest exact baseline; pathological
-      // stop-shingle buckets would need a size cap there (the LSH path d3
-      // is the real scale route).
+      // stop-shingle buckets HAVE a size cap (`MaxShingleBucket` below):
+      // a shingle shared by more than B documents is stop-shingle noise
+      // whose pair explosion is quadratic in B — dropping the bucket
+      // bounds per-bucket work at B²/2 while every genuinely near-dup
+      // pair still meets through its rarer shingles (the LSH path d3 is
+      // the real scale route). The DuckDB oracle applies the SAME cap, so
+      // the gate compares identical semantics; at the test scales the cap
+      // never binds (max observed bucket: 25 docs at sf0.1).
       val docs = Tables.table(spark, dir, "documents")
       val out = docs
         .select(col("doc_id"), expr(s"array_distinct($shinglesExpr)").as("sh"))
         .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
         .groupBy("shingle")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-        .filter(size(col("ds")) > 1)
+        .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleBucket)
         .select(explode(expr(
           """flatten(transform(ds, (x, i) ->
             |  transform(slice(ds, i + 2, size(ds)), y ->
@@ -92,10 +106,14 @@ object DedupQueries {
     Some(
       s"""WITH shingles AS (SELECT DISTINCT doc_id, shingle FROM ($duckShingles) t),
          |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |-- same stop-shingle bucket cap as the Spark side (MaxShingleBucket)
+         |kept AS (SELECT shingle FROM shingles
+         |         GROUP BY shingle HAVING count(*) BETWEEN 2 AND 1000),
          |pairs AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
          |  FROM shingles a JOIN shingles b
          |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN kept k ON k.shingle = a.shingle
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT a_id, b_id,
          |  round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
