@@ -14,6 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   SHOW PARTITIONS '<path>'
   *   RESTORE '<path>' TO VERSION AS OF <v>
   *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>'
+  *   GENERATE symlink_format_manifest FOR TABLE '<path>'
   * }}}
   *
   * Parsing is a small anchored-regex dispatcher, NOT a SQL engine: data
@@ -41,6 +42,8 @@ object TableSql {
     s"""(?is)\\s*RESTORE\\s+$P\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*""".r
   private val Clone =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$P\\s+SHALLOW\\s+CLONE\\s+$P\\s*""".r
+  private val Generate =
+    s"""(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$P\\s*""".r
 
   private def unq(s: String): String = s.replace("''", "'")
 
@@ -90,6 +93,13 @@ object TableSql {
     case Clone(dst, src) =>
       VersionedTable(unq(src)).cloneShallow(unq(dst))
       status(spark, "SHALLOW CLONE", unq(dst), 0L)
+    case Generate(p) =>
+      // Delta's GENERATE spelling (`scd2-job.ipynb:382` is this artifact):
+      // (re)write the Athena-interop manifest tree for the latest version
+      val path = unq(p)
+      val t = VersionedTable(path)
+      t.writeSymlinkManifest()
+      status(spark, "GENERATE", path, t.resolve())
     case other => throw new IllegalArgumentException(
       s"unrecognized graft maintenance statement: '$other' — supported: OPTIMIZE, " +
         "VACUUM, DESCRIBE HISTORY, RESTORE ... TO VERSION AS OF, CREATE TABLE ... SHALLOW CLONE")

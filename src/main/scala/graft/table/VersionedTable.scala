@@ -1323,8 +1323,13 @@ final class VersionedTable(val root: String,
     * A colliding REWRITE whose removed+added files all live in partitions
     * disjoint from this rewrite's footprint folds in the same way (disjoint
     * rewrites commute — the reference's scheduler runs per-partition jobs
-    * in a parallel DAG, `scd2-job-scheduler.yaml:47-48`). Any other
-    * interloper (an overlapping rewrite, a DV change, a metadata change, an
+    * in a parallel DAG, `scd2-job-scheduler.yaml:47-48`), as does a PURE
+    * DV ADDITION (a racing MOR delete/merge) whose tombstones target files
+    * this rewrite neither removes (`touched`) nor tombstones itself
+    * (`dvGuard` — the files the caller's own fresh DVs cover): the
+    * interloper's added DV files are carried into the republished list, the
+    * serial ours-then-theirs result. Any other interloper (an overlapping
+    * rewrite, a DV removal, tombstones on our files, a metadata change, an
     * append that overlaps the predicate) rethrows
     * [[ConcurrentCommitException]] — the caller re-runs against the new
     * head for full serializability. At 100 TB this is the difference
@@ -1343,17 +1348,20 @@ final class VersionedTable(val root: String,
       txn: Option[(String, Long)],
       freshSafe: (Long, Seq[String]) => Boolean,
       maxRebases: Int = 10,
-      stampedIds: Option[Map[String, Long]] = None): Long = {
+      stampedIds: Option[Map[String, Long]] = None,
+      dvGuard: Set[String] = Set.empty): Long = {
     val pb = partitionByOf(scannedV)
     val cs = constraintsOf(scannedV)
     var base = scannedV
     var rebases = 0
+    // DV files added by folded-in interlopers, carried into the republish
+    var extraDvs: Seq[String] = Nil
     while (true) {
       try {
         return publish(
           filesOf(base).filterNot(touched) ++ newFiles,
           schemaJson, statsOf(base).view.filterKeys(f => !touched(f)).toMap ++ newStats,
-          txn, Some(base), cs, dvs = dvsCarried, partitionBy = pb,
+          txn, Some(base), cs, dvs = dvsCarried ++ extraDvs, partitionBy = pb,
           partitions = partitionValuesOf(base).view.filterKeys(f => !touched(f)).toMap
             ++ newPartVals,
           cdfKind = cdfKind, cdf = cdfFiles, stampedIds = stampedIds)
@@ -1373,27 +1381,44 @@ final class VersionedTable(val root: String,
           if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
         }
         // An interloper commit folds in safely when, versus its predecessor,
-        // it is (a) a PURE APPEND with stable metadata, or (b) a REWRITE
-        // whose removed+added files all live in partitions disjoint from
-        // this rewrite's footprint (partition-disjoint rewrites commute: our
+        // it is (a) a PURE APPEND with stable metadata, (b) a REWRITE whose
+        // removed+added files all live in partitions disjoint from this
+        // rewrite's footprint (partition-disjoint rewrites commute: our
         // files are untouched by theirs and vice versa, so carrying their
         // file-list delta forward equals the serial ours-then-theirs result;
-        // `scd2-job-scheduler.yaml:47-48` runs such jobs in a parallel DAG).
-        // DV changes stay a hard conflict — a DV parquet's covered data
-        // files are only known by reading it, so its partition scope can't
-        // be established from the manifest alone.
+        // `scd2-job-scheduler.yaml:47-48` runs such jobs in a parallel DAG),
+        // or (c) a PURE DV ADDITION whose tombstones target none of our
+        // files — established by READING the added DV parquet (cost: one
+        // tombstone-batch-sized scan), since the manifest alone can't name
+        // a DV's covered files. DV removals stay a hard conflict.
         def stepSafe(prev: Long, x: Long): Boolean = {
-          val stableMeta = dvsOf(x) == dvsOf(base) &&
-            partitionByOf(x) == pb &&
+          val stableMeta = partitionByOf(x) == pb &&
             constraintsOf(x) == cs &&
             schemaOf(x).map(_.json).contains(schemaJson)
           if (!stableMeta) return false
+          val dvPrev = dvsOf(prev).toSet
+          val dvX = dvsOf(x).toSet
+          if (!dvPrev.subsetOf(dvX)) return false // a DV was removed/rewritten
+          val dvAdded = (dvX -- dvPrev).toSeq.sorted
+          if (dvAdded.nonEmpty) {
+            val spark = org.apache.spark.sql.SparkSession.getActiveSession
+              .getOrElse(return false)
+            val covered = spark.read.parquet(
+                dvAdded.map(f => Paths.get(root).resolve(f).toString): _*)
+              .select("file").distinct().collect().map(_.getString(0)).toSet
+            // their tombstones on a file we remove would be lost by our
+            // rewrite; on a file we tombstone too, the serial orders
+            // diverge (counts/CDF) — both refuse
+            if (covered.exists(f => touched(f) || dvGuard(f))) return false
+          }
           val prevFiles = filesOf(prev).toSet
           val xFiles = filesOf(x).toSet
-          if (prevFiles.subsetOf(xFiles)) return true // pure append
+          if (prevFiles.subsetOf(xFiles)) return true // pure append / DV-only
           if (pb.isEmpty) return false // unpartitioned: one implicit partition
           val removed = prevFiles -- xFiles
-          if (removed.exists(touched)) return false // they rewrote our input
+          // they rewrote a file we remove — or one our fresh DVs tombstone
+          // (our tombstones would silently vanish against their rewrite)
+          if (removed.exists(f => touched(f) || dvGuard(f))) return false
           val added = xFiles -- prevFiles
           val pvPrev = partitionValuesOf(prev)
           val pvX = partitionValuesOf(x)
@@ -1409,6 +1434,7 @@ final class VersionedTable(val root: String,
         if (!safe) throw e
         val fresh = filesOf(h).filterNot(filesOf(base).toSet)
         if (!freshSafe(h, fresh)) throw e
+        extraDvs = extraDvs ++ dvsOf(h).filterNot(dvsOf(base).toSet)
         base = h
       }
     }
@@ -2015,9 +2041,14 @@ final class VersionedTable(val root: String,
     // write first, count the (tiny) written tombstones: counting `matched`
     // directly would run the full predicate scan a second time
     val newDv = writeDvFiles(matched)
-    val n = spark.read.parquet(
-      newDv.map(f => Paths.get(root).resolve(f).toString): _*).count()
+    val newDvRead = spark.read.parquet(
+      newDv.map(f => Paths.get(root).resolve(f).toString): _*)
+    val n = newDvRead.count()
     if (n == 0L) return (v, 0L) // no match: the empty DV dir falls to vacuum
+    // the files our fresh tombstones cover — the rebase guard against a
+    // racing rewrite of (or second tombstone on) the same files
+    val dvCovered = newDvRead.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
     // write-time CDF (iff enabled): the tombstoned rows in full (one more
     // predicate-pushed pass over the matching files; the DV itself stores
     // only positions)
@@ -2037,7 +2068,8 @@ final class VersionedTable(val root: String,
       freshSafe = (h, fresh) => fresh.isEmpty ||
         scanLive(spark, fresh, schema, Nil, keepPos = false,
           partitionByOf(v), partitionValuesOf(h))
-          .filter(coalesce(expr(condition), lit(false))).isEmpty), n)
+          .filter(coalesce(expr(condition), lit(false))).isEmpty,
+      dvGuard = dvCovered), n)
   }
 
   /** Copy-on-write UPDATE: `SET col = expr` on rows matching `condition`,
@@ -2421,9 +2453,13 @@ final class VersionedTable(val root: String,
     val newDv = writeDvFiles(effective
       .filter(col("__change_kind").isin("update", "delete") && col("__rel").isNotNull)
       .select(col("__rel").as("file"), col("__ri").as("row_index")))
-    val nTomb =
-      if (newDv.isEmpty) 0L
-      else spark.read.parquet(newDv.map(f => Paths.get(root).resolve(f).toString): _*).count()
+    val morDvRead =
+      if (newDv.isEmpty) None
+      else Some(spark.read.parquet(
+        newDv.map(f => Paths.get(root).resolve(f).toString): _*))
+    val nTomb = morDvRead.fold(0L)(_.count())
+    val morDvCovered = morDvRead.filter(_ => nTomb > 0L).fold(Set.empty[String])(
+      _.select("file").distinct().collect().map(_.getString(0)).toSet)
     val appendRows = effective.filter(col("__change_kind").isin("update", "insert"))
       .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     // the appended-row count rides the write itself as an Observation — no
@@ -2465,7 +2501,7 @@ final class VersionedTable(val root: String,
           scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
             .filter(col(targetKey).cast(keyType) >= bounds.get(0) &&
               col(targetKey).cast(keyType) <= bounds.get(1)).isEmpty
-      }), stampedIds = stamped), nTomb)
+      }), stampedIds = stamped, dvGuard = morDvCovered), nTomb)
   }
 
   /** True iff `condition` contains a top-level AND-conjunct of the exact

@@ -213,6 +213,51 @@ class RebaseSpec extends AnyFunSuite with SparkSpec {
     assert(n2 === 1)
   }
 
+  test("concurrent MOR deletes tombstoning DISJOINT files both commit") {
+    val root = tmpDir("rb-dv-") + "/t"
+    seedPartitioned(root)
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).deleteMor(spark, "id = 4")))
+    val (_, n) = t.deleteMor(spark, "id = 1")
+    assert(n === 1L)
+    val rows = VersionedTable(root).read(spark)
+      .selectExpr("id", "k", "amt").as[(Long, String, Double)]
+      .collect().sorted.toSeq
+    // serial result: both tombstone batches are in force
+    assert(rows === Seq((2L, "b", 20.0), (3L, "a", 30.0)))
+  }
+
+  test("concurrent MOR deletes tombstoning the SAME file raise") {
+    val root = tmpDir("rb-dv-") + "/t"
+    VersionedTable(root).commit(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+        .toDF("id", "k", "amt"), numPartitions = Some(1))
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).deleteMor(spark, "id = 2")))
+    intercept[ConcurrentCommitException](t.deleteMor(spark, "id = 1"))
+    // recovery: re-run sees the interloper's tombstones and both deletes land
+    val (_, n2) = VersionedTable(root).deleteMor(spark, "id = 1")
+    assert(n2 === 1L)
+    assert(VersionedTable(root).read(spark).count() === 1L)
+  }
+
+  test("MOR delete folds a racing compaction of a partition its tombstones " +
+      "don't touch, raises on its own partition") {
+    val root = tmpDir("rb-dv-") + "/t"
+    seedPartitioned(root)
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).compactWhere(spark, "k = 'b'")))
+    val (_, n) = t.deleteMor(spark, "id = 1") // tombstone lives in k='a'
+    assert(n === 1L)
+    assert(VersionedTable(root).read(spark)
+      .selectExpr("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
+    // a compaction of the SAME partition would erase the tombstoned file —
+    // that race must still raise
+    val t2 = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).compactWhere(spark, "k = 'a'")))
+    intercept[ConcurrentCommitException](t2.deleteMor(spark, "id = 3"))
+  }
+
   test("rebase chains across repeated interloping appends") {
     val root = tmpDir("rb-") + "/t"
     seed(root)

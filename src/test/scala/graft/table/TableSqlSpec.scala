@@ -134,6 +134,19 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     assert(vac2.head.getLong(2) === 0 && t.versions() === Seq(2L))
   }
 
+  test("GENERATE symlink_format_manifest writes the manifest tree") {
+    val root = tmpDir("tsql-gen-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 10).selectExpr("id", "CAST(id % 2 AS STRING) AS p"),
+      partitionBy = Seq("p"))
+    val out = TableSql.run(spark, s"GENERATE symlink_format_manifest FOR TABLE '$root'").head
+    assert(out.getString(0) === "GENERATE" && out.getLong(2) === 0L)
+    Seq("p=0", "p=1").foreach { part =>
+      val m = java.nio.file.Paths.get(root, "_symlink_format_manifest", part, "manifest")
+      assert(java.nio.file.Files.exists(m), s"missing $m")
+    }
+  }
+
   test("paths containing a single quote address via SQL '' escaping") {
     val root = tmpDir("tsql-q-") + "/o'brien"
     val t = VersionedTable(root)
