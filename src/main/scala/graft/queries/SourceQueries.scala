@@ -993,11 +993,74 @@ object SourceQueries {
     Some(
       """SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders"""))
 
+  /** q111: timestamp-keyed DELETE on a CHECKPOINTED time-sorted table —
+    * the checkpoint-planned temporal-bounds path end to end. The commit
+    * range-sorts on `ts` so per-file stats cover disjoint time slices; the
+    * head is checkpointed, so the delete plans its candidates from the
+    * checkpoint parquet with the literal rendered in the recorded stats
+    * zone, and the time-confined predicate touches only the leading files
+    * (asserted in-query). At 100 TB this is the retention-delete shape:
+    * "drop everything before T" must plan from stats, not scan the
+    * manifest's million files. */
+  val q111TemporalDelete: Q = Q(
+    "q111_temporal_delete",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tsdel-").toString
+      val t = graft.table.VersionedTable(s"$tmp/ev")
+      t.commit(spark.sql("SELECT event_id, ts, user_id, value FROM events"),
+        numPartitions = Some(8), sortBy = Seq("ts"))
+      t.checkpoint(spark)
+      val (_, touched) = t.delete(spark, "ts < TIMESTAMP '2024-01-08 00:00:00'")
+      require(touched <= 3,
+        s"time-sorted layout must confine the retention delete, touched $touched of 8")
+      t.read(spark).select("event_id", "ts", "user_id", "value")
+    },
+    Some(
+      """SELECT event_id, ts, user_id, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'""".stripMargin))
+
+  /** q112: per-partition symlink manifests as the external-engine view —
+    * the reference's Athena interop artifact (`scd2-job.ipynb:382`)
+    * generated through the SQL verb on a hive-partitioned table. The query
+    * re-reads the table EXACTLY as an external engine would (each
+    * partition's URI list from its manifest file, no graft code on the
+    * read path) and returns the partition values parsed from the manifest
+    * tree; row-count equality with the versioned read is asserted
+    * in-query. */
+  val q112SymlinkManifest: Q = Q(
+    "q112_symlink_manifest",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-symlink-").toString
+      val t = graft.table.VersionedTable(s"$tmp/docs")
+      t.commit(spark.sql("SELECT doc_id, lang, n_chars FROM documents"),
+        numPartitions = Some(2), partitionBy = Seq("lang"))
+      graft.table.TableSql.run(spark,
+        s"GENERATE symlink_format_manifest FOR TABLE '$tmp/docs'")
+      val mroot = java.nio.file.Paths.get(s"$tmp/docs", "_symlink_format_manifest")
+      import scala.jdk.CollectionConverters._
+      val parts = java.nio.file.Files.list(mroot).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .map(_.getFileName.toString).toSeq
+      val uris = parts.flatMap { p =>
+        java.nio.file.Files.readAllLines(mroot.resolve(p).resolve("manifest"))
+          .asScala.filter(_.nonEmpty) }
+      val back = spark.read.parquet(uris.map(u =>
+        java.nio.file.Paths.get(java.net.URI.create(u)).toString): _*)
+      require(back.count() == t.read(spark).count(),
+        "the manifest tree must list exactly the live files")
+      import spark.implicits._
+      parts.map(s => s.split("=", 2)(1)).sorted.toDF("lang")
+    },
+    Some("SELECT DISTINCT lang FROM documents"))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
     q84MorDelete, q85IncrementalAgg, q95DynamicPartitionPruning,
     q96PartitionedTable, q97ChangeFeedStored, q99JdbcRoundtrip,
     q101TableRelationSql, q103MorMerge, q104ShallowClone, q106SqlMerge,
-    q107ReplaceWhere, q108MergeEvolution, q109BloomMerge, q110ColumnRename)
+    q107ReplaceWhere, q108MergeEvolution, q109BloomMerge, q110ColumnRename,
+    q111TemporalDelete, q112SymlinkManifest)
 }

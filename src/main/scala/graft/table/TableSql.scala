@@ -13,6 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   DESCRIBE DETAIL '<path>'
   *   SHOW PARTITIONS '<path>'
   *   RESTORE '<path>' TO VERSION AS OF <v>
+  *   RESTORE '<path>' TO TIMESTAMP AS OF '<ts>'
   *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>'
   *   GENERATE symlink_format_manifest FOR TABLE '<path>'
   * }}}
@@ -40,6 +41,8 @@ object TableSql {
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$P\\s*""".r
   private val Restore =
     s"""(?is)\\s*RESTORE\\s+$P\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*""".r
+  private val RestoreTs =
+    s"""(?is)\\s*RESTORE\\s+$P\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+$P\\s*""".r
   private val Clone =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$P\\s+SHALLOW\\s+CLONE\\s+$P\\s*""".r
   private val Generate =
@@ -90,6 +93,16 @@ object TableSql {
     case Restore(p, v) =>
       val path = unq(p)
       status(spark, "RESTORE", path, VersionedTable(path).restore(v.toLong))
+    case RestoreTs(p, ts0) =>
+      // same literal forms as the reader's timestampAsOf option: epoch
+      // millis, SQL timestamp, or ISO-8601 instant
+      val path = unq(p)
+      val s = unq(ts0)
+      val millis = scala.util.Try(s.toLong).getOrElse(
+        scala.util.Try(java.sql.Timestamp.valueOf(s).getTime).getOrElse(
+          java.time.Instant.parse(s).toEpochMilli))
+      val t = VersionedTable(path)
+      status(spark, "RESTORE", path, t.restore(t.resolveAsOfTimestamp(millis)))
     case Clone(dst, src) =>
       VersionedTable(unq(src)).cloneShallow(unq(dst))
       status(spark, "SHALLOW CLONE", unq(dst), 0L)

@@ -697,6 +697,18 @@ final class VersionedTable(val root: String,
     * buys the cheap read path. */
   def cdfEnabled: Boolean = properties.get("enableChangeDataFeed").contains("true")
 
+  /** Delta's `appendOnly` table property: when "true", every operation that
+    * deletes or updates EXISTING rows refuses up front — the contract audit
+    * and raw-ingest tables rely on (a compliance log that silently lost
+    * rows to a fat-fingered DELETE is a post-mortem, not a bug). Appends,
+    * row-preserving compaction, and insert-only merges stay allowed;
+    * unsetting the property (an audited act of its own) re-enables
+    * rewrites. */
+  private def requireNotAppendOnly(op: String): Unit =
+    require(!properties.get("appendOnly").contains("true"),
+      s"$op on $root refused: table property appendOnly=true forbids " +
+        "deleting or updating existing rows (unset the property first)")
+
   /** Latest transaction version committed by `appId` — the newest mark in
     * the post-checkpoint manifests, the latest checkpoint's accumulated
     * marks, or the vacuum sidecar's high-water mark for marks whose
@@ -1449,6 +1461,8 @@ final class VersionedTable(val root: String,
              sortBy: Seq[String] = Nil, collectStats: Boolean = true,
              txn: Option[(String, Long)] = None,
              partitionBy: Seq[String] = Nil): Long = {
+    // overwriting an existing snapshot drops its rows (first commit is fine)
+    if (latestVersion().isDefined) requireNotAppendOnly("Overwrite commit")
     val (commitId, files, partVals, stamped) = writeDataFiles(df, numPartitions, sortBy, partitionBy)
     val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
@@ -1810,6 +1824,7 @@ final class VersionedTable(val root: String,
     * rewrittenFileCount). */
   def delete(spark: SparkSession, condition: String): (Long, Int) = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    requireNotAppendOnly("DELETE")
     val v = resolve()
     val all = filesOf(v)
     val schema = schemaOf(v)
@@ -1925,6 +1940,7 @@ final class VersionedTable(val root: String,
   def replaceWhere(data: DataFrame, condition: String,
       numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil): (Long, Int) = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    requireNotAppendOnly("replaceWhere")
     val spark = data.sparkSession
     val v = resolve()
     val all = filesOf(v)
@@ -2021,6 +2037,7 @@ final class VersionedTable(val root: String,
     * like every rewrite. Returns (newVersion, rowsDeleted). */
   def deleteMor(spark: SparkSession, condition: String): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    requireNotAppendOnly("DELETE (merge-on-read)")
     val v = resolve()
     val all = filesOf(v)
     if (all.isEmpty) return (v, 0L)
@@ -2080,6 +2097,7 @@ final class VersionedTable(val root: String,
   def update(spark: SparkSession, condition: String,
              set: Map[String, String]): (Long, Int) = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, when}
+    requireNotAppendOnly("UPDATE")
     require(set.nonEmpty,
       "update with an empty SET would rewrite files unchanged — likely a misspelled config key")
     val v = resolve()
@@ -2193,6 +2211,9 @@ final class VersionedTable(val root: String,
       numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): (Long, Int) = {
     import org.apache.spark.sql.functions.{array, broadcast, explode, expr, lit, struct, when}
+    if (whenMatchedUpdate.isDefined || whenMatchedDelete.isDefined ||
+        whenNotMatchedBySourceUpdate.isDefined || whenNotMatchedBySourceDelete.isDefined)
+      requireNotAppendOnly("MERGE with update/delete clauses")
     val v = resolve()
     val all = filesOf(v)
     val schema0 = schemaOf(v).getOrElse(
@@ -2408,6 +2429,9 @@ final class VersionedTable(val root: String,
       numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.{expr, struct}
+    if (whenMatchedUpdate.isDefined || whenMatchedDelete.isDefined ||
+        whenNotMatchedBySourceUpdate.isDefined || whenNotMatchedBySourceDelete.isDefined)
+      requireNotAppendOnly("MERGE with update/delete clauses")
     val v = resolve()
     val schema0 = schemaOf(v).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
@@ -3039,6 +3063,7 @@ final class VersionedTable(val root: String,
     * time-travelable until vacuumed. Blind-overwrite intent, so a racing
     * commit is resolved by retry at the new head like [[commit]]. */
   def restore(versionAsOf: Long): Long = {
+    requireNotAppendOnly("RESTORE") // rolling back erases later rows
     val v = resolve(None, Some(versionAsOf))
     val schemaJson = schemaOf(v).map(_.json).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))

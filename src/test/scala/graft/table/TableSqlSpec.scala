@@ -134,6 +134,24 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     assert(vac2.head.getLong(2) === 0 && t.versions() === Seq(2L))
   }
 
+  test("RESTORE TO TIMESTAMP AS OF resolves by commit time (all literal forms)") {
+    val root = tmpDir("tsql-rts-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(Seq(1L).toDF("id"))
+    Thread.sleep(20) // distinct manifest mtimes
+    val cut = System.currentTimeMillis()
+    Thread.sleep(20)
+    t.append(Seq(2L).toDF("id"))
+    // epoch-millis form restores to the version committed before the cut
+    val out = TableSql.run(spark, s"RESTORE '$root' TO TIMESTAMP AS OF '$cut'").head
+    assert(out.getString(0) === "RESTORE" && out.getLong(2) === 2L)
+    assert(t.read(spark).as[Long].collect().toSeq === Seq(1L))
+    // SQL-timestamp form: a future timestamp resolves to the current head
+    val future = new java.sql.Timestamp(System.currentTimeMillis() + 60000).toString
+    TableSql.run(spark, s"RESTORE '$root' TO TIMESTAMP AS OF '$future'")
+    assert(t.read(spark).as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("GENERATE symlink_format_manifest writes the manifest tree") {
     val root = tmpDir("tsql-gen-") + "/t"
     val t = VersionedTable(root)

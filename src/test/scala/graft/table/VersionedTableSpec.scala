@@ -834,6 +834,40 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(java.nio.file.Files.exists(t.writeSymlinkManifest()))
   }
 
+  test("appendOnly=true refuses every row-deleting verb, allows append-shaped ones") {
+    val root = tmpDir("vt-ao-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    t.setProperties(Map("appendOnly" -> "true"))
+    // appends, compaction (row-preserving) and insert-only merges stay open
+    t.append(Seq((3L, "c")).toDF("id", "k"))
+    t.compact(spark)
+    t.mergeCow(spark, Seq((4L, "d")).toDF("id", "k"), "source.id = target.id",
+      targetKey = "id", sourceKey = "id",
+      whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None,
+        Map("id" -> "source.id", "k" -> "source.k"))))
+    // everything that deletes or updates existing rows refuses up front
+    def refused(f: => Any): Unit =
+      assert(intercept[IllegalArgumentException](f).getMessage.contains("appendOnly"))
+    refused(t.delete(spark, "id = 1"))
+    refused(t.deleteMor(spark, "id = 1"))
+    refused(t.update(spark, "id = 1", Map("k" -> "'x'")))
+    refused(t.replaceWhere(Seq((1L, "z")).toDF("id", "k"), "id = 1"))
+    refused(t.restore(0L))
+    refused(t.commit(Seq((9L, "z")).toDF("id", "k"))) // overwrite
+    refused(t.mergeCow(spark, Seq((1L, "u")).toDF("id", "k"), "source.id = target.id",
+      targetKey = "id", sourceKey = "id",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(None, Map("k" -> "source.k")))))
+    refused(t.mergeMor(spark, Seq((1L, "u")).toDF("id", "k"), "source.id = target.id",
+      targetKey = "id", sourceKey = "id",
+      whenMatchedDelete = Some(Merge.MatchedDelete(None))))
+    assert(t.read(spark).count() === 4)
+    // unsetting the property re-enables rewrites
+    t.setProperties(Map("appendOnly" -> "false"))
+    val (_, n) = t.delete(spark, "id = 1")
+    assert(n >= 1 && t.read(spark).count() === 3)
+  }
+
   test("addConstraint validates live rows only; restore brings tombstones back") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
