@@ -108,8 +108,7 @@ object SimilarityQueries {
     * exact integer sums). Called ONLY from the one-time offline build in
     * [[indexRoot]]; consumers read the stored artifact. Cluster identity
     * is the seed vector's id. */
-  private def trainedCents(spark: SparkSession, dir: String, m: Long): DataFrame = {
-    val e = vectors(spark, dir)
+  private def trainedCents(spark: SparkSession, e: DataFrame, m: Long): DataFrame = {
     var c = e.filter(col("vec_id") % m === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("ncv"))
     for (_ <- 1 to KmeansIters) c = centUpdate(assignTo(e, c))
@@ -190,26 +189,39 @@ object SimilarityQueries {
       val fresh = graft.table.VersionedTable.exists(s"$root/cents") &&
         cents.properties.get("corpusFingerprint").contains(fp)
       if (!fresh) {
-        val n = vectors(spark, dir).count()
-        val m = seedModulus(n)
-        // co-locate each partition value in one task before the partitioned
-        // commits: the default layout would emit (tasks × values) tiny files
-        graft.table.VersionedTable(s"$root/cents")
-          .commit(trainedCents(spark, dir, m).coalesce(1))
-        val centsDf = graft.table.VersionedTable(s"$root/cents").read(spark)
-        graft.table.VersionedTable(s"$root/assigned").commit(
-          assignTo(vectors(spark, dir), centsDf).repartition(col("c_id")),
-          partitionBy = Seq("c_id"))
-        graft.table.VersionedTable(s"$root/srp").commit(
-          vectors(spark, dir).withColumn("bucket", expr(srpBucketSpark))
-            .repartition(col("bucket")),
-          partitionBy = Seq("bucket"))
-        // properties last: a half-built index is never marked fresh
-        cents.setProperties(Map(
-          "corpusFingerprint" -> fp,
-          "corpusPath" -> java.nio.file.Paths.get(dir).toAbsolutePath.toString,
-          "corpusRows" -> n.toString,
-          "seedModulus" -> m.toString))
+        // the build legitimately re-reads the corpus (count + each Lloyd
+        // iteration + both store writes): cache the normalized vectors for
+        // the build's scope so the parquet decode + per-row norm fold run
+        // once. MEMORY_AND_DISK — a corpus bigger than executor memory
+        // spills instead of recomputing five times.
+        val vecs = vectors(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = vecs.count()
+          val m = seedModulus(n)
+          // co-locate each partition value in one task before the partitioned
+          // commits: the default layout would emit (tasks × values) tiny files
+          graft.table.VersionedTable(s"$root/cents")
+            .commit(trainedCents(spark, vecs, m).coalesce(1))
+          val centsDf = graft.table.VersionedTable(s"$root/cents").read(spark)
+          // collectStats = false: both stores are read ONLY through manifest
+          // partition pruning (probed centroid / signature values), never by
+          // per-file min/max skipping — the stats pass would re-scan the full
+          // corpus per store for bounds nothing consumes
+          graft.table.VersionedTable(s"$root/assigned").commit(
+            assignTo(vecs, centsDf).repartition(col("c_id")),
+            partitionBy = Seq("c_id"), collectStats = false)
+          graft.table.VersionedTable(s"$root/srp").commit(
+            vecs.withColumn("bucket", expr(srpBucketSpark))
+              .repartition(col("bucket")),
+            partitionBy = Seq("bucket"), collectStats = false)
+          // properties last: a half-built index is never marked fresh
+          cents.setProperties(Map(
+            "corpusFingerprint" -> fp,
+            "corpusPath" -> java.nio.file.Paths.get(dir).toAbsolutePath.toString,
+            "corpusRows" -> n.toString,
+            "seedModulus" -> m.toString))
+        } finally vecs.unpersist()
       }
       verifiedFresh.put(root, fp)
       root
