@@ -285,7 +285,7 @@ object SourceQueries {
       val h = t.history(spark).collect()
       require(h.length == 3, s"expected 3 history rows, got ${h.length}")
       require(h.head.getLong(0) == 0L && h.last.getLong(0) == 2L)
-      require(h.head.getInt(1) == h.last.getInt(1),
+      require(h.head.getAs[Int]("n_files") == h.last.getAs[Int]("n_files"),
         "restored head must carry v0's file list")
       t.read(spark)
     },
@@ -401,7 +401,7 @@ object SourceQueries {
         .run(spark, Map("lake" -> tmp))
       val h = t.history(spark).orderBy("version").collect()
       require(h.length == 3, s"expected 3 versions, got ${h.length}")
-      require(h.map(_.getInt(1)).distinct.length == 1,
+      require(h.map(_.getAs[Int]("n_files")).distinct.length == 1,
         "merge-on-read delete must not rewrite or add data files")
       val v0 = t.read(spark, versionAsOf = Some(0L)).count()
       val orig = spark.table("orders").count()
@@ -726,7 +726,7 @@ object SourceQueries {
         spark.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM orders"),
         numPartitions = Some(8), sortBy = Seq("o_orderkey"))
       val baseFiles = t.history(spark).filter("version = 0")
-        .head.getInt(1)
+        .head.getAs[Int]("n_files")
       val src = spark.sql(
         """SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
           |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
@@ -744,7 +744,7 @@ object SourceQueries {
       require(tombs > 0, "expected matched rows to be tombstoned")
       // the MOR proof: no base data file was dropped — the head manifest
       // still references all of them (plus the appended batch files)
-      val headFiles = t.history(spark).filter(s"version = $v1").head.getInt(1)
+      val headFiles = t.history(spark).filter(s"version = $v1").head.getAs[Int]("n_files")
       require(headFiles > baseFiles,
         s"expected appends on top of all $baseFiles base files, got $headFiles")
       t.read(spark).select("o_orderkey", "o_custkey", "o_totalprice")

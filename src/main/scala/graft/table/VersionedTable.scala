@@ -134,7 +134,8 @@ final class VersionedTable(val root: String,
       dvs = dvsOf(v), partitionBy = partitionByOf(v),
       partitions = partitionValuesOf(v),
       columnIdsOverride = Some(columnIdsOf(v)),
-      maxColumnIdFloor = maxColumnIdOf(v))
+      maxColumnIdFloor = maxColumnIdOf(v),
+      operation = Some("CLONE"))
     val props = properties
     if (props.nonEmpty) tgt.setProperties(props)
     tgt
@@ -1188,12 +1189,16 @@ final class VersionedTable(val root: String,
       cdf: Seq[String] = Nil,
       columnIdsOverride: Option[Map[String, Long]] = None,
       maxColumnIdFloor: Long = 0L,
-      stampedIds: Option[Map[String, Long]] = None): Long = {
+      stampedIds: Option[Map[String, Long]] = None,
+      operation: Option[String] = None): Long = {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1L).getOrElse(0L)
     val json = mapper.createObjectNode()
     json.put("version", next)
     json.put("schema", schemaJson) // keeps empty versions readable
+    // the verb that produced this commit (DESCRIBE HISTORY's `operation`
+    // column, Delta parity) — observability metadata, never load-bearing
+    operation.foreach(op => json.put("operation", op))
     // stable column ids: carry the base's id for every surviving name,
     // mint fresh ids (maxColumnId+1...) for new names IN SCHEMA ORDER —
     // the same order writeDataFiles stamps unknown columns, so the ids in
@@ -1361,7 +1366,8 @@ final class VersionedTable(val root: String,
       freshSafe: (Long, Seq[String]) => Boolean,
       maxRebases: Int = 10,
       stampedIds: Option[Map[String, Long]] = None,
-      dvGuard: Set[String] = Set.empty): Long = {
+      dvGuard: Set[String] = Set.empty,
+      operation: Option[String] = None): Long = {
     val pb = partitionByOf(scannedV)
     val cs = constraintsOf(scannedV)
     var base = scannedV
@@ -1376,7 +1382,8 @@ final class VersionedTable(val root: String,
           txn, Some(base), cs, dvs = dvsCarried ++ extraDvs, partitionBy = pb,
           partitions = partitionValuesOf(base).view.filterKeys(f => !touched(f)).toMap
             ++ newPartVals,
-          cdfKind = cdfKind, cdf = cdfFiles, stampedIds = stampedIds)
+          cdfKind = cdfKind, cdf = cdfFiles, stampedIds = stampedIds,
+          operation = operation)
       } catch { case e: ConcurrentCommitException =>
         rebases += 1
         if (rebases > maxRebases) throw e
@@ -1480,7 +1487,8 @@ final class VersionedTable(val root: String,
       if (partitionBy.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), cs)
       else validateFrame(df, cs)
       publish(files, df.schema.json, stats, txn, base, cs,
-        partitionBy = partitionBy, partitions = partVals, stampedIds = stamped)
+        partitionBy = partitionBy, partitions = partVals, stampedIds = stamped,
+        operation = Some("OVERWRITE"))
     }
   }
 
@@ -1506,7 +1514,8 @@ final class VersionedTable(val root: String,
     if (partitionBy.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), cs)
     else validateFrame(df, cs)
     publish(files, df.schema.json, stats, txn, base, cs,
-      partitionBy = partitionBy, partitions = partVals, stampedIds = stamped)
+      partitionBy = partitionBy, partitions = partVals, stampedIds = stamped,
+      operation = Some("OVERWRITE"))
   }
 
   /** Run `attempt` against the current head, retrying on a commit collision
@@ -1555,7 +1564,7 @@ final class VersionedTable(val root: String,
     retryPublish {
       case None => publish(files, df.schema.json, stats, txn, None,
         partitionBy = tablePb, partitions = partVals, cdfKind = Some("append"),
-        stampedIds = stamped)
+        stampedIds = stamped, operation = Some("APPEND"))
       case Some(v) =>
         require(partitionByOf(v) == tablePb,
           s"table partitioning changed concurrently (${partitionByOf(v)} vs $tablePb); " +
@@ -1585,19 +1594,20 @@ final class VersionedTable(val root: String,
         publish(filesOf(v) ++ files, union.json, statsOf(v) ++ stats, txn, Some(v), cs,
           dvs = dvsOf(v), partitionBy = tablePb,
           partitions = partitionValuesOf(v) ++ partVals, cdfKind = Some("append"),
-          stampedIds = stamped)
+          stampedIds = stamped, operation = Some("APPEND"))
     }
   }
 
   /** Rewrite-predicate candidate files planned from the checkpoint parquet
     * — the delete/update/replaceWhere analogue of
     * [[filesOverlappingSourceKeys]]'s checkpointed branch. Bounds derive
-    * from the predicate's top-level equality/range conjuncts on
-    * numeric/string columns (temporals excluded: their stats rendering is
-    * zone-dependent) and are evaluated DISTRIBUTED against the per-file
-    * stats rows with type-pinned casts; a file with no stats for a bounded
-    * column or an uncastable bound survives — the pass is a prepass to the
-    * row-level touched scan, so a surviving false candidate costs I/O,
+    * from the predicate's top-level equality/range conjuncts on numeric,
+    * string, and temporal columns (temporal literals render in the
+    * manifest's recorded stats zone — see [[temporalBound]]) and are
+    * evaluated DISTRIBUTED against the per-file stats rows; a file with no
+    * stats for a bounded column or an uncastable bound survives — the pass
+    * is a prepass to the row-level touched scan, so a surviving false
+    * candidate costs I/O,
     * never correctness. None when the head isn't checkpointed or no bound
     * is derivable (callers then scan the full manifest list). */
   /** Top-level AND conjuncts of a parsed predicate. */
@@ -1884,7 +1894,7 @@ final class VersionedTable(val root: String,
       freshSafe = (h, fresh) => fresh.isEmpty ||
         scanLive(spark, fresh, schema, Nil, keepPos = false, pb, partitionValuesOf(h))
           .filter(coalesce(pred, lit(false))).isEmpty,
-      stampedIds = stamped),
+      stampedIds = stamped, operation = Some("DELETE")),
       touched.size)
   }
 
@@ -1920,7 +1930,8 @@ final class VersionedTable(val root: String,
       prior.fields ++ added.map(_.copy(nullable = true)))
     publish(filesOf(v), widened.json, statsOf(v), None, Some(v),
       constraintsOf(v), dvs = dvsOf(v), partitionBy = partitionByOf(v),
-      partitions = partitionValuesOf(v), cdfKind = Some("none"))
+      partitions = partitionValuesOf(v), cdfKind = Some("none"),
+      operation = Some("ADD COLUMNS"))
   }
 
   /** Predicate-scoped overwrite (Delta's `replaceWhere` / DataFrameWriterV2
@@ -2006,7 +2017,7 @@ final class VersionedTable(val root: String,
       freshSafe = (h, fresh) => fresh.isEmpty ||
         scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
           .filter(coalesce(pred, lit(false))).isEmpty,
-      stampedIds = stamped),
+      stampedIds = stamped, operation = Some("REPLACE WHERE")),
       touched.size)
   }
 
@@ -2086,7 +2097,7 @@ final class VersionedTable(val root: String,
         scanLive(spark, fresh, schema, Nil, keepPos = false,
           partitionByOf(v), partitionValuesOf(h))
           .filter(coalesce(expr(condition), lit(false))).isEmpty,
-      dvGuard = dvCovered), n)
+      dvGuard = dvCovered, operation = Some("DELETE")), n)
   }
 
   /** Copy-on-write UPDATE: `SET col = expr` on rows matching `condition`,
@@ -2175,7 +2186,7 @@ final class VersionedTable(val root: String,
       freshSafe = (h, fresh) => fresh.isEmpty ||
         scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
           .filter(coalesce(pred, lit(false))).isEmpty,
-      stampedIds = stamped),
+      stampedIds = stamped, operation = Some("UPDATE")),
       touched.size)
   }
 
@@ -2302,7 +2313,7 @@ final class VersionedTable(val root: String,
             .filter(col(targetKey).cast(keyType) >= bounds.get(0) &&
               col(targetKey).cast(keyType) <= bounds.get(1)).isEmpty
       }),
-      stampedIds = stamped),
+      stampedIds = stamped, operation = Some("MERGE")),
       touched.size)
   }
 
@@ -2525,7 +2536,8 @@ final class VersionedTable(val root: String,
           scanLive(spark, fresh, Some(schema), Nil, keepPos = false, pb, partitionValuesOf(h))
             .filter(col(targetKey).cast(keyType) >= bounds.get(0) &&
               col(targetKey).cast(keyType) <= bounds.get(1)).isEmpty
-      }), stampedIds = stamped, dvGuard = morDvCovered), nTomb)
+      }), stampedIds = stamped, dvGuard = morDvCovered,
+      operation = Some("MERGE")), nTomb)
   }
 
   /** True iff `condition` contains a top-level AND-conjunct of the exact
@@ -2719,7 +2731,7 @@ final class VersionedTable(val root: String,
     // change-feed consumer skips it without any diffing
     publish(files, df.schema.json, stats, None, Some(base), constraintsOf(base),
       partitionBy = pb, partitions = partVals, cdfKind = Some("none"),
-      stampedIds = stamped)
+      stampedIds = stamped, operation = Some("OPTIMIZE"))
   }
 
   /** Compaction (OPTIMIZE): rewrite the latest snapshot into `numFiles`
@@ -2773,7 +2785,8 @@ final class VersionedTable(val root: String,
     publishRewrite(pinned, matching.toSet, newFiles, stats, schema.json,
       carryDvs(spark, dvs, untouched), newPartVals,
       cdfKind = Some("none"), cdfFiles = Nil, txn = None,
-      freshSafe = (_, _) => true, stampedIds = stamped)
+      freshSafe = (_, _) => true, stampedIds = stamped,
+      operation = Some("OPTIMIZE"))
   }
 
   def compact(spark: SparkSession, numFiles: Int = 1,
@@ -2857,11 +2870,12 @@ final class VersionedTable(val root: String,
     versions().map { v =>
       val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
       val nFiles = node.get("files").size()
+      val op = if (node.has("operation")) Some(node.get("operation").asText()) else None
       val txnApp = if (node.has("txnApp")) Some(node.get("txnApp").asText()) else None
       val txnVersion = if (node.has("txnVersion")) Some(node.get("txnVersion").asLong()) else None
       val ts = new java.sql.Timestamp(Files.getLastModifiedTime(manifestPath(v)).toMillis)
-      (v, nFiles, txnApp, txnVersion, ts)
-    }.toDF("version", "n_files", "txn_app", "txn_version", "committed_at")
+      (v, op, nFiles, txnApp, txnVersion, ts)
+    }.toDF("version", "operation", "n_files", "txn_app", "txn_version", "committed_at")
   }
 
   /** `DESCRIBE DETAIL` parity: one row of head-snapshot metadata — version,
@@ -3075,7 +3089,8 @@ final class VersionedTable(val root: String,
     retryPublish(publish(filesOf(v), schemaJson, statsOf(v), None, _,
       constraintsOf(v), dvs = dvsOf(v), partitionBy = partitionByOf(v),
       partitions = partitionValuesOf(v),
-      columnIdsOverride = Some(columnIdsOf(v)).filter(_.nonEmpty)))
+      columnIdsOverride = Some(columnIdsOf(v)).filter(_.nonEmpty),
+      operation = Some("RESTORE")))
   }
 
   /** `ALTER TABLE RENAME COLUMN` as a metadata-only commit: the logical
@@ -3107,7 +3122,8 @@ final class VersionedTable(val root: String,
     publish(filesOf(v), renamed.json, statsOf(v), None, Some(v), constraintsOf(v),
       dvs = dvsOf(v), partitionBy = partitionByOf(v),
       partitions = partitionValuesOf(v), cdfKind = Some("none"),
-      columnIdsOverride = Some(ids - oldName + (newName -> ids(oldName))))
+      columnIdsOverride = Some(ids - oldName + (newName -> ids(oldName))),
+      operation = Some("RENAME COLUMN"))
   }
 
   /** `ALTER TABLE DROP COLUMN` as a metadata-only commit: the column
@@ -3136,7 +3152,8 @@ final class VersionedTable(val root: String,
       f -> (cols - name) }, None, Some(v), constraintsOf(v),
       dvs = dvsOf(v), partitionBy = partitionByOf(v),
       partitions = partitionValuesOf(v), cdfKind = Some("none"),
-      columnIdsOverride = Some(ids - name))
+      columnIdsOverride = Some(ids - name),
+      operation = Some("DROP COLUMN"))
   }
 
   /** Name of a CHECK constraint whose expression mentions `column` as a
@@ -3172,7 +3189,7 @@ final class VersionedTable(val root: String,
     publish(filesOf(v), schemaJson, statsOf(v), None, Some(v),
       existing + (name -> expression), dvs = dvsOf(v),
       partitionBy = partitionByOf(v), partitions = partitionValuesOf(v),
-      cdfKind = Some("none"))
+      cdfKind = Some("none"), operation = Some("ADD CONSTRAINT"))
   }
 
   /** ALTER TABLE DROP CONSTRAINT parity: metadata-only version without the
@@ -3186,7 +3203,8 @@ final class VersionedTable(val root: String,
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
     publish(filesOf(v), schemaJson, statsOf(v), None, Some(v), existing - name,
       dvs = dvsOf(v), partitionBy = partitionByOf(v),
-      partitions = partitionValuesOf(v), cdfKind = Some("none"))
+      partitions = partitionValuesOf(v), cdfKind = Some("none"),
+      operation = Some("DROP CONSTRAINT"))
   }
 
   /** Vacuum: physically delete data files not referenced by the newest

@@ -834,6 +834,19 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(java.nio.file.Files.exists(t.writeSymlinkManifest()))
   }
 
+  test("history records the operation of every commit") {
+    val root = tmpDir("vt-op-")
+    val t = VersionedTable(root)
+    t.commit(Seq(1L, 5L).toDF("id"))
+    t.append(Seq(2L).toDF("id"))
+    t.delete(spark, "id = 1")
+    t.compact(spark)
+    t.restore(1L)
+    val ops = t.history(spark).orderBy("version")
+      .collect().map(_.getAs[String]("operation")).toSeq
+    assert(ops === Seq("OVERWRITE", "APPEND", "DELETE", "OPTIMIZE", "RESTORE"))
+  }
+
   test("appendOnly=true refuses every row-deleting verb, allows append-shaped ones") {
     val root = tmpDir("vt-ao-")
     val t = VersionedTable(root)
