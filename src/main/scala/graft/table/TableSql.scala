@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * {{{
   *   OPTIMIZE '<path>' [ZORDER BY (c1[, c2...]) | WHERE <partition predicate>]
-  *   VACUUM '<path>' [RETAIN <n> VERSIONS | RETAIN <n> HOURS [FORCE]]
+  *   VACUUM '<path>' [RETAIN <n> VERSIONS | RETAIN <n> HOURS [FORCE]] [DRY RUN]
   *   DESCRIBE HISTORY '<path>'
   *   DESCRIBE DETAIL '<path>'
   *   SHOW PARTITIONS '<path>'
@@ -32,7 +32,7 @@ object TableSql {
   private val Optimize =
     s"""(?is)\\s*OPTIMIZE\\s+$P(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?(?:\\s+WHERE\\s+(.+?))?\\s*""".r
   private val Vacuum =
-    s"""(?is)\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?(\\s+FORCE)?\\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?(\\s+FORCE)?(\\s+DRY\\s+RUN)?\\s*""".r
   private val History =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$P\\s*""".r
   private val Detail =
@@ -74,19 +74,29 @@ object TableSql {
       status(spark, "OPTIMIZE ZORDER", path, VersionedTable(path).compact(spark,
         zOrderBy = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq))
-    case Vacuum(p, retain, unit, force) =>
+    case Vacuum(p, retain, unit, force, dry) =>
       val path = unq(p)
       val t = VersionedTable(path)
-      val n =
+      import spark.implicits._
+      def retainVersions: Int =
         if (unit != null && unit.equalsIgnoreCase("HOURS"))
           // hours-based retention (Delta's spelling); FORCE overrides the
-          // 168 h safety floor the kernel enforces
-          t.vacuumHours(retain.toDouble, force = force != null)
-        else t.vacuum(retainVersions = Option(retain).map(_.toInt).getOrElse(2))
-      // a sweep has no resulting version — report the swept count under
-      // its own name instead of overloading `version`
-      import spark.implicits._
-      Seq(("VACUUM", path, n.toLong)).toDF("operation", "path", "swept")
+          // 168 h safety floor the kernel enforces (dry run included — a
+          // preview under an unsafe retention would mislead)
+          t.retainCountForHours(retain.toDouble, force = force != null)
+        else Option(retain).map(_.toInt).getOrElse(2)
+      if (dry != null)
+        // DRY RUN: one row per file the sweep WOULD delete, nothing touched
+        t.vacuumDryRun(retainVersions).toDF("path")
+      else {
+        val n =
+          if (unit != null && unit.equalsIgnoreCase("HOURS"))
+            t.vacuumHours(retain.toDouble, force = force != null)
+          else t.vacuum(retainVersions = retainVersions)
+        // a sweep has no resulting version — report the swept count under
+        // its own name instead of overloading `version`
+        Seq(("VACUUM", path, n.toLong)).toDF("operation", "path", "swept")
+      }
     case History(p) => VersionedTable(unq(p)).history(spark)
     case Detail(p) => VersionedTable(unq(p)).detail(spark)
     case ShowParts(p) => VersionedTable(unq(p)).showPartitions(spark)

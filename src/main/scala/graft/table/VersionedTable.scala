@@ -3226,23 +3226,85 @@ final class VersionedTable(val root: String,
     * HOURS` typo would otherwise destroy every reader's time travel and
     * any in-flight query's snapshot. Granularity is the version: a version
     * inside the window keeps all its files. */
-  def vacuumHours(retainHours: Double, force: Boolean = false,
-                  orphanRetentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+  /** Hours-based retention → version count, with the 168 h safety floor
+    * (`force` overrides). Commit order is time order, so the retained set
+    * is a suffix; an unreadable mtime counts as recent (never sweep on
+    * missing evidence). */
+  private[table] def retainCountForHours(retainHours: Double,
+      force: Boolean): Int = {
     require(retainHours >= 0, "retention hours must be non-negative")
     require(force || retainHours >= 168,
       s"retaining $retainHours h is below the 168 h safety floor; " +
         "pass force=true (SQL: VACUUM ... FORCE) to override")
     val vs = versions()
-    if (vs.isEmpty) return 0
     val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
-    // commit order is time order, so the retained set is a suffix; an
-    // unreadable mtime counts as recent (never sweep on missing evidence)
-    val recent = vs.count { v =>
+    math.max(1, vs.count { v =>
       scala.util.Try(Files.getLastModifiedTime(manifestPath(v)).toMillis)
         .toOption.forall(_ >= cutoff)
+    })
+  }
+
+  def vacuumHours(retainHours: Double, force: Boolean = false,
+                  orphanRetentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    if (versions().isEmpty) {
+      retainCountForHours(retainHours, force) // still validate the args
+      return 0
     }
-    vacuum(retainVersions = math.max(1, recent),
+    vacuum(retainVersions = retainCountForHours(retainHours, force),
       orphanRetentionMs = orphanRetentionMs)
+  }
+
+  /** What [[vacuum]] would delete right now — the dropped manifests'
+    * no-longer-referenced data/DV/CDF files plus age-expired orphans —
+    * WITHOUT deleting anything (Delta's `VACUUM ... DRY RUN`): the
+    * operational "how much am I about to reclaim, and is anything
+    * unexpected in the list" check before an irreversible sweep. */
+  def vacuumDryRun(retainVersions: Int = 2,
+      orphanRetentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val vs = versions()
+    if (vs.isEmpty) return Nil
+    val retained = vs.takeRight(retainVersions)
+    val dropped = vs.dropRight(retainVersions)
+    val keep = retained.flatMap(v => tryManifest(v).toSeq.flatMap(manifestRefs)).toSet
+    val fromDropped = dropped.flatMap(v => tryManifest(v).toSeq.flatMap(manifestRefs))
+      .distinct.filterNot(keep)
+    // orphans: on disk, referenced by NO manifest, past the age guard
+    val live = vs.flatMap(v => tryManifest(v).toSeq.flatMap(manifestRefs)).toSet
+    val cutoff = System.currentTimeMillis() - orphanRetentionMs
+    val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(prefix: String, dir: Path): Unit =
+      listNames(dir).foreach { n =>
+        val p = dir.resolve(n)
+        val rel = s"$prefix/$n"
+        if (Files.isDirectory(p)) walk(rel, p)
+        else {
+          val old = scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+            .toOption.exists(_ < cutoff)
+          if (!live.contains(rel) && old) orphans += rel
+        }
+      }
+    Seq("data" -> dataDir, "dv" -> dvDir, "cdf" -> cdfDir).foreach {
+      case (prefix, base) => if (Files.isDirectory(base)) walk(prefix, base)
+    }
+    (fromDropped ++ orphans).sorted
+  }
+
+  /** A manifest can vanish mid-run when another vacuum races this one;
+    * that is safe to skip — the racing vacuum folded its txn marks into
+    * the sidecar before deleting it, and already handled its files. */
+  private def tryManifest(v: Long): Option[com.fasterxml.jackson.databind.JsonNode] =
+    try Some(mapper.readTree(Files.readAllBytes(manifestPath(v))))
+    catch { case _: java.nio.file.NoSuchFileException => None }
+
+  /** Every table-relative file a manifest references: data + DVs + CDF. */
+  private def manifestRefs(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val files = node.get("files").elements().asScala.map(_.asText()).toSeq
+    val dvs = if (node.has("dvs"))
+      node.get("dvs").elements().asScala.map(_.asText()).toSeq else Seq.empty
+    val cdf = if (node.has("cdf"))
+      node.get("cdf").elements().asScala.map(_.asText()).toSeq else Seq.empty
+    files ++ dvs ++ cdf
   }
 
   def vacuum(retainVersions: Int = 2,
@@ -3252,13 +3314,8 @@ final class VersionedTable(val root: String,
     if (vs.isEmpty) return 0
     val retained = vs.takeRight(retainVersions)
     val dropped = vs.dropRight(retainVersions)
-    // a manifest can vanish mid-run when another vacuum races this one; that
-    // is safe to skip — the racing vacuum folded its txn marks into the
-    // sidecar before deleting it (ordering below), and already handled its
-    // files
-    def tryManifest(v: Long): Option[com.fasterxml.jackson.databind.JsonNode] =
-      try Some(mapper.readTree(Files.readAllBytes(manifestPath(v))))
-      catch { case _: java.nio.file.NoSuchFileException => None }
+    def refsOf(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+      manifestRefs(node)
     // preserve idempotent-writer memory: fold the dropped manifests' txn
     // marks into the sidecar BEFORE deleting them, so lastTxn never forgets
     val droppedTxns = dropped.flatMap(tryManifest).flatMap { node =>
@@ -3269,14 +3326,6 @@ final class VersionedTable(val root: String,
       mergeSidecarTxns(droppedTxns.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap)
     // data files AND deletion-vector files referenced by any retained
     // manifest stay; everything else the dropped manifests reference goes
-    def refsOf(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
-      val files = node.get("files").elements().asScala.map(_.asText()).toSeq
-      val dvs = if (node.has("dvs"))
-        node.get("dvs").elements().asScala.map(_.asText()).toSeq else Seq.empty
-      val cdf = if (node.has("cdf"))
-        node.get("cdf").elements().asScala.map(_.asText()).toSeq else Seq.empty
-      files ++ dvs ++ cdf
-    }
     val keep = retained.flatMap(v => tryManifest(v).toSeq.flatMap(refsOf)).toSet
     var deleted = 0
     dropped.foreach { v =>

@@ -134,6 +134,30 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     assert(vac2.head.getLong(2) === 0 && t.versions() === Seq(2L))
   }
 
+  test("VACUUM DRY RUN previews exactly the sweep set without deleting") {
+    val root = tmpDir("tsql-dry-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 100).toDF("id"), numPartitions = Some(2))
+    t.commit(spark.range(0, 50).toDF("id"), numPartitions = Some(2)) // v1 overwrite
+    t.append(spark.range(100, 110).toDF("id"))
+    val preview = TableSql.run(spark, s"VACUUM '$root' RETAIN 2 VERSIONS DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(preview.nonEmpty, "v0's files are unreferenced by the retained window")
+    preview.foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root).resolve(f)),
+        s"dry run must not delete ($f gone)")
+    }
+    assert(t.versions().size === 3, "dry run must not drop manifests")
+    // the real sweep deletes exactly the previewed files
+    val swept = TableSql.run(spark, s"VACUUM '$root' RETAIN 2 VERSIONS")
+      .head.getAs[Long]("swept")
+    assert(swept === preview.size.toLong)
+    preview.foreach { f =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root).resolve(f)))
+    }
+    assert(t.read(spark).count() === 60)
+  }
+
   test("RESTORE TO TIMESTAMP AS OF resolves by commit time (all literal forms)") {
     val root = tmpDir("tsql-rts-") + "/t"
     val t = VersionedTable(root)
