@@ -88,11 +88,30 @@ final class TableStreamProvider extends StreamSourceProvider with StreamSinkProv
     * (+ `versionAsOf` / `relativeVersion` / `timestampAsOf` time travel;
     * the timestamp accepts epoch millis, `yyyy-MM-dd HH:mm:ss`, or ISO-8601
     * instants, Delta-style). Also what SQL
-    * `CREATE TABLE ... USING `graft-table`` resolves to. */
+    * `CREATE TABLE ... USING `graft-table`` resolves to.
+    *
+    * `readChangeFeed=true` (Delta batch-CDF parity) returns the stored
+    * change rows of `(startingVersion, endingVersion]` instead of the
+    * snapshot — `_change_type` + `_commit_version` attached, insert-only
+    * commits served from their fresh files, uncaptured versions re-diffed;
+    * `endingVersion` defaults to the head. */
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val t = table(parameters)
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      val start = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+      val end = parameters.get("endingVersion").map(_.toLong)
+        .getOrElse(t.resolve())
+      val df = t.changeFeed(sqlContext.sparkSession, start, end)
+      val outer = sqlContext
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = outer
+        override def schema: org.apache.spark.sql.types.StructType = df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          df.rdd // change-sized, not table-sized: the conversion cost is the batch's
+      }
+    }
     val tsVersion = parameters.get("timestampAsOf").map { s =>
       val millis = scala.util.Try(s.toLong).getOrElse(
         scala.util.Try(java.sql.Timestamp.valueOf(s).getTime).getOrElse(

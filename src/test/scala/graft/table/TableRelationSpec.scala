@@ -39,6 +39,26 @@ class TableRelationSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String)].collect().toSeq === Seq((7L, "z")))
   }
 
+  test("batch readChangeFeed returns the stored change rows of a version range") {
+    val root = tmpDir("rel-cdf-") + "/t"
+    val t = VersionedTable(root)
+    t.setProperties(Map("enableChangeDataFeed" -> "true"))
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    t.append(Seq((3L, "c")).toDF("id", "k"))          // v1: insert 3
+    t.delete(spark, "id = 1")                          // v2: delete 1
+    val feed = spark.read.format("graft-table").option("path", root)
+      .option("readChangeFeed", "true").option("startingVersion", "0").load()
+    val rows = feed.selectExpr("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(rows === Seq((1L, "delete", 2L), (3L, "insert", 1L)))
+    // endingVersion bounds the range; default is the head
+    val toV1 = spark.read.format("graft-table").option("path", root)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0").option("endingVersion", "1").load()
+    assert(toV1.selectExpr("id", "_change_type").as[(Long, String)]
+      .collect().toSeq === Seq((3L, "insert")))
+  }
+
   test("SQL CREATE TABLE USING graft-table, SELECT, INSERT INTO/OVERWRITE") {
     val root = tmpDir("rel-") + "/t"
     Seq((1L, "F", 10.0), (2L, "O", 20.0), (3L, "F", 30.0)).toDF("id", "st", "amt")
