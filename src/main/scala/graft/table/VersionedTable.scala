@@ -65,11 +65,29 @@ final class VersionedTable(val root: String,
   /** Resolve `relativeVersion` (0 or negative, relative to latest — the
     * reference's `options.relativeVersion: -1`, scd2-job.ipynb:471) or an
     * absolute `versionAsOf`. */
+  /** Highest manifest format this reader understands. Every commit stamps
+    * its format version; a manifest written by a NEWER engine raises a
+    * clear error at resolve time instead of silently misreading fields
+    * this build doesn't know exist (the Delta `minReaderVersion` shape,
+    * collapsed to one linear number — pre-stamping manifests read as
+    * version 1, which is exactly what they are). */
+  private val SupportedFormatVersion = 1L
+
+  private def checkFormatReadable(v: Long): Unit = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (node.has("formatVersion") &&
+        node.get("formatVersion").asLong() > SupportedFormatVersion)
+      throw new IllegalStateException(
+        s"version $v of $root uses table format " +
+          s"${node.get("formatVersion").asLong()}, newer than this engine's " +
+          s"$SupportedFormatVersion — upgrade the engine to read this table")
+  }
+
   def resolve(relativeVersion: Option[Int] = None, versionAsOf: Option[Long] = None): Long = {
     val vs = versions()
     val latest = vs.lastOption.getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    (relativeVersion, versionAsOf) match {
+    val resolved = (relativeVersion, versionAsOf) match {
       case (Some(r), _) =>
         require(r <= 0, s"relativeVersion must be <= 0, got $r")
         val v = latest + r
@@ -84,6 +102,8 @@ final class VersionedTable(val root: String,
         v
       case _ => latest
     }
+    checkFormatReadable(resolved)
+    resolved
   }
 
   /** Number of deletion-vector sidecar files the head (or `v`) references —
@@ -1195,6 +1215,7 @@ final class VersionedTable(val root: String,
     val next = base.map(_ + 1L).getOrElse(0L)
     val json = mapper.createObjectNode()
     json.put("version", next)
+    json.put("formatVersion", SupportedFormatVersion)
     json.put("schema", schemaJson) // keeps empty versions readable
     // the verb that produced this commit (DESCRIBE HISTORY's `operation`
     // column, Delta parity) — observability metadata, never load-bearing

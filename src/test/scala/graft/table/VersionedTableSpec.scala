@@ -834,6 +834,20 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(java.nio.file.Files.exists(t.writeSymlinkManifest()))
   }
 
+  test("a manifest from a NEWER table format fails resolve with a clear error") {
+    val root = tmpDir("vt-fmt-")
+    val t = VersionedTable(root)
+    t.commit(Seq(1L).toDF("id"))
+    // simulate a future engine's commit: bump the stamped format version
+    val m = java.nio.file.Paths.get(root, "_graft_log", "v00000000.json")
+    val bumped = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+      .replaceFirst("\"formatVersion\" : 1", "\"formatVersion\" : 99")
+    java.nio.file.Files.write(m, bumped.getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](t.read(spark).count())
+    assert(e.getMessage.contains("format 99"))
+    assert(e.getMessage.contains("upgrade"))
+  }
+
   test("history records the operation of every commit") {
     val root = tmpDir("vt-op-")
     val t = VersionedTable(root)
