@@ -561,7 +561,10 @@ final class VersionedTable(val root: String,
     * what lets the external catalog register each partition's location and
     * partition-prune. The manifest tree is regenerated from scratch so a
     * partition emptied since the last generate doesn't leave a stale file
-    * list behind. Returns the manifest root dir for partitioned tables. */
+    * list behind. Generation is driver-side and O(partitions) tiny text
+    * writes from the in-memory manifest — no data I/O; thousands of
+    * partitions cost seconds, bounded by partition count, never table
+    * size. Returns the manifest root dir for partitioned tables. */
   def writeSymlinkManifest(version: Option[Long] = None): Path = {
     val v = version.getOrElse(resolve())
     // a symlink manifest is a bare file list: an external engine reading it
