@@ -161,18 +161,31 @@ final class VersionedTable(val root: String,
     tgt
   }
 
+  /** Version `v`'s commit wall-clock in ms: the manifest's IN-COMMIT
+    * `commitTimeMs` stamp when present (written by [[publish]] since this
+    * format revision, strictly monotonic across versions), else the
+    * manifest file's mtime (legacy manifests — immutable once linked, so
+    * the mtime was the publish time IF nothing has since touched the file).
+    * The in-commit stamp is what makes timestamp time travel, RESTORE TO
+    * TIMESTAMP, history, and hours-based vacuum survive backup/restore,
+    * cross-store copies, and object stores whose metadata ops rewrite
+    * mtimes — Delta's in-commit-timestamps feature, collapsed to one field. */
+  def commitTimeOf(v: Long): Long = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (node.has("commitTimeMs")) node.get("commitTimeMs").asLong()
+    else Files.getLastModifiedTime(manifestPath(v)).toMillis
+  }
+
   /** Timestamp time travel (Delta's `timestampAsOf`): the newest version
-    * whose manifest was published at or before `ts`. Commit times are the
-    * manifests' filesystem mtimes — the same clock [[history]] reports, and
-    * the only one the format has (a manifest is immutable once linked, so
-    * its mtime IS its publish time). Millisecond input; refuses a timestamp
+    * committed at or before `ts` per [[commitTimeOf]] (in-commit stamp,
+    * mtime for legacy manifests). Millisecond input; refuses a timestamp
     * that precedes the oldest RETAINED version (vacuum may have dropped
     * earlier ones — resolving to a wrong-but-plausible version would be a
     * silent correctness hole). */
   def resolveAsOfTimestamp(ts: Long): Long = {
     val vs = versions()
     require(vs.nonEmpty, s"no committed version at $root")
-    val stamped = vs.map(v => v -> Files.getLastModifiedTime(manifestPath(v)).toMillis)
+    val stamped = vs.map(v => v -> commitTimeOf(v))
     val at = stamped.filter(_._2 <= ts).map(_._1).maxOption
     at.getOrElse(throw new IllegalArgumentException(
       s"timestamp $ts precedes the oldest retained version of $root " +
@@ -1219,6 +1232,13 @@ final class VersionedTable(val root: String,
     val json = mapper.createObjectNode()
     json.put("version", next)
     json.put("formatVersion", SupportedFormatVersion)
+    // in-commit timestamp, clamped strictly above the parent's so the
+    // version order IS the time order even under clock skew or a
+    // backwards-stepping wall clock (Delta's in-commit timestamps);
+    // consumers read it via commitTimeOf with an mtime fallback for
+    // manifests that predate the stamp
+    json.put("commitTimeMs",
+      math.max(System.currentTimeMillis(), base.map(commitTimeOf(_) + 1).getOrElse(0L)))
     json.put("schema", schemaJson) // keeps empty versions readable
     // the verb that produced this commit (DESCRIBE HISTORY's `operation`
     // column, Delta parity) — observability metadata, never load-bearing
@@ -1361,21 +1381,30 @@ final class VersionedTable(val root: String,
     * those files, cost O(interloper batch)) is resolved by REBASING: the
     * same new/cdf files republish at the new head with the appended files
     * carried forward, which equals the serial append-then-rewrite result.
-    * A colliding REWRITE whose removed+added files all live in partitions
-    * disjoint from this rewrite's footprint folds in the same way (disjoint
-    * rewrites commute — the reference's scheduler runs per-partition jobs
-    * in a parallel DAG, `scd2-job-scheduler.yaml:47-48`), as does a PURE
-    * DV ADDITION (a racing MOR delete/merge) whose tombstones target files
-    * this rewrite neither removes (`touched`) nor tombstones itself
-    * (`dvGuard` — the files the caller's own fresh DVs cover): the
+    * A colliding REWRITE folds in at FILE granularity (Delta's conflict
+    * unit): it commutes with this one when the files it removed intersect
+    * neither this rewrite's removed set (`touched`) nor the files its
+    * fresh DVs tombstone (`dvGuard`), AND its added files pass the same
+    * `freshSafe` row-interaction scan appends do — then carrying its
+    * file-list delta forward equals the serial theirs-then-ours result
+    * (this rewrite, re-run on the post-interloper snapshot, would have
+    * touched exactly the same files: untouched files provably hold no
+    * matching rows, and freshSafe proves the interloper's additions hold
+    * none either). This subsumes the earlier partition-disjointness rule —
+    * same-partition and unpartitioned-table rewrites now commute whenever
+    * their file footprints and row sets do, which is what the reference's
+    * parallel scheduler DAG (`scd2-job-scheduler.yaml:47-48`) needs when
+    * two jobs maintain different key ranges of one table. A PURE DV
+    * ADDITION (a racing MOR delete/merge) folds when its tombstones target
+    * files this rewrite neither removes nor tombstones itself: the
     * interloper's added DV files are carried into the republished list, the
-    * serial ours-then-theirs result. Any other interloper (an overlapping
-    * rewrite, a DV removal, tombstones on our files, a metadata change, an
-    * append that overlaps the predicate) rethrows
+    * serial ours-then-theirs result. Any other interloper (a rewrite of a
+    * file we touch/tombstone, a DV removal, tombstones on our files, a
+    * metadata change, fresh files whose rows interact) rethrows
     * [[ConcurrentCommitException]] — the caller re-runs against the new
     * head for full serializability. At 100 TB this is the difference
-    * between a big merge surviving the steady drip of small ingest commits
-    * and re-running per collision. */
+    * between a big merge surviving the steady drip of small ingest and
+    * maintenance commits and re-running per collision. */
   private def publishRewrite(
       scannedV: Long,
       touched: Set[String],
@@ -1414,23 +1443,13 @@ final class VersionedTable(val root: String,
         val h = resolve()
         val vs = versions()
         val steps = vs.filter(x => x > base && x <= h)
-        // this rewrite's partition footprint: the partition values of every
-        // file it removes plus every file it writes. None when the footprint
-        // is unknowable (a file with no recorded partition values) — the
-        // disjointness classification below then conservatively refuses.
-        lazy val ourParts: Option[Set[Map[String, Option[String]]]] = {
-          val pv = partitionValuesOf(base)
-          val vals = touched.toSeq.map(pv.get) ++ newFiles.map(newPartVals.get)
-          if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
-        }
         // An interloper commit folds in safely when, versus its predecessor,
         // it is (a) a PURE APPEND with stable metadata, (b) a REWRITE whose
-        // removed+added files all live in partitions disjoint from this
-        // rewrite's footprint (partition-disjoint rewrites commute: our
-        // files are untouched by theirs and vice versa, so carrying their
-        // file-list delta forward equals the serial ours-then-theirs result;
-        // `scd2-job-scheduler.yaml:47-48` runs such jobs in a parallel DAG),
-        // or (c) a PURE DV ADDITION whose tombstones target none of our
+        // removed files intersect neither our removed set nor the files our
+        // fresh DVs tombstone (file-granular commutation — its ADDED files
+        // are part of `fresh` below and must additionally pass the caller's
+        // freshSafe row-interaction scan, exactly like appended files), or
+        // (c) a PURE DV ADDITION whose tombstones target none of our
         // files — established by READING the added DV parquet (cost: one
         // tombstone-batch-sized scan), since the manifest alone can't name
         // a DV's covered files. DV removals stay a hard conflict.
@@ -1457,17 +1476,10 @@ final class VersionedTable(val root: String,
           val prevFiles = filesOf(prev).toSet
           val xFiles = filesOf(x).toSet
           if (prevFiles.subsetOf(xFiles)) return true // pure append / DV-only
-          if (pb.isEmpty) return false // unpartitioned: one implicit partition
           val removed = prevFiles -- xFiles
           // they rewrote a file we remove — or one our fresh DVs tombstone
           // (our tombstones would silently vanish against their rewrite)
-          if (removed.exists(f => touched(f) || dvGuard(f))) return false
-          val added = xFiles -- prevFiles
-          val pvPrev = partitionValuesOf(prev)
-          val pvX = partitionValuesOf(x)
-          val theirs = removed.toSeq.map(pvPrev.get) ++ added.toSeq.map(pvX.get)
-          ourParts.exists(ours =>
-            theirs.forall(_.exists(p => !ours(p))))
+          !removed.exists(f => touched(f) || dvGuard(f))
         }
         // base must itself still be retained: a vacuumed base would misalign
         // the (step, prev) pairing below and could misclassify a rewrite as
@@ -2887,8 +2899,9 @@ final class VersionedTable(val root: String,
 
   /** DESCRIBE HISTORY parity: one row per retained version — version number,
     * file count, the idempotent-writer txn stamp if the commit carried one,
-    * and the manifest's modification time (commit wall-clock, best effort).
-    * Reads only the manifests: O(retained versions), no data I/O. */
+    * and the commit wall-clock ([[commitTimeOf]]: in-commit stamp, mtime
+    * for legacy manifests). Reads only the manifests: O(retained versions),
+    * no data I/O. */
   def history(spark: SparkSession): DataFrame = {
     import spark.implicits._
     versions().map { v =>
@@ -2897,7 +2910,9 @@ final class VersionedTable(val root: String,
       val op = if (node.has("operation")) Some(node.get("operation").asText()) else None
       val txnApp = if (node.has("txnApp")) Some(node.get("txnApp").asText()) else None
       val txnVersion = if (node.has("txnVersion")) Some(node.get("txnVersion").asLong()) else None
-      val ts = new java.sql.Timestamp(Files.getLastModifiedTime(manifestPath(v)).toMillis)
+      val ts = new java.sql.Timestamp(
+        if (node.has("commitTimeMs")) node.get("commitTimeMs").asLong()
+        else Files.getLastModifiedTime(manifestPath(v)).toMillis)
       (v, op, nFiles, txnApp, txnVersion, ts)
     }.toDF("version", "operation", "n_files", "txn_app", "txn_version", "committed_at")
   }
@@ -2914,9 +2929,8 @@ final class VersionedTable(val root: String,
     val bytes = fs.map(f =>
       scala.util.Try(Files.size(Paths.get(root).resolve(f))).getOrElse(0L)).sum
     val created = versions().headOption
-      .map(x => new java.sql.Timestamp(Files.getLastModifiedTime(manifestPath(x)).toMillis))
-    val modified = new java.sql.Timestamp(
-      Files.getLastModifiedTime(manifestPath(v)).toMillis)
+      .map(x => new java.sql.Timestamp(commitTimeOf(x)))
+    val modified = new java.sql.Timestamp(commitTimeOf(v))
     Seq((root, v, fs.size.toLong, bytes, partitionByOf(v),
       dvsOf(v).size.toLong, constraintsOf(v).size.toLong,
       properties.toSeq.sorted.map { case (k, x) => s"$k=$x" },
@@ -3251,9 +3265,10 @@ final class VersionedTable(val root: String,
     * any in-flight query's snapshot. Granularity is the version: a version
     * inside the window keeps all its files. */
   /** Hours-based retention → version count, with the 168 h safety floor
-    * (`force` overrides). Commit order is time order, so the retained set
-    * is a suffix; an unreadable mtime counts as recent (never sweep on
-    * missing evidence). */
+    * (`force` overrides). Commit order is time order (the in-commit stamp
+    * is monotonic by construction), so the retained set is a suffix; an
+    * unreadable commit time counts as recent (never sweep on missing
+    * evidence). */
   private[table] def retainCountForHours(retainHours: Double,
       force: Boolean): Int = {
     require(retainHours >= 0, "retention hours must be non-negative")
@@ -3263,8 +3278,7 @@ final class VersionedTable(val root: String,
     val vs = versions()
     val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
     math.max(1, vs.count { v =>
-      scala.util.Try(Files.getLastModifiedTime(manifestPath(v)).toMillis)
-        .toOption.forall(_ >= cutoff)
+      scala.util.Try(commitTimeOf(v)).toOption.forall(_ >= cutoff)
     })
   }
 

@@ -10,8 +10,12 @@ import java.util.concurrent.atomic.AtomicBoolean
   * shape): a delete/update/merge computed against snapshot v that collides
   * with PURE APPEND commits whose fresh rows cannot interact with the
   * rewrite republishes at the new head with the appended files carried
-  * forward — the exact serial append-then-rewrite result. Overlapping or
-  * non-append interlopers still raise [[ConcurrentCommitException]].
+  * forward — the exact serial append-then-rewrite result. Racing REWRITES
+  * fold at FILE granularity: they commute when neither side removes or
+  * tombstones a file of the other AND the interloper's fresh files pass
+  * the same row-interaction scan appends do — same-partition and
+  * unpartitioned rewrites included. Anything else raises
+  * [[ConcurrentCommitException]].
   *
   * The race is made deterministic by interposing on the commit store: the
   * interloper commits through a SECOND table handle the instant the rewrite
@@ -62,12 +66,42 @@ class RebaseSpec extends AnyFunSuite with SparkSpec {
     assert(n2 === 3)
   }
 
-  test("delete raises when the interloper is itself a rewrite") {
+  test("delete folds a concurrent rewrite of DISJOINT files (file-granular " +
+      "commutation, even unpartitioned)") {
     val root = tmpDir("rb-") + "/t"
-    seed(root)
+    // two single-file commits: the 'a' rows and the 'b' row live in
+    // different files, so an update of 'b' and a delete of 'a' commute
+    VersionedTable(root).commit(
+      Seq((1L, "a", 10.0), (3L, "a", 30.0)).toDF("id", "k", "amt"),
+      numPartitions = Some(1))
+    VersionedTable(root).append(
+      Seq((2L, "b", 20.0)).toDF("id", "k", "amt"), numPartitions = Some(1))
+    val t = new VersionedTable(root, new InterposingStore(() =>
+      VersionedTable(root).update(spark, "k = 'b'", Map("amt" -> "amt + 1"))))
+    val (_, n) = t.delete(spark, "k = 'a'")
+    assert(n === 1) // one touched file (the 'a' file)
+    // serial result: the update landed AND the delete landed
+    val rows = VersionedTable(root).read(spark)
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(rows === Seq((2L, "b", 21.0)))
+  }
+
+  test("delete raises when the concurrent rewrite touches the SAME file") {
+    val root = tmpDir("rb-") + "/t"
+    // one file holding both keys: the interloper's update rewrites the very
+    // file the delete wants to rewrite — no serial fold exists
+    VersionedTable(root).commit(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "k", "amt"),
+      numPartitions = Some(1))
     val t = new VersionedTable(root, new InterposingStore(() =>
       VersionedTable(root).update(spark, "k = 'b'", Map("amt" -> "amt + 1"))))
     intercept[ConcurrentCommitException](t.delete(spark, "k = 'a'"))
+    // recovery: re-run against the new head lands the serial result
+    val (_, n2) = VersionedTable(root).delete(spark, "k = 'a'")
+    assert(n2 === 1)
+    val rows = VersionedTable(root).read(spark)
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(rows === Seq((2L, "b", 21.0)))
   }
 
   test("update rebases over a non-matching concurrent append") {

@@ -117,13 +117,18 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     }
     assert(ex.getMessage.contains("safety floor"))
     assert(t.versions().size === 3)
-    // age v0 and v1 beyond a 1 h window; v2 (head) stays recent
+    // age v0 and v1 beyond a 1 h window; v2 (head) stays recent. Age is
+    // the IN-COMMIT timestamp (commitTimeMs) — rewrite the stamp itself;
+    // mtime churn alone must NOT age a stamped manifest
     import java.nio.file.{Files, Paths}
-    val twoHoursAgo = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 2 * 3600 * 1000)
+    val twoHoursAgo = System.currentTimeMillis() - 2 * 3600 * 1000
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     Seq(0L, 1L).foreach { v =>
-      Files.setLastModifiedTime(
-        Paths.get(root, "_graft_log", f"v$v%08d.json"), twoHoursAgo)
+      val p = Paths.get(root, "_graft_log", f"v$v%08d.json")
+      val node = mapper.readTree(Files.readAllBytes(p))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.put("commitTimeMs", twoHoursAgo + v)
+      Files.write(p, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     }
     val vac = TableSql.run(spark, s"VACUUM '$root' RETAIN 1 HOURS FORCE")
     assert(vac.head.getLong(2) > 0)

@@ -938,4 +938,32 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
       assert(e.getValue.has("id"), s"id stats must survive for ${e.getKey}")
     }
   }
+
+  test("in-commit timestamps are monotonic and survive manifest mtime churn") {
+    val root = tmpDir("vt-ict-")
+    val t = VersionedTable(root)
+    t.commit(Seq(1).toDF("x"))
+    t.append(Seq(2).toDF("x"))
+    t.append(Seq(3).toDF("x"))
+    val times = Seq(0L, 1L, 2L).map(t.commitTimeOf)
+    assert(times === times.sorted && times.distinct === times,
+      s"commit times must be strictly increasing: $times")
+    assert(t.resolveAsOfTimestamp(times(1)) === 1L)
+    assert(t.resolveAsOfTimestamp(times(2) - 1) === 1L)
+    // a backup/restore or cross-store copy rewrites every file's mtime;
+    // the in-commit stamp keeps timestamp travel, history, and RESTORE
+    // pinned to the original commit clock
+    val log = java.nio.file.Paths.get(root, "_graft_log")
+    val churned = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() + 86400000L)
+    Seq(0L, 1L, 2L).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        log.resolve(f"v$v%08d.json"), churned)
+    }
+    assert(t.resolveAsOfTimestamp(times(1)) === 1L)
+    assert(Seq(0L, 1L, 2L).map(t.commitTimeOf) === times)
+    val hist = t.history(spark).orderBy("version")
+      .select("committed_at").collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(hist === times)
+  }
 }
