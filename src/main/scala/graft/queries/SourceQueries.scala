@@ -1055,6 +1055,34 @@ object SourceQueries {
     },
     Some("SELECT DISTINCT lang FROM documents"))
 
+  /** q113: CONVERT TO GRAFT in place — a hive-partitioned parquet directory
+    * written by a PLAIN (non-graft) Spark writer becomes a versioned table
+    * without moving a byte: version 0 is a manifest referencing the files
+    * where they lie (asserted in-query: no `data/` commit dir exists after
+    * conversion). The converted table must then be a full citizen — a COW
+    * DELETE lands as version 1, planned from the stats the conversion
+    * collected — and the final read hash-matches the SQL oracle. At 100 TB
+    * this is the adoption path: one metadata walk + one stats scan instead
+    * of rewriting the corpus. */
+  val q113ConvertInPlace: Q = Q(
+    "q113_convert_in_place",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-convert-").toString
+      spark.sql("SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM supplier")
+        .repartition(4)
+        .write.partitionBy("s_nationkey").parquet(s"$tmp/t")
+      graft.table.TableSql.run(spark, s"CONVERT TO GRAFT '$tmp/t'")
+      val t = graft.table.VersionedTable(s"$tmp/t")
+      require(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/t/data")),
+        "convert must not rewrite or relocate data files")
+      t.delete(spark, "s_acctbal < 0.0")
+      t.read(spark).select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    },
+    Some(
+      """SELECT s_suppkey, s_name, s_acctbal, s_nationkey
+        |FROM supplier WHERE s_acctbal >= 0.0""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1062,5 +1090,5 @@ object SourceQueries {
     q96PartitionedTable, q97ChangeFeedStored, q99JdbcRoundtrip,
     q101TableRelationSql, q103MorMerge, q104ShallowClone, q106SqlMerge,
     q107ReplaceWhere, q108MergeEvolution, q109BloomMerge, q110ColumnRename,
-    q111TemporalDelete, q112SymlinkManifest)
+    q111TemporalDelete, q112SymlinkManifest, q113ConvertInPlace)
 }

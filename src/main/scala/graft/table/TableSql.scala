@@ -16,6 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   RESTORE '<path>' TO TIMESTAMP AS OF '<ts>'
   *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>'
   *   GENERATE symlink_format_manifest FOR TABLE '<path>'
+  *   CONVERT TO GRAFT '<path>'
   * }}}
   *
   * Parsing is a small anchored-regex dispatcher, NOT a SQL engine: data
@@ -47,6 +48,8 @@ object TableSql {
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$P\\s+SHALLOW\\s+CLONE\\s+$P\\s*""".r
   private val Generate =
     s"""(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$P\\s*""".r
+  private val Convert =
+    s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$P\\s*""".r
 
   private def unq(s: String): String = s.replace("''", "'")
 
@@ -123,6 +126,12 @@ object TableSql {
       val t = VersionedTable(path)
       t.writeSymlinkManifest()
       status(spark, "GENERATE", path, t.resolve())
+    case Convert(p) =>
+      // Delta's CONVERT TO DELTA: in-place adoption of a plain parquet
+      // directory — version 0 references the existing files, zero rewrite
+      val path = unq(p)
+      VersionedTable.convert(spark, path)
+      status(spark, "CONVERT", path, 0L)
     case other => throw new IllegalArgumentException(
       s"unrecognized graft maintenance statement: '$other' — supported: OPTIMIZE, " +
         "VACUUM, DESCRIBE HISTORY, RESTORE ... TO VERSION AS OF, CREATE TABLE ... SHALLOW CLONE")

@@ -347,7 +347,13 @@ final class VersionedTable(val root: String,
     * manifest (and a DV's `file` column) uses. The commit id and file name
     * are generated URI-safe names and hive partition segments always carry
     * `=`, so segment matching is exact. */
-  private val RelExtract = "(data/[^/=]+(?:/[^/=]+=[^/]*)*/[^/]+)$"
+  /** Everything after the table root in a scan path — the manifest's
+    * table-relative name. A prefix strip, not a `data/`-anchored regex:
+    * converted-in-place files ([[VersionedTable.convert]]) live at
+    * arbitrary relative paths outside `data/`. */
+  private def relOfPathCol(dec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.substring_index(
+      dec, Paths.get(root).toAbsolutePath.toString + "/", -1)
 
   /** Decode the percent-escapes a Path→URI rendering adds (space → `%20`,
     * the literal '%' of a Hive-escaped dir name → `%25`…), recovering the
@@ -414,7 +420,7 @@ final class VersionedTable(val root: String,
     }.getOrElse(spark.read.parquet(paths: _*))
     if (dvs.isEmpty && !keepPos && partitionBy.isEmpty) return base
     val withPos = base.select(col("*"),
-      uriDecodeCol(regexp_extract(col("_metadata.file_path"), RelExtract, 1)).as("__rel"),
+      relOfPathCol(uriDecodeCol(col("_metadata.file_path"))).as("__rel"),
       col("_metadata.row_index").as("__ri"))
     val live =
       if (dvs.isEmpty) withPos
@@ -1150,10 +1156,19 @@ final class VersionedTable(val root: String,
         // partition dir would otherwise silently lose its data-column stats)
         val fname = uriDecode(row.getString(0))
         // table-relative path: everything from the commit dir onward (works
-        // for hive-partitioned sub-paths, unlike basename splicing)
+        // for hive-partitioned sub-paths, unlike basename splicing).
+        // Converted-in-place files ([[VersionedTable.convert]]) live outside
+        // data/ — relativize those against the table root instead.
         val idx = fname.indexOf(s"data/$commitId/")
-        require(idx >= 0, s"scanned file $fname is not under commit $commitId")
-        val rel = fname.substring(idx)
+        val rel =
+          if (idx >= 0) fname.substring(idx)
+          else {
+            val abs = Paths.get(root).toAbsolutePath.toString + "/"
+            val j = fname.indexOf(abs)
+            require(j >= 0,
+              s"scanned file $fname is neither under commit $commitId nor under $root")
+            fname.substring(j + abs.length)
+          }
         rel -> statCols.flatMap { case (c, kind) =>
           val mn = row.getAs[String](s"min_$c")
           val mx = row.getAs[String](s"max_$c")
@@ -3460,4 +3475,69 @@ object VersionedTable {
   def exists(root: String): Boolean =
     Files.isDirectory(Paths.get(root, "_graft_log")) &&
       new VersionedTable(root).latestVersion().isDefined
+
+  /** CONVERT a plain parquet directory (flat or hive-partitioned) into a
+    * versioned table IN PLACE — Delta's `CONVERT TO DELTA parquet.\`p\``,
+    * the migration path that matters at 100 TB: version 0 is a manifest
+    * REFERENCING the existing files where they lie; zero bytes move, zero
+    * rewrite. Work done: one `Files.walk` of the directory (metadata), one
+    * footer-only schema discovery, and — with `collectStats` — one
+    * column-pruned scan collecting per-file min/max so converted tables
+    * prune like natively written ones from day one.
+    *
+    * Hive layout: `c=v` path segments become the table's partition columns
+    * (every file must agree on the column sequence); values are
+    * %-unescaped, `__HIVE_DEFAULT_PARTITION__` reads back as null, and
+    * partition column TYPES come from Spark's standard partition-discovery
+    * inference. Converted files carry no parquet field ids, so the table
+    * stays by-name forever (the same legacy rule an id-less history
+    * triggers) — RENAME COLUMN on it requires a rewrite, exactly as Delta
+    * treats converted tables. After conversion every verb — append, MERGE,
+    * DELETE, OPTIMIZE, time travel, CDF — works unchanged; the original
+    * files are vacuumed like any other once rewrites supersede them. */
+  def convert(spark: SparkSession, root: String,
+      collectStats: Boolean = true): VersionedTable = {
+    val t = new VersionedTable(root)
+    require(t.latestVersion().isEmpty, s"$root is already a versioned table")
+    val rootPath = Paths.get(root).toAbsolutePath
+    require(Files.isDirectory(rootPath), s"$root is not a directory")
+    val stream = Files.walk(rootPath)
+    val files =
+      try stream.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }.map(p => rootPath.relativize(p).toString).toSeq.sorted
+      finally stream.close()
+    require(files.nonEmpty, s"no parquet files under $root to convert")
+    def colsOf(f: String): Seq[String] = f.split('/').toSeq.dropRight(1)
+      .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+    val partCols = colsOf(files.head)
+    files.foreach(f => require(colsOf(f) == partCols,
+      s"inconsistent hive partitioning under $root: $f has ${colsOf(f)}, " +
+        s"expected $partCols"))
+    val partVals: Map[String, Map[String, Option[String]]] = files.map { f =>
+      f -> f.split('/').toSeq.dropRight(1).filter(_.contains('=')).map { seg =>
+        val c = seg.takeWhile(_ != '=')
+        val raw = java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+        c -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None
+              else Some(raw))
+      }.toMap
+    }.toMap
+    // schema including partition columns and their inferred types — the
+    // exact frame a native partitioned commit would have recorded
+    val schema = spark.read.option("basePath", rootPath.toString)
+      .parquet(rootPath.toString).schema
+    val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+    val stats =
+      if (collectStats)
+        t.collectFileStats(spark, commitId = "", files, partVals, partTypes)
+      else Map.empty[String, Map[String, (String, String, String)]]
+    // Some(empty) pins the table by-name (no fabricated field ids for
+    // bytes we did not write) — the clone rule, applied at conversion
+    t.publish(files, schema.json, stats, txn = None, base = None,
+      partitionBy = partCols, partitions = partVals,
+      columnIdsOverride = Some(Map.empty), operation = Some("CONVERT"))
+    t
+  }
 }

@@ -190,8 +190,9 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() === 1)
     VersionedTable(dir).append(Seq((2L, "b")).toDF("id", "k"))
     val hist = VersionedTable(dir)
-    val t0 = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(dir, "_graft_log", "v00000000.json")).toMillis
+    // the commit clock is the manifest's in-commit stamp, not the file's
+    // (possibly truncated) mtime
+    val t0 = hist.commitTimeOf(0L)
     val asOf = new java.sql.Timestamp(t0).toString
     assert(spark.sql(s"SELECT * FROM graft.`$dir` TIMESTAMP AS OF '$asOf'")
       .count() === 1)
