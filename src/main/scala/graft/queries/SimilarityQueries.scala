@@ -186,8 +186,12 @@ object SimilarityQueries {
     this.synchronized {
       if (verifiedFresh.get(root) == fp) return root
       val cents = graft.table.VersionedTable(s"$root/cents")
+      // indexFormat gates layout revisions: an index built by an older
+      // engine (no PQ stores) re-builds once instead of serving a shape
+      // this code no longer expects
       val fresh = graft.table.VersionedTable.exists(s"$root/cents") &&
-        cents.properties.get("corpusFingerprint").contains(fp)
+        cents.properties.get("corpusFingerprint").contains(fp) &&
+        cents.properties.get("indexFormat").contains("2")
       if (!fresh) {
         // the build legitimately re-reads the corpus (count + each Lloyd
         // iteration + both store writes): cache the normalized vectors for
@@ -215,18 +219,97 @@ object SimilarityQueries {
             vecs.withColumn("bucket", expr(srpBucketSpark))
               .repartition(col("bucket")),
             partitionBy = Seq("bucket"), collectStats = false)
+          // the PQ half of the index: 128-row per-subspace codebooks plus
+          // the 8-codes-per-vector encoding, stored in the SAME inverted
+          // IVF layout as `assigned` so an s8 probe reads only the probed
+          // centroids' CODES (8 ints/vector — 32× less I/O than the floats)
+          val pqCents = trainPqCents(spark, vecs)
+          graft.table.VersionedTable(s"$root/pq_cents").commit(pqCents.coalesce(1))
+          val assignedBack = graft.table.VersionedTable(s"$root/assigned")
+            .read(spark).select("vec_id", "label", "c_id")
+          graft.table.VersionedTable(s"$root/codes").commit(
+            pqEncode(pqSubvectors(vecs), pqCents)
+              .join(assignedBack, "vec_id")
+              .repartition(col("c_id")),
+            partitionBy = Seq("c_id"), collectStats = false)
           // properties last: a half-built index is never marked fresh
           cents.setProperties(Map(
             "corpusFingerprint" -> fp,
             "corpusPath" -> java.nio.file.Paths.get(dir).toAbsolutePath.toString,
             "corpusRows" -> n.toString,
-            "seedModulus" -> m.toString))
+            "seedModulus" -> m.toString,
+            "indexFormat" -> "2"))
         } finally vecs.unpersist()
       }
       verifiedFresh.put(root, fp)
       root
     }
   }
+
+  /** Product-quantization geometry: 64 dims split into [[PqSubs]] contiguous
+    * 8-dim subspaces, each quantized against its own [[PqK]]-centroid
+    * codebook (trained below). 8 one-byte codes per vector — 32× smaller
+    * than float64, the standard 100 TB ANN storage layout (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011). */
+  private val PqSubs = 8
+  private val PqDim = 8
+  private val PqK = 16
+
+  /** (vec_id, sub, sv): the corpus split into per-subspace 8-dim slices —
+    * a slim posexplode stream, vectors never duplicated whole. */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        posexplode(expr(s"transform(sequence(0, ${PqSubs - 1}), s -> slice(v, s * $PqDim + 1, $PqDim))"))
+          .as(Seq("sub", "sv")))
+
+  /** Squared L2 distance between two [[PqDim]]-arrays as an identically
+    * ordered sequential fold (cross-engine exact), rounded to 6dp. */
+  private def pqD2(a: String, b: String): String =
+    s"round(aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (s, t) -> s + t), 6)"
+
+  /** One Lloyd step per subspace, all [[PqSubs]] trained in the SAME two
+    * shuffles: assign every subvector to its nearest codebook centroid
+    * (min_by on (d2, c_id) — lowest distance, then lowest id), then update
+    * each centroid as the exact-integer dimension means (`Σ round(x·10⁶)`
+    * BIGINT / n / 10⁶ — IEEE double division of identical integers is
+    * identical across engines). */
+  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
+    sv.join(broadcast(cents.select(col("sub").as("c_sub"), col("c_id"), col("cv"))),
+        col("sub") === col("c_sub"))
+      .withColumn("d2", expr(pqD2("sv", "cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(expr("min_by(c_id, struct(d2, c_id))").as("c_id"),
+        first(col("sv")).as("sv"))
+
+  private def pqCentUpdate(a: DataFrame): DataFrame =
+    a.select(col("sub"), col("c_id"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col("sub"), col("c_id"), col("i"))
+      .agg(sum(expr("CAST(round(x * 1000000) AS BIGINT)")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy(col("sub"), col("c_id"))
+      .agg(sort_array(collect_list(struct(col("i"), col("s"), col("n")))).as("ps"))
+      .select(col("sub"), col("c_id"),
+        expr("transform(ps, p -> CAST(p.s AS DOUBLE) / p.n / 1000000)").as("cv"))
+
+  /** Deterministic per-subspace codebooks: seeds are the subvectors of
+    * `vec_id < PqK` (every corpus holds ≥ 16 vectors), then [[KmeansIters]]
+    * Lloyd steps. 128 rows total — driver-light, broadcast everywhere. */
+  private def trainPqCents(spark: SparkSession, e: DataFrame): DataFrame = {
+    val sv = pqSubvectors(e)
+    var c = sv.filter(col("vec_id") < PqK)
+      .select(col("sub"), col("vec_id").as("c_id"), col("sv").as("cv"))
+    for (_ <- 1 to KmeansIters) c = pqCentUpdate(pqAssign(sv, c))
+    c.localCheckpoint(true)
+  }
+
+  /** PQ-encode the corpus against trained codebooks: final nearest-centroid
+    * assignment per subspace, folded to one `codes` array (code of sub s at
+    * position s+1). Only the 8 small codes ride per vector. */
+  private def pqEncode(sv: DataFrame, cents: DataFrame): DataFrame =
+    pqAssign(sv, cents)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("c_id")))).as("ps"))
+      .select(col("vec_id"), expr("transform(ps, p -> CAST(p.c_id AS INT))").as("codes"))
 
   /** Force the offline index build/verification; returns seconds spent
     * (near 0 if the stored index is fresh). Bench calls this in warmup so
@@ -253,6 +336,17 @@ object SimilarityQueries {
     graft.table.VersionedTable(s"${indexRoot(spark, dir)}/assigned")
       .readPartitioned(spark, s"c_id IN (${probes.mkString(", ")})")._1
       .select("vec_id", "label", "v", "nv", "c_id")
+
+  private def storedPqCents(spark: SparkSession, dir: String): DataFrame =
+    graft.table.VersionedTable(s"${indexRoot(spark, dir)}/pq_cents").read(spark)
+
+  /** The stored PQ codes in IVF layout, partition-pruned to the probed
+    * centroids — the ONLY per-vector payload an s8 probe scans. */
+  private def storedCodesProbed(spark: SparkSession, dir: String,
+      probes: Seq[Long]): DataFrame =
+    graft.table.VersionedTable(s"${indexRoot(spark, dir)}/codes")
+      .readPartitioned(spark, s"c_id IN (${probes.mkString(", ")})")._1
+      .select("vec_id", "label", "codes", "c_id")
 
   /** The stored SRP-bucketed corpus, partition-pruned to `buckets`. */
   private def storedSrpProbed(spark: SparkSession, dir: String,
@@ -619,6 +713,123 @@ object SimilarityQueries {
          |ORDER BY sim DESC, c.vec_id
          |LIMIT 10""".stripMargin))
 
+  /** Squared L2 over 8-dim DuckDB lists, same fold order as [[pqD2]]. */
+  private def duckPqD2(a: String, b: String): String =
+    s"round(list_sum(list_transform(range(1, 9), j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))), 6)"
+
+  /** DuckDB CTEs mirroring the PQ training (continues [[duckAssigned]]'s
+    * CTE list — expects `e`, `cents`, `assigned` in scope): per-subspace
+    * slices, seed codebooks from `vec_id < 16`, [[KmeansIters]] Lloyd steps
+    * with the same rounded-L2 ranking and exact integer-mean updates, and
+    * the final per-subspace assignment `paf` (the relational image of the
+    * stored `codes` array). */
+  private val duckPq: String = {
+    val init =
+      s"""psv AS (SELECT vec_id, r.sub, list_transform(range(1, ${PqDim + 1}),
+         |          j -> v[r.sub * $PqDim + j]) AS sv
+         |        FROM e, range(0, $PqSubs) r(sub)),
+         |pc0 AS (SELECT sub, vec_id AS c_id, sv AS cv FROM psv WHERE vec_id < $PqK)""".stripMargin
+    val iters = (1 to KmeansIters).map { t =>
+      s"""pa$t AS (
+         |  SELECT vec_id, sub, sv, c_id FROM (
+         |    SELECT s.vec_id, s.sub, s.sv, c.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${duckPqD2("s.sv", "c.cv")}, c.c_id) AS rk
+         |    FROM psv s JOIN pc${t - 1} c ON c.sub = s.sub) t
+         |  WHERE rk = 1),
+         |pc$t AS (
+         |  SELECT sub, c_id, list(CAST(s AS DOUBLE) / n / 1000000 ORDER BY i) AS cv FROM (
+         |    SELECT a.sub, a.c_id, r.i,
+         |      SUM(CAST(round(a.sv[r.i] * 1000000) AS BIGINT)) AS s, COUNT(*) AS n
+         |    FROM pa$t a, range(1, ${PqDim + 1}) r(i)
+         |    GROUP BY 1, 2, 3) u
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val fin =
+      s"""paf AS (
+         |  SELECT vec_id, sub, c_id FROM (
+         |    SELECT s.vec_id, s.sub, c.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${duckPqD2("s.sv", "c.cv")}, c.c_id) AS rk
+         |    FROM psv s JOIN pc$KmeansIters c ON c.sub = s.sub) t
+         |  WHERE rk = 1)""".stripMargin
+    (Seq(init) ++ iters ++ Seq(fin)).mkString(",\n")
+  }
+
+  /** s8: IVF + TRUE PRODUCT QUANTIZATION with ADC serving — the canonical
+    * billion-scale ANN layout (Jégou et al. 2011), completing the stack
+    * next to s2 (IVF over floats) and s6 (IVF + scalar int8): the probe
+    * phase reads ONLY the stored 8-codes-per-vector arrays of the probed
+    * IVF buckets (32× less I/O than the float vectors), ranks candidates by
+    * an asymmetric-distance-computation lookup — the query's 128-entry
+    * distance table, one integer add per (vector, subspace) — and re-ranks
+    * the top 50 exactly from just those vectors' floats. Both the per-
+    * subspace distances and their sum are exact scaled BIGINTs, so the
+    * candidate ranking has zero float-summation ambiguity cross-engine. */
+  val s8PqAdc: Q = Q(
+    "s8_pq_adc",
+    (spark, dir) => {
+      val e = vectors(spark, dir)
+      val q = e.filter(col("vec_id") === 4)
+        .select(col("v").as("qv"), col("nv").as("nqv"))
+      val probes = probeIds(spark, dir, queryVecId = 4, nProbe = 4)
+      // the query's ADC distance table: 128 codebook rows × 8 query slices
+      val qsv = pqSubvectors(e.filter(col("vec_id") === 4))
+        .select(col("sub").as("q_sub"), col("sv").as("qsv"))
+      val dt = storedPqCents(spark, dir)
+        .join(broadcast(qsv), col("sub") === col("q_sub"))
+        .select(col("sub").as("d_sub"), col("c_id").as("d_code"),
+          expr(s"CAST(round(${pqD2("cv", "qsv")} * 1000000) AS BIGINT)").as("d2p"))
+      // probe phase: partition-pruned CODES scan, 128-row broadcast lookup,
+      // integer sum per vector (map-side combinable)
+      val cand = storedCodesProbed(spark, dir, probes)
+        .select(col("vec_id"), col("label"), col("c_id"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .join(broadcast(dt),
+          col("sub") === col("d_sub") && col("code").cast("bigint") === col("d_code"))
+        .groupBy(col("vec_id"), col("label"), col("c_id"))
+        .agg(sum(col("d2p")).as("approx_d"))
+        .orderBy(col("approx_d"), col("vec_id"))
+        .limit(50)
+      // re-rank phase: exact L2 on just the 50 candidates' float vectors
+      cand.join(e.select(col("vec_id").as("e_id"), col("v")),
+          col("vec_id") === col("e_id"))
+        .crossJoin(broadcast(q))
+        .withColumn("d2",
+          expr("round(aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), 0D, (s, t) -> s + t), 6)"))
+        .orderBy(col("d2"), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "c_id", "approx_d", "d2")
+    },
+    Some(
+      s"""WITH $duckAssigned,
+         |$duckPq,
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 4),
+         |probed AS (
+         |  SELECT c_id AS probe_c
+         |  FROM cents, q
+         |  ORDER BY round(${duckCos("cv", "qv")}, 6) DESC, c_id
+         |  LIMIT 4),
+         |dt AS (
+         |  SELECT c.sub, c.c_id AS code,
+         |    CAST(round(${duckPqD2("c.cv", "s.sv")} * 1000000) AS BIGINT) AS d2p
+         |  FROM pc$KmeansIters c JOIN psv s ON s.sub = c.sub AND s.vec_id = 4),
+         |cand AS (
+         |  SELECT p.vec_id, a.label, a.c_id, CAST(SUM(dt.d2p) AS BIGINT) AS approx_d
+         |  FROM paf p
+         |  JOIN dt ON dt.sub = p.sub AND dt.code = p.c_id
+         |  JOIN assigned a ON a.vec_id = p.vec_id
+         |  JOIN probed ON a.c_id = probe_c
+         |  GROUP BY 1, 2, 3
+         |  ORDER BY approx_d, p.vec_id
+         |  LIMIT 50)
+         |SELECT c.vec_id, c.label, c.c_id, c.approx_d,
+         |  round(list_sum(list_transform(range(1, 65),
+         |    j -> (e.v[j] - q.qv[j]) * (e.v[j] - q.qv[j]))), 6) AS d2
+         |FROM cand c JOIN e ON e.vec_id = c.vec_id, q
+         |ORDER BY d2, c.vec_id
+         |LIMIT 10""".stripMargin))
+
   /** d11: SemDeDup-style SEMANTIC deduplication — the embedding-space
     * analogue of MinHash dedup (Abbas et al. 2023): cluster every vector to
     * its nearest centroid (the same broadcast assignment as d5/s2), then
@@ -683,5 +894,6 @@ object SimilarityQueries {
          |GROUP BY a.c_id""".stripMargin))
 
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
-    s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain)
+    s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
+    s8PqAdc)
 }
