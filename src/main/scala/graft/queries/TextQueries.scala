@@ -507,8 +507,49 @@ object TextQueries {
           |pairs AS (SELECT doc_id, zz[1] AS w1, zz[2] AS w2 FROM z)""".stripMargin))
   }
 
+  /** t18: BPE merge-pair learning — the counting core of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016): every adjacent character
+    * pair inside every word occurrence, counted corpus-wide; the top pairs
+    * are the first merge candidates. This is the step that actually runs at
+    * corpus scale when training a tokenizer over 100 TB — and it is pure
+    * map + one count shuffle here: words explode to a slim (pair) stream
+    * (map-side combinable count, no arrays shuffled), so the cost is one
+    * aggregation over O(total characters) rows regardless of document
+    * sizes. `n_words` (distinct-word support) rides along so a pair carried
+    * by one hot word is distinguishable from a broadly useful merge;
+    * count-distinct over the same stream reuses the one shuffle. */
+  val t18BpePairs: Q = Q.dualSql("t18_bpe_pairs",
+    sparkSql =
+      """WITH words AS (
+        |  SELECT w FROM documents
+        |  LATERAL VIEW explode(split(text, ' ')) t AS w
+        |  WHERE length(w) >= 2),
+        |pairs AS (
+        |  SELECT w, p FROM words
+        |  LATERAL VIEW explode(transform(sequence(1, length(w) - 1),
+        |                                 i -> substring(w, i, 2))) t AS p)
+        |SELECT p AS pair, count(*) AS n_occurrences,
+        |  count(DISTINCT w) AS n_words
+        |FROM pairs
+        |GROUP BY p
+        |ORDER BY n_occurrences DESC, pair
+        |LIMIT 20""".stripMargin,
+    duckSql =
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |pairs AS (
+        |  SELECT w, unnest(list_transform(range(1, length(w)),
+        |                                  i -> substring(w, i, 2))) AS p
+        |  FROM words WHERE length(w) >= 2)
+        |SELECT p AS pair, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS n_words
+        |FROM pairs
+        |GROUP BY p
+        |ORDER BY n_occurrences DESC, pair
+        |LIMIT 20""".stripMargin)
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
     t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split,
-    t15UnigramLogprob, t16QualityClassifier, t17BigramLogprob)
+    t15UnigramLogprob, t16QualityClassifier, t17BigramLogprob, t18BpePairs)
 }
