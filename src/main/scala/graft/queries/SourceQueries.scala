@@ -1083,6 +1083,54 @@ object SourceQueries {
       """SELECT s_suppkey, s_name, s_acctbal, s_nationkey
         |FROM supplier WHERE s_acctbal >= 0.0""".stripMargin))
 
+  /** q114: DYNAMIC PARTITION OVERWRITE — replace exactly the partitions
+    * present in the batch (one recomputed, one brand-new), carry every
+    * other partition forward FILE-IDENTICAL (asserted in-query via the
+    * manifest file lists: untouched partitions keep their original file
+    * names). The re-run-one-day idiom of partitioned pipelines: the
+    * replaced set comes from the manifest's partition index, no predicate
+    * scan, so a 100 TB table pays only the batch write. */
+  val q114DynamicOverwrite: Q = Q(
+    "q114_dynamic_overwrite",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dpo-").toString
+      val t = graft.table.VersionedTable(s"$tmp/t")
+      t.commit(
+        spark.sql("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"),
+        numPartitions = Some(4), partitionBy = Seq("o_orderstatus"))
+      val before = t.showPartitions(spark)
+        .select("o_orderstatus", "num_files").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = spark.sql(
+        """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+          |FROM orders WHERE o_orderstatus = 'O'
+          |UNION ALL
+          |SELECT o_orderkey + 10000000 AS o_orderkey, 1.0 AS o_totalprice,
+          |  'X' AS o_orderstatus
+          |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin)
+      val (_, replaced) = t.overwritePartitions(batch)
+      require(replaced == before("O"),
+        s"exactly partition O's $replaced files must be replaced")
+      val after = t.showPartitions(spark)
+        .select("o_orderstatus", "num_files").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(after.contains("X"), "the batch's new partition must appear")
+      require(before.view.filterKeys(_ != "O").forall { case (k, n) => after(k) == n },
+        "untouched partitions must carry forward")
+      t.read(spark).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    },
+    Some(
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderstatus <> 'O'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS o_orderkey, 1.0 AS o_totalprice,
+        |  'X' AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1090,5 +1138,6 @@ object SourceQueries {
     q96PartitionedTable, q97ChangeFeedStored, q99JdbcRoundtrip,
     q101TableRelationSql, q103MorMerge, q104ShallowClone, q106SqlMerge,
     q107ReplaceWhere, q108MergeEvolution, q109BloomMerge, q110ColumnRename,
-    q111TemporalDelete, q112SymlinkManifest, q113ConvertInPlace)
+    q111TemporalDelete, q112SymlinkManifest, q113ConvertInPlace,
+    q114DynamicOverwrite)
 }

@@ -2072,6 +2072,70 @@ final class VersionedTable(val root: String,
       touched.size)
   }
 
+  /** Dynamic partition overwrite (Delta's `partitionOverwriteMode=dynamic`,
+    * Hive's INSERT OVERWRITE semantics): replace EXACTLY the partitions
+    * present in the incoming batch — untouched partitions carry forward
+    * file-identical, partitions new to the table appear. Unlike
+    * [[replaceWhere]] nothing is scanned to find the replaced set: it is
+    * the batch's own partition values resolved against the manifest's
+    * partition index (pure metadata), so re-running one day of a
+    * partitioned pipeline on a 100 TB table costs the batch write plus
+    * O(files in the replaced partitions) manifest work. Returns
+    * (version, replaced file count). Concurrency: an interloper landing
+    * only OUTSIDE the replaced partitions folds in; anything touching them
+    * raises (append-then-overwrite and overwrite-then-append diverge
+    * there, so no silent fold is sound). */
+  def overwritePartitions(data: DataFrame, numPartitions: Option[Int] = None,
+      sortBy: Seq[String] = Nil): (Long, Int) = {
+    import org.apache.spark.sql.functions.lit
+    requireNotAppendOnly("dynamic partition overwrite")
+    val spark = data.sparkSession
+    val v = resolve()
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema — overwritePartitions needs one"))
+    val pb = partitionByOf(v)
+    require(pb.nonEmpty, "dynamic partition overwrite needs a partitioned " +
+      "table; overwrite an unpartitioned table with commit()")
+    val dvs = dvsOf(v)
+    val pVals = partitionValuesOf(v)
+    // type-pin the batch to the table schema by name (every write funnel's
+    // rule) — also refuses a batch missing a table column
+    val pinned = data.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val (commitId, newFiles, newPartVals, stamped) =
+      writeDataFiles(pinned, numPartitions, sortBy, pb)
+    val replaced: Set[Map[String, Option[String]]] =
+      newFiles.flatMap(newPartVals.get).toSet
+    val all = filesOf(v)
+    val touched = all.filter(f => pVals.get(f).exists(replaced.contains))
+    val untouched = all.filterNot(touched.toSet)
+    val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+    val stats = if (newFiles.nonEmpty)
+                  collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
+                else Map.empty[String, Map[String, (String, String, String)]]
+    val cdfFiles =
+      if (!cdfEnabled) Nil
+      else {
+        val deleted =
+          if (touched.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else scanLive(spark, touched, Some(schema), dvs, keepPos = false, pb, pVals)
+        writeCdfFiles(deleted.withColumn("_change_type", lit("delete"))
+          .unionByName(pinned.withColumn("_change_type", lit("insert"))))
+      }
+    validateFrame(pinned, constraintsOf(v))
+    (publishRewrite(v, touched.toSet, newFiles, stats, schema.json,
+      carryDvs(spark, dvs, untouched), newPartVals,
+      cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdfFiles = cdfFiles,
+      txn = None,
+      freshSafe = (h, fresh) => {
+        val hVals = partitionValuesOf(h)
+        fresh.forall(f => hVals.get(f).exists(p => !replaced.contains(p)))
+      },
+      stampedIds = stamped, operation = Some("OVERWRITE PARTITIONS")),
+      touched.size)
+  }
+
   /** Deletion vectors carried into a rewrite's new version: tombstones of
     * files that survive unchanged, consolidated into one fresh DV file;
     * tombstones of rewritten files drop (their live rows were re-written

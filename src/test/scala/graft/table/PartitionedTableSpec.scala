@@ -236,6 +236,69 @@ class PartitionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(dir2 === dir)
   }
 
+  test("dynamic partition overwrite replaces exactly the batch's partitions") {
+    val t = VersionedTable(tmpDir("pt-dpo-"))
+    t.commit(sample, partitionBy = Seq("status"))
+    val fFilesBefore = t.partitionValuesOf(0L)
+      .filter(_._2.get("status").flatten.contains("F")).keySet
+    // batch recomputes partition O and introduces partition X
+    val batch = Seq((3L, "O", 300.0), (9L, "X", 90.0)).toDF("id", "status", "amount")
+    val (v1, replaced) = t.overwritePartitions(batch)
+    assert(replaced >= 1)
+    assert(t.read(spark).as[(Long, String, Double)].collect().sorted.toSeq ===
+      Seq((1L, "F", 10.0), (2L, "F", 20.0), (3L, "O", 300.0),
+        (5L, "P", 50.0), (9L, "X", 90.0)))
+    // untouched partitions carry forward FILE-identical
+    val fFilesAfter = t.partitionValuesOf(v1)
+      .filter(_._2.get("status").flatten.contains("F")).keySet
+    assert(fFilesAfter === fFilesBefore)
+  }
+
+  test("dynamic partition overwrite refusals: unpartitioned, appendOnly") {
+    val flat = VersionedTable(tmpDir("pt-dpo-flat-"))
+    flat.commit(Seq((1L, "a")).toDF("id", "k"))
+    intercept[IllegalArgumentException](
+      flat.overwritePartitions(Seq((2L, "b")).toDF("id", "k")))
+    val ro = VersionedTable(tmpDir("pt-dpo-ro-"))
+    ro.commit(sample, partitionBy = Seq("status"))
+    ro.setProperties(Map("appendOnly" -> "true"))
+    intercept[IllegalArgumentException](
+      ro.overwritePartitions(Seq((3L, "O", 300.0)).toDF("id", "status", "amount")))
+  }
+
+  test("dynamic partition overwrite folds an append OUTSIDE the replaced " +
+      "partitions and raises on one inside") {
+    // outside: fold (serial result)
+    val r1 = tmpDir("pt-dpo-rb1-") + "/t"
+    VersionedTable(r1).commit(sample, partitionBy = Seq("status"))
+    val t1 = new VersionedTable(r1, new InterposingStore(() =>
+      VersionedTable(r1).append(Seq((6L, "P", 60.0)).toDF("id", "status", "amount"))))
+    t1.overwritePartitions(Seq((3L, "O", 300.0)).toDF("id", "status", "amount"))
+    assert(VersionedTable(r1).read(spark).as[(Long, String, Double)]
+      .collect().sorted.toSeq ===
+      Seq((1L, "F", 10.0), (2L, "F", 20.0), (3L, "O", 300.0),
+        (5L, "P", 50.0), (6L, "P", 60.0)))
+    // inside the replaced partition: the two serial orders diverge — raise
+    val r2 = tmpDir("pt-dpo-rb2-") + "/t"
+    VersionedTable(r2).commit(sample, partitionBy = Seq("status"))
+    val t2 = new VersionedTable(r2, new InterposingStore(() =>
+      VersionedTable(r2).append(Seq((7L, "O", 70.0)).toDF("id", "status", "amount"))))
+    intercept[ConcurrentCommitException](
+      t2.overwritePartitions(Seq((3L, "O", 300.0)).toDF("id", "status", "amount")))
+  }
+
+  /** Delegates to [[LinkCommitStore]], firing `interlope` once before the
+    * first manifest put (the RebaseSpec pattern). */
+  private final class InterposingStore(interlope: () => Unit) extends CommitStore {
+    private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    override def putIfAbsent(target: java.nio.file.Path,
+        bytes: Array[Byte]): Boolean = {
+      if (target.getFileName.toString.matches("v\\d{8}\\.json") &&
+          fired.compareAndSet(false, true)) interlope()
+      LinkCommitStore.putIfAbsent(target, bytes)
+    }
+  }
+
   private implicit class ToMap2(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, s, a) => id -> (s, a) }.toMap
