@@ -170,9 +170,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               .latestVersion().exists(v => t.constraintsOf(v).contains(drop.name)))
           ()
         else { t.dropConstraint(drop.name); () }
+      case nul: TableChange.UpdateColumnNullability =>
+        require(nul.fieldNames.length == 1,
+          s"graft tables support top-level nullability changes only, got " +
+            nul.fieldNames.mkString("."))
+        // SET NOT NULL validates live rows first (kernel contract);
+        // DROP NOT NULL is metadata-only
+        t.setColumnNullability(SparkSession.active, nul.fieldNames.head, nul.nullable)
+        ()
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported on graft tables " +
-          "(only properties, additive columns, and CHECK constraints)")
+          "(only properties, additive columns, nullability, and CHECK constraints)")
     }
     new GraftTable(t, ident.toString, versionAsOf = None)
   }

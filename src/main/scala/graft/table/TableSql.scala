@@ -50,6 +50,13 @@ object TableSql {
     s"""(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$P\\s*""".r
   private val Convert =
     s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$P\\s*""".r
+  // Spark's analyzer refuses nullable->non-nullable through the standard V2
+  // ALTER path (it cannot know the data is null-free); the kernel CAN know
+  // (it scans), so SET NOT NULL gets a maintenance spelling here, exactly
+  // as Delta ships it via its own SQL extension. DROP NOT NULL works
+  // through plain ALTER TABLE and needs no verb.
+  private val SetNotNull =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+ALTER\\s+COLUMN\\s+`?([A-Za-z0-9_]+)`?\\s+SET\\s+NOT\\s+NULL\\s*""".r
 
   private def unq(s: String): String = s.replace("''", "'")
 
@@ -126,6 +133,10 @@ object TableSql {
       val t = VersionedTable(path)
       t.writeSymlinkManifest()
       status(spark, "GENERATE", path, t.resolve())
+    case SetNotNull(p, colName) =>
+      val path = unq(p)
+      status(spark, "SET NOT NULL", path,
+        VersionedTable(path).setColumnNullability(spark, colName, nullable = false))
     case Convert(p) =>
       // Delta's CONVERT TO DELTA: in-place adoption of a plain parquet
       // directory — version 0 references the existing files, zero rewrite

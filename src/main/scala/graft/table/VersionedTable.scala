@@ -1187,6 +1187,16 @@ final class VersionedTable(val root: String,
     * waves nulls through is a hole, not a gate). Called between data-file
     * write and manifest publish, so a rejected batch is never visible; its
     * orphaned files are swept by [[vacuum]]. */
+  /** Implicit write-gate checks from schema nullability (Delta's NOT NULL
+    * enforcement): one `IS NOT NULL` per non-nullable field, validated
+    * through the same gate CHECK constraints use but NEVER persisted to
+    * the manifest — nullability lives in the schema, the manifest's
+    * `constraints` stay user-declared CHECKs only. */
+  private def notNullChecks(
+      schema: Option[org.apache.spark.sql.types.StructType]): Map[String, String] =
+    schema.toSeq.flatMap(_.fields.filterNot(_.nullable).map(f =>
+      s"NOT NULL `${f.name}`" -> s"`${f.name}` IS NOT NULL")).toMap
+
   private def validateWritten(spark: SparkSession, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       constraints: Map[String, String]): Unit = {
@@ -1535,8 +1545,9 @@ final class VersionedTable(val root: String,
       // partitioned files don't store the partition columns, so a constraint
       // referencing one would see nulls in a file scan — validate the input
       // frame instead (same rows, pre-layout)
-      if (partitionBy.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), cs)
-      else validateFrame(df, cs)
+      val gate = cs ++ notNullChecks(Some(df.schema))
+      if (partitionBy.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), gate)
+      else validateFrame(df, gate)
       publish(files, df.schema.json, stats, txn, base, cs,
         partitionBy = partitionBy, partitions = partVals, stampedIds = stamped,
         operation = Some("OVERWRITE"))
@@ -1562,8 +1573,9 @@ final class VersionedTable(val root: String,
         collectFileStats(df.sparkSession, commitId, files, partVals, partTypes)
       else Map.empty[String, Map[String, (String, String, String)]]
     val cs = base.map(constraintsOf).getOrElse(Map.empty)
-    if (partitionBy.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), cs)
-    else validateFrame(df, cs)
+    val gate = cs ++ notNullChecks(Some(df.schema))
+    if (partitionBy.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), gate)
+    else validateFrame(df, gate)
     publish(files, df.schema.json, stats, txn, base, cs,
       partitionBy = partitionBy, partitions = partVals, stampedIds = stamped,
       operation = Some("OVERWRITE"))
@@ -1633,13 +1645,19 @@ final class VersionedTable(val root: String,
         val missing = prior.fields.map(_.name).filterNot(dfByName.contains)
         require(missing.isEmpty,
           s"append batch is missing table column(s): ${missing.mkString(", ")}")
+        // evolution-added columns are forced nullable in the recorded
+        // union: every OLDER file reads them as null, so a non-nullable
+        // addition would be unsatisfiable by construction
         val added = df.schema.fields.filterNot(f => priorByName.contains(f.name))
+          .map(_.copy(nullable = true))
         val union = org.apache.spark.sql.types.StructType(prior.fields ++ added)
         val cs = constraintsOf(v)
         // only the incoming batch is scanned: carried-forward files already
-        // passed their own write-time gate (and addConstraint re-proved them)
-        if (tablePb.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), cs)
-        else validateFrame(df, cs)
+        // passed their own write-time gate (and addConstraint re-proved them);
+        // NOT NULL gates come from the TABLE's recorded nullability
+        val gate = cs ++ notNullChecks(Some(prior))
+        if (tablePb.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), gate)
+        else validateFrame(df, gate)
         // deletion vectors ride along unchanged: an append touches no
         // existing file, so no tombstone can be affected
         publish(filesOf(v) ++ files, union.json, statsOf(v) ++ stats, txn, Some(v), cs,
@@ -2057,7 +2075,7 @@ final class VersionedTable(val root: String,
                 else Map.empty[String, Map[String, (String, String, String)]]
     // only the incoming batch needs the constraint gate: kept rows already
     // passed their own write-time check
-    validateFrame(pinned, constraintsOf(v))
+    validateFrame(pinned, constraintsOf(v) ++ notNullChecks(Some(schema)))
     // append rebase exactly as delete: a concurrent pure append whose fresh
     // files hold no predicate-matching rows folds in (serial equivalence —
     // the replace would not have touched them); anything else raises
@@ -2123,7 +2141,7 @@ final class VersionedTable(val root: String,
         writeCdfFiles(deleted.withColumn("_change_type", lit("delete"))
           .unionByName(pinned.withColumn("_change_type", lit("insert"))))
       }
-    validateFrame(pinned, constraintsOf(v))
+    validateFrame(pinned, constraintsOf(v) ++ notNullChecks(Some(schema)))
     (publishRewrite(v, touched.toSet, newFiles, stats, schema.json,
       carryDvs(spark, dvs, untouched), newPartVals,
       cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdfFiles = cdfFiles,
@@ -2288,7 +2306,7 @@ final class VersionedTable(val root: String,
     val stats = if (newFiles.nonEmpty)
                   collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
                 else Map.empty[String, Map[String, (String, String, String)]]
-    val cs = constraintsOf(v)
+    val cs = constraintsOf(v) ++ notNullChecks(Some(schema))
     // SET expressions can push a row out of bounds: gate the rewritten files
     if (pb.isEmpty) validateWritten(spark, newFiles, Some(schema), cs)
     else validateFrame(rewritten, cs)
@@ -2406,7 +2424,7 @@ final class VersionedTable(val root: String,
     val newStats = if (newFiles.nonEmpty)
                      collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
                    else Map.empty[String, Map[String, (String, String, String)]]
-    val cs = constraintsOf(v)
+    val cs = constraintsOf(v) ++ notNullChecks(Some(schema))
     // inserted + updated rows land in the new files: gate exactly those
     if (pb.isEmpty) validateWritten(spark, newFiles, Some(schema), cs)
     else validateFrame(merged, cs)
@@ -2634,7 +2652,7 @@ final class VersionedTable(val root: String,
     val newStats = if (newFiles.nonEmpty)
                      collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
                    else Map.empty[String, Map[String, (String, String, String)]]
-    val cs = constraintsOf(v)
+    val cs = constraintsOf(v) ++ notNullChecks(Some(schema))
     if (pb.isEmpty) validateWritten(spark, newFiles, Some(schema), cs)
     else validateFrame(appendRows, cs)
     // no file is dropped (touched = empty set): carried stats stay sound —
@@ -3241,6 +3259,32 @@ final class VersionedTable(val root: String,
       partitions = partitionValuesOf(v), cdfKind = Some("none"),
       columnIdsOverride = Some(ids - oldName + (newName -> ids(oldName))),
       operation = Some("RENAME COLUMN"))
+  }
+
+  /** `ALTER TABLE ALTER COLUMN ... SET / DROP NOT NULL` (Delta parity).
+    * DROP NOT NULL is metadata-only: the field republishes nullable.
+    * SET NOT NULL first proves the LIVE rows (one null-count scan of the
+    * current snapshot, DVs applied) contain no null — the same
+    * validate-then-tighten contract [[addConstraint]] follows — then
+    * republishes the field non-nullable; every later write is gated by
+    * the implicit NOT NULL check. */
+  def setColumnNullability(spark: SparkSession, name: String,
+      nullable: Boolean): Long = {
+    val v = resolve()
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema"))
+    require(schema.fields.exists(_.name == name),
+      s"column $name does not exist in $root")
+    if (!nullable)
+      validateFrame(read(spark, versionAsOf = Some(v)),
+        Map(s"NOT NULL `$name`" -> s"`$name` IS NOT NULL"))
+    val updated = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(nullable = nullable) else f))
+    publish(filesOf(v), updated.json, statsOf(v), None, Some(v), constraintsOf(v),
+      dvs = dvsOf(v), partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v), cdfKind = Some("none"),
+      columnIdsOverride = Some(columnIdsOf(v)),
+      operation = Some(if (nullable) "DROP NOT NULL" else "SET NOT NULL"))
   }
 
   /** `ALTER TABLE DROP COLUMN` as a metadata-only commit: the column

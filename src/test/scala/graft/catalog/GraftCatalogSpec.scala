@@ -307,6 +307,31 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("ALTER COLUMN SET/DROP NOT NULL: validated tighten, metadata-only loosen") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, k STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, NULL)")
+    val vt = handle(t)
+    // SET NOT NULL goes through the maintenance verb (Spark's analyzer
+    // categorically refuses nullable->non-nullable in plain ALTER TABLE;
+    // the kernel proves null-freeness by scanning, Delta-extension shape).
+    // k holds a NULL: tightening must be refused with the data intact
+    intercept[Exception] { graft.table.TableSql.run(spark,
+      s"ALTER TABLE '${vt.root}' ALTER COLUMN k SET NOT NULL") }
+    assert(vt.schemaOf(vt.resolve()).exists(_("k").nullable))
+    // id is null-free: tighten, then a null insert must hit the write gate
+    graft.table.TableSql.run(spark,
+      s"ALTER TABLE '${vt.root}' ALTER COLUMN id SET NOT NULL")
+    assert(vt.schemaOf(vt.resolve()).exists(f => !f("id").nullable))
+    intercept[Exception] { spark.sql(s"INSERT INTO $t VALUES (NULL, 'c')") }
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 2)
+    // loosen: metadata-only, then the same insert lands
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN id DROP NOT NULL")
+    spark.sql(s"INSERT INTO $t VALUES (NULL, 'c')")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 3)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("ALTER TABLE RENAME/DROP COLUMN are metadata-only via column ids") {
     val t = s"graft.default.${fresh()}"
     spark.sql(s"CREATE TABLE $t (id BIGINT, amt DOUBLE, tag STRING)")

@@ -21,8 +21,9 @@ import java.util.concurrent.atomic.AtomicBoolean
   * verb, a fold that matches NO serial order — falsifies the property.
   * Verbs span every rebase classification: appends (fold), COW deletes /
   * updates (rewrites: partition-disjoint fold or raise), MOR deletes
-  * (pure DV addition: file-disjoint fold or raise), and partition-scoped
-  * compactions (row-preserving rewrites). The reference model is a plain
+  * (pure DV addition: file-disjoint fold or raise), partition-scoped
+  * compactions (row-preserving rewrites), and dynamic partition
+  * overwrites (partition-set rewrites). The reference model is a plain
   * row multiset; compaction is its identity. */
 object RebaseProps extends Properties("Rebase") with SparkSpec {
   import spark.implicits._
@@ -41,6 +42,7 @@ object RebaseProps extends Properties("Rebase") with SparkSpec {
   private case class MorDelete(lo: Long, hi: Long) extends Op
   private case class Update(lo: Long, hi: Long, delta: Double) extends Op
   private case class CompactPart(p: String) extends Op
+  private case class OverwritePart(p: String, id: Long) extends Op
 
   private val partGen = Gen.oneOf("a", "b")
   private val rangeGen: Gen[(Long, Long)] = for {
@@ -53,7 +55,9 @@ object RebaseProps extends Properties("Rebase") with SparkSpec {
     2 -> rangeGen.map { case (l, h) => MorDelete(l, h) },
     2 -> (for { (l, h) <- rangeGen; d <- Gen.chooseNum(1, 9) }
       yield Update(l, h, d.toDouble)),
-    1 -> partGen.map(CompactPart))
+    1 -> partGen.map(CompactPart),
+    1 -> (for { p <- partGen; id <- Gen.chooseNum(100L, 199L) }
+      yield OverwritePart(p, id)))
 
   /** The op's effect on the reference multiset (compaction = identity). */
   private def apply(ref: Seq[Row3], op: Op): Seq[Row3] = op match {
@@ -63,6 +67,8 @@ object RebaseProps extends Properties("Rebase") with SparkSpec {
     case Update(l, h, d) => ref.map(r =>
       if (r._1 >= l && r._1 <= h) (r._1, r._2, r._3 + d) else r)
     case CompactPart(_) => ref
+    case OverwritePart(p, id) =>
+      ref.filterNot(_._2 == p) :+ ((id, p, 999.0))
   }
 
   /** Run the op through the table API. */
@@ -73,6 +79,8 @@ object RebaseProps extends Properties("Rebase") with SparkSpec {
     case Update(l, h, d) => t.update(spark, s"id BETWEEN $l AND $h",
       Map("amt" -> s"amt + $d"))
     case CompactPart(p) => t.compactWhere(spark, s"k = '$p'")
+    case OverwritePart(p, id) =>
+      t.overwritePartitions(Seq((id, p, 999.0)).toDF("id", "k", "amt"))
   }
 
   private final class FireOnce(interlope: () => Unit) extends CommitStore {

@@ -939,6 +939,40 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("NOT NULL schema fields gate every write funnel; evolution adds stay nullable") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val strict = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("k", StringType, nullable = true)))
+    def df(rows: (java.lang.Long, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), strict)
+    val root = tmpDir("vt-nn-")
+    val t = VersionedTable(root)
+    // v0 records id as NOT NULL; later batches arrive as ordinary nullable
+    // frames (the realistic DDL-then-insert shape) and must hit OUR gate
+    t.commit(df((1L, "a"), (2L, null)))
+    // ... at APPEND (the table's recorded nullability gates, not the batch's)
+    intercept[ConstraintViolationException](
+      t.append(Seq((null: java.lang.Long, "y")).toDF("id", "k")))
+    t.append(Seq((3L, "c")).toDF("id", "k"))
+    // ... and at UPDATE (a SET writing null into a NOT NULL column)
+    intercept[ConstraintViolationException](
+      t.update(spark, "k = 'a'", Map("id" -> "CAST(NULL AS BIGINT)")))
+    assert(t.read(spark).count() === 3)
+    // the implicit gate is never persisted as a manifest constraint
+    assert(t.constraintsOf(t.resolve()).isEmpty)
+    // schema evolution: a column added by an append is recorded NULLABLE
+    // even if the batch declared it non-null (older files read it as null)
+    val withNew = StructType(strict.fields :+
+      StructField("extra", LongType, nullable = false))
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, "z", 7L)), 1), withNew)
+    t.append(batch)
+    assert(t.read(spark).schema("extra").nullable,
+      "evolution-added columns must be recorded nullable")
+  }
+
   test("in-commit timestamps are monotonic and survive manifest mtime churn") {
     val root = tmpDir("vt-ict-")
     val t = VersionedTable(root)
