@@ -554,8 +554,46 @@ object StreamingQueries {
         |      FROM events)
         |WHERE rn = 1""".stripMargin))
 
+  /** q115: STREAM-STATIC join — the enrichment shape every production
+    * stream runs (events joined to a slowly-changing dimension): the
+    * streaming side joins a BATCH customer dimension re-read per
+    * micro-batch, aggregated per market segment in complete mode. At scale
+    * the static side broadcasts (dimension ≪ stream) so each micro-batch
+    * pays one hashed lookup per event and the stream never shuffles on the
+    * join key; state is bounded by the segment cardinality, not the
+    * stream. */
+  val q115StreamStaticJoin: Q = Q(
+    "q115_stream_static_join",
+    (spark, dir) => {
+      val landing = java.nio.file.Files.createTempDirectory("graft-sst-").toString
+      val ev = Tables.table(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ev.write.mode("overwrite").parquet(landing)
+      val dim = Tables.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val stream = spark.readStream.schema(ev.schema).parquet(landing)
+        .filter(col("event_type") === "purchase")
+      val joined = stream
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_purchases"),
+          expr("CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE)").as("revenue"))
+      val qname = s"q115_sink_${System.nanoTime()}"
+      val q = joined.writeStream.outputMode("complete")
+        .format("memory").queryName(qname).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(qname).select("c_mktsegment", "n_purchases", "revenue")
+    },
+    Some(
+      """SELECT c_mktsegment, count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY c_mktsegment""".stripMargin))
+
   val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch,
     q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions, q75StreamCdcUpsert,
     q88StreamOuterJoin, q92StreamTws, q98TwsSessionTimers, q100StreamTableSource,
-    q102StreamTableSink, q105StreamCdcMor)
+    q102StreamTableSink, q105StreamCdcMor, q115StreamStaticJoin)
 }

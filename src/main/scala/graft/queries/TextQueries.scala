@@ -548,8 +548,52 @@ object TextQueries {
         |ORDER BY n_occurrences DESC, pair
         |LIMIT 20""".stripMargin)
 
+  /** t19: corpus-hot n-gram boilerplate signal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * sliding word 5-gram is HOT when it appears in ≥ 5 distinct documents;
+    * each document reports its gram census and the fraction of its grams
+    * that are corpus-hot — the ranking signal the excision pass keys on
+    * (d8 is the excision for exact passages; this is the detector for
+    * repeated spans ACROSS different surrounding text). Scale: one slim
+    * (doc_id, gram) stream — grams cut by per-row array slicing, no
+    * per-word corpus explode — one distinct-count shuffle for the hot set,
+    * and the hot set (boilerplate is rare by volume) joins back hash-wise;
+    * nothing quadratic, no driver state. */
+  val t19Boilerplate: Q = Q.dualSql("t19_boilerplate",
+    sparkSql =
+      """WITH grams AS (
+        |  SELECT doc_id, gram FROM (
+        |    SELECT doc_id, explode(transform(
+        |      sequence(1, size(split(text, ' ')) - 4),
+        |      i -> array_join(slice(split(text, ' '), i, 5), ' '))) AS gram
+        |    FROM documents
+        |    WHERE size(split(text, ' ')) >= 5) g),
+        |hot AS (
+        |  SELECT gram FROM grams GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 5)
+        |SELECT g.doc_id, count(*) AS n_grams, count(h.gram) AS n_hot,
+        |  round(CAST(count(h.gram) AS DOUBLE) / count(*), 6) AS boilerplate_frac
+        |FROM grams g LEFT JOIN hot h ON g.gram = h.gram
+        |GROUP BY g.doc_id""".stripMargin,
+    duckSql =
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 4 + 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS gram
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |hot AS (
+        |  SELECT gram FROM grams GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 5)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(h.gram) AS BIGINT) AS n_hot,
+        |  round(CAST(count(h.gram) AS DOUBLE) / count(*), 6) AS boilerplate_frac
+        |FROM grams g LEFT JOIN hot h ON g.gram = h.gram
+        |GROUP BY g.doc_id""".stripMargin)
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
     t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split,
-    t15UnigramLogprob, t16QualityClassifier, t17BigramLogprob, t18BpePairs)
+    t15UnigramLogprob, t16QualityClassifier, t17BigramLogprob, t18BpePairs,
+    t19Boilerplate)
 }
