@@ -53,7 +53,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * this capability Spark rejects the statement before the catalog sees
     * it. */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   override def defaultNamespace(): Array[String] = Array("default")
 
@@ -90,6 +91,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val t = VersionedTable(p.toString)
     new GraftTable(t, ident.toString,
       versionAsOf = Some(t.resolveAsOfTimestamp(timestamp / 1000L)))
+  }
+
+  /** The Column[]-based CREATE: detects `GENERATED ALWAYS AS IDENTITY`
+    * specs (the StructType overload cannot carry them), creates the table,
+    * then stamps the identity declaration into the manifest — after which
+    * the INSERT path allocates ids through [[VersionedTable.appendIdentity]]
+    * and explicit writes of the column refuse. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val idCols = columns.filter(_.identityColumnSpec() != null)
+    require(idCols.length <= 1,
+      s"graft tables support at most one identity column, got ${idCols.map(_.name).mkString(", ")}")
+    idCols.foreach { c =>
+      val s = c.identityColumnSpec()
+      require(s.getStart == 1 && s.getStep == 1,
+        "graft identity columns support START WITH 1 INCREMENT BY 1 only")
+      require(!s.isAllowExplicitInsert,
+        "GENERATED BY DEFAULT is not supported — use GENERATED ALWAYS AS IDENTITY")
+    }
+    // CatalogV2Util.v2ColumnsToStructType is private[sql]; the mapping is
+    // mechanical (identity/default specs are handled above, not in the
+    // schema)
+    val schema = StructType(columns.map { c =>
+      val f = org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
+      Option(c.comment).map(f.withComment).getOrElse(f)
+    })
+    val created = createTable(ident, schema, partitions, properties)
+    idCols.foreach { c =>
+      VersionedTable(tablePath(ident).toString)
+        .enableIdentity(SparkSession.active, c.name())
+    }
+    created
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -182,7 +182,27 @@ final class GraftWriteBuilder(t: VersionedTable) extends WriteBuilder
           case Some(cond) => t.replaceWhere(data, cond)
           case None =>
             if (overwrite) t.commit(data, partitionBy = pb)
-            else if (t.latestVersion().isDefined) t.append(data)
+            else if (t.latestVersion().isDefined) {
+              t.identityOf(t.resolve()) match {
+                case Some((idCol, _)) =>
+                  // GENERATED ALWAYS: the engine allocates. Spark's insert
+                  // resolution may pad the omitted column with NULLs — an
+                  // all-null identity column counts as omitted; any
+                  // explicit value refuses.
+                  val actual = data.columns.find(_.equalsIgnoreCase(idCol))
+                  actual match {
+                    case None => t.appendIdentity(data.sparkSession, data)
+                    case Some(n) =>
+                      require(data.filter(
+                          org.apache.spark.sql.functions.col(n).isNotNull).isEmpty,
+                        s"$idCol is GENERATED ALWAYS AS IDENTITY on ${t.root} " +
+                          "and cannot be written explicitly — omit it (or insert NULL)")
+                      t.appendIdentity(data.sparkSession, data.drop(n))
+                  }
+                  ()
+                case None => t.append(data); ()
+              }
+            }
             else t.commit(data, partitionBy = pb)
         }
         ()

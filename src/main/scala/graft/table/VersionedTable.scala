@@ -264,6 +264,19 @@ final class VersionedTable(val root: String,
     statsZoneOf(resolve(relativeVersion, versionAsOf))
       .getOrElse(spark.sessionState.conf.sessionLocalTimeZone)
 
+  /** The identity column and its allocation high water, if this version's
+    * manifest declares one ([[enableIdentity]]): every id ever handed out
+    * is ≤ highWater, and [[appendIdentity]] allocates strictly above it.
+    * Carried forward by every publish, so rewrites, restores, and time
+    * travel never re-open an allocated range (Delta's identity contract:
+    * unique and increasing, gaps allowed). */
+  def identityOf(v: Long): Option[(String, Long)] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (!node.has("identity")) None
+    else Some((node.get("identity").get("col").asText(),
+      node.get("identity").get("highWater").asLong()))
+  }
+
   /** CHECK constraints recorded in a version's manifest: name → SQL
     * expression every row of the table must satisfy (see [[addConstraint]]).
     * Constraints are version-pinned metadata like the schema — RESTORE rolls
@@ -1251,7 +1264,8 @@ final class VersionedTable(val root: String,
       columnIdsOverride: Option[Map[String, Long]] = None,
       maxColumnIdFloor: Long = 0L,
       stampedIds: Option[Map[String, Long]] = None,
-      operation: Option[String] = None): Long = {
+      operation: Option[String] = None,
+      identity: Option[(String, Long)] = None): Long = {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1L).getOrElse(0L)
     val json = mapper.createObjectNode()
@@ -1325,6 +1339,17 @@ final class VersionedTable(val root: String,
         Seq(baseMax, maxColumnIdFloor, colIds.values.maxOption.getOrElse(0L)).max)
     }
     txn.foreach { case (app, v) => json.put("txnApp", app); json.put("txnVersion", v) }
+    // identity declaration + high water: explicit from an allocating
+    // append, else carried from the base so NO commit path can lower or
+    // lose the watermark (monotonic by construction — the max below guards
+    // a rebased append racing another allocator)
+    identity.orElse(base.flatMap(identityOf)).foreach { case (c, hw) =>
+      val floor = base.flatMap(identityOf).collect { case (bc, bhw) if bc == c => bhw }
+        .getOrElse(0L)
+      val idn = json.putObject("identity")
+      idn.put("col", c)
+      idn.put("highWater", math.max(hw, floor))
+    }
     cdfKind.foreach(k => json.put("cdfKind", k))
     if (cdf.nonEmpty) {
       val cdfArr = json.putArray("cdf")
@@ -3259,6 +3284,87 @@ final class VersionedTable(val root: String,
       partitions = partitionValuesOf(v), cdfKind = Some("none"),
       columnIdsOverride = Some(ids - oldName + (newName -> ids(oldName))),
       operation = Some("RENAME COLUMN"))
+  }
+
+  /** Declare `colName` (BIGINT) as the table's GENERATED ALWAYS AS
+    * IDENTITY column (Delta parity): a metadata commit recording the
+    * current max of the column as the allocation high water (one
+    * column-pruned scan; 0 on an empty or all-null column). Every
+    * subsequent [[appendIdentity]] allocates strictly above the water;
+    * explicit writes of the column are refused there. */
+  def enableIdentity(spark: SparkSession, colName: String): Long = {
+    val v = resolve()
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema"))
+    val field = schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"column $colName does not exist in $root"))
+    require(field.dataType == org.apache.spark.sql.types.LongType,
+      s"identity column $colName must be BIGINT, got ${field.dataType.simpleString}")
+    val hw: Long = Option(read(spark, versionAsOf = Some(v))
+        .agg(org.apache.spark.sql.functions.max(col(colName))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    publish(filesOf(v), schema.json, statsOf(v), None, Some(v), constraintsOf(v),
+      dvs = dvsOf(v), partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v), cdfKind = Some("none"),
+      columnIdsOverride = Some(columnIdsOf(v)),
+      operation = Some("SET IDENTITY"), identity = Some((colName, hw)))
+  }
+
+  /** Append with server-side identity allocation: the batch must NOT carry
+    * the identity column (GENERATED ALWAYS semantics); ids are assigned as
+    * per-partition contiguous ranges starting at highWater+1 (one count
+    * pass + one zip pass — the distributed allocation, no global sort) and
+    * the commit records the new water IN THE SAME manifest, so the
+    * allocation and its publication are atomic. A racing allocator makes
+    * the pinned publish raise; this funnel then re-resolves, re-assigns
+    * above the NEW water, and retries — two concurrent appendIdentity
+    * calls can never hand out the same id (the spec races them
+    * deterministically). Returns (version, firstId, lastId). */
+  def appendIdentity(spark: SparkSession, df: DataFrame,
+      maxRetries: Int = 10): (Long, Long, Long) = {
+    import org.apache.spark.sql.types.StructType
+    var attempts = 0
+    while (true) {
+      val v = resolve()
+      val (cName, hw) = identityOf(v).getOrElse(throw new IllegalStateException(
+        s"$root has no identity column — call enableIdentity first"))
+      val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+        s"version $v of $root has no recorded schema"))
+      require(!df.columns.exists(_.equalsIgnoreCase(cName)),
+        s"$cName is GENERATED ALWAYS AS IDENTITY on $root and cannot be " +
+          "written explicitly — omit it from the batch")
+      val others = schema.fields.filterNot(_.name == cName)
+      val pinned = df.select(others.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      val idField = schema.fields.find(_.name == cName).get
+      val rdd = pinned.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hw + 1 + i)) }
+      val withId = spark.createDataFrame(rdd, StructType(others :+ idField))
+        .select(schema.fields.map(f => col(f.name)).toSeq: _*)
+      val n = pinned.count()
+      val pb = partitionByOf(v)
+      val (commitId, files, partVals, stamped) = writeDataFiles(withId, None, Nil, pb)
+      val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+      val stats = if (files.nonEmpty)
+        collectFileStats(spark, commitId, files, partVals, partTypes)
+      else Map.empty[String, Map[String, (String, String, String)]]
+      val gate = constraintsOf(v) ++ notNullChecks(Some(schema))
+      if (pb.isEmpty) validateWritten(spark, files, Some(schema), gate)
+      else validateFrame(withId, gate)
+      try {
+        return (publish(filesOf(v) ++ files, schema.json, statsOf(v) ++ stats,
+          None, Some(v), constraintsOf(v), dvs = dvsOf(v), partitionBy = pb,
+          partitions = partitionValuesOf(v) ++ partVals, cdfKind = Some("append"),
+          stampedIds = stamped, operation = Some("APPEND"),
+          identity = Some((cName, hw + n))), hw + 1, hw + n)
+      } catch { case e: ConcurrentCommitException =>
+        // a racing commit may have raised the water: re-resolve and
+        // re-assign — the already-written files are orphans for vacuum
+        attempts += 1
+        if (attempts > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** `ALTER TABLE ALTER COLUMN ... SET / DROP NOT NULL` (Delta parity).

@@ -332,6 +332,22 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("GENERATED ALWAYS AS IDENTITY through SQL DDL allocates at the commit point") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT GENERATED ALWAYS AS IDENTITY, k STRING)")
+    val vt = handle(t)
+    assert(vt.identityOf(vt.resolve()).contains(("id", 0L)))
+    spark.sql(s"INSERT INTO $t (k) VALUES ('a'), ('b')")
+    spark.sql(s"INSERT INTO $t (k) VALUES ('c')")
+    assert(spark.sql(s"SELECT id, k FROM $t ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // explicit values refuse (ALWAYS, not BY DEFAULT)
+    intercept[Exception] { spark.sql(s"INSERT INTO $t VALUES (99, 'x')") }
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 3)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("ALTER TABLE RENAME/DROP COLUMN are metadata-only via column ids") {
     val t = s"graft.default.${fresh()}"
     spark.sql(s"CREATE TABLE $t (id BIGINT, amt DOUBLE, tag STRING)")
