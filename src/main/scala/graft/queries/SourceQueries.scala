@@ -1131,6 +1131,36 @@ object SourceQueries {
         |  'X' AS o_orderstatus
         |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin))
 
+  /** q116: COPY INTO — idempotent scheduled ingestion (the reference's
+    * whole operating model is retried DAG jobs, scd2-job-scheduler.yaml):
+    * a first copy ingests the landing directory, an identical RE-RUN
+    * ingests zero files (asserted in-query — the memory commits atomically
+    * with the rows, so a crash-retry can never double-load), and a newly
+    * landed file ingests alone. Final state hash-matches the plain UNION
+    * oracle. */
+  val q116CopyInto: Q = Q(
+    "q116_copy_into",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ci-").toString
+      spark.sql("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0")
+        .coalesce(2).write.parquet(s"$tmp/src")
+      val t = graft.table.VersionedTable(s"$tmp/t")
+      t.commit(spark.sql("SELECT o_orderkey, o_totalprice FROM orders LIMIT 0"))
+      val (_, n1) = t.copyInto(spark, s"$tmp/src")
+      require(n1 > 0, "first copy must ingest the landing files")
+      val (_, n2) = t.copyInto(spark, s"$tmp/src")
+      require(n2 == 0, s"identical re-run must ingest nothing, got $n2")
+      // a new batch lands; only it ingests
+      spark.sql("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+      val (_, n3) = t.copyInto(spark, s"$tmp/src")
+      require(n3 == 1, s"only the newly landed file may ingest, got $n3")
+      t.read(spark).select("o_orderkey", "o_totalprice")
+    },
+    Some(
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <= 1"""))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1139,5 +1169,5 @@ object SourceQueries {
     q101TableRelationSql, q103MorMerge, q104ShallowClone, q106SqlMerge,
     q107ReplaceWhere, q108MergeEvolution, q109BloomMerge, q110ColumnRename,
     q111TemporalDelete, q112SymlinkManifest, q113ConvertInPlace,
-    q114DynamicOverwrite)
+    q114DynamicOverwrite, q116CopyInto)
 }

@@ -55,6 +55,8 @@ object TableSql {
   // (it scans), so SET NOT NULL gets a maintenance spelling here, exactly
   // as Delta ships it via its own SQL extension. DROP NOT NULL works
   // through plain ALTER TABLE and needs no verb.
+  private val CopyInto =
+    s"""(?is)\\s*COPY\\s+INTO\\s+$P\\s+FROM\\s+$P(?:\\s+FILEFORMAT\\s*=\\s*([A-Za-z]+))?\\s*""".r
   private val SetNotNull =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+ALTER\\s+COLUMN\\s+`?([A-Za-z0-9_]+)`?\\s+SET\\s+NOT\\s+NULL\\s*""".r
 
@@ -133,6 +135,12 @@ object TableSql {
       val t = VersionedTable(path)
       t.writeSymlinkManifest()
       status(spark, "GENERATE", path, t.resolve())
+    case CopyInto(p, src, fmt) =>
+      val path = unq(p)
+      import spark.implicits._
+      val (ver, n) = VersionedTable(path).copyInto(spark, unq(src),
+        Option(fmt).map(_.toLowerCase).getOrElse("parquet"))
+      Seq(("COPY INTO", path, ver, n)).toDF("operation", "path", "version", "files_ingested")
     case SetNotNull(p, colName) =>
       val path = unq(p)
       status(spark, "SET NOT NULL", path,

@@ -853,7 +853,22 @@ final class VersionedTable(val root: String,
         stats.getOrElse(f, Map.empty).map { case (c, (mn, mx, k)) => c -> Seq(mn, mx, k) }) } ++
       dvsOf(v).map(f => (f, "dv", Map.empty[String, String], Map.empty[String, Seq[String]])) ++
       cdfFilesOf(v).map(f => (f, "cdf", Map.empty[String, String], Map.empty[String, Seq[String]]))
+    // accumulated COPY INTO memory rides in the checkpoint parquet as
+    // kind='ingest' rows (the set can be millions of ids at 100 TB —
+    // distributed parquet, never a driver JSON): previous checkpoint's
+    // rows ∪ the tail manifests' ingest fields ∪ the vacuum sidecar
+    val tailIngest = versions().filter(x => x > floor && x <= v)
+      .flatMap(ingestOf) ++ sidecarIngest()
+    val prevIngest = prev.map(p =>
+        spark.read.parquet(ckptDataDir(p._1).toString)
+          .filter(col("kind") === "ingest").select(col("path")))
+      .getOrElse(spark.emptyDataset[String].toDF("path"))
+    val ingestRows = prevIngest.union(tailIngest.toDF("path")).distinct()
+      .select(col("path"), org.apache.spark.sql.functions.lit("ingest").as("kind"),
+        org.apache.spark.sql.functions.typedLit(Map.empty[String, String]).as("partitions"),
+        org.apache.spark.sql.functions.typedLit(Map.empty[String, Seq[String]]).as("stats"))
     rows.toDF("path", "kind", "partitions", "stats")
+      .unionByName(ingestRows)
       .repartition(1).write.mode("overwrite").parquet(ckptDataDir(v).toString)
     val json = mapper.createObjectNode()
     json.put("version", v)
@@ -1265,7 +1280,8 @@ final class VersionedTable(val root: String,
       maxColumnIdFloor: Long = 0L,
       stampedIds: Option[Map[String, Long]] = None,
       operation: Option[String] = None,
-      identity: Option[(String, Long)] = None): Long = {
+      identity: Option[(String, Long)] = None,
+      ingest: Seq[String] = Nil): Long = {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1L).getOrElse(0L)
     val json = mapper.createObjectNode()
@@ -1351,6 +1367,12 @@ final class VersionedTable(val root: String,
       idn.put("highWater", math.max(hw, floor))
     }
     cdfKind.foreach(k => json.put("cdfKind", k))
+    // source-file identities COPY INTO ingested in THIS commit — the same
+    // manifest that adds their rows, so ingestion memory and data are atomic
+    if (ingest.nonEmpty) {
+      val iArr = json.putArray("ingest")
+      ingest.sorted.foreach(iArr.add)
+    }
     if (cdf.nonEmpty) {
       val cdfArr = json.putArray("cdf")
       cdf.sorted.foreach(cdfArr.add)
@@ -3367,6 +3389,145 @@ final class VersionedTable(val root: String,
     throw new IllegalStateException("unreachable")
   }
 
+  /** Source-file identities version `v`'s commit ingested (COPY INTO). */
+  def ingestOf(v: Long): Seq[String] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    if (!node.has("ingest")) Seq.empty
+    else node.get("ingest").elements().asScala.map(_.asText()).toSeq
+  }
+
+  private def ingestSidecarPath(v: Long): Path =
+    logDir.resolve(f"_ingest-v$v%08d.json")
+  private def ingestSidecarVersions(): Seq[Long] =
+    listNames(logDir)
+      .collect { case s if s.matches("_ingest-v\\d{8}\\.json") =>
+        s.substring(9, 17).toLong }
+      .sorted
+  private def sidecarIngest(): Set[String] =
+    ingestSidecarVersions().lastOption.map { v =>
+      mapper.readTree(Files.readAllBytes(ingestSidecarPath(v)))
+        .elements().asScala.map(_.asText()).toSet
+    }.getOrElse(Set.empty)
+
+  /** Fold ingest ids of about-to-drop manifests into the CAS-versioned
+    * ingest sidecar (same protocol as the txn sidecar): only needed when a
+    * vacuum drops manifests NEWER than the latest checkpoint, since a
+    * checkpoint already accumulates everything at or below it. */
+  private def mergeSidecarIngest(ids: Set[String]): Unit = {
+    while (true) {
+      val cur = ingestSidecarVersions().lastOption
+      val base = sidecarIngest()
+      val merged = base ++ ids
+      if (merged == base) return
+      val arr = mapper.createArrayNode()
+      merged.toSeq.sorted.foreach(arr.add)
+      val next = cur.map(_ + 1L).getOrElse(0L)
+      if (store.putIfAbsent(ingestSidecarPath(next),
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(arr))) {
+        ingestSidecarVersions().dropRight(3)
+          .foreach(v => Files.deleteIfExists(ingestSidecarPath(v)))
+        return
+      }
+    }
+  }
+
+  /** Every source-file identity ever ingested, as a one-column DataFrame
+    * (`ingest_id`) — the anti-join side of [[copyInto]]. Composition
+    * mirrors [[lastTxn]]: the latest checkpoint's accumulated `ingest`
+    * rows (distributed parquet, the floor that bounds manifest walking),
+    * the post-floor manifests' `ingest` fields, and the vacuum sidecar.
+    * At 100 TB the set is millions of ids living in checkpoint parquet —
+    * it is never collected; candidates anti-join against it and only the
+    * (batch-sized) FRESH list reaches the driver. */
+  private def ingestedFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val floorCkpt = checkpointVersions().lastOption
+    val floor = floorCkpt.getOrElse(-1L)
+    val tail = versions().filter(_ > floor).flatMap(ingestOf) ++ sidecarIngest()
+    val tailDf = tail.toDF("ingest_id")
+    floorCkpt match {
+      case Some(cv) =>
+        spark.read.parquet(ckptDataDir(cv).toString)
+          .filter(col("kind") === "ingest").select(col("path").as("ingest_id"))
+          .union(tailDf)
+      case None => tailDf
+    }
+  }
+
+  /** COPY INTO (Delta/Databricks shape): idempotent, restartable file
+    * ingestion — load every file under `srcDir` whose identity
+    * (relative name + size + mtime) has NOT been ingested before, as ONE
+    * append whose manifest records those identities; re-running after any
+    * crash or scheduler retry ingests nothing twice because the memory and
+    * the rows commit atomically. A concurrently racing COPY INTO of the
+    * same directory makes the pinned publish raise; the funnel re-resolves,
+    * re-filters against the winner's freshly recorded identities, and
+    * retries — the reference's scheduled-ingestion idiom
+    * (`scd2-job-scheduler.yaml` re-runs jobs on a DAG with retries) made
+    * exactly-once. A MODIFIED file (same name, new size/mtime) is a new
+    * identity and re-ingests. Returns (version, filesIngested). */
+  def copyInto(spark: SparkSession, srcDir: String,
+      format: String = "parquet", maxRetries: Int = 10): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val srcRoot = Paths.get(srcDir).toAbsolutePath
+    require(Files.isDirectory(srcRoot), s"COPY INTO source $srcDir is not a directory")
+    var attempts = 0
+    while (true) {
+      val v = resolve()
+      val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+        s"version $v of $root has no recorded schema — COPY INTO needs one"))
+      val stream = Files.walk(srcRoot)
+      val candidates =
+        try stream.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+        }.map { p =>
+          val rel = srcRoot.relativize(p).toString
+          (s"$rel:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}",
+            p.toString)
+        }.toSeq.sortBy(_._1)
+        finally stream.close()
+      if (candidates.isEmpty) return (v, 0L)
+      import spark.implicits._
+      val fresh = candidates.toDF("ingest_id", "src")
+        .join(ingestedFrame(spark), Seq("ingest_id"), "left_anti")
+        .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+      if (fresh.isEmpty) return (v, 0L)
+      // type-pin to the table schema by name — a source missing a table
+      // column fails here, extra source columns are dropped. The recorded
+      // schema's field-id metadata must NOT reach the source read: external
+      // files carry no graft ids and the parquet reader would demand them.
+      val readSchema = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(VersionedTable.FieldIdKey).build())))
+      val batch = spark.read.format(format).schema(readSchema)
+        .load(fresh.map(_._2): _*)
+        .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      val pb = partitionByOf(v)
+      val (commitId, files, partVals, stamped) = writeDataFiles(batch, None, Nil, pb)
+      val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+      val stats = if (files.nonEmpty)
+        collectFileStats(spark, commitId, files, partVals, partTypes)
+      else Map.empty[String, Map[String, (String, String, String)]]
+      val gate = constraintsOf(v) ++ notNullChecks(Some(schema))
+      if (pb.isEmpty) validateWritten(spark, files, Some(schema), gate)
+      else validateFrame(batch, gate)
+      try {
+        return (publish(filesOf(v) ++ files, schema.json, statsOf(v) ++ stats,
+          None, Some(v), constraintsOf(v), dvs = dvsOf(v), partitionBy = pb,
+          partitions = partitionValuesOf(v) ++ partVals, cdfKind = Some("append"),
+          stampedIds = stamped, operation = Some("COPY INTO"),
+          ingest = fresh.map(_._1).toSeq), fresh.length.toLong)
+      } catch { case e: ConcurrentCommitException =>
+        // a racing COPY INTO may have ingested part of this batch: re-filter
+        // against the new head (orphaned files go to vacuum)
+        attempts += 1
+        if (attempts > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** `ALTER TABLE ALTER COLUMN ... SET / DROP NOT NULL` (Delta parity).
     * DROP NOT NULL is metadata-only: the field republishes nullable.
     * SET NOT NULL first proves the LIVE rows (one null-count scan of the
@@ -3591,6 +3752,18 @@ final class VersionedTable(val root: String,
     }
     if (droppedTxns.nonEmpty)
       mergeSidecarTxns(droppedTxns.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap)
+    // COPY INTO memory: ingest ids recorded only in manifests ABOVE the
+    // latest checkpoint would be forgotten by dropping them — fold those
+    // into the ingest sidecar first (ids at or below a checkpoint are
+    // already accumulated in its parquet)
+    val ckptFloor = checkpointVersions().lastOption.getOrElse(-1L)
+    val droppedIngest = dropped.filter(_ > ckptFloor)
+      .flatMap(v => tryManifest(v).toSeq.flatMap { node =>
+        if (node.has("ingest"))
+          node.get("ingest").elements().asScala.map(_.asText()).toSeq
+        else Seq.empty
+      }).toSet
+    if (droppedIngest.nonEmpty) mergeSidecarIngest(droppedIngest)
     // data files AND deletion-vector files referenced by any retained
     // manifest stay; everything else the dropped manifests reference goes
     val keep = retained.flatMap(v => tryManifest(v).toSeq.flatMap(refsOf)).toSet
