@@ -205,6 +205,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               .latestVersion().exists(v => t.constraintsOf(v).contains(drop.name)))
           ()
         else { t.dropConstraint(drop.name); () }
+      case ty: TableChange.UpdateColumnType =>
+        require(ty.fieldNames.length == 1,
+          s"graft tables support top-level type changes only, got " +
+            ty.fieldNames.mkString("."))
+        // metadata-only lossless widening (kernel refuses anything else)
+        t.alterColumnType(ty.fieldNames.head, ty.newDataType)
+        ()
       case nul: TableChange.UpdateColumnNullability =>
         require(nul.fieldNames.length == 1,
           s"graft tables support top-level nullability changes only, got " +

@@ -3528,6 +3528,51 @@ final class VersionedTable(val root: String,
     throw new IllegalStateException("unreachable")
   }
 
+  /** `ALTER TABLE ALTER COLUMN ... TYPE <wider>` as a METADATA-ONLY commit
+    * (Delta's type-widening feature): the recorded schema changes, no file
+    * rewrites — Spark 4's parquet reader materializes the stored narrower
+    * physical type into the wider read schema (TypeWideningSpec proves each
+    * transition against real files). Only provably lossless widenings are
+    * accepted: byte→short→int→long, float→double, int→double, and
+    * decimal precision growth at equal scale. Stats survive: numeric
+    * min/max strings compare identically under the wider type. Anything
+    * else (narrowing, string↔numeric, scale changes) refuses — that is a
+    * rewrite, not an ALTER. */
+  def alterColumnType(name: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    val v = resolve()
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema"))
+    val field = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column $name does not exist in $root"))
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision >= a.precision
+      case _ => false
+    }
+    require(widens(field.dataType, newType),
+      s"ALTER COLUMN $name TYPE ${newType.simpleString}: only lossless " +
+        s"widenings are metadata-only (from ${field.dataType.simpleString}); " +
+        "anything else needs a rewrite")
+    require(!partitionByOf(v).contains(name),
+      s"cannot change the type of partition column $name")
+    constraintReferencing(v, name).foreach(n => throw new IllegalArgumentException(
+      s"cannot retype $name: CHECK constraint $n references it — drop it first"))
+    val updated = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = newType) else f))
+    publish(filesOf(v), updated.json, statsOf(v), None, Some(v), constraintsOf(v),
+      dvs = dvsOf(v), partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v), cdfKind = Some("none"),
+      columnIdsOverride = Some(columnIdsOf(v)),
+      operation = Some("ALTER COLUMN TYPE"))
+  }
+
   /** `ALTER TABLE ALTER COLUMN ... SET / DROP NOT NULL` (Delta parity).
     * DROP NOT NULL is metadata-only: the field republishes nullable.
     * SET NOT NULL first proves the LIVE rows (one null-count scan of the

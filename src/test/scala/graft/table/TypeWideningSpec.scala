@@ -1,0 +1,78 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-only type widening ([[VersionedTable.alterColumnType]], Delta's
+  * type-widening feature): the recorded schema widens, zero files rewrite,
+  * and Spark's parquet reader materializes the stored narrower physical
+  * type into the wider read schema — each transition proven against real
+  * files written BEFORE the widen. */
+class TypeWideningSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("int->long widens metadata-only; old files read wide; appends mix") {
+    val root = tmpDir("tw-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1, "a"), (2, "b")).toDF("n", "k"))
+    val filesBefore = t.history(spark).filter("version = 0")
+      .head.getAs[Int]("n_files")
+    t.alterColumnType("n", LongType)
+    assert(t.schemaOf(t.resolve()).exists(_("n").dataType == LongType))
+    // no rewrite happened: the widen commit carries the SAME file count
+    assert(t.history(spark).filter("version = 1").head.getAs[Int]("n_files")
+      === filesBefore)
+    // old narrow files read through the wide schema
+    assert(t.read(spark).select("n").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // post-widen appends land wide and mix with pre-widen files
+    t.append(Seq((3L, "c")).toDF("n", "k"))
+    assert(t.read(spark).select("n").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    // rewrites over mixed narrow/wide files work too
+    t.delete(spark, "n = 2")
+    assert(t.read(spark).select("n").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("float->double and decimal precision growth widen; stats keep pruning") {
+    val root = tmpDir("tw-fd-")
+    val t = VersionedTable(root)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1.5f, new java.math.BigDecimal("12.34")),
+        org.apache.spark.sql.Row(2.5f, new java.math.BigDecimal("5.00"))), 1),
+      StructType(Seq(StructField("f", FloatType), StructField("d", DecimalType(10, 2)))))
+    t.commit(df)
+    t.alterColumnType("f", DoubleType)
+    t.alterColumnType("d", DecimalType(16, 2))
+    val rows = t.read(spark).collect()
+    assert(rows.map(_.getDouble(0)).sorted.toSeq === Seq(1.5, 2.5))
+    assert(rows.map(_.getDecimal(1).toPlainString).sorted.toSeq ===
+      Seq("12.34", "5.00"))
+  }
+
+  test("narrowing and lossy changes refuse") {
+    val root = tmpDir("tw-no-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a", 1.0)).toDF("n", "k", "x"))
+    intercept[IllegalArgumentException](t.alterColumnType("n", IntegerType))
+    intercept[IllegalArgumentException](t.alterColumnType("k", LongType))
+    intercept[IllegalArgumentException](t.alterColumnType("x", FloatType))
+    intercept[IllegalArgumentException](t.alterColumnType("nope", LongType))
+  }
+
+  test("SQL DDL: ALTER TABLE ... ALTER COLUMN ... TYPE BIGINT via the catalog") {
+    val name = s"tw${System.nanoTime()}"
+    val tbl = s"graft.default.$name"
+    spark.sql(s"CREATE TABLE $tbl (n INT, k STRING)")
+    spark.sql(s"INSERT INTO $tbl VALUES (7, 'a')")
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN n TYPE BIGINT")
+    val got = spark.sql(s"SELECT n FROM $tbl").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(7L))
+    // a lossy request surfaces the kernel's refusal
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN n TYPE INT")
+    }
+    spark.sql(s"DROP TABLE $tbl")
+  }
+}
