@@ -1161,6 +1161,30 @@ object SourceQueries {
     Some(
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <= 1"""))
 
+  /** q117: GENERATED PARTITION COLUMN — the table is partitioned by
+    * `day = CAST(ts AS DATE)`, declared once and computed by the engine
+    * (the batch never supplies it); the manifest partition index prunes a
+    * single-day read to a strict file subset (asserted in-query). The
+    * time-partitioned ingest layout every event lake uses, with the
+    * partition column provably consistent with its source. */
+  val q117GeneratedPartition: Q = Q(
+    "q117_generated_partition",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-gen-").toString
+      val t = graft.table.VersionedTable(s"$tmp/t")
+      t.commit(spark.sql("SELECT event_id, ts, value FROM events"),
+        partitionBy = Seq("day"),
+        generatedColumns = Map("day" -> "CAST(ts AS DATE)"))
+      val d = spark.sql("SELECT CAST(min(ts) AS DATE) FROM events").head.getDate(0)
+      val (_, kept, total) = t.readPartitioned(spark, s"day = DATE'$d'")
+      require(kept < total,
+        s"a one-day read must prune the partition index ($kept/$total)")
+      t.read(spark).select("event_id", "ts", "value", "day")
+    },
+    Some(
+      """SELECT event_id, ts, value, CAST(ts AS DATE) AS day FROM events"""))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1169,5 +1193,5 @@ object SourceQueries {
     q101TableRelationSql, q103MorMerge, q104ShallowClone, q106SqlMerge,
     q107ReplaceWhere, q108MergeEvolution, q109BloomMerge, q110ColumnRename,
     q111TemporalDelete, q112SymlinkManifest, q113ConvertInPlace,
-    q114DynamicOverwrite, q116CopyInto)
+    q114DynamicOverwrite, q116CopyInto, q117GeneratedPartition)
 }

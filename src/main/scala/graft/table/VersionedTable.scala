@@ -1572,17 +1572,84 @@ final class VersionedTable(val root: String,
     * by optimistic retry: the data files are already immutable on disk, so a
     * collision only re-targets the manifest at the new head (last-writer-wins,
     * as a blind overwrite means). */
+  /** Columns whose generation expressions are recorded in `schema`'s field
+    * metadata ([[VersionedTable.GenerationExprKey]]) — Delta's generated
+    * columns, stored the same way (in-schema metadata rides every publish
+    * with zero extra plumbing). */
+  private def generatedExprsOf(
+      schema: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+    schema.fields.toSeq.flatMap(f =>
+      if (f.metadata.contains(VersionedTable.GenerationExprKey))
+        Some(f.name -> f.metadata.getString(VersionedTable.GenerationExprKey))
+      else None)
+
+  /** (Re)compute every generated column of `schema` on the incoming batch:
+    * a batch may omit them (the normal shape), and a supplied value is
+    * OVERWRITTEN by the expression — stronger than validate-and-refuse,
+    * and what makes partition values provably consistent with their source
+    * columns. */
+  private def applyGenerated(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    generatedExprsOf(schema).foldLeft(df) { case (d, (n, g)) =>
+      d.withColumn(n, org.apache.spark.sql.functions.expr(g))
+    }
+
+  /** Refuse write targets that would DESYNCHRONIZE a generated column: the
+    * generated column itself (it is ALWAYS computed, never written), or
+    * any column its expression references (an in-place SET would leave the
+    * stored generated value stale — and for partition columns, rows
+    * stranded in the wrong partition). Delta enforces the same rule. */
+  private def requireNoGeneratedDesync(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      targets: Seq[String], what: String): Unit = {
+    val gens = generatedExprsOf(schema)
+    if (gens.isEmpty || targets.isEmpty) return
+    val genCols = gens.map(_._1).toSet
+    val sources: Map[String, Seq[String]] = gens.map { case (n, g) =>
+      n -> spark.sessionState.sqlParser.parseExpression(g).collect {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          ua.nameParts.last
+      }
+    }.toMap
+    targets.foreach { c =>
+      require(!genCols.contains(c),
+        s"$what cannot write $c: it is a GENERATED column of $root " +
+          "(always computed from its expression)")
+      sources.collectFirst { case (n, ss) if ss.exists(_.equalsIgnoreCase(c)) => n }
+        .foreach(n => throw new IllegalArgumentException(
+          s"$what on $c would desynchronize generated column $n of $root " +
+            "(its expression reads the column); rewrite the rows through " +
+            "overwritePartitions/replaceWhere instead"))
+    }
+  }
+
   def commit(df: DataFrame, numPartitions: Option[Int] = None,
              sortBy: Seq[String] = Nil, collectStats: Boolean = true,
              txn: Option[(String, Long)] = None,
-             partitionBy: Seq[String] = Nil): Long = {
+             partitionBy: Seq[String] = Nil,
+             generatedColumns: Map[String, String] = Map.empty): Long = {
     // overwriting an existing snapshot drops its rows (first commit is fine)
     if (latestVersion().isDefined) requireNotAppendOnly("Overwrite commit")
-    val (commitId, files, partVals, stamped) = writeDataFiles(df, numPartitions, sortBy, partitionBy)
-    val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // generated columns (Delta parity, most often the PARTITION column
+    // derived from a data column, e.g. day = CAST(ts AS DATE)): computed
+    // here and recorded as in-schema metadata so every later write funnel
+    // recomputes them — writers never supply them by hand. Reads need no
+    // transform-derivation pass: per-file min/max stats on the SOURCE
+    // column subsume it (a day-partition's files carry tight ts bounds),
+    // and explicit partition predicates still prune via readPartitioned.
+    val df0 = generatedColumns.foldLeft(df) { case (d, (n, g)) =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(VersionedTable.GenerationExprKey, g).build()
+      val computed = d.withColumn(n, org.apache.spark.sql.functions.expr(g))
+      computed.select(computed.schema.fieldNames.map { fn =>
+        if (fn == n) col(fn).as(fn, md) else col(fn)
+      }.toSeq: _*)
+    }
+    val (commitId, files, partVals, stamped) = writeDataFiles(df0, numPartitions, sortBy, partitionBy)
+    val partTypes = df0.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
       if (collectStats && files.nonEmpty)
-        collectFileStats(df.sparkSession, commitId, files, partVals, partTypes)
+        collectFileStats(df0.sparkSession, commitId, files, partVals, partTypes)
       else Map.empty[String, Map[String, (String, String, String)]]
     // CHECK constraints survive an overwrite (they describe the table, not a
     // snapshot) and gate the incoming batch; validated per attempt so a retry
@@ -1592,10 +1659,10 @@ final class VersionedTable(val root: String,
       // partitioned files don't store the partition columns, so a constraint
       // referencing one would see nulls in a file scan — validate the input
       // frame instead (same rows, pre-layout)
-      val gate = cs ++ notNullChecks(Some(df.schema))
-      if (partitionBy.isEmpty) validateWritten(df.sparkSession, files, Some(df.schema), gate)
-      else validateFrame(df, gate)
-      publish(files, df.schema.json, stats, txn, base, cs,
+      val gate = cs ++ notNullChecks(Some(df0.schema))
+      if (partitionBy.isEmpty) validateWritten(df0.sparkSession, files, Some(df0.schema), gate)
+      else validateFrame(df0, gate)
+      publish(files, df0.schema.json, stats, txn, base, cs,
         partitionBy = partitionBy, partitions = partVals, stampedIds = stamped,
         operation = Some("OVERWRITE"))
     }
@@ -1652,7 +1719,7 @@ final class VersionedTable(val root: String,
     * (manifest-schema'd scan); a type change or a batch MISSING one of the
     * table's columns is refused (Delta-style schema enforcement — silently
     * null-filling an absent column is a data-quality hole, not evolution). */
-  def append(df: DataFrame, numPartitions: Option[Int] = None,
+  def append(df0: DataFrame, numPartitions: Option[Int] = None,
              sortBy: Seq[String] = Nil, collectStats: Boolean = true,
              txn: Option[(String, Long)] = None): Long = {
     // the batch is laid out with the TABLE's partitioning (read from the
@@ -1662,6 +1729,9 @@ final class VersionedTable(val root: String,
     // the retry below re-validates against the new head; the layout check
     // there refuses a partitioning mismatch.
     val tablePb = latestVersion().map(partitionByOf).getOrElse(Nil)
+    // generated columns recompute from the recorded schema: the batch may
+    // omit them, a supplied value is overwritten (provable consistency)
+    val df = latestVersion().flatMap(schemaOf).map(applyGenerated(df0, _)).getOrElse(df0)
     val (commitId, files, partVals, stamped) = writeDataFiles(df, numPartitions, sortBy, tablePb)
     val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
@@ -2164,8 +2234,9 @@ final class VersionedTable(val root: String,
     val dvs = dvsOf(v)
     val pVals = partitionValuesOf(v)
     // type-pin the batch to the table schema by name (every write funnel's
-    // rule) — also refuses a batch missing a table column
-    val pinned = data.select(schema.fields.map(f =>
+    // rule) — also refuses a batch missing a table column; generated
+    // columns recompute first, so the batch may omit them
+    val pinned = applyGenerated(data, schema).select(schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     val (commitId, newFiles, newPartVals, stamped) =
       writeDataFiles(pinned, numPartitions, sortBy, pb)
@@ -2297,6 +2368,7 @@ final class VersionedTable(val root: String,
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
     set.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"update SET references unknown column $c"))
+    requireNoGeneratedDesync(spark, schema, set.keys.toSeq, "UPDATE SET")
     val pred = expr(condition)
     val dvs = dvsOf(v)
     val pb = partitionByOf(v)
@@ -2428,6 +2500,10 @@ final class VersionedTable(val root: String,
         s"condition '$condition': it must contain a top-level conjunct " +
         s"source.$sourceKey = target.$targetKey, with at most a WIDENING cast " +
         "on either side (file pruning would otherwise be unsound)")
+    requireNoGeneratedDesync(spark, schema,
+      (whenMatchedUpdate.toSeq.flatMap(_.values.keys) ++
+        whenNotMatchedBySourceUpdate.toSeq.flatMap(_.values.keys)).distinct,
+      "MERGE SET")
     val nms = whenNotMatchedBySourceUpdate.isDefined || whenNotMatchedBySourceDelete.isDefined
     val touched =
       if (nms) all // a by-source clause can modify any row: pruning is unsound
@@ -2637,6 +2713,10 @@ final class VersionedTable(val root: String,
         s"condition '$condition': it must contain a top-level conjunct " +
         s"source.$sourceKey = target.$targetKey, with at most a WIDENING cast " +
         "on either side (file pruning would otherwise be unsound)")
+    requireNoGeneratedDesync(spark, schema,
+      (whenMatchedUpdate.toSeq.flatMap(_.values.keys) ++
+        whenNotMatchedBySourceUpdate.toSeq.flatMap(_.values.keys)).distinct,
+      "MERGE SET")
     val nms = whenNotMatchedBySourceUpdate.isDefined || whenNotMatchedBySourceDelete.isDefined
     val touched =
       if (nms) filesOf(v) // a by-source clause can modify any row: no pruning
@@ -3356,8 +3436,10 @@ final class VersionedTable(val root: String,
         s"$cName is GENERATED ALWAYS AS IDENTITY on $root and cannot be " +
           "written explicitly — omit it from the batch")
       val others = schema.fields.filterNot(_.name == cName)
-      val pinned = df.select(others.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      val pinned = applyGenerated(df,
+          org.apache.spark.sql.types.StructType(others))
+        .select(others.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
       val idField = schema.fields.find(_.name == cName).get
       val rdd = pinned.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hw + 1 + i)) }
@@ -3500,8 +3582,9 @@ final class VersionedTable(val root: String,
       val readSchema = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
         f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).remove(VersionedTable.FieldIdKey).build())))
-      val batch = spark.read.format(format).schema(readSchema)
-        .load(fresh.map(_._2): _*)
+      val batch = applyGenerated(
+          spark.read.format(format).schema(readSchema).load(fresh.map(_._2): _*),
+          schema)
         .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
       val pb = partitionByOf(v)
       val (commitId, files, partVals, stamped) = writeDataFiles(batch, None, Nil, pb)
@@ -3889,6 +3972,11 @@ final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 final class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 
 object VersionedTable {
+  /** Schema-field metadata key holding a generated column's SQL expression
+    * (Delta's `delta.generationExpression` shape): riding in the schema
+    * JSON means every publish path carries it with zero plumbing. */
+  val GenerationExprKey = "graft.generationExpression"
+
   /** Spark's parquet field-id metadata key (`ParquetUtils.FIELD_ID_METADATA_KEY`):
     * writers populate parquet field ids from it, and with
     * `spark.sql.parquet.fieldId.read.enabled` readers resolve requested
