@@ -155,7 +155,11 @@ final class VersionedTable(val root: String,
       partitions = partitionValuesOf(v),
       columnIdsOverride = Some(columnIdsOf(v)),
       maxColumnIdFloor = maxColumnIdOf(v),
-      operation = Some("CLONE"))
+      operation = Some("CLONE"),
+      // the identity declaration + high water carry: ids already handed
+      // out on the source must stay closed on the clone too (a clone that
+      // re-opened the range would mint duplicates of cloned rows' ids)
+      identity = identityOf(v))
     val props = properties
     if (props.nonEmpty) tgt.setProperties(props)
     tgt
@@ -3647,6 +3651,17 @@ final class VersionedTable(val root: String,
       s"cannot change the type of partition column $name")
     constraintReferencing(v, name).foreach(n => throw new IllegalArgumentException(
       s"cannot retype $name: CHECK constraint $n references it — drop it first"))
+    // Bloom sidecars are probed with xxhash64 over the SCHEMA type, and
+    // Spark's hash of (say) 5 as INT differs from 5 as BIGINT — probes
+    // against pre-widen sidecars would wrongly report "absent" and prune
+    // live files. Dropping the column from bloomIndexColumns makes every
+    // probe AND build path skip it (conservative: range/checkpoint pruning
+    // remain); re-enabling needs a rewrite so all sidecars hash one type.
+    if (bloomIndexColumns.contains(name)) {
+      val remaining = bloomIndexColumns.filterNot(_ == name)
+      setProperties(Map("bloomIndexColumns" ->
+        (if (remaining.isEmpty) null else remaining.mkString(","))))
+    }
     val updated = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
       if (f.name == name) f.copy(dataType = newType) else f))
     publish(filesOf(v), updated.json, statsOf(v), None, Some(v), constraintsOf(v),

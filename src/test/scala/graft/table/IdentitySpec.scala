@@ -62,6 +62,18 @@ class IdentitySpec extends AnyFunSuite with SparkSpec {
       .contains(("id", 9L)))
   }
 
+  test("a shallow clone carries the identity declaration and water") {
+    val base = tmpDir("id-clone-")
+    val t = VersionedTable(s"$base/src")
+    t.commit(Seq((1L, "a")).toDF("id", "k"))
+    t.enableIdentity(spark, "id")
+    t.appendIdentity(spark, Seq("b", "c").toDF("k")) // ids 2, 3
+    val c = t.cloneShallow(s"$base/dst")
+    assert(c.identityOf(c.resolve()).contains(("id", 3L)))
+    val (_, first, _) = c.appendIdentity(spark, Seq("d").toDF("k"))
+    assert(first === 4L)
+  }
+
   test("rewrites and RESTORE carry the water forward — no range re-opens") {
     val root = tmpDir("id-carry-")
     val t = VersionedTable(root)

@@ -51,6 +51,22 @@ class TypeWideningSpec extends AnyFunSuite with SparkSpec {
       Seq("12.34", "5.00"))
   }
 
+  test("widening a Bloom-indexed column retires its sidecar gating (hash " +
+      "type changed; range pruning remains)") {
+    val root = tmpDir("tw-bloom-")
+    val t = VersionedTable(root)
+    t.setProperties(Map("bloomIndexColumns" -> "n"))
+    t.commit(Seq((1, "a"), (2, "b")).toDF("n", "k"), numPartitions = Some(1))
+    t.alterColumnType("n", LongType)
+    assert(!VersionedTable(root).properties.get("bloomIndexColumns")
+      .exists(_.split(',').contains("n")),
+      "pre-widen sidecars hash the narrow type; probing them with the wide " +
+        "type would wrongly prune live files")
+    // the delete still finds its rows (range pruning, no Bloom skip)
+    val (_, touched) = t.delete(spark, "n = 2")
+    assert(touched === 1 && t.read(spark).count() === 1)
+  }
+
   test("narrowing and lossy changes refuse") {
     val root = tmpDir("tw-no-")
     val t = VersionedTable(root)
