@@ -3562,6 +3562,12 @@ final class VersionedTable(val root: String,
       val v = resolve()
       val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
         s"version $v of $root has no recorded schema — COPY INTO needs one"))
+      // an identity table's ids are allocated at the commit point; a blind
+      // file load would land nulls (or worse, the source's own ids) in the
+      // GENERATED ALWAYS column
+      identityOf(v).foreach { case (c, _) => throw new IllegalStateException(
+        s"COPY INTO $root is not supported: $c is GENERATED ALWAYS AS " +
+          "IDENTITY — read the files and appendIdentity instead") }
       val stream = Files.walk(srcRoot)
       val candidates =
         try stream.iterator().asScala.filter { p =>

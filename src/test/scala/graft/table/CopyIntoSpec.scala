@@ -95,6 +95,14 @@ class CopyIntoSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).filter("id = 1").count() === 1)
   }
 
+  test("COPY INTO an identity table refuses (ids allocate at the commit point)") {
+    val base = tmpDir("ci-id-")
+    writeSrc(s"$base/src", "a.parquet", Seq((1L, "a")))
+    val t = emptyTable(s"$base/t")
+    t.enableIdentity(spark, "id")
+    intercept[IllegalStateException](t.copyInto(spark, s"$base/src"))
+  }
+
   test("SQL verb: COPY INTO ... FROM reports the ingested count") {
     val base = tmpDir("ci-sql-")
     val src = s"$base/src"
