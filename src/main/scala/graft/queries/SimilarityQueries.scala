@@ -893,7 +893,81 @@ object SimilarityQueries {
          |FROM assigned a JOIN cents c ON a.c_id = c.c_id
          |GROUP BY a.c_id""".stripMargin))
 
+  /** s9: ANN RECALL measurement — for every query in a batch, recall@10 of
+    * the IVF 4-probe result against the exact brute-force top-10: the
+    * quality metric every real ANN deployment tracks when tuning n_probe /
+    * cluster count (the recall-vs-I/O dial s2's scaladoc describes). Both
+    * rankings compute distributively: the exact side is s5's broadcast
+    * kNN-join shape; the probe side ranks each query's centroids with a
+    * window (no per-query driver collect — the BATCH face of s2's serving
+    * path) and joins the stored inverted layout on the probed centroid
+    * ids. Deterministic: rounded sims + vec_id tiebreaks on both sides. */
+  val s9AnnRecall: Q = Q(
+    "s9_ann_recall",
+    (spark, dir) => {
+      val e = vectors(spark, dir)
+      val qs = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nqv"))
+      // exact top-10 per query (self included — symmetric with the probe side)
+      val wx = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      val exact = e.crossJoin(broadcast(qs))
+        .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
+        .select(col("q_id"), col("vec_id"), col("sim"))
+        .withColumn("rk", row_number().over(wx)).filter(col("rk") <= 10)
+        .select(col("q_id"), col("vec_id"))
+      // 4 probed centroids per query, ranked distributively
+      val wc = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_id"))
+      val probes = storedCents(spark, dir).crossJoin(broadcast(qs))
+        .withColumn("csim", cosineWithNorms6(col("cv"), col("ncv"), col("qv"), col("nqv")))
+        .select(col("q_id"), col("c_id"), col("csim"))
+        .withColumn("rk", row_number().over(wc)).filter(col("rk") <= 4)
+        .select(col("q_id").as("p_qid"), col("c_id").as("probe_c"))
+      val a = storedAssigned(spark, dir)
+      val wp = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      val probed = a.join(broadcast(probes), col("c_id") === col("probe_c"))
+        .join(broadcast(qs), col("q_id") === col("p_qid"))
+        .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
+        .select(col("q_id"), col("vec_id"), col("sim"))
+        .withColumn("rk", row_number().over(wp)).filter(col("rk") <= 10)
+        .select(col("q_id").as("pr_qid"), col("vec_id").as("pr_vid"))
+      exact.join(probed,
+          col("q_id") === col("pr_qid") && col("vec_id") === col("pr_vid"),
+          "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(col("pr_vid")).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          round(col("n_hit") / 10.0, 6).as("recall_at_10"))
+    },
+    Some(
+      s"""WITH $duckAssigned,
+         |qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |exact AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(${duckCos("e.v", "q.qv")}, 6) DESC, e.vec_id) AS rk
+         |    FROM e, qs q) t WHERE rk <= 10),
+         |probes AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q.q_id, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(${duckCos("c.cv", "q.qv")}, 6) DESC, c.c_id) AS rk
+         |    FROM cents c, qs q) t WHERE rk <= 4),
+         |probed AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, a.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(${duckCos("a.v", "q.qv")}, 6) DESC, a.vec_id) AS rk
+         |    FROM assigned a
+         |    JOIN probes p ON a.c_id = p.c_id
+         |    JOIN qs q ON q.q_id = p.q_id) t WHERE rk <= 10)
+         |SELECT x.q_id, CAST(count(p.vec_id) AS BIGINT) AS n_hit,
+         |  round(count(p.vec_id) / 10.0, 6) AS recall_at_10
+         |FROM exact x LEFT JOIN probed p
+         |  ON p.q_id = x.q_id AND p.vec_id = x.vec_id
+         |GROUP BY x.q_id""".stripMargin))
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
     s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
-    s8PqAdc)
+    s8PqAdc, s9AnnRecall)
 }
