@@ -17,6 +17,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>'
   *   GENERATE symlink_format_manifest FOR TABLE '<path>'
   *   CONVERT TO GRAFT '<path>'
+  *   COPY INTO '<path>' FROM '<srcDir>' [FILEFORMAT = <fmt>]
+  *   ALTER TABLE '<path>' ALTER COLUMN <c> SET NOT NULL
   * }}}
   *
   * Parsing is a small anchored-regex dispatcher, NOT a SQL engine: data
