@@ -561,13 +561,15 @@ object TextQueries {
     * nothing quadratic, no driver state. */
   val t19Boilerplate: Q = Q.dualSql("t19_boilerplate",
     sparkSql =
-      """WITH grams AS (
+      """WITH ws AS (
+        |  SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |grams AS (
         |  SELECT doc_id, gram FROM (
         |    SELECT doc_id, explode(transform(
-        |      sequence(1, size(split(text, ' ')) - 4),
-        |      i -> array_join(slice(split(text, ' '), i, 5), ' '))) AS gram
-        |    FROM documents
-        |    WHERE size(split(text, ' ')) >= 5) g),
+        |      sequence(1, size(w) - 4),
+        |      i -> array_join(slice(w, i, 5), ' '))) AS gram
+        |    FROM ws
+        |    WHERE size(w) >= 5) g),
         |hot AS (
         |  SELECT gram FROM grams GROUP BY gram
         |  HAVING count(DISTINCT doc_id) >= 5)

@@ -1362,13 +1362,23 @@ final class VersionedTable(val root: String,
     // identity declaration + high water: explicit from an allocating
     // append, else carried from the base so NO commit path can lower or
     // lose the watermark (monotonic by construction — the max below guards
-    // a rebased append racing another allocator)
+    // a rebased append racing another allocator). Additionally raise the
+    // water past every id this manifest's files RECORD: explicit identity
+    // values can enter through full-frame funnels (overwrite commit,
+    // replaceWhere, merge insert, the connector's INSERT OVERWRITE), and a
+    // carried-forward watermark below a written id would let a later
+    // appendIdentity re-mint it. Stats-plane arithmetic only — the per-file
+    // max already collected for pruning, no scan.
     identity.orElse(base.flatMap(identityOf)).foreach { case (c, hw) =>
       val floor = base.flatMap(identityOf).collect { case (bc, bhw) if bc == c => bhw }
         .getOrElse(0L)
+      val writtenMax = stats.valuesIterator
+        .flatMap(_.get(c))
+        .flatMap { case (_, mx, _) => scala.util.Try(mx.toLong).toOption }
+        .foldLeft(0L)(math.max)
       val idn = json.putObject("identity")
       idn.put("col", c)
-      idn.put("highWater", math.max(hw, floor))
+      idn.put("highWater", Seq(hw, floor, writtenMax).max)
     }
     cdfKind.foreach(k => json.put("cdfKind", k))
     // source-file identities COPY INTO ingested in THIS commit — the same
@@ -1626,6 +1636,18 @@ final class VersionedTable(val root: String,
             "overwritePartitions/replaceWhere instead"))
     }
   }
+
+  /** GENERATED ALWAYS AS IDENTITY columns are engine-assigned: refuse
+    * targeted writes (UPDATE SET / MERGE SET), as Delta does. Full-frame
+    * funnels (overwrite commit, replaceWhere, merge INSERT) unavoidably
+    * carry the column; those are kept safe by the publish-side watermark
+    * raise over the written files' max-id stats. */
+  private def requireNoIdentityWrite(v: Long, targets: Seq[String], what: String): Unit =
+    identityOf(v).foreach { case (c, _) =>
+      require(!targets.exists(_.equalsIgnoreCase(c)),
+        s"$what cannot write $c: it is GENERATED ALWAYS AS IDENTITY on " +
+          s"$root (ids are engine-assigned; the watermark guards uniqueness)")
+    }
 
   def commit(df: DataFrame, numPartitions: Option[Int] = None,
              sortBy: Seq[String] = Nil, collectStats: Boolean = true,
@@ -2373,6 +2395,7 @@ final class VersionedTable(val root: String,
     set.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"update SET references unknown column $c"))
     requireNoGeneratedDesync(spark, schema, set.keys.toSeq, "UPDATE SET")
+    requireNoIdentityWrite(v, set.keys.toSeq, "UPDATE SET")
     val pred = expr(condition)
     val dvs = dvsOf(v)
     val pb = partitionByOf(v)
@@ -2505,6 +2528,10 @@ final class VersionedTable(val root: String,
         s"source.$sourceKey = target.$targetKey, with at most a WIDENING cast " +
         "on either side (file pruning would otherwise be unsound)")
     requireNoGeneratedDesync(spark, schema,
+      (whenMatchedUpdate.toSeq.flatMap(_.values.keys) ++
+        whenNotMatchedBySourceUpdate.toSeq.flatMap(_.values.keys)).distinct,
+      "MERGE SET")
+    requireNoIdentityWrite(v,
       (whenMatchedUpdate.toSeq.flatMap(_.values.keys) ++
         whenNotMatchedBySourceUpdate.toSeq.flatMap(_.values.keys)).distinct,
       "MERGE SET")
@@ -2718,6 +2745,10 @@ final class VersionedTable(val root: String,
         s"source.$sourceKey = target.$targetKey, with at most a WIDENING cast " +
         "on either side (file pruning would otherwise be unsound)")
     requireNoGeneratedDesync(spark, schema,
+      (whenMatchedUpdate.toSeq.flatMap(_.values.keys) ++
+        whenNotMatchedBySourceUpdate.toSeq.flatMap(_.values.keys)).distinct,
+      "MERGE SET")
+    requireNoIdentityWrite(v,
       (whenMatchedUpdate.toSeq.flatMap(_.values.keys) ++
         whenNotMatchedBySourceUpdate.toSeq.flatMap(_.values.keys)).distinct,
       "MERGE SET")
@@ -3385,11 +3416,17 @@ final class VersionedTable(val root: String,
       s"cannot rename $oldName: CHECK constraint $n references it — drop it first"))
     val renamed = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
       if (f.name == oldName) field.copy(name = newName) else f))
+    // renaming the identity column re-points the carried declaration —
+    // otherwise every later appendIdentity would look up the stale name
+    // and crash, leaving the table un-insertable
+    val identityCarry = identityOf(v).map { case (c, hw) =>
+      (if (c == oldName) newName else c, hw)
+    }
     publish(filesOf(v), renamed.json, statsOf(v), None, Some(v), constraintsOf(v),
       dvs = dvsOf(v), partitionBy = partitionByOf(v),
       partitions = partitionValuesOf(v), cdfKind = Some("none"),
       columnIdsOverride = Some(ids - oldName + (newName -> ids(oldName))),
-      operation = Some("RENAME COLUMN"))
+      operation = Some("RENAME COLUMN"), identity = identityCarry)
   }
 
   /** Declare `colName` (BIGINT) as the table's GENERATED ALWAYS AS
@@ -3440,37 +3477,45 @@ final class VersionedTable(val root: String,
         s"$cName is GENERATED ALWAYS AS IDENTITY on $root and cannot be " +
           "written explicitly — omit it from the batch")
       val others = schema.fields.filterNot(_.name == cName)
+      // persist the batch BEFORE counting/zipping: a non-deterministic
+      // source (rand-filtered, stream-fed) must evaluate exactly once so
+      // the row/id pairing, the count behind highWater, and the written
+      // bytes all describe the SAME rows — and the triple evaluation
+      // (zip offsets + count + write) collapses to one source pass
       val pinned = applyGenerated(df,
           org.apache.spark.sql.types.StructType(others))
         .select(others.map(f =>
           col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-      val idField = schema.fields.find(_.name == cName).get
-      val rdd = pinned.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hw + 1 + i)) }
-      val withId = spark.createDataFrame(rdd, StructType(others :+ idField))
-        .select(schema.fields.map(f => col(f.name)).toSeq: _*)
-      val n = pinned.count()
-      val pb = partitionByOf(v)
-      val (commitId, files, partVals, stamped) = writeDataFiles(withId, None, Nil, pb)
-      val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
-      val stats = if (files.nonEmpty)
-        collectFileStats(spark, commitId, files, partVals, partTypes)
-      else Map.empty[String, Map[String, (String, String, String)]]
-      val gate = constraintsOf(v) ++ notNullChecks(Some(schema))
-      if (pb.isEmpty) validateWritten(spark, files, Some(schema), gate)
-      else validateFrame(withId, gate)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        return (publish(filesOf(v) ++ files, schema.json, statsOf(v) ++ stats,
-          None, Some(v), constraintsOf(v), dvs = dvsOf(v), partitionBy = pb,
-          partitions = partitionValuesOf(v) ++ partVals, cdfKind = Some("append"),
-          stampedIds = stamped, operation = Some("APPEND"),
-          identity = Some((cName, hw + n))), hw + 1, hw + n)
-      } catch { case e: ConcurrentCommitException =>
-        // a racing commit may have raised the water: re-resolve and
-        // re-assign — the already-written files are orphans for vacuum
-        attempts += 1
-        if (attempts > maxRetries) throw e
-      }
+        val n = pinned.count() // materializes the cache before the zip pass
+        val idField = schema.fields.find(_.name == cName).get
+        val rdd = pinned.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hw + 1 + i)) }
+        val withId = spark.createDataFrame(rdd, StructType(others :+ idField))
+          .select(schema.fields.map(f => col(f.name)).toSeq: _*)
+        val pb = partitionByOf(v)
+        val (commitId, files, partVals, stamped) = writeDataFiles(withId, None, Nil, pb)
+        val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+        val stats = if (files.nonEmpty)
+          collectFileStats(spark, commitId, files, partVals, partTypes)
+        else Map.empty[String, Map[String, (String, String, String)]]
+        val gate = constraintsOf(v) ++ notNullChecks(Some(schema))
+        if (pb.isEmpty) validateWritten(spark, files, Some(schema), gate)
+        else validateFrame(withId, gate)
+        try {
+          return (publish(filesOf(v) ++ files, schema.json, statsOf(v) ++ stats,
+            None, Some(v), constraintsOf(v), dvs = dvsOf(v), partitionBy = pb,
+            partitions = partitionValuesOf(v) ++ partVals, cdfKind = Some("append"),
+            stampedIds = stamped, operation = Some("APPEND"),
+            identity = Some((cName, hw + n))), hw + 1, hw + n)
+        } catch { case e: ConcurrentCommitException =>
+          // a racing commit may have raised the water: re-resolve and
+          // re-assign — the already-written files are orphans for vacuum
+          attempts += 1
+          if (attempts > maxRetries) throw e
+        }
+      } finally pinned.unpersist()
     }
     throw new IllegalStateException("unreachable")
   }
@@ -3670,7 +3715,25 @@ final class VersionedTable(val root: String,
     }
     val updated = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
       if (f.name == name) f.copy(dataType = newType) else f))
-    publish(filesOf(v), updated.json, statsOf(v), None, Some(v), constraintsOf(v),
+    // float→double: stored min/max strings were rendered FROM floats, and
+    // their double-parse can sit below the exact widened value
+    // (double("0.1") = 0.1 < (double)0.1f ≈ 0.10000000149) — a predicate
+    // falling in that gap would wrongly prune a file containing matches.
+    // Parse each stat back as float (float→string round-trips), widen to
+    // double EXACTLY (monotonic, so per-file min/max carry over), re-render.
+    val carriedStats =
+      if (field.dataType == FloatType && newType == DoubleType)
+        statsOf(v).map { case (f, cols) =>
+          f -> cols.map { case (c, (mn, mx, kind)) =>
+            if (c == name) {
+              def rewiden(s: String): String =
+                scala.util.Try(s.toFloat.toDouble.toString).getOrElse(s)
+              c -> (rewiden(mn), rewiden(mx), kind)
+            } else c -> (mn, mx, kind)
+          }
+        }
+      else statsOf(v)
+    publish(filesOf(v), updated.json, carriedStats, None, Some(v), constraintsOf(v),
       dvs = dvsOf(v), partitionBy = partitionByOf(v),
       partitions = partitionValuesOf(v), cdfKind = Some("none"),
       columnIdsOverride = Some(columnIdsOf(v)),
@@ -3721,6 +3784,10 @@ final class VersionedTable(val root: String,
     require(schema.fields.length > 1, s"cannot drop the only column of $root")
     require(!partitionByOf(v).contains(name),
       s"cannot drop partition column $name (hive layout + partition index key)")
+    require(!identityOf(v).exists(_._1 == name),
+      s"cannot drop $name: it is the GENERATED ALWAYS AS IDENTITY column " +
+        s"of $root — the carried declaration would dangle and every later " +
+        "insert would crash")
     constraintReferencing(v, name).foreach(n => throw new IllegalArgumentException(
       s"cannot drop $name: CHECK constraint $n references it — drop it first"))
     val remaining = org.apache.spark.sql.types.StructType(
@@ -4060,7 +4127,10 @@ object VersionedTable {
     val partVals: Map[String, Map[String, Option[String]]] = files.map { f =>
       f -> f.split('/').toSeq.dropRight(1).filter(_.contains('=')).map { seg =>
         val c = seg.takeWhile(_ != '=')
-        val raw = java.net.URLDecoder.decode(seg.drop(c.length + 1), "UTF-8")
+        // hive escaping is plain %XX with no '+'-for-space (same rule as
+        // writeDataFiles' walk) — protect literal '+' from form-decoding
+        val raw = java.net.URLDecoder.decode(
+          seg.drop(c.length + 1).replace("+", "%2B"), "UTF-8")
         c -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None
               else Some(raw))
       }.toMap

@@ -70,6 +70,21 @@ class ConvertSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).count() === 100)
   }
 
+  test("a literal '+' in a partition value survives conversion (hive %XX " +
+      "escaping has no '+'-for-space)") {
+    val root = tmpDir("cv-plus-") + "/t"
+    Seq((1L, "a+b"), (2L, "c d")).toDF("id", "k")
+      .write.partitionBy("k").parquet(root)
+    val t = VersionedTable.convert(spark, root)
+    val rows = t.read(spark).select("id", "k").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "a+b"), (2L, "c d")),
+      "URLDecoder form-decoding would have corrupted 'a+b' to 'a b'")
+    // partition pruning keys on the recorded value — must match the literal
+    val (df, kept, total) = t.readPartitioned(spark, "k = 'a+b'")
+    assert(kept < total && df.select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("converting an existing table or an empty directory is refused") {
     val root = tmpDir("cv-bad-") + "/t"
     Seq(1).toDF("x").write.parquet(root)

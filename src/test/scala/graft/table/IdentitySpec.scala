@@ -74,6 +74,64 @@ class IdentitySpec extends AnyFunSuite with SparkSpec {
     assert(first === 4L)
   }
 
+  test("UPDATE SET and MERGE SET on the identity column are refused") {
+    val root = tmpDir("id-set-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    t.enableIdentity(spark, "id")
+    intercept[IllegalArgumentException](
+      t.update(spark, "k = 'a'", Map("id" -> "99")))
+    intercept[IllegalArgumentException](
+      t.mergeCow(spark, Seq((1L, "z")).toDF("mk", "mv"),
+        "source.mk = target.id", "id", "mk",
+        Some(Merge.MatchedUpdate(None, Map("id" -> "source.mk + 100")))))
+    // the table is untouched: no version burned, ids intact
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+  }
+
+  test("overwrite with explicit ids above the water raises it — no later duplicate mint") {
+    val root = tmpDir("id-ow-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a")).toDF("id", "k"))
+    t.enableIdentity(spark, "id") // water = 1
+    // the connector's INSERT OVERWRITE funnel: a full frame with explicit
+    // ids way above the watermark
+    t.commit(Seq((50L, "x"), (60L, "y")).toDF("id", "k"))
+    assert(t.identityOf(t.resolve()).exists { case (c, hw) => c == "id" && hw >= 60L },
+      s"watermark must rise past written ids, got ${t.identityOf(t.resolve())}")
+    val (_, first, _) = t.appendIdentity(spark, Seq("z").toDF("k"))
+    assert(first >= 61L, s"minted $first inside the explicitly written range")
+  }
+
+  test("RENAME re-points the identity declaration; DROP of it is refused") {
+    val root = tmpDir("id-ren-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a")).toDF("id", "k"))
+    t.enableIdentity(spark, "id")
+    t.renameColumn("id", "row_id")
+    assert(t.identityOf(t.resolve()).contains(("row_id", 1L)))
+    val (_, first, _) = t.appendIdentity(spark, Seq("b").toDF("k"))
+    assert(first === 2L, "insert after rename must allocate via the new name")
+    intercept[IllegalArgumentException](t.dropColumn("row_id"))
+  }
+
+  test("a non-deterministic source evaluates once: ids, count, and water agree") {
+    val root = tmpDir("id-nd-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "seed")).toDF("id", "k"))
+    t.enableIdentity(spark, "id")
+    // rand-filtered source: re-evaluation would change the row set between
+    // the zip/count/write passes — the persist pin must hold them together
+    val nd = spark.range(0, 1000).selectExpr("concat('r', id) AS k")
+      .where(org.apache.spark.sql.functions.rand() < 0.5)
+    val (_, first, last) = t.appendIdentity(spark, nd)
+    val rows = t.read(spark).filter("k != 'seed'")
+    val ids = rows.select("id").as[Long].collect().sorted.toSeq
+    assert(ids === (first to last), s"ids not contiguous: $ids vs [$first,$last]")
+    assert(t.identityOf(t.resolve()).contains(("id", last)))
+  }
+
   test("rewrites and RESTORE carry the water forward — no range re-opens") {
     val root = tmpDir("id-carry-")
     val t = VersionedTable(root)

@@ -51,6 +51,29 @@ class TypeWideningSpec extends AnyFunSuite with SparkSpec {
       Seq("12.34", "5.00"))
   }
 
+  test("float->double re-renders stats exactly: no wrong pruning in the " +
+      "float-to-double rounding gap") {
+    val root = tmpDir("tw-gap-")
+    val t = VersionedTable(root)
+    // 0.1f renders as "0.1", but its exact double value is ≈0.10000000149 —
+    // a predicate between the two must NOT prune the file
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0.1f), org.apache.spark.sql.Row(0.1f)), 1),
+      StructType(Seq(StructField("f", FloatType))))
+    t.commit(df)
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(9.9f)), 1),
+      StructType(Seq(StructField("f", FloatType)))))
+    t.alterColumnType("f", DoubleType)
+    // bounds sit strictly above double("0.1")=0.1 and below the exact
+    // widened value's file max — a stale "0.1" stat string would prune
+    val (out, kept, total) = t.readPruned(spark, "f", "0.100000001", "0.2")
+    assert(total === 2)
+    assert(kept === 1, "the 0.1f file must survive pruning after widening")
+    assert(out.count() === 2, "both widened 0.1f rows match the range")
+  }
+
   test("widening a Bloom-indexed column retires its sidecar gating (hash " +
       "type changed; range pruning remains)") {
     val root = tmpDir("tw-bloom-")
