@@ -54,7 +54,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * it. */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   override def defaultNamespace(): Array[String] = Array("default")
 
@@ -94,10 +95,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** The Column[]-based CREATE: detects `GENERATED ALWAYS AS IDENTITY`
-    * specs (the StructType overload cannot carry them), creates the table,
-    * then stamps the identity declaration into the manifest — after which
-    * the INSERT path allocates ids through [[VersionedTable.appendIdentity]]
-    * and explicit writes of the column refuse. */
+    * specs and `GENERATED ALWAYS AS (expr)` generation expressions (the
+    * StructType overload cannot carry either), creates the table, then
+    * stamps the identity declaration into the manifest — after which the
+    * INSERT path allocates ids through [[VersionedTable.appendIdentity]]
+    * and explicit writes of the column refuse. Generation expressions land
+    * as [[VersionedTable.GenerationExprKey]] schema metadata — the same
+    * frame `commit(generatedColumns = ...)` records — so every later write
+    * funnel recomputes them (Delta's DDL shape,
+    * `day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))`). */
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform],
@@ -109,20 +115,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val s = c.identityColumnSpec()
       require(s.getStart == 1 && s.getStep == 1,
         "graft identity columns support START WITH 1 INCREMENT BY 1 only")
-      require(!s.isAllowExplicitInsert,
-        "GENERATED BY DEFAULT is not supported — use GENERATED ALWAYS AS IDENTITY")
+      // isAllowExplicitInsert = GENERATED BY DEFAULT (both Delta variants
+      // supported; the mode rides the manifest's identity declaration)
     }
     // CatalogV2Util.v2ColumnsToStructType is private[sql]; the mapping is
     // mechanical (identity/default specs are handled above, not in the
-    // schema)
+    // schema; generation expressions become in-schema metadata)
     val schema = StructType(columns.map { c =>
-      val f = org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
-      Option(c.comment).map(f.withComment).getOrElse(f)
+      val base = org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
+      val commented = Option(c.comment).map(base.withComment).getOrElse(base)
+      Option(c.generationExpression()).fold(commented)(g =>
+        commented.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(commented.metadata)
+          .putString(VersionedTable.GenerationExprKey, g).build()))
     })
     val created = createTable(ident, schema, partitions, properties)
     idCols.foreach { c =>
       VersionedTable(tablePath(ident).toString)
-        .enableIdentity(SparkSession.active, c.name())
+        .enableIdentity(SparkSession.active, c.name(),
+          allowExplicit = c.identityColumnSpec().isAllowExplicitInsert)
     }
     created
   }

@@ -185,13 +185,17 @@ final class GraftWriteBuilder(t: VersionedTable) extends WriteBuilder
             else if (t.latestVersion().isDefined) {
               t.identityOf(t.resolve()) match {
                 case Some((idCol, _)) =>
-                  // GENERATED ALWAYS: the engine allocates. Spark's insert
-                  // resolution may pad the omitted column with NULLs — an
-                  // all-null identity column counts as omitted; any
-                  // explicit value refuses.
+                  // the engine allocates. Spark's insert resolution may pad
+                  // the omitted column with NULLs — an all-null identity
+                  // column counts as omitted. An explicit value refuses on
+                  // GENERATED ALWAYS; on BY DEFAULT it is taken per-row
+                  // (null = allocate) by appendIdentity itself.
                   val actual = data.columns.find(_.equalsIgnoreCase(idCol))
+                  val byDefault = t.identityAllowsExplicit(t.resolve())
                   actual match {
                     case None => t.appendIdentity(data.sparkSession, data)
+                    case Some(n) if byDefault =>
+                      t.appendIdentity(data.sparkSession, data)
                     case Some(n) =>
                       require(data.filter(
                           org.apache.spark.sql.functions.col(n).isNotNull).isEmpty,

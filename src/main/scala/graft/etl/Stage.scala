@@ -183,7 +183,11 @@ final case class SQLTransform(
 
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
     val resolved = sub(sql, env ++ sqlParams.view.mapValues(sub(_, env)).toMap)
-    val df = spark.sql(resolved)
+    // maintenance verbs with a RESULT frame (DESCRIBE HISTORY/DETAIL, SHOW
+    // PARTITIONS, VACUUM DRY RUN, …) work here too, registering the frame
+    // as the output view like any query
+    val df = graft.table.TableSql.runOpt(spark, resolved)
+      .getOrElse(spark.sql(resolved))
     df.createOrReplaceTempView(outputView)
     Some(df)
   }
@@ -513,7 +517,14 @@ final case class SQLExecute(
         java.nio.file.Paths.get(sub(uri, env))), "UTF-8")
       case None => sql
     }
-    spark.sql(sub(text, env ++ sqlParams.view.mapValues(sub(_, env)).toMap))
+    val resolved = sub(text, env ++ sqlParams.view.mapValues(sub(_, env)).toMap)
+    // maintenance verbs first (OPTIMIZE, VACUUM, COPY INTO, DESCRIBE
+    // HISTORY, RESTORE, CONVERT, SHALLOW CLONE, GENERATE, SET NOT NULL) —
+    // the reference runs its table maintenance through SQL stages
+    // (scd2-job.ipynb:373-384), so they need a spelling HERE, not only the
+    // Scala TableSql.run entry point; anything else is Spark's
+    if (graft.table.TableSql.runOpt(spark, resolved).isEmpty)
+      spark.sql(resolved)
     None
   }
 }

@@ -1132,12 +1132,14 @@ object SourceQueries {
         |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin))
 
   /** q116: COPY INTO — idempotent scheduled ingestion (the reference's
-    * whole operating model is retried DAG jobs, scd2-job-scheduler.yaml):
-    * a first copy ingests the landing directory, an identical RE-RUN
-    * ingests zero files (asserted in-query — the memory commits atomically
-    * with the rows, so a crash-retry can never double-load), and a newly
-    * landed file ingests alone. Final state hash-matches the plain UNION
-    * oracle. */
+    * whole operating model is retried DAG jobs, scd2-job-scheduler.yaml),
+    * driven THROUGH the declarative SQLExecute stage (the reference's
+    * maintenance-DDL-inside-a-SQL-stage idiom, scd2-job.ipynb:373-384): a
+    * first copy ingests the landing directory, an identical RE-RUN ingests
+    * zero files (asserted in-query via the per-commit ingest memory — the
+    * memory commits atomically with the rows, so a crash-retry can never
+    * double-load), and a newly landed file ingests alone. Final state
+    * hash-matches the plain UNION oracle. */
   val q116CopyInto: Q = Q(
     "q116_copy_into",
     (spark, dir) => {
@@ -1147,15 +1149,21 @@ object SourceQueries {
         .coalesce(2).write.parquet(s"$tmp/src")
       val t = graft.table.VersionedTable(s"$tmp/t")
       t.commit(spark.sql("SELECT o_orderkey, o_totalprice FROM orders LIMIT 0"))
-      val (_, n1) = t.copyInto(spark, s"$tmp/src")
-      require(n1 > 0, "first copy must ingest the landing files")
-      val (_, n2) = t.copyInto(spark, s"$tmp/src")
-      require(n2 == 0, s"identical re-run must ingest nothing, got $n2")
+      def runCopy(): Unit = graft.etl.SQLExecute("copy",
+        s"COPY INTO '$tmp/t' FROM '$tmp/src'").execute(spark, Map.empty)
+      runCopy()
+      require(t.resolve() == 1L && t.ingestOf(1L).nonEmpty,
+        "first copy must commit one ingesting version")
+      runCopy()
+      require(t.resolve() == 1L,
+        s"identical re-run must ingest nothing, head moved to ${t.resolve()}")
       // a new batch lands; only it ingests
       spark.sql("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1")
         .coalesce(1).write.mode("append").parquet(s"$tmp/src")
-      val (_, n3) = t.copyInto(spark, s"$tmp/src")
-      require(n3 == 1, s"only the newly landed file may ingest, got $n3")
+      runCopy()
+      require(t.resolve() == 2L &&
+          (t.ingestOf(2L).toSet -- t.ingestOf(1L).toSet).size == 1,
+        "only the newly landed file may ingest")
       t.read(spark).select("o_orderkey", "o_totalprice")
     },
     Some(

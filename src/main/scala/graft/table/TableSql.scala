@@ -70,7 +70,22 @@ object TableSql {
     Seq((verb, path, version)).toDF("operation", "path", "version")
   }
 
-  def run(spark: SparkSession, sql: String): DataFrame = sql match {
+  /** [[run]] that reports "not a maintenance statement" as None instead of
+    * throwing — the dispatcher for SQL entry points that must fall back to
+    * `spark.sql` for everything else (the reference's whole idiom is SQL
+    * text inside stages, so COPY INTO / OPTIMIZE / DESCRIBE HISTORY need a
+    * spelling THROUGH those stages, not only the Scala API). A statement
+    * whose verb matched but whose form is invalid still throws: a malformed
+    * OPTIMIZE must surface its own error, not Spark's parser's. */
+  def runOpt(spark: SparkSession, sql: String): Option[DataFrame] =
+    dispatch(spark, sql)
+
+  def run(spark: SparkSession, sql: String): DataFrame =
+    dispatch(spark, sql).getOrElse(throw new IllegalArgumentException(
+      s"unrecognized graft maintenance statement: '$sql' — supported: OPTIMIZE, " +
+        "VACUUM, DESCRIBE HISTORY, RESTORE ... TO VERSION AS OF, CREATE TABLE ... SHALLOW CLONE"))
+
+  private def dispatch(spark: SparkSession, sql: String): Option[DataFrame] = Some(sql match {
     case Optimize(p, null, null) =>
       val path = unq(p)
       status(spark, "OPTIMIZE", path, VersionedTable(path).compact(spark))
@@ -153,8 +168,6 @@ object TableSql {
       val path = unq(p)
       VersionedTable.convert(spark, path)
       status(spark, "CONVERT", path, 0L)
-    case other => throw new IllegalArgumentException(
-      s"unrecognized graft maintenance statement: '$other' — supported: OPTIMIZE, " +
-        "VACUUM, DESCRIBE HISTORY, RESTORE ... TO VERSION AS OF, CREATE TABLE ... SHALLOW CLONE")
-  }
+    case _ => return None
+  })
 }

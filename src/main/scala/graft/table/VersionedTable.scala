@@ -281,6 +281,17 @@ final class VersionedTable(val root: String,
       node.get("identity").get("highWater").asLong()))
   }
 
+  /** Whether the identity declaration is GENERATED BY DEFAULT (explicit
+    * values accepted; the watermark advances past them at publish) rather
+    * than GENERATED ALWAYS (explicit writes refused). Both are Delta's
+    * variants; BY DEFAULT is what migration backfills need — insert
+    * historical ids as-is, allocate for new rows. */
+  def identityAllowsExplicit(v: Long): Boolean = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    node.has("identity") && node.get("identity").has("allowExplicit") &&
+      node.get("identity").get("allowExplicit").asBoolean()
+  }
+
   /** CHECK constraints recorded in a version's manifest: name → SQL
     * expression every row of the table must satisfy (see [[addConstraint]]).
     * Constraints are version-pinned metadata like the schema — RESTORE rolls
@@ -1285,6 +1296,7 @@ final class VersionedTable(val root: String,
       stampedIds: Option[Map[String, Long]] = None,
       operation: Option[String] = None,
       identity: Option[(String, Long)] = None,
+      identityAllowExplicit: Option[Boolean] = None,
       ingest: Seq[String] = Nil): Long = {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1L).getOrElse(0L)
@@ -1379,6 +1391,9 @@ final class VersionedTable(val root: String,
       val idn = json.putObject("identity")
       idn.put("col", c)
       idn.put("highWater", Seq(hw, floor, writtenMax).max)
+      // BY DEFAULT vs ALWAYS: declared once, carried forever
+      if (identityAllowExplicit.orElse(base.map(identityAllowsExplicit))
+          .getOrElse(false)) idn.put("allowExplicit", true)
     }
     cdfKind.foreach(k => json.put("cdfKind", k))
     // source-file identities COPY INTO ingested in THIS commit — the same
@@ -3434,8 +3449,13 @@ final class VersionedTable(val root: String,
     * current max of the column as the allocation high water (one
     * column-pruned scan; 0 on an empty or all-null column). Every
     * subsequent [[appendIdentity]] allocates strictly above the water;
-    * explicit writes of the column are refused there. */
-  def enableIdentity(spark: SparkSession, colName: String): Long = {
+    * explicit writes of the column are refused there. With
+    * `allowExplicit = true` the declaration is GENERATED BY DEFAULT
+    * instead: explicit values are accepted (per-row — null means
+    * "allocate for me") and every publish advances the water past them,
+    * so allocation never re-mints a backfilled id. */
+  def enableIdentity(spark: SparkSession, colName: String,
+      allowExplicit: Boolean = false): Long = {
     val v = resolve()
     val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
       s"version $v of $root has no recorded schema"))
@@ -3450,7 +3470,8 @@ final class VersionedTable(val root: String,
       dvs = dvsOf(v), partitionBy = partitionByOf(v),
       partitions = partitionValuesOf(v), cdfKind = Some("none"),
       columnIdsOverride = Some(columnIdsOf(v)),
-      operation = Some("SET IDENTITY"), identity = Some((colName, hw)))
+      operation = Some("SET IDENTITY"), identity = Some((colName, hw)),
+      identityAllowExplicit = Some(allowExplicit))
   }
 
   /** Append with server-side identity allocation: the batch must NOT carry
@@ -3473,27 +3494,38 @@ final class VersionedTable(val root: String,
         s"$root has no identity column — call enableIdentity first"))
       val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
         s"version $v of $root has no recorded schema"))
-      require(!df.columns.exists(_.equalsIgnoreCase(cName)),
+      val suppliedCol = df.columns.find(_.equalsIgnoreCase(cName))
+      require(suppliedCol.isEmpty || identityAllowsExplicit(v),
         s"$cName is GENERATED ALWAYS AS IDENTITY on $root and cannot be " +
           "written explicitly — omit it from the batch")
       val others = schema.fields.filterNot(_.name == cName)
+      val idField = schema.fields.find(_.name == cName).get
       // persist the batch BEFORE counting/zipping: a non-deterministic
       // source (rand-filtered, stream-fed) must evaluate exactly once so
       // the row/id pairing, the count behind highWater, and the written
       // bytes all describe the SAME rows — and the triple evaluation
-      // (zip offsets + count + write) collapses to one source pass
+      // (zip offsets + count + write) collapses to one source pass.
+      // BY DEFAULT tables may carry the column: null = "allocate for me",
+      // non-null = backfilled as-is (the publish-side watermark raise
+      // keeps later allocation above every backfilled id).
       val pinned = applyGenerated(df,
           org.apache.spark.sql.types.StructType(others))
-        .select(others.map(f =>
-          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        .select((others.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)) :+
+          suppliedCol.map(c => col(c))
+            .getOrElse(org.apache.spark.sql.functions.lit(null))
+            .cast(org.apache.spark.sql.types.LongType).as(cName)).toSeq: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val n = pinned.count() // materializes the cache before the zip pass
-        val idField = schema.fields.find(_.name == cName).get
-        val rdd = pinned.rdd.zipWithIndex().map { case (r, i) =>
+        val needsAlloc = pinned.filter(col(cName).isNull)
+        val n = needsAlloc.count() // materializes the cache before the zip pass
+        val rdd = needsAlloc.drop(cName).rdd.zipWithIndex().map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hw + 1 + i)) }
-        val withId = spark.createDataFrame(rdd, StructType(others :+ idField))
+        val allocated = spark.createDataFrame(rdd, StructType(others :+ idField))
           .select(schema.fields.map(f => col(f.name)).toSeq: _*)
+        val withId = allocated.unionByName(
+          pinned.filter(col(cName).isNotNull)
+            .select(schema.fields.map(f => col(f.name)).toSeq: _*))
         val pb = partitionByOf(v)
         val (commitId, files, partVals, stamped) = writeDataFiles(withId, None, Nil, pb)
         val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -3607,12 +3639,14 @@ final class VersionedTable(val root: String,
       val v = resolve()
       val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
         s"version $v of $root has no recorded schema — COPY INTO needs one"))
-      // an identity table's ids are allocated at the commit point; a blind
-      // file load would land nulls (or worse, the source's own ids) in the
-      // GENERATED ALWAYS column
-      identityOf(v).foreach { case (c, _) => throw new IllegalStateException(
-        s"COPY INTO $root is not supported: $c is GENERATED ALWAYS AS " +
-          "IDENTITY — read the files and appendIdentity instead") }
+      // a GENERATED ALWAYS identity table's ids are allocated at the commit
+      // point; a blind file load would land nulls (or worse, the source's
+      // own ids) in the column. BY DEFAULT tables accept the files' ids
+      // as-is (the publish watermark raise keeps allocation above them).
+      identityOf(v).filterNot(_ => identityAllowsExplicit(v)).foreach {
+        case (c, _) => throw new IllegalStateException(
+          s"COPY INTO $root is not supported: $c is GENERATED ALWAYS AS " +
+            "IDENTITY — read the files and appendIdentity instead") }
       val stream = Files.walk(srcRoot)
       val candidates =
         try stream.iterator().asScala.filter { p =>

@@ -348,6 +348,42 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("GENERATED BY DEFAULT AS IDENTITY through SQL DDL: backfill + allocate") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT GENERATED BY DEFAULT AS IDENTITY, k STRING)")
+    // migration backfill: explicit historical id accepted
+    spark.sql(s"INSERT INTO $t VALUES (100, 'backfill')")
+    // omitted column and explicit NULL both allocate — above the backfill
+    spark.sql(s"INSERT INTO $t (k) VALUES ('new')")
+    spark.sql(s"INSERT INTO $t VALUES (NULL, 'also-new')")
+    assert(spark.sql(s"SELECT id, k FROM $t ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((100L, "backfill"), (101L, "new"), (102L, "also-new")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("GENERATED ALWAYS AS (expr) through SQL DDL: engine computes, writers never supply") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (ts TIMESTAMP, v DOUBLE, " +
+      "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+      "PARTITIONED BY (day)")
+    // the generation expression landed as the same schema metadata
+    // commit(generatedColumns=...) records — later funnels recompute it
+    spark.sql(s"INSERT INTO $t (ts, v) VALUES " +
+      "(TIMESTAMP'2024-03-01 10:00:00', 1.0), " +
+      "(TIMESTAMP'2024-03-02 23:59:59', 2.0)")
+    assert(spark.sql(s"SELECT v, CAST(day AS STRING) FROM $t ORDER BY v")
+      .as[(Double, String)].collect().toSeq ===
+      Seq((1.0, "2024-03-01"), (2.0, "2024-03-02")))
+    // a supplied value is overwritten by the expression (provable
+    // partition-source consistency, Delta semantics)
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(TIMESTAMP'2024-03-03 01:00:00', 3.0, DATE'1999-01-01')")
+    assert(spark.sql(s"SELECT CAST(day AS STRING) FROM $t WHERE v = 3.0")
+      .head.getString(0) === "2024-03-03")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("ALTER TABLE RENAME/DROP COLUMN are metadata-only via column ids") {
     val t = s"graft.default.${fresh()}"
     spark.sql(s"CREATE TABLE $t (id BIGINT, amt DOUBLE, tag STRING)")

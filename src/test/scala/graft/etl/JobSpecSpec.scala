@@ -42,6 +42,33 @@ class JobSpecSpec extends AnyFunSuite with SparkSpec {
     assert(spec.stages(5).asInstanceOf[TableExtract].relativeVersion === Some(-1))
   }
 
+  test("maintenance verbs run from a declarative JSON job spec (the " +
+      "reference's SQL-stage idiom): COPY INTO + OPTIMIZE + DESCRIBE HISTORY") {
+    val base = tmpDir("js-maint-")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k").coalesce(2)
+      .write.parquet(s"$base/land")
+    val t = VersionedTable(s"$base/t")
+    t.commit(Seq.empty[(Long, String)].toDF("id", "k"))
+    val spec = JobSpec.fromJson(
+      s"""{"stages": [
+         |  {"type": "SQLExecute", "name": "ingest",
+         |   "sql": "COPY INTO '$${T}' FROM '$${LAND}'",
+         |   "sqlParams": {"T": "$base/t", "LAND": "$base/land"}},
+         |  {"type": "SQLExecute", "name": "binpack",
+         |   "sql": "OPTIMIZE '$${T}'", "sqlParams": {"T": "$base/t"}},
+         |  {"type": "SQLTransform", "name": "audit", "outputView": "hist",
+         |   "sql": "DESCRIBE HISTORY '$${T}'", "sqlParams": {"T": "$base/t"}}
+         |]}""".stripMargin)
+    spec.run(spark, Map.empty)
+    assert(t.read(spark).count() === 2, "COPY INTO must have ingested")
+    val ops = spark.table("hist").select("operation")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.contains("COPY INTO") && ops.contains("OPTIMIZE"),
+      s"history must show the staged verbs, got $ops")
+    // plain SQL still falls through to Spark unchanged
+    JobSpec(Seq(SQLExecute("plain", "SELECT 1"))).run(spark, Map.empty)
+  }
+
   test("SQLAssert gates data quality in both modes with 3VL semantics") {
     Seq((1L, true), (2L, true)).toDF("id", "ok")
       .createOrReplaceTempView("qa_src")

@@ -132,6 +132,41 @@ class IdentitySpec extends AnyFunSuite with SparkSpec {
     assert(t.identityOf(t.resolve()).contains(("id", last)))
   }
 
+  test("GENERATED BY DEFAULT: explicit ids accepted per-row, water rises past them") {
+    val root = tmpDir("id-bd-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a")).toDF("id", "k"))
+    t.enableIdentity(spark, "id", allowExplicit = true)
+    // migration backfill: historical ids inserted as-is
+    t.appendIdentity(spark, Seq((100L, "h1"), (200L, "h2")).toDF("id", "k"))
+    assert(t.identityOf(t.resolve()).exists(_._2 >= 200L),
+      s"water must rise past backfilled ids, got ${t.identityOf(t.resolve())}")
+    // mixed batch: null = allocate, non-null = keep
+    val (_, first, last) = t.appendIdentity(spark,
+      Seq((Some(500L), "e"), (Option.empty[Long], "n")).toDF("id", "k"))
+    assert(first === 201L && last === 201L, s"allocated [$first,$last]")
+    // an omitted-column batch allocates above the explicit 500
+    val (_, f2, _) = t.appendIdentity(spark, Seq("z").toDF("k"))
+    assert(f2 === 501L, s"allocation must clear the explicit 500, got $f2")
+    val ids = t.read(spark).select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 100L, 200L, 201L, 500L, 501L))
+  }
+
+  test("BY DEFAULT race: allocator vs explicit backfill never duplicate") {
+    val root = tmpDir("id-bd-race-") + "/t"
+    VersionedTable(root).commit(Seq((5L, "a")).toDF("id", "k"))
+    VersionedTable(root).enableIdentity(spark, "id", allowExplicit = true)
+    val t = new VersionedTable(root, new FireOnce(() => {
+      VersionedTable(root).appendIdentity(spark,
+        Seq((50L, "backfill")).toDF("id", "k")); ()
+    }))
+    t.appendIdentity(spark, Seq("m1", "m2").toDF("k"))
+    val ids = VersionedTable(root).read(spark).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids === Seq(5L, 50L, 51L, 52L),
+      s"loser must re-allocate above the backfill-raised water, got $ids")
+  }
+
   test("rewrites and RESTORE carry the water forward — no range re-opens") {
     val root = tmpDir("id-carry-")
     val t = VersionedTable(root)
