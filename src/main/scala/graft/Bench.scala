@@ -52,6 +52,17 @@ object Bench {
     // first
     val ivfConsumers = Set("s2_ann_ivf", "s3_srp_lsh", "s6_ivf_pq",
       "d5_embedding_neardup", "d11_semantic_dedup", "s7_kmeans_train")
+    // cold first (clears the stored index, rebuilds — the one-time training
+    // cost as its own tracked number), then the warm fingerprint-verify
+    // (what every later process pays). Recording only the warm number
+    // would make a build regression invisible.
+    val ivfBuildCold =
+      if (only.nonEmpty && !only.exists(ivfConsumers)) -1.0
+      else try graft.queries.SimilarityQueries.buildIndexCold(spark, sfDir)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] ivf cold index build failed: ${e.getMessage}")
+        -1.0
+      }
     val ivfBuild =
       if (only.nonEmpty && !only.exists(ivfConsumers)) -1.0
       else try graft.queries.SimilarityQueries.buildIndex(spark, sfDir)
@@ -84,7 +95,11 @@ object Bench {
     // cost is the honest number; the burst is the machine's.
     val baseline: Map[String, Double] =
       try {
-        val src = scala.io.Source.fromFile("BASELINE.md")
+        // explicit UTF-8: the container JVM's default charset is ASCII and
+        // BASELINE.md contains multibyte punctuation — the default-codec
+        // read threw MalformedInputException mid-iteration and silently
+        // emptied the baseline map (so the >2x-recorded clause never fired)
+        val src = scala.io.Source.fromFile("BASELINE.md")(scala.io.Codec.UTF8)
         val lines = try src.getLines().toList finally src.close()
         lines.flatMap { l =>
           l.split("\\|").map(_.trim).filter(_.nonEmpty) match {
@@ -97,16 +112,40 @@ object Bench {
     val oks = first.map(_._2).filter(_ >= 0).sorted
     val median = if (oks.isEmpty) 0.0 else oks(oks.size / 2)
     val byName = picked.toMap
+    // host-contention evidence for entries that stay over the 2×-recorded
+    // bar even after the quiet-lane re-time (the q88 pattern: RocksDB-state
+    // streaming joins are wall-clock-sensitive to harness load): capture
+    // the 1-min load average and the GC time spent during the re-time so
+    // the adjudication is data, not a hand-wave
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def load1: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val contention = scala.collection.mutable.LinkedHashMap[String, String]()
     val retimed = first.map { case (name, t) =>
       val burst = t > math.max(2.0, 3 * median) ||
         baseline.get(name).exists(b => t > 2 * b)
       if (burst && t >= 0) {
+        val l0 = load1; val g0 = gcMillis
         val t2 = time(name, byName(name))
-        name -> (if (t2 >= 0) math.min(t, t2) else t)
+        val g1 = gcMillis
+        val best = if (t2 >= 0) math.min(t, t2) else t
+        if (baseline.get(name).exists(b => best > 2 * b)) {
+          val note = String.format(java.util.Locale.ROOT,
+            "load1=%.1f/cpus=%s,gcSec=%.1f", Double.box(l0), cpus,
+            Double.box((g1 - g0) / 1000.0))
+          contention(name) = note
+          System.err.println(
+            s"[bench] $name still ${best}s after re-time (recorded " +
+              s"${baseline(name)}s); host evidence: $note")
+        }
+        name -> best
       } else name -> t
     }
-    val results =
-      if (ivfBuild >= 0) retimed :+ ("ivf_build" -> ivfBuild) else retimed
+    val results = retimed ++
+      (if (ivfBuildCold >= 0) Seq("ivf_build_cold" -> ivfBuildCold) else Nil) ++
+      (if (ivfBuild >= 0) Seq("ivf_build" -> ivfBuild) else Nil)
     // millisecond precision keeps the single JSON line compact enough to
     // survive the driver's bounded output-tail capture (a full-precision
     // double per query pushed past it and the line arrived truncated)
@@ -115,7 +154,12 @@ object Bench {
     val qs = results.map { case (k, v) => Verify.jsonQuote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${Verify.jsonQuote(sfDir)}}""")
+    val cont =
+      if (contention.isEmpty) ""
+      else contention.map { case (k, v) =>
+        Verify.jsonQuote(k) + ":" + Verify.jsonQuote(v) }
+        .mkString(""","contention":{""", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$cont,"sf":${Verify.jsonQuote(sfDir)}}""")
     spark.stop()
   }
 }

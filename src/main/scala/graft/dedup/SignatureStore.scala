@@ -1,0 +1,185 @@
+package graft.dedup
+
+import graft.table.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake-resident MinHash + checksum signature index for INCREMENTAL
+  * deduplication — the production shape of d1 (exact) + d3 (MinHash LSH)
+  * (SURVEY.md §2.12): the corpus is fingerprinted ONCE into two versioned
+  * tables under the store root, and every later batch is admitted or
+  * rejected by joining against the STORE, never by re-shingling the corpus.
+  * This mirrors the reference's own processing model — an incremental CDC
+  * delta merged on a schedule (`scd2-job.ipynb:211`,
+  * `scd2-job-scheduler.yaml:32-48`) — where nobody re-reads yesterday's
+  * 100 TB to admit today's batch.
+  *
+  * Store layout (each a [[VersionedTable]], so the index itself has
+  * versions, time travel, and atomic appends):
+  *  - `<root>/sigs`:  (doc_id, checksum, sig ARRAY<STRING>(16)) — one row
+  *    per admitted document; `checksum` and `doc_id` carry Bloom sidecars
+  *    so a batch's probe reads only files that can match.
+  *  - `<root>/bands`: (doc_id, band, bkey) — 8 LSH band keys per document
+  *    (16 perms, 8 bands x 2 rows, exactly d3's banding); `bkey` carries a
+  *    Bloom sidecar for the candidate join's probe.
+  *
+  * Admission semantics (deterministic, oracle-replayable):
+  *  1. exact duplicate — md5(text) equals a stored checksum → verdict
+  *     `exact_dup`, `dup_of` = min matching stored doc_id;
+  *  2. near duplicate — shares ≥1 of 8 band keys with a stored document
+  *     AND ≥8 of the 16 MinHash lanes agree (estimated Jaccard ≥ 0.5 —
+  *     the signature-based verification; no corpus text is ever read) →
+  *     verdict `near_dup`, `dup_of` = min such stored doc_id;
+  *  3. otherwise `admitted` (`dup_of` null), and the document's signature
+  *     and band rows APPEND to the store in one commit per table.
+  *
+  * Within-batch duplicates are the caller's concern (run d1/d3 over the
+  * batch first): admission compares batch vs STORE only, which is what
+  * makes the oracle an exact relational replay.
+  *
+  * Scale: per batch the work is per-row signature folds (codegen, zero
+  * shuffle), two Bloom-pruned store reads, and slim equi-joins on
+  * (checksum) and (band, bkey) — each shuffling key+id pairs only. Store
+  * growth is append-only; no compaction of history is ever needed for
+  * correctness (OPTIMIZE works on the store like any table). Probe key
+  * lists beyond [[ProbeKeyCap]] fall back to a full slim scan of the store
+  * side (the join stays correct; only the file-skip shortcut is skipped).
+  */
+object SignatureStore {
+
+  /** Word 3-gram shingles of the space-separated text (one canonical
+    * spelling, shared verbatim with the d2/d3 gate queries — the split
+    * array is let-bound via a singleton transform so it evaluates once per
+    * row, not once per index). */
+  val ShinglesExpr: String =
+    """flatten(transform(array(split(text, ' ')), w ->
+      |  transform(sequence(1, greatest(size(w) - 2, 1)),
+      |    i -> concat_ws(' ', slice(w, i, 3)))))""".stripMargin
+
+  /** 8 band keys from the 16-lane signature — d3's banding verbatim. */
+  val BandKeysExpr: String =
+    "transform(sequence(0, 7), b -> struct(b AS band, " +
+      "md5(concat_ws(',', slice(sig, b * 2 + 1, 2))) AS bkey))"
+
+  /** ≥ this many of the 16 lanes must agree for a near-dup verdict
+    * (estimated Jaccard ≥ 0.5). */
+  val MinAgreeingLanes = 8
+
+  /** Above this many distinct probe keys the Bloom-pruned read falls back
+    * to a full slim scan (same bound class as readPrunedByJoinKeys). */
+  val ProbeKeyCap = 200000
+
+  private def sigsTable(root: String) = VersionedTable(s"$root/sigs")
+  private def bandsTable(root: String) = VersionedTable(s"$root/bands")
+
+  /** (doc_id, checksum, sig) for a documents frame — per-row codegen'd
+    * folds, no shuffle. */
+  private def signatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    docs.select(col("doc_id"), md5(col("text")).as("checksum"),
+      expr(s"minhash_sig($ShinglesExpr)").as("sig"))
+  }
+
+  /** (doc_id, band, bkey): 8 slim rows per document. */
+  private def bandRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(expr(BandKeysExpr)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+  /** Bootstrap the store from an initial corpus (the ONE full-corpus pass;
+    * everything after is incremental). Idempotent per empty root. */
+  def build(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
+    val sigsT = sigsTable(root)
+    require(sigsT.latestVersion().isEmpty, s"$root already holds a signature store")
+    val s = signatures(spark, corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // properties BEFORE the first commit so its Bloom sidecars build
+      sigsT.setProperties(Map(
+        "bloomIndexColumns" -> "checksum,doc_id",
+        "indexFormat" -> "1",
+        "signature" -> "minhash16/band8/shingle3"))
+      sigsT.commit(s)
+      val bandsT = bandsTable(root)
+      bandsT.setProperties(Map("bloomIndexColumns" -> "bkey"))
+      bandsT.commit(bandRows(s))
+    } finally { s.unpersist(); () }
+  }
+
+  /** Bloom-pruned slim read of a store table restricted (file-wise) to the
+    * probe keys; over [[ProbeKeyCap]] keys, the full table (correct either
+    * way — this only controls file skipping). */
+  private def prunedRead(spark: SparkSession, t: VersionedTable,
+      column: String, keys: DataFrame): DataFrame = {
+    val collected = keys.select(col(column).cast("string")).distinct()
+      .limit(ProbeKeyCap + 1).collect().map(_.getString(0)).toSeq
+    if (collected.length <= ProbeKeyCap && collected.nonEmpty)
+      t.readBounded(spark, Nil, exactValues = Seq((column, collected)))._1
+    else t.read(spark)
+  }
+
+  /** Admit `batch` (doc_id, text) against the store: returns one decision
+    * row per batch document — (doc_id, verdict, dup_of) with verdict in
+    * {admitted, exact_dup, near_dup} — and appends the admitted documents'
+    * signatures and band rows to the store (one commit per table). The
+    * corpus is NEVER re-read: everything joins against the stored
+    * signatures. */
+  def admit(spark: SparkSession, root: String, batch: DataFrame): DataFrame = {
+    val sigsT = sigsTable(root)
+    require(sigsT.latestVersion().isDefined,
+      s"$root holds no signature store — build(corpus) first")
+    require(sigsT.properties.get("indexFormat").contains("1"),
+      s"$root was built by an incompatible signature-store format " +
+        s"(${sigsT.properties.get("indexFormat")}) — rebuild")
+    val s = signatures(spark, batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      s.count()
+      // exact rejects: Bloom-pruned store read by the batch's checksums
+      val storedByChecksum = prunedRead(spark, sigsT, "checksum",
+        s.select("checksum"))
+      val exact = s.select(col("doc_id"), col("checksum"))
+        .join(storedByChecksum.select(col("doc_id").as("s_id"), col("checksum")),
+          "checksum")
+        .groupBy("doc_id").agg(min(col("s_id")).as("exact_of"))
+      // near-dup candidates: batch band keys vs stored band rows
+      // (Bloom-pruned by bkey), then signature-lane verification — both
+      // sigs are AT HAND (batch in `s`, stored in the sigs table), so
+      // verification never touches document text
+      val batchBands = bandRows(s)
+      val storedBands = prunedRead(spark, bandsTable(root), "bkey",
+        batchBands.select("bkey"))
+      val cand = batchBands
+        .join(storedBands.toDF("s_id", "band2", "bkey2"),
+          col("band") === col("band2") && col("bkey") === col("bkey2"))
+        .select(col("doc_id"), col("s_id")).distinct()
+      val storedSigs = prunedRead(spark, sigsT, "doc_id",
+        cand.select(col("s_id").as("doc_id")))
+      val near = cand
+        .join(s.select(col("doc_id"), col("sig").as("sa")), "doc_id")
+        .join(storedSigs.select(col("doc_id").as("s_id"), col("sig").as("sb")), "s_id")
+        .filter(expr("aggregate(zip_with(sa, sb, (x, y) -> " +
+          s"IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) >= $MinAgreeingLanes"))
+        .groupBy("doc_id").agg(min(col("s_id")).as("near_of"))
+      val decisions = s.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_of").isNotNull, lit("exact_dup"))
+            .when(col("near_of").isNotNull, lit("near_dup"))
+            .otherwise(lit("admitted")).as("verdict"),
+          coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      decisions.count()
+      // append the admitted documents' signatures — the store stays the
+      // single source of truth for every later batch
+      val admittedIds = decisions.filter(col("verdict") === "admitted")
+        .select("doc_id")
+      val admittedSigs = s.join(admittedIds, "doc_id")
+      if (!admittedIds.isEmpty) {
+        sigsT.append(admittedSigs)
+        bandsTable(root).append(bandRows(admittedSigs))
+      }
+      decisions
+    } finally { s.unpersist(); () }
+  }
+}

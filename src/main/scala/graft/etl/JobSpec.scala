@@ -180,6 +180,11 @@ object JobSpec {
         name, str(n, "tableURI"), optInt(n, "retainVersions").getOrElse(2), envs(n))
       case "TableRestore" => TableRestore(
         name, str(n, "tableURI"), longKey(n, "versionAsOf"), envs(n))
+      case "DedupIndexBuild" => DedupIndexBuild(
+        name, str(n, "inputView"), str(n, "storeURI"), envs(n))
+      case "DedupIndexAdmit" => DedupIndexAdmit(
+        name, str(n, "inputView"), str(n, "storeURI"), str(n, "outputView"),
+        envs(n))
       case "MatViewRefresh" =>
         val sumsNode = n.get("sums")
         require(sumsNode != null && sumsNode.isObject,

@@ -64,15 +64,25 @@ object NotebookJob {
             val nl = cell.indexOf('\n')
             require(nl > 0, s"%sql cell has no body: $cell")
             val attrs = headerAttrs(cell.substring(4, nl))
-            stages += SQLTransform(
-              name = attrs.getOrElse("name", attrs.getOrElse("outputView", "sql")),
-              sql = cell.substring(nl + 1).trim,
-              outputView = attrs.getOrElse("outputView",
-                throw new IllegalArgumentException(s"%sql cell missing outputView")),
-              sqlParams = attrs.get("sqlParams")
-                .map(EnvResolver.parseSqlParams).getOrElse(Map.empty),
-              environments = attrs.get("environments")
-                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+            val body = cell.substring(nl + 1).trim
+            val params = attrs.get("sqlParams")
+              .map(EnvResolver.parseSqlParams).getOrElse(Map.empty)
+            val envsOf = attrs.get("environments")
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+            attrs.get("outputView") match {
+              case Some(ov) => stages += SQLTransform(
+                name = attrs.getOrElse("name", ov),
+                sql = body, outputView = ov, sqlParams = params,
+                environments = envsOf)
+              case None =>
+                // no outputView = a side-effecting cell (maintenance verbs
+                // — OPTIMIZE / VACUUM / COPY INTO — or catalog DDL): the
+                // reference's SQL-stage idiom, routed through the same
+                // TableSql-first dispatcher SQLExecute uses
+                stages += SQLExecute(
+                  name = attrs.getOrElse("name", "sql"),
+                  sql = body, sqlParams = params, environments = envsOf)
+            }
           } else if (cell.startsWith("{")) {
             // the reference notebook is a tutorial: one stage cell is a
             // fill-in-the-blank placeholder (a backtick-prose line plus

@@ -679,3 +679,37 @@ final case class JDBCLoad(
     None
   }
 }
+
+/** Bootstrap an incremental-dedup signature store from a corpus view
+  * ([[graft.dedup.SignatureStore.build]]): the one full-corpus signature
+  * pass — everything after is per-batch. */
+final case class DedupIndexBuild(
+    name: String,
+    inputView: String,
+    storeURI: String,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    graft.dedup.SignatureStore.build(spark, sub(storeURI, env),
+      spark.table(inputView))
+    None
+  }
+}
+
+/** Admit a batch view against a signature store
+  * ([[graft.dedup.SignatureStore.admit]]): per-document decisions
+  * (doc_id, verdict, dup_of) register as `outputView`; admitted documents'
+  * signatures append to the store in the same call — the scheduled-batch
+  * shape of the reference's CDC merge jobs, applied to dedup. */
+final case class DedupIndexAdmit(
+    name: String,
+    inputView: String,
+    storeURI: String,
+    outputView: String,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val df = graft.dedup.SignatureStore.admit(spark, sub(storeURI, env),
+      spark.table(inputView))
+    df.createOrReplaceTempView(outputView)
+    Some(df)
+  }
+}

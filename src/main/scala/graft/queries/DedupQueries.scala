@@ -550,7 +550,70 @@ object DedupQueries {
         |FROM cand
         |WHERE levenshtein(ta, tb) <= 5""".stripMargin))
 
+  /** d12: INCREMENTAL dedup against a lake-resident signature index
+    * ([[graft.dedup.SignatureStore]]) — the production path: the corpus
+    * (even doc_ids) is fingerprinted ONCE into versioned `sigs` + `bands`
+    * tables, then the new batch (odd doc_ids) is admitted/rejected purely
+    * by joining the STORE — exact on checksum, near-dup on d3's 8-band LSH
+    * with ≥8/16 signature-lane agreement (estimated Jaccard ≥ 0.5); the
+    * corpus text is never re-read. Admitted docs append to the store, so
+    * the next batch dedups against them too (second-session proof:
+    * DedupIndexSpec). Oracle: DuckDB replays store+batch relationally with
+    * the same md5-lane signatures as d3. */
+  val d12IncrementalDedup: Q = Q(
+    "d12_incremental_dedup",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val docs = Tables.table(spark, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-d12-").toString
+      graft.dedup.SignatureStore.build(spark, s"$tmp/ix",
+        docs.filter("doc_id % 2 = 0"))
+      graft.dedup.SignatureStore.admit(spark, s"$tmp/ix",
+        docs.filter("doc_id % 2 = 1"))
+    },
+    Some(
+      s"""WITH sh_all AS ($duckShingles),
+         |hm AS (
+         |  SELECT doc_id, shingle,
+         |    md5('0:' || shingle) || md5('1:' || shingle) ||
+         |    md5('2:' || shingle) || md5('3:' || shingle) AS h
+         |  FROM sh_all),
+         |sigl AS (
+         |  SELECT doc_id, i, min(substr(h, 1 + i * 8, 8)) AS mh
+         |  FROM hm, (SELECT unnest(range(0, 16)) AS i) perms
+         |  GROUP BY doc_id, i),
+         |sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sigl GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b * 2 + 1:b * 2 + 2], ',')) AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) bs),
+         |batch AS (SELECT doc_id, md5(text) AS checksum FROM documents WHERE doc_id % 2 = 1),
+         |corpus AS (SELECT doc_id, md5(text) AS checksum FROM documents WHERE doc_id % 2 = 0),
+         |exact AS (
+         |  SELECT b.doc_id, min(c.doc_id) AS exact_of
+         |  FROM batch b JOIN corpus c ON b.checksum = c.checksum
+         |  GROUP BY b.doc_id),
+         |cand AS (
+         |  SELECT DISTINCT bb.doc_id AS doc_id, cb.doc_id AS s_id
+         |  FROM bands bb JOIN bands cb ON bb.b = cb.b AND bb.bkey = cb.bkey
+         |  WHERE bb.doc_id % 2 = 1 AND cb.doc_id % 2 = 0),
+         |near AS (
+         |  SELECT c.doc_id, min(c.s_id) AS near_of
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.doc_id
+         |  JOIN sigs sb ON sb.doc_id = c.s_id
+         |  WHERE list_sum(list_transform(range(1, 17),
+         |          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= 8
+         |  GROUP BY c.doc_id)
+         |SELECT b.doc_id,
+         |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+         |       WHEN n.near_of IS NOT NULL THEN 'near_dup'
+         |       ELSE 'admitted' END AS verdict,
+         |  coalesce(e.exact_of, n.near_of) AS dup_of
+         |FROM batch b
+         |LEFT JOIN exact e ON e.doc_id = b.doc_id
+         |LEFT JOIN near n ON n.doc_id = b.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d6DedupClusters, d7CollectionMinHash, d8PassageDedup, d9Decontaminate,
-    d10EditDistance)
+    d10EditDistance, d12IncrementalDedup)
 }

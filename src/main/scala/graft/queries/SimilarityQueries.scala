@@ -320,6 +320,24 @@ object SimilarityQueries {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Delete the stored index and rebuild from scratch, returning seconds —
+    * the one-time training cost as its own TRACKED number. Persistence
+    * across processes means a later warm [[buildIndex]] is ~0.03 s, which
+    * is the point of the lake-resident index — but if only the warm number
+    * were ever recorded, a regression in the build itself would be
+    * invisible (Bench emits both `ivf_build_cold` and `ivf_build`). */
+  def buildIndexCold(spark: SparkSession, dir: String): Double = {
+    val root = java.nio.file.Paths.get(indexLakeRoot(spark, dir))
+    if (java.nio.file.Files.isDirectory(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally s.close()
+    }
+    resetIndexCache()
+    buildIndex(spark, dir)
+  }
+
   private def storedCents(spark: SparkSession, dir: String): DataFrame =
     graft.table.VersionedTable(s"${indexRoot(spark, dir)}/cents").read(spark)
 

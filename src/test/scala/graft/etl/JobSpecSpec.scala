@@ -69,6 +69,28 @@ class JobSpecSpec extends AnyFunSuite with SparkSpec {
     JobSpec(Seq(SQLExecute("plain", "SELECT 1"))).run(spark, Map.empty)
   }
 
+  test("incremental dedup from a declarative job: build the signature " +
+      "store, admit a batch, decisions land in a view") {
+    val base = tmpDir("js-dedup-")
+    Seq((2L, "alpha beta gamma delta epsilon zeta"),
+        (4L, "totally different corpus text here okay"))
+      .toDF("doc_id", "text").createOrReplaceTempView("dd_corpus")
+    Seq((11L, "alpha beta gamma delta epsilon zeta"),
+        (13L, "fresh text admitted by the batch"))
+      .toDF("doc_id", "text").createOrReplaceTempView("dd_batch")
+    JobSpec.fromJson(
+      s"""{"stages": [
+         |  {"type": "DedupIndexBuild", "name": "b", "inputView": "dd_corpus",
+         |   "storeURI": "$base/ix"},
+         |  {"type": "DedupIndexAdmit", "name": "a", "inputView": "dd_batch",
+         |   "storeURI": "$base/ix", "outputView": "decisions"}
+         |]}""".stripMargin).run(spark, Map.empty)
+    val d = spark.table("decisions").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(11L -> "exact_dup", 13L -> "admitted"))
+    assert(VersionedTable(s"$base/ix/sigs").read(spark).count() === 3)
+  }
+
   test("SQLAssert gates data quality in both modes with 3VL semantics") {
     Seq((1L, true), (2L, true)).toDF("id", "ok")
       .createOrReplaceTempView("qa_src")

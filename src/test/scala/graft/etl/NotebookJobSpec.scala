@@ -103,6 +103,20 @@ class NotebookJobSpec extends AnyFunSuite with SparkSpec {
     assert(NotebookJob.fromIpynb(ph)._1.stages.isEmpty)
   }
 
+  test("a %sql cell without outputView becomes a side-effecting SQLExecute " +
+      "(the maintenance-verb cell shape)") {
+    val nb =
+      """{"cells": [
+        | {"cell_type": "code", "source": "%sql name=\"opt\"\nOPTIMIZE '/tmp/t'"},
+        | {"cell_type": "code", "source": "%sql outputView=\"v\"\nSELECT 1"}
+        |]}""".stripMargin
+    val (job, _) = NotebookJob.fromIpynb(nb)
+    assert(job.stages.map(_.getClass.getSimpleName) ===
+      Seq("SQLExecute", "SQLTransform"))
+    assert(job.stages.collect { case s: SQLExecute => s.sql }
+      === Seq("OPTIMIZE '/tmp/t'"))
+  }
+
   test("a flagged stage cell is only skipped when it is the real placeholder") {
     // a backtick-flagged cell that still parses as strict JSON (trailing
     // prose after the config) is a REAL stage — it must be kept, not vanish

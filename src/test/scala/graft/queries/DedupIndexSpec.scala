@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.dedup.SignatureStore
+import graft.table.VersionedTable
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The lake-resident MinHash/checksum signature store
+  * ([[graft.dedup.SignatureStore]]): the corpus is fingerprinted ONCE at
+  * build, each batch is admitted by joining the STORE (never re-reading
+  * the corpus), admitted docs append so later batches dedup against them
+  * too, and a second session serves the store from disk with zero
+  * recomputation of corpus signatures. */
+class DedupIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  private val corpus = docs(
+    2L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+    4L -> "completely different content about distributed query engines and storage",
+    6L -> "a third unrelated corpus document mentioning neither foxes nor engines at all")
+
+  test("admit: exact, near, and fresh documents verdict correctly; store appends") {
+    val root = tmpDir("dix-") + "/ix"
+    SignatureStore.build(spark, root, corpus)
+    assert(VersionedTable.exists(s"$root/sigs") && VersionedTable.exists(s"$root/bands"))
+    val sigsT = VersionedTable(s"$root/sigs")
+    assert(sigsT.read(spark).count() === 3)
+    val batch = docs(
+      // exact duplicate of doc 2
+      11L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      // near duplicate of doc 2 (one word changed)
+      13L -> "the quick brown fox jumps over the lazy dog near the river bank tonight",
+      // fresh
+      15L -> "entirely novel text that matches nothing stored in the signature index")
+    val d = SignatureStore.admit(spark, root, batch)
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(d(11L) === ("exact_dup", Some(2L)))
+    assert(d(13L)._1 === "near_dup" && d(13L)._2.contains(2L))
+    assert(d(15L) === ("admitted", None))
+    // only the admitted doc appended, via APPEND (no corpus rewrite)
+    assert(sigsT.read(spark).count() === 4)
+    assert(sigsT.history(spark).filter("version = " + sigsT.resolve())
+      .head.getAs[String]("operation") === "APPEND")
+    // the NEXT batch dedups against the batch-1 admission too
+    val d2 = SignatureStore.admit(spark, root, docs(
+      21L -> "entirely novel text that matches nothing stored in the signature index"))
+      .collect()
+    assert(d2.length === 1 && d2.head.getString(1) === "exact_dup" &&
+      d2.head.getLong(2) === 15L,
+      "a duplicate of an ADMITTED batch-1 doc must reject against the appended store")
+  }
+
+  test("a second session admits from the stored index without recomputing " +
+      "corpus signatures (corpus text never supplied)") {
+    val root = tmpDir("dix2-") + "/ix"
+    SignatureStore.build(spark, root, corpus)
+    val sigsT = VersionedTable(s"$root/sigs")
+    val builtVersion = sigsT.resolve()
+    // a "second driver": fresh session; admit() takes ONLY the store root
+    // and the batch — there is no argument through which the corpus could
+    // be re-read, and the store tables must not be rebuilt
+    val second = org.apache.spark.sql.graft.PlanShim.cloneSession(spark)
+    val d = SignatureStore.admit(second, root, docs(
+        31L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+        33L -> "some brand new content admitted by the second driver process"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(31L -> "exact_dup", 33L -> "admitted"))
+    // exactly one append on top of the build — no rebuild commits
+    assert(sigsT.resolve() === builtVersion + 1)
+    assert(sigsT.history(second).filter(s"version <= $builtVersion")
+      .select("operation").collect().map(_.getString(0)).toSet === Set("OVERWRITE"),
+      "the corpus fingerprint pass happened once, at build")
+  }
+
+  test("a store built by an incompatible format refuses to serve") {
+    val root = tmpDir("dix3-") + "/ix"
+    SignatureStore.build(spark, root, corpus)
+    VersionedTable(s"$root/sigs").setProperties(Map("indexFormat" -> "99"))
+    intercept[IllegalArgumentException](
+      SignatureStore.admit(spark, root, docs(41L -> "x y z")))
+    intercept[IllegalArgumentException](
+      SignatureStore.build(spark, root, corpus))
+  }
+}

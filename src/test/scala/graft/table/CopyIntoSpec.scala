@@ -112,4 +112,29 @@ class CopyIntoSpec extends AnyFunSuite with SparkSpec {
     assert(out.select("files_ingested").head.getLong(0) === 1L)
     assert(t.read(spark).count() === 2)
   }
+
+  test("a wide landing tree lists in parallel tasks: same identities, " +
+      "same idempotence") {
+    val base = tmpDir("ci-wide-")
+    val src = s"$base/land"
+    // ≥ ParallelListMinDirs first-level subtrees + a root-level file:
+    // exercises the distributed listing path end to end
+    (0 until 10).foreach { d =>
+      writeSrc(s"$src/part=$d", "a.parquet", Seq((d.toLong, s"d$d")))
+      writeSrc(s"$src/part=$d/nested", "b.parquet", Seq((100L + d, s"n$d")))
+    }
+    writeSrc(src, "root.parquet", Seq((999L, "root")))
+    val t = emptyTable(s"$base/t")
+    val (_, n1) = t.copyInto(spark, src)
+    assert(n1 === 21L, s"10 dirs × 2 files + 1 root file, got $n1")
+    assert(t.read(spark).count() === 21)
+    // idempotent re-run: the distributed identities must match the
+    // recorded memory exactly (no path-rendering drift)
+    val (_, n2) = t.copyInto(spark, src)
+    assert(n2 === 0L && t.read(spark).count() === 21)
+    // one newly landed file in one subtree ingests alone
+    writeSrc(s"$src/part=3", "c.parquet", Seq((500L, "late")))
+    val (_, n3) = t.copyInto(spark, src)
+    assert(n3 === 1L && t.read(spark).count() === 22)
+  }
 }
