@@ -93,15 +93,20 @@ object SignatureStore {
     val s = signatures(spark, corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // properties BEFORE the first commit so its Bloom sidecars build
+      // properties BEFORE the first commit so its Bloom sidecars build.
+      // collectStats = false on both stores: every probe is a Bloom
+      // point-lookup on high-cardinality hashes (checksum/doc_id/bkey) —
+      // min/max ranges can never prune them, and the stats pass would
+      // re-scan each store per commit for bounds nothing consumes (the
+      // same rule the ANN index stores apply)
       sigsT.setProperties(Map(
         "bloomIndexColumns" -> "checksum,doc_id",
         "indexFormat" -> "1",
         "signature" -> "minhash16/band8/shingle3"))
-      sigsT.commit(s)
+      sigsT.commit(s, collectStats = false)
       val bandsT = bandsTable(root)
       bandsT.setProperties(Map("bloomIndexColumns" -> "bkey"))
-      bandsT.commit(bandRows(s))
+      bandsT.commit(bandRows(s), collectStats = false)
     } finally { s.unpersist(); () }
   }
 
@@ -122,7 +127,13 @@ object SignatureStore {
     * {admitted, exact_dup, near_dup} — and appends the admitted documents'
     * signatures and band rows to the store (one commit per table). The
     * corpus is NEVER re-read: everything joins against the stored
-    * signatures. */
+    * signatures. Admission windows are per-batch: two CONCURRENT
+    * admissions both read the pre-append store, so mutual duplicates
+    * across racing batches may both admit (the same boundary every batch
+    * dedup pipeline has) — run admissions serially per store, as a
+    * scheduled DAG does; replays are naturally idempotent (a replayed
+    * document rejects as an exact duplicate of its own committed
+    * signature). */
   def admit(spark: SparkSession, root: String, batch: DataFrame): DataFrame = {
     val sigsT = sigsTable(root)
     require(sigsT.latestVersion().isDefined,
@@ -160,6 +171,12 @@ object SignatureStore {
         .filter(expr("aggregate(zip_with(sa, sb, (x, y) -> " +
           s"IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) >= $MinAgreeingLanes"))
         .groupBy("doc_id").agg(min(col("s_id")).as("near_of"))
+      // eager localCheckpoint, not persist: (a) the decision rows are
+      // PINNED before the appends below (a later recompute would re-plan
+      // against handles — though even those are safe: every store read
+      // above resolved its file list at construction); (b) the returned
+      // frame's blocks are ContextCleaner-freed once unreachable, where a
+      // CacheManager entry from persist() would leak per admission batch
       val decisions = s.select(col("doc_id"))
         .join(exact, Seq("doc_id"), "left")
         .join(near, Seq("doc_id"), "left")
@@ -168,16 +185,15 @@ object SignatureStore {
             .when(col("near_of").isNotNull, lit("near_dup"))
             .otherwise(lit("admitted")).as("verdict"),
           coalesce(col("exact_of"), col("near_of")).as("dup_of"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      decisions.count()
+        .localCheckpoint(true)
       // append the admitted documents' signatures — the store stays the
       // single source of truth for every later batch
       val admittedIds = decisions.filter(col("verdict") === "admitted")
         .select("doc_id")
       val admittedSigs = s.join(admittedIds, "doc_id")
       if (!admittedIds.isEmpty) {
-        sigsT.append(admittedSigs)
-        bandsTable(root).append(bandRows(admittedSigs))
+        sigsT.append(admittedSigs, collectStats = false)
+        bandsTable(root).append(bandRows(admittedSigs), collectStats = false)
       }
       decisions
     } finally { s.unpersist(); () }

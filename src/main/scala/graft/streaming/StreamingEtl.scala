@@ -241,6 +241,31 @@ object StreamingEtl {
         ()
     }
 
+  /** Continuous incremental dedup: admit every arriving document
+    * micro-batch against the lake-resident signature store
+    * ([[graft.dedup.SignatureStore]]) and append the per-document
+    * decisions to a versioned `decisions` table. Exactly-once decisions
+    * via the same manifest txn stamp as [[appendStream]]; the STORE
+    * appends need no stamp — they are naturally idempotent: a replayed
+    * batch's documents reject as exact duplicates of their own committed
+    * signatures (checksum match → empty admitted set → no second append),
+    * and if the crash preceded the store commit, re-admitting is simply
+    * the first admission. The decisions table must exist (schema-bearing
+    * v0); the store must be built. */
+  def dedupAdmitStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      storeRoot: String,
+      decisionsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    exactlyOnceStream(spark, landingDir, schema, decisionsRoot, checkpointDir) {
+      (decisionsT, batch, batchId) =>
+        val d = graft.dedup.SignatureStore.admit(batch.sparkSession, storeRoot, batch)
+        decisionsT.append(d, txn = Some(checkpointDir -> batchId))
+        ()
+    }
+
   /** Continuous SCD1 upsert (CDC "latest state per key"): each micro-batch
     * is reduced to its newest row per `key` (descending `orderCols`,
     * lexicographic, so include a unique tiebreaker column), then merged into

@@ -75,6 +75,40 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
       "the corpus fingerprint pass happened once, at build")
   }
 
+  test("streaming admission: arriving micro-batches admit against the " +
+      "store, decisions land exactly-once in a versioned table") {
+    val base = tmpDir("dix-s-")
+    val root = s"$base/ix"
+    SignatureStore.build(spark, root, corpus)
+    val decisionsT = VersionedTable(s"$base/decisions")
+    decisionsT.commit(Seq.empty[(Long, String, Option[Long])]
+      .toDF("doc_id", "verdict", "dup_of"))
+    val landing = s"$base/land"
+    docs(51L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+         53L -> "genuinely new streaming document with unseen content")
+      .coalesce(1).write.parquet(landing)
+    val schema = docs(0L -> "x").schema
+    val q1 = graft.streaming.StreamingEtl.dedupAdmitStream(spark, landing,
+      schema, root, s"$base/decisions", s"$base/ckpt")
+    q1.processAllAvailable(); q1.stop()
+    val d1 = decisionsT.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d1 === Map(51L -> "exact_dup", 53L -> "admitted"))
+    // a later landing: only it processes (checkpoint), and it dedups
+    // against the STREAM-admitted doc 53
+    docs(55L -> "genuinely new streaming document with unseen content")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val q2 = graft.streaming.StreamingEtl.dedupAdmitStream(spark, landing,
+      schema, root, s"$base/decisions", s"$base/ckpt")
+    q2.processAllAvailable(); q2.stop()
+    val d2 = decisionsT.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2 === Map(51L -> "exact_dup", 53L -> "admitted", 55L -> "exact_dup"),
+      s"the second batch must reject against the stream-admitted doc, got $d2")
+    assert(VersionedTable(s"$root/sigs").read(spark).count() === 4,
+      "store = 3 corpus + 1 stream-admitted")
+  }
+
   test("a store built by an incompatible format refuses to serve") {
     val root = tmpDir("dix3-") + "/ix"
     SignatureStore.build(spark, root, corpus)
