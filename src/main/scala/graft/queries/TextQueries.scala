@@ -559,25 +559,36 @@ object TextQueries {
     * per-word corpus explode — one distinct-count shuffle for the hot set,
     * and the hot set (boilerplate is rare by volume) joins back hash-wise;
     * nothing quadratic, no driver state. */
-  val t19Boilerplate: Q = Q.dualSql("t19_boilerplate",
-    sparkSql =
-      """WITH ws AS (
-        |  SELECT doc_id, split(text, ' ') AS w FROM documents),
-        |grams AS (
-        |  SELECT doc_id, gram FROM (
-        |    SELECT doc_id, explode(transform(
-        |      sequence(1, size(w) - 4),
-        |      i -> array_join(slice(w, i, 5), ' '))) AS gram
-        |    FROM ws
-        |    WHERE size(w) >= 5) g),
-        |hot AS (
-        |  SELECT gram FROM grams GROUP BY gram
-        |  HAVING count(DISTINCT doc_id) >= 5)
-        |SELECT g.doc_id, count(*) AS n_grams, count(h.gram) AS n_hot,
-        |  round(CAST(count(h.gram) AS DOUBLE) / count(*), 6) AS boilerplate_frac
-        |FROM grams g LEFT JOIN hot h ON g.gram = h.gram
-        |GROUP BY g.doc_id""".stripMargin,
-    duckSql =
+  val t19Boilerplate: Q = Q(
+    "t19_boilerplate",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      // the gram stream feeds BOTH the hot-set aggregation and the
+      // join-back census; a CTE would recompute the explode (Spark does
+      // not materialize CTEs), so the stream is persisted once — the
+      // "write signatures" stage shape d3 uses. The split is hoisted into
+      // a named column (w) BEFORE the per-index lambda: Spark does not
+      // hoist subexpressions into higher-order-function bodies, and the
+      // in-lambda spelling re-split the text once per gram (O(words²)).
+      val grams = spark.sql(
+        """SELECT doc_id, gram FROM (
+          |  SELECT doc_id, explode(transform(
+          |    sequence(1, size(w) - 4),
+          |    i -> array_join(slice(w, i, 5), ' '))) AS gram
+          |  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+          |  WHERE size(w) >= 5) g""".stripMargin)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      grams.createOrReplaceTempView("t19_grams")
+      spark.sql(
+        """WITH hot AS (
+          |  SELECT gram FROM t19_grams GROUP BY gram
+          |  HAVING count(DISTINCT doc_id) >= 5)
+          |SELECT g.doc_id, count(*) AS n_grams, count(h.gram) AS n_hot,
+          |  round(CAST(count(h.gram) AS DOUBLE) / count(*), 6) AS boilerplate_frac
+          |FROM t19_grams g LEFT JOIN hot h ON g.gram = h.gram
+          |GROUP BY g.doc_id""".stripMargin)
+    },
+    Some(
       """WITH grams AS (
         |  SELECT doc_id, unnest(list_transform(
         |    range(1, len(string_split(text, ' ')) - 4 + 1),
@@ -591,7 +602,7 @@ object TextQueries {
         |  CAST(count(h.gram) AS BIGINT) AS n_hot,
         |  round(CAST(count(h.gram) AS DOUBLE) / count(*), 6) AS boilerplate_frac
         |FROM grams g LEFT JOIN hot h ON g.gram = h.gram
-        |GROUP BY g.doc_id""".stripMargin)
+        |GROUP BY g.doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
