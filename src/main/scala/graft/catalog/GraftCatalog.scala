@@ -71,6 +71,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     VersionedTable.exists(tablePath(ident).toString)
 
+  /** Filesystem root for `ident` — the bridge that lets the maintenance
+    * verbs ([[graft.table.TableSql]]) address catalog tables by NAME
+    * (`OPTIMIZE graft.default.t`) instead of only by path. */
+  def pathOf(ident: Identifier): String = tablePath(ident).toString
+
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
     if (!VersionedTable.exists(p.toString)) throw new NoSuchTableException(ident)

@@ -27,11 +27,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * which Spark's parser cannot route to a V1 relation, still have a SQL
   * spelling. Every verb returns a DataFrame: `DESCRIBE HISTORY` the real
   * history, the others a one-row status frame (verb, path, result version).
+  *
+  * Tables address by QUOTED PATH (`'/lake/t'`) or by CATALOG NAME
+  * (`graft.default.t` — any dotted identifier whose leading part names a
+  * registered [[graft.catalog.GraftCatalog]]), matching Delta's verb
+  * spellings; `CONVERT` and `COPY INTO ... FROM` directory operands are
+  * paths by nature and stay quoted.
   */
 object TableSql {
 
-  // path literal: standard SQL single-quote string, '' = an embedded quote
-  private val P = """'((?:[^']|'')+)'"""
+  // path-or-name: a quoted path literal ('' = an embedded quote), or a
+  // dotted catalog identifier (`graft.default.t`) resolved to its
+  // filesystem root through the session's registered GraftCatalog —
+  // Delta's verbs address tables by NAME, so ours do too
+  private val P = """('(?:[^']|'')+'|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)+)"""
+  // strictly a quoted string literal (timestamp operands)
+  private val L = """'((?:[^']|'')+)'"""
   private val Optimize =
     s"""(?is)\\s*OPTIMIZE\\s+$P(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?(?:\\s+WHERE\\s+(.+?))?\\s*""".r
   private val Vacuum =
@@ -45,7 +56,7 @@ object TableSql {
   private val Restore =
     s"""(?is)\\s*RESTORE\\s+$P\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*""".r
   private val RestoreTs =
-    s"""(?is)\\s*RESTORE\\s+$P\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+$P\\s*""".r
+    s"""(?is)\\s*RESTORE\\s+$P\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+$L\\s*""".r
   private val Clone =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$P\\s+SHALLOW\\s+CLONE\\s+$P\\s*""".r
   private val Generate =
@@ -63,6 +74,31 @@ object TableSql {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+ALTER\\s+COLUMN\\s+`?([A-Za-z0-9_]+)`?\\s+SET\\s+NOT\\s+NULL\\s*""".r
 
   private def unq(s: String): String = s.replace("''", "'")
+
+  /** Resolve a P-matched token: a quoted literal is a filesystem path; a
+    * dotted identifier whose leading part names a registered
+    * [[graft.catalog.GraftCatalog]] resolves to that table's root (works
+    * for not-yet-existing tables too — the CLONE destination is a pure
+    * path computation). None = an identifier that is NOT ours (unknown
+    * catalog, or a non-graft catalog): verbs that collide with Spark
+    * grammar (SET NOT NULL) fall back to `spark.sql` on None, while
+    * graft-only verbs raise a clear addressing error via [[ref]]. */
+  private def refOpt(spark: SparkSession, tok: String): Option[String] =
+    if (tok.startsWith("'")) Some(unq(tok.substring(1, tok.length - 1)))
+    else {
+      val parts = tok.split('.').toSeq
+      scala.util.Try(spark.sessionState.catalogManager.catalog(parts.head))
+        .toOption.collect {
+          case g: graft.catalog.GraftCatalog =>
+            g.pathOf(org.apache.spark.sql.connector.catalog.Identifier.of(
+              parts.slice(1, parts.length - 1).toArray, parts.last))
+        }
+    }
+
+  private def ref(spark: SparkSession, tok: String): String =
+    refOpt(spark, tok).getOrElse(throw new IllegalArgumentException(
+      s"'$tok' does not name a graft-catalog table - address graft tables " +
+        "as <catalog>.[<namespace>.]<table> or quote a filesystem path"))
 
   private def status(spark: SparkSession, verb: String, path: String,
       version: Long): DataFrame = {
@@ -87,11 +123,11 @@ object TableSql {
 
   private def dispatch(spark: SparkSession, sql: String): Option[DataFrame] = Some(sql match {
     case Optimize(p, null, null) =>
-      val path = unq(p)
+      val path = ref(spark, p)
       status(spark, "OPTIMIZE", path, VersionedTable(path).compact(spark))
     case Optimize(p, null, where) =>
       // partition-scoped compaction: only matching partitions rewrite
-      val path = unq(p)
+      val path = ref(spark, p)
       status(spark, "OPTIMIZE WHERE", path,
         VersionedTable(path).compactWhere(spark, where.trim))
     case Optimize(p, cols, where) =>
@@ -99,12 +135,12 @@ object TableSql {
         "OPTIMIZE ZORDER BY ... WHERE is not supported: z-order is a " +
           "whole-table layout — scope with a partitioned table + plain " +
           "OPTIMIZE ... WHERE instead")
-      val path = unq(p)
+      val path = ref(spark, p)
       status(spark, "OPTIMIZE ZORDER", path, VersionedTable(path).compact(spark,
         zOrderBy = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq))
     case Vacuum(p, retain, unit, force, dry) =>
-      val path = unq(p)
+      val path = ref(spark, p)
       val t = VersionedTable(path)
       import spark.implicits._
       def retainVersions: Int =
@@ -126,16 +162,16 @@ object TableSql {
         // its own name instead of overloading `version`
         Seq(("VACUUM", path, n.toLong)).toDF("operation", "path", "swept")
       }
-    case History(p) => VersionedTable(unq(p)).history(spark)
-    case Detail(p) => VersionedTable(unq(p)).detail(spark)
-    case ShowParts(p) => VersionedTable(unq(p)).showPartitions(spark)
+    case History(p) => VersionedTable(ref(spark, p)).history(spark)
+    case Detail(p) => VersionedTable(ref(spark, p)).detail(spark)
+    case ShowParts(p) => VersionedTable(ref(spark, p)).showPartitions(spark)
     case Restore(p, v) =>
-      val path = unq(p)
+      val path = ref(spark, p)
       status(spark, "RESTORE", path, VersionedTable(path).restore(v.toLong))
     case RestoreTs(p, ts0) =>
       // same literal forms as the reader's timestampAsOf option: epoch
       // millis, SQL timestamp, or ISO-8601 instant
-      val path = unq(p)
+      val path = ref(spark, p)
       val s = unq(ts0)
       val millis = scala.util.Try(s.toLong).getOrElse(
         scala.util.Try(java.sql.Timestamp.valueOf(s).getTime).getOrElse(
@@ -143,29 +179,33 @@ object TableSql {
       val t = VersionedTable(path)
       status(spark, "RESTORE", path, t.restore(t.resolveAsOfTimestamp(millis)))
     case Clone(dst, src) =>
-      VersionedTable(unq(src)).cloneShallow(unq(dst))
-      status(spark, "SHALLOW CLONE", unq(dst), 0L)
+      VersionedTable(ref(spark, src)).cloneShallow(ref(spark, dst))
+      status(spark, "SHALLOW CLONE", ref(spark, dst), 0L)
     case Generate(p) =>
       // Delta's GENERATE spelling (`scd2-job.ipynb:382` is this artifact):
       // (re)write the Athena-interop manifest tree for the latest version
-      val path = unq(p)
+      val path = ref(spark, p)
       val t = VersionedTable(path)
       t.writeSymlinkManifest()
       status(spark, "GENERATE", path, t.resolve())
     case CopyInto(p, src, fmt) =>
-      val path = unq(p)
+      val path = ref(spark, p)
       import spark.implicits._
-      val (ver, n) = VersionedTable(path).copyInto(spark, unq(src),
+      val (ver, n) = VersionedTable(path).copyInto(spark, ref(spark, src),
         Option(fmt).map(_.toLowerCase).getOrElse("parquet"))
       Seq(("COPY INTO", path, ver, n)).toDF("operation", "path", "version", "files_ingested")
     case SetNotNull(p, colName) =>
-      val path = unq(p)
-      status(spark, "SET NOT NULL", path,
-        VersionedTable(path).setColumnNullability(spark, colName, nullable = false))
+      // the ONE verb riding Spark's own ALTER grammar: a non-graft table
+      // identifier falls through to spark.sql instead of erroring here
+      refOpt(spark, p) match {
+        case Some(path) => status(spark, "SET NOT NULL", path,
+          VersionedTable(path).setColumnNullability(spark, colName, nullable = false))
+        case None => return None
+      }
     case Convert(p) =>
       // Delta's CONVERT TO DELTA: in-place adoption of a plain parquet
       // directory — version 0 references the existing files, zero rewrite
-      val path = unq(p)
+      val path = ref(spark, p)
       VersionedTable.convert(spark, path)
       status(spark, "CONVERT", path, 0L)
     case _ => return None

@@ -8,6 +8,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class TableSqlSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("verbs address catalog tables by NAME (graft.default.t), paths stay quoted") {
+    val tn = s"graft.default.tsql_ident_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tn (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $tn SELECT id, id % 5 FROM range(100)")
+    spark.sql(s"INSERT INTO $tn SELECT id, id % 5 FROM range(100, 200)")
+    // OPTIMIZE by identifier: same kernel, result visible via the identifier
+    val opt = TableSql.run(spark, s"OPTIMIZE $tn")
+    assert(opt.head.getString(0) === "OPTIMIZE")
+    val hist = TableSql.run(spark, s"DESCRIBE HISTORY $tn")
+    assert(hist.filter("operation = 'OPTIMIZE'").count() === 1)
+    assert(spark.sql(s"SELECT count(*) FROM $tn").head.getLong(0) === 200)
+    // SET NOT NULL by identifier routes to the kernel's validated tighten
+    TableSql.run(spark, s"ALTER TABLE $tn ALTER COLUMN v SET NOT NULL")
+    assert(!spark.table(tn).schema("v").nullable)
+    // an identifier NOT owned by a graft catalog: graft-only verbs raise a
+    // clear addressing error; the ALTER collision falls through (None)
+    intercept[IllegalArgumentException](TableSql.run(spark, "OPTIMIZE nope.t"))
+    assert(TableSql.runOpt(spark,
+      "ALTER TABLE nope.t ALTER COLUMN v SET NOT NULL").isEmpty)
+    spark.sql(s"DROP TABLE $tn")
+  }
+
   test("OPTIMIZE, ZORDER, VACUUM, HISTORY, RESTORE, SHALLOW CLONE round-trip") {
     val base = tmpDir("tsql-")
     val root = base + "/t"
