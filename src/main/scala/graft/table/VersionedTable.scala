@@ -158,8 +158,11 @@ final class VersionedTable(val root: String,
       operation = Some("CLONE"),
       // the identity declaration + high water carry: ids already handed
       // out on the source must stay closed on the clone too (a clone that
-      // re-opened the range would mint duplicates of cloned rows' ids)
-      identity = identityOf(v))
+      // re-opened the range would mint duplicates of cloned rows' ids);
+      // the ALWAYS/BY DEFAULT mode must carry explicitly — base=None here,
+      // so the publish-side base fallback cannot supply it
+      identity = identityOf(v),
+      identityAllowExplicit = Some(identityAllowsExplicit(v)))
     val props = properties
     if (props.nonEmpty) tgt.setProperties(props)
     tgt

@@ -72,6 +72,16 @@ class IdentitySpec extends AnyFunSuite with SparkSpec {
     assert(c.identityOf(c.resolve()).contains(("id", 3L)))
     val (_, first, _) = c.appendIdentity(spark, Seq("d").toDF("k"))
     assert(first === 4L)
+    // the ALWAYS/BY DEFAULT mode carries too: a BY DEFAULT source must not
+    // clone into a table that refuses explicit inserts
+    val bd = VersionedTable(s"$base/bd")
+    bd.commit(Seq((1L, "a")).toDF("id", "k"))
+    bd.enableIdentity(spark, "id", allowExplicit = true)
+    val bdc = bd.cloneShallow(s"$base/bdc")
+    assert(bdc.identityAllowsExplicit(bdc.resolve()),
+      "clone dropped the BY DEFAULT mode")
+    bdc.appendIdentity(spark, Seq((50L, "explicit")).toDF("id", "k"))
+    assert(bdc.identityOf(bdc.resolve()).exists(_._2 >= 50L))
   }
 
   test("UPDATE SET and MERGE SET on the identity column are refused") {
