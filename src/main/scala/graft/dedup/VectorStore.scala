@@ -1,0 +1,116 @@
+package graft.dedup
+
+import graft.table.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake-resident IVF vector store for INCREMENTAL embedding near-dup
+  * admission — the vector-space sibling of [[SignatureStore]] (SURVEY.md
+  * §2.12): the corpus is assigned ONCE to deterministically trained
+  * centroids and stored partitioned by centroid; every later batch is
+  * admitted or rejected by probing ONLY its own centroid partitions of the
+  * store — the corpus embeddings are never re-scanned whole.
+  *
+  * Store layout (each a [[VersionedTable]]):
+  *  - `<root>/cents`:    (c_id, cv, ncv) — the centroids, trained once on
+  *    the build corpus ([[graft.queries.SimilarityQueries.trainedCents]]:
+  *    seeded init at `vec_id % m = 0`, Lloyd steps in exact integer space
+  *    — deterministic and oracle-replayable);
+  *  - `<root>/assigned`: (vec_id, label, v, nv, c_id) PARTITIONED BY c_id
+  *    — the physical inverted-file layout, so admission reads only the
+  *    batch's own centroid partitions (manifest pruning, zero I/O for the
+  *    rest of the corpus).
+  *
+  * Admission semantics (single-probe, d5's same-bucket rule): a batch
+  * vector is a near-dup iff a STORED vector in its assigned centroid
+  * partition has rounded cosine ≥ `threshold`; verdict `near_dup` with
+  * `dup_of` = the minimum such stored vec_id, else `admitted` and the
+  * vector appends to its partition. Centroids stay FIXED after build (the
+  * standard IVF serving contract — retrain = rebuild): assignment drift is
+  * bounded by the build corpus' coverage, exactly as for the ANN index.
+  *
+  * Scale: per batch — one broadcast-centroid assignment pass over the
+  * batch, one partition-pruned read of the probed store slices, one
+  * within-partition join; append-only growth. */
+object VectorStore {
+
+  /** d5's near-dup verification threshold (rounded cosine). */
+  val DefaultThreshold = 0.45
+
+  private def centsTable(root: String) = VersionedTable(s"$root/cents")
+  private def assignedTable(root: String) = VersionedTable(s"$root/assigned")
+
+  /** Normalize a raw (vec_id, label, embedding float[]) frame to the
+    * store's (vec_id, label, v double[], nv) shape. */
+  private def normalized(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", graft.functions.VectorFunctions.l2Norm(col("v")))
+
+  /** Bootstrap: train centroids on the corpus (the ONE full pass), store
+    * corpus vectors partitioned by centroid. */
+  def build(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
+    val centsT = centsTable(root)
+    require(centsT.latestVersion().isEmpty, s"$root already holds a vector store")
+    val vecs = normalized(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = vecs.count()
+      val m = graft.queries.SimilarityQueries.seedModulus(n)
+      centsT.setProperties(Map("indexFormat" -> "1", "seedModulus" -> m.toString))
+      centsT.commit(
+        graft.queries.SimilarityQueries.trainedCents(spark, vecs, m).coalesce(1))
+      val centsDf = centsT.read(spark)
+      // co-locate per partition value before the partitioned commit (the
+      // default layout would emit tasks × values tiny files); stats off —
+      // reads prune by PARTITION value only
+      assignedTable(root).commit(
+        graft.queries.SimilarityQueries.assignTo(vecs, centsDf)
+          .repartition(col("c_id")),
+        partitionBy = Seq("c_id"), collectStats = false)
+    } finally { vecs.unpersist(); () }
+  }
+
+  /** Admit `batch` (vec_id, label, embedding) against the store: one
+    * decision row per batch vector — (vec_id, verdict, dup_of) — and the
+    * admitted vectors append to their centroid partitions. */
+  def admit(spark: SparkSession, root: String, batch: DataFrame,
+      threshold: Double = DefaultThreshold): DataFrame = {
+    val centsT = centsTable(root)
+    require(centsT.latestVersion().isDefined,
+      s"$root holds no vector store — build(corpus) first")
+    require(centsT.properties.get("indexFormat").contains("1"),
+      s"$root was built by an incompatible vector-store format — rebuild")
+    val vecs = normalized(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      vecs.count()
+      val assignedBatch = graft.queries.SimilarityQueries
+        .assignTo(vecs, centsT.read(spark))
+      // partition-pruned probe: ONLY the batch's own centroid partitions
+      // of the store are listed and read
+      val (stored, _, _) = assignedTable(root).readPrunedByJoinKeys(
+        spark, assignedBatch.select("c_id"), "c_id", "c_id")
+      val near = assignedBatch
+        .join(stored.select(col("c_id"), col("vec_id").as("s_id"),
+            col("v").as("sv"), col("nv").as("snv")), "c_id")
+        .withColumn("sim", graft.functions.VectorFunctions.cosineWithNorms6(
+          col("v"), col("nv"), col("sv"), col("snv")))
+        .filter(col("sim") >= threshold)
+        .groupBy("vec_id").agg(min(col("s_id")).as("near_of"))
+      val decisions = vecs.select(col("vec_id"))
+        .join(near, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("near_of").isNotNull, lit("near_dup"))
+            .otherwise(lit("admitted")).as("verdict"),
+          col("near_of").as("dup_of"))
+        .localCheckpoint(true)
+      val admitted = assignedBatch.join(
+        decisions.filter(col("verdict") === "admitted").select("vec_id"), "vec_id")
+      if (!admitted.isEmpty)
+        assignedTable(root).append(admitted.repartition(col("c_id")),
+          collectStats = false)
+      decisions
+    } finally { vecs.unpersist(); () }
+  }
+}

@@ -613,7 +613,53 @@ object DedupQueries {
          |LEFT JOIN exact e ON e.doc_id = b.doc_id
          |LEFT JOIN near n ON n.doc_id = b.doc_id""".stripMargin))
 
+  /** d13: INCREMENTAL embedding near-dup admission against a lake-resident
+    * IVF vector store ([[graft.dedup.VectorStore]]) — the vector-space
+    * sibling of d12: centroids train ONCE on the corpus half (even
+    * vec_ids, the deterministic seeded k-means the ANN index uses), the
+    * corpus is stored partitioned by centroid, and the batch half (odd
+    * vec_ids) is admitted by probing ONLY its own centroid partitions —
+    * near-dup iff a stored same-bucket vector has rounded cosine ≥ 0.45
+    * (d5's verification rule), `dup_of` = the minimum such stored id.
+    * Admitted vectors append to their partitions, so later batches dedup
+    * against them too. Oracle: DuckDB replays the training (exact integer
+    * Lloyd steps), both assignments, and the bucket probe relationally. */
+  val d13IncrementalVecDedup: Q = Q(
+    "d13_incremental_embedding_dedup",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val emb = Tables.table(spark, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-d13-").toString
+      graft.dedup.VectorStore.build(spark, s"$tmp/vx",
+        emb.filter("vec_id % 2 = 0"))
+      graft.dedup.VectorStore.admit(spark, s"$tmp/vx",
+        emb.filter("vec_id % 2 = 1"))
+    },
+    Some(
+      s"""WITH ${SimilarityQueries.duckAssignedFor("WHERE vec_id % 2 = 0")},
+         |b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |      WHERE vec_id % 2 = 1),
+         |b_assigned AS (
+         |  SELECT vec_id, v, c_id FROM (
+         |    SELECT b.vec_id, b.v, c.c_id,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY round(${SimilarityQueries.duckCos("b.v", "c.cv")}, 6) DESC,
+         |                 c.c_id) AS rk
+         |    FROM b, cents c) t
+         |  WHERE rk = 1),
+         |near AS (
+         |  SELECT ba.vec_id, min(a.vec_id) AS near_of
+         |  FROM b_assigned ba JOIN assigned a ON a.c_id = ba.c_id
+         |  WHERE round(${SimilarityQueries.duckCos("ba.v", "a.v")}, 6) >= 0.45
+         |  GROUP BY ba.vec_id)
+         |SELECT b.vec_id,
+         |  CASE WHEN n.near_of IS NOT NULL THEN 'near_dup'
+         |       ELSE 'admitted' END AS verdict,
+         |  n.near_of AS dup_of
+         |FROM b
+         |LEFT JOIN near n ON n.vec_id = b.vec_id""".stripMargin))
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d6DedupClusters, d7CollectionMinHash, d8PassageDedup, d9Decontaminate,
-    d10EditDistance, d12IncrementalDedup)
+    d10EditDistance, d12IncrementalDedup, d13IncrementalVecDedup)
 }

@@ -33,12 +33,12 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   /** cosine in DuckDB (list_sum over in-order transform = same fold). */
-  private def duckCos(a: String, b: String): String =
+  private[queries] def duckCos(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
        | / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
        |    * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))""".stripMargin
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nv", l2Norm(col("v"))) // norm once per vector, reused per pair
@@ -54,7 +54,7 @@ object SimilarityQueries {
     * one equi-join against the winners table, so they cross the wire exactly
     * once. `max_by` on struct(csim, -c_id) = highest similarity, then lowest
     * centroid id — identical to the window's (csim DESC, c_id ASC). */
-  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
     val best = e.crossJoin(broadcast(cents))
       .withColumn("csim", cosineWithNorms6(col("v"), col("nv"), col("cv"), col("ncv")))
       .select(col("vec_id").as("b_vec"), col("c_id"), col("csim"))
@@ -100,7 +100,7 @@ object SimilarityQueries {
     * broadcastable, which an unbounded N/25 cluster count is not. */
   private val TargetClusterRows = 100000L
 
-  private def seedModulus(n: Long): Long = math.max(25L, n / TargetClusterRows)
+  private[graft] def seedModulus(n: Long): Long = math.max(25L, n / TargetClusterRows)
 
   /** Deterministic seeded k-means: init from the `vec_id % m = 0` subset
     * (m = [[seedModulus]] of the corpus count), then [[KmeansIters]] Lloyd
@@ -108,7 +108,7 @@ object SimilarityQueries {
     * exact integer sums). Called ONLY from the one-time offline build in
     * [[indexRoot]]; consumers read the stored artifact. Cluster identity
     * is the seed vector's id. */
-  private def trainedCents(spark: SparkSession, e: DataFrame, m: Long): DataFrame = {
+  private[graft] def trainedCents(spark: SparkSession, e: DataFrame, m: Long): DataFrame = {
     var c = e.filter(col("vec_id") % m === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("ncv"))
     for (_ <- 1 to KmeansIters) c = centUpdate(assignTo(e, c))
@@ -396,9 +396,12 @@ object SimilarityQueries {
     * derived IN-QUERY from the corpus count — `GREATEST(25, COUNT(*) //
     * 100000)`, the exact SQL image of [[seedModulus]] — so the oracle
     * tracks the engine at every scale factor with a static query text. */
-  private val duckAssigned: String = {
+  /** Training + assignment replay over a filtered embeddings slice —
+    * parameterized so the d13 incremental-admission oracle can train on
+    * the corpus half only (`vec_id % 2 = 0`). */
+  private[graft] def duckAssignedFor(where: String): String = {
     val init =
-      s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings $where),
          |params AS (SELECT GREATEST(25, COUNT(*) // $TargetClusterRows) AS m FROM e),
          |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e
          |       WHERE vec_id % (SELECT m FROM params) = 0)""".stripMargin
@@ -430,6 +433,8 @@ object SimilarityQueries {
          |  WHERE rk = 1)""".stripMargin
     (Seq(init) ++ iters ++ Seq(fin)).mkString(",\n")
   }
+
+  private val duckAssigned: String = duckAssignedFor("")
 
   /** s1: brute-force cosine top-10 neighbours of the vec_id=0 vector. */
   val s1CosineTopK: Q = Q(
