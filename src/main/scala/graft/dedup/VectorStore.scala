@@ -56,6 +56,9 @@ object VectorStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = vecs.count()
+      require(n > 0, s"cannot build a vector store at $root from an empty " +
+        "corpus — no centroids could be trained, and later batches would " +
+        "assign nowhere (admit-without-store)")
       val m = graft.queries.SimilarityQueries.seedModulus(n)
       centsT.setProperties(Map("indexFormat" -> "1", "seedModulus" -> m.toString))
       centsT.commit(
