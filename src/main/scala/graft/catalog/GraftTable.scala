@@ -190,18 +190,17 @@ final class GraftWriteBuilder(t: VersionedTable) extends WriteBuilder
                   // column counts as omitted. An explicit value refuses on
                   // GENERATED ALWAYS; on BY DEFAULT it is taken per-row
                   // (null = allocate) by appendIdentity itself.
-                  val actual = data.columns.find(_.equalsIgnoreCase(idCol))
-                  val byDefault = t.identityAllowsExplicit(t.resolve())
-                  actual match {
-                    case None => t.appendIdentity(data.sparkSession, data)
-                    case Some(n) if byDefault =>
-                      t.appendIdentity(data.sparkSession, data)
-                    case Some(n) =>
+                  data.columns.find(_.equalsIgnoreCase(idCol)) match {
+                    case Some(n) if !t.identityAllowsExplicit(t.resolve()) =>
                       require(data.filter(
                           org.apache.spark.sql.functions.col(n).isNotNull).isEmpty,
                         s"$idCol is GENERATED ALWAYS AS IDENTITY on ${t.root} " +
                           "and cannot be written explicitly — omit it (or insert NULL)")
                       t.appendIdentity(data.sparkSession, data.drop(n))
+                    case _ =>
+                      // column absent, or BY DEFAULT (appendIdentity takes
+                      // explicit ids per-row there: null = allocate)
+                      t.appendIdentity(data.sparkSession, data)
                   }
                   ()
                 case None => t.append(data); ()

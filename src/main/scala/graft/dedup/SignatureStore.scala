@@ -159,10 +159,14 @@ object SignatureStore {
       val batchBands = bandRows(s)
       val storedBands = prunedRead(spark, bandsTable(root), "bkey",
         batchBands.select("bkey"))
+      // eager pin: the candidate set feeds the probe-key collect for the
+      // sigs read AND the verification join — without it the bands join
+      // runs twice per admission
       val cand = batchBands
         .join(storedBands.toDF("s_id", "band2", "bkey2"),
           col("band") === col("band2") && col("bkey") === col("bkey2"))
         .select(col("doc_id"), col("s_id")).distinct()
+        .localCheckpoint(true)
       val storedSigs = prunedRead(spark, sigsT, "doc_id",
         cand.select(col("s_id").as("doc_id")))
       val near = cand

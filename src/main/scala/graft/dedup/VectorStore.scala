@@ -61,8 +61,21 @@ object VectorStore {
         "assign nowhere (admit-without-store)")
       val m = graft.queries.SimilarityQueries.seedModulus(n)
       centsT.setProperties(Map("indexFormat" -> "1", "seedModulus" -> m.toString))
-      centsT.commit(
-        graft.queries.SimilarityQueries.trainedCents(spark, vecs, m).coalesce(1))
+      val cents0 = graft.queries.SimilarityQueries.trainedCents(spark, vecs, m)
+      // a corpus with no vec_id divisible by m would seed ZERO centroids —
+      // a store that admits everything and appends nothing. Tiny corpora
+      // fall back to every-vector-seeds; at scale (where m-divisible ids
+      // are statistically guaranteed) an empty seed set means pathological
+      // ids and the build refuses rather than degrading silently.
+      val cents =
+        if (!cents0.isEmpty) cents0
+        else {
+          require(n <= 10000, s"no corpus vec_id is divisible by the seed " +
+            s"modulus $m — centroids cannot train; renumber the ids or " +
+            "rebuild with a corpus containing m-divisible ids")
+          graft.queries.SimilarityQueries.trainedCents(spark, vecs, 1L)
+        }
+      centsT.commit(cents.coalesce(1))
       val centsDf = centsT.read(spark)
       // co-locate per partition value before the partitioned commit (the
       // default layout would emit tasks × values tiny files); stats off —
@@ -88,8 +101,12 @@ object VectorStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       vecs.count()
+      // eager pin: the assignment (a broadcast cross-join over every
+      // centroid) feeds the probe-key collect, the near-dup join, AND the
+      // admitted append — without it the pass runs three times
       val assignedBatch = graft.queries.SimilarityQueries
         .assignTo(vecs, centsT.read(spark))
+        .localCheckpoint(true)
       // partition-pruned probe: ONLY the batch's own centroid partitions
       // of the store are listed and read
       val (stored, _, _) = assignedTable(root).readPrunedByJoinKeys(

@@ -185,6 +185,12 @@ object JobSpec {
       case "DedupIndexAdmit" => DedupIndexAdmit(
         name, str(n, "inputView"), str(n, "storeURI"), str(n, "outputView"),
         envs(n))
+      case "VectorIndexBuild" => VectorIndexBuild(
+        name, str(n, "inputView"), str(n, "storeURI"), envs(n))
+      case "VectorIndexAdmit" => VectorIndexAdmit(
+        name, str(n, "inputView"), str(n, "storeURI"), str(n, "outputView"),
+        optStr(n, "threshold").map(_.toDouble)
+          .getOrElse(graft.dedup.VectorStore.DefaultThreshold), envs(n))
       case "MatViewRefresh" =>
         val sumsNode = n.get("sums")
         require(sumsNode != null && sumsNode.isObject,

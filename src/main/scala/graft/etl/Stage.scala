@@ -713,3 +713,37 @@ final case class DedupIndexAdmit(
     Some(df)
   }
 }
+
+/** Bootstrap an incremental embedding-dedup vector store from a corpus view
+  * ([[graft.dedup.VectorStore.build]]): centroids train once; the corpus
+  * stores partitioned by centroid. */
+final case class VectorIndexBuild(
+    name: String,
+    inputView: String,
+    storeURI: String,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    graft.dedup.VectorStore.build(spark, sub(storeURI, env),
+      spark.table(inputView))
+    None
+  }
+}
+
+/** Admit a batch view of embeddings against a vector store
+  * ([[graft.dedup.VectorStore.admit]]): per-vector decisions
+  * (vec_id, verdict, dup_of) register as `outputView`; admitted vectors
+  * append to their centroid partitions. */
+final case class VectorIndexAdmit(
+    name: String,
+    inputView: String,
+    storeURI: String,
+    outputView: String,
+    threshold: Double = graft.dedup.VectorStore.DefaultThreshold,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val df = graft.dedup.VectorStore.admit(spark, sub(storeURI, env),
+      spark.table(inputView), threshold)
+    df.createOrReplaceTempView(outputView)
+    Some(df)
+  }
+}

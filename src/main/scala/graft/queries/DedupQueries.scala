@@ -30,11 +30,10 @@ object DedupQueries {
     * higher-order expression (per-row, codegen'd). The split array is
     * let-bound via a singleton transform: referencing `split(text, ' ')`
     * inside the per-index lambda re-evaluates the split for EVERY index —
-    * O(tokens²) per document, measured 4× slower end-to-end. */
-  private val shinglesExpr =
-    """flatten(transform(array(split(text, ' ')), w ->
-      |  transform(sequence(1, greatest(size(w) - 2, 1)),
-      |    i -> concat_ws(' ', slice(w, i, 3)))))""".stripMargin
+    * O(tokens²) per document, measured 4× slower end-to-end. ONE canonical
+    * spelling, owned by the incremental store — a drifted copy would
+    * silently diverge store verdicts from the d2/d3 gates and oracles. */
+  private val shinglesExpr = graft.dedup.SignatureStore.ShinglesExpr
 
   /** Same shingle set in DuckDB. */
   private val duckShingles =
@@ -156,10 +155,10 @@ object DedupQueries {
       // the standard "write signatures" stage of the LSH pipeline
       val sigDf = docs.select(col("doc_id"), expr("minhash_sig(sh)").as("sig")).persist()
       sigDf.count()
+      // band keys: the store-owned canonical spelling (d12 parity)
       val bandRows = sigDf
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, 7), b -> struct(b AS band, md5(concat_ws(',', slice(sig, b * 2 + 1, 2))) AS bkey))"))
-          .as("bb"))
+        .select(col("doc_id"),
+          explode(expr(graft.dedup.SignatureStore.BandKeysExpr)).as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
       val cand = bandRows.toDF("a_id", "band", "bkey")
         .join(bandRows.toDF("b_id", "band2", "bkey2"),

@@ -579,7 +579,7 @@ object TextQueries {
           |  WHERE size(w) >= 5) g""".stripMargin)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       grams.createOrReplaceTempView("t19_grams")
-      spark.sql(
+      val out = spark.sql(
         """WITH hot AS (
           |  SELECT gram FROM t19_grams GROUP BY gram
           |  HAVING count(DISTINCT doc_id) >= 5)
@@ -587,6 +587,14 @@ object TextQueries {
           |  round(CAST(count(h.gram) AS DOUBLE) / count(*), 6) AS boilerplate_frac
           |FROM t19_grams g LEFT JOIN hot h ON g.gram = h.gram
           |GROUP BY g.doc_id""".stripMargin)
+        // pin the SMALL per-doc result eagerly, then release the gram
+        // cache (the explosion is far larger than the corpus — left
+        // cached, it would pressure every later query in the session);
+        // checkpoint blocks are GC-freed once the frame is unreachable
+        .localCheckpoint(true)
+      grams.unpersist()
+      spark.catalog.dropTempView("t19_grams")
+      out
     },
     Some(
       """WITH grams AS (

@@ -266,6 +266,30 @@ object StreamingEtl {
         ()
     }
 
+  /** Continuous incremental EMBEDDING dedup — [[dedupAdmitStream]]'s
+    * vector-space sibling: each arriving embedding micro-batch admits
+    * against the lake-resident IVF vector store
+    * ([[graft.dedup.VectorStore]]), decisions append exactly-once to a
+    * versioned table via the manifest txn stamp (a stamped replay skips
+    * the whole batch, admit included). The unstamped-crash window (store
+    * append committed, decisions stamp not) replays to the same
+    * no-duplicate store state: the vector finds ITSELF at cosine 1 and
+    * rejects — the same at-least-once caveat [[dedupAdmitStream]]
+    * documents, with the decision row then naming its own id. */
+  def vectorAdmitStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      storeRoot: String,
+      decisionsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    exactlyOnceStream(spark, landingDir, schema, decisionsRoot, checkpointDir) {
+      (decisionsT, batch, batchId) =>
+        val d = graft.dedup.VectorStore.admit(batch.sparkSession, storeRoot, batch)
+        decisionsT.append(d, txn = Some(checkpointDir -> batchId))
+        ()
+    }
+
   /** Continuous SCD1 upsert (CDC "latest state per key"): each micro-batch
     * is reduced to its newest row per `key` (descending `orderCols`,
     * lexicographic, so include a unique tiebreaker column), then merged into

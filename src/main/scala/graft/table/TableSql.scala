@@ -164,7 +164,13 @@ object TableSql {
       }
     case History(p) => VersionedTable(ref(spark, p)).history(spark)
     case Detail(p) => VersionedTable(ref(spark, p)).detail(spark)
-    case ShowParts(p) => VersionedTable(ref(spark, p)).showPartitions(spark)
+    case ShowParts(p) =>
+      // SHOW PARTITIONS is also Spark grammar: a non-graft table identifier
+      // falls through to spark.sql instead of erroring here (as SET NOT NULL)
+      refOpt(spark, p) match {
+        case Some(path) => VersionedTable(path).showPartitions(spark)
+        case None => return None
+      }
     case Restore(p, v) =>
       val path = ref(spark, p)
       status(spark, "RESTORE", path, VersionedTable(path).restore(v.toLong))

@@ -1667,6 +1667,20 @@ final class VersionedTable(val root: String,
           s"$root (ids are engine-assigned; the watermark guards uniqueness)")
     }
 
+  /** The watermark raise in publish reads per-file max-id STATS: a
+    * stats-less commit on an identity table could slip explicit ids past
+    * the high water and let appendIdentity re-mint them — refuse up front
+    * (here, where the flag is known — a publish-side file check cannot
+    * tell "stats off" from a harmless zero-row part file). */
+  private def requireStatsForIdentity(collectStats: Boolean, what: String): Unit =
+    if (!collectStats)
+      latestVersion().flatMap(identityOf).foreach { case (c, _) =>
+        throw new IllegalArgumentException(
+          s"$what with collectStats = false is not allowed on $root: $c is " +
+            "an identity column and the publish-side watermark raise reads " +
+            "per-file max-id stats")
+      }
+
   def commit(df: DataFrame, numPartitions: Option[Int] = None,
              sortBy: Seq[String] = Nil, collectStats: Boolean = true,
              txn: Option[(String, Long)] = None,
@@ -1674,6 +1688,7 @@ final class VersionedTable(val root: String,
              generatedColumns: Map[String, String] = Map.empty): Long = {
     // overwriting an existing snapshot drops its rows (first commit is fine)
     if (latestVersion().isDefined) requireNotAppendOnly("Overwrite commit")
+    requireStatsForIdentity(collectStats, "Overwrite commit")
     // generated columns (Delta parity, most often the PARTITION column
     // derived from a data column, e.g. day = CAST(ts AS DATE)): computed
     // here and recorded as in-schema metadata so every later write funnel
@@ -1724,6 +1739,7 @@ final class VersionedTable(val root: String,
       numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil,
       collectStats: Boolean = true, txn: Option[(String, Long)] = None,
       partitionBy: Seq[String] = Nil): Long = {
+    requireStatsForIdentity(collectStats, "Pinned commit")
     val (commitId, files, partVals, stamped) = writeDataFiles(df, numPartitions, sortBy, partitionBy)
     val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
@@ -1766,6 +1782,7 @@ final class VersionedTable(val root: String,
   def append(df0: DataFrame, numPartitions: Option[Int] = None,
              sortBy: Seq[String] = Nil, collectStats: Boolean = true,
              txn: Option[(String, Long)] = None): Long = {
+    requireStatsForIdentity(collectStats, "Append")
     // the batch is laid out with the TABLE's partitioning (read from the
     // head manifest): partition layout is a table property, not a per-batch
     // choice — a mixed layout would break partition pruning silently.
@@ -3520,6 +3537,9 @@ final class VersionedTable(val root: String,
             .cast(org.apache.spark.sql.types.LongType).as(cName)).toSeq: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // an empty batch is a no-op, not a version (and its zero-row file
+        // would carry no identity stats for the publish-side raise to read)
+        if (pinned.isEmpty) return (v, hw + 1, hw)
         val needsAlloc = pinned.filter(col(cName).isNull)
         val n = needsAlloc.count() // materializes the cache before the zip pass
         val rdd = needsAlloc.drop(cName).rdd.zipWithIndex().map { case (r, i) =>
@@ -3741,6 +3761,17 @@ final class VersionedTable(val root: String,
           spark.read.format(format).schema(readSchema).load(fresh.map(_._2): _*),
           schema)
         .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      // BY DEFAULT identity: the files must SUPPLY every id — a missing
+      // column reads as all-null here, and unlike the insert funnel
+      // (appendIdentity: null = allocate) nothing in this path allocates,
+      // so silent NULL ids would land permanently
+      identityOf(v).filter(_ => identityAllowsExplicit(v)).foreach { case (c, _) =>
+        require(batch.filter(col(c).isNull).isEmpty,
+          s"COPY INTO $root: the source files must supply $c (GENERATED BY " +
+            "DEFAULT identity) for every row — null or missing ids are " +
+            "never allocated on this path; read the files and " +
+            "appendIdentity for allocation")
+      }
       val pb = partitionByOf(v)
       val (commitId, files, partVals, stamped) = writeDataFiles(batch, None, Nil, pb)
       val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap

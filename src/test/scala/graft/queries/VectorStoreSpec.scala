@@ -44,6 +44,39 @@ class VectorStoreSpec extends AnyFunSuite with SparkSpec {
       "a duplicate of an ADMITTED vector must reject against the appended store")
   }
 
+  test("declarative job + streaming admission round-trip") {
+    val base = tmpDir("vx3-")
+    vecs((0L until 30L).map(i => i -> (i % 3 + 1)): _*)
+      .createOrReplaceTempView("vx_corpus")
+    vecs(100L -> 2L, 101L -> 55L).createOrReplaceTempView("vx_batch")
+    graft.etl.JobSpec.fromJson(
+      s"""{"stages": [
+         |  {"type": "VectorIndexBuild", "name": "b", "inputView": "vx_corpus",
+         |   "storeURI": "$base/vx"},
+         |  {"type": "VectorIndexAdmit", "name": "a", "inputView": "vx_batch",
+         |   "storeURI": "$base/vx", "outputView": "vx_decisions"}
+         |]}""".stripMargin).run(spark, Map.empty)
+    val d = spark.table("vx_decisions").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(100L -> "near_dup", 101L -> "admitted"))
+    // streaming leg: a landed batch admits against the SAME store (which
+    // now contains the job-admitted vector 101)
+    val landing = s"$base/land"
+    vecs(200L -> 55L, 201L -> 88L).coalesce(1).write.parquet(landing)
+    val decisionsT = VersionedTable(s"$base/decisions")
+    decisionsT.commit(Seq.empty[(Long, String, Option[Long])]
+      .toDF("vec_id", "verdict", "dup_of"))
+    val q = graft.streaming.StreamingEtl.vectorAdmitStream(spark, landing,
+      vecs(0L -> 1L).schema, s"$base/vx", s"$base/decisions", s"$base/ckpt")
+    q.processAllAvailable(); q.stop()
+    val sd = decisionsT.read(spark).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(sd(200L) === (("near_dup", Some(101L))),
+      "the streamed batch must reject against the job-admitted vector")
+    assert(sd(201L) === (("admitted", None)))
+  }
+
   test("a second session admits from the stored index; incompatible format refuses") {
     val root = tmpDir("vx2-") + "/vx"
     VectorStore.build(spark, root,

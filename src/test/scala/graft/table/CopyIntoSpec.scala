@@ -113,6 +113,25 @@ class CopyIntoSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).count() === 2)
   }
 
+  test("COPY INTO a BY DEFAULT identity table: files supply ids and the " +
+      "water rises; files lacking the column refuse (nulls never allocate here)") {
+    val base = tmpDir("ci-bd-")
+    writeSrc(s"$base/src", "a.parquet", Seq((100L, "backfill")))
+    val t = emptyTable(s"$base/t")
+    t.enableIdentity(spark, "id", allowExplicit = true)
+    val (_, n) = t.copyInto(spark, s"$base/src")
+    assert(n === 1L)
+    assert(t.identityOf(t.resolve()).exists(_._2 >= 100L),
+      "the watermark must rise past the file-supplied ids")
+    val (_, first, _) = t.appendIdentity(spark, Seq("new").toDF("k"))
+    assert(first >= 101L)
+    // a landing file WITHOUT the id column reads as all-null → refuse
+    val noid = s"$base/noid"
+    Seq(Tuple1("k-only")).toDF("k").coalesce(1).write.parquet(noid)
+    val e = intercept[IllegalArgumentException](t.copyInto(spark, noid))
+    assert(e.getMessage.contains("never allocated on this path"))
+  }
+
   test("a wide landing tree lists in parallel tasks: same identities, " +
       "same idempotence") {
     val base = tmpDir("ci-wide-")

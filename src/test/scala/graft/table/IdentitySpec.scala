@@ -177,6 +177,20 @@ class IdentitySpec extends AnyFunSuite with SparkSpec {
       s"loser must re-allocate above the backfill-raised water, got $ids")
   }
 
+  test("stats-less commits refuse on identity tables (the watermark raise reads stats)") {
+    val root = tmpDir("id-st-")
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a")).toDF("id", "k"))
+    t.enableIdentity(spark, "id", allowExplicit = true)
+    intercept[IllegalArgumentException](
+      t.commit(Seq((100L, "x")).toDF("id", "k"), collectStats = false))
+    intercept[IllegalArgumentException](
+      t.append(Seq((100L, "x")).toDF("id", "k"), collectStats = false))
+    // with stats the same writes are safe: the raise sees the ids
+    t.append(Seq((100L, "x")).toDF("id", "k"))
+    assert(t.identityOf(t.resolve()).exists(_._2 >= 100L))
+  }
+
   test("rewrites and RESTORE carry the water forward — no range re-opens") {
     val root = tmpDir("id-carry-")
     val t = VersionedTable(root)
