@@ -177,6 +177,10 @@ object DedupQueries {
           "round(CAST(inter AS DOUBLE) / (size(da) + size(db) - inter), 6)"))
         .filter(expr("CAST(inter AS DOUBLE) / (size(da) + size(db) - inter) >= 0.5"))
         .select("a_id", "b_id", "jaccard")
+        // pin the small verified-pair list eagerly so the signature cache
+        // can release before return (it would otherwise outlive the query)
+        .localCheckpoint(true)
+      sigDf.unpersist()
       out
   }
 
@@ -316,11 +320,17 @@ object DedupQueries {
       val comp = Tables.table(spark, dir, "documents").select("doc_id")
         .join(lbl.select(col("doc_id"), col("lbl")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"))
-      comp.select(
+      // pin the small per-doc result eagerly so the final label cache can
+      // release before return (cache entries outlive the query otherwise;
+      // checkpoint blocks are GC-freed with the frame)
+      val out = comp.select(
           col("doc_id"), col("component"),
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("component"))).as("cluster_size"),
           (col("doc_id") === col("component")).as("is_canonical"))
+        .localCheckpoint(true)
+      lbl.unpersist()
+      out
     },
     Some(
       s"""WITH RECURSIVE
