@@ -1814,9 +1814,25 @@ final class VersionedTable(val root: String,
           throw new IllegalStateException(s"version $v of $root has no recorded schema"))
         val priorByName = prior.fields.map(f => f.name -> f).toMap
         val dfByName = df.schema.fields.map(f => f.name -> f).toMap
+        // fully-nullable rendering of a type (recursive): used to accept a
+        // batch that is strictly STRICTER in nested nullability than the
+        // recorded type — non-null elements flowing into a nullable-element
+        // column is always safe; the reverse stays refused (nulls against
+        // a non-null contract)
+        def laxed(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+          import org.apache.spark.sql.types._
+          dt match {
+            case s: StructType => StructType(s.fields.map(f =>
+              f.copy(dataType = laxed(f.dataType), nullable = true)))
+            case a: ArrayType => ArrayType(laxed(a.elementType), containsNull = true)
+            case m: MapType => MapType(laxed(m.keyType), laxed(m.valueType),
+              valueContainsNull = true)
+            case other => other
+          }
+        }
         df.schema.fields.foreach { f =>
           priorByName.get(f.name).foreach { p =>
-            require(p.dataType == f.dataType,
+            require(p.dataType == f.dataType || laxed(f.dataType) == p.dataType,
               s"append cannot change column ${f.name}: ${p.dataType} -> ${f.dataType}")
           }
         }
@@ -3058,8 +3074,13 @@ final class VersionedTable(val root: String,
       else Map.empty[String, Map[String, (String, String, String)]]
     // compaction rewrites the same rows: constraints carry, nothing re-gates;
     // CDF kind "none" records that the transition changed NO rows, so a
-    // change-feed consumer skips it without any diffing
-    publish(files, df.schema.json, stats, None, Some(base), constraintsOf(base),
+    // change-feed consumer skips it without any diffing. The RECORDED
+    // schema carries verbatim: the scan re-derives nullability from
+    // parquet (array containsNull widens to true), and publishing that
+    // drift would make the original producer's appends refuse a "changed"
+    // column type after every OPTIMIZE
+    publish(files, schemaOf(base).map(_.json).getOrElse(df.schema.json),
+      stats, None, Some(base), constraintsOf(base),
       partitionBy = pb, partitions = partVals, cdfKind = Some("none"),
       stampedIds = stamped, operation = Some("OPTIMIZE"))
   }

@@ -109,6 +109,31 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
       "store = 3 corpus + 1 stream-admitted")
   }
 
+  test("admission still correct after the store is OPTIMIZE-compacted " +
+      "(append-only growth has a maintenance story)") {
+    val root = tmpDir("dix4-") + "/ix"
+    SignatureStore.build(spark, root, corpus)
+    // several admission batches -> several small append commits
+    SignatureStore.admit(spark, root, docs(61L -> "first extra batch text one"))
+    SignatureStore.admit(spark, root, docs(63L -> "second extra batch text two"))
+    val sigsT = VersionedTable(s"$root/sigs")
+    val bandsT = VersionedTable(s"$root/bands")
+    sigsT.compact(spark)
+    bandsT.compact(spark)
+    // compacted files carry no fresh Bloom sidecars — pruning keeps them
+    // conservatively, and verdicts are unchanged
+    val d = SignatureStore.admit(spark, root, docs(
+        71L -> "first extra batch text one", // dup of a pre-compact admit
+        73L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+        75L -> "wholly new post-compaction content"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(d(71L) === (("exact_dup", Some(61L))))
+    assert(d(73L) === (("exact_dup", Some(2L))))
+    assert(d(75L) === (("admitted", None)))
+    assert(sigsT.read(spark).count() === 6) // 3 corpus + 61, 63, 75
+  }
+
   test("a store built by an incompatible format refuses to serve") {
     val root = tmpDir("dix3-") + "/ix"
     SignatureStore.build(spark, root, corpus)

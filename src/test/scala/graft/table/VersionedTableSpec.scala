@@ -116,6 +116,37 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).as[Long].collect().sorted.toSeq === before)
   }
 
+  test("OPTIMIZE carries the recorded schema verbatim: the producer's " +
+      "appends still land after compaction of an array column") {
+    import org.apache.spark.sql.functions.{col, array_repeat, when}
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    // array_repeat of a non-null expr types as array<bigint> with
+    // containsNull=false; parquet round-trips widen that to true, so a
+    // compact that re-derived the schema from its scan would drift
+    val batch = spark.range(0, 50)
+      .select(col("id"), array_repeat(col("id"), 3).as("sig"))
+    t.commit(batch)
+    t.append(spark.range(50, 80)
+      .select(col("id"), array_repeat(col("id"), 3).as("sig")))
+    val recorded = t.latestVersion().flatMap(t.schemaOf).map(_.json)
+    t.compact(spark, numFiles = 1)
+    assert(t.latestVersion().flatMap(t.schemaOf).map(_.json) === recorded,
+      "compaction must not rewrite the recorded schema")
+    // the original producer's next append still passes the compat gate
+    t.append(spark.range(80, 90)
+      .select(col("id"), array_repeat(col("id"), 3).as("sig")))
+    assert(t.read(spark).count() === 90)
+    // and a batch that is LAXER than the contract stays refused
+    val lax = spark.range(90, 95).select(col("id"),
+      org.apache.spark.sql.functions.array(
+        when(col("id") % 2 === 0, col("id"))).as("sig"))
+    assert(lax.schema("sig").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val e = intercept[IllegalArgumentException](t.append(lax))
+    assert(e.getMessage.contains("cannot change column sig"))
+  }
+
   test("a fully-deleted snapshot (empty version) stays readable with its schema") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
