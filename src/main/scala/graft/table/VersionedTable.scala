@@ -3064,13 +3064,22 @@ final class VersionedTable(val root: String,
     * [[ConcurrentCommitException]] surfaces instead of silently republishing
     * a manifest that drops that commit's changes. */
   private def commitPinned(df: DataFrame, base: Long,
-      numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil): Long = {
+      numPartitions: Option[Int] = None, sortBy: Seq[String] = Nil,
+      forceStats: Boolean = false): Long = {
     // a rewrite of the snapshot keeps the TABLE's partition layout
     val pb = partitionByOf(base)
     val (commitId, files, partVals, stamped) = writeDataFiles(df, numPartitions, sortBy, pb)
     val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // honor the producer's stats opt-out (collectStats = false commits, e.g.
+    // Bloom-only signature stores whose hash columns never range-prune): a
+    // base version with NO recorded stats skips the extra aggregation pass —
+    // at scale that pass doubles OPTIMIZE's read cost for zero pruning.
+    // Z-ORDER forces stats regardless: stats-based skipping is its point.
+    // Identity tables always keep stats (the allocation guard reads them).
+    val wantStats = forceStats || statsOf(base).nonEmpty || identityOf(base).isDefined
     val stats =
-      if (files.nonEmpty) collectFileStats(df.sparkSession, commitId, files, partVals, partTypes)
+      if (files.nonEmpty && wantStats)
+        collectFileStats(df.sparkSession, commitId, files, partVals, partTypes)
       else Map.empty[String, Map[String, (String, String, String)]]
     // compaction rewrites the same rows: constraints carry, nothing re-gates;
     // CDF kind "none" records that the transition changed NO rows, so a
@@ -3129,8 +3138,10 @@ final class VersionedTable(val root: String,
     val (commitId, newFiles, newPartVals, stamped) =
       writeDataFiles(slice, Some(numFiles), sortBy, pb)
     val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+    // same stats opt-out inference as commitPinned: a base version with no
+    // recorded stats (producer committed collectStats = false) skips the pass
     val stats =
-      if (newFiles.nonEmpty)
+      if (newFiles.nonEmpty && (statsOf(pinned).nonEmpty || identityOf(pinned).isDefined))
         collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
       else Map.empty[String, Map[String, (String, String, String)]]
     publishRewrite(pinned, matching.toSet, newFiles, stats, schema.json,
@@ -3208,7 +3219,7 @@ final class VersionedTable(val root: String,
         .repartitionByRange(numFiles0, col("__z"))
         .sortWithinPartitions(col("__z"))
         .drop((0 until k).map(j => s"__zr$j") :+ "__z": _*)
-      commitPinned(laidOut, pinned)
+      commitPinned(laidOut, pinned, forceStats = true)
     }
   }
 

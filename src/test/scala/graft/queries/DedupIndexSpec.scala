@@ -120,8 +120,9 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     val bandsT = VersionedTable(s"$root/bands")
     sigsT.compact(spark)
     bandsT.compact(spark)
-    // compacted files carry no fresh Bloom sidecars — pruning keeps them
-    // conservatively, and verdicts are unchanged
+    // the compaction commit rebuilds Bloom sidecars for the rewritten
+    // files (writeDataFiles reads bloomIndexColumns from the persisted
+    // table properties), so admission probes keep pruning after OPTIMIZE
     val d = SignatureStore.admit(spark, root, docs(
         71L -> "first extra batch text one", // dup of a pre-compact admit
         73L -> "the quick brown fox jumps over the lazy dog near the river bank today",

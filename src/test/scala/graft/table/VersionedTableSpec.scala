@@ -147,6 +147,32 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cannot change column sig"))
   }
 
+  test("OPTIMIZE honors the producer's stats opt-out; z-order still " +
+      "forces stats (skipping is its point)") {
+    import org.apache.spark.sql.functions.col
+    val noStats = VersionedTable(tmpDir("vt-") + "/ns")
+    noStats.commit(spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v")),
+      numPartitions = Some(4), sortBy = Seq("id"), collectStats = false)
+    // no stats recorded: nothing prunes, before or after compaction
+    assert(noStats.readPruned(spark, "id", "5000", "6000")._2 === 4)
+    noStats.compact(spark, numFiles = 2)
+    val (_, scanned, total) = noStats.readPruned(spark, "id", "5000", "6000")
+    assert(total === 2 && scanned === 2,
+      "compaction must not re-add stats the producer opted out of")
+    // the same layout z-ordered DOES collect stats and prunes
+    val z = VersionedTable(tmpDir("vt-") + "/z")
+    z.commit(spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v")),
+      numPartitions = Some(4), sortBy = Seq("id"), collectStats = false)
+    z.compact(spark, numFiles = 4, zOrderBy = Seq("id", "v"))
+    assert(z.readPruned(spark, "id", "5000", "6000")._2 === 0)
+    // and a stats-carrying table keeps pruning after plain OPTIMIZE
+    val ws = VersionedTable(tmpDir("vt-") + "/ws")
+    ws.commit(spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v")),
+      numPartitions = Some(4), sortBy = Seq("id"))
+    ws.compact(spark, numFiles = 4, sortBy = Seq("id"))
+    assert(ws.readPruned(spark, "id", "5000", "6000")._2 === 0)
+  }
+
   test("a fully-deleted snapshot (empty version) stays readable with its schema") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
