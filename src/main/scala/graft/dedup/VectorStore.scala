@@ -21,21 +21,34 @@ import org.apache.spark.sql.functions._
   *    batch's own centroid partitions (manifest pruning, zero I/O for the
   *    rest of the corpus).
   *
-  * Admission semantics (single-probe, d5's same-bucket rule): a batch
-  * vector is a near-dup iff a STORED vector in its assigned centroid
-  * partition has rounded cosine ≥ `threshold`; verdict `near_dup` with
-  * `dup_of` = the minimum such stored vec_id, else `admitted` and the
-  * vector appends to its partition. Centroids stay FIXED after build (the
-  * standard IVF serving contract — retrain = rebuild): assignment drift is
-  * bounded by the build corpus' coverage, exactly as for the ANN index.
+  * Admission semantics (MULTI-PROBE): a batch vector is a near-dup iff a
+  * STORED vector in any of its top-`probes` centroid partitions (default
+  * 2) has rounded cosine ≥ `threshold`; verdict `near_dup` with `dup_of`
+  * = the minimum such stored vec_id, else `admitted` and the vector
+  * appends to its TOP-1 partition. Probing the runner-up centroid closes
+  * the classic single-probe IVF gap — a near-dup pair straddling a
+  * centroid boundary lands in two different partitions and a one-probe
+  * read never compares them; at `probes` = p the miss requires the dup to
+  * sit outside ALL p closest partitions. `probes` is a serving knob (the
+  * FAISS nprobe dial): recall rises and probe I/O grows linearly with it;
+  * the store layout is identical for every setting. Centroids stay FIXED
+  * after build (the standard IVF serving contract — retrain = rebuild):
+  * assignment drift is bounded by the build corpus' coverage, exactly as
+  * for the ANN index.
   *
-  * Scale: per batch — one broadcast-centroid assignment pass over the
-  * batch, one partition-pruned read of the probed store slices, one
-  * within-partition join; append-only growth. */
+  * Scale: per batch — ONE broadcast-centroid ranking pass over the batch
+  * (the top-p winners reduce map-side via the bounded `top_k_by`
+  * aggregate: one k-slot row per vector crosses the wire, never the
+  * batch × centroids candidate stream), one partition-pruned read of the
+  * probed store slices, one within-partition join; append-only growth. */
 object VectorStore {
 
   /** d5's near-dup verification threshold (rounded cosine). */
   val DefaultThreshold = 0.45
+
+  /** Default probe width: the assigned partition plus the runner-up —
+    * the cheapest setting that catches boundary-straddling near-dups. */
+  val DefaultProbes = 2
 
   private def centsTable(root: String) = VersionedTable(s"$root/cents")
   private def assignedTable(root: String) = VersionedTable(s"$root/assigned")
@@ -89,29 +102,46 @@ object VectorStore {
 
   /** Admit `batch` (vec_id, label, embedding) against the store: one
     * decision row per batch vector — (vec_id, verdict, dup_of) — and the
-    * admitted vectors append to their centroid partitions. */
+    * admitted vectors append to their top-1 centroid partitions. */
   def admit(spark: SparkSession, root: String, batch: DataFrame,
-      threshold: Double = DefaultThreshold): DataFrame = {
+      threshold: Double = DefaultThreshold,
+      probes: Int = DefaultProbes): DataFrame = {
+    require(probes > 0, s"probes must be positive, got $probes")
     val centsT = centsTable(root)
     require(centsT.latestVersion().isDefined,
       s"$root holds no vector store — build(corpus) first")
     require(centsT.properties.get("indexFormat").contains("1"),
       s"$root was built by an incompatible vector-store format — rebuild")
+    graft.functions.GraftFunctions.registerAll(spark)
     val vecs = normalized(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       vecs.count()
-      // eager pin: the assignment (a broadcast cross-join over every
-      // centroid) feeds the probe-key collect, the near-dup join, AND the
-      // admitted append — without it the pass runs three times
-      val assignedBatch = graft.queries.SimilarityQueries
-        .assignTo(vecs, centsT.read(spark))
+      // ONE centroid-ranking pass: rank every broadcast centroid per batch
+      // vector, keep the top-`probes` ids best-first via the bounded
+      // top_k_by aggregate (map-side combined — the candidate stream never
+      // shuffles), re-attach the arrays by equi-join. cids(0) is the
+      // assignment partition; the full list is the probe set.
+      // Eager pin: this feeds the probe-key read, the near-dup join, AND
+      // the admitted append — without it the pass runs three times.
+      val ranked = vecs.crossJoin(broadcast(centsT.read(spark)))
+        .withColumn("csim", graft.functions.VectorFunctions.cosineWithNorms6(
+          col("v"), col("nv"), col("cv"), col("ncv")))
+        .select(col("vec_id").as("b_vec"), col("c_id"), col("csim"))
+        .groupBy(col("b_vec"))
+        .agg(expr(s"top_k_by(c_id, csim, $probes)").as("cids"))
+      val withProbes = vecs.join(ranked, col("vec_id") === col("b_vec"))
+        .select(col("vec_id"), col("label"), col("v"), col("nv"), col("cids"))
         .localCheckpoint(true)
-      // partition-pruned probe: ONLY the batch's own centroid partitions
-      // of the store are listed and read
+      val assignedBatch = withProbes.select(col("vec_id"), col("label"),
+        col("v"), col("nv"), element_at(col("cids"), 1).as("c_id"))
+      val probeRows = withProbes.select(col("vec_id"), col("v"), col("nv"),
+        explode(col("cids")).as("c_id"))
+      // partition-pruned probe: ONLY the batch's own probed centroid
+      // partitions of the store are listed and read
       val (stored, _, _) = assignedTable(root).readPrunedByJoinKeys(
-        spark, assignedBatch.select("c_id"), "c_id", "c_id")
-      val near = assignedBatch
+        spark, probeRows.select("c_id"), "c_id", "c_id")
+      val near = probeRows
         .join(stored.select(col("c_id"), col("vec_id").as("s_id"),
             col("v").as("sv"), col("nv").as("snv")), "c_id")
         .withColumn("sim", graft.functions.VectorFunctions.cosineWithNorms6(

@@ -190,7 +190,9 @@ object JobSpec {
       case "VectorIndexAdmit" => VectorIndexAdmit(
         name, str(n, "inputView"), str(n, "storeURI"), str(n, "outputView"),
         optStr(n, "threshold").map(_.toDouble)
-          .getOrElse(graft.dedup.VectorStore.DefaultThreshold), envs(n))
+          .getOrElse(graft.dedup.VectorStore.DefaultThreshold),
+        optStr(n, "probes").map(_.toInt)
+          .getOrElse(graft.dedup.VectorStore.DefaultProbes), envs(n))
       case "MatViewRefresh" =>
         val sumsNode = n.get("sums")
         require(sumsNode != null && sumsNode.isObject,

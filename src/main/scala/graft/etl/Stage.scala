@@ -739,10 +739,11 @@ final case class VectorIndexAdmit(
     storeURI: String,
     outputView: String,
     threshold: Double = graft.dedup.VectorStore.DefaultThreshold,
+    probes: Int = graft.dedup.VectorStore.DefaultProbes,
     environments: Seq[String] = Nil) extends Stage {
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
     val df = graft.dedup.VectorStore.admit(spark, sub(storeURI, env),
-      spark.table(inputView), threshold)
+      spark.table(inputView), threshold, probes)
     df.createOrReplaceTempView(outputView)
     Some(df)
   }

@@ -71,6 +71,12 @@ object GraftFunctions {
       case Seq(bloom, keys) => BloomAnyContain(bloom, keys)
       case other => throw new IllegalArgumentException(
         s"bloom_any_contain expects (binary, array<bigint>), got ${other.size} args")
+    }),
+    ("top_k_by", classOf[TopKByAgg], (exprs: Seq[Expression]) => exprs match {
+      case Seq(key, ord, k) => TopKByAgg(key, ord,
+        k.eval().asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"top_k_by expects (key, ord, k), got ${other.size} args")
     }))
 
   def registerAll(spark: SparkSession): Unit =

@@ -627,12 +627,15 @@ object DedupQueries {
     * sibling of d12: centroids train ONCE on the corpus half (even
     * vec_ids, the deterministic seeded k-means the ANN index uses), the
     * corpus is stored partitioned by centroid, and the batch half (odd
-    * vec_ids) is admitted by probing ONLY its own centroid partitions —
-    * near-dup iff a stored same-bucket vector has rounded cosine ≥ 0.45
-    * (d5's verification rule), `dup_of` = the minimum such stored id.
-    * Admitted vectors append to their partitions, so later batches dedup
-    * against them too. Oracle: DuckDB replays the training (exact integer
-    * Lloyd steps), both assignments, and the bucket probe relationally. */
+    * vec_ids) is admitted by MULTI-PROBING its top-2 centroid partitions
+    * (the FAISS nprobe dial — the runner-up probe catches near-dup pairs
+    * straddling a centroid boundary, which a single-probe read never
+    * compares) — near-dup iff a stored probed-bucket vector has rounded
+    * cosine ≥ 0.45 (d5's verification rule), `dup_of` = the minimum such
+    * stored id. Admitted vectors append to their top-1 partitions, so
+    * later batches dedup against them too. Oracle: DuckDB replays the
+    * training (exact integer Lloyd steps), the corpus assignment, and the
+    * rank ≤ 2 probe relationally. */
   val d13IncrementalVecDedup: Q = Q(
     "d13_incremental_embedding_dedup",
     (spark, dir) => {
@@ -648,17 +651,17 @@ object DedupQueries {
       s"""WITH ${SimilarityQueries.duckAssignedFor("WHERE vec_id % 2 = 0")},
          |b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
          |      WHERE vec_id % 2 = 1),
-         |b_assigned AS (
+         |b_probed AS (
          |  SELECT vec_id, v, c_id FROM (
          |    SELECT b.vec_id, b.v, c.c_id,
          |      row_number() OVER (PARTITION BY b.vec_id
          |        ORDER BY round(${SimilarityQueries.duckCos("b.v", "c.cv")}, 6) DESC,
          |                 c.c_id) AS rk
          |    FROM b, cents c) t
-         |  WHERE rk = 1),
+         |  WHERE rk <= 2),
          |near AS (
          |  SELECT ba.vec_id, min(a.vec_id) AS near_of
-         |  FROM b_assigned ba JOIN assigned a ON a.c_id = ba.c_id
+         |  FROM b_probed ba JOIN assigned a ON a.c_id = ba.c_id
          |  WHERE round(${SimilarityQueries.duckCos("ba.v", "a.v")}, 6) >= 0.45
          |  GROUP BY ba.vec_id)
          |SELECT b.vec_id,
