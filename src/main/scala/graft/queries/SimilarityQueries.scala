@@ -990,7 +990,71 @@ object SimilarityQueries {
          |  ON p.q_id = x.q_id AND p.vec_id = x.vec_id
          |GROUP BY x.q_id""".stripMargin))
 
+  /** s10: batch ANN SERVING from the stored IVF index — top-10 neighbours
+    * for EVERY query in a batch, reading ONLY the probed store slices.
+    * This is the plan a production retrieval tier runs (s2 is the
+    * single-query face with a driver-collected probe list; s9 reads the
+    * FULL store to measure recall): (a) each query ranks the broadcast
+    * centroids and keeps its 4 probe ids MAP-SIDE via the bounded
+    * `top_k_by` aggregate — one 4-slot row per query crosses the wire,
+    * never the query × centroids candidate stream a window rank would
+    * shuffle (at 100 TB an IVF index carries 10⁵–10⁶ centroids, so that
+    * stream is 10⁵× the query batch); (b) the union of probe ids prunes
+    * the store read to the probed centroid partitions via the manifest
+    * (`readPrunedByJoinKeys` — zero I/O for the rest of the corpus);
+    * (c) candidates score against the BROADCAST query batch and rank
+    * per query over the slim (q_id, vec_id, label, sim) projection.
+    * Self-matches are excluded, as in s5. Deterministic: rounded sims
+    * with id tiebreaks at both ranking steps, top_k_by's tie rule =
+    * the oracle's `ORDER BY csim DESC, c_id`. */
+  val s10AnnBatchServe: Q = Q(
+    "s10_ann_batch_serve",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.registerAll(spark)
+      val root = indexRoot(spark, dir)
+      val qs = vectors(spark, dir).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nqv"))
+      val ranked = qs.crossJoin(broadcast(storedCents(spark, dir)))
+        .withColumn("csim", cosineWithNorms6(col("qv"), col("nqv"), col("cv"), col("ncv")))
+        .select(col("q_id").as("r_qid"), col("c_id"), col("csim"))
+        .groupBy(col("r_qid"))
+        .agg(expr("top_k_by(c_id, csim, 4)").as("probe_cs"))
+      // eager pin: the probe rows feed the pruned-read key collect AND the
+      // scoring join — without it the ranking pass runs twice
+      val probes = qs.join(ranked, col("q_id") === col("r_qid"))
+        .select(col("q_id"), col("qv"), col("nqv"),
+          explode(col("probe_cs")).as("c_id"))
+        .localCheckpoint(true)
+      val (stored, _, _) = graft.table.VersionedTable(s"$root/assigned")
+        .readPrunedByJoinKeys(spark, probes.select("c_id"), "c_id", "c_id")
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      broadcast(probes)
+        .join(stored.select(col("c_id"), col("vec_id"), col("label"),
+          col("v"), col("nv")), "c_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
+        .select(col("q_id"), col("vec_id"), col("label"), col("sim"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+    },
+    Some(
+      s"""WITH $duckAssigned,
+         |qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT q_id, qv, c_id FROM (
+         |    SELECT q.q_id, q.qv, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(${duckCos("c.cv", "q.qv")}, 6) DESC, c.c_id) AS rk
+         |    FROM cents c, qs q) t WHERE rk <= 4)
+         |SELECT q_id, vec_id, label, sim, rk FROM (
+         |  SELECT p.q_id, a.vec_id, a.label,
+         |    round(${duckCos("a.v", "p.qv")}, 6) AS sim,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY round(${duckCos("a.v", "p.qv")}, 6) DESC, a.vec_id) AS rk
+         |  FROM assigned a JOIN probes p ON a.c_id = p.c_id
+         |  WHERE a.vec_id <> p.q_id) t
+         |WHERE rk <= 10""".stripMargin))
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
     s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
-    s8PqAdc, s9AnnRecall)
+    s8PqAdc, s9AnnRecall, s10AnnBatchServe)
 }
