@@ -39,6 +39,26 @@ object MediaDecode {
       * extraction; a video decoder would seek + decode here). */
     def sampleFrames(payload: Array[Byte], stride: Int, frame: Int): Seq[Array[Byte]] =
       payload.grouped(stride).map(_.take(frame)).toSeq
+
+    /** STUB embedding extractor (a real implementation runs a vision/audio
+      * model here): dim `i` sums the bytes at positions ≡ i (mod dim),
+      * centered by the uniform share `Σbytes / dim` so the vector is
+      * signed and cosines spread instead of clustering near 1 the way
+      * all-positive histograms do. Deterministic, byte-exact, and
+      * SQL-replayable (integer sums, one power-of-two division). */
+    def embed(payload: Array[Byte], dim: Int = 64): Array[Double] = {
+      val sums = new Array[Long](dim)
+      var total = 0L
+      var i = 0
+      while (i < payload.length) {
+        val b = payload(i) & 0xff
+        sums(i % dim) += b
+        total += b
+        i += 1
+      }
+      val centre = total.toDouble / dim
+      sums.map(_.toDouble - centre)
+    }
   }
 
   /** Decode a (doc_id, payload) dataset to media features, batch-wise per
@@ -90,6 +110,24 @@ object MediaDecode {
       rows.flatMap { case (id, bytes) =>
         FakeCodec.sampleFrames(bytes, stride, frame).iterator.zipWithIndex
           .map { case (f, i) => (id, i, f) }
+      }
+    }
+  }
+
+  /** Embedding extraction: (doc_id, payload) → (doc_id, format, 64-dim
+    * embedding) through the same per-partition batch-codec path as
+    * [[decodeFeatures]] — in production the lambda body is a model forward
+    * pass (per-partition init amortizes model load, which is the part that
+    * matters at 100 TB); here it is [[FakeCodec.embed]]. The output feeds
+    * [[graft.dedup.VectorStore]] directly — decode → embed → dedup-admit
+    * is the multimodal ingest pipeline. */
+  def embed(payloads: Dataset[(Long, Array[Byte])])
+      : Dataset[(Long, String, Array[Double])] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val (fmt, _, _) = FakeCodec.probe(bytes)
+        (id, fmt, FakeCodec.embed(bytes))
       }
     }
   }

@@ -139,6 +139,68 @@ object MultimodalQueries {
         |FROM documents
         |GROUP BY md5(text)""".stripMargin)
 
+  /** m6: the multimodal INGEST pipeline end to end — decode → embed →
+    * incremental near-dup admission. Payloads run through the stubbed
+    * batch-codec embedding extractor ([[graft.multimodal.MediaDecode.embed]]
+    * — in production a model forward pass, here the deterministic
+    * byte-histogram fake), the even half builds a lake-resident IVF
+    * [[graft.dedup.VectorStore]], and the odd half is admitted by
+    * multi-probing its top-2 centroid partitions at rounded cosine ≥ 0.9
+    * (the threshold sits in the gap between the corpus' true near-dup
+    * pairs at ≥ 0.95 and the unrelated-document mass below ~0.6). The
+    * oracle derives the identical embeddings in SQL (integer strided
+    * byte sums, one power-of-two division), replays the k-means training
+    * and the rank ≤ 2 probe relationally — d13's oracle over a derived
+    * media corpus instead of the embeddings table. */
+  val m6MediaEmbedAdmit: Q = Q(
+    "m6_media_embed_admit",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val tmp = java.nio.file.Files.createTempDirectory("graft-m6-").toString
+      val payloads = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary"))
+        .as[(Long, Array[Byte])]
+      val media = graft.multimodal.MediaDecode.embed(payloads)
+        .toDF("vec_id", "label", "embedding")
+      graft.dedup.VectorStore.build(spark, s"$tmp/vx",
+        media.filter(col("vec_id") % 2 === 0))
+      graft.dedup.VectorStore.admit(spark, s"$tmp/vx",
+        media.filter(col("vec_id") % 2 === 1), threshold = 0.9)
+    },
+    Some(
+      s"""WITH media AS (
+         |  SELECT doc_id AS vec_id,
+         |    CASE WHEN ord(text[1]) % 2 = 0 THEN 'imgA' ELSE 'imgB' END AS label,
+         |    list_transform(range(0, 64), i ->
+         |      COALESCE(list_sum(list_transform(
+         |          range(1 + i, length(text) + 1, 64), p -> ord(text[p]))), 0)::DOUBLE
+         |      - list_sum(list_transform(
+         |          range(1, length(text) + 1), p -> ord(text[p])))::DOUBLE / 64) AS v
+         |  FROM documents),
+         |${SimilarityQueries.duckAssignedFromE(
+              "e AS (SELECT vec_id, label, v FROM media WHERE vec_id % 2 = 0)")},
+         |b AS (SELECT vec_id, v FROM media WHERE vec_id % 2 = 1),
+         |b_probed AS (
+         |  SELECT vec_id, v, c_id FROM (
+         |    SELECT b.vec_id, b.v, c.c_id,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY round(${SimilarityQueries.duckCos("b.v", "c.cv")}, 6) DESC,
+         |                 c.c_id) AS rk
+         |    FROM b, cents c) t
+         |  WHERE rk <= 2),
+         |near AS (
+         |  SELECT ba.vec_id, min(a.vec_id) AS near_of
+         |  FROM b_probed ba JOIN assigned a ON a.c_id = ba.c_id
+         |  WHERE round(${SimilarityQueries.duckCos("ba.v", "a.v")}, 6) >= 0.9
+         |  GROUP BY ba.vec_id)
+         |SELECT b.vec_id,
+         |  CASE WHEN n.near_of IS NOT NULL THEN 'near_dup'
+         |       ELSE 'admitted' END AS verdict,
+         |  n.near_of AS dup_of
+         |FROM b
+         |LEFT JOIN near n ON n.vec_id = b.vec_id""".stripMargin))
+
   val all: Seq[Q] = Seq(m1BinaryMeta, m2DecodeFeatures, m3Resize, m4FrameSample,
-    m5PayloadDedup)
+    m5PayloadDedup, m6MediaEmbedAdmit)
 }

@@ -111,8 +111,16 @@ object SimilarityQueries {
   private[graft] def trainedCents(spark: SparkSession, e: DataFrame, m: Long): DataFrame = {
     var c = e.filter(col("vec_id") % m === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("ncv"))
-    for (_ <- 1 to KmeansIters) c = centUpdate(assignTo(e, c))
-    c.localCheckpoint(true)
+    // checkpoint each iteration, not just the last: every Lloyd step's
+    // plan embeds the previous step's plan several times (the centroids
+    // feed the assignment cross-join AND the winner join-back), so the
+    // logical tree — and with it analysis, cache-lookup canonicalization,
+    // and codegen — grows geometrically with the iteration count. The
+    // centroid frame is tiny (≤ corpus/seedModulus rows), so cutting
+    // lineage eagerly costs one small job per step and keeps planning
+    // O(step). Measured: m6's build dropped 15.3 s → per-step-bounded.
+    for (_ <- 1 to KmeansIters) c = centUpdate(assignTo(e, c)).localCheckpoint(true)
+    c
   }
 
   /** The stored ANN index — LAKE-RESIDENT and VERSIONED: three
@@ -399,9 +407,17 @@ object SimilarityQueries {
   /** Training + assignment replay over a filtered embeddings slice —
     * parameterized so the d13 incremental-admission oracle can train on
     * the corpus half only (`vec_id % 2 = 0`). */
-  private[graft] def duckAssignedFor(where: String): String = {
+  private[graft] def duckAssignedFor(where: String): String =
+    duckAssignedFromE(
+      s"e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings $where)")
+
+  /** Training + assignment replay over an ARBITRARY corpus CTE: `eDef`
+    * must define `e(vec_id, label, v DOUBLE[64])` — the m6 oracle feeds
+    * derived media embeddings through the same k-means replay the d13
+    * oracle runs over the embeddings table. */
+  private[graft] def duckAssignedFromE(eDef: String): String = {
     val init =
-      s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings $where),
+      s"""$eDef,
          |params AS (SELECT GREATEST(25, COUNT(*) // $TargetClusterRows) AS m FROM e),
          |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e
          |       WHERE vec_id % (SELECT m FROM params) = 0)""".stripMargin
@@ -1054,7 +1070,104 @@ object SimilarityQueries {
          |  WHERE a.vec_id <> p.q_id) t
          |WHERE rk <= 10""".stripMargin))
 
+  /** s11: HYBRID retrieval — BM25 lexical ranking fused with embedding
+    * cosine ranking by reciprocal-rank fusion (RRF, Cormack et al. 2009:
+    * score = Σ 1/(60+rank)), query-by-example over the documents corpus.
+    * This is the retrieval shape modern RAG/training-data curation runs:
+    * two independent rankers (sparse lexical + dense vector), each
+    * producing a bounded top-50 list, fused WITHOUT score calibration —
+    * RRF only consumes ranks, which is why it composes rankers whose raw
+    * scores live on incomparable scales.
+    *
+    * Scale shape: tf/df/doclen are vocabulary- and corpus-bounded slim
+    * shuffles computed once; the query side (5 query docs' term sets +
+    * vectors) broadcasts; both rankings window over slim (q_id, doc_id,
+    * score) streams and are CUT AT 50 before the fusion outer join, so the
+    * fuse step is rank-bounded regardless of corpus size. At 100 TB the
+    * candidate generators are the indexed paths (an inverted index for
+    * BM25, s10's pruned IVF serve for the dense leg) feeding the same
+    * bounded fusion.
+    *
+    * Exactness: BM25 (k1 = 1.2, b = 0.75) sums per-term contributions
+    * rounded to 6dp as DECIMAL(18,6) — order-invariant, no float-sum
+    * ambiguity (t5/t15's ln-at-6dp discipline); cosine is the sequential
+    * fold both engines share, rounded to 6dp; ranks tiebreak on doc_id;
+    * RRF is exact rational arithmetic on ranks rounded once. */
+  val s11HybridRrf: Q = {
+    def text(tokSel: String, cosQE: String): String =
+      s"""WITH tok AS ($tokSel),
+         |doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+         |           FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |                 CAST(sum(len) AS DOUBLE) / count(*) AS avglen
+         |          FROM doclen),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY doc_id, word),
+         |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM tok GROUP BY word),
+         |q AS (SELECT doc_id AS q_id FROM documents WHERE doc_id % 100 = 0),
+         |qterm AS (SELECT DISTINCT q.q_id, t.word
+         |          FROM q JOIN tok t ON t.doc_id = q.q_id),
+         |contrib AS (
+         |  SELECT qt.q_id, f.doc_id,
+         |    CAST(round(
+         |      CAST(CAST(round(ln(1e0 + (s.nd - d.df + 0.5e0) / (d.df + 0.5e0)), 6)
+         |           AS DECIMAL(18,6)) AS DOUBLE)
+         |      * (f.tf * 2.2e0)
+         |      / (f.tf + 1.2e0 * (0.25e0 + 0.75e0 * l.len / s.avglen)), 6)
+         |    AS DECIMAL(18,6)) AS c6
+         |  FROM qterm qt
+         |  JOIN tf f ON f.word = qt.word AND f.doc_id <> qt.q_id
+         |  JOIN df d ON d.word = qt.word
+         |  JOIN doclen l ON l.doc_id = f.doc_id
+         |  CROSS JOIN stats s),
+         |bm25 AS (SELECT q_id, doc_id, SUM(c6) AS score
+         |         FROM contrib GROUP BY q_id, doc_id),
+         |lex AS (SELECT q_id, doc_id, rk AS lex_rk FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY score DESC, doc_id) AS rk
+         |    FROM bm25) t
+         |  WHERE rk <= 50),
+         |vsim AS (
+         |  SELECT q.q_id, l.doc_id, $cosQE AS sim
+         |  FROM q JOIN embeddings qe ON qe.vec_id = q.q_id
+         |  JOIN embeddings e ON e.vec_id <> q.q_id
+         |  JOIN doclen l ON l.doc_id = e.vec_id),
+         |vec AS (SELECT q_id, doc_id, rk AS vec_rk FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, doc_id) AS rk
+         |    FROM vsim) t
+         |  WHERE rk <= 50),
+         |fused AS (
+         |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    l.lex_rk, v.vec_rk,
+         |    round(coalesce(1e0 / (60 + l.lex_rk), 0e0)
+         |        + coalesce(1e0 / (60 + v.vec_rk), 0e0), 6) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON v.q_id = l.q_id AND v.doc_id = l.doc_id)
+         |SELECT q_id, doc_id, lex_rk, vec_rk, rrf, rk FROM (
+         |  SELECT f.q_id, f.doc_id, f.lex_rk, f.vec_rk, f.rrf,
+         |    row_number() OVER (PARTITION BY f.q_id
+         |      ORDER BY f.rrf DESC, f.doc_id) AS rk
+         |  FROM fused f) t
+         |WHERE rk <= 10""".stripMargin
+    val sparkDot = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    val sparkCos = {
+      val (a, b) = ("CAST(qe.embedding AS ARRAY<DOUBLE>)", "CAST(e.embedding AS ARRAY<DOUBLE>)")
+      s"round(${sparkDot(a, b)} / (sqrt(${sparkDot(a, a)}) * sqrt(${sparkDot(b, b)})), 6)"
+    }
+    Q.dualSql("s11_hybrid_rrf",
+      sparkSql = text(
+        "SELECT doc_id, explode(split(text, ' ')) AS word FROM documents",
+        sparkCos),
+      duckSql = text(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents",
+        s"round(${duckCos("(qe.embedding::DOUBLE[])", "(e.embedding::DOUBLE[])")}, 6)"))
+  }
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
     s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
-    s8PqAdc, s9AnnRecall, s10AnnBatchServe)
+    s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf)
 }

@@ -30,6 +30,24 @@ class MediaDecodeSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("embed: strided byte sums centered by the uniform share") {
+    // 130 bytes of 'a' (97): dims 0,1 get three positions, dims 2..63 two —
+    // sums {291, 291, 194×62}; centre = 12610/64 = 197.03125 exactly
+    // (power-of-two division), so the centered dims are signed
+    val v = MediaDecode.FakeCodec.embed(Array.fill(130)('a'.toByte))
+    assert(v.length === 64)
+    val centre = 130.0 * 97 / 64
+    assert(v(0) === 3 * 97 - centre && v(1) === 3 * 97 - centre)
+    assert((2 until 64).forall(i => v(i) === 2 * 97 - centre))
+    // signed: the long dims sit above the share, the short ones below
+    assert(v(0) > 0 && v(63) < 0)
+    // the dataset path emits (id, probed format, embedding) per payload
+    val out = MediaDecode.embed(
+      Seq((7L, "abcd".getBytes("UTF-8"))).toDS()).collect().head
+    assert(out._1 === 7L && out._2 === "imgB")
+    assert(out._3.toSeq === MediaDecode.FakeCodec.embed("abcd".getBytes("UTF-8")).toSeq)
+  }
+
   test("media columns attach opaque payload + queryable metadata struct") {
     val docs = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
     val out = MediaDecode.withMediaColumns(docs, "text")
