@@ -1088,6 +1088,14 @@ object SimilarityQueries {
     * BM25, s10's pruned IVF serve for the dense leg) feeding the same
     * bounded fusion.
     *
+    * The lexical leg prunes COMMON terms — a term in more than half the
+    * corpus is skipped (`df·2 ≤ N`, part of the operator spec, mirrored
+    * in the oracle): its idf is near zero so it barely moves the score,
+    * but its postings are by definition O(corpus) and dominate the join
+    * (measured here: 4.5 M of 4.5 M candidate rows came from >N/2 terms;
+    * 1.5 k remained) — the maxscore/WAND family's observation that
+    * low-idf postings cost everything and decide nothing.
+    *
     * Exactness: BM25 (k1 = 1.2, b = 0.75) sums per-term contributions
     * rounded to 6dp as DECIMAL(18,6) — order-invariant, no float-sum
     * ambiguity (t5/t15's ln-at-6dp discipline); cosine is the sequential
@@ -1120,7 +1128,8 @@ object SimilarityQueries {
          |  JOIN tf f ON f.word = qt.word AND f.doc_id <> qt.q_id
          |  JOIN df d ON d.word = qt.word
          |  JOIN doclen l ON l.doc_id = f.doc_id
-         |  CROSS JOIN stats s),
+         |  CROSS JOIN stats s
+         |  WHERE d.df * 2 <= s.nd),
          |bm25 AS (SELECT q_id, doc_id, SUM(c6) AS score
          |         FROM contrib GROUP BY q_id, doc_id),
          |lex AS (SELECT q_id, doc_id, rk AS lex_rk FROM (
