@@ -23,4 +23,13 @@ object PlanShim {
     * per-relation options — verified against Spark 4.1's read path). */
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
+  /** Column ⇄ catalyst-Expression bridge (`ExpressionUtils` is
+    * `private[sql]`): lets the library wrap its native codegen
+    * expressions as Columns without round-tripping through SQL text or
+    * requiring function registration on the session. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -72,6 +72,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"bloom_any_contain expects (binary, array<bigint>), got ${other.size} args")
     }),
+    ("vec_dot", classOf[DotProduct], (exprs: Seq[Expression]) => exprs match {
+      case Seq(a, b) => DotProduct(a, b)
+      case other => throw new IllegalArgumentException(
+        s"vec_dot expects (array<double>, array<double>), got ${other.size} args")
+    }),
     ("top_k_by", classOf[TopKByAgg], (exprs: Seq[Expression]) => exprs match {
       case Seq(key, ord, k) => TopKByAgg(key, ord,
         k.eval().asInstanceOf[Number].intValue())

@@ -12,9 +12,16 @@ object VectorFunctions {
 
   /** Sequential-fold dot product over two equal-length double arrays.
     * Fold order is left-to-right, which keeps results bit-identical across
-    * engines that fold the same way (the DuckDB oracle's list_sum). */
+    * engines that fold the same way (the DuckDB oracle's list_sum).
+    * Backed by the native codegen [[DotProduct]] expression — semantics
+    * identical to `aggregate(zip_with(a, b, (x, y) -> x * y), 0D,
+    * (acc, v) -> acc + v)` (incl. NULL on null element or length
+    * mismatch), but a tight primitive loop instead of the interpreted
+    * CodegenFallback HOF chain that dominated every pairwise scan. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.PlanShim.column(DotProduct(
+      org.apache.spark.sql.graft.PlanShim.expression(a.cast("array<double>")),
+      org.apache.spark.sql.graft.PlanShim.expression(b.cast("array<double>"))))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
