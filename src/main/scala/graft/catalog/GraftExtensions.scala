@@ -31,6 +31,10 @@ import org.apache.spark.sql.types.DataType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectPostHocResolutionRule(session => GraftRowLevelRule(session))
+    // the engine's native SQL functions ride the same front door, so one
+    // `spark.sql.extensions=graft.catalog.GraftExtensions` line yields the
+    // full surface (row-level SQL + vec_dot/minhash/top_k_by/...)
+    new graft.functions.GraftExtensions()(extensions)
     ()
   }
 }

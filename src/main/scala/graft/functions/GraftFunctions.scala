@@ -77,6 +77,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"vec_dot expects (array<double>, array<double>), got ${other.size} args")
     }),
+    ("vec_l2sq", classOf[SquaredL2], (exprs: Seq[Expression]) => exprs match {
+      case Seq(a, b) => SquaredL2(a, b)
+      case other => throw new IllegalArgumentException(
+        s"vec_l2sq expects (array<double>, array<double>), got ${other.size} args")
+    }),
     ("top_k_by", classOf[TopKByAgg], (exprs: Seq[Expression]) => exprs match {
       case Seq(key, ord, k) => TopKByAgg(key, ord,
         k.eval().asInstanceOf[Number].intValue())

@@ -41,8 +41,14 @@ object VectorFunctions {
     * and DuckDB round by shortest-decimal-repr half-up). */
   def cosineSim6(a: Column, b: Column): Column = round(cosineSim(a, b), 6)
 
-  def l2Dist(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+  /** Squared L2 distance (the PQ distance fold) — native [[SquaredL2]],
+    * bit-identical to the zip_with/aggregate composition. */
+  def l2sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.PlanShim.column(SquaredL2(
+      org.apache.spark.sql.graft.PlanShim.expression(a.cast("array<double>")),
+      org.apache.spark.sql.graft.PlanShim.expression(b.cast("array<double>"))))
+
+  def l2Dist(a: Column, b: Column): Column = sqrt(l2sq(a, b))
 }
 
 /** Text-side Column functions: tokenization, shingling, set similarity. */

@@ -201,6 +201,10 @@ object SimilarityQueries {
         cents.properties.get("corpusFingerprint").contains(fp) &&
         cents.properties.get("indexFormat").contains("2")
       if (!fresh) {
+        // the SRP signature expression needs the engine's SQL functions on
+        // the session (vec_dot); idempotent when the extensions already
+        // injected them
+        graft.functions.GraftFunctions.registerAll(spark)
         // the build legitimately re-reads the corpus (count + each Lloyd
         // iteration + both store writes): cache the normalized vectors for
         // the build's scope so the parquet decode + per-row norm fold run
@@ -284,7 +288,8 @@ object SimilarityQueries {
   private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
     sv.join(broadcast(cents.select(col("sub").as("c_sub"), col("c_id"), col("cv"))),
         col("sub") === col("c_sub"))
-      .withColumn("d2", expr(pqD2("sv", "cv")))
+      // native vec_l2sq — bit-identical to [[pqD2]]'s fold, codegen'd
+      .withColumn("d2", round(graft.functions.VectorFunctions.l2sq(col("sv"), col("cv")), 6))
       .groupBy(col("vec_id"), col("sub"))
       .agg(expr("min_by(c_id, struct(d2, c_id))").as("c_id"),
         first(col("sv")).as("sv"))
@@ -541,11 +546,14 @@ object SimilarityQueries {
     srpPlanes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
   /** 8-bit SRP bucket of vector column `v` (Spark): bit p set iff the dot
-    * product with plane p is >= 0 — identical fold order to the oracle. */
+    * product with plane p is >= 0 — identical fold order to the oracle.
+    * The inner dot is the native `vec_dot` (bit-identical to the zip_with
+    * fold it replaced; the per-plane work is where the signature cost
+    * lives) — callers must have the graft functions on the session
+    * ([[graft.functions.GraftFunctions.registerAll]] or the extensions). */
   private val srpBucketSpark =
     s"""aggregate(sequence(0, 7), 0L, (acc, p) ->
-       |  acc + IF(aggregate(zip_with(v, element_at($srpSparkLit, p + 1),
-       |                     (x, c) -> x * c), 0D, (s, t) -> s + t) >= 0,
+       |  acc + IF(vec_dot(v, element_at($srpSparkLit, p + 1)) >= 0,
        |           shiftleft(1L, p), 0L))""".stripMargin
 
   private val srpBucketDuck =
@@ -570,6 +578,7 @@ object SimilarityQueries {
   val s3SrpLsh: Q = Q(
     "s3_srp_lsh",
     (spark, dir) => {
+      graft.functions.GraftFunctions.registerAll(spark)
       val e = vectors(spark, dir)
       val q = e.filter(col("vec_id") === 2)
         .withColumn("qb", expr(srpBucketSpark))
