@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   SHOW PARTITIONS '<path>'
   *   RESTORE '<path>' TO VERSION AS OF <v>
   *   RESTORE '<path>' TO TIMESTAMP AS OF '<ts>'
-  *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>'
+  *   CREATE TABLE '<dst>' [SHALLOW | DEEP] CLONE '<src>'
+  *   REORG TABLE '<path>' APPLY (PURGE)
   *   GENERATE symlink_format_manifest FOR TABLE '<path>'
   *   CONVERT TO GRAFT '<path>'
   *   COPY INTO '<path>' FROM '<srcDir>' [FILEFORMAT = <fmt>]
@@ -58,7 +59,9 @@ object TableSql {
   private val RestoreTs =
     s"""(?is)\\s*RESTORE\\s+$P\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+$L\\s*""".r
   private val Clone =
-    s"""(?is)\\s*CREATE\\s+TABLE\\s+$P\\s+SHALLOW\\s+CLONE\\s+$P\\s*""".r
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P\\s*""".r
+  private val Reorg =
+    s"""(?is)\\s*REORG\\s+TABLE\\s+$P\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*""".r
   private val Generate =
     s"""(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$P\\s*""".r
   private val Convert =
@@ -119,7 +122,8 @@ object TableSql {
   def run(spark: SparkSession, sql: String): DataFrame =
     dispatch(spark, sql).getOrElse(throw new IllegalArgumentException(
       s"unrecognized graft maintenance statement: '$sql' — supported: OPTIMIZE, " +
-        "VACUUM, DESCRIBE HISTORY, RESTORE ... TO VERSION AS OF, CREATE TABLE ... SHALLOW CLONE"))
+        "VACUUM, DESCRIBE HISTORY, RESTORE ... TO VERSION AS OF, " +
+        "CREATE TABLE ... [SHALLOW|DEEP] CLONE, REORG TABLE ... APPLY (PURGE)"))
 
   private def dispatch(spark: SparkSession, sql: String): Option[DataFrame] = Some(sql match {
     case Optimize(p, null, null) =>
@@ -184,9 +188,14 @@ object TableSql {
           java.time.Instant.parse(s).toEpochMilli))
       val t = VersionedTable(path)
       status(spark, "RESTORE", path, t.restore(t.resolveAsOfTimestamp(millis)))
-    case Clone(dst, src) =>
-      VersionedTable(ref(spark, src)).cloneShallow(ref(spark, dst))
-      status(spark, "SHALLOW CLONE", ref(spark, dst), 0L)
+    case Clone(dst, kind, src) =>
+      val srcT = VersionedTable(ref(spark, src))
+      if (kind.equalsIgnoreCase("deep")) srcT.cloneDeep(ref(spark, dst))
+      else srcT.cloneShallow(ref(spark, dst))
+      status(spark, s"${kind.toUpperCase} CLONE", ref(spark, dst), 0L)
+    case Reorg(p) =>
+      val path = ref(spark, p)
+      status(spark, "REORG PURGE", path, VersionedTable(path).reorgPurge(spark))
     case Generate(p) =>
       // Delta's GENERATE spelling (`scd2-job.ipynb:382` is this artifact):
       // (re)write the Athena-interop manifest tree for the latest version

@@ -128,19 +128,35 @@ final class VersionedTable(val root: String,
     * of the same zero-copy contract. Txn marks and the CDF history do NOT
     * carry (Delta semantics: the clone is a new table with a fresh history).
     * Returns the clone. */
-  def cloneShallow(targetRoot: String): VersionedTable = {
+  def cloneShallow(targetRoot: String): VersionedTable =
+    cloneTo(targetRoot, deep = false)
+
+  /** DEEP CLONE: same manifest-level copy as [[cloneShallow]] but every
+    * data and DV file is BYTE-COPIED, never hard-linked — the clone shares
+    * no storage with the source, so it survives anything that mutates the
+    * source's file bytes in place and its storage bills independently (the
+    * backup / environment-promotion verb, vs the shallow clone's instant
+    * dev-copy). On stores without hard links the two verbs converge —
+    * shallow's link attempt already falls back to a copy. */
+  def cloneDeep(targetRoot: String): VersionedTable =
+    cloneTo(targetRoot, deep = true)
+
+  private def cloneTo(targetRoot: String, deep: Boolean): VersionedTable = {
     val v = resolve()
     val tgt = VersionedTable(targetRoot)
     require(tgt.latestVersion().isEmpty,
-      s"cloneShallow target $targetRoot already has a committed version")
+      s"clone target $targetRoot already has a committed version")
     val refs = filesOf(v) ++ dvsOf(v)
     refs.foreach { f =>
       val src = Paths.get(root).resolve(f)
       val dst = Paths.get(targetRoot).resolve(f)
       Files.createDirectories(dst.getParent)
-      try { Files.createLink(dst, src); () }
-      catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-        Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      if (deep) { Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING); () }
+      else {
+        try { Files.createLink(dst, src); () }
+        catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+        }
       }
     }
     // column ids must be COPIED, not re-derived: the hard-linked files
@@ -3149,6 +3165,46 @@ final class VersionedTable(val root: String,
       cdfKind = Some("none"), cdfFiles = Nil, txn = None,
       freshSafe = (_, _) => true, stampedIds = stamped,
       operation = Some("OPTIMIZE"))
+  }
+
+  /** `REORG TABLE ... APPLY (PURGE)` parity: rewrite ONLY the files
+    * carrying deletion-vector tombstones, materializing their deletes;
+    * every clean file (and its stats) carries verbatim. The targeted
+    * sibling of [[compact]] for MOR tables that delete continuously — at
+    * 100 TB a purge touches the O(deleted-from) file subset where a full
+    * OPTIMIZE would rewrite everything. The tombstoned-file set comes from
+    * the DV sidecars themselves (one bounded distinct over (file) — DV
+    * sidecars are O(deletes), metadata-plane by construction). Output file
+    * count defaults to the rewritten-file count (purge preserves layout;
+    * binpacking is OPTIMIZE's job). Returns the committed version (the
+    * pinned head unchanged when there is nothing to purge). */
+  def reorgPurge(spark: SparkSession, numFiles: Option[Int] = None): Long = {
+    val pinned = resolve()
+    val dvs = dvsOf(pinned)
+    if (dvs.isEmpty) return pinned
+    import spark.implicits._
+    val tombstoned = dvFrame(spark, dvs).select("file").distinct()
+      .as[String].collect().toSet
+    val matching = filesOf(pinned).filter(tombstoned)
+    if (matching.isEmpty) return pinned
+    val schema = schemaOf(pinned).getOrElse(throw new IllegalStateException(
+      s"version $pinned of $root has no recorded schema"))
+    val pb = partitionByOf(pinned)
+    val pVals = partitionValuesOf(pinned)
+    val untouched = filesOf(pinned).filterNot(matching.toSet)
+    val slice = scanLive(spark, matching, Some(schema), dvs, keepPos = false, pb, pVals)
+    val (commitId, newFiles, newPartVals, stamped) =
+      writeDataFiles(slice, Some(numFiles.getOrElse(matching.size)), Nil, pb)
+    val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+    val stats =
+      if (newFiles.nonEmpty && (statsOf(pinned).nonEmpty || identityOf(pinned).isDefined))
+        collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
+      else Map.empty[String, Map[String, (String, String, String)]]
+    publishRewrite(pinned, matching.toSet, newFiles, stats, schema.json,
+      carryDvs(spark, dvs, untouched), newPartVals,
+      cdfKind = Some("none"), cdfFiles = Nil, txn = None,
+      freshSafe = (_, _) => true, stampedIds = stamped,
+      operation = Some("REORG"))
   }
 
   def compact(spark: SparkSession, numFiles: Int = 1,

@@ -35,6 +35,30 @@ class CloneSpec extends AnyFunSuite with SparkSpec {
     assert(clone.read(spark).filter("k = 5000").count() === 0)
   }
 
+  test("deep clone copies bytes — no shared inodes — and reads identically") {
+    val base = tmpDir("clone-")
+    val src = VersionedTable(base + "/src")
+    src.commit(spark.range(0, 500).selectExpr("id AS k", "id % 3 AS v"),
+      numPartitions = Some(2))
+    src.deleteMor(spark, "k = 7") // the DV sidecar must byte-copy too
+    val clone = src.cloneDeep(base + "/dst")
+    assert(clone.read(spark).as[(Long, Long)].collect().sorted.toSeq
+      === src.read(spark).as[(Long, Long)].collect().sorted.toSeq)
+    // independent storage: every cloned file is its own inode (nlink = 1)
+    val copied = java.nio.file.Files.walk(java.nio.file.Paths.get(base + "/dst"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path]).filter(_.toString.endsWith(".parquet"))
+    assert(copied.nonEmpty)
+    copied.foreach { p =>
+      assert(java.nio.file.Files.getAttribute(p, "unix:nlink").asInstanceOf[Int] === 1,
+        s"$p shares its inode with the source — deep clone must copy")
+    }
+    // divergence both ways, as for shallow
+    clone.delete(spark, "v = 0")
+    assert(src.read(spark).count() === 499)
+    src.append(Seq((9000L, 1L)).toDF("k", "v"))
+    assert(clone.read(spark).filter("k = 9000").count() === 0)
+  }
+
   test("clone carries stats (skipping works), constraints, and properties") {
     val base = tmpDir("clone-")
     val src = VersionedTable(base + "/src")

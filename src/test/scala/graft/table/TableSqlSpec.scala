@@ -61,6 +61,32 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("DEEP CLONE and REORG ... APPLY (PURGE) verbs round-trip") {
+    val base = tmpDir("tsql-")
+    val root = base + "/t"
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 200).selectExpr("id", "id % 5 AS v"),
+      numPartitions = Some(4))
+    // MOR deletes leave DV tombstones across several files
+    t.deleteMor(spark, "id % 10 = 3")
+    assert(t.detail(spark).select("num_deletion_vectors").head.getLong(0) > 0)
+
+    val d = TableSql.run(spark, s"CREATE TABLE '$base/d' DEEP CLONE '$root'")
+    assert(d.head.getString(0) === "DEEP CLONE")
+    assert(VersionedTable(s"$base/d").read(spark).count() === 180)
+
+    val before = t.read(spark).select("id").orderBy("id").collect().toSeq
+    val r = TableSql.run(spark, s"REORG TABLE '$root' APPLY (PURGE)")
+    assert(r.head.getString(0) === "REORG PURGE")
+    // tombstones are materialized: zero DVs, rows identical
+    assert(t.detail(spark).select("num_deletion_vectors").head.getLong(0) === 0L)
+    assert(t.read(spark).select("id").orderBy("id").collect().toSeq === before)
+    // idempotent: a second purge has nothing to rewrite and burns no version
+    val v = t.resolve()
+    TableSql.run(spark, s"REORG TABLE '$root' APPLY (PURGE)")
+    assert(t.resolve() === v)
+  }
+
   test("DESCRIBE DETAIL reports head-snapshot metadata in one row") {
     val root = tmpDir("tsql-dd-") + "/t"
     val t = VersionedTable(root)
