@@ -65,6 +65,9 @@ object VectorStore {
   def build(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
     val centsT = centsTable(root)
     require(centsT.latestVersion().isEmpty, s"$root already holds a vector store")
+    // the training path's aggregates (vec_sum_u6) resolve by name;
+    // idempotent when the session extensions already injected them
+    graft.functions.GraftFunctions.registerAll(spark)
     val vecs = normalized(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -82,6 +82,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"vec_l2sq expects (array<double>, array<double>), got ${other.size} args")
     }),
+    ("vec_sum_u6", classOf[VecSumU6], (exprs: Seq[Expression]) => exprs match {
+      case Seq(v) => VecSumU6(v)
+      case other => throw new IllegalArgumentException(
+        s"vec_sum_u6 expects (array<double>), got ${other.size} args")
+    }),
     ("top_k_by", classOf[TopKByAgg], (exprs: Seq[Expression]) => exprs match {
       case Seq(key, ord, k) => TopKByAgg(key, ord,
         k.eval().asInstanceOf[Number].intValue())

@@ -74,12 +74,13 @@ object SimilarityQueries {
     * the arithmetic closed over integers. The explode is a slim
     * (c_id, i, x) stream — vectors never shuffle whole. */
   private def centUpdate(a: DataFrame): DataFrame =
-    a.select(col("c_id"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("c_id"), col("i"))
-      .agg(sum(expr("CAST(round(x * 1000000) AS BIGINT)")).as("s"))
-      .groupBy(col("c_id"))
-      .agg(sort_array(collect_list(struct(col("i"), col("s")))).as("ps"))
-      .select(col("c_id"), expr("transform(ps, p -> CAST(p.s AS DOUBLE))").as("cv"))
+    // ONE map-side-combinable shuffle of one dim-slot row per centroid via
+    // the vec_sum_u6 aggregate (identical Σ round(x·10⁶) BIGINT math) —
+    // the previous posexplode spelling shuffled dim × N exploded rows
+    // through two aggregations and a collect_list re-assembly
+    a.groupBy(col("c_id"))
+      .agg(expr("vec_sum_u6(v)").as("ss"))
+      .select(col("c_id"), expr("transform(ss, s -> CAST(s AS DOUBLE))").as("cv"))
       .withColumn("ncv", l2Norm(col("cv")))
 
   private val KmeansIters = 2
