@@ -1171,19 +1171,24 @@ object SimilarityQueries {
          |      ORDER BY f.rrf DESC, f.doc_id) AS rk
          |  FROM fused f) t
          |WHERE rk <= 10""".stripMargin
-    val sparkDot = (a: String, b: String) =>
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    // native vec_dot — the same left-to-right fold the oracle's list_sum
+    // runs (VectorExprSpec proves bit-equality with the HOF spelling)
     val sparkCos = {
       val (a, b) = ("CAST(qe.embedding AS ARRAY<DOUBLE>)", "CAST(e.embedding AS ARRAY<DOUBLE>)")
-      s"round(${sparkDot(a, b)} / (sqrt(${sparkDot(a, a)}) * sqrt(${sparkDot(b, b)})), 6)"
+      s"round(vec_dot($a, $b) / (sqrt(vec_dot($a, $a)) * sqrt(vec_dot($b, $b))), 6)"
     }
-    Q.dualSql("s11_hybrid_rrf",
-      sparkSql = text(
-        "SELECT doc_id, explode(split(text, ' ')) AS word FROM documents",
-        sparkCos),
-      duckSql = text(
+    val sparkSql = text(
+      "SELECT doc_id, explode(split(text, ' ')) AS word FROM documents",
+      sparkCos)
+    Q("s11_hybrid_rrf",
+      (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        graft.functions.GraftFunctions.registerAll(spark)
+        spark.sql(sparkSql)
+      },
+      Some(text(
         "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents",
-        s"round(${duckCos("(qe.embedding::DOUBLE[])", "(e.embedding::DOUBLE[])")}, 6)"))
+        s"round(${duckCos("(qe.embedding::DOUBLE[])", "(e.embedding::DOUBLE[])")}, 6)")))
   }
 
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,

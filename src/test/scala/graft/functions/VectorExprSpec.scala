@@ -45,6 +45,25 @@ class VectorExprSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_.isNullAt(0)).toSeq === Seq(false, true, true, true))
   }
 
+  test("vec_sum_u6 matches the posexplode round-sum spelling, incl. negative .5s") {
+    GraftFunctions.registerAll(spark)
+    // -2.5e-6 * 1e6 = -2.5: decimal HALF_UP gives -3, Math.round would give -2
+    val df = Seq(
+      (1L, Array(0.1234565, -2.5e-6, 1.9999995)),
+      (1L, Array(-0.1234565, 2.5e-6, -1.0)),
+      (2L, Array(7.5e-7, -7.5e-7, 0.0))).toDF("g", "v")
+    df.createOrReplaceTempView("vs")
+    val native = spark.sql("SELECT g, vec_sum_u6(v) AS s FROM vs GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val exploded = spark.sql(
+      """SELECT g, i, CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS s
+        |FROM (SELECT g, posexplode(v) AS (i, x) FROM vs)
+        |GROUP BY g, i ORDER BY g, i""".stripMargin)
+      .collect().groupBy(_.getLong(0))
+      .map { case (g, rows) => g -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(native === exploded)
+  }
+
   test("vec_dot is registered for SQL and codegen-evaluates") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql("SELECT vec_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d")
