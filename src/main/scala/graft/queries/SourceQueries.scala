@@ -1193,6 +1193,45 @@ object SourceQueries {
     Some(
       """SELECT event_id, ts, value, CAST(ts AS DATE) AS day FROM events"""))
 
+  /** q118: REORG ... APPLY (PURGE) through the gate — the targeted DV
+    * materialization verb for MOR tables that delete continuously. The
+    * table is range-clustered on o_orderkey into 8 files; a MOR delete of
+    * one contiguous key range tombstones a 1–2 file subset; the purge
+    * (spelled as SQL through the declarative stage dispatcher, the
+    * reference's SQL-stage idiom) must materialize every tombstone while
+    * rewriting ONLY the touched subset. Plan properties asserted
+    * in-query: DVs present before / zero after; rows identical; the
+    * VACUUM DRY RUN preview of now-unreferenced files — exactly the
+    * purge's rewrite set plus its DV sidecar — stays at or below half of
+    * the 8 data files, proving the clean files carried verbatim. */
+  val q118ReorgPurge: Q = Q(
+    "q118_reorg_purge",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-reorg-").toString
+      val t = graft.table.VersionedTable(s"$tmp/o")
+      t.commit(
+        spark.table("orders")
+          .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        numPartitions = Some(8), sortBy = Seq("o_orderkey"))
+      t.deleteMor(spark, "o_orderkey BETWEEN 1000 AND 1999")
+      require(t.detail(spark).select("num_deletion_vectors").head.getLong(0) > 0,
+        "the MOR delete must leave DV tombstones")
+      JobSpec(Seq(SQLExecute("purge", s"REORG TABLE '$tmp/o' APPLY (PURGE)")))
+        .run(spark, Map.empty)
+      require(t.detail(spark).select("num_deletion_vectors").head.getLong(0) == 0L,
+        "the purge must materialize every tombstone")
+      val swept = t.vacuumDryRun(retainVersions = 1)
+      val sweptData = swept.count(f => f.startsWith("data/"))
+      require(sweptData >= 1 && sweptData <= 4,
+        s"purge must rewrite only the tombstoned file subset (at most half " +
+          s"of the 8 range-clustered files), but $sweptData became unreferenced")
+      t.read(spark)
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey NOT BETWEEN 1000 AND 1999""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1201,5 +1240,6 @@ object SourceQueries {
     q101TableRelationSql, q103MorMerge, q104ShallowClone, q106SqlMerge,
     q107ReplaceWhere, q108MergeEvolution, q109BloomMerge, q110ColumnRename,
     q111TemporalDelete, q112SymlinkManifest, q113ConvertInPlace,
-    q114DynamicOverwrite, q116CopyInto, q117GeneratedPartition)
+    q114DynamicOverwrite, q116CopyInto, q117GeneratedPartition,
+    q118ReorgPurge)
 }
