@@ -592,8 +592,68 @@ object StreamingQueries {
         |WHERE e.event_type = 'purchase'
         |GROUP BY c_mktsegment""".stripMargin))
 
+  /** q119: CONTINUOUS incremental embedding dedup through the gate — the
+    * streaming funnel over the d13 store ([[graft.streaming.StreamingEtl
+    * .vectorAdmitStream]]): the corpus half builds the lake-resident IVF
+    * vector store, the batch half lands as one file and streams through
+    * exactly-once admission into a versioned decisions table. The gate
+    * asserts the restart contract in-query: re-running the stream on the
+    * SAME checkpoint reprocesses nothing (the decisions table's version
+    * and rows are unchanged — source-side file memory + the manifest txn
+    * stamp behind it). Oracle: identical decisions to d13's batch replay
+    * — the streaming and batch funnels must agree row for row. */
+  val q119StreamVectorAdmit: Q = Q(
+    "q119_stream_vector_admit",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.table(spark, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q119-").toString
+      graft.dedup.VectorStore.build(spark, s"$tmp/vx", emb.filter("vec_id % 2 = 0"))
+      val landing = s"$tmp/landing"
+      emb.filter("vec_id % 2 = 1").coalesce(1).write.parquet(landing)
+      val decisionsT = graft.table.VersionedTable(s"$tmp/decisions")
+      decisionsT.commit(Seq.empty[(Long, String, Option[Long])]
+        .toDF("vec_id", "verdict", "dup_of"))
+      val q = graft.streaming.StreamingEtl.vectorAdmitStream(spark, landing,
+        emb.schema, s"$tmp/vx", s"$tmp/decisions", s"$tmp/ckpt")
+      q.processAllAvailable(); q.stop()
+      val v1 = decisionsT.resolve()
+      val n1 = decisionsT.read(spark).count()
+      // restart on the same checkpoint: nothing reprocesses, nothing doubles
+      val q2 = graft.streaming.StreamingEtl.vectorAdmitStream(spark, landing,
+        emb.schema, s"$tmp/vx", s"$tmp/decisions", s"$tmp/ckpt")
+      q2.processAllAvailable(); q2.stop()
+      require(decisionsT.resolve() == v1 && decisionsT.read(spark).count() == n1,
+        "a restarted stream on the same checkpoint must admit nothing twice")
+      decisionsT.read(spark).select("vec_id", "verdict", "dup_of")
+    },
+    Some(
+      s"""WITH ${SimilarityQueries.duckAssignedFor("WHERE vec_id % 2 = 0")},
+         |b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |      WHERE vec_id % 2 = 1),
+         |b_probed AS (
+         |  SELECT vec_id, v, c_id FROM (
+         |    SELECT b.vec_id, b.v, c.c_id,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY round(${SimilarityQueries.duckCos("b.v", "c.cv")}, 6) DESC,
+         |                 c.c_id) AS rk
+         |    FROM b, cents c) t
+         |  WHERE rk <= 2),
+         |near AS (
+         |  SELECT ba.vec_id, min(a.vec_id) AS near_of
+         |  FROM b_probed ba JOIN assigned a ON a.c_id = ba.c_id
+         |  WHERE round(${SimilarityQueries.duckCos("ba.v", "a.v")}, 6) >= 0.45
+         |  GROUP BY ba.vec_id)
+         |SELECT b.vec_id,
+         |  CASE WHEN n.near_of IS NOT NULL THEN 'near_dup'
+         |       ELSE 'admitted' END AS verdict,
+         |  n.near_of AS dup_of
+         |FROM b
+         |LEFT JOIN near n ON n.vec_id = b.vec_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch,
     q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions, q75StreamCdcUpsert,
     q88StreamOuterJoin, q92StreamTws, q98TwsSessionTimers, q100StreamTableSource,
-    q102StreamTableSink, q105StreamCdcMor, q115StreamStaticJoin)
+    q102StreamTableSink, q105StreamCdcMor, q115StreamStaticJoin,
+    q119StreamVectorAdmit)
 }
