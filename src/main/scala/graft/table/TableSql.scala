@@ -18,6 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   REORG TABLE '<path>' APPLY (PURGE)
   *   GENERATE symlink_format_manifest FOR TABLE '<path>'
   *   CONVERT TO GRAFT '<path>'
+  *   ANALYZE TABLE '<path>' COMPUTE STATISTICS
   *   COPY INTO '<path>' FROM '<srcDir>' [FILEFORMAT = <fmt>]
   *   ALTER TABLE '<path>' ALTER COLUMN <c> SET NOT NULL
   * }}}
@@ -64,6 +65,8 @@ object TableSql {
     s"""(?is)\\s*REORG\\s+TABLE\\s+$P\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*""".r
   private val Generate =
     s"""(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$P\\s*""".r
+  private val Analyze =
+    s"""(?is)\\s*ANALYZE\\s+TABLE\\s+$P\\s+COMPUTE\\s+STATISTICS\\s*""".r
   private val Convert =
     s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$P\\s*""".r
   // Spark's analyzer refuses nullable->non-nullable through the standard V2
@@ -217,6 +220,9 @@ object TableSql {
           VersionedTable(path).setColumnNullability(spark, colName, nullable = false))
         case None => return None
       }
+    case Analyze(p) =>
+      val path = ref(spark, p)
+      status(spark, "ANALYZE", path, VersionedTable(path).analyzeStats(spark))
     case Convert(p) =>
       // Delta's CONVERT TO DELTA: in-place adoption of a plain parquet
       // directory — version 0 references the existing files, zero rewrite

@@ -3207,6 +3207,35 @@ final class VersionedTable(val root: String,
       operation = Some("REORG"))
   }
 
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS` parity: (re)collect per-file
+    * min/max column stats for the CURRENT snapshot's files and publish
+    * them in a METADATA-ONLY commit — zero data files move. The backfill
+    * verb for tables whose stats were skipped at write time and whose
+    * read pattern later turned selective: a CONVERT adopted with
+    * `collectStats = false`, a store committed stats-off for Bloom-only
+    * point lookups, or a table whose stats predate an engine stats-shape
+    * revision. One distributed scan over the snapshot (the same pass a
+    * stats-on commit runs); partition values re-inject as exact
+    * min=max=value stats so partition-column pruning works too. After the
+    * commit, maintenance rewrites infer stats-ON and keep them current.
+    * No-op (no version burned) on an empty table. */
+  def analyzeStats(spark: SparkSession): Long = {
+    val v = resolve()
+    val files = filesOf(v)
+    if (files.isEmpty) return v
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema"))
+    val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+    val stats = collectFileStats(spark, commitId = "", files,
+      partitionValuesOf(v), partTypes)
+    publish(files, schema.json, stats, None, Some(v), constraintsOf(v),
+      dvs = dvsOf(v), partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v), cdfKind = Some("none"),
+      columnIdsOverride = Some(columnIdsOf(v)),
+      maxColumnIdFloor = maxColumnIdOf(v),
+      operation = Some("ANALYZE"))
+  }
+
   def compact(spark: SparkSession, numFiles: Int = 1,
               sortBy: Seq[String] = Nil, zOrderBy: Seq[String] = Nil,
               targetFileSizeBytes: Option[Long] = None): Long = {

@@ -87,6 +87,29 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     assert(t.resolve() === v)
   }
 
+  test("ANALYZE TABLE backfills skipped stats; pruning starts working") {
+    val base = tmpDir("tsql-")
+    val root = base + "/t"
+    val t = VersionedTable(root)
+    // stats opted out at write time: every file is a prune candidate
+    t.commit(spark.range(0, 1000).selectExpr("id AS k", "id % 7 AS v"),
+      numPartitions = Some(4), sortBy = Seq("k"), collectStats = false)
+    val (_, keptBefore, total) = t.readPruned(spark, "k", "990", "999")
+    assert(total === 4 && keptBefore === 4,
+      "without stats no file can be skipped — all must be read")
+    val r = TableSql.run(spark, s"ANALYZE TABLE '$root' COMPUTE STATISTICS")
+    assert(r.head.getString(0) === "ANALYZE")
+    // metadata-only: same files, new version, stats present
+    assert(t.detail(spark).select("num_files").head.getLong(0) === 4L)
+    val (df, keptAfter, _) = t.readPruned(spark, "k", "990", "999")
+    assert(keptAfter === 1,
+      s"range-clustered files must prune to one after ANALYZE, kept $keptAfter")
+    // file-granular pruning: the surviving file's rows include the range
+    assert(df.count() === 250 && df.filter("k BETWEEN 990 AND 999").count() === 10)
+    // rows unchanged through the metadata commit
+    assert(t.read(spark).count() === 1000)
+  }
+
   test("DESCRIBE DETAIL reports head-snapshot metadata in one row") {
     val root = tmpDir("tsql-dd-") + "/t"
     val t = VersionedTable(root)
