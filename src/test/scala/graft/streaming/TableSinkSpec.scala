@@ -32,6 +32,28 @@ class TableSinkSpec extends AnyFunSuite with SparkSpec {
       === Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("append-mode sink evolves the schema when a later stream adds columns") {
+    // the Delta mergeSchema-for-streaming shape: a producer redeploy adds a
+    // column mid-stream (new sink instance, same table + txnAppId); the
+    // table widens nullable and every older row reads the new column null
+    val root = tmpDir("tsink-") + "/t"
+    sink(root, OutputMode.Append).addBatch(0, Seq((1L, "a")).toDF("id", "k"))
+    sink(root, OutputMode.Append)
+      .addBatch(1, Seq((2L, "b", 0.5)).toDF("id", "k", "score"))
+    val t = VersionedTable(root)
+    val rows = t.read(spark).select("id", "k", "score")
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "a", None), (2L, "b", Some(0.5))))
+    assert(t.read(spark).schema("score").nullable,
+      "the evolved column must be recorded nullable")
+    // the reverse — a batch MISSING a table column — refuses loudly
+    // (silent null-filling would hide a broken producer)
+    val e = intercept[Exception] {
+      sink(root, OutputMode.Append).addBatch(2, Seq((3L, "c")).toDF("id", "k"))
+    }
+    assert(e.getMessage.contains("missing table column"))
+  }
+
   test("complete-mode addBatch snapshots the table per batch") {
     val root = tmpDir("tsink-") + "/t"
     val s = sink(root, OutputMode.Complete)
