@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *     .option("readChangeFeed", "true")    // CDF rows (+_change_type,
   *                                          //   +_commit_version)
   *     .option("startingVersion", "0")      // cursor: changes AFTER v0
+  *     .option("startingTimestamp", "...")  // cursor by commit time
   *     .option("skipChangeCommits", "true") // append-mode: drop rewrites
   *     .load()
   * }}}
@@ -175,11 +176,30 @@ final class TableStreamProvider extends StreamSourceProvider with StreamSinkProv
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new TableStreamSource(sqlContext.sparkSession, table(parameters),
+    {
+    val t = table(parameters)
+    // startingTimestamp (Delta parity): resolve to the newest version whose
+    // commit time is <= the literal — the cursor then emits changes strictly
+    // AFTER that version, i.e. every commit stamped after the timestamp.
+    // Same literal forms as the reader's timestampAsOf. A timestamp
+    // predating the oldest retained commit fails loudly (earlier versions
+    // may have been vacuumed — the silent alternative would replay an
+    // incomplete history as if it were complete); use startingVersion=0
+    // for "everything retained".
+    val tsStart = parameters.get("startingTimestamp").map { s0 =>
+      val millis = scala.util.Try(s0.toLong).getOrElse(
+        scala.util.Try(java.sql.Timestamp.valueOf(s0).getTime).getOrElse(
+          java.time.Instant.parse(s0).toEpochMilli))
+      t.resolveAsOfTimestamp(millis)
+    }
+    require(tsStart.isEmpty || !parameters.contains("startingVersion"),
+      "startingVersion and startingTimestamp are exclusive")
+    new TableStreamSource(sqlContext.sparkSession, t,
       readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean),
-      startingVersion = parameters.get("startingVersion").map(_.toLong),
+      startingVersion = parameters.get("startingVersion").map(_.toLong).orElse(tsStart),
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
       maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toLong))
+    }
 }
 
 final class TableStreamSource(

@@ -50,6 +50,43 @@ class TableStreamSpec extends AnyFunSuite with SparkSpec {
     assert(sunk().size === 4)
   }
 
+  test("startingTimestamp seeds the cursor by commit time (Delta parity)") {
+    val root = tmpDir("ts-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(Seq((1L, "a")).toDF("id", "k"))           // v0
+    t.append(Seq((2L, "b")).toDF("id", "k"))           // v1
+    t.append(Seq((3L, "c")).toDF("id", "k"))           // v2
+    // a timestamp between v1's and v2's commit stamps resolves the cursor
+    // to v1 → the stream emits exactly v2's append
+    val ts = t.history(spark).filter("version = 1")
+      .select("committed_at").head.getTimestamp(0).getTime
+    drain(spark.readStream.format("graft-table").option("path", root)
+      .option("startingTimestamp", ts.toString).load()
+      .writeStream.format("memory").queryName("ts_fromts")
+      .option("checkpointLocation", tmpDir("ts-ckpt-"))
+      .trigger(Trigger.AvailableNow()).start())
+    assert(spark.table("ts_fromts").as[(Long, String)].collect().toSeq
+      === Seq((3L, "c")))
+    // exclusive with startingVersion; a pre-history timestamp fails loudly
+    intercept[Exception] {
+      spark.readStream.format("graft-table").option("path", root)
+        .option("startingTimestamp", ts.toString)
+        .option("startingVersion", "0").load()
+        .writeStream.format("memory").queryName("ts_x")
+        .option("checkpointLocation", tmpDir("ts-ckpt-"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(60000)
+    }
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-table").option("path", root)
+        .option("startingTimestamp", "1").load()
+        .writeStream.format("memory").queryName("ts_y")
+        .option("checkpointLocation", tmpDir("ts-ckpt-"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(60000)
+    }
+    assert(e.getMessage.contains("precedes the oldest retained version")
+      || Option(e.getCause).exists(_.getMessage.contains("precedes the oldest retained version")))
+  }
+
   test("streaming reads span a RENAME COLUMN: old files resolve by field id") {
     val root = tmpDir("ts-ren-") + "/t"
     val t = VersionedTable(root)
