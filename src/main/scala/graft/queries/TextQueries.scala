@@ -612,9 +612,87 @@ object TextQueries {
         |FROM grams g LEFT JOIN hot h ON g.gram = h.gram
         |GROUP BY g.doc_id""".stripMargin))
 
+  /** q120: the training-data pipeline COMPOSED through the declarative
+    * job engine — quality gate → exact dedup → sequence packing as three
+    * chained `SQLTransform` stages (the reference's whole idiom: SQL text
+    * inside stages, each stage's view feeding the next), gated end to end
+    * against one relational replay. Stage 1 applies t12's document rules
+    * (length ≥ 15, TTR ≥ 0.35, duplicate-bigram ≤ 0.06); stage 2 keeps
+    * the lowest doc_id per payload digest (d1's rule); stage 3 assigns
+    * t10's running-sum pack ids over the survivors. Every stage is a
+    * per-row map or one slim shuffle — the composition adds nothing the
+    * parts didn't already pay. */
+  val q120TrainingPipeline: Q = {
+    val quality =
+      """WITH w AS (SELECT doc_id, source, text, split(text, ' ') AS ws FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, text, size(ws) AS n_tokens,
+        |    CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws) AS ttr,
+        |    1.0e0 - CAST(size(array_distinct(transform(
+        |        sequence(1, greatest(size(ws) - 1, 1)),
+        |        i -> concat(element_at(ws, i), ' ',
+        |             element_at(ws, least(i + 1, size(ws)))))))
+        |        AS DOUBLE)
+        |      / greatest(size(ws) - 1, 1) AS dup
+        |  FROM w)
+        |SELECT doc_id, source, text, n_tokens FROM m
+        |WHERE n_tokens >= 15 AND ttr >= 0.35 AND dup <= 0.06""".stripMargin
+    val dedup =
+      """SELECT doc_id, source, n_tokens FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY md5(CAST(text AS BINARY))
+        |                       ORDER BY doc_id) AS rk
+        |  FROM q120_quality) t
+        |WHERE rk = 1""".stripMargin
+    val pack =
+      """SELECT doc_id, source, n_tokens,
+        |  CAST(floor(COALESCE(SUM(n_tokens) OVER w, 0) / 2048) AS INT) AS pack_id,
+        |  CAST(COALESCE(SUM(n_tokens) OVER w, 0) % 2048 AS INT) AS pack_offset
+        |FROM q120_unique
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+    Q("q120_training_pipeline",
+      (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        graft.etl.JobSpec(Seq(
+          graft.etl.SQLTransform("quality", quality, "q120_quality"),
+          graft.etl.SQLTransform("dedup", dedup, "q120_unique"),
+          graft.etl.SQLTransform("pack", pack, "q120_packed")))
+          .run(spark, Map.empty)
+        spark.table("q120_packed")
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id, source, text,
+          |    len(string_split(text, ' ')) AS n_tokens,
+          |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          |      / len(string_split(text, ' ')) AS ttr,
+          |    1.0 - CAST(len(list_distinct(list_transform(
+          |        range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+          |        i -> string_split(text, ' ')[i] || ' ' ||
+          |             string_split(text, ' ')[least(i + 1, len(string_split(text, ' ')))])))
+          |        AS DOUBLE)
+          |      / greatest(len(string_split(text, ' ')) - 1, 1) AS dup
+          |  FROM documents),
+          |q AS (SELECT doc_id, source, text, n_tokens FROM m
+          |      WHERE n_tokens >= 15 AND ttr >= 0.35 AND dup <= 0.06),
+          |d AS (SELECT doc_id, source, n_tokens FROM (
+          |        SELECT doc_id, source, n_tokens,
+          |          row_number() OVER (PARTITION BY md5(text)
+          |                             ORDER BY doc_id) AS rk
+          |        FROM q) t
+          |      WHERE rk = 1)
+          |SELECT doc_id, source, n_tokens,
+          |  CAST(floor(COALESCE(SUM(n_tokens) OVER w, 0) / 2048) AS INT) AS pack_id,
+          |  CAST(COALESCE(SUM(n_tokens) OVER w, 0) % 2048 AS INT) AS pack_offset
+          |FROM d
+          |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
     t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split,
     t15UnigramLogprob, t16QualityClassifier, t17BigramLogprob, t18BpePairs,
-    t19Boilerplate)
+    t19Boilerplate, q120TrainingPipeline)
 }
