@@ -52,7 +52,7 @@ object Bench {
     // first
     val ivfConsumers = Set("s2_ann_ivf", "s3_srp_lsh", "s6_ivf_pq",
       "d5_embedding_neardup", "d11_semantic_dedup", "s7_kmeans_train",
-      "s8_pq_adc", "s9_ann_recall", "s10_ann_batch_serve")
+      "s8_pq_adc", "s9_ann_recall", "s10_ann_batch_serve", "s12_ann_filtered")
     // cold first (clears the stored index, rebuilds — the one-time training
     // cost as its own tracked number), then the warm fingerprint-verify
     // (what every later process pays). Recording only the warm number

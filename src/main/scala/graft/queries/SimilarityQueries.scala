@@ -1191,7 +1191,65 @@ object SimilarityQueries {
         s"round(${duckCos("(qe.embedding::DOUBLE[])", "(e.embedding::DOUBLE[])")}, 6)")))
   }
 
+  /** s12: FILTERED vector search — s10's pruned batch serving under a
+    * metadata predicate (`label = 3`, ~10% of the corpus): top-10 among
+    * the MATCHING vectors only, served from the stored IVF layout. This
+    * is the serving mode every production vector store ships (search
+    * within a tenant / language / license class), and it changes the
+    * recall geometry: the predicate thins each probed partition ~10×, so
+    * a top-10 needs a WIDER probe set than unfiltered search — the probe
+    * width doubles to 8 (the filtered-search analogue of raising nprobe;
+    * post-filtering a narrow probe list would starve the result set
+    * instead). The filter applies IN the pruned scan — candidates stream
+    * pre-thinned out of the probed partitions; nothing outside them is
+    * read. Probe sets still reduce map-side via `top_k_by`. */
+  val s12AnnFiltered: Q = Q(
+    "s12_ann_filtered",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.registerAll(spark)
+      val root = indexRoot(spark, dir)
+      val qs = vectors(spark, dir).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nqv"))
+      val ranked = qs.crossJoin(broadcast(storedCents(spark, dir)))
+        .withColumn("csim", cosineWithNorms6(col("qv"), col("nqv"), col("cv"), col("ncv")))
+        .select(col("q_id").as("r_qid"), col("c_id"), col("csim"))
+        .groupBy(col("r_qid"))
+        .agg(expr("top_k_by(c_id, csim, 8)").as("probe_cs"))
+      val probes = qs.join(ranked, col("q_id") === col("r_qid"))
+        .select(col("q_id"), col("qv"), col("nqv"),
+          explode(col("probe_cs")).as("c_id"))
+        .localCheckpoint(true)
+      val (stored, _, _) = graft.table.VersionedTable(s"$root/assigned")
+        .readPrunedByJoinKeys(spark, probes.select("c_id"), "c_id", "c_id")
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      broadcast(probes)
+        .join(stored.select(col("c_id"), col("vec_id"), col("label"),
+            col("v"), col("nv"))
+          .filter(col("label") === 3), "c_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
+        .select(col("q_id"), col("vec_id"), col("label"), col("sim"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+    },
+    Some(
+      s"""WITH $duckAssigned,
+         |qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT q_id, qv, c_id FROM (
+         |    SELECT q.q_id, q.qv, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(${duckCos("c.cv", "q.qv")}, 6) DESC, c.c_id) AS rk
+         |    FROM cents c, qs q) t WHERE rk <= 8)
+         |SELECT q_id, vec_id, label, sim, rk FROM (
+         |  SELECT p.q_id, a.vec_id, a.label,
+         |    round(${duckCos("a.v", "p.qv")}, 6) AS sim,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY round(${duckCos("a.v", "p.qv")}, 6) DESC, a.vec_id) AS rk
+         |  FROM assigned a JOIN probes p ON a.c_id = p.c_id
+         |  WHERE a.vec_id <> p.q_id AND a.label = 3) t
+         |WHERE rk <= 10""".stripMargin))
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
     s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
-    s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf)
+    s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf, s12AnnFiltered)
 }
