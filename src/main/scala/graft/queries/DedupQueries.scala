@@ -671,7 +671,68 @@ object DedupQueries {
          |FROM b
          |LEFT JOIN near n ON n.vec_id = b.vec_id""".stripMargin))
 
+  /** d14: shingle-CONTAINMENT dedup — the asymmetric signal Jaccard
+    * cannot express: C(A→B) = |A∩B| / |A| fires when document A's shingle
+    * set sits (almost) inside B's, catching quote-extraction and
+    * doc-inside-doc duplication where the symmetric ratio is diluted by
+    * the container's extra content (Broder's containment, the resemblance
+    * paper's second measure). One directed row per (contained, container)
+    * at C ≥ 0.9. Same two-shuffle inverted-index candidate machinery as
+    * d2 (capped stop-shingle buckets, oracle-mirrored); the direction
+    * split is a per-pair projection, free. (This corpus holds no proper
+    * subset docs — every emitted pair is also a d2 near-dup — but the
+    * operator's semantics are pinned by the oracle either way.) */
+  val d14ContainmentDedup: Q = Q(
+    "d14_containment_dedup",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val pairs = docs
+        .select(col("doc_id"), expr(s"array_distinct($shinglesExpr)").as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+        .groupBy("shingle")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+        .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleBucket)
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)), y ->
+            |    struct(x.doc_id AS a_id, y.doc_id AS b_id, x.n AS na, y.n AS nb))))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+          col("p.na").as("na"), col("p.nb").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+      val aInB = pairs.filter(expr("CAST(inter AS DOUBLE) / na >= 0.9"))
+        .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+          expr("round(CAST(inter AS DOUBLE) / na, 6)").as("containment"))
+      val bInA = pairs.filter(expr("CAST(inter AS DOUBLE) / nb >= 0.9"))
+        .select(col("b_id").as("contained_id"), col("a_id").as("container_id"),
+          expr("round(CAST(inter AS DOUBLE) / nb, 6)").as("containment"))
+      aInB.unionAll(bInA)
+    },
+    Some(
+      s"""WITH shingles AS (SELECT DISTINCT doc_id, shingle FROM ($duckShingles) t),
+         |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |kept AS (SELECT shingle FROM shingles
+         |         GROUP BY shingle HAVING count(*) BETWEEN 2 AND 1000),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN kept k ON k.shingle = a.shingle
+         |  GROUP BY a.doc_id, b.doc_id),
+         |sized AS (
+         |  SELECT p.a_id, p.b_id, p.inter, ca.n AS na, cb.n AS nb
+         |  FROM pairs p JOIN counts ca ON ca.doc_id = p.a_id
+         |               JOIN counts cb ON cb.doc_id = p.b_id)
+         |SELECT a_id AS contained_id, b_id AS container_id,
+         |  round(CAST(inter AS DOUBLE) / na, 6) AS containment
+         |FROM sized WHERE CAST(inter AS DOUBLE) / na >= 0.9
+         |UNION ALL
+         |SELECT b_id AS contained_id, a_id AS container_id,
+         |  round(CAST(inter AS DOUBLE) / nb, 6) AS containment
+         |FROM sized WHERE CAST(inter AS DOUBLE) / nb >= 0.9""".stripMargin))
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d6DedupClusters, d7CollectionMinHash, d8PassageDedup, d9Decontaminate,
-    d10EditDistance, d12IncrementalDedup, d13IncrementalVecDedup)
+    d10EditDistance, d12IncrementalDedup, d13IncrementalVecDedup,
+    d14ContainmentDedup)
 }
