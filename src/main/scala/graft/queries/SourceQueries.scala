@@ -1232,6 +1232,44 @@ object SourceQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey NOT BETWEEN 1000 AND 1999""".stripMargin))
 
+  /** q121: right-to-be-forgotten lifecycle — COPY-ON-WRITE delete of one
+    * user, then VACUUM down to the live version, with PHYSICAL erasure
+    * proven in-query: every parquet file left on disk is re-read
+    * DIRECTLY (bypassing the manifest) and must contain zero rows of the
+    * forgotten user. The verb choices are the compliance-critical part
+    * and the scaladoc of record: the delete must be COW (a MOR tombstone
+    * leaves the bytes in place), the vacuum must drop every pre-delete
+    * version (time travel to them is the data-retention hole), and the
+    * table must not carry stored change capture (a CDF `cdf/` tree would
+    * retain the deleted rows as change rows — enableChangeDataFeed and
+    * forget-me are incompatible retentions). */
+  val q121ForgetUser: Q = Q(
+    "q121_forget_user",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-forget-").toString
+      val t = graft.table.VersionedTable(s"$tmp/ev")
+      t.commit(spark.table("events")
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+        numPartitions = Some(8))
+      t.delete(spark, "user_id = 7") // COW: rewrites the touched files
+      val swept = t.vacuum(retainVersions = 1, orphanRetentionMs = 0L)
+      require(swept > 0, "vacuum must physically drop the pre-delete files")
+      // physical proof: every byte left on disk, read WITHOUT the manifest
+      val raw = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$tmp/ev/data")
+      require(raw.filter(col("user_id") === 7).count() == 0L,
+        "a file on disk still contains the forgotten user")
+      // ...and time travel to the pre-delete version is gone, not readable
+      val travel = scala.util.Try(t.read(spark, versionAsOf = Some(0L)).count())
+      require(travel.isFailure,
+        "the pre-delete version must not be readable after the forget vacuum")
+      t.read(spark)
+    },
+    Some(
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE user_id <> 7""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1241,5 +1279,5 @@ object SourceQueries {
     q107ReplaceWhere, q108MergeEvolution, q109BloomMerge, q110ColumnRename,
     q111TemporalDelete, q112SymlinkManifest, q113ConvertInPlace,
     q114DynamicOverwrite, q116CopyInto, q117GeneratedPartition,
-    q118ReorgPurge)
+    q118ReorgPurge, q121ForgetUser)
 }
