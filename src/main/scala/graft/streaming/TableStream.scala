@@ -178,19 +178,21 @@ final class TableStreamProvider extends StreamSourceProvider with StreamSinkProv
       parameters: Map[String, String]): Source =
     {
     val t = table(parameters)
-    // startingTimestamp (Delta parity): resolve to the newest version whose
-    // commit time is <= the literal — the cursor then emits changes strictly
-    // AFTER that version, i.e. every commit stamped after the timestamp.
-    // Same literal forms as the reader's timestampAsOf. A timestamp
-    // predating the oldest retained commit fails loudly (earlier versions
-    // may have been vacuumed — the silent alternative would replay an
+    // startingTimestamp (Delta parity): INCLUSIVE — every commit stamped at
+    // or after the literal is read. The cursor (which emits strictly AFTER
+    // itself) is therefore the newest version committed strictly BEFORE the
+    // timestamp, i.e. resolveAsOfTimestamp(millis - 1): a commit stamped
+    // exactly at the literal is included, matching Delta. Same literal
+    // forms as the reader's timestampAsOf. A timestamp at or before the
+    // oldest retained commit's stamp fails loudly (earlier versions may
+    // have been vacuumed — the silent alternative would replay an
     // incomplete history as if it were complete); use startingVersion=0
     // for "everything retained".
     val tsStart = parameters.get("startingTimestamp").map { s0 =>
       val millis = scala.util.Try(s0.toLong).getOrElse(
         scala.util.Try(java.sql.Timestamp.valueOf(s0).getTime).getOrElse(
           java.time.Instant.parse(s0).toEpochMilli))
-      t.resolveAsOfTimestamp(millis)
+      t.resolveAsOfTimestamp(millis - 1)
     }
     require(tsStart.isEmpty || !parameters.contains("startingVersion"),
       "startingVersion and startingTimestamp are exclusive")

@@ -106,6 +106,19 @@ object TableSql {
       s"'$tok' does not name a graft-catalog table - address graft tables " +
         "as <catalog>.[<namespace>.]<table> or quote a filesystem path"))
 
+  /** A raw-directory operand (COPY INTO ... FROM, CONVERT): paths by
+    * nature, so identifier form is REFUSED rather than resolved — a graft
+    * identifier would resolve to a table ROOT, and walking a root as a
+    * source directory silently ingests the data files of superseded
+    * versions (duplicate rows). */
+  private def dir(tok: String): String =
+    if (tok.startsWith("'")) unq(tok.substring(1, tok.length - 1))
+    else throw new IllegalArgumentException(
+      s"'$tok' is a table identifier, but this operand is a raw source " +
+        "directory - quote the filesystem path ('/landing/dir'); a table " +
+        "root contains files of superseded versions and cannot be ingested " +
+        "as a directory")
+
   private def status(spark: SparkSession, verb: String, path: String,
       version: Long): DataFrame = {
     import spark.implicits._
@@ -209,7 +222,7 @@ object TableSql {
     case CopyInto(p, src, fmt) =>
       val path = ref(spark, p)
       import spark.implicits._
-      val (ver, n) = VersionedTable(path).copyInto(spark, ref(spark, src),
+      val (ver, n) = VersionedTable(path).copyInto(spark, dir(src),
         Option(fmt).map(_.toLowerCase).getOrElse("parquet"))
       Seq(("COPY INTO", path, ver, n)).toDF("operation", "path", "version", "files_ingested")
     case SetNotNull(p, colName) =>
@@ -221,12 +234,19 @@ object TableSql {
         case None => return None
       }
     case Analyze(p) =>
-      val path = ref(spark, p)
-      status(spark, "ANALYZE", path, VersionedTable(path).analyzeStats(spark))
+      // ANALYZE TABLE ... COMPUTE STATISTICS is also vanilla Spark grammar:
+      // a non-graft table identifier falls through to spark.sql instead of
+      // erroring here (as SHOW PARTITIONS / SET NOT NULL)
+      refOpt(spark, p) match {
+        case Some(path) => status(spark, "ANALYZE", path,
+          VersionedTable(path).analyzeStats(spark))
+        case None => return None
+      }
     case Convert(p) =>
       // Delta's CONVERT TO DELTA: in-place adoption of a plain parquet
-      // directory — version 0 references the existing files, zero rewrite
-      val path = ref(spark, p)
+      // directory — version 0 references the existing files, zero rewrite.
+      // The operand is a raw directory, not a table: quoted path only.
+      val path = dir(p)
       VersionedTable.convert(spark, path)
       status(spark, "CONVERT", path, 0L)
     case _ => return None

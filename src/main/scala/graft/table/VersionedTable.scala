@@ -3613,8 +3613,10 @@ final class VersionedTable(val root: String,
 
   /** Append with server-side identity allocation: the batch must NOT carry
     * the identity column (GENERATED ALWAYS semantics); ids are assigned as
-    * per-partition contiguous ranges starting at highWater+1 (one count
-    * pass + one zip pass — the distributed allocation, no global sort) and
+    * per-partition contiguous ranges starting at highWater+1 — or, for a
+    * BY DEFAULT batch carrying explicit ids, above the batch's own maximum
+    * too (one count pass + one zip pass — the distributed allocation, no
+    * global sort) and
     * the commit records the new water IN THE SAME manifest, so the
     * allocation and its publication are atomic. A racing allocator makes
     * the pinned publish raise; this funnel then re-resolves, re-assigns
@@ -3657,10 +3659,20 @@ final class VersionedTable(val root: String,
         // an empty batch is a no-op, not a version (and its zero-row file
         // would carry no identity stats for the publish-side raise to read)
         if (pinned.isEmpty) return (v, hw + 1, hw)
+        // BY DEFAULT mixed batches: an explicit id in THIS batch may sit
+        // inside hw+1..hw+n, and the publish-side watermark raise only
+        // protects LATER batches — allocate above max(hw, batch explicit
+        // max) so one call can never mint a duplicate against its own
+        // rows. One agg over the already-persisted batch.
+        val base: Long =
+          if (suppliedCol.isEmpty) hw
+          else math.max(hw, Option(pinned
+              .agg(org.apache.spark.sql.functions.max(col(cName))).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue))
         val needsAlloc = pinned.filter(col(cName).isNull)
         val n = needsAlloc.count() // materializes the cache before the zip pass
         val rdd = needsAlloc.drop(cName).rdd.zipWithIndex().map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hw + 1 + i)) }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + 1 + i)) }
         val allocated = spark.createDataFrame(rdd, StructType(others :+ idField))
           .select(schema.fields.map(f => col(f.name)).toSeq: _*)
         val withId = allocated.unionByName(
@@ -3680,7 +3692,7 @@ final class VersionedTable(val root: String,
             None, Some(v), constraintsOf(v), dvs = dvsOf(v), partitionBy = pb,
             partitions = partitionValuesOf(v) ++ partVals, cdfKind = Some("append"),
             stampedIds = stamped, operation = Some("APPEND"),
-            identity = Some((cName, hw + n))), hw + 1, hw + n)
+            identity = Some((cName, base + n))), base + 1, base + n)
         } catch { case e: ConcurrentCommitException =>
           // a racing commit may have raised the water: re-resolve and
           // re-assign — the already-written files are orphans for vacuum

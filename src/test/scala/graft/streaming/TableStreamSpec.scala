@@ -56,8 +56,8 @@ class TableStreamSpec extends AnyFunSuite with SparkSpec {
     t.commit(Seq((1L, "a")).toDF("id", "k"))           // v0
     t.append(Seq((2L, "b")).toDF("id", "k"))           // v1
     t.append(Seq((3L, "c")).toDF("id", "k"))           // v2
-    // a timestamp between v1's and v2's commit stamps resolves the cursor
-    // to v1 → the stream emits exactly v2's append
+    // Delta parity: startingTimestamp is INCLUSIVE — a commit stamped
+    // exactly at the literal is read. v1's own stamp → v1 AND v2 emit.
     val ts = t.history(spark).filter("version = 1")
       .select("committed_at").head.getTimestamp(0).getTime
     drain(spark.readStream.format("graft-table").option("path", root)
@@ -65,7 +65,17 @@ class TableStreamSpec extends AnyFunSuite with SparkSpec {
       .writeStream.format("memory").queryName("ts_fromts")
       .option("checkpointLocation", tmpDir("ts-ckpt-"))
       .trigger(Trigger.AvailableNow()).start())
-    assert(spark.table("ts_fromts").as[(Long, String)].collect().toSeq
+    assert(spark.table("ts_fromts").as[(Long, String)].collect().sorted.toSeq
+      === Seq((2L, "b"), (3L, "c")))
+    // v2's own stamp → exactly v2 (the boundary commit, nothing earlier)
+    val ts2 = t.history(spark).filter("version = 2")
+      .select("committed_at").head.getTimestamp(0).getTime
+    drain(spark.readStream.format("graft-table").option("path", root)
+      .option("startingTimestamp", ts2.toString).load()
+      .writeStream.format("memory").queryName("ts_fromts2")
+      .option("checkpointLocation", tmpDir("ts-ckpt2-"))
+      .trigger(Trigger.AvailableNow()).start())
+    assert(spark.table("ts_fromts2").as[(Long, String)].collect().toSeq
       === Seq((3L, "c")))
     // exclusive with startingVersion; a pre-history timestamp fails loudly
     intercept[Exception] {

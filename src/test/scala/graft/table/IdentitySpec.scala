@@ -151,15 +151,31 @@ class IdentitySpec extends AnyFunSuite with SparkSpec {
     t.appendIdentity(spark, Seq((100L, "h1"), (200L, "h2")).toDF("id", "k"))
     assert(t.identityOf(t.resolve()).exists(_._2 >= 200L),
       s"water must rise past backfilled ids, got ${t.identityOf(t.resolve())}")
-    // mixed batch: null = allocate, non-null = keep
+    // mixed batch: null = allocate, non-null = keep; allocation clears the
+    // batch's OWN explicit max too (an explicit id inside hw+1..hw+n would
+    // otherwise duplicate within one call)
     val (_, first, last) = t.appendIdentity(spark,
       Seq((Some(500L), "e"), (Option.empty[Long], "n")).toDF("id", "k"))
-    assert(first === 201L && last === 201L, s"allocated [$first,$last]")
-    // an omitted-column batch allocates above the explicit 500
+    assert(first === 501L && last === 501L, s"allocated [$first,$last]")
+    // an omitted-column batch allocates above everything so far
     val (_, f2, _) = t.appendIdentity(spark, Seq("z").toDF("k"))
-    assert(f2 === 501L, s"allocation must clear the explicit 500, got $f2")
+    assert(f2 === 502L, s"allocation must clear the explicit 500, got $f2")
     val ids = t.read(spark).select("id").as[Long].collect().sorted.toSeq
-    assert(ids === Seq(1L, 100L, 200L, 201L, 500L, 501L))
+    assert(ids === Seq(1L, 100L, 200L, 500L, 501L, 502L))
+  }
+
+  test("BY DEFAULT mixed batch: an explicit id inside the would-be range never duplicates") {
+    val root = tmpDir("id-bd-mix-")
+    val t = VersionedTable(root)
+    t.commit(Seq((10L, "a")).toDF("id", "k"))
+    t.enableIdentity(spark, "id", allowExplicit = true) // water = 10
+    // explicit 12 sits exactly where naive hw+1..hw+2 allocation would land
+    t.appendIdentity(spark, Seq((Some(12L), "e"),
+      (Option.empty[Long], "n1"), (Option.empty[Long], "n2")).toDF("id", "k"))
+    val ids = t.read(spark).select("id").as[Long].collect().sorted.toSeq
+    assert(ids.distinct.size === ids.size, s"within-batch duplicate id: $ids")
+    assert(ids === Seq(10L, 12L, 13L, 14L), s"got $ids")
+    assert(t.identityOf(t.resolve()).contains(("id", 14L)))
   }
 
   test("BY DEFAULT race: allocator vs explicit backfill never duplicate") {

@@ -110,6 +110,34 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).count() === 1000)
   }
 
+  test("ANALYZE on a non-graft identifier falls through; directory operands refuse identifiers") {
+    // ANALYZE TABLE db.tbl is also vanilla Spark grammar: a dotted
+    // identifier that is NOT a graft catalog must return None (so the
+    // SQLExecute dispatcher falls back to spark.sql) instead of raising
+    assert(TableSql.runOpt(spark,
+      "ANALYZE TABLE spark_catalog.default.x COMPUTE STATISTICS").isEmpty)
+    assert(TableSql.runOpt(spark,
+      "ANALYZE TABLE somedb.sometbl COMPUTE STATISTICS").isEmpty)
+    // ...and the fallback genuinely works end to end on a session table
+    val tn = s"tsql_an_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tn (id BIGINT) USING parquet")
+    spark.sql(s"INSERT INTO $tn VALUES (1), (2)")
+    try spark.sql(s"ANALYZE TABLE default.$tn COMPUTE STATISTICS")
+    finally spark.sql(s"DROP TABLE $tn")
+
+    // COPY INTO ... FROM and CONVERT operands are raw directories: an
+    // identifier would resolve to a table ROOT whose walk ingests the data
+    // files of superseded versions — refused with a clear error instead
+    val root = tmpDir("tsql-dirop-") + "/t"
+    VersionedTable(root).commit(Seq((1L, "a")).toDF("id", "k"))
+    val e1 = intercept[IllegalArgumentException](
+      TableSql.run(spark, s"COPY INTO '$root' FROM graft.default.src"))
+    assert(e1.getMessage.contains("raw source directory"))
+    val e2 = intercept[IllegalArgumentException](
+      TableSql.run(spark, "CONVERT TO GRAFT graft.default.src"))
+    assert(e2.getMessage.contains("raw source directory"))
+  }
+
   test("DESCRIBE DETAIL reports head-snapshot metadata in one row") {
     val root = tmpDir("tsql-dd-") + "/t"
     val t = VersionedTable(root)
