@@ -55,7 +55,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def defaultNamespace(): Array[String] = Array("default")
 
@@ -129,10 +130,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val schema = StructType(columns.map { c =>
       val base = org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
       val commented = Option(c.comment).map(base.withComment).getOrElse(base)
-      Option(c.generationExpression()).fold(commented)(g =>
+      val generated = Option(c.generationExpression()).fold(commented)(g =>
         commented.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(commented.metadata)
           .putString(VersionedTable.GenerationExprKey, g).build()))
+      // `c BIGINT DEFAULT <expr>`: record the SQL text under Spark's own
+      // CURRENT_DEFAULT key — write funnels fill omitted columns, the
+      // analyzer resolves DEFAULT keywords, DESCRIBE reports it
+      Option(c.defaultValue()).fold(generated) { d =>
+        require(c.generationExpression() == null,
+          s"column ${c.name} cannot be both GENERATED and DEFAULTed")
+        val sql = Option(d.getSql).getOrElse(throw new UnsupportedOperationException(
+          s"column ${c.name}: only SQL-text defaults are supported"))
+        generated.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(generated.metadata)
+          .putString(VersionedTable.CurrentDefaultKey, sql).build())
+      }
     })
     val created = createTable(ident, schema, partitions, properties)
     idCols.foreach { c =>
@@ -227,6 +240,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             ty.fieldNames.mkString("."))
         // metadata-only lossless widening (kernel refuses anything else)
         t.alterColumnType(ty.fieldNames.head, ty.newDataType)
+        ()
+      case d: TableChange.UpdateColumnDefaultValue =>
+        require(d.fieldNames.length == 1,
+          s"graft tables support top-level column defaults only, got " +
+            d.fieldNames.mkString("."))
+        // SET DEFAULT carries the SQL text; DROP DEFAULT arrives as an
+        // empty/absent default — both route to the metadata-only verb
+        val sql = Option(d.newCurrentDefault()).flatMap(v => Option(v.getSql))
+          .orElse(Option(d.newDefaultValue()).filter(_.nonEmpty))
+        t.setColumnDefault(SparkSession.active, d.fieldNames.head, sql)
         ()
       case nul: TableChange.UpdateColumnNullability =>
         require(nul.fieldNames.length == 1,

@@ -1270,6 +1270,112 @@ object SourceQueries {
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE user_id <> 7""".stripMargin))
 
+  /** q122: partition evolution (Iceberg's layout verb, here via
+    * `ALTER TABLE ... SET PARTITIONED BY`) — the table's partition spec
+    * changes METADATA-ONLY (asserted: same version's data files carry
+    * verbatim), a post-evolution batch lands in the new layout, a
+    * partition-pruned read on the NEW spec column prunes new-epoch files
+    * while keeping the legacy epoch conservatively and still returns
+    * exactly the predicate's rows, and a plain OPTIMIZE migrates every
+    * epoch into the current spec (asserted un-mixed). At 100 TB this is
+    * the only affordable way to change partitioning — rewriting a
+    * petabyte of history to re-bucket it is not a plan. */
+  val q122PartitionEvolution: Q = Q(
+    "q122_partition_evolution",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pe-").toString
+      val t = graft.table.VersionedTable(s"$tmp/t")
+      t.commit(spark.sql(
+        "SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority FROM orders"),
+        numPartitions = Some(2), partitionBy = Seq("o_orderstatus"))
+      val filesBefore = t.detail(spark).select("num_files").head.getLong(0)
+      val v1 = t.resolve()
+      graft.table.TableSql.run(spark,
+        s"ALTER TABLE '$tmp/t' SET PARTITIONED BY (o_orderpriority)")
+      require(t.resolve() == v1 + 1 &&
+        t.detail(spark).select("num_files").head.getLong(0) == filesBefore,
+        "evolution must burn one metadata-only version, rewriting nothing")
+      require(t.mixedLayoutOf(t.resolve()), "pre-evolution files are a legacy epoch")
+      // a post-evolution batch lands under the NEW spec
+      t.append(spark.sql(
+        """SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice,
+          |  o_orderstatus, o_orderpriority
+          |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin),
+        numPartitions = Some(2))
+      // pruned read on the new spec: new-epoch files of other priorities
+      // prune by metadata, the legacy epoch is kept conservatively, and the
+      // row filter makes the result exactly the predicate's rows
+      val (pruned, kept, total) = t.readPartitioned(spark, "o_orderpriority = '1-URGENT'")
+      require(kept < total,
+        s"new-epoch files of other priorities must prune by metadata ($kept/$total)")
+      val expect = spark.sql(
+        """SELECT count(*) FROM orders WHERE o_orderpriority = '1-URGENT'""")
+        .head.getLong(0) +
+        spark.sql("""SELECT count(*) FROM orders
+          |WHERE o_orderkey % 100 = 0 AND o_orderpriority = '1-URGENT'""".stripMargin)
+        .head.getLong(0)
+      require(pruned.count() == expect,
+        "the conservative keep must still return exactly the predicate's rows")
+      // OPTIMIZE migrates the legacy epoch into the current spec
+      t.compact(spark, numFiles = 4)
+      require(!t.mixedLayoutOf(t.resolve()), "OPTIMIZE must migrate all epochs")
+      t.read(spark)
+    },
+    Some(
+      """SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice,
+        |  o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin))
+
+  /** q123: column DEFAULT values (Delta's `allowColumnDefaults`, SQL
+    * standard CURRENT-DEFAULT semantics): a batch that OMITS the column
+    * gets the default in force AT WRITE TIME, a supplied value wins, and
+    * changing the default (here through the SQL path-identifier DDL,
+    * `ALTER TABLE graft.\`<path>\` ALTER COLUMN ... SET DEFAULT`) affects
+    * only later writes — never a backfill. The oracle replays the three
+    * batches with their literals. */
+  val q123ColumnDefaults: Q = Q(
+    "q123_column_defaults",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cd-").toString
+      val t = graft.table.VersionedTable(s"$tmp/t")
+      t.commit(spark.sql(
+        """SELECT o_orderkey, o_totalprice,
+          |  CAST(NULL AS STRING) AS priority_class
+          |FROM orders LIMIT 0""".stripMargin))
+      t.setColumnDefault(spark, "priority_class", Some("'unclassified'"))
+      // batch 1 omits the column: the CURRENT default fills
+      t.append(spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0"))
+      // batch 2 supplies it: the supplied value wins
+      t.append(spark.sql(
+        """SELECT o_orderkey, o_totalprice, o_orderpriority AS priority_class
+          |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin))
+      // the default changes through the SQL DDL surface; only batch 3 sees it
+      spark.sql("ALTER TABLE graft.`" + tmp + "/t` " +
+        "ALTER COLUMN priority_class SET DEFAULT 'express'")
+      t.append(spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 2"))
+      require(t.history(spark).filter("operation = 'SET DEFAULT'").count() == 2,
+        "both default changes must be metadata-only commits")
+      require(t.read(spark).filter("priority_class = 'express'").count() ==
+        t.read(spark).filter("o_orderkey % 3 = 2").count(),
+        "a changed default must apply to LATER batches only, never backfill")
+      t.read(spark)
+    },
+    Some(
+      """SELECT o_orderkey, o_totalprice, 'unclassified' AS priority_class
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderpriority AS priority_class
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'express' AS priority_class
+        |FROM orders WHERE o_orderkey % 3 = 2""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1279,5 +1385,5 @@ object SourceQueries {
     q107ReplaceWhere, q108MergeEvolution, q109BloomMerge, q110ColumnRename,
     q111TemporalDelete, q112SymlinkManifest, q113ConvertInPlace,
     q114DynamicOverwrite, q116CopyInto, q117GeneratedPartition,
-    q118ReorgPurge, q121ForgetUser)
+    q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults)
 }

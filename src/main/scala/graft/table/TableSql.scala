@@ -21,6 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   ANALYZE TABLE '<path>' COMPUTE STATISTICS
   *   COPY INTO '<path>' FROM '<srcDir>' [FILEFORMAT = <fmt>]
   *   ALTER TABLE '<path>' ALTER COLUMN <c> SET NOT NULL
+  *   ALTER TABLE '<path>' SET PARTITIONED BY (c1[, c2...])
   * }}}
   *
   * Parsing is a small anchored-regex dispatcher, NOT a SQL engine: data
@@ -78,6 +79,10 @@ object TableSql {
     s"""(?is)\\s*COPY\\s+INTO\\s+$P\\s+FROM\\s+$P(?:\\s+FILEFORMAT\\s*=\\s*([A-Za-z]+))?\\s*""".r
   private val SetNotNull =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+ALTER\\s+COLUMN\\s+`?([A-Za-z0-9_]+)`?\\s+SET\\s+NOT\\s+NULL\\s*""".r
+  // partition evolution (metadata-only; NOT Spark grammar, so no fallback):
+  // ALTER TABLE '<p>' SET PARTITIONED BY (c1[, c2...]) — () = unpartitioned
+  private val SetPartitioning =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+SET\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\)\\s*""".r
 
   private def unq(s: String): String = s.replace("''", "'")
 
@@ -233,6 +238,12 @@ object TableSql {
           VersionedTable(path).setColumnNullability(spark, colName, nullable = false))
         case None => return None
       }
+    case SetPartitioning(p, cols) =>
+      val path = ref(spark, p)
+      val pb = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq
+      status(spark, "SET PARTITIONED BY", path,
+        VersionedTable(path).alterPartitioning(pb))
     case Analyze(p) =>
       // ANALYZE TABLE ... COMPUTE STATISTICS is also vanilla Spark grammar:
       // a non-graft table identifier falls through to spark.sql instead of

@@ -389,6 +389,51 @@ final class VersionedTable(val root: String,
     }.toMap
   }
 
+  /** Whether any live file of version `v` was written under a partition
+    * layout other than the CURRENT spec — i.e. an [[alterPartitioning]]
+    * happened and the table has not been fully rewritten since. Reads and
+    * row-level rewrites handle the mix transparently; partition-DIRECTED
+    * verbs (dynamic overwrite, SHOW PARTITIONS, symlink manifests) refuse
+    * on it and point at OPTIMIZE. */
+  def mixedLayoutOf(v: Long): Boolean = {
+    val pbSet = partitionByOf(v).toSet
+    val vals = partitionValuesOf(v)
+    filesOf(v).exists(f => vals.getOrElse(f, Map.empty).keySet != pbSet)
+  }
+
+  /** Partition evolution (Iceberg's layout verb, METADATA-ONLY): change the
+    * table's partition spec for future writes without rewriting a single
+    * file. Existing files keep the layout of the epoch they were written
+    * under — the manifest already records partition values PER FILE, reads
+    * union one scan per layout epoch ([[scanLive]]), partition-pruned reads
+    * keep pre-evolution files conservatively and re-apply the predicate as
+    * a row filter, and every rewrite (OPTIMIZE, DELETE, UPDATE, MERGE,
+    * REPLACE WHERE) lays touched rows out in the CURRENT spec — so a plain
+    * OPTIMIZE migrates the whole table when wanted. At 100 TB this is the
+    * only affordable way to change partitioning: rewriting a petabyte of
+    * history to re-bucket it is not a plan. `newPartitionBy = Nil` evolves
+    * to unpartitioned. SQL spelling:
+    * `ALTER TABLE '<path>' SET PARTITIONED BY (c1[, c2...])` /
+    * `... SET PARTITIONED BY ()`. */
+  def alterPartitioning(newPartitionBy: Seq[String]): Long = {
+    val v = resolve()
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema"))
+    require(newPartitionBy.distinct == newPartitionBy,
+      s"duplicate partition column in (${newPartitionBy.mkString(", ")})")
+    newPartitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c does not exist in $root"))
+    require(newPartitionBy != partitionByOf(v),
+      s"$root is already partitioned by (${newPartitionBy.mkString(", ")})")
+    publish(filesOf(v), schema.json, statsOf(v), None, Some(v), constraintsOf(v),
+      dvs = dvsOf(v), partitionBy = newPartitionBy,
+      partitions = partitionValuesOf(v), cdfKind = Some("none"),
+      columnIdsOverride = Some(columnIdsOf(v)),
+      operation = Some("SET PARTITIONING"),
+      identity = identityOf(v),
+      identityAllowExplicit = Some(identityAllowsExplicit(v)))
+  }
+
   /** Matches the trailing `data/<commit>[/<part>=<val>...]/<file>` of a
     * parquet scan's `_metadata.file_path` URI — the table-relative name the
     * manifest (and a DV's `file` column) uses. The commit id and file name
@@ -448,10 +493,31 @@ final class VersionedTable(val root: String,
       partValues: Map[String, Map[String, Option[String]]] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, regexp_extract}
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // partition evolution ([[alterPartitioning]]): files written under an
+    // older layout physically lack a DIFFERENT column set than the current
+    // spec — group by each file's OWN recorded layout and union the
+    // per-epoch scans (one scan per layout epoch, never per file).
+    // Homogeneous tables — the overwhelmingly common case — fall through
+    // to the single-scan path below with zero extra work.
+    val layoutOf = (f: String) => partValues.getOrElse(f, Map.empty).keySet
+    val epochs = files.map(layoutOf).distinct
+    if (epochs.size > 1)
+      return files.groupBy(layoutOf).toSeq
+        .sortBy(_._1.toSeq.sorted.mkString(","))
+        .map { case (_, fs) =>
+          scanLive(spark, fs, schema, dvs, keepPos, partitionBy, partValues) }
+        .reduce(_.unionByName(_))
+    // the files' own layout decides which columns are physically absent
+    // and must be injected from the manifest — after an evolution that is
+    // the epoch they were written under, not the current spec
+    val filePb: Seq[String] = epochs.headOption.filter(_.nonEmpty).map { s =>
+      schema.map(_.fieldNames.toSeq.filter(s.contains))
+        .getOrElse(partitionBy.filter(s.contains))
+    }.getOrElse(Nil)
     val paths = files.map(f => Paths.get(root).resolve(f).toString)
     val dataSchema = schema.map(s =>
-      if (partitionBy.isEmpty) s
-      else StructType(s.fields.filterNot(f => partitionBy.contains(f.name))))
+      if (filePb.isEmpty) s
+      else StructType(s.fields.filterNot(f => filePb.contains(f.name))))
     // id-tracked tables resolve parquet columns BY FIELD ID (the schema
     // from schemaOf carries `parquet.field.id` metadata) — the mechanism
     // that lets RENAME COLUMN be metadata-only: old files keep the old
@@ -465,7 +531,7 @@ final class VersionedTable(val root: String,
       if (byId) r.format(classOf[GraftParquetFileFormat].getName).load(paths: _*)
       else r.parquet(paths: _*)
     }.getOrElse(spark.read.parquet(paths: _*))
-    if (dvs.isEmpty && !keepPos && partitionBy.isEmpty) return base
+    if (dvs.isEmpty && !keepPos && filePb.isEmpty) return base
     val withPos = base.select(col("*"),
       relOfPathCol(uriDecodeCol(col("_metadata.file_path"))).as("__rel"),
       col("_metadata.row_index").as("__ri"))
@@ -478,7 +544,7 @@ final class VersionedTable(val root: String,
           "left_anti")
       }
     val withParts =
-      if (partitionBy.isEmpty) live
+      if (filePb.isEmpty) live
       else {
         val full = schema.getOrElse(throw new IllegalStateException(
           s"partitioned table $root has no recorded schema"))
@@ -486,16 +552,16 @@ final class VersionedTable(val root: String,
         val rows = files.map { f =>
           val vals = partValues.getOrElse(f, Map.empty)
           org.apache.spark.sql.Row.fromSeq(
-            f +: partitionBy.map(c => vals.get(c).flatten.orNull))
+            f +: filePb.map(c => vals.get(c).flatten.orNull))
         }
         val partSchema = StructType(StructField("__pfile", StringType) +:
-          partitionBy.map(c => StructField(s"__pv_$c", StringType)))
+          filePb.map(c => StructField(s"__pv_$c", StringType)))
         val pframe = spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), partSchema)
         val joined = live.join(broadcast(pframe), live("__rel") === pframe("__pfile"))
         // reproduce the recorded column ORDER and types exactly
         joined.select((full.fields.map { f =>
-          if (partitionBy.contains(f.name))
+          if (filePb.contains(f.name))
             col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
           else col(f.name)
         } ++ (if (keepPos || dvs.nonEmpty) Seq(col("__rel"), col("__ri")) else Nil)).toSeq: _*)
@@ -534,13 +600,19 @@ final class VersionedTable(val root: String,
   def readPartitioned(spark: SparkSession, predicate: String,
       relativeVersion: Option[Int] = None,
       versionAsOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.expr
     val v = resolve(relativeVersion, versionAsOf)
     val kept = prunePartitions(spark, v, predicate)
     val all = filesOf(v)
     val df =
       if (kept.nonEmpty)
+        // the row filter is a no-op on files kept by their metadata (every
+        // row of such a file shares the partition value) but load-bearing
+        // on files of a PRE-EVOLUTION layout epoch kept conservatively:
+        // there the predicate columns live in the data and must filter rows
         scanLive(spark, kept, schemaOf(v), dvsOf(v), keepPos = false,
           partitionByOf(v), partitionValuesOf(v))
+          .filter(expr(predicate))
       else {
         val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
           s"version $v of $root has no recorded schema"))
@@ -576,7 +648,13 @@ final class VersionedTable(val root: String,
     val keys = collected.map(r => Option(r.getString(0))).toSet
     val all = filesOf(v)
     val vals = partitionValuesOf(v)
-    val kept = all.filter(f => keys.contains(vals.getOrElse(f, Map.empty).getOrElse(partCol, None)))
+    // pre-evolution files lack partCol in their metadata (the value lives
+    // in their data): keep them conservatively — the caller's subsequent
+    // join filters the rows, so the cost is legacy-epoch I/O, not wrong rows
+    val kept = all.filter { f =>
+      val m = vals.getOrElse(f, Map.empty)
+      !m.contains(partCol) || keys.contains(m(partCol))
+    }
     val df =
       if (kept.nonEmpty)
         scanLive(spark, kept, schemaOf(v), dvsOf(v), keepPos = false, pb, vals)
@@ -602,7 +680,20 @@ final class VersionedTable(val root: String,
       s"version $v of $root has no recorded schema"))
     val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
     val vals = partitionValuesOf(v)
-    val rows = filesOf(v).map { f =>
+    // partition evolution: a file written under an OLDER layout may lack a
+    // referenced column in its metadata while physically containing it in
+    // its data — such files can never be pruned by metadata and are kept
+    // conservatively (Iceberg's evolution contract). Callers that return
+    // rows re-apply the predicate as a row filter, so the conservative
+    // keep costs I/O on the legacy epoch only, never correctness.
+    val referenced: Set[String] =
+      scala.util.Try(spark.sessionState.sqlParser.parseExpression(predicate)
+        .references.map(_.name).toSet).getOrElse(pb.toSet)
+    val needed = referenced.intersect(pb.toSet)
+    val (evaluable, conservative) = filesOf(v).partition { f =>
+      needed.forall(vals.getOrElse(f, Map.empty).contains)
+    }
+    val rows = evaluable.map { f =>
       val m = vals.getOrElse(f, Map.empty)
       org.apache.spark.sql.Row.fromSeq(f +: pb.map(c => m.getOrElse(c, None).orNull))
     }
@@ -610,9 +701,11 @@ final class VersionedTable(val root: String,
       spark.sparkContext.parallelize(rows, 1),
       StructType(StructField("__pfile", StringType) +:
         pb.map(c => StructField(c, StringType))))
-    local.select(col("__pfile") +: pb.map(c => col(c).cast(typeOf(c)).as(c)): _*)
+    val kept = local.select(col("__pfile") +: pb.map(c => col(c).cast(typeOf(c)).as(c)): _*)
       .filter(expr(predicate))
-      .select("__pfile").collect().map(_.getString(0)).toSeq
+      .select("__pfile").collect().map(_.getString(0)).toSet
+    val cons = conservative.toSet
+    filesOf(v).filter(f => kept.contains(f) || cons.contains(f))
   }
 
   /** Write the reference's Athena-interop `_symlink_format_manifest` for a
@@ -639,6 +732,14 @@ final class VersionedTable(val root: String,
     require(dvsOf(v).isEmpty,
       s"version $v of $root carries deletion vectors; an external engine reading " +
         "the symlink manifest would see deleted rows — run compact() first")
+    // a symlink manifest hands raw parquet to an external engine, which
+    // recovers partition values from the hive dir segments — files of a
+    // pre-evolution layout carry the WRONG segments (and physically lack
+    // the injected columns), so a mixed table cannot be exported honestly
+    require(!mixedLayoutOf(v),
+      s"version $v of $root mixes partition layouts after an ALTER ... SET " +
+        "PARTITIONED BY; run compact()/OPTIMIZE to rewrite into the current " +
+        "layout before generating a symlink manifest")
     val dir = Paths.get(root, "_symlink_format_manifest")
     if (Files.exists(dir)) // wipe: stale per-partition manifests must not linger
       Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
@@ -1428,14 +1529,19 @@ final class VersionedTable(val root: String,
     if (partitionBy.nonEmpty) {
       val pbArr = json.putArray("partitionBy")
       partitionBy.foreach(pbArr.add)
+    }
+    // per-file partition values are recorded VERBATIM under each file's own
+    // layout epoch: after alterPartitioning the current spec and a carried
+    // file's layout legitimately differ, and normalizing values to the spec
+    // (the pre-evolution behavior) would null-out or drop the legacy
+    // epoch's values — the information reads need to inject those columns
+    if (partitions.nonEmpty) {
       val pNode = json.putObject("partitions")
       partitions.toSeq.sortBy(_._1).foreach { case (f, vals) =>
         val fNode = pNode.putObject(f)
-        partitionBy.foreach { c =>
-          vals.getOrElse(c, None) match {
-            case Some(v) => fNode.put(c, v)
-            case None => fNode.putNull(c)
-          }
+        vals.toSeq.sortBy(_._1).foreach {
+          case (c, Some(value)) => fNode.put(c, value)
+          case (c, None) => fNode.putNull(c)
         }
       }
     }
@@ -1642,6 +1748,22 @@ final class VersionedTable(val root: String,
       d.withColumn(n, org.apache.spark.sql.functions.expr(g))
     }
 
+  /** Columns of `schema` carrying a CURRENT_DEFAULT that `df` OMITS get the
+    * default computed at write time — the SQL-standard half of column
+    * DEFAULTs ([[setColumnDefault]]). Reads never backfill (no existence
+    * defaults: old files still read an evolution-added column as null,
+    * Delta's contract). A column the batch supplies is untouched. */
+  private def applyDefaults(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    schema.fields
+      .filter(f => f.metadata.contains(VersionedTable.CurrentDefaultKey) &&
+        !df.columns.exists(_.equalsIgnoreCase(f.name)))
+      .foldLeft(df) { (d, f) =>
+        d.withColumn(f.name, org.apache.spark.sql.functions
+          .expr(f.metadata.getString(VersionedTable.CurrentDefaultKey))
+          .cast(f.dataType))
+      }
+
   /** Refuse write targets that would DESYNCHRONIZE a generated column: the
     * generated column itself (it is ALWAYS computed, never written), or
     * any column its expression references (an in-place SET would leave the
@@ -1807,8 +1929,11 @@ final class VersionedTable(val root: String,
     // there refuses a partitioning mismatch.
     val tablePb = latestVersion().map(partitionByOf).getOrElse(Nil)
     // generated columns recompute from the recorded schema: the batch may
-    // omit them, a supplied value is overwritten (provable consistency)
-    val df = latestVersion().flatMap(schemaOf).map(applyGenerated(df0, _)).getOrElse(df0)
+    // omit them, a supplied value is overwritten (provable consistency);
+    // omitted DEFAULT columns fill first (a default never feeds a
+    // generated expression's source, but the symmetric order is harmless)
+    val df = latestVersion().flatMap(schemaOf)
+      .map(s => applyGenerated(applyDefaults(df0, s), s)).getOrElse(df0)
     val (commitId, files, partVals, stamped) = writeDataFiles(df, numPartitions, sortBy, tablePb)
     val partTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats =
@@ -2324,6 +2449,14 @@ final class VersionedTable(val root: String,
     val pb = partitionByOf(v)
     require(pb.nonEmpty, "dynamic partition overwrite needs a partitioned " +
       "table; overwrite an unpartitioned table with commit()")
+    // partition-DIRECTED verb: "the batch's partitions" is ill-defined for
+    // files of a pre-evolution layout epoch (their rows may belong to the
+    // replaced partitions without any metadata saying so) — refuse rather
+    // than silently leak stale rows
+    require(!mixedLayoutOf(v),
+      s"$root mixes partition layouts after an ALTER ... SET PARTITIONED BY; " +
+        "run OPTIMIZE to rewrite into the current layout before a dynamic " +
+        "partition overwrite")
     val dvs = dvsOf(v)
     val pVals = partitionValuesOf(v)
     // type-pin the batch to the table schema by name (every write funnel's
@@ -3361,6 +3494,12 @@ final class VersionedTable(val root: String,
     val v = resolve()
     val pb = partitionByOf(v)
     require(pb.nonEmpty, s"$root is not partitioned")
+    // a pre-evolution file has no values for the current spec — reporting
+    // it under the hive null partition would be a lie; refuse until the
+    // table is rewritten into one layout
+    require(!mixedLayoutOf(v),
+      s"$root mixes partition layouts after an ALTER ... SET PARTITIONED BY; " +
+        "run OPTIMIZE to rewrite into the current layout before SHOW PARTITIONS")
     val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
       s"version $v of $root has no recorded schema"))
     val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -3647,7 +3786,8 @@ final class VersionedTable(val root: String,
       // BY DEFAULT tables may carry the column: null = "allocate for me",
       // non-null = backfilled as-is (the publish-side watermark raise
       // keeps later allocation above every backfilled id).
-      val pinned = applyGenerated(df,
+      val pinned = applyGenerated(applyDefaults(df,
+          org.apache.spark.sql.types.StructType(others)),
           org.apache.spark.sql.types.StructType(others))
         .select((others.map(f =>
           col(f.name).cast(f.dataType).as(f.name)) :+
@@ -4026,6 +4166,63 @@ final class VersionedTable(val root: String,
       operation = Some(if (nullable) "DROP NOT NULL" else "SET NOT NULL"))
   }
 
+  /** Column DEFAULT values (`ALTER TABLE ... ALTER COLUMN c SET DEFAULT
+    * expr`, Delta's `allowColumnDefaults` feature): a writer that OMITS
+    * the column gets `expr` computed at write time; a supplied value wins;
+    * existing rows are untouched — no existence-default backfill, old
+    * files still read an evolution-added column as null (Delta's exact
+    * contract, which refuses `ADD COLUMN ... DEFAULT` for that reason).
+    * The expression is recorded under Spark's own `CURRENT_DEFAULT`
+    * schema-metadata key, so the DSv2 face reports it to DESCRIBE and the
+    * INSERT analyzer resolves `DEFAULT`/omitted columns natively.
+    * `sqlText = None` is DROP DEFAULT. Metadata-only commit. */
+  def setColumnDefault(spark: SparkSession, name: String,
+      sqlText: Option[String]): Long = {
+    val v = resolve()
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema"))
+    val field = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column $name does not exist in $root"))
+    require(!generatedExprsOf(schema).exists(_._1 == name),
+      s"$name is a GENERATED column of $root — always computed, a DEFAULT " +
+        "could never apply")
+    require(!identityOf(v).exists(_._1 == name),
+      s"$name is the IDENTITY column of $root — allocation is its default")
+    sqlText.foreach { g =>
+      // a DEFAULT is a constant expression of the column's type: no column
+      // references (SQL standard), and it must evaluate + cast — proven
+      // once here against a unit relation so a bad DDL fails at ALTER
+      // time, not at the first insert
+      val cols = spark.sessionState.sqlParser.parseExpression(g).collect {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          ua.nameParts.mkString(".")
+      }
+      require(cols.isEmpty,
+        s"DEFAULT for $name must not reference columns, got: ${cols.mkString(", ")}")
+      spark.range(1)
+        .select(org.apache.spark.sql.functions.expr(g).cast(field.dataType))
+        .head()
+    }
+    val updated = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      if (f.name != name) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        sqlText match {
+          case Some(g) => f.copy(metadata =
+            mb.putString(VersionedTable.CurrentDefaultKey, g).build())
+          case None => f.copy(metadata =
+            mb.remove(VersionedTable.CurrentDefaultKey).build())
+        }
+      }
+    })
+    publish(filesOf(v), updated.json, statsOf(v), None, Some(v), constraintsOf(v),
+      dvs = dvsOf(v), partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v), cdfKind = Some("none"),
+      columnIdsOverride = Some(columnIdsOf(v)),
+      operation = Some(if (sqlText.isDefined) "SET DEFAULT" else "DROP DEFAULT"))
+  }
+
   /** `ALTER TABLE DROP COLUMN` as a metadata-only commit: the column
     * leaves the logical schema; existing files keep the physical bytes as
     * dead weight until a rewrite (Delta's shape). The id is retired and
@@ -4324,6 +4521,10 @@ object VersionedTable {
     * (Delta's `delta.generationExpression` shape): riding in the schema
     * JSON means every publish path carries it with zero plumbing. */
   val GenerationExprKey = "graft.generationExpression"
+  /** Spark's own `ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY`
+    * — recording column defaults under the analyzer's key means DESCRIBE
+    * and native `INSERT ... DEFAULT` resolution see them with no shim. */
+  val CurrentDefaultKey = "CURRENT_DEFAULT"
 
   /** Spark's parquet field-id metadata key (`ParquetUtils.FIELD_ID_METADATA_KEY`):
     * writers populate parquet field ids from it, and with
