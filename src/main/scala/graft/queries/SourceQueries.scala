@@ -1376,6 +1376,53 @@ object SourceQueries {
         |SELECT o_orderkey, o_totalprice, 'express' AS priority_class
         |FROM orders WHERE o_orderkey % 3 = 2""".stripMargin))
 
+  /** q124: row tracking — stable per-row ids surviving every rewrite
+    * (Delta's feature): one backfill rewrite stamps `_row_id` in snapshot
+    * order, the column becomes the identity column (allocation above the
+    * water, targeted writes refuse), a COW UPDATE and a full OPTIMIZE
+    * carry every id verbatim (asserted in-query by joining the pre/post
+    * id→key maps), and the CDF delete+insert pair of the update stitches
+    * back into "this row changed" by joining on the id — the consumer
+    * capability row ids exist for. Ids are deterministic here (single
+    * sorted backfill file), so the DuckDB oracle replays them with
+    * row_number(). */
+  val q124RowTracking: Q = Q(
+    "q124_row_tracking",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rt-").toString
+      val t = graft.table.VersionedTable(s"$tmp/t")
+      t.setProperties(Map("enableChangeDataFeed" -> "true"))
+      t.commit(spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 0"),
+        numPartitions = Some(1), sortBy = Seq("o_orderkey"))
+      t.enableRowTracking(spark)
+      val tracked = t.resolve()
+      val before = t.read(spark).select("_row_id", "o_orderkey")
+      t.update(spark, "o_orderkey % 25 = 0", Map("o_totalprice" -> "o_totalprice * 2"))
+      t.compact(spark)
+      // stability proof: every (id, key) pair survives the rewrites
+      val after = t.read(spark).select("_row_id", "o_orderkey")
+      require(before.except(after).isEmpty && after.except(before).isEmpty,
+        "UPDATE/OPTIMIZE changed a row's id")
+      // CDF stitch: the update's delete+insert pair joins back by id
+      val cdf = t.changeFeed(spark, tracked, tracked + 1)
+      val stitched = cdf.filter("_change_type = 'delete'")
+        .select(col("_row_id"), col("o_totalprice").as("old_p"))
+        .join(cdf.filter("_change_type = 'insert'")
+          .select(col("_row_id"), col("o_totalprice").as("new_p")), "_row_id")
+      require(stitched.filter("new_p = old_p * 2").count() ==
+        spark.sql("SELECT count(*) FROM orders WHERE o_orderkey % 25 = 0").head.getLong(0),
+        "every changed row must stitch into exactly one update by its id")
+      t.read(spark)
+    },
+    Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 25 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  row_number() OVER (ORDER BY o_orderkey) AS _row_id
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1385,5 +1432,6 @@ object SourceQueries {
     q107ReplaceWhere, q108MergeEvolution, q109BloomMerge, q110ColumnRename,
     q111TemporalDelete, q112SymlinkManifest, q113ConvertInPlace,
     q114DynamicOverwrite, q116CopyInto, q117GeneratedPartition,
-    q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults)
+    q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults,
+    q124RowTracking)
 }

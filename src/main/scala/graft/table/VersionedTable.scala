@@ -3750,6 +3750,42 @@ final class VersionedTable(val root: String,
       identityAllowExplicit = Some(allowExplicit))
   }
 
+  /** Row tracking (Delta's feature by the same name): give every row a
+    * STABLE id that survives rewrites, so change-feed consumers can stitch
+    * a delete+insert CDF pair back into "this row changed" and downstream
+    * incremental jobs can key their state by row, not by value. One
+    * backfill rewrite stamps `colName` (default `_row_id`) with contiguous
+    * ids in snapshot order, then the column becomes GENERATED ALWAYS AS
+    * IDENTITY: later batches allocate through [[appendIdentity]], targeted
+    * writes of the column refuse, and every rewrite verb carries the ids
+    * as ordinary column data — stability through OPTIMIZE / DELETE /
+    * UPDATE / MERGE is the format's existing rewrite contract, not new
+    * machinery. The backfill is the one unavoidable O(table) cost (Delta
+    * pays the same on `ALTER TABLE ... SET TBLPROPERTIES
+    * ('delta.enableRowTracking'='true')` for materialized ids); everything
+    * after is O(batch). */
+  def enableRowTracking(spark: SparkSession, colName: String = "_row_id"): Long = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    requireNotAppendOnly("enableRowTracking backfill")
+    val v = resolve()
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema"))
+    require(!schema.fieldNames.contains(colName),
+      s"column $colName already exists in $root — pick another row-id name")
+    require(identityOf(v).isEmpty,
+      s"$root already has an identity column — it IS a row id; " +
+        "a second allocated column is not supported")
+    val snap = read(spark, versionAsOf = Some(v))
+    // deletion vectors are applied by the read, so the backfill rewrite
+    // also materializes them — ids are minted for LIVE rows only
+    val rdd = snap.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    val withIds = spark.createDataFrame(rdd,
+      StructType(schema.fields :+ StructField(colName, LongType, nullable = false)))
+    commitPinnedAt(withIds, Some(v), partitionBy = partitionByOf(v))
+    enableIdentity(spark, colName)
+  }
+
   /** Append with server-side identity allocation: the batch must NOT carry
     * the identity column (GENERATED ALWAYS semantics); ids are assigned as
     * per-partition contiguous ranges starting at highWater+1 — or, for a
