@@ -731,8 +731,86 @@ object DedupQueries {
          |  round(CAST(inter AS DOUBLE) / nb, 6) AS containment
          |FROM sized WHERE CAST(inter AS DOUBLE) / nb >= 0.9""".stripMargin))
 
+  /** d15: FUZZY eval-set decontamination — d9 catches verbatim leakage
+    * (exact 8-word shingle containment); this catches the paraphrased /
+    * lightly-edited leakage exact matching misses: train docs whose
+    * MinHash-LSH-bucketed candidates against the EVAL slice verify at
+    * shingle-Jaccard ≥ 0.5. Scale shape: signatures computed ONCE over the
+    * whole corpus (the d3 "write signatures" stage), candidates from a
+    * band-bucket join where the eval side is tiny and BROADCAST (an eval
+    * benchmark is thousands of docs; the corpus is the big side, never
+    * self-joined), exact verification only on surviving candidates. Output
+    * = (train_id, eval_id, jaccard) — the audit trail a decontamination
+    * run must produce before dropping the train docs. */
+  val d15FuzzyDecontamination: Q = Q(
+    "d15_fuzzy_decontamination",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.broadcast
+      val docs = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+      graft.functions.GraftFunctions.registerAll(spark)
+      val sigDf = docs.select(col("doc_id"), expr("minhash_sig(sh)").as("sig")).persist()
+      sigDf.count()
+      val bandRows = sigDf
+        .select(col("doc_id"),
+          explode(expr(graft.dedup.SignatureStore.BandKeysExpr)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+      val evalBands = bandRows.filter("doc_id % 40 = 0")
+        .toDF("eval_id", "band2", "bkey2")
+      val cand = bandRows.filter("doc_id % 40 <> 0").toDF("train_id", "band", "bkey")
+        .join(broadcast(evalBands),
+          col("band") === col("band2") && col("bkey") === col("bkey2"))
+        .select("train_id", "eval_id").distinct()
+      val docSets = docs.select(col("doc_id"), expr("array_distinct(sh)").as("ds"))
+      val out = cand
+        .join(docSets.toDF("train_id", "dt"), "train_id")
+        .join(broadcast(docSets.toDF("eval_id", "de").filter("eval_id % 40 = 0")), "eval_id")
+        .withColumn("inter", expr("size(array_intersect(dt, de))"))
+        .withColumn("jaccard", expr(
+          "round(CAST(inter AS DOUBLE) / (size(dt) + size(de) - inter), 6)"))
+        .filter(expr("CAST(inter AS DOUBLE) / (size(dt) + size(de) - inter) >= 0.5"))
+        .select("train_id", "eval_id", "jaccard")
+        .localCheckpoint(true)
+      sigDf.unpersist()
+      out
+    },
+    Some(
+      s"""WITH sh_all AS ($duckShingles),
+         |hm AS (
+         |  SELECT doc_id, shingle,
+         |    md5('0:' || shingle) || md5('1:' || shingle) ||
+         |    md5('2:' || shingle) || md5('3:' || shingle) AS h
+         |  FROM sh_all),
+         |sig AS (
+         |  SELECT doc_id, i, min(substr(h, 1 + i * 8, 8)) AS mh
+         |  FROM hm, (SELECT unnest(range(0, 16)) AS i) perms
+         |  GROUP BY doc_id, i),
+         |sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b * 2 + 1:b * 2 + 2], ',')) AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) bs),
+         |cand AS (
+         |  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+         |  FROM bands t JOIN bands e
+         |    ON t.b = e.b AND t.bkey = e.bkey
+         |   AND t.doc_id % 40 <> 0 AND e.doc_id % 40 = 0),
+         |shingles AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+         |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.train_id, c.eval_id, count(*) AS i
+         |  FROM cand c
+         |  JOIN shingles st ON st.doc_id = c.train_id
+         |  JOIN shingles se ON se.doc_id = c.eval_id AND se.shingle = st.shingle
+         |  GROUP BY c.train_id, c.eval_id)
+         |SELECT train_id, eval_id,
+         |  round(CAST(i AS DOUBLE) / (ct.n + ce.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN counts ct ON ct.doc_id = train_id
+         |JOIN counts ce ON ce.doc_id = eval_id
+         |WHERE CAST(i AS DOUBLE) / (ct.n + ce.n - i) >= 0.5""".stripMargin))
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d6DedupClusters, d7CollectionMinHash, d8PassageDedup, d9Decontaminate,
     d10EditDistance, d12IncrementalDedup, d13IncrementalVecDedup,
-    d14ContainmentDedup)
+    d14ContainmentDedup, d15FuzzyDecontamination)
 }

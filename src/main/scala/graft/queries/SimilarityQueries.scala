@@ -1249,7 +1249,57 @@ object SimilarityQueries {
          |  WHERE a.vec_id <> p.q_id AND a.label = 3) t
          |WHERE rk <= 10""".stripMargin))
 
+  /** s13: RANGE search from the stored IVF index (FAISS `range_search`):
+    * every stored vector within cosine ≥ τ of each query — the "find all
+    * my near-neighbors" call dedup sweeps and recall audits make, where a
+    * fixed top-k either truncates a dense neighborhood or pads a sparse
+    * one. Same probe discipline as s12 (top-8 centroid partitions per
+    * query, picked map-side via top_k_by; store read partition-pruned to
+    * the probed slices), but the result is threshold-cut, not rank-cut —
+    * result size is data-driven, so the shuffle carries only the
+    * ≥ τ survivors. The oracle replays the identical probe set. */
+  val s13RangeSearch: Q = Q(
+    "s13_range_search",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.registerAll(spark)
+      val root = indexRoot(spark, dir)
+      val qs = vectors(spark, dir).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nqv"))
+      val ranked = qs.crossJoin(broadcast(storedCents(spark, dir)))
+        .withColumn("csim", cosineWithNorms6(col("qv"), col("nqv"), col("cv"), col("ncv")))
+        .select(col("q_id").as("r_qid"), col("c_id"), col("csim"))
+        .groupBy(col("r_qid"))
+        .agg(expr("top_k_by(c_id, csim, 8)").as("probe_cs"))
+      val probes = qs.join(ranked, col("q_id") === col("r_qid"))
+        .select(col("q_id"), col("qv"), col("nqv"),
+          explode(col("probe_cs")).as("c_id"))
+        .localCheckpoint(true)
+      val (stored, _, _) = graft.table.VersionedTable(s"$root/assigned")
+        .readPrunedByJoinKeys(spark, probes.select("c_id"), "c_id", "c_id")
+      broadcast(probes)
+        .join(stored.select(col("c_id"), col("vec_id"), col("v"), col("nv")), "c_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
+        .filter(col("sim") >= 0.2)
+        .select(col("q_id"), col("vec_id"), col("sim"))
+    },
+    Some(
+      s"""WITH $duckAssigned,
+         |qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT q_id, qv, c_id FROM (
+         |    SELECT q.q_id, q.qv, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(${duckCos("c.cv", "q.qv")}, 6) DESC, c.c_id) AS rk
+         |    FROM cents c, qs q) t WHERE rk <= 8)
+         |SELECT p.q_id, a.vec_id,
+         |  round(${duckCos("a.v", "p.qv")}, 6) AS sim
+         |FROM assigned a JOIN probes p ON a.c_id = p.c_id
+         |WHERE a.vec_id <> p.q_id
+         |  AND round(${duckCos("a.v", "p.qv")}, 6) >= 0.2""".stripMargin))
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
     s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
-    s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf, s12AnnFiltered)
+    s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf, s12AnnFiltered,
+    s13RangeSearch)
 }

@@ -22,6 +22,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   COPY INTO '<path>' FROM '<srcDir>' [FILEFORMAT = <fmt>]
   *   ALTER TABLE '<path>' ALTER COLUMN <c> SET NOT NULL
   *   ALTER TABLE '<path>' SET PARTITIONED BY (c1[, c2...])
+  *   CHECKPOINT '<path>'
   * }}}
   *
   * Parsing is a small anchored-regex dispatcher, NOT a SQL engine: data
@@ -70,6 +71,11 @@ object TableSql {
     s"""(?is)\\s*ANALYZE\\s+TABLE\\s+$P\\s+COMPUTE\\s+STATISTICS\\s*""".r
   private val Convert =
     s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$P\\s*""".r
+  // manifest checkpointing as a schedulable maintenance verb — the
+  // operational cadence Delta automates is a DAG task in the reference's
+  // model (one more scheduled job, scd2-job-scheduler.yaml's shape)
+  private val Checkpoint =
+    s"""(?is)\\s*CHECKPOINT\\s+$P\\s*""".r
   // Spark's analyzer refuses nullable->non-nullable through the standard V2
   // ALTER path (it cannot know the data is null-free); the kernel CAN know
   // (it scans), so SET NOT NULL gets a maintenance spelling here, exactly
@@ -238,6 +244,9 @@ object TableSql {
           VersionedTable(path).setColumnNullability(spark, colName, nullable = false))
         case None => return None
       }
+    case Checkpoint(p) =>
+      val path = ref(spark, p)
+      status(spark, "CHECKPOINT", path, VersionedTable(path).checkpoint(spark))
     case SetPartitioning(p, cols) =>
       val path = ref(spark, p)
       val pb = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))

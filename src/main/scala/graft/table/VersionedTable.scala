@@ -1079,10 +1079,11 @@ final class VersionedTable(val root: String,
     // with either name would collide in the DV anti-join frame and then be
     // dropped, corrupting DV reads and COW touched-file detection. Reserve
     // them at the single write funnel, as Delta reserves _metadata.
-    val reserved = df.columns.filter(Reserved.contains)
+    val reserved = df.columns.filter(c =>
+      Reserved.contains(c) || c == VersionedTable.RowCountStat)
     require(reserved.isEmpty,
       s"column name(s) ${reserved.mkString(", ")} are reserved by $root " +
-        "(internal row-position bookkeeping); rename before committing")
+        "(internal row-position/row-count bookkeeping); rename before committing")
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column $c not in the frame being written"))
     Files.createDirectories(dataDir)
@@ -1310,8 +1311,15 @@ final class VersionedTable(val root: String,
         }
       }.toMap
     if (statCols.isEmpty) return partStats
+    // per-file ROW COUNT rides the same one-pass aggregation under the
+    // reserved pseudo-column "__rows" (kind "rows"): no predicate can ever
+    // reference it (double underscore is write-reserved), so the pruning
+    // machinery ignores it — but [[rowCountOf]]/DESCRIBE DETAIL can answer
+    // count(*) from the manifest, zero data I/O at any table size
     val aggs = statCols.flatMap { case (c, _) =>
-      Seq(fmin(col(c)).cast("string").as(s"min_$c"), fmax(col(c)).cast("string").as(s"max_$c")) }
+      Seq(fmin(col(c)).cast("string").as(s"min_$c"), fmax(col(c)).cast("string").as(s"max_$c")) } :+
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
+        .cast("string").as("__nrows")
     val dataStats = written.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
       .collect().map { row =>
         // input_file_name is a URI rendering; the manifest records on-disk
@@ -1332,11 +1340,12 @@ final class VersionedTable(val root: String,
               s"scanned file $fname is neither under commit $commitId nor under $root")
             fname.substring(j + abs.length)
           }
-        rel -> statCols.flatMap { case (c, kind) =>
+        val n = row.getAs[String]("__nrows")
+        rel -> (statCols.flatMap { case (c, kind) =>
           val mn = row.getAs[String](s"min_$c")
           val mx = row.getAs[String](s"max_$c")
           if (mn != null && mx != null) Some(c -> (mn, mx, kind)) else None
-        }.toMap
+        }.toMap + (VersionedTable.RowCountStat -> (n, n, "rows")))
       }.toMap
     files.map(f => f -> (dataStats.getOrElse(f, Map.empty) ++ partStats.getOrElse(f, Map.empty)))
       .toMap
@@ -3475,13 +3484,35 @@ final class VersionedTable(val root: String,
     val created = versions().headOption
       .map(x => new java.sql.Timestamp(commitTimeOf(x)))
     val modified = new java.sql.Timestamp(commitTimeOf(v))
-    Seq((root, v, fs.size.toLong, bytes, partitionByOf(v),
+    Seq((root, v, fs.size.toLong, bytes, rowCountOf(spark, v), partitionByOf(v),
       dvsOf(v).size.toLong, constraintsOf(v).size.toLong,
       properties.toSeq.sorted.map { case (k, x) => s"$k=$x" },
       created, modified))
-      .toDF("location", "version", "num_files", "size_bytes",
+      .toDF("location", "version", "num_files", "size_bytes", "num_rows",
         "partition_columns", "num_deletion_vectors", "num_constraints",
         "properties", "created_at", "last_modified")
+  }
+
+  /** Exact LIVE row count of version `v` (default head) from MANIFEST
+    * metadata alone: every file records its `__rows` count in the stats it
+    * already carries, and deletion-vector tombstones (tiny sidecars)
+    * subtract. None when any live file predates row-count stats or the
+    * producer opted stats off — callers fall back to a scan. At 100 TB
+    * this answers count(*) in milliseconds instead of a full-table scan
+    * (Iceberg's record_count; Delta's numRecords). */
+  def rowCountOf(spark: SparkSession, version: Long = -1L): Option[Long] = {
+    val v = if (version < 0) resolve() else version
+    val stats = statsOf(v)
+    val counts = filesOf(v).map(f =>
+      stats.get(f).flatMap(_.get(VersionedTable.RowCountStat))
+        .flatMap { case (n, _, _) => scala.util.Try(n.toLong).toOption })
+    if (counts.exists(_.isEmpty)) None
+    else {
+      val live = counts.flatten.sum
+      val dvs = dvsOf(v)
+      val tomb = if (dvs.isEmpty) 0L else dvFrame(spark, dvs).count()
+      Some(live - tomb)
+    }
   }
 
   /** `SHOW PARTITIONS` parity: the head snapshot's distinct partition
@@ -4561,6 +4592,10 @@ object VersionedTable {
     * — recording column defaults under the analyzer's key means DESCRIBE
     * and native `INSERT ... DEFAULT` resolution see them with no shim. */
   val CurrentDefaultKey = "CURRENT_DEFAULT"
+  /** Reserved stats pseudo-column carrying each file's row count (kind
+    * "rows"); never a real column (double underscore is write-reserved),
+    * never consulted by pruning. */
+  val RowCountStat = "__rows"
 
   /** Spark's parquet field-id metadata key (`ParquetUtils.FIELD_ID_METADATA_KEY`):
     * writers populate parquet field ids from it, and with

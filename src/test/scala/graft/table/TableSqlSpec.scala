@@ -138,6 +138,17 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("raw source directory"))
   }
 
+  test("CHECKPOINT verb writes the head checkpoint; idempotent re-run") {
+    val root = tmpDir("tsql-ck-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 50).selectExpr("id", "id % 3 AS v"))
+    t.append(spark.range(50, 100).selectExpr("id", "id % 3 AS v"))
+    val r = TableSql.run(spark, s"CHECKPOINT '$root'")
+    assert(r.head.getString(0) === "CHECKPOINT" && r.head.getLong(2) === t.resolve())
+    // re-running against an unchanged head is a no-op at the same version
+    assert(TableSql.run(spark, s"CHECKPOINT '$root'").head.getLong(2) === t.resolve())
+  }
+
   test("DESCRIBE DETAIL reports head-snapshot metadata in one row") {
     val root = tmpDir("tsql-dd-") + "/t"
     val t = VersionedTable(root)
@@ -150,6 +161,10 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     assert(d.getAs[String]("location") === root)
     assert(d.getAs[Long]("version") === t.resolve())
     assert(d.getAs[Long]("num_files") >= 2L && d.getAs[Long]("size_bytes") > 0L)
+    // metadata-only live row count: 100 written, 1 DV-tombstoned — answered
+    // from the manifest's per-file __rows stats + the tiny DV sidecar,
+    // zero data-file reads
+    assert(d.getAs[Long]("num_rows") === 99L)
     assert(d.getAs[Seq[String]]("partition_columns") === Seq("p"))
     assert(d.getAs[Long]("num_deletion_vectors") === 1L)
     assert(d.getAs[Long]("num_constraints") === 1L)
