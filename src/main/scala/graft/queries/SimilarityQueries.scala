@@ -157,8 +157,15 @@ object SimilarityQueries {
   /** Fingerprint of the embeddings source: (name, size, mtime) of the
     * parquet file — or every file of the parquet directory — hashed.
     * Metadata-plane only; no data read. */
-  private def corpusFingerprint(dir: String): String = {
-    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+  private def corpusFingerprint(dir: String): String =
+    fileFingerprint(java.nio.file.Paths.get(dir, "embeddings.parquet"))
+
+  /** Fingerprint of the documents source — gates the BM25 text index the
+    * same way [[corpusFingerprint]] gates the vector index. */
+  private def docsFingerprint(dir: String): String =
+    fileFingerprint(java.nio.file.Paths.get(dir, "documents.parquet"))
+
+  private def fileFingerprint(p: java.nio.file.Path): String = {
     import scala.jdk.CollectionConverters._
     val entries: Seq[String] =
       if (java.nio.file.Files.isDirectory(p)) {
@@ -1298,8 +1305,154 @@ object SimilarityQueries {
          |WHERE a.vec_id <> p.q_id
          |  AND round(${duckCos("a.v", "p.qv")}, 6) >= 0.2""".stripMargin))
 
+  /** BM25 inverted-index store: postings `(bucket, word, doc_id, tf, len)`
+    * and lexicon `(bucket, word, df)` committed as VersionedTables
+    * PARTITIONED BY the term's hash bucket, with the corpus stats (nd,
+    * avglen) and fingerprint in table properties — the lexical twin of the
+    * IVF vector store. Built ONCE per corpus; a keyword query reads only
+    * its terms' buckets via manifest partition pruning. At 100 TB the
+    * alternative — re-tokenizing the corpus per query, which is what s11's
+    * query-by-example formulation does — is not a serving plan. */
+  private val TextBuckets = 64
+
+  private def textIndexRoot(spark: SparkSession, dir: String): String = {
+    val root = indexLakeRoot(spark, dir) + "/text"
+    val fp = docsFingerprint(dir)
+    if (verifiedFresh.get(root) == fp) return root
+    this.synchronized {
+      if (verifiedFresh.get(root) == fp) return root
+      val postings = graft.table.VersionedTable(s"$root/postings")
+      val fresh = graft.table.VersionedTable.exists(s"$root/postings") &&
+        postings.properties.get("corpusFingerprint").contains(fp) &&
+        postings.properties.get("indexFormat").contains("1")
+      if (!fresh) {
+        val tok = Tables.table(spark, dir, "documents")
+          .selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val doclen = tok.groupBy("doc_id")
+            .agg(expr("CAST(count(*) AS BIGINT)").as("len"))
+          val statsRow = doclen
+            .agg(expr("CAST(count(*) AS BIGINT)").as("nd"),
+              expr("CAST(sum(len) AS DOUBLE) / count(*)").as("avglen")).head()
+          val (nd, avglen) = (statsRow.getLong(0), statsRow.getDouble(1))
+          val tf = tok.groupBy("doc_id", "word")
+            .agg(expr("CAST(count(*) AS BIGINT)").as("tf"))
+          postings.commit(
+            tf.join(doclen, "doc_id")
+              .withColumn("bucket", expr(s"pmod(xxhash64(word), $TextBuckets)"))
+              .repartition(col("bucket")),
+            partitionBy = Seq("bucket"), collectStats = false)
+          graft.table.VersionedTable(s"$root/lexicon").commit(
+            tok.groupBy("word")
+              .agg(expr("CAST(count(DISTINCT doc_id) AS BIGINT)").as("df"))
+              .withColumn("bucket", expr(s"pmod(xxhash64(word), $TextBuckets)"))
+              .repartition(col("bucket")),
+            partitionBy = Seq("bucket"), collectStats = false)
+          // avglen round-trips through Double.toString: bit-exact, so the
+          // serving-time formula equals the build-time (and oracle) value
+          postings.setProperties(Map(
+            "corpusFingerprint" -> fp,
+            "nd" -> nd.toString,
+            "avglen" -> java.lang.Double.toString(avglen),
+            "indexFormat" -> "1"))
+        } finally tok.unpersist()
+      }
+      verifiedFresh.put(root, fp)
+      root
+    }
+  }
+
+  /** Fixed keyword queries over the corpus vocabulary (deterministic,
+    * present at every scale factor). */
+  private val Bm25Queries: Seq[(Long, Seq[String])] =
+    Seq(1L -> Seq("dup", "merge"), 2L -> Seq("spark", "window", "sort"))
+
+  /** s14: keyword BM25 served from the STORED inverted index — the probe
+    * reads only the query terms' hash-bucket partitions (≤ 5 of 64 here,
+    * asserted in-query), never the corpus; scores use s11's exact decimal
+    * discipline so the oracle (which recomputes the index relationally
+    * from the raw documents) hash-matches. No common-term pruning: with
+    * explicit keyword queries the idf weighting handles frequent terms,
+    * and dropping them would change the contract. */
+  val s14Bm25Stored: Q = Q(
+    "s14_bm25_stored",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.GraftFunctions.registerAll(spark)
+      val root = textIndexRoot(spark, dir)
+      val props = graft.table.VersionedTable(s"$root/postings").properties
+      val nd = props("nd").toLong
+      val avglen = java.lang.Double.toString(
+        java.lang.Double.parseDouble(props("avglen")))
+      val qterm = Bm25Queries.flatMap { case (q, ws) => ws.map(q -> _) }
+        .toDF("q_id", "qword")
+        .withColumn("qb", expr(s"pmod(xxhash64(qword), $TextBuckets)"))
+      val buckets = qterm.select(col("qb").as("b")).distinct()
+      val (lex, _, _) = graft.table.VersionedTable(s"$root/lexicon")
+        .readPrunedByJoinKeys(spark, buckets, "b", "bucket")
+      val (posts, keptP, totalP) = graft.table.VersionedTable(s"$root/postings")
+        .readPrunedByJoinKeys(spark, buckets, "b", "bucket")
+      require(keptP < totalP,
+        s"a keyword probe must read a strict bucket subset ($keptP/$totalP)")
+      val contrib = broadcast(qterm)
+        .join(lex.select(col("word").as("lw"), col("df")), col("qword") === col("lw"))
+        .join(posts.select(col("word"), col("doc_id"), col("tf"), col("len")),
+          col("qword") === col("word"))
+        .withColumn("c6", expr(
+          s"""CAST(round(
+             |  CAST(CAST(round(ln(1e0 + ($nd - df + 0.5e0) / (df + 0.5e0)), 6)
+             |       AS DECIMAL(18,6)) AS DOUBLE)
+             |  * (tf * 2.2e0)
+             |  / (tf + 1.2e0 * (0.25e0 + 0.75e0 * len / ${avglen}D)), 6)
+             |AS DECIMAL(18,6))""".stripMargin))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      contrib.groupBy("q_id", "doc_id").agg(expr("SUM(c6)").as("score"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("q_id"), col("doc_id"),
+          expr("CAST(score AS DOUBLE)").as("score"), col("rk"))
+    },
+    Some {
+      val qvals = Bm25Queries.flatMap { case (q, ws) =>
+        ws.map(wd => s"($q, '$wd')") }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |             FROM documents),
+         |doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+         |           FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |                 CAST(sum(len) AS DOUBLE) / count(*) AS avglen
+         |          FROM doclen),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY doc_id, word),
+         |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM tok GROUP BY word),
+         |qterm(q_id, qword) AS (VALUES $qvals),
+         |contrib AS (
+         |  SELECT qt.q_id, f.doc_id,
+         |    CAST(round(
+         |      CAST(CAST(round(ln(1e0 + (s.nd - d.df + 0.5e0) / (d.df + 0.5e0)), 6)
+         |           AS DECIMAL(18,6)) AS DOUBLE)
+         |      * (f.tf * 2.2e0)
+         |      / (f.tf + 1.2e0 * (0.25e0 + 0.75e0 * l.len / s.avglen)), 6)
+         |    AS DECIMAL(18,6)) AS c6
+         |  FROM qterm qt
+         |  JOIN df d ON d.word = qt.qword
+         |  JOIN tf f ON f.word = qt.qword
+         |  JOIN doclen l ON l.doc_id = f.doc_id
+         |  CROSS JOIN stats s),
+         |bm25 AS (SELECT q_id, doc_id, SUM(c6) AS score
+         |         FROM contrib GROUP BY q_id, doc_id)
+         |SELECT q_id, doc_id, CAST(score AS DOUBLE) AS score, rk FROM (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, doc_id) AS rk
+         |  FROM bm25) t
+         |WHERE rk <= 10""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
     s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
     s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf, s12AnnFiltered,
-    s13RangeSearch)
+    s13RangeSearch, s14Bm25Stored)
 }

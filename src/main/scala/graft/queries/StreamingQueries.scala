@@ -651,9 +651,62 @@ object StreamingQueries {
          |FROM b
          |LEFT JOIN near n ON n.vec_id = b.vec_id""".stripMargin))
 
+  /** q125: KEYLESS CDC replication — a downstream replica maintained from
+    * a row-tracked source's streaming change feed, merged by ROW ID (the
+    * table has no natural key; without row tracking a CDF delete+insert
+    * pair cannot be stitched into an update). Lifecycle: snapshot seed →
+    * source UPDATE + DELETE + identity-allocating append → one catch-up
+    * drain applies all three commits in one collapsed merge → replica ≡
+    * source row-for-row INCLUDING ids (asserted in-query, both excepts
+    * empty); a re-drain on the same checkpoint changes nothing. */
+  val q125CdcReplica: Q = Q(
+    "q125_cdc_replica",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q125-").toString
+      val src = graft.table.VersionedTable(s"$tmp/src")
+      src.setProperties(Map("enableChangeDataFeed" -> "true"))
+      src.commit(spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 0"),
+        numPartitions = Some(1), sortBy = Seq("o_orderkey"))
+      src.enableRowTracking(spark)
+      val replica = graft.table.VersionedTable(s"$tmp/replica")
+      replica.commit(src.read(spark).limit(0))
+      def drain(): Unit = {
+        val q = graft.streaming.StreamingEtl.cdcReplicaStream(spark,
+          s"$tmp/src", s"$tmp/replica", "_row_id", s"$tmp/ckpt")
+        q.processAllAvailable(); q.stop()
+      }
+      drain() // batch 0: the snapshot seeds the replica
+      src.update(spark, "o_orderkey % 25 = 0",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+      src.delete(spark, "o_orderkey % 35 = 0")
+      src.appendIdentity(spark, spark.sql(
+        """SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice
+          |FROM orders WHERE o_orderkey % 500 = 0""".stripMargin))
+      drain() // catch-up: all three commits collapse into one merge
+      val s = src.read(spark)
+      val r = replica.read(spark)
+      require(s.except(r).isEmpty && r.except(s).isEmpty,
+        "the replica must equal the source row-for-row, ids included")
+      val v = replica.resolve()
+      drain() // nothing new: the checkpointed cursor advances nothing
+      require(replica.resolve() == v,
+        "a drained stream must not re-apply or burn versions")
+      replica.read(spark).select("o_orderkey", "o_totalprice")
+    },
+    Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 25 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 35 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 500 = 0""".stripMargin))
+
   val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch,
     q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions, q75StreamCdcUpsert,
     q88StreamOuterJoin, q92StreamTws, q98TwsSessionTimers, q100StreamTableSource,
     q102StreamTableSink, q105StreamCdcMor, q115StreamStaticJoin,
-    q119StreamVectorAdmit)
+    q119StreamVectorAdmit, q125CdcReplica)
 }

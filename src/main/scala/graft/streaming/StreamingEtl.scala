@@ -338,6 +338,61 @@ object StreamingEtl {
     }
   }
 
+  /** Downstream REPLICA maintenance from a row-tracked source's change
+    * feed: `readChangeFeed` over the `graft-table` stream source → per
+    * micro-batch, each row id's changes collapse to their LAST state
+    * (newest commit wins; within one commit the insert post-image beats
+    * its delete pre-image) → one MERGE keyed on the ROW ID applies
+    * upserts and deletes to the replica. This replicates a table with NO
+    * natural key — the consumer capability row tracking
+    * ([[graft.table.VersionedTable.enableRowTracking]]) exists for: without
+    * stable ids a CDF delete+insert pair is indistinguishable from an
+    * unrelated delete and insert. Exactly-once: the merge's txn mark
+    * commits atomically with the replica data, so a replayed batch is
+    * skipped. Per-batch cost is O(changed rows) + the merge's file-pruned
+    * rewrite — never the replica's size. */
+  def cdcReplicaStream(
+      spark: SparkSession,
+      sourceRoot: String,
+      replicaRoot: String,
+      idCol: String,
+      checkpointDir: String): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    spark.readStream.format("graft-table")
+      .option("path", sourceRoot)
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val replica = VersionedTable(replicaRoot)
+          if (!replica.lastTxn(checkpointDir).exists(_ >= batchId)) {
+            val w = Window.partitionBy(col(idCol))
+              .orderBy(col("_commit_version").desc,
+                expr("CASE WHEN _change_type = 'insert' THEN 1 ELSE 0 END").desc)
+            val latest = batch.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+            val dataCols = batch.columns
+              .filterNot(Set("_change_type", "_commit_version").contains)
+            val setAll = dataCols.map(c => c -> s"source.$c").toMap
+            replica.mergeCow(spark, latest,
+              s"source.$idCol = target.$idCol", idCol, idCol,
+              whenMatchedUpdate = Some(Merge.MatchedUpdate(
+                Some("source._change_type = 'insert'"), setAll)),
+              whenMatchedDelete = Some(Merge.MatchedDelete(
+                Some("source._change_type = 'delete'"))),
+              whenNotMatchedInsert = Some(Merge.NotMatchedInsert(
+                Some("source._change_type = 'insert'"), setAll)),
+              txn = Some(checkpointDir -> batchId))
+            ()
+          }
+        }
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * streaming formulation of q12_events_window. */
   def windowedEventCounts(
