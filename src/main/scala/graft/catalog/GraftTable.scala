@@ -99,13 +99,27 @@ class GraftTable(val table: VersionedTable, tableName: String,
 /** Filter pushdown feeds the same manifest-stats file pruning as the V1
   * relation; every filter is returned as residual, so Spark still applies
   * them row-level (pruning only SKIPS FILES, exactly like [[
-  * graft.streaming.TableRelation]]). */
+  * graft.streaming.TableRelation]]).
+  *
+  * Aggregate pushdown: an UNFILTERED, UNGROUPED `count(*)` is answered
+  * from manifest metadata alone ([[VersionedTable.rowCountOf]]: per-file
+  * `__rows` stats, deletion-vector tombstones subtracted) — at 100 TB
+  * `SELECT count(*)` costs one manifest read instead of a full scan.
+  * Spark only attempts aggregate pushdown when every filter pushed
+  * completely; since this builder keeps all filters residual, a filtered
+  * count can never take the metadata path by construction. Tables whose
+  * files predate row-count stats (or opted stats off) reject the pushdown
+  * and scan normally. MIN/MAX are deliberately NOT served from stats:
+  * a DV tombstone may hide the extreme row, and temporal stats are
+  * zone-rendered — both silent-wrong-answer traps. */
 final class GraftScanBuilder(spark: SparkSession, t: VersionedTable,
     versionAsOf: Option[Long], fullSchema: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var metaCount: Option[(Long, Int)] = None // (count, #count(*) aggs)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -117,15 +131,60 @@ final class GraftScanBuilder(spark: SparkSession, t: VersionedTable,
     required = requiredSchema
   }
 
-  override def build(): Scan = new V1Scan {
-    override def readSchema(): StructType = required
-    override def toV1TableScan[T <: BaseRelation with TableScan](
-        context: SQLContext): T =
-      new GraftV1TableScan(context, spark, t, versionAsOf, required, pushed)
-        .asInstanceOf[T]
-    override def description(): String =
-      s"GraftScan(${t.root}, pushed=${pushed.mkString(",")})"
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canServe(agg)
+
+  private def canServe(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!canServe(agg)) return false
+    t.rowCountOf(spark, versionAsOf.getOrElse(-1L)) match {
+      case Some(n) =>
+        metaCount = Some((n, agg.aggregateExpressions.length)); true
+      case None => false // stats-less files: fall back to the real scan
+    }
   }
+
+  override def build(): Scan = metaCount match {
+    case Some((n, k)) => new V1Scan {
+      override def readSchema(): StructType = StructType(
+        (0 until k).map(i => org.apache.spark.sql.types.StructField(
+          s"count_star_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new GraftMetaAggScan(context, n, k).asInstanceOf[T]
+      override def description(): String =
+        s"GraftMetaCountScan(${t.root}, count=$n)"
+    }
+    case None => new V1Scan {
+      override def readSchema(): StructType = required
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new GraftV1TableScan(context, spark, t, versionAsOf, required, pushed)
+          .asInstanceOf[T]
+      override def description(): String =
+        s"GraftScan(${t.root}, pushed=${pushed.mkString(",")})"
+    }
+  }
+}
+
+/** One pre-aggregated row: the manifest-answered count(*). */
+private final class GraftMetaAggScan(ctx: SQLContext, n: Long, k: Int)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = StructType(
+    (0 until k).map(i => org.apache.spark.sql.types.StructField(
+      s"count_star_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def buildScan(): RDD[Row] =
+    ctx.sparkContext.parallelize(Seq(Row.fromSeq(Seq.fill(k)(n))), 1)
+  override def toString: String = s"GraftMetaAggScan(count=$n)"
 }
 
 private final class GraftV1TableScan(ctx: SQLContext, spark: SparkSession,

@@ -1423,6 +1423,31 @@ object SourceQueries {
         |  row_number() OVER (ORDER BY o_orderkey) AS _row_id
         |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin))
 
+  /** q126: metadata-only count(*) — the DSv2 scan accepts Spark's
+    * aggregate pushdown for an unfiltered, ungrouped count and answers it
+    * from the manifest's per-file row counts with deletion-vector
+    * tombstones subtracted; the executed plan is asserted in-query to
+    * contain the metadata scan and NO file scan. At 100 TB `SELECT
+    * count(*)` is an operational liveness probe run constantly — a full
+    * scan per probe is absurd, a manifest read is free. */
+  val q126MetaCount: Q = Q(
+    "q126_meta_count",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mc-").toString
+      val t = graft.table.VersionedTable(s"$tmp/t")
+      t.setProperties(Map("enableDeletionVectors" -> "true"))
+      t.commit(spark.sql("SELECT o_orderkey, o_totalprice FROM orders"),
+        numPartitions = Some(4))
+      t.deleteMor(spark, "o_orderkey % 10 = 0") // DVs must subtract
+      val df = spark.sql("SELECT count(*) AS n FROM graft.`" + tmp + "/t`")
+      require(df.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"),
+        "an unfiltered count(*) must be served from manifest metadata:\n" +
+          df.queryExecution.executedPlan.toString)
+      df
+    },
+    Some("SELECT count(*) AS n FROM orders WHERE o_orderkey % 10 <> 0"))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1433,5 +1458,5 @@ object SourceQueries {
     q111TemporalDelete, q112SymlinkManifest, q113ConvertInPlace,
     q114DynamicOverwrite, q116CopyInto, q117GeneratedPartition,
     q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults,
-    q124RowTracking)
+    q124RowTracking, q126MetaCount)
 }

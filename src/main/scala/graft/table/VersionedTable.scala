@@ -1347,8 +1347,15 @@ final class VersionedTable(val root: String,
           if (mn != null && mx != null) Some(c -> (mn, mx, kind)) else None
         }.toMap + (VersionedTable.RowCountStat -> (n, n, "rows")))
       }.toMap
-    files.map(f => f -> (dataStats.getOrElse(f, Map.empty) ++ partStats.getOrElse(f, Map.empty)))
-      .toMap
+    files.map { f =>
+      // a file absent from the grouped aggregation produced no rows (an
+      // empty seed/partition file): its row count is zero BY CONSTRUCTION
+      // — without this, one empty file would disable the metadata count
+      // for the whole table
+      val ds = dataStats.getOrElse(f,
+        Map(VersionedTable.RowCountStat -> (("0", "0", "rows"))))
+      f -> (ds ++ partStats.getOrElse(f, Map.empty))
+    }.toMap
   }
 
   /** Count rows of `files` violating each of `constraints` in ONE scan of

@@ -461,4 +461,39 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(total >= 8 && kept <= 2 && kept >= 1, s"kept $kept of $total")
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("count(*) pushes down to manifest metadata; filters and stats-less tables scan") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    val tbl = handle(t)
+    tbl.append(spark.range(0, 1000).selectExpr("id", "id % 7 AS v"),
+      numPartitions = Some(4))
+    // DV tombstones subtract from the metadata count
+    tbl.setProperties(Map("enableDeletionVectors" -> "true"))
+    tbl.deleteMor(spark, "id < 10")
+    val df = spark.sql(s"SELECT count(*) FROM $t")
+    assert(df.head.getLong(0) === 990L)
+    assert(df.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"),
+      "an unfiltered count(*) must be served from the manifest, not a scan:\n" +
+        df.queryExecution.executedPlan.toString)
+    // a FILTERED count must NOT take the metadata path (filters stay
+    // residual here, so Spark never even attempts the agg pushdown)
+    val filtered = spark.sql(s"SELECT count(*) FROM $t WHERE v = 3")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"))
+    assert(filtered.head.getLong(0) ===
+      tbl.read(spark).filter("v = 3").count())
+    // time travel counts the pinned version
+    val preDelete = spark.sql(
+      s"SELECT count(*) FROM $t VERSION AS OF ${tbl.resolve() - 1}")
+    assert(preDelete.head.getLong(0) === 1000L)
+    // a stats-opted-out table rejects the pushdown and scans normally
+    val t2 = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t2 (id BIGINT)")
+    handle(t2).append(spark.range(0, 50).toDF("id"), collectStats = false)
+    val noStats = spark.sql(s"SELECT count(*) FROM $t2")
+    assert(!noStats.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"))
+    assert(noStats.head.getLong(0) === 50L)
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"DROP TABLE $t2")
+  }
 }
