@@ -33,7 +33,8 @@ import scala.jdk.CollectionConverters._
   * Scale note: the catalog holds NO state beyond the directory layout; table
   * resolution is one directory existence probe, so a 10⁵-table warehouse
   * costs nothing until a table is actually read (manifests stay lazy). */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -110,10 +111,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * frame `commit(generatedColumns = ...)` records — so every later write
     * funnel recomputes them (Delta's DDL shape,
     * `day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))`). */
-  override def createTable(ident: Identifier,
-      columns: Array[org.apache.spark.sql.connector.catalog.Column],
-      partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = {
+  /** Identity-column specs of a Column[] DDL, validated. */
+  private def identityCols(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : Array[org.apache.spark.sql.connector.catalog.Column] = {
     val idCols = columns.filter(_.identityColumnSpec() != null)
     require(idCols.length <= 1,
       s"graft tables support at most one identity column, got ${idCols.map(_.name).mkString(", ")}")
@@ -124,10 +125,79 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // isAllowExplicitInsert = GENERATED BY DEFAULT (both Delta variants
       // supported; the mode rides the manifest's identity declaration)
     }
+    idCols
+  }
+
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val idCols = identityCols(columns)
     // CatalogV2Util.v2ColumnsToStructType is private[sql]; the mapping is
     // mechanical (identity/default specs are handled above, not in the
     // schema; generation expressions become in-schema metadata)
-    val schema = StructType(columns.map { c =>
+    val schema = schemaFromColumns(columns)
+    val created = createTable(ident, schema, partitions, properties)
+    idCols.foreach { c =>
+      VersionedTable(tablePath(ident).toString)
+        .enableIdentity(SparkSession.active, c.name(),
+          allowExplicit = c.identityColumnSpec().isAllowExplicitInsert)
+    }
+    created
+  }
+
+  private def partitionNames(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only, got $other")
+    }
+
+  // -- atomic CREATE OR REPLACE (StagingTableCatalog) -------------------------
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, mustNotExist = true, mustExist = false)
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, mustNotExist = false, mustExist = true)
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, mustNotExist = false, mustExist = false)
+
+  /** Atomic [CREATE OR] REPLACE TABLE [AS SELECT]: the staged writer's
+    * rows are HELD and published as ONE versioned overwrite commit at
+    * `commitStagedChanges` — readers never see a dropped table (the
+    * non-staging fallback is drop-then-create), an abort or failure
+    * before the commit leaves the table byte-identical, and every prior
+    * version stays time-travelable (Delta's REPLACE keeps history).
+    * CHECK constraints carry through the overwrite commit (they describe
+    * the table, and a replace whose data violates them REFUSES — drop the
+    * constraint first); declared identity re-arms against the new data. */
+  private def staged(ident: Identifier, info: TableInfo,
+      mustNotExist: Boolean, mustExist: Boolean): StagedTable = {
+    if (mustNotExist && tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (mustExist && !tableExists(ident)) throw new NoSuchTableException(ident)
+    Option(info.properties().get(TableCatalog.PROP_LOCATION)).foreach { loc =>
+      val resolved = tablePath(ident).toString
+      if (Paths.get(loc.stripPrefix("file:")).toString != resolved)
+        throw new UnsupportedOperationException(
+          s"graft tables live at <warehouse>/<namespace>/<name> ($resolved); " +
+            s"LOCATION '$loc' cannot be honored")
+    }
+    val idCols = identityCols(info.columns())
+    val userProps = info.properties().asScala.toMap -- Seq(
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_COMMENT)
+    new GraftStagedTable(ident, tablePath(ident).toString,
+      schemaFromColumns(info.columns()), partitionNames(info.partitions()),
+      userProps,
+      idCols.map(c => c.name() -> c.identityColumnSpec().isAllowExplicitInsert).toSeq)
+  }
+
+  /** Column[] → StructType, carrying generation expressions and DEFAULTs
+    * as the in-schema metadata every write funnel consumes. */
+  private def schemaFromColumns(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
+    StructType(columns.map { c =>
       val base = org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
       val commented = Option(c.comment).map(base.withComment).getOrElse(base)
       val generated = Option(c.generationExpression()).fold(commented)(g =>
@@ -147,14 +217,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           .putString(VersionedTable.CurrentDefaultKey, sql).build())
       }
     })
-    val created = createTable(ident, schema, partitions, properties)
-    idCols.foreach { c =>
-      VersionedTable(tablePath(ident).toString)
-        .enableIdentity(SparkSession.active, c.name(),
-          allowExplicit = c.identityColumnSpec().isAllowExplicitInsert)
-    }
-    created
-  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
@@ -173,12 +235,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"LOCATION '$loc' cannot be honored — address an external root " +
             "directly with a path identifier: SELECT * FROM graft.`" + loc + "`")
     }
-    val partitionBy = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
-      case other => throw new UnsupportedOperationException(
-        s"graft tables support identity partitioning only, got $other")
-    }
+    val partitionBy = partitionNames(partitions)
     val spark = SparkSession.active
     val t = VersionedTable(tablePath(ident).toString)
     // version 0: an empty snapshot carrying the declared schema + layout —
@@ -335,4 +392,71 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Files.deleteIfExists(p)
     ()
   }
+}
+
+/** The staged face of [CREATE OR] REPLACE TABLE [AS SELECT] — see
+  * [[GraftCatalog.staged]]. The CTAS writer's frame is captured (V1 write
+  * path) and nothing touches the table root until [[commitStagedChanges]],
+  * which publishes one versioned overwrite: abort = no-op, commit = one
+  * CAS-protected snapshot, history retained. */
+private final class GraftStagedTable(
+    ident: Identifier,
+    root: String,
+    declared: StructType,
+    partitionBy: Seq[String],
+    userProps: Map[String, String],
+    identitySpecs: Seq[(String, Boolean)])
+    extends StagedTable with SupportsWrite {
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+  import org.apache.spark.sql.sources.InsertableRelation
+
+  private var stagedData: Option[org.apache.spark.sql.DataFrame] = None
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = declared
+  override def partitioning(): Array[Transform] =
+    partitionBy.map(org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+  override def properties(): java.util.Map[String, String] = userProps.asJava
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    // a staged CTAS/RTAS plans as truncate-shaped OverwriteByExpression:
+    // accept any overwrite condition — the whole table is being defined,
+    // the captured frame IS the table's entire next state
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+          : WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+            stagedData = Some(data)
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    val t = VersionedTable(root)
+    val df = stagedData match {
+      case Some(d) =>
+        // type-pin the query's output to the DECLARED columns, carrying the
+        // declared metadata (generation/DEFAULT expressions) into the
+        // recorded schema
+        d.select(declared.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(f.dataType).as(f.name, f.metadata)).toIndexedSeq: _*)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+    }
+    t.commit(df, partitionBy = partitionBy)
+    if (userProps.nonEmpty) t.setProperties(userProps)
+    identitySpecs.foreach { case (c, allowExplicit) =>
+      t.enableIdentity(spark, c, allowExplicit = allowExplicit)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = () // nothing was published
 }

@@ -496,4 +496,39 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $t")
     spark.sql(s"DROP TABLE $t2")
   }
+
+  test("CREATE OR REPLACE TABLE is atomic and history-retaining; TRUNCATE TABLE works") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t AS SELECT id, id % 3 AS v FROM range(100)")
+    assert(spark.table(t).count() === 100)
+    val tbl = handle(t)
+    val v0 = tbl.resolve()
+    // REPLACE swaps schema + data in ONE commit; the old snapshot stays
+    spark.sql(s"CREATE OR REPLACE TABLE $t AS " +
+      "SELECT id AS k, CAST(id AS STRING) AS s FROM range(10)")
+    assert(spark.table(t).columns.toSeq === Seq("k", "s"))
+    assert(spark.table(t).count() === 10)
+    assert(tbl.resolve() === v0 + 1, "REPLACE must be exactly one commit")
+    assert(tbl.read(spark, versionAsOf = Some(v0)).count() === 100,
+      "the pre-replace snapshot must stay time-travelable")
+    // a failing replace aborts without touching the table
+    intercept[Exception](spark.sql(s"CREATE OR REPLACE TABLE $t AS " +
+      "SELECT assert_true(id < 2) AS x, id FROM range(5)"))
+    assert(spark.table(t).count() === 10, "a failed replace must change nothing")
+    // plain REPLACE (no AS SELECT): the declared schema, zero rows
+    spark.sql(s"REPLACE TABLE $t (a BIGINT, b BIGINT)")
+    assert(spark.table(t).columns.toSeq === Seq("a", "b")
+      && spark.table(t).count() === 0)
+    // TRUNCATE routes through SupportsDeleteV2's truncateTable
+    spark.sql(s"INSERT INTO $t VALUES (1, 2), (3, 4)")
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(spark.table(t).count() === 0)
+    // REPLACE of a MISSING table refuses; CREATE OR REPLACE creates it
+    val t2 = s"graft.default.${fresh()}"
+    intercept[Exception](spark.sql(s"REPLACE TABLE $t2 (x BIGINT)"))
+    spark.sql(s"CREATE OR REPLACE TABLE $t2 (x BIGINT)")
+    assert(spark.table(t2).count() === 0)
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"DROP TABLE $t2")
+  }
 }
