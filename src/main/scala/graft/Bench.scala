@@ -71,6 +71,23 @@ object Bench {
         System.err.println(s"[bench] ivf index build failed: ${e.getMessage}")
         -1.0
       }
+    // the BM25 text index gets the same cold/warm recording (s14 serves
+    // from it; its one-time tokenize-and-layout must not silently tax the
+    // first consumer or vanish from the record)
+    val bm25Cold =
+      if (only.nonEmpty && !only.contains("s14_bm25_stored")) -1.0
+      else try graft.queries.SimilarityQueries.buildTextIndexCold(spark, sfDir)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] bm25 cold index build failed: ${e.getMessage}")
+        -1.0
+      }
+    val bm25Warm =
+      if (only.nonEmpty && !only.contains("s14_bm25_stored")) -1.0
+      else try graft.queries.SimilarityQueries.buildTextIndex(spark, sfDir)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] bm25 index build failed: ${e.getMessage}")
+        -1.0
+      }
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -146,7 +163,9 @@ object Bench {
     }
     val results = retimed ++
       (if (ivfBuildCold >= 0) Seq("ivf_build_cold" -> ivfBuildCold) else Nil) ++
-      (if (ivfBuild >= 0) Seq("ivf_build" -> ivfBuild) else Nil)
+      (if (ivfBuild >= 0) Seq("ivf_build" -> ivfBuild) else Nil) ++
+      (if (bm25Cold >= 0) Seq("bm25_build_cold" -> bm25Cold) else Nil) ++
+      (if (bm25Warm >= 0) Seq("bm25_build" -> bm25Warm) else Nil)
     // millisecond precision keeps the single JSON line compact enough to
     // survive the driver's bounded output-tail capture (a full-precision
     // double per query pushed past it and the line arrived truncated)

@@ -4100,10 +4100,30 @@ final class VersionedTable(val root: String,
       val readSchema = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
         f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).remove(VersionedTable.FieldIdKey).build())))
-      val batch = applyGenerated(
+      // column DEFAULTs (insert-funnel parity): a defaulted table column
+      // ABSENT from the source files' own merged schema is an OMISSION and
+      // fills with its default; a column the files carry keeps its values
+      // (explicit nulls are data, not omissions — the schema'd read above
+      // cannot tell the two apart, so the files' real schema decides).
+      // Named-column formats only: CSV columns are positional.
+      val defaultFills: Seq[org.apache.spark.sql.types.StructField] =
+        if (!schema.fields.exists(_.metadata.contains(VersionedTable.CurrentDefaultKey)) ||
+            !Set("parquet", "orc", "json").contains(format.toLowerCase)) Nil
+        else scala.util.Try {
+          val srcCols = spark.read.format(format).option("mergeSchema", "true")
+            .load(fresh.map(_._2): _*).schema.fieldNames.map(_.toLowerCase).toSet
+          schema.fields.toSeq.filter(f =>
+            f.metadata.contains(VersionedTable.CurrentDefaultKey) &&
+              !srcCols.contains(f.name.toLowerCase))
+        }.getOrElse(Nil)
+      val batch = defaultFills.foldLeft(applyGenerated(
           spark.read.format(format).schema(readSchema).load(fresh.map(_._2): _*),
           schema)
-        .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)) {
+        (d, f) => d.withColumn(f.name, org.apache.spark.sql.functions
+          .expr(f.metadata.getString(VersionedTable.CurrentDefaultKey))
+          .cast(f.dataType))
+      }
       // BY DEFAULT identity: the files must SUPPLY every id — a missing
       // column reads as all-null here, and unlike the insert funnel
       // (appendIdentity: null = allocate) nothing in this path allocates,

@@ -65,6 +65,26 @@ class ColumnDefaultsSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).filter(s"id = $first").select("v").as[Long].head() === 999L)
   }
 
+  test("COPY INTO fills a DEFAULT column the source files omit; supplied columns keep values") {
+    val base = tmpDir("cd-ci-")
+    val t = VersionedTable(s"$base/t")
+    t.commit(Seq((1L, "seed", Option(5))).toDF("id", "k", "qty"))
+    t.setColumnDefault(spark, "qty", Some("42"))
+    // landing batch 1 OMITS qty entirely: the default fills
+    Seq((2L, "a"), (3L, "b")).toDF("id", "k")
+      .coalesce(1).write.parquet(s"$base/src1")
+    t.copyInto(spark, s"$base/src1")
+    // landing batch 2 SUPPLIES qty (including a null): values win, null stays
+    Seq((4L, "c", Some(7)), (5L, "d", Option.empty[Int])).toDF("id", "k", "qty")
+      .coalesce(1).write.parquet(s"$base/src2")
+    t.copyInto(spark, s"$base/src2")
+    val got = t.read(spark).select("id", "qty").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(1L -> Some(5), 2L -> Some(42), 3L -> Some(42),
+      4L -> Some(7), 5L -> None), s"got $got")
+  }
+
   test("SQL DDL: CREATE ... DEFAULT, INSERT omitting the column, ALTER SET/DROP DEFAULT") {
     val tn = s"graft.default.cd_sql_${System.nanoTime()}"
     spark.sql(s"CREATE TABLE $tn (id BIGINT, qty INT DEFAULT 42, k STRING)")
