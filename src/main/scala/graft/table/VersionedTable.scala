@@ -3464,6 +3464,22 @@ final class VersionedTable(val root: String,
     * no data I/O. */
   def history(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // per-commit operation metrics (Delta's operationMetrics shape) are
+    // DERIVED at read time from consecutive manifests — file-list diff vs
+    // the direct parent plus the per-file `__rows` counts the stats
+    // already carry; nothing extra is stored. After a vacuum drops the
+    // parent, the diff has no baseline and the metrics read null.
+    val retained = versions().toSet
+    def fileRows(node: com.fasterxml.jackson.databind.JsonNode): Map[String, Option[Long]] = {
+      import scala.jdk.CollectionConverters._
+      val stats = Option(node.get("stats"))
+      node.get("files").elements().asScala.map { f =>
+        val name = f.asText()
+        name -> stats.flatMap(s => Option(s.get(name)))
+          .flatMap(s => Option(s.get(VersionedTable.RowCountStat)))
+          .flatMap(arr => scala.util.Try(arr.get(0).asText().toLong).toOption)
+      }.toMap
+    }
     versions().map { v =>
       val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
       val nFiles = node.get("files").size()
@@ -3473,8 +3489,22 @@ final class VersionedTable(val root: String,
       val ts = new java.sql.Timestamp(
         if (node.has("commitTimeMs")) node.get("commitTimeMs").asLong()
         else Files.getLastModifiedTime(manifestPath(v)).toMillis)
-      (v, op, nFiles, txnApp, txnVersion, ts)
-    }.toDF("version", "operation", "n_files", "txn_app", "txn_version", "committed_at")
+      val parent: Option[Map[String, Option[Long]]] =
+        if (v == 0) Some(Map.empty)
+        else if (retained.contains(v - 1)) Some(fileRows(
+          mapper.readTree(Files.readAllBytes(manifestPath(v - 1)))))
+        else None
+      val own = fileRows(node)
+      def sumRows(m: Map[String, Option[Long]]): Option[Long] =
+        if (m.valuesIterator.exists(_.isEmpty)) None else Some(m.valuesIterator.flatten.sum)
+      val added = parent.map(p => own.view.filterKeys(f => !p.contains(f)).toMap)
+      val removed = parent.map(p => p.view.filterKeys(f => !own.contains(f)).toMap)
+      (v, op, nFiles,
+        added.map(_.size.toLong), removed.map(_.size.toLong),
+        added.flatMap(sumRows), removed.flatMap(sumRows),
+        txnApp, txnVersion, ts)
+    }.toDF("version", "operation", "n_files", "files_added", "files_removed",
+      "rows_added", "rows_removed", "txn_app", "txn_version", "committed_at")
   }
 
   /** `DESCRIBE DETAIL` parity: one row of head-snapshot metadata — version,

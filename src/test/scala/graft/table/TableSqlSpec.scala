@@ -138,6 +138,31 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("raw source directory"))
   }
 
+  test("DESCRIBE HISTORY derives per-commit operation metrics from manifests") {
+    val root = tmpDir("tsql-hm-") + "/t"
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 100).selectExpr("id", "id % 3 AS v"),
+      numPartitions = Some(2))                       // v0: +2 files, +100 rows
+    t.append(spark.range(100, 150).selectExpr("id", "id % 3 AS v"),
+      numPartitions = Some(1))                       // v1: +1 file, +50 rows
+    t.delete(spark, "id < 10")                       // v2: rewrite
+    val h = TableSql.run(spark, s"DESCRIBE HISTORY '$root'")
+      .select("version", "files_added", "files_removed", "rows_added", "rows_removed")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(h(0L) === ((2L, 0L, 100L, 0L)), s"v0 metrics: ${h(0L)}")
+    assert(h(1L) === ((1L, 0L, 50L, 0L)), s"v1 metrics: ${h(1L)}")
+    // the COW delete rewrote the touched files: 10 rows net-removed
+    val (fa2, fr2, ra2, rr2) = h(2L)
+    assert(fr2 >= 1L && rr2 - ra2 === 10L, s"v2 metrics: ${h(2L)}")
+    // after vacuuming the parent away, a version's metrics read null
+    t.vacuum(retainVersions = 1, orphanRetentionMs = 0L)
+    val h2 = TableSql.run(spark, s"DESCRIBE HISTORY '$root'")
+    assert(h2.filter("version = 2 AND files_added IS NULL").count() === 1,
+      "metrics need the direct parent; a vacuumed baseline must read null")
+    ()
+  }
+
   test("CHECKPOINT verb writes the head checkpoint; idempotent re-run") {
     val root = tmpDir("tsql-ck-") + "/t"
     val t = VersionedTable(root)
