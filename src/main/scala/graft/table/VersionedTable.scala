@@ -965,6 +965,27 @@ final class VersionedTable(val root: String,
     * winner; the call is idempotent at an already-checkpointed head. Old
     * checkpoints beyond a small tail are retired. Returns the checkpointed
     * version. */
+  /** Auto-checkpointing (`checkpointInterval=<n>` table property, Delta's
+    * every-10-commits cadence): after a successful publish on the
+    * HIGH-COMMIT-RATE funnels — append, appendIdentity, COPY INTO, and the
+    * streaming sink riding them — a head that has advanced ≥ n versions
+    * past the last checkpoint writes one. Rewrite verbs stay
+    * operator-driven (they are scheduled maintenance already; the
+    * CHECKPOINT verb covers them). Never load-bearing: a checkpoint
+    * failure warns and the committed write stands. */
+  private def maybeAutoCheckpoint(spark: SparkSession): Unit =
+    properties.get("checkpointInterval")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).foreach { n =>
+        val v = resolve()
+        val last = checkpointVersions().lastOption.getOrElse(-1L)
+        if (v - last >= n)
+          try { checkpoint(spark); () }
+          catch { case e: Exception =>
+            System.err.println(s"[graft] auto-checkpoint of $root at v$v failed " +
+              s"(write committed fine): ${e.getMessage}")
+          }
+      }
+
   def checkpoint(spark: SparkSession): Long = {
     import spark.implicits._
     val v = resolve()
@@ -1959,7 +1980,7 @@ final class VersionedTable(val root: String,
     // appends never conflict semantically: on a commit collision the carried
     // file set is simply rebased onto the new head and re-published (the
     // batch's own data files are written exactly once, above)
-    retryPublish {
+    val published = retryPublish {
       case None => publish(files, df.schema.json, stats, txn, None,
         partitionBy = tablePb, partitions = partVals, cdfKind = Some("append"),
         stampedIds = stamped, operation = Some("APPEND"))
@@ -2016,6 +2037,8 @@ final class VersionedTable(val root: String,
           partitions = partitionValuesOf(v) ++ partVals, cdfKind = Some("append"),
           stampedIds = stamped, operation = Some("APPEND"))
     }
+    maybeAutoCheckpoint(df.sparkSession)
+    published
   }
 
   /** Rewrite-predicate candidate files planned from the checkpoint parquet
@@ -3932,11 +3955,13 @@ final class VersionedTable(val root: String,
         if (pb.isEmpty) validateWritten(spark, files, Some(schema), gate)
         else validateFrame(withId, gate)
         try {
-          return (publish(filesOf(v) ++ files, schema.json, statsOf(v) ++ stats,
+          val published = publish(filesOf(v) ++ files, schema.json, statsOf(v) ++ stats,
             None, Some(v), constraintsOf(v), dvs = dvsOf(v), partitionBy = pb,
             partitions = partitionValuesOf(v) ++ partVals, cdfKind = Some("append"),
             stampedIds = stamped, operation = Some("APPEND"),
-            identity = Some((cName, base + n))), base + 1, base + n)
+            identity = Some((cName, base + n)))
+          maybeAutoCheckpoint(spark)
+          return (published, base + 1, base + n)
         } catch { case e: ConcurrentCommitException =>
           // a racing commit may have raised the water: re-resolve and
           // re-assign — the already-written files are orphans for vacuum
@@ -4175,11 +4200,13 @@ final class VersionedTable(val root: String,
       if (pb.isEmpty) validateWritten(spark, files, Some(schema), gate)
       else validateFrame(batch, gate)
       try {
-        return (publish(filesOf(v) ++ files, schema.json, statsOf(v) ++ stats,
+        val published = publish(filesOf(v) ++ files, schema.json, statsOf(v) ++ stats,
           None, Some(v), constraintsOf(v), dvs = dvsOf(v), partitionBy = pb,
           partitions = partitionValuesOf(v) ++ partVals, cdfKind = Some("append"),
           stampedIds = stamped, operation = Some("COPY INTO"),
-          ingest = fresh.map(_._1).toSeq), fresh.length.toLong)
+          ingest = fresh.map(_._1).toSeq)
+        maybeAutoCheckpoint(spark)
+        return (published, fresh.length.toLong)
       } catch { case e: ConcurrentCommitException =>
         // a racing COPY INTO may have ingested part of this batch: re-filter
         // against the new head (orphaned files go to vacuum)

@@ -163,6 +163,25 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     ()
   }
 
+  test("checkpointInterval auto-checkpoints the append funnels every n commits") {
+    val root = tmpDir("tsql-ack-") + "/t"
+    val t = VersionedTable(root)
+    t.setProperties(Map("checkpointInterval" -> "3"))
+    t.commit(spark.range(0, 10).toDF("id"))          // v0
+    assert(t.checkpointVersions().isEmpty, "below the interval: no checkpoint")
+    t.append(spark.range(10, 20).toDF("id"))         // v1
+    t.append(spark.range(20, 30).toDF("id"))         // v2: 3 commits past -1
+    assert(t.checkpointVersions() === Seq(2L),
+      s"the interval-crossing append must checkpoint, got ${t.checkpointVersions()}")
+    t.append(spark.range(30, 40).toDF("id"))         // v3: 1 past the last
+    assert(t.checkpointVersions() === Seq(2L), "below the interval again")
+    // a table without the property never auto-checkpoints
+    val t2 = VersionedTable(tmpDir("tsql-ack2-") + "/t")
+    t2.commit(spark.range(0, 5).toDF("id"))
+    (1 to 4).foreach(i => t2.append(spark.range(i * 5, i * 5 + 5).toDF("id")))
+    assert(t2.checkpointVersions().isEmpty)
+  }
+
   test("CHECKPOINT verb writes the head checkpoint; idempotent re-run") {
     val root = tmpDir("tsql-ck-") + "/t"
     val t = VersionedTable(root)
