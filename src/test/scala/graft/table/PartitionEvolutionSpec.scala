@@ -110,6 +110,22 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq(1L, 3L, 4L), s"DV must apply inside the legacy epoch scan: $got")
   }
 
+  test("DSv2 catalog reads span layout epochs; count(*) pushdown stays exact") {
+    val root = tmpDir("pe-dsv2-")
+    val t = mkTable(root)
+    t.alterPartitioning(Seq("cat"))
+    t.append(Seq((4L, "ap", "b", 40.0)).toDF("id", "region", "cat", "amt"),
+      numPartitions = Some(1))
+    val got = spark.sql("SELECT id, region FROM graft.`" + root + "` ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "eu"), (2L, "us"), (3L, "eu"), (4L, "ap")),
+      "legacy-epoch partition values must inject through the catalog scan too")
+    val c = spark.sql("SELECT count(*) FROM graft.`" + root + "`")
+    assert(c.head.getLong(0) === 4L)
+    assert(c.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"),
+      "per-file row counts are epoch-independent — the metadata path holds")
+  }
+
   test("the SQL spelling routes to the kernel") {
     val root = tmpDir("pe-sql-")
     val t = mkTable(root)
