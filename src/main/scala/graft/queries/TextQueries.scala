@@ -690,9 +690,50 @@ object TextQueries {
           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin))
   }
 
+  /** t20: the DATASET CARD — the per-source statistics table every corpus
+    * release ships (doc/token counts, token share of the corpus, length
+    * min/median/max, type-token ratio). One grouped aggregation over a
+    * per-row token census + one broadcast total: a 100 TB corpus pays one
+    * scan, one slim shuffle on `source`, nothing quadratic. Exact
+    * arithmetic throughout (integer sums divided once; interpolated median
+    * is definition-identical in both engines — the q25 precedent). */
+  val t20DatasetCard: Q = Q.dualSql("t20_dataset_card",
+    sparkSql =
+      """WITH m AS (
+        |  SELECT source, size(split(text, ' ')) AS n_tokens,
+        |    size(array_distinct(split(text, ' '))) AS n_types
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS all_tokens FROM m)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / all_tokens, 6) AS token_share,
+        |  CAST(min(n_tokens) AS BIGINT) AS min_len,
+        |  median(n_tokens) AS med_len,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_len,
+        |  round(CAST(sum(n_types) AS DOUBLE) / sum(n_tokens), 6) AS type_token_ratio
+        |FROM m CROSS JOIN tot
+        |GROUP BY source, all_tokens""".stripMargin,
+    duckSql =
+      """WITH m AS (
+        |  SELECT source, len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_types
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS all_tokens FROM m)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / all_tokens, 6) AS token_share,
+        |  CAST(min(n_tokens) AS BIGINT) AS min_len,
+        |  median(n_tokens) AS med_len,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_len,
+        |  round(CAST(sum(n_types) AS DOUBLE) / sum(n_tokens), 6) AS type_token_ratio
+        |FROM m CROSS JOIN tot
+        |GROUP BY source, all_tokens""".stripMargin)
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
     t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split,
     t15UnigramLogprob, t16QualityClassifier, t17BigramLogprob, t18BpePairs,
-    t19Boilerplate, q120TrainingPipeline)
+    t19Boilerplate, t20DatasetCard, q120TrainingPipeline)
 }
