@@ -2008,12 +2008,55 @@ final class VersionedTable(val root: String,
             case other => other
           }
         }
-        df.schema.fields.foreach { f =>
-          priorByName.get(f.name).foreach { p =>
-            require(p.dataType == f.dataType || laxed(f.dataType) == p.dataType,
-              s"append cannot change column ${f.name}: ${p.dataType} -> ${f.dataType}")
+        // NESTED additive evolution (Delta mergeSchema parity): a batch
+        // whose struct column carries EXTRA nested fields widens the
+        // recorded type — the new fields append after the prior ones,
+        // forced nullable (older files resolve them to null by name inside
+        // the struct, the parquet reader's missing-nested-field rule; on
+        // id-tracked tables nested names never carry ids, so top-level
+        // RENAME stays unaffected). The rest of the contract is the
+        // top-level one: a batch MISSING a prior nested field refuses
+        // (silent null-fill is a data hole, not evolution), a changed leaf
+        // type refuses, relaxed nullability refuses.
+        def mergeType(path: String, p: org.apache.spark.sql.types.DataType,
+            i: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+          import org.apache.spark.sql.types._
+          (p, i) match {
+            case (ps: StructType, is: StructType) =>
+              val iByName = is.fields.map(f => f.name -> f).toMap
+              val missingNested = ps.fields.map(_.name).filterNot(iByName.contains)
+              require(missingNested.isEmpty,
+                s"append batch is missing nested field(s) of $path: " +
+                  missingNested.mkString(", "))
+              val kept = ps.fields.map { pf =>
+                val inf = iByName(pf.name)
+                require(pf.nullable || !inf.nullable,
+                  s"append cannot relax nullability of $path.${pf.name}")
+                pf.copy(dataType =
+                  mergeType(s"$path.${pf.name}", pf.dataType, inf.dataType))
+              }
+              val addedNested = is.fields
+                .filterNot(f => ps.fieldNames.contains(f.name))
+                .map(f => f.copy(dataType = laxed(f.dataType), nullable = true))
+              StructType(kept ++ addedNested)
+            case (ArrayType(pe, pn), ArrayType(ie, in)) =>
+              require(pn || !in,
+                s"append cannot relax element nullability of $path")
+              ArrayType(mergeType(s"$path.element", pe, ie), pn)
+            case (MapType(pk, pv, pn), MapType(ik, iv, in)) if pk == ik =>
+              require(pn || !in,
+                s"append cannot relax value nullability of $path")
+              MapType(pk, mergeType(s"$path.value", pv, iv), pn)
+            case _ =>
+              require(p == i || laxed(i) == p,
+                s"append cannot change column $path: $p -> $i")
+              p
           }
         }
+        val mergedByName = df.schema.fields.flatMap { f =>
+          priorByName.get(f.name).map(p =>
+            f.name -> mergeType(f.name, p.dataType, f.dataType))
+        }.toMap
         val missing = prior.fields.map(_.name).filterNot(dfByName.contains)
         require(missing.isEmpty,
           s"append batch is missing table column(s): ${missing.mkString(", ")}")
@@ -2022,7 +2065,9 @@ final class VersionedTable(val root: String,
         // addition would be unsatisfiable by construction
         val added = df.schema.fields.filterNot(f => priorByName.contains(f.name))
           .map(_.copy(nullable = true))
-        val union = org.apache.spark.sql.types.StructType(prior.fields ++ added)
+        val union = org.apache.spark.sql.types.StructType(
+          prior.fields.map(p => p.copy(dataType =
+            mergedByName.getOrElse(p.name, p.dataType))) ++ added)
         val cs = constraintsOf(v)
         // only the incoming batch is scanned: carried-forward files already
         // passed their own write-time gate (and addConstraint re-proved them);

@@ -144,7 +144,7 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(lax.schema("sig").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
     val e = intercept[IllegalArgumentException](t.append(lax))
-    assert(e.getMessage.contains("cannot change column sig"))
+    assert(e.getMessage.contains("cannot relax element nullability of sig"))
   }
 
   test("OPTIMIZE honors the producer's stats opt-out; z-order still " +
