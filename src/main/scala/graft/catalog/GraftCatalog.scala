@@ -451,8 +451,16 @@ private final class GraftStagedTable(
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
     }
-    t.commit(df, partitionBy = partitionBy)
-    if (userProps.nonEmpty) t.setProperties(userProps)
+    // REPLACE must not leak the replaced table's state: prior TBLPROPERTIES
+    // absent from the new definition are removed (null value = removal in
+    // setProperties), and an identity declaration the new definition does
+    // not carry is reset on the overwrite commit itself — otherwise e.g.
+    // enableChangeDataFeed or an identity high-water silently survive into
+    // a table the user just redefined from scratch.
+    val stale = t.properties.keySet -- userProps.keySet
+    t.commit(df, partitionBy = partitionBy, resetIdentity = identitySpecs.isEmpty)
+    val propEdits = stale.map(_ -> (null: String)).toMap ++ userProps
+    if (propEdits.nonEmpty) t.setProperties(propEdits)
     identitySpecs.foreach { case (c, allowExplicit) =>
       t.enableIdentity(spark, c, allowExplicit = allowExplicit)
     }

@@ -87,6 +87,22 @@ object JobSpec {
     else Map.empty
 
   private[etl] def parseStage(n: JsonNode): Stage = {
+    val stage = parseStageInner(n)
+    // the reference's per-stage authentication block: validated and bound
+    // to the stage, never silently dropped (an unknown method refuses HERE
+    // — running a typo'd auth block with ambient credentials instead of
+    // the declared ones is a security hole, not a fallback)
+    if (n.has("authentication")) {
+      val a = n.get("authentication")
+      val m = str(a, "method")
+      require(Authenticated.Methods.contains(m),
+        s"stage ${stage.name}: unknown authentication method '$m' " +
+          s"(supported: ${Authenticated.Methods.keys.toSeq.sorted.mkString(", ")})")
+      Authenticated(stage, m)
+    } else stage
+  }
+
+  private def parseStageInner(n: JsonNode): Stage = {
     val name = optStr(n, "name").getOrElse("")
     str(n, "type") match {
       case "DelimitedExtract" => DelimitedExtract(

@@ -24,6 +24,51 @@ sealed trait Stage {
     EnvResolver.substitute(text, env)
 }
 
+/** Per-stage `authentication` block (the reference stamps
+  * `{"method": "AmazonIAM"}` on every S3 extract/load —
+  * `example/notebook/scd2-job.ipynb:47-49,94-96,170-172`). Parsed,
+  * VALIDATED, and mapped to the matching Hadoop credentials-provider conf
+  * before the wrapped stage runs — never silently dropped: a job spec's
+  * auth intent either takes effect (object stores) or is a recorded no-op
+  * (local FS), and an unknown method refuses at PARSE time, because a
+  * typo'd auth block silently running with ambient credentials is a
+  * security hole, not a fallback. */
+final case class Authenticated(inner: Stage, method: String) extends Stage {
+  def name: String = inner.name
+  def environments: Seq[String] = inner.environments
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    Authenticated.applyMethod(spark, method)
+    inner.execute(spark, env)
+  }
+}
+
+object Authenticated {
+  /** method → the public Hadoop s3a connector settings it maps to.
+    * `AmazonIAM` = the instance-profile/role credentials the reference's
+    * EKS/IRSA deployment uses (`scd2-job.ipynb:47`); `AmazonAnonymous` =
+    * public-bucket reads. Extend here as methods are needed — parseStage
+    * refuses anything absent from this map. */
+  val Methods: Map[String, Map[String, String]] = Map(
+    "AmazonIAM" -> Map(
+      "fs.s3a.aws.credentials.provider" ->
+        "com.amazonaws.auth.InstanceProfileCredentialsProvider"),
+    "AmazonAnonymous" -> Map(
+      "fs.s3a.aws.credentials.provider" ->
+        "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"))
+
+  private val logged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[etl] def applyMethod(spark: SparkSession, method: String): Unit = {
+    val settings = Methods.getOrElse(method, throw new IllegalArgumentException(
+      s"unknown authentication method '$method'"))
+    settings.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v) }
+    if (logged.add(method))
+      System.err.println(s"[graft] authentication method $method applied: " +
+        settings.map { case (k, v) => s"$k=$v" }.mkString(", "))
+  }
+}
+
 /** CSV extract → view (reference `DelimitedExtract`, scd2-job.ipynb:39-50).
   * `delimiter` accepts the reference's names (`Comma`, `Pipe`, `Tab`) or a
   * literal; `quote "None"` disables quoting. Headerless reads produce Spark's

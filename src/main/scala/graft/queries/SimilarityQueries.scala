@@ -1337,7 +1337,17 @@ object SimilarityQueries {
     * its terms' buckets via manifest partition pruning. At 100 TB the
     * alternative — re-tokenizing the corpus per query, which is what s11's
     * query-by-example formulation does — is not a serving plan. */
-  private val TextBuckets = 64
+  private val TextBuckets = graft.dedup.TextIndexStore.Buckets
+
+  private def wipeDir(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+      finally s.close()
+    }
+  }
 
   private def textIndexRoot(spark: SparkSession, dir: String): String = {
     val root = indexLakeRoot(spark, dir) + "/text"
@@ -1348,39 +1358,42 @@ object SimilarityQueries {
       val postings = graft.table.VersionedTable(s"$root/postings")
       val fresh = graft.table.VersionedTable.exists(s"$root/postings") &&
         postings.properties.get("corpusFingerprint").contains(fp) &&
-        postings.properties.get("indexFormat").contains("1")
+        postings.properties.get("indexFormat")
+          .contains(graft.dedup.TextIndexStore.Format)
       if (!fresh) {
-        val tok = Tables.table(spark, dir, "documents")
-          .selectExpr("doc_id", "explode(split(text, ' ')) AS word")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val doclen = tok.groupBy("doc_id")
-            .agg(expr("CAST(count(*) AS BIGINT)").as("len"))
-          val statsRow = doclen
-            .agg(expr("CAST(count(*) AS BIGINT)").as("nd"),
-              expr("CAST(sum(len) AS DOUBLE) / count(*)").as("avglen")).head()
-          val (nd, avglen) = (statsRow.getLong(0), statsRow.getDouble(1))
-          val tf = tok.groupBy("doc_id", "word")
-            .agg(expr("CAST(count(*) AS BIGINT)").as("tf"))
-          postings.commit(
-            tf.join(doclen, "doc_id")
-              .withColumn("bucket", expr(s"pmod(xxhash64(word), $TextBuckets)"))
-              .repartition(col("bucket")),
-            partitionBy = Seq("bucket"), collectStats = false)
-          graft.table.VersionedTable(s"$root/lexicon").commit(
-            tok.groupBy("word")
-              .agg(expr("CAST(count(DISTINCT doc_id) AS BIGINT)").as("df"))
-              .withColumn("bucket", expr(s"pmod(xxhash64(word), $TextBuckets)"))
-              .repartition(col("bucket")),
-            partitionBy = Seq("bucket"), collectStats = false)
-          // avglen round-trips through Double.toString: bit-exact, so the
-          // serving-time formula equals the build-time (and oracle) value
-          postings.setProperties(Map(
-            "corpusFingerprint" -> fp,
-            "nd" -> nd.toString,
-            "avglen" -> java.lang.Double.toString(avglen),
-            "indexFormat" -> "1"))
-        } finally tok.unpersist()
+        wipeDir(root)
+        graft.dedup.TextIndexStore.build(spark, root,
+          Tables.table(spark, dir, "documents"), fp)
+      }
+      verifiedFresh.put(root, fp)
+      root
+    }
+  }
+
+  /** The s15 store: built from the corpus MINUS a held-out slice, then the
+    * slice ADMITTED incrementally ([[graft.dedup.TextIndexStore.admit]]) —
+    * the resulting index must serve bit-identically to a full-corpus build
+    * (the oracle recomputes over ALL documents). A store already carrying
+    * the corpus fingerprint is served as-is: growth never triggers a
+    * rebuild, which is the maintenance contract under test. */
+  private def textAdmitRoot(spark: SparkSession, dir: String): String = {
+    val root = indexLakeRoot(spark, dir) + "/text_admit"
+    val fp = docsFingerprint(dir)
+    if (verifiedFresh.get(root) == fp) return root
+    this.synchronized {
+      if (verifiedFresh.get(root) == fp) return root
+      val postings = graft.table.VersionedTable(s"$root/postings")
+      val fresh = graft.table.VersionedTable.exists(s"$root/postings") &&
+        postings.properties.get("corpusFingerprint").contains(fp) &&
+        postings.properties.get("indexFormat")
+          .contains(graft.dedup.TextIndexStore.Format)
+      if (!fresh) {
+        wipeDir(root)
+        val docs = Tables.table(spark, dir, "documents")
+        graft.dedup.TextIndexStore.build(spark, root,
+          docs.filter("doc_id % 7 != 0"), fp + ":base")
+        graft.dedup.TextIndexStore.admit(spark, root,
+          docs.filter("doc_id % 7 = 0"), fp)
       }
       verifiedFresh.put(root, fp)
       root
@@ -1399,48 +1412,52 @@ object SimilarityQueries {
     * from the raw documents) hash-matches. No common-term pruning: with
     * explicit keyword queries the idf weighting handles frequent terms,
     * and dropping them would change the contract. */
-  val s14Bm25Stored: Q = Q(
-    "s14_bm25_stored",
-    (spark, dir) => {
-      import spark.implicits._
-      graft.functions.GraftFunctions.registerAll(spark)
-      val root = textIndexRoot(spark, dir)
-      val props = graft.table.VersionedTable(s"$root/postings").properties
-      val nd = props("nd").toLong
-      val avglen = java.lang.Double.toString(
-        java.lang.Double.parseDouble(props("avglen")))
-      val qterm = Bm25Queries.flatMap { case (q, ws) => ws.map(q -> _) }
-        .toDF("q_id", "qword")
-        .withColumn("qb", expr(s"pmod(xxhash64(qword), $TextBuckets)"))
-      val buckets = qterm.select(col("qb").as("b")).distinct()
-      val (lex, _, _) = graft.table.VersionedTable(s"$root/lexicon")
-        .readPrunedByJoinKeys(spark, buckets, "b", "bucket")
-      val (posts, keptP, totalP) = graft.table.VersionedTable(s"$root/postings")
-        .readPrunedByJoinKeys(spark, buckets, "b", "bucket")
-      require(keptP < totalP,
-        s"a keyword probe must read a strict bucket subset ($keptP/$totalP)")
-      val contrib = broadcast(qterm)
-        .join(lex.select(col("word").as("lw"), col("df")), col("qword") === col("lw"))
-        .join(posts.select(col("word"), col("doc_id"), col("tf"), col("len")),
-          col("qword") === col("word"))
-        .withColumn("c6", expr(
-          s"""CAST(round(
-             |  CAST(CAST(round(ln(1e0 + ($nd - df + 0.5e0) / (df + 0.5e0)), 6)
-             |       AS DECIMAL(18,6)) AS DOUBLE)
-             |  * (tf * 2.2e0)
-             |  / (tf + 1.2e0 * (0.25e0 + 0.75e0 * len / ${avglen}D)), 6)
-             |AS DECIMAL(18,6))""".stripMargin))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("score").desc, col("doc_id"))
-      contrib.groupBy("q_id", "doc_id").agg(expr("SUM(c6)").as("score"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-        .select(col("q_id"), col("doc_id"),
-          expr("CAST(score AS DOUBLE)").as("score"), col("rk"))
-    },
-    Some {
-      val qvals = Bm25Queries.flatMap { case (q, ws) =>
-        ws.map(wd => s"($q, '$wd')") }.mkString(", ")
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  /** Serve BM25 top-`k` from a stored index at `root`: bucket-pruned probe
+    * (strict subset asserted in-query), s11's exact decimal discipline, nd
+    * and avglen derived from the store's exact integer accumulators. */
+  private def bm25TopK(spark: SparkSession, root: String,
+      queries: Seq[(Long, Seq[String])], k: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val (nd, totalLen) = graft.dedup.TextIndexStore.stats(root)
+    val avglen = java.lang.Double.toString(totalLen.toDouble / nd)
+    val qterm = queries.flatMap { case (q, ws) => ws.map(q -> _) }
+      .toDF("q_id", "qword")
+      .withColumn("qb", expr(s"pmod(xxhash64(qword), $TextBuckets)"))
+    val buckets = qterm.select(col("qb").as("b")).distinct()
+    val (lex, _, _) = graft.table.VersionedTable(s"$root/lexicon")
+      .readPrunedByJoinKeys(spark, buckets, "b", "bucket")
+    val (posts, keptP, totalP) = graft.table.VersionedTable(s"$root/postings")
+      .readPrunedByJoinKeys(spark, buckets, "b", "bucket")
+    require(keptP < totalP,
+      s"a keyword probe must read a strict bucket subset ($keptP/$totalP)")
+    val contrib = broadcast(qterm)
+      .join(lex.select(col("word").as("lw"), col("df")), col("qword") === col("lw"))
+      .join(posts.select(col("word"), col("doc_id"), col("tf"), col("len")),
+        col("qword") === col("word"))
+      .withColumn("c6", expr(
+        s"""CAST(round(
+           |  CAST(CAST(round(ln(1e0 + ($nd - df + 0.5e0) / (df + 0.5e0)), 6)
+           |       AS DECIMAL(18,6)) AS DOUBLE)
+           |  * (tf * 2.2e0)
+           |  / (tf + 1.2e0 * (0.25e0 + 0.75e0 * len / ${avglen}D)), 6)
+           |AS DECIMAL(18,6))""".stripMargin))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy("q_id", "doc_id").agg(expr("SUM(c6)").as("score"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("doc_id"),
+        expr("CAST(score AS DOUBLE)").as("score"), col("rk"))
+  }
+
+  /** The DuckDB oracle: BM25 recomputed RELATIONALLY from the raw
+    * documents table with the identical decimal discipline — shared by the
+    * build-once (s14) and build-then-admit (s15) stores, because an
+    * exactly-maintained index must serve exactly the full-corpus result. */
+  private def bm25OracleSql(queries: Seq[(Long, Seq[String])], k: Int): String = {
+    val qvals = queries.flatMap { case (q, ws) =>
+      ws.map(wd => s"($q, '$wd')") }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
          |             FROM documents),
          |doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
          |           FROM tok GROUP BY doc_id),
@@ -1472,11 +1489,33 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY score DESC, doc_id) AS rk
          |  FROM bm25) t
-         |WHERE rk <= 10""".stripMargin
-    })
+         |WHERE rk <= $k""".stripMargin
+  }
+
+  val s14Bm25Stored: Q = Q(
+    "s14_bm25_stored",
+    (spark, dir) => bm25TopK(spark, textIndexRoot(spark, dir), Bm25Queries, 10),
+    Some(bm25OracleSql(Bm25Queries, 10)))
+
+  /** Keyword queries for the admit-grown store — a different term set from
+    * s14 so the two entries cannot accidentally share cached results. */
+  private val Bm25AdmitQueries: Seq[(Long, Seq[String])] =
+    Seq(1L -> Seq("merge", "sort"), 2L -> Seq("spark", "dup"))
+
+  /** s15: BM25 served from a store GROWN INCREMENTALLY — built on ~6/7 of
+    * the corpus, the rest admitted via [[graft.dedup.TextIndexStore.admit]]
+    * (postings appended to their buckets, lexicon df merged in place,
+    * nd/totalLen advanced; NO rebuild). The oracle recomputes BM25 over the
+    * FULL corpus: hash-equality proves the incremental maintenance is
+    * EXACT, the property that makes the index viable under continuous
+    * ingest at 100 TB (re-tokenizing the corpus per append is not a plan). */
+  val s15Bm25Admit: Q = Q(
+    "s15_bm25_admit",
+    (spark, dir) => bm25TopK(spark, textAdmitRoot(spark, dir), Bm25AdmitQueries, 10),
+    Some(bm25OracleSql(Bm25AdmitQueries, 10)))
 
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
     s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
     s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf, s12AnnFiltered,
-    s13RangeSearch, s14Bm25Stored)
+    s13RangeSearch, s14Bm25Stored, s15Bm25Admit)
 }

@@ -38,24 +38,35 @@ object StreamingQueries {
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin))
 
-  /** q27: sketch aggregates — HyperLogLog++ distinct estimation next to the
-    * exact count it approximates (the sketch algorithm differs between
-    * engines, so this entry has NO DuckDB oracle: the driver records the
-    * weaker rows-only check, and the spec asserts the estimate's error bound
-    * instead). At scale the sketch is the point: constant memory per group vs
-    * the exact count's shuffle of every distinct value. */
+  /** q27: sketch aggregates — HyperLogLog++ distinct estimation run NEXT TO
+    * the exact counts it approximates. The sketch's raw estimate differs
+    * between engines (HLL++ internals are not portable SQL), so the gate
+    * contract is: RETURN the exact counts (hash-matchable by DuckDB) plus
+    * an in-query assertion that every group's estimate landed within ±15 %
+    * of its exact count (3× the default 5 % rsd) — a drifting sketch flips
+    * `approx_within_bound` to false and the hash check fails loudly. At
+    * scale the sketch is the point: constant memory per group vs the exact
+    * count's shuffle of every distinct value. */
   val q27SketchDistinct: Q = Q(
     "q27_sketch_distinct",
     (spark, dir) => {
       Tables.registerAll(spark, dir)
       spark.sql(
         """SELECT l_returnflag,
-          |  approx_count_distinct(l_partkey) AS approx_parts,
           |  count(DISTINCT l_partkey) AS exact_parts,
-          |  approx_count_distinct(l_orderkey) AS approx_orders
+          |  count(DISTINCT l_orderkey) AS exact_orders,
+          |  (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+          |     <= 0.15 * count(DISTINCT l_partkey)
+          |   AND abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+          |     <= 0.15 * count(DISTINCT l_orderkey)) AS approx_within_bound
           |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     },
-    None)
+    Some(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS approx_within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
   /** q38: KMV distinct sketch (`graft.functions.KmvDistinct`) — unlike
     * q27's HLL, the k-minimum-values estimate is DETERMINISTIC and

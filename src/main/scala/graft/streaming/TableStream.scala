@@ -184,15 +184,18 @@ final class TableStreamProvider extends StreamSourceProvider with StreamSinkProv
     // timestamp, i.e. resolveAsOfTimestamp(millis - 1): a commit stamped
     // exactly at the literal is included, matching Delta. Same literal
     // forms as the reader's timestampAsOf. A timestamp at or before the
-    // oldest retained commit's stamp fails loudly (earlier versions may
-    // have been vacuumed — the silent alternative would replay an
-    // incomplete history as if it were complete); use startingVersion=0
-    // for "everything retained".
+    // FIRST commit's stamp: when version 0 is still retained nothing can
+    // have been vacuumed, so "from table creation time" reads every
+    // retained change (cursor 0 — Delta starts from the earliest version
+    // there); the loud failure stays for oldest-retained > 0, where
+    // earlier commits may actually be gone and replaying an incomplete
+    // history as if complete would be silent data loss.
     val tsStart = parameters.get("startingTimestamp").map { s0 =>
       val millis = scala.util.Try(s0.toLong).getOrElse(
         scala.util.Try(java.sql.Timestamp.valueOf(s0).getTime).getOrElse(
           java.time.Instant.parse(s0).toEpochMilli))
-      t.resolveAsOfTimestamp(millis - 1)
+      if (t.versions().headOption.contains(0L) && millis - 1 < t.commitTimeOf(0L)) 0L
+      else t.resolveAsOfTimestamp(millis - 1)
     }
     require(tsStart.isEmpty || !parameters.contains("startingVersion"),
       "startingVersion and startingTimestamp are exclusive")

@@ -70,8 +70,15 @@ final class VersionedTable(val root: String,
     * clear error at resolve time instead of silently misreading fields
     * this build doesn't know exist (the Delta `minReaderVersion` shape,
     * collapsed to one linear number — pre-stamping manifests read as
-    * version 1, which is exactly what they are). */
-  private val SupportedFormatVersion = 1L
+    * version 1, which is exactly what they are). Format 1 is a
+    * self-contained snapshot (full `files`/`stats`/`partitions`/`dvs`);
+    * format 2 is a per-commit DELTA (`add`/`remove`/`dvAdd`/`dvRemove`
+    * against the previous version) replayed from the nearest anchor —
+    * Delta's actual log protocol, what keeps commit cost O(batch) instead
+    * of O(live files) on a million-file table. */
+  private val SupportedFormatVersion = 2L
+  private val ManifestFormatFull = 1L
+  private val ManifestFormatDelta = 2L
 
   private def checkFormatReadable(v: Long): Unit = {
     val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
@@ -215,21 +222,161 @@ final class VersionedTable(val root: String,
         s"(earliest commit at ${stamped.head._2}); earlier versions may have been vacuumed"))
   }
 
-  private def filesOf(v: Long): Seq[String] = {
-    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
-    node.get("files").elements().asScala.map(_.asText()).toSeq
+  // ---- file-level state reconstruction (delta-manifest replay) ----------
+  //
+  // A version's live file set is no longer guaranteed to sit in its own
+  // manifest: format-2 manifests record only the commit's add/remove delta.
+  // State is materialized by replaying the delta tail forward from the
+  // nearest ANCHOR at or below the requested version, where an anchor is
+  //  - a snapshot already reconstructed in this JVM (fingerprint-validated
+  //    LRU cache — manifests are immutable in place, but a table dropped
+  //    and recreated at the same path, or a vacuum materializing the
+  //    retention floor, replaces the file and the fingerprint catches it),
+  //  - a checkpoint's full-state JSON sidecar ([[checkpoint]]), or
+  //  - a self-contained (format-1) manifest: version 0 always, overwrites
+  //    (their delta would be bigger than the snapshot), every
+  //    [[VersionedTable.SnapshotEvery]]-th commit past the last anchor on
+  //    checkpoint-less tables, and the retention floor after a vacuum.
+  // The walk therefore terminates inside the retained tail, and per-commit
+  // manifest bytes stay proportional to the BATCH, not the table.
+
+  private lazy val canonicalRoot: String =
+    Paths.get(root).toAbsolutePath.normalize.toString
+
+  private def readManifestNode(v: Long): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(Files.readAllBytes(manifestPath(v)))
+
+  private def isFullManifest(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    node.has("files")
+
+  private def manifestFpOpt(v: Long): Option[VersionedTable.ManifestFp] =
+    try {
+      val a = Files.readAttributes(manifestPath(v),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      Some(VersionedTable.ManifestFp(a.size(), a.lastModifiedTime(), a.fileKey()))
+    } catch { case _: java.io.IOException => None }
+
+  private def parseFileStats(node: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, (String, String, String)] =
+    node.properties().asScala.map { c =>
+      val arr = c.getValue
+      val kind = if (arr.size() > 2) arr.get(2).asText() else "str"
+      c.getKey -> (arr.get(0).asText(), arr.get(1).asText(), kind)
+    }.toMap
+
+  private def parseFileParts(node: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, Option[String]] =
+    node.properties().asScala.map { c =>
+      c.getKey -> (if (c.getValue.isNull) None else Some(c.getValue.asText()))
+    }.toMap
+
+  private def parseFullState(node: com.fasterxml.jackson.databind.JsonNode)
+      : VersionedTable.TableState = {
+    val files = node.get("files").elements().asScala.map(_.asText()).toVector.sorted
+    val stats =
+      if (!node.has("stats")) Map.empty[String, Map[String, (String, String, String)]]
+      else node.get("stats").properties().asScala
+        .map(e => e.getKey -> parseFileStats(e.getValue)).toMap
+    val parts =
+      if (!node.has("partitions")) Map.empty[String, Map[String, Option[String]]]
+      else node.get("partitions").properties().asScala
+        .map(e => e.getKey -> parseFileParts(e.getValue)).toMap
+    val dvs =
+      if (!node.has("dvs")) Vector.empty[String]
+      else node.get("dvs").elements().asScala.map(_.asText()).toVector.sorted
+    VersionedTable.TableState(files, stats, parts, dvs)
   }
+
+  /** Apply one delta manifest to its predecessor's state. `add` entries are
+    * UPSERTS (a carried file whose stats/partition values were restated —
+    * e.g. a zone-mismatch stats drop — re-records under its path). */
+  private def applyDelta(prev: VersionedTable.TableState,
+      node: com.fasterxml.jackson.databind.JsonNode): VersionedTable.TableState = {
+    val removed: Set[String] =
+      if (!node.has("remove")) Set.empty
+      else node.get("remove").elements().asScala.map(_.asText()).toSet
+    var stats = if (removed.isEmpty) prev.stats else prev.stats -- removed
+    var parts = if (removed.isEmpty) prev.parts else prev.parts -- removed
+    val addB = Vector.newBuilder[String]
+    if (node.has("add")) node.get("add").properties().asScala.foreach { e =>
+      val f = e.getKey
+      addB += f
+      val ent = e.getValue
+      if (ent.has("stats")) stats += f -> parseFileStats(ent.get("stats"))
+      else stats -= f
+      if (ent.has("partitions")) parts += f -> parseFileParts(ent.get("partitions"))
+      else parts -= f
+    }
+    val adds = addB.result()
+    val addSet = adds.toSet
+    val files = (prev.files.filterNot(f => removed(f) || addSet(f)) ++ adds).sorted
+    val dvRemoved: Set[String] =
+      if (!node.has("dvRemove")) Set.empty
+      else node.get("dvRemove").elements().asScala.map(_.asText()).toSet
+    val dvAdds =
+      if (!node.has("dvAdd")) Vector.empty[String]
+      else node.get("dvAdd").elements().asScala.map(_.asText()).toVector
+    val dvAddSet = dvAdds.toSet
+    val dvs = (prev.dvs.filterNot(d => dvRemoved(d) || dvAddSet(d)) ++ dvAdds).sorted
+    VersionedTable.TableState(files, stats, parts, dvs)
+  }
+
+  /** Version of the newest SELF-CONTAINED manifest at or below `v` (itself
+    * when full, else the anchor its delta recorded). Heuristic input to the
+    * snapshot-cadence decision only — reads discover anchors dynamically. */
+  private def anchorVersionOf(v: Long): Long = {
+    val node = readManifestNode(v)
+    if (isFullManifest(node)) v
+    else if (node.has("anchor")) node.get("anchor").asLong()
+    else v
+  }
+
+  /** Reconstructed file-level state of version `v`. One retry absorbs a
+    * racing vacuum deleting/materializing manifests mid-walk. */
+  private[table] def stateOf(v: Long): VersionedTable.TableState =
+    try stateOfAttempt(v)
+    catch { case _: java.nio.file.NoSuchFileException => stateOfAttempt(v) }
+
+  private def stateOfAttempt(v: Long): VersionedTable.TableState = {
+    val lru = VersionedTable.lruFor(canonicalRoot)
+    def cached(w: Long): Option[VersionedTable.TableState] =
+      lru.get(w).filter { case (fp, _) => manifestFpOpt(w).contains(fp) }.map(_._2)
+    cached(v).getOrElse {
+      // walk back to the nearest anchor, collecting the delta tail
+      var tail = List.empty[(Long, com.fasterxml.jackson.databind.JsonNode)]
+      var w = v
+      var base: Option[(Long, VersionedTable.TableState)] = None
+      while (base.isEmpty) {
+        base = checkpointStateAt(w).map(w -> _)
+        if (base.isEmpty) {
+          val node = readManifestNode(w)
+          if (isFullManifest(node)) base = Some(w -> parseFullState(node))
+          else {
+            tail = (w, node) :: tail
+            require(w > 0, s"delta manifest chain of $root reaches below version 0")
+            w -= 1
+            base = cached(w).map(w -> _)
+          }
+        }
+      }
+      var st = base.get._2
+      if (tail.isEmpty) manifestFpOpt(v).foreach(fp => lru.put(v, fp, st))
+      tail.foreach { case (x, node) =>
+        st = applyDelta(st, node)
+        manifestFpOpt(x).foreach(fp => lru.put(x, fp, st))
+      }
+      st
+    }
+  }
+
+  private def filesOf(v: Long): Seq[String] = stateOf(v).files
 
   /** Deletion-vector sidecar files of a version (table-relative paths).
     * Each DV parquet holds (file STRING, row_index BIGINT) tombstones — the
     * row positions MERGE-ON-READ deletes marked dead without rewriting the
     * data file (see [[deleteMor]]). The manifest lists every DV file in
     * force; reads anti-join their union. */
-  private def dvsOf(v: Long): Seq[String] = {
-    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
-    if (!node.has("dvs")) Seq.empty
-    else node.get("dvs").elements().asScala.map(_.asText()).toSeq
-  }
+  private def dvsOf(v: Long): Seq[String] = stateOf(v).dvs
 
   /** How version `v`'s row-level changes were captured at write time:
     *  - `Some("files")`  — change rows stored under `cdf/` ([[cdfFilesOf]])
@@ -254,17 +401,8 @@ final class VersionedTable(val root: String,
 
   /** Per-file column stats recorded at commit: file → col → (min, max) as
     * strings (numeric-comparable via the original type at prune time). */
-  private def statsOf(v: Long): Map[String, Map[String, (String, String, String)]] = {
-    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
-    if (!node.has("stats")) return Map.empty
-    node.get("stats").properties().asScala.map { e =>
-      e.getKey -> e.getValue.properties().asScala.map { c =>
-        val arr = c.getValue
-        val kind = if (arr.size() > 2) arr.get(2).asText() else "str"
-        c.getKey -> (arr.get(0).asText(), arr.get(1).asText(), kind)
-      }.toMap
-    }.toMap
-  }
+  private def statsOf(v: Long): Map[String, Map[String, (String, String, String)]] =
+    stateOf(v).stats
 
   /** The session time zone the manifest's stats strings were RENDERED in
     * (absent in manifests predating zone recording). Temporal stats are
@@ -379,15 +517,8 @@ final class VersionedTable(val root: String,
     * (None = the hive null partition). The manifest is the partition index —
     * [[readPartitioned]] prunes the file list against these values with NO
     * data or directory I/O, the Delta partition-pruning shape. */
-  def partitionValuesOf(v: Long): Map[String, Map[String, Option[String]]] = {
-    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
-    if (!node.has("partitions")) return Map.empty
-    node.get("partitions").properties().asScala.map { e =>
-      e.getKey -> e.getValue.properties().asScala.map { c =>
-        c.getKey -> (if (c.getValue.isNull) None else Some(c.getValue.asText()))
-      }.toMap
-    }.toMap
-  }
+  def partitionValuesOf(v: Long): Map[String, Map[String, Option[String]]] =
+    stateOf(v).parts
 
   /** Whether any live file of version `v` was written under a partition
     * layout other than the CURRENT spec — i.e. an [[alterPartitioning]]
@@ -937,6 +1068,26 @@ final class VersionedTable(val root: String,
 
   private def ckptMetaPath(v: Long): Path = logDir.resolve(f"_ckpt-v$v%08d.meta.json")
   private def ckptDataDir(v: Long): Path = logDir.resolve(f"_ckpt-v$v%08d.parquet")
+  private def ckptStatePath(v: Long): Path = logDir.resolve(f"_ckpt-v$v%08d.state.json")
+
+  /** Versions with a completed checkpoint that ALSO wrote the driver-side
+    * full-state sidecar — the anchors delta-manifest replay can start from
+    * (legacy checkpoints predate the sidecar and only serve the parquet/txn
+    * roles). */
+  private def checkpointStateVersions(): Seq[Long] =
+    listNames(logDir)
+      .collect { case s if s.matches("_ckpt-v\\d{8}\\.state\\.json") =>
+        s.substring(7, 15).toLong }
+      .filter(w => Files.exists(ckptMetaPath(w)))
+      .sorted
+
+  /** The full state a checkpoint recorded at exactly version `v`, if one
+    * exists (meta present = checkpoint completed; a racing retirement
+    * mid-read degrades to None and the replay walk continues past it). */
+  private def checkpointStateAt(v: Long): Option[VersionedTable.TableState] =
+    if (!Files.exists(ckptStatePath(v)) || !Files.exists(ckptMetaPath(v))) None
+    else scala.util.Try(
+      parseFullState(mapper.readTree(Files.readAllBytes(ckptStatePath(v))))).toOption
 
   /** Versions with a completed checkpoint (meta present), ascending. */
   def checkpointVersions(): Seq[Long] =
@@ -1001,13 +1152,12 @@ final class VersionedTable(val root: String,
     }
     val marks = ratchet(prev.map(_._2).getOrElse(Map.empty),
       tailMarks.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap)
-    val stats = statsOf(v)
-    val parts = partitionValuesOf(v)
+    val st = stateOf(v)
     val rows =
-      filesOf(v).map { f => (f, "data",
-        parts.getOrElse(f, Map.empty).collect { case (c, Some(x)) => c -> x },
-        stats.getOrElse(f, Map.empty).map { case (c, (mn, mx, k)) => c -> Seq(mn, mx, k) }) } ++
-      dvsOf(v).map(f => (f, "dv", Map.empty[String, String], Map.empty[String, Seq[String]])) ++
+      st.files.map { f => (f, "data",
+        st.parts.getOrElse(f, Map.empty).collect { case (c, Some(x)) => c -> x },
+        st.stats.getOrElse(f, Map.empty).map { case (c, (mn, mx, k)) => c -> Seq(mn, mx, k) }) } ++
+      st.dvs.map(f => (f, "dv", Map.empty[String, String], Map.empty[String, Seq[String]])) ++
       cdfFilesOf(v).map(f => (f, "cdf", Map.empty[String, String], Map.empty[String, Seq[String]]))
     // accumulated COPY INTO memory rides in the checkpoint parquet as
     // kind='ingest' rows (the set can be millions of ids at 100 TB —
@@ -1033,11 +1183,22 @@ final class VersionedTable(val root: String,
       val tNode = json.putObject("txns")
       marks.toSeq.sortBy(_._1).foreach { case (k, x) => tNode.put(k, x) }
     }
+    // driver-readable full-state sidecar: the anchor delta-manifest replay
+    // starts from (the JSON face of the parquet rows above). Written BEFORE
+    // the meta CAS — the meta is the checkpoint's commit point, so readers
+    // only consult a state sidecar whose meta exists; racing checkpointers
+    // write identical bytes.
+    val stateJson = mapper.createObjectNode()
+    stateJson.put("version", v)
+    writeStateFields(stateJson, st)
+    Files.write(ckptStatePath(v),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(stateJson))
     store.putIfAbsent(ckptMetaPath(v),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
     // retire old checkpoints, keeping a short tail for in-flight readers
     checkpointVersions().dropRight(2).foreach { old =>
       Files.deleteIfExists(ckptMetaPath(old))
+      Files.deleteIfExists(ckptStatePath(old))
       val d = ckptDataDir(old)
       if (Files.isDirectory(d)) {
         Files.walk(d).sorted(java.util.Comparator.reverseOrder())
@@ -1454,12 +1615,13 @@ final class VersionedTable(val root: String,
       operation: Option[String] = None,
       identity: Option[(String, Long)] = None,
       identityAllowExplicit: Option[Boolean] = None,
+      identityClear: Boolean = false,
       ingest: Seq[String] = Nil): Long = {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1L).getOrElse(0L)
     val json = mapper.createObjectNode()
     json.put("version", next)
-    json.put("formatVersion", SupportedFormatVersion)
+    // formatVersion is stamped by the snapshot/delta encoding choice below
     // in-commit timestamp, clamped strictly above the parent's so the
     // version order IS the time order even under clock skew or a
     // backwards-stepping wall clock (Delta's in-commit timestamps);
@@ -1538,7 +1700,11 @@ final class VersionedTable(val root: String,
     // carried-forward watermark below a written id would let a later
     // appendIdentity re-mint it. Stats-plane arithmetic only — the per-file
     // max already collected for pruning, no scan.
-    identity.orElse(base.flatMap(identityOf)).foreach { case (c, hw) =>
+    // identityClear (staged REPLACE TABLE with no identity in the new
+    // definition): the replaced table's declaration and high water must NOT
+    // survive into the new definition — REPLACE is a new table identity
+    (if (identityClear) None
+     else identity.orElse(base.flatMap(identityOf))).foreach { case (c, hw) =>
       val floor = base.flatMap(identityOf).collect { case (bc, bhw) if bc == c => bhw }
         .getOrElse(0L)
       val writtenMax = stats.valuesIterator
@@ -1567,40 +1733,20 @@ final class VersionedTable(val root: String,
       val pbArr = json.putArray("partitionBy")
       partitionBy.foreach(pbArr.add)
     }
-    // per-file partition values are recorded VERBATIM under each file's own
-    // layout epoch: after alterPartitioning the current spec and a carried
-    // file's layout legitimately differ, and normalizing values to the spec
-    // (the pre-evolution behavior) would null-out or drop the legacy
-    // epoch's values — the information reads need to inject those columns
-    if (partitions.nonEmpty) {
-      val pNode = json.putObject("partitions")
-      partitions.toSeq.sortBy(_._1).foreach { case (f, vals) =>
-        val fNode = pNode.putObject(f)
-        vals.toSeq.sortBy(_._1).foreach {
-          case (c, Some(value)) => fNode.put(c, value)
-          case (c, None) => fNode.putNull(c)
-        }
-      }
-    }
     if (constraints.nonEmpty) {
       val cNode = json.putObject("constraints")
       constraints.toSeq.sortBy(_._1).foreach { case (n, e) => cNode.put(n, e) }
     }
-    if (dvs.nonEmpty) {
-      val dvArr = json.putArray("dvs")
-      dvs.sorted.foreach(dvArr.add)
-    }
-    val arr = json.putArray("files")
-    files.sorted.foreach(arr.add)
-    if (stats.nonEmpty) {
-      // temporal stats are rendered in the writer session's zone; record it
-      // so prune-time filter rendering can match it exactly. A manifest
-      // holds ONE zone — if the base was recorded under a different zone,
-      // the carried-forward timestamp stats would mix renderings, so those
-      // columns' entries are dropped (they stop pruning; never wrong).
-      // DATE renders zone-free and is kept.
-      val zone = org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sessionState.conf.sessionLocalTimeZone)
+    // temporal stats are rendered in the writer session's zone; record it
+    // so prune-time filter rendering can match it exactly. A table state
+    // holds ONE zone — if the base was recorded under a different zone,
+    // the carried-forward timestamp stats would mix renderings, so those
+    // columns' entries are dropped (they stop pruning; never wrong; the
+    // delta diff below then restates the affected carried files).
+    // DATE renders zone-free and is kept.
+    val zone = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.conf.sessionLocalTimeZone)
+    val zoneSafe = if (stats.isEmpty) stats else {
       val baseZone = base.flatMap(statsZoneOf)
       val tsCols: Set[String] =
         org.apache.spark.sql.types.DataType.fromJson(schemaJson) match {
@@ -1615,25 +1761,113 @@ final class VersionedTable(val root: String,
       // UNKNOWN zone, and stamping the current zone over them would let
       // readers wrongly prune live files — drop them too (they stop
       // pruning; never wrong; new commits re-record with a zone)
-      val zoneSafe =
-        if (zone.isEmpty || (baseZone == zone) ||
-            (base.isEmpty && baseZone.isEmpty)) stats
-        else stats.view.mapValues(_.filterNot { case (c, _) => tsCols(c) }).toMap
-      zone.foreach(z => json.put("statsZone", z))
-      val statsNode = json.putObject("stats")
-      zoneSafe.toSeq.sortBy(_._1).foreach { case (f, cols) =>
-        val fileNode = statsNode.putObject(f)
-        cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx, kind)) =>
-          val a = fileNode.putArray(c); a.add(mn); a.add(mx); a.add(kind)
+      if (zone.isEmpty || (baseZone == zone) ||
+          (base.isEmpty && baseZone.isEmpty)) stats
+      else stats.view.mapValues(_.filterNot { case (c, _) => tsCols(c) }).toMap
+    }
+    if (stats.nonEmpty) zone.foreach(z => json.put("statsZone", z))
+    // ---- file-level state: encode as a DELTA against the base when that
+    // is smaller, a self-contained snapshot otherwise. The snapshot cases:
+    // a first commit, a rewrite churning most of the table (an overwrite's
+    // delta lists every old file removed AND every new file added — the
+    // snapshot is strictly smaller), and the SnapshotEvery cadence that
+    // bounds cold-start replay on checkpoint-less tables.
+    val baseState = base.map(stateOf).getOrElse(VersionedTable.TableState.empty)
+    val nextFiles = files.distinct.sorted.toVector
+    val fileSet = nextFiles.toSet
+    val nextDvs = dvs.distinct.sorted.toVector
+    val nextState = VersionedTable.TableState(nextFiles,
+      zoneSafe.view.filterKeys(fileSet).toMap,
+      partitions.view.filterKeys(fileSet).toMap, nextDvs)
+    val removed = baseState.files.filterNot(fileSet)
+    val baseSet = baseState.files.toSet
+    // upserts: genuinely new files plus carried files whose recorded
+    // stats/partition values changed (rename remaps, zone drops)
+    val upserts = nextFiles.filter { f =>
+      !baseSet(f) || baseState.stats.get(f) != nextState.stats.get(f) ||
+        baseState.parts.get(f) != nextState.parts.get(f)
+    }
+    val dvAdd = nextDvs.filterNot(baseState.dvs.toSet)
+    val dvRemove = baseState.dvs.filterNot(nextDvs.toSet)
+    val fullAnchor = base.map(anchorVersionOf)
+    val ckptAnchor = base.flatMap(b => checkpointStateVersions().filter(_ <= b).lastOption)
+    val anchorDist = next - (fullAnchor.toSeq ++ ckptAnchor.toSeq).maxOption.getOrElse(next)
+    val writeFull = base.isEmpty ||
+      removed.size + upserts.size >= nextFiles.size ||
+      anchorDist >= VersionedTable.SnapshotEvery
+    if (writeFull) {
+      json.put("formatVersion", ManifestFormatFull)
+      writeStateFields(json, nextState)
+    } else {
+      json.put("formatVersion", ManifestFormatDelta)
+      json.put("delta", true)
+      fullAnchor.foreach(a => json.put("anchor", a))
+      if (removed.nonEmpty) {
+        val rArr = json.putArray("remove")
+        removed.foreach(rArr.add)
+      }
+      if (upserts.nonEmpty) {
+        val aNode = json.putObject("add")
+        upserts.foreach { f =>
+          val ent = aNode.putObject(f)
+          nextState.parts.get(f).foreach(v => putPartValues(ent.putObject("partitions"), v))
+          nextState.stats.get(f).foreach(v => putStatValues(ent.putObject("stats"), v))
         }
       }
+      if (dvAdd.nonEmpty) { val a = json.putArray("dvAdd"); dvAdd.foreach(a.add) }
+      if (dvRemove.nonEmpty) { val a = json.putArray("dvRemove"); dvRemove.foreach(a.add) }
     }
     val won = store.putIfAbsent(manifestPath(next),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
     if (!won) throw new ConcurrentCommitException(
       s"concurrent commit of version $next at $root")
+    // seed the snapshot cache so the NEXT commit's base lookup is a hit
+    manifestFpOpt(next).foreach(fp =>
+      VersionedTable.lruFor(canonicalRoot).put(next, fp, nextState))
     next
   }
+
+  /** Render a full state's `files`/`dvs`/`partitions`/`stats` fields into
+    * `json` — shared by snapshot manifests, checkpoint state sidecars, and
+    * the vacuum-time floor materialization. */
+  private def writeStateFields(json: com.fasterxml.jackson.databind.node.ObjectNode,
+      st: VersionedTable.TableState): Unit = {
+    if (st.dvs.nonEmpty) {
+      val dvArr = json.putArray("dvs")
+      st.dvs.foreach(dvArr.add)
+    }
+    val arr = json.putArray("files")
+    st.files.foreach(arr.add)
+    // per-file partition values are recorded VERBATIM under each file's own
+    // layout epoch: after alterPartitioning the current spec and a carried
+    // file's layout legitimately differ, and normalizing values to the spec
+    // would null-out or drop the legacy epoch's values
+    if (st.parts.nonEmpty) {
+      val pNode = json.putObject("partitions")
+      st.parts.toSeq.sortBy(_._1).foreach { case (f, vals) =>
+        putPartValues(pNode.putObject(f), vals)
+      }
+    }
+    if (st.stats.nonEmpty) {
+      val statsNode = json.putObject("stats")
+      st.stats.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+        putStatValues(statsNode.putObject(f), cols)
+      }
+    }
+  }
+
+  private def putPartValues(fNode: com.fasterxml.jackson.databind.node.ObjectNode,
+      vals: Map[String, Option[String]]): Unit =
+    vals.toSeq.sortBy(_._1).foreach {
+      case (c, Some(value)) => fNode.put(c, value); ()
+      case (c, None) => fNode.putNull(c); ()
+    }
+
+  private def putStatValues(fNode: com.fasterxml.jackson.databind.node.ObjectNode,
+      cols: Map[String, (String, String, String)]): Unit =
+    cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx, kind)) =>
+      val a = fNode.putArray(c); a.add(mn); a.add(mx); a.add(kind); ()
+    }
 
   /** Publish a rewrite (delete/update/merge/MOR-delete) computed against
     * snapshot `scannedV`, resolving commit races the way Delta's
@@ -1860,7 +2094,8 @@ final class VersionedTable(val root: String,
              sortBy: Seq[String] = Nil, collectStats: Boolean = true,
              txn: Option[(String, Long)] = None,
              partitionBy: Seq[String] = Nil,
-             generatedColumns: Map[String, String] = Map.empty): Long = {
+             generatedColumns: Map[String, String] = Map.empty,
+             resetIdentity: Boolean = false): Long = {
     // overwriting an existing snapshot drops its rows (first commit is fine)
     if (latestVersion().isDefined) requireNotAppendOnly("Overwrite commit")
     requireStatsForIdentity(collectStats, "Overwrite commit")
@@ -1898,7 +2133,7 @@ final class VersionedTable(val root: String,
       else validateFrame(df0, gate)
       publish(files, df0.schema.json, stats, txn, base, cs,
         partitionBy = partitionBy, partitions = partVals, stampedIds = stamped,
-        operation = Some("OVERWRITE"))
+        operation = Some("OVERWRITE"), identityClear = resetIdentity)
     }
   }
 
@@ -3538,19 +3773,16 @@ final class VersionedTable(val root: String,
     // already carry; nothing extra is stored. After a vacuum drops the
     // parent, the diff has no baseline and the metrics read null.
     val retained = versions().toSet
-    def fileRows(node: com.fasterxml.jackson.databind.JsonNode): Map[String, Option[Long]] = {
-      import scala.jdk.CollectionConverters._
-      val stats = Option(node.get("stats"))
-      node.get("files").elements().asScala.map { f =>
-        val name = f.asText()
-        name -> stats.flatMap(s => Option(s.get(name)))
-          .flatMap(s => Option(s.get(VersionedTable.RowCountStat)))
-          .flatMap(arr => scala.util.Try(arr.get(0).asText().toLong).toOption)
+    def fileRows(st: VersionedTable.TableState): Map[String, Option[Long]] =
+      st.files.map { name =>
+        name -> st.stats.get(name)
+          .flatMap(_.get(VersionedTable.RowCountStat))
+          .flatMap { case (n, _, _) => scala.util.Try(n.toLong).toOption }
       }.toMap
-    }
     versions().map { v =>
-      val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
-      val nFiles = node.get("files").size()
+      val node = readManifestNode(v)
+      val st = stateOf(v)
+      val nFiles = st.files.size
       val op = if (node.has("operation")) Some(node.get("operation").asText()) else None
       val txnApp = if (node.has("txnApp")) Some(node.get("txnApp").asText()) else None
       val txnVersion = if (node.has("txnVersion")) Some(node.get("txnVersion").asLong()) else None
@@ -3559,10 +3791,9 @@ final class VersionedTable(val root: String,
         else Files.getLastModifiedTime(manifestPath(v)).toMillis)
       val parent: Option[Map[String, Option[Long]]] =
         if (v == 0) Some(Map.empty)
-        else if (retained.contains(v - 1)) Some(fileRows(
-          mapper.readTree(Files.readAllBytes(manifestPath(v - 1)))))
+        else if (retained.contains(v - 1)) Some(fileRows(stateOf(v - 1)))
         else None
-      val own = fileRows(node)
+      val own = fileRows(st)
       def sumRows(m: Map[String, Option[Long]]): Option[Long] =
         if (m.valuesIterator.exists(_.isEmpty)) None else Some(m.valuesIterator.flatten.sum)
       val added = parent.map(p => own.view.filterKeys(f => !p.contains(f)).toMap)
@@ -4205,17 +4436,30 @@ final class VersionedTable(val root: String,
       // fills with its default; a column the files carry keeps its values
       // (explicit nulls are data, not omissions — the schema'd read above
       // cannot tell the two apart, so the files' real schema decides).
-      // Named-column formats only: CSV columns are positional.
+      // Omission is decided from the BATCH-WIDE merged schema: in a mixed
+      // batch where only some files carry the column, the carrying files
+      // win and the others' rows read null (per-batch granularity — split
+      // mixed landings into separate COPY INTO runs for per-file fill).
+      // Named-column formats only: CSV columns are positional. An inference
+      // failure FAILS the copy rather than silently skipping the fill —
+      // "defaults quietly became null" is a data hole, not a fallback.
       val defaultFills: Seq[org.apache.spark.sql.types.StructField] =
         if (!schema.fields.exists(_.metadata.contains(VersionedTable.CurrentDefaultKey)) ||
             !Set("parquet", "orc", "json").contains(format.toLowerCase)) Nil
-        else scala.util.Try {
-          val srcCols = spark.read.format(format).option("mergeSchema", "true")
-            .load(fresh.map(_._2): _*).schema.fieldNames.map(_.toLowerCase).toSet
+        else {
+          val srcCols =
+            try spark.read.format(format).option("mergeSchema", "true")
+              .load(fresh.map(_._2): _*).schema.fieldNames.map(_.toLowerCase).toSet
+            catch { case e: Exception => throw new IllegalStateException(
+              s"COPY INTO $root: could not infer the source files' own " +
+                "schema to decide DEFAULT-column omission (the table " +
+                "declares column defaults); fix or exclude the unreadable " +
+                s"files — proceeding would silently null-fill: ${e.getMessage}", e)
+            }
           schema.fields.toSeq.filter(f =>
             f.metadata.contains(VersionedTable.CurrentDefaultKey) &&
               !srcCols.contains(f.name.toLowerCase))
-        }.getOrElse(Nil)
+        }
       val batch = defaultFills.foldLeft(applyGenerated(
           spark.read.format(format).schema(readSchema).load(fresh.map(_._2): _*),
           schema)
@@ -4563,11 +4807,11 @@ final class VersionedTable(val root: String,
     if (vs.isEmpty) return Nil
     val retained = vs.takeRight(retainVersions)
     val dropped = vs.dropRight(retainVersions)
-    val keep = retained.flatMap(v => tryManifest(v).toSeq.flatMap(manifestRefs)).toSet
-    val fromDropped = dropped.flatMap(v => tryManifest(v).toSeq.flatMap(manifestRefs))
+    val keep = retained.flatMap(v => tryStateRefs(v).getOrElse(Nil)).toSet
+    val fromDropped = dropped.flatMap(v => tryStateRefs(v).getOrElse(Nil))
       .distinct.filterNot(keep)
     // orphans: on disk, referenced by NO manifest, past the age guard
-    val live = vs.flatMap(v => tryManifest(v).toSeq.flatMap(manifestRefs)).toSet
+    val live = vs.flatMap(v => tryStateRefs(v).getOrElse(Nil)).toSet
     val cutoff = System.currentTimeMillis() - orphanRetentionMs
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(prefix: String, dir: Path): Unit =
@@ -4594,14 +4838,36 @@ final class VersionedTable(val root: String,
     try Some(mapper.readTree(Files.readAllBytes(manifestPath(v))))
     catch { case _: java.nio.file.NoSuchFileException => None }
 
-  /** Every table-relative file a manifest references: data + DVs + CDF. */
-  private def manifestRefs(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
-    val files = node.get("files").elements().asScala.map(_.asText()).toSeq
-    val dvs = if (node.has("dvs"))
-      node.get("dvs").elements().asScala.map(_.asText()).toSeq else Seq.empty
-    val cdf = if (node.has("cdf"))
-      node.get("cdf").elements().asScala.map(_.asText()).toSeq else Seq.empty
-    files ++ dvs ++ cdf
+  /** Every table-relative file version `v` references: its reconstructed
+    * live data + DV state plus its own commit's CDF payload. None when a
+    * racing vacuum removed the manifests mid-walk (safe to skip: the racing
+    * vacuum already handled that version's files). */
+  private def tryStateRefs(v: Long): Option[Seq[String]] =
+    try {
+      val st = stateOf(v)
+      Some(st.files ++ st.dvs ++ cdfFilesOf(v))
+    } catch { case _: java.nio.file.NoSuchFileException => None }
+
+  /** Rewrite version `v`'s manifest as a SELF-CONTAINED snapshot (same
+    * state, same metadata, full file lists instead of the delta) — run on
+    * the retention floor before a vacuum drops the older manifests the
+    * delta would otherwise replay through. Content-preserving, so a reader
+    * racing the swap sees identical state either way; the cache fingerprint
+    * notices the replaced file and re-parses. */
+  private def materializeManifest(v: Long): Unit = {
+    val nodeOpt = tryManifest(v)
+    if (nodeOpt.isEmpty || isFullManifest(nodeOpt.get)) return
+    val st = try stateOf(v)
+      catch { case _: java.nio.file.NoSuchFileException => return }
+    val node = nodeOpt.get.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    Seq("delta", "anchor", "remove", "add", "dvAdd", "dvRemove").foreach(node.remove)
+    node.put("formatVersion", ManifestFormatFull)
+    writeStateFields(node, st)
+    val tmp = logDir.resolve(
+      s".tmp-materialize-v$v-${java.util.UUID.randomUUID().toString}")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    Files.move(tmp, manifestPath(v),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   def vacuum(retainVersions: Int = 2,
@@ -4611,8 +4877,13 @@ final class VersionedTable(val root: String,
     if (vs.isEmpty) return 0
     val retained = vs.takeRight(retainVersions)
     val dropped = vs.dropRight(retainVersions)
-    def refsOf(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
-      manifestRefs(node)
+    // the retention floor must stay reconstructable after the manifests
+    // below it vanish: materialize it into a self-contained snapshot first
+    if (dropped.nonEmpty) materializeManifest(retained.head)
+    // reference lists are reconstructed BEFORE any manifest is deleted (a
+    // dropped delta's state replays through manifests this loop removes)
+    val droppedRefs: Seq[(Long, Seq[String])] =
+      dropped.map(v => v -> tryStateRefs(v).getOrElse(Nil))
     // preserve idempotent-writer memory: fold the dropped manifests' txn
     // marks into the sidecar BEFORE deleting them, so lastTxn never forgets
     val droppedTxns = dropped.flatMap(tryManifest).flatMap { node =>
@@ -4635,21 +4906,19 @@ final class VersionedTable(val root: String,
     if (droppedIngest.nonEmpty) mergeSidecarIngest(droppedIngest)
     // data files AND deletion-vector files referenced by any retained
     // manifest stay; everything else the dropped manifests reference goes
-    val keep = retained.flatMap(v => tryManifest(v).toSeq.flatMap(refsOf)).toSet
+    val keep = retained.flatMap(v => tryStateRefs(v).getOrElse(Nil)).toSet
     var deleted = 0
-    dropped.foreach { v =>
-      tryManifest(v).foreach { node =>
-        refsOf(node).foreach { f =>
-          if (!keep.contains(f)) {
-            if (Files.deleteIfExists(Paths.get(root).resolve(f))) deleted += 1
-          }
+    droppedRefs.foreach { case (v, refs) =>
+      refs.foreach { f =>
+        if (!keep.contains(f)) {
+          if (Files.deleteIfExists(Paths.get(root).resolve(f))) deleted += 1
         }
       }
       Files.deleteIfExists(manifestPath(v))
     }
     // orphan sweep: on-disk files referenced by NO remaining manifest (a
     // rejected batch or lost publish race) go once past the age guard
-    val live = versions().flatMap(v => tryManifest(v).toSeq.flatMap(refsOf)).toSet
+    val live = versions().flatMap(v => tryStateRefs(v).getOrElse(Nil)).toSet
     val cutoff = System.currentTimeMillis() - orphanRetentionMs
     // recursive: hive-partitioned commits nest k=v dirs under the commit dir
     def sweepOrphans(prefix: String, dir: Path): Unit =
@@ -4737,6 +5006,64 @@ object VersionedTable {
     * skipped and range/checkpoint pruning alone bound the candidate list.
     * 1 M longs ≈ 8 MB — batch-sized; a 100 M-key merge stays off the driver. */
   val BloomProbeMaxKeys = 1000000
+
+  /** Reconstructed file-level state of one version: live data files
+    * (sorted), their per-file stats and partition values, and the deletion-
+    * vector sidecars in force. */
+  private[table] final case class TableState(
+      files: Vector[String],
+      stats: Map[String, Map[String, (String, String, String)]],
+      parts: Map[String, Map[String, Option[String]]],
+      dvs: Vector[String])
+
+  private[table] object TableState {
+    val empty: TableState = TableState(Vector.empty, Map.empty, Map.empty, Vector.empty)
+  }
+
+  /** (size, mtime, fileKey) fingerprint of the manifest a cached state was
+    * parsed from. Manifests are immutable IN PLACE, but the file itself can
+    * be replaced — a table dropped and recreated at the same path, or a
+    * vacuum materializing the retention floor — and the fingerprint (inode
+    * on POSIX) catches that, so a stale cache entry can never serve a
+    * different table's state. */
+  private[table] final case class ManifestFp(size: Long,
+      mtime: java.nio.file.attribute.FileTime, key: AnyRef)
+
+  /** Per-table LRU of reconstructed snapshots. Eight versions covers the
+    * hot shapes — head reads, publish-base lookups, sequential history /
+    * changeFeed walks — while bounding memory per root. */
+  private[table] final class StateLru {
+    private val entries =
+      new java.util.LinkedHashMap[Long, (ManifestFp, TableState)](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, (ManifestFp, TableState)]): Boolean = size > 8
+      }
+    def get(v: Long): Option[(ManifestFp, TableState)] =
+      synchronized(Option(entries.get(v)))
+    def put(v: Long, fp: ManifestFp, s: TableState): Unit =
+      synchronized { entries.put(v, (fp, s)); () }
+  }
+
+  private val stateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StateLru]()
+
+  private[table] def lruFor(root: String): StateLru = {
+    // crude global bound: a long-lived session touching hundreds of tables
+    // drops the whole cache rather than growing without limit (pure cache —
+    // correctness never depends on a hit)
+    if (stateCache.size > 512) stateCache.clear()
+    stateCache.computeIfAbsent(root, _ => new StateLru)
+  }
+
+  /** Test hook: forget every cached snapshot (simulates a cold JVM, forcing
+    * the next read to replay from on-disk anchors). */
+  private[table] def clearStateCache(): Unit = stateCache.clear()
+
+  /** Snapshot cadence for checkpoint-less tables: a commit landing ≥ this
+    * many versions past the last anchor writes a self-contained manifest,
+    * bounding cold-start replay. Tables with `checkpointInterval` set never
+    * reach it — their checkpoints anchor the tail first (the Delta shape). */
+  private[table] val SnapshotEvery = 32
 
   def apply(root: String): VersionedTable = new VersionedTable(root)
   def apply(root: String, store: CommitStore): VersionedTable =

@@ -531,4 +531,30 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $t")
     spark.sql(s"DROP TABLE $t2")
   }
+
+  test("REPLACE TABLE does not leak the replaced table's properties or identity") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT GENERATED ALWAYS AS IDENTITY, k STRING) " +
+      "TBLPROPERTIES ('enableChangeDataFeed' = 'true', 'checkpointInterval' = '3')")
+    spark.sql(s"INSERT INTO $t (k) VALUES ('a'), ('b')")
+    val vt = handle(t)
+    assert(vt.identityOf(vt.resolve()).isDefined)
+    // the new definition declares NO identity and different properties:
+    // nothing of the old declaration may survive the replace
+    spark.sql(s"CREATE OR REPLACE TABLE $t (a BIGINT, b STRING) " +
+      "TBLPROPERTIES ('appendOnly' = 'false')")
+    assert(vt.identityOf(vt.resolve()).isEmpty,
+      "REPLACE must reset an identity declaration absent from the new definition")
+    val props = vt.properties
+    assert(!props.contains("enableChangeDataFeed") && !props.contains("checkpointInterval"),
+      s"old TBLPROPERTIES leaked through REPLACE: $props")
+    assert(props.get("appendOnly").contains("false"))
+    // a replace that re-declares identity starts a fresh declaration
+    spark.sql(s"CREATE OR REPLACE TABLE $t (id BIGINT GENERATED ALWAYS AS IDENTITY, s STRING)")
+    spark.sql(s"INSERT INTO $t (s) VALUES ('x')")
+    assert(spark.table(t).select("id").as[Long].collect().nonEmpty)
+    assert(vt.properties.get("appendOnly").isEmpty,
+      "the second REPLACE must drop the first definition's properties")
+    spark.sql(s"DROP TABLE $t")
+  }
 }

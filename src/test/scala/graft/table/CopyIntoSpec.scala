@@ -156,4 +156,22 @@ class CopyIntoSpec extends AnyFunSuite with SparkSpec {
     val (_, n3) = t.copyInto(spark, src)
     assert(n3 === 1L && t.read(spark).count() === 22)
   }
+
+  test("DEFAULT-column omission inference failing fails the copy loudly " +
+      "instead of silently null-filling") {
+    val base = tmpDir("ci-def-")
+    val root = s"$base/t"
+    val t = VersionedTable(root)
+    t.commit(Seq.empty[(Long, String)].toDF("id", "k"))
+    t.setColumnDefault(spark, "k", Some("'filled'"))
+    val src = s"$base/src"
+    // a source "parquet" file whose footer is garbage: schema inference
+    // for the omission decision cannot succeed
+    Files.createDirectories(Paths.get(src))
+    Files.write(Paths.get(src, "broken.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](t.copyInto(spark, src))
+    assert(e.getMessage.contains("DEFAULT"), e.getMessage)
+    assert(t.read(spark).count() === 0, "the failed copy must ingest nothing")
+  }
 }

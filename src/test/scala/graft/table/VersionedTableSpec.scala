@@ -704,13 +704,8 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
 
   // ---- merge-on-read deletion vectors ----
 
-  private def fileListOf(t: VersionedTable, v: Long): Seq[String] = {
-    val log = java.nio.file.Paths.get(t.root, "_graft_log", f"v$v%08d.json")
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-      java.nio.file.Files.readAllBytes(log))
-    import scala.jdk.CollectionConverters._
-    node.get("files").elements().asScala.map(_.asText()).toSeq
-  }
+  private def fileListOf(t: VersionedTable, v: Long): Seq[String] =
+    t.stateOf(v).files
 
   test("deleteMor removes rows without rewriting any data file") {
     val root = tmpDir("vt-")
@@ -745,12 +740,8 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(n3 === 0L && v === head && t.resolve() === head)
   }
 
-  private def headHasDvs(root: String, t: VersionedTable): Boolean = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-      java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(root, "_graft_log", f"v${t.resolve()}%08d.json")))
-    node.has("dvs")
-  }
+  private def headHasDvs(root: String, t: VersionedTable): Boolean =
+    t.stateOf(t.resolve()).dvs.nonEmpty
 
   test("deleteMor composes with append, COW delete/update and compact") {
     val root = tmpDir("vt-")
@@ -853,13 +844,7 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     val t = VersionedTable(root)
     t.commit((1L to 20000L).map(i => (i, s"pad-$i-${"x" * 40}")).toDF("id", "s"),
       numPartitions = Some(16))
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def headFiles: Seq[String] = {
-      import scala.jdk.CollectionConverters._
-      mapper.readTree(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(root, "_graft_log", f"v${t.resolve()}%08d.json")))
-        .get("files").elements().asScala.map(_.asText()).toSeq
-    }
+    def headFiles: Seq[String] = t.stateOf(t.resolve()).files
     val totalBytes = headFiles
       .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(root).resolve(f))).sum
     val target = totalBytes / 3 // expect ceil(total/target) = 3-4 output files
