@@ -457,10 +457,20 @@ private final class GraftStagedTable(
     // not carry is reset on the overwrite commit itself — otherwise e.g.
     // enableChangeDataFeed or an identity high-water silently survive into
     // a table the user just redefined from scratch.
+    //
+    // The property swap runs BEFORE the overwrite commit: the commit itself
+    // must execute under the NEW definition's properties — the replaced
+    // table's enableChangeDataFeed must not decide CDF capture for the
+    // replace commit, its checkpointInterval must not fire an auto-
+    // checkpoint mid-replace, and crucially its appendOnly=true must not
+    // refuse the REPLACE the user issued precisely to drop it. A crash in
+    // the window between the two leaves the OLD data under the NEW
+    // properties — a visibly-torn REPLACE to re-run, rather than a
+    // completed-looking one silently carrying stale write behavior.
     val stale = t.properties.keySet -- userProps.keySet
-    t.commit(df, partitionBy = partitionBy, resetIdentity = identitySpecs.isEmpty)
     val propEdits = stale.map(_ -> (null: String)).toMap ++ userProps
     if (propEdits.nonEmpty) t.setProperties(propEdits)
+    t.commit(df, partitionBy = partitionBy, resetIdentity = identitySpecs.isEmpty)
     identitySpecs.foreach { case (c, allowExplicit) =>
       t.enableIdentity(spark, c, allowExplicit = allowExplicit)
     }

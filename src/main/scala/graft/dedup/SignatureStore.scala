@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.table.VersionedTable
+import graft.table.{Merge, VersionedTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -105,9 +105,40 @@ object SignatureStore {
         "signature" -> "minhash16/band8/shingle3"))
       sigsT.commit(s, collectStats = false)
       val bandsT = bandsTable(root)
-      bandsT.setProperties(Map("bloomIndexColumns" -> "bkey"))
+      // doc_id rides the band table's Bloom sidecars too: admission probes
+      // by bkey, ERASURE ([[evict]]) probes by doc_id — both point lookups
+      bandsT.setProperties(Map("bloomIndexColumns" -> "bkey,doc_id"))
       bandsT.commit(bandRows(s), collectStats = false)
     } finally { s.unpersist(); () }
+  }
+
+  /** Erase documents from the store — the right-to-be-forgotten verb
+    * (SURVEY §2.12): after evict, no surviving sigs or bands row carries a
+    * forgotten doc_id, so the store serves exactly as if built on
+    * corpus-minus-docs (signature rows are independent per document —
+    * nothing aggregates, so the erasure contract is trivially exact). Old
+    * versions still reference the rows until the store tables are vacuumed
+    * past the evict commits — compliance-grade erasure is evict + vacuum,
+    * exactly as for the base table. Both deletes are Bloom-pruned COW
+    * merges on doc_id: only files whose sidecar can contain a forgotten id
+    * are read or rewritten. Returns the number of documents erased. */
+  def evict(spark: SparkSession, root: String, docIds: DataFrame): Long = {
+    val sigsT = sigsTable(root)
+    require(sigsT.latestVersion().isDefined,
+      s"$root holds no signature store — build(corpus) first")
+    val ids = docIds.select("doc_id").distinct().localCheckpoint(true)
+    // count what actually exists (the verb reports erasures, not requests)
+    // — Bloom-pruned like every other probe of this store
+    val present = prunedRead(spark, sigsT, "doc_id", ids).select("doc_id")
+      .join(ids, Seq("doc_id"), "left_semi").count()
+    if (present == 0) return 0L
+    sigsT.mergeCow(spark, ids, "source.doc_id = target.doc_id",
+      targetKey = "doc_id", sourceKey = "doc_id",
+      whenMatchedDelete = Some(Merge.MatchedDelete(None)))
+    bandsTable(root).mergeCow(spark, ids, "source.doc_id = target.doc_id",
+      targetKey = "doc_id", sourceKey = "doc_id",
+      whenMatchedDelete = Some(Merge.MatchedDelete(None)))
+    present
   }
 
   /** Bloom-pruned slim read of a store table restricted (file-wise) to the

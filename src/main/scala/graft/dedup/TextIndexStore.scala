@@ -22,20 +22,41 @@ import org.apache.spark.sql.functions._
   *
   * Maintenance contract — EXACT, unlike [[VectorStore]]'s fixed-centroid
   * drift: BM25's corpus statistics are all additive (tf/len are per-doc,
-  * df and nd and totalLen are sums), so a store grown by [[admit]] is
-  * bit-identical in serving behavior to one rebuilt from the full corpus —
-  * there is no recall decay to bound and no retrain verb to schedule. The
-  * bucket count is the one fixed layout choice (a probe's I/O unit); it is
-  * query-side invisible and can only change via rebuild.
+  * df and nd and totalLen are sums), so a store grown by [[admit]] — or
+  * shrunk by [[evict]] — is bit-identical in serving behavior to one
+  * rebuilt from the surviving corpus: there is no recall decay to bound
+  * and no retrain verb to schedule. The bucket count is the one fixed
+  * layout choice (a probe's I/O unit); it is query-side invisible and can
+  * only change via rebuild.
   *
-  * Caller contract: a batch must contain only NEW doc_ids (re-admitting a
-  * document would double-count its df/len contributions — dedup upstream,
-  * e.g. by [[SignatureStore]] admission, exactly the training-pipeline
-  * order: dedup first, index what survives).
+  * Torn-admit protection: [[admit]] spans three independent commits
+  * (postings append, lexicon merge, stats properties). A crash between
+  * them would leave postings counted in neither df nor nd/totalLen while
+  * the recorded fingerprint still validated — silently-corrupt serving. So
+  * admit records an in-progress marker (the pre-admit postings/lexicon
+  * versions plus the batch's stat deltas) in ONE atomic property commit
+  * BEFORE the append, and clears it only in the final stats commit; the
+  * next [[admit]]/[[evict]] (or an explicit [[repair]]) rolls a torn admit
+  * FORWARD — every remaining step is deterministic from the appended
+  * postings slice, which is the batch's full record.
   *
-  * Scale per batch: one tokenize pass over the BATCH, one map-side-combined
-  * tf/df aggregation, one partitioned append, one bucket-pruned lexicon
-  * merge — nothing touches the stored corpus outside the batch's buckets. */
+  * Exactly-once streaming admission: pass `txn = (appId, batchId)` and a
+  * replayed micro-batch whose append already committed is recognized via
+  * the table's idempotent-writer marks and skipped (after repair completes
+  * any torn tail) — the same protocol the table streaming sink uses.
+  *
+  * Double-admission guard (defense in depth): admit anti-joins the batch's
+  * doc_ids against the TOUCHED buckets' postings (partition-pruned — a
+  * replayed document's words hash to the same buckets its stored postings
+  * live in) and silently drops already-indexed documents, so a replayed or
+  * overlapping batch is a no-op for the overlap instead of double-counting
+  * df/nd/totalLen. The returned count says how many documents actually
+  * admitted.
+  *
+  * Scale per batch: one tokenize pass over the BATCH, one bucket-pruned
+  * doc_id overlap probe, one map-side-combined tf/df aggregation, one
+  * partitioned append, one bucket-pruned lexicon merge — nothing touches
+  * the stored corpus outside the batch's buckets. */
 object TextIndexStore {
 
   /** Term-hash partition count — the probe I/O granularity. */
@@ -48,6 +69,14 @@ object TextIndexStore {
   private def lexiconTable(root: String) = VersionedTable(s"$root/lexicon")
 
   private def bucketCol = expr(s"pmod(xxhash64(word), $Buckets)")
+
+  /** The torn-admit marker's property keys (cleared atomically with the
+    * final stats commit — marker present ⟺ an admit's tail is missing). */
+  private val PendingKeys = Seq("admitPending", "admitPendingFingerprint",
+    "admitPendingPostingsBase", "admitPendingLexiconBase",
+    "admitPendingNd", "admitPendingLen")
+
+  private def clearedPending = PendingKeys.map(_ -> "").toMap
 
   /** Tokenize (doc_id, text) on single spaces — the corpus' own shape. */
   private def tokenized(docs: DataFrame): DataFrame =
@@ -64,6 +93,58 @@ object TextIndexStore {
   def avgLen(root: String): Double = {
     val (nd, totalLen) = stats(root)
     totalLen.toDouble / nd
+  }
+
+  /** The bucket-pruned lexicon df merge shared by [[admit]] and [[repair]]:
+    * the condition's bucket equi-conjunct is the prune key, so only the
+    * batch's own term buckets are read or rewritten. */
+  private def lexiconAdd(spark: SparkSession, root: String, dfBatch: DataFrame): Unit = {
+    lexiconTable(root).mergeCow(spark, dfBatch,
+      "source.bucket = target.bucket AND source.word = target.word",
+      targetKey = "bucket", sourceKey = "bucket",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(None,
+        Map("df" -> "target.df + source.df"))),
+      whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None,
+        Map("word" -> "source.word", "df" -> "source.df",
+          "bucket" -> "source.bucket"))))
+    ()
+  }
+
+  /** Roll a torn [[admit]] FORWARD (returns whether there was one). Every
+    * post-append step is deterministic from the appended postings slice —
+    * df per word is its per-word row count (one row per (doc_id, word)),
+    * the stat deltas were recorded in the marker — so the store returns to
+    * serving-exact without re-seeing the batch:
+    *  - marker set, nothing appended → clear the marker (the admit never
+    *    started writing data);
+    *  - postings appended, lexicon unmoved → replay the lexicon merge from
+    *    the slice, then the stats commit;
+    *  - lexicon merged, stats missing → the stats commit alone (the marker
+    *    clears atomically WITH the stats, so a present marker proves the
+    *    stats never landed). */
+  def repair(spark: SparkSession, root: String): Boolean = {
+    val postT = postingsTable(root)
+    val props = postT.properties
+    if (!props.get("admitPending").contains("1")) return false
+    val postBase = props("admitPendingPostingsBase").toLong
+    val lexBase = props("admitPendingLexiconBase").toLong
+    if (postT.latestVersion().contains(postBase)) {
+      postT.setProperties(clearedPending)
+      return true
+    }
+    if (lexiconTable(root).latestVersion().contains(lexBase)) {
+      val slice = postT.appendsSince(spark, postBase)
+      lexiconAdd(spark, root, slice.groupBy("word", "bucket")
+        .agg(expr("CAST(count(*) AS BIGINT)").as("df"))
+        .select("word", "df", "bucket"))
+    }
+    val (nd, totalLen) = stats(root)
+    postT.setProperties(Map(
+      "corpusFingerprint" -> props("admitPendingFingerprint"),
+      "nd" -> (nd + props("admitPendingNd").toLong).toString,
+      "totalLen" -> (totalLen + props("admitPendingLen").toLong).toString)
+      ++ clearedPending)
+    true
   }
 
   /** Bootstrap: tokenize the corpus once, lay out postings + lexicon by
@@ -103,53 +184,136 @@ object TextIndexStore {
     } finally { tok.unpersist(); () }
   }
 
-  /** Admit a batch of NEW documents: postings append to their buckets, the
-    * lexicon's df counters merge in place, the corpus stats advance, and
-    * the recorded fingerprint moves to `fingerprint` — the store stays
-    * serving-exact for (build corpus ∪ every admitted batch) with no
-    * rebuild. Returns the number of documents admitted. */
+  /** Admit a batch of documents: already-indexed doc_ids are dropped (see
+    * the double-admission guard above), then the survivors' postings
+    * append to their buckets, the lexicon's df counters merge in place,
+    * the corpus stats advance, and the recorded fingerprint moves to
+    * `fingerprint` — the store stays serving-exact for (build corpus ∪
+    * every admitted batch) with no rebuild. `txn` makes the admission
+    * exactly-once under streaming replay. Returns the number of documents
+    * actually admitted (0 for a full replay — a loud no-op). */
   def admit(spark: SparkSession, root: String, batch: DataFrame,
+      fingerprint: String, txn: Option[(String, Long)] = None): Long = {
+    val postT = postingsTable(root)
+    require(postT.latestVersion().isDefined,
+      s"$root holds no text index store — build(corpus) first")
+    require(postT.properties.get("indexFormat").contains(Format),
+      s"$root was built by an incompatible text-index format — rebuild")
+    // a torn prior admit completes before anything new lands (and before
+    // the replay check below — a torn replayed batch has its append mark)
+    repair(spark, root)
+    if (txn.exists { case (app, v) => postT.lastTxn(app).exists(_ >= v) })
+      return 0L // replayed micro-batch: its admission is already durable
+    val tok = tokenized(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // double-admission guard: a stored document's postings live in the
+      // buckets its words hash to — the same buckets a replay's words
+      // touch, so the partition-pruned probe is complete for replays (the
+      // caller contract still asks for NEW doc_ids; this catches the
+      // violation instead of silently corrupting df/nd/totalLen)
+      val touched = tok.select(bucketCol.as("bucket")).distinct()
+      val (bucketPostings, _, _) =
+        postT.readPrunedByJoinKeys(spark, touched, "bucket", "bucket")
+      val existing = bucketPostings.select("doc_id")
+        .join(tok.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .distinct()
+      val fresh = tok.join(existing, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val doclen = fresh.groupBy("doc_id")
+          .agg(expr("CAST(count(*) AS BIGINT)").as("len"))
+        val s = doclen.agg(expr("CAST(count(*) AS BIGINT)").as("nd"),
+          expr("CAST(coalesce(sum(len), 0) AS BIGINT)").as("tl")).head()
+        val (bd, blen) = (s.getLong(0), s.getLong(1))
+        if (bd == 0) return 0L
+        val tf = fresh.groupBy("doc_id", "word")
+          .agg(expr("CAST(count(*) AS BIGINT)").as("tf"))
+        // the torn-admit marker: one atomic property commit BEFORE the
+        // append records everything repair needs to roll forward
+        postT.setProperties(Map(
+          "admitPending" -> "1",
+          "admitPendingFingerprint" -> fingerprint,
+          "admitPendingPostingsBase" -> postT.latestVersion().get.toString,
+          "admitPendingLexiconBase" -> lexiconTable(root).latestVersion().get.toString,
+          "admitPendingNd" -> bd.toString,
+          "admitPendingLen" -> blen.toString))
+        postT.append(
+          tf.join(doclen, "doc_id").withColumn("bucket", bucketCol)
+            .repartition(col("bucket")),
+          collectStats = false, txn = txn)
+        lexiconAdd(spark, root,
+          fresh.groupBy("word")
+            .agg(expr("CAST(count(DISTINCT doc_id) AS BIGINT)").as("df"))
+            .withColumn("bucket", bucketCol))
+        val (nd, totalLen) = stats(root)
+        // stats advance and the marker clears in ONE property commit — the
+        // admit is atomic-or-repairable end to end
+        postT.setProperties(Map(
+          "corpusFingerprint" -> fingerprint,
+          "nd" -> (nd + bd).toString,
+          "totalLen" -> (totalLen + blen).toString) ++ clearedPending)
+        bd
+      } finally { fresh.unpersist(); () }
+    } finally { tok.unpersist(); () }
+  }
+
+  /** Erase documents from the index — the right-to-be-forgotten verb
+    * (SURVEY §2.12): after evict, no surviving postings row carries a
+    * forgotten doc_id (their bag-of-words is otherwise RECONSTRUCTABLE
+    * content), term df counters decrement exactly (a term whose last
+    * document leaves exits the lexicon entirely), and nd/totalLen shrink —
+    * the store serves as if rebuilt on corpus-minus-docs, by the same
+    * additivity that makes [[admit]] exact. Old versions still reference
+    * the rows until the store tables are vacuumed past the evict commits —
+    * compliance-grade erasure is evict + vacuum, exactly as for the base
+    * table.
+    *
+    * Cost: the docs' own postings are the only record of their terms, so
+    * one slim postings scan filtered to the ids recovers (word, len,
+    * bucket); the deletes themselves are bucket-pruned COW merges touching
+    * only the docs' term buckets. Batch forget requests amortize the scan.
+    * Returns the number of documents actually erased. */
+  def evict(spark: SparkSession, root: String, docIds: DataFrame,
       fingerprint: String): Long = {
     val postT = postingsTable(root)
     require(postT.latestVersion().isDefined,
       s"$root holds no text index store — build(corpus) first")
     require(postT.properties.get("indexFormat").contains(Format),
       s"$root was built by an incompatible text-index format — rebuild")
-    val tok = tokenized(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val doclen = tok.groupBy("doc_id")
-        .agg(expr("CAST(count(*) AS BIGINT)").as("len"))
-      val s = doclen.agg(expr("CAST(count(*) AS BIGINT)").as("nd"),
-        expr("CAST(coalesce(sum(len), 0) AS BIGINT)").as("tl")).head()
-      val (bd, blen) = (s.getLong(0), s.getLong(1))
-      if (bd == 0) return 0L
-      val tf = tok.groupBy("doc_id", "word")
-        .agg(expr("CAST(count(*) AS BIGINT)").as("tf"))
-      postT.append(
-        tf.join(doclen, "doc_id").withColumn("bucket", bucketCol)
-          .repartition(col("bucket")),
-        collectStats = false)
-      // df counters merge at bucket granularity: the condition's bucket
-      // equi-conjunct is the prune key, so only the batch's own term
-      // buckets are read or rewritten
-      lexiconTable(root).mergeCow(spark,
-        tok.groupBy("word")
-          .agg(expr("CAST(count(DISTINCT doc_id) AS BIGINT)").as("df"))
-          .withColumn("bucket", bucketCol),
-        "source.bucket = target.bucket AND source.word = target.word",
-        targetKey = "bucket", sourceKey = "bucket",
-        whenMatchedUpdate = Some(Merge.MatchedUpdate(None,
-          Map("df" -> "target.df + source.df"))),
-        whenNotMatchedInsert = Some(Merge.NotMatchedInsert(None,
-          Map("word" -> "source.word", "df" -> "source.df",
-            "bucket" -> "source.bucket"))))
-      val (nd, totalLen) = stats(root)
-      postT.setProperties(Map(
-        "corpusFingerprint" -> fingerprint,
-        "nd" -> (nd + bd).toString,
-        "totalLen" -> (totalLen + blen).toString))
-      bd
-    } finally { tok.unpersist(); () }
+    repair(spark, root)
+    // pin the docs' postings BEFORE the delete below rewrites the store
+    val mine = postT.read(spark)
+      .join(docIds.select("doc_id").distinct(), "doc_id")
+      .select("doc_id", "word", "len", "bucket")
+      .localCheckpoint(true)
+    val s = mine.select("doc_id", "len").distinct()
+      .agg(expr("CAST(count(*) AS BIGINT)").as("ed"),
+        expr("CAST(coalesce(sum(len), 0) AS BIGINT)").as("el")).head()
+    val (ed, elen) = (s.getLong(0), s.getLong(1))
+    if (ed == 0) return 0L
+    // postings: bucket-pruned COW delete of the docs' rows
+    postT.mergeCow(spark, mine.select("doc_id", "bucket").distinct(),
+      "source.bucket = target.bucket AND source.doc_id = target.doc_id",
+      targetKey = "bucket", sourceKey = "bucket",
+      whenMatchedDelete = Some(Merge.MatchedDelete(None)))
+    // lexicon: df decrements within the docs' term buckets; a term whose
+    // df reaches zero leaves the lexicon (serving-exact: BM25's idf of an
+    // absent term is exactly a zero-df term's)
+    lexiconTable(root).mergeCow(spark,
+      mine.groupBy("word", "bucket")
+        .agg(expr("CAST(count(*) AS BIGINT)").as("df"))
+        .select("word", "df", "bucket"),
+      "source.bucket = target.bucket AND source.word = target.word",
+      targetKey = "bucket", sourceKey = "bucket",
+      whenMatchedUpdate = Some(Merge.MatchedUpdate(Some("target.df > source.df"),
+        Map("df" -> "target.df - source.df"))),
+      whenMatchedDelete = Some(Merge.MatchedDelete(Some("target.df <= source.df"))))
+    val (nd, totalLen) = stats(root)
+    postT.setProperties(Map(
+      "corpusFingerprint" -> fingerprint,
+      "nd" -> (nd - ed).toString,
+      "totalLen" -> (totalLen - elen).toString))
+    ed
   }
 }

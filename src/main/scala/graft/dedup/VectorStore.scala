@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.table.VersionedTable
+import graft.table.{Merge, VersionedTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,15 +32,23 @@ import org.apache.spark.sql.functions._
   * sit outside ALL p closest partitions. `probes` is a serving knob (the
   * FAISS nprobe dial): recall rises and probe I/O grows linearly with it;
   * the store layout is identical for every setting. Centroids stay FIXED
-  * after build (the standard IVF serving contract — retrain = rebuild):
-  * assignment drift is bounded by the build corpus' coverage, exactly as
-  * for the ANN index.
+  * between [[rebalance]] runs (the standard IVF serving contract), and the
+  * store TRACKS its own drift: [[admit]] bumps per-centroid load counters
+  * in the cents table's properties (bounded — the centroid count caps at
+  * 100k by the seed-modulus design, so the counter doc stays a
+  * driver-side metadata read), [[imbalance]] reports the max/mean skew,
+  * and [[rebalance]] re-trains centroids on the CURRENT store contents
+  * and re-lays the partitions, riding the build path and committing as
+  * new versions of the same lake-resident tables — a maintenance verb a
+  * scheduled DAG runs when the skew bound trips, not a from-scratch
+  * rebuild of anything outside the store.
   *
   * Scale: per batch — ONE broadcast-centroid ranking pass over the batch
   * (the top-p winners reduce map-side via the bounded `top_k_by`
   * aggregate: one k-slot row per vector crosses the wire, never the
   * batch × centroids candidate stream), one partition-pruned read of the
-  * probed store slices, one within-partition join; append-only growth. */
+  * probed store slices, one within-partition join; append-only growth
+  * between rebalances, plus an O(store) re-lay when one runs. */
 object VectorStore {
 
   /** d5's near-dup verification threshold (rounded cosine). */
@@ -52,6 +60,31 @@ object VectorStore {
 
   private def centsTable(root: String) = VersionedTable(s"$root/cents")
   private def assignedTable(root: String) = VersionedTable(s"$root/assigned")
+
+  /** Per-centroid row counts from the cents table's `centroidLoad` property
+    * (compact `cid:n,cid:n` encoding; bounded by the ≤100k centroid cap). */
+  def load(root: String): Map[Long, Long] =
+    centsTable(root).properties.get("centroidLoad").filter(_.nonEmpty)
+      .map(_.split(',').map { kv =>
+        val Array(c, n) = kv.split(':'); c.toLong -> n.toLong
+      }.toMap).getOrElse(Map.empty)
+
+  private def writeLoad(root: String, m: Map[Long, Long]): Unit =
+    centsTable(root).setProperties(Map("centroidLoad" ->
+      m.toSeq.sortBy(_._1).map { case (c, n) => s"$c:$n" }.mkString(",")))
+
+  /** Max/mean partition skew of the tracked load — the rebalance trigger.
+    * 1.0 is perfectly even; a store whose hot centroid holds 10× the mean
+    * reports 10. Empty/untracked load reports 1.0 (nothing to skew). */
+  def imbalance(root: String): Double = {
+    val m = load(root).values.filter(_ > 0)
+    if (m.isEmpty) 1.0
+    else m.max.toDouble / (m.sum.toDouble / m.size)
+  }
+
+  private def countsOf(assigned: DataFrame): Map[Long, Long] =
+    assigned.groupBy("c_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** Normalize a raw (vec_id, label, embedding float[]) frame to the
     * store's (vec_id, label, v double[], nv) shape. */
@@ -100,6 +133,9 @@ object VectorStore {
         graft.queries.SimilarityQueries.assignTo(vecs, centsDf)
           .repartition(col("c_id")),
         partitionBy = Seq("c_id"), collectStats = false)
+      // seed the drift tracker from the committed layout (one slim c_id
+      // scan — the counts are exact, not an estimate to reconcile later)
+      writeLoad(root, countsOf(assignedTable(root).read(spark)))
     } finally { vecs.unpersist(); () }
   }
 
@@ -160,10 +196,98 @@ object VectorStore {
         .localCheckpoint(true)
       val admitted = assignedBatch.join(
         decisions.filter(col("verdict") === "admitted").select("vec_id"), "vec_id")
-      if (!admitted.isEmpty)
+      if (!admitted.isEmpty) {
         assignedTable(root).append(admitted.repartition(col("c_id")),
           collectStats = false)
+        // drift tracking: bump the admitted mass per centroid (a collect of
+        // ≤ #centroids rows — the same bound as the broadcast above)
+        val prior = load(root)
+        val deltas = countsOf(admitted)
+        writeLoad(root, prior ++ deltas.map { case (c, n) =>
+          c -> (prior.getOrElse(c, 0L) + n) })
+      }
       decisions
+    } finally { vecs.unpersist(); () }
+  }
+
+  /** Erase vectors from the store — the right-to-be-forgotten verb
+    * (SURVEY §2.12): after evict, no surviving assigned row carries a
+    * forgotten vec_id, so probes and near-dup admission serve exactly as
+    * if the store were built without those vectors (stored rows are
+    * independent — nothing aggregates). The trained centroids are NOT
+    * retrained (they are statistics of the historical corpus, not content
+    * — the forgotten embedding itself leaves); old versions still
+    * reference the rows until the store tables are vacuumed past the
+    * evict commit. Cost: one slim scan locating the ids' partitions (the
+    * store is partitioned by c_id, which a forget request doesn't know),
+    * then a COW delete rewriting only the touched files. Returns the
+    * number of vectors erased. */
+  def evict(spark: SparkSession, root: String, vecIds: DataFrame): Long = {
+    val centsT = centsTable(root)
+    require(centsT.latestVersion().isDefined,
+      s"$root holds no vector store — build(corpus) first")
+    val ids = vecIds.select("vec_id").distinct().localCheckpoint(true)
+    // locate the victims' centroids BEFORE the delete: exact load
+    // decrements, and the erasure count to report
+    val victims = assignedTable(root).read(spark)
+      .join(ids, Seq("vec_id"), "left_semi")
+      .groupBy("c_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val erased = victims.values.sum
+    if (erased == 0) return 0L
+    assignedTable(root).mergeCow(spark, ids, "source.vec_id = target.vec_id",
+      targetKey = "vec_id", sourceKey = "vec_id",
+      whenMatchedDelete = Some(Merge.MatchedDelete(None)))
+    val prior = load(root)
+    writeLoad(root, prior ++ victims.map { case (c, n) =>
+      c -> math.max(0L, prior.getOrElse(c, 0L) - n) })
+    erased
+  }
+
+  /** REINDEX — re-train centroids on the CURRENT store contents and re-lay
+    * the partitions, as new versions of the same lake-resident tables (the
+    * build path over the store's own rows; readers time-travel across it
+    * like any commit). With `ifSkewAbove` set, runs only when
+    * [[imbalance]] exceeds the bound — the shape a scheduled maintenance
+    * DAG wants ("rebalance when the hot partition passes 4× the mean") —
+    * and returns whether it ran. Serving semantics: probes after a
+    * rebalance see the same vectors under better-balanced partitions;
+    * recall changes only through centroid QUALITY, which retraining on the
+    * drifted corpus improves over centroids trained on the original build
+    * corpus alone. */
+  def rebalance(spark: SparkSession, root: String,
+      ifSkewAbove: Option[Double] = None): Boolean = {
+    val centsT = centsTable(root)
+    require(centsT.latestVersion().isDefined,
+      s"$root holds no vector store — build(corpus) first")
+    require(centsT.properties.get("indexFormat").contains("1"),
+      s"$root was built by an incompatible vector-store format — rebuild")
+    if (ifSkewAbove.exists(bound => imbalance(root) <= bound)) return false
+    graft.functions.GraftFunctions.registerAll(spark)
+    val assignedT = assignedTable(root)
+    val vecs = assignedT.read(spark).select("vec_id", "label", "v", "nv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = vecs.count()
+      require(n > 0, s"cannot rebalance an empty vector store at $root")
+      val m = graft.queries.SimilarityQueries.seedModulus(n)
+      val cents0 = graft.queries.SimilarityQueries.trainedCents(spark, vecs, m)
+      val cents =
+        if (!cents0.isEmpty) cents0
+        else {
+          require(n <= 10000, s"no stored vec_id is divisible by the seed " +
+            s"modulus $m — centroids cannot retrain; rebalance aborted")
+          graft.queries.SimilarityQueries.trainedCents(spark, vecs, 1L)
+        }
+      centsT.commit(cents.coalesce(1))
+      centsT.setProperties(Map("seedModulus" -> m.toString))
+      val centsDf = centsT.read(spark)
+      assignedT.commit(
+        graft.queries.SimilarityQueries.assignTo(vecs, centsDf)
+          .repartition(col("c_id")),
+        partitionBy = Seq("c_id"), collectStats = false)
+      writeLoad(root, countsOf(assignedT.read(spark)))
+      true
     } finally { vecs.unpersist(); () }
   }
 }

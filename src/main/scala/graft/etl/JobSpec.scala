@@ -98,7 +98,10 @@ object JobSpec {
       require(Authenticated.Methods.contains(m),
         s"stage ${stage.name}: unknown authentication method '$m' " +
           s"(supported: ${Authenticated.Methods.keys.toSeq.sorted.mkString(", ")})")
-      Authenticated(stage, m)
+      // the stage's own URIs scope the credentials to ITS buckets (see
+      // Authenticated.applyMethod) — per-stage intent, not job-global state
+      val uris = Seq("inputURI", "outputURI").flatMap(f => optStr(n, f))
+      Authenticated(stage, m, uris)
     } else stage
   }
 

@@ -33,12 +33,13 @@ sealed trait Stage {
   * (local FS), and an unknown method refuses at PARSE time, because a
   * typo'd auth block silently running with ambient credentials is a
   * security hole, not a fallback. */
-final case class Authenticated(inner: Stage, method: String) extends Stage {
+final case class Authenticated(inner: Stage, method: String,
+    uris: Seq[String] = Nil) extends Stage {
   def name: String = inner.name
   def environments: Seq[String] = inner.environments
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
-    Authenticated.applyMethod(spark, method)
-    inner.execute(spark, env)
+    val restore = Authenticated.applyMethod(spark, method, uris)
+    try inner.execute(spark, env) finally restore()
   }
 }
 
@@ -58,14 +59,47 @@ object Authenticated {
 
   private val logged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private[etl] def applyMethod(spark: SparkSession, method: String): Unit = {
+  private def bucketOf(uri: String): Option[String] =
+    scala.util.Try(java.net.URI.create(uri)).toOption
+      .filter(u => Set("s3a", "s3n", "s3").contains(u.getScheme))
+      .flatMap(u => Option(u.getHost)).filter(_.nonEmpty)
+
+  /** Apply the method SCOPED TO THE STAGE, not job-globally — per-stage
+    * auth intent must not become ambient state for every later stage that
+    * declared none (one extract's AmazonAnonymous silently downgrading a
+    * later load's IAM credentials is a security bug, not a convenience).
+    * Two scopes, by what the stage touches:
+    *  - object-store URIs: the provider binds to the stage's own buckets
+    *    via Hadoop's per-bucket `fs.s3a.bucket.<name>.*` keys, which stay
+    *    set — correct for the stage's LAZY frames (a view extracted here
+    *    scans during a later stage's action, and must still see its
+    *    declared credentials) while leaving the base `fs.s3a.*` config,
+    *    and so every other bucket, untouched;
+    *  - no bucket to scope to (local paths, where the provider key is
+    *    inert anyway): the base key is set for the duration of the stage
+    *    and the prior value restored after it — the returned thunk.
+    * Returns the restore action for the caller's `finally`. */
+  private[etl] def applyMethod(spark: SparkSession, method: String,
+      uris: Seq[String] = Nil): () => Unit = {
     val settings = Methods.getOrElse(method, throw new IllegalArgumentException(
       s"unknown authentication method '$method'"))
-    settings.foreach { case (k, v) =>
-      spark.sparkContext.hadoopConfiguration.set(k, v) }
-    if (logged.add(method))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val buckets = uris.flatMap(bucketOf).distinct
+    val applied: Map[String, String] =
+      if (buckets.nonEmpty)
+        (for (b <- buckets; (k, v) <- settings)
+          yield s"fs.s3a.bucket.$b.${k.stripPrefix("fs.s3a.")}" -> v).toMap
+      else settings
+    val prior = if (buckets.nonEmpty) Map.empty[String, Option[String]]
+                else applied.map { case (k, _) => k -> Option(conf.get(k)) }
+    applied.foreach { case (k, v) => conf.set(k, v) }
+    if (logged.add(method + buckets.mkString(",")))
       System.err.println(s"[graft] authentication method $method applied: " +
-        settings.map { case (k, v) => s"$k=$v" }.mkString(", "))
+        applied.map { case (k, v) => s"$k=$v" }.mkString(", "))
+    () => prior.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 }
 

@@ -186,19 +186,23 @@ final class TableStreamProvider extends StreamSourceProvider with StreamSinkProv
     // forms as the reader's timestampAsOf. A timestamp at or before the
     // FIRST commit's stamp: when version 0 is still retained nothing can
     // have been vacuumed, so "from table creation time" reads every
-    // retained change (cursor 0 — Delta starts from the earliest version
-    // there); the loud failure stays for oldest-retained > 0, where
-    // earlier commits may actually be gone and replaying an incomplete
-    // history as if complete would be silent data loss.
+    // retained change INCLUDING version 0's (cursor -1 — an exclusive
+    // cursor BEFORE the first commit, matching Delta, which starts from
+    // the earliest version inclusively); the loud failure stays for
+    // oldest-retained > 0, where earlier commits may actually be gone and
+    // replaying an incomplete history as if complete would be silent data
+    // loss.
     val tsStart = parameters.get("startingTimestamp").map { s0 =>
       val millis = scala.util.Try(s0.toLong).getOrElse(
         scala.util.Try(java.sql.Timestamp.valueOf(s0).getTime).getOrElse(
           java.time.Instant.parse(s0).toEpochMilli))
-      if (t.versions().headOption.contains(0L) && millis - 1 < t.commitTimeOf(0L)) 0L
+      if (t.versions().headOption.contains(0L) && millis - 1 < t.commitTimeOf(0L)) -1L
       else t.resolveAsOfTimestamp(millis - 1)
     }
     require(tsStart.isEmpty || !parameters.contains("startingVersion"),
       "startingVersion and startingTimestamp are exclusive")
+    parameters.get("startingVersion").foreach(sv => require(sv.toLong >= 0,
+      s"startingVersion must be a committed version (>= 0), got $sv"))
     new TableStreamSource(sqlContext.sparkSession, t,
       readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean),
       startingVersion = parameters.get("startingVersion").map(_.toLong).orElse(tsStart),
@@ -292,8 +296,18 @@ final class TableStreamSource(
     plannedEnd = Some(e)
     val batch = (start.map(ver), readChangeFeed) match {
       // first batch, CDF: the starting snapshot plays the seed inserts
-      // (startingVersion, when set, is a CURSOR — emit changes after it)
+      // (startingVersion, when set, is a CURSOR — emit changes after it;
+      // the -1 sentinel from a pre-creation startingTimestamp means "from
+      // version 0 INCLUSIVE": v0's snapshot IS its change feed — the
+      // creation commit's rows are all inserts at _commit_version 0)
       case (None, true) => startingVersion match {
+        case Some(-1L) =>
+          val v0 = table.read(spark, versionAsOf = Some(0L))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(0L))
+          if (e > 0L) v0.unionByName(table.changeFeed(spark, 0L, e),
+            allowMissingColumns = true)
+          else v0
         case Some(sv) => table.changeFeed(spark, sv, e)
         case None => table.read(spark, versionAsOf = Some(e))
           .withColumn("_change_type", lit("insert"))
@@ -301,8 +315,13 @@ final class TableStreamSource(
       }
       case (Some(s), true) => table.changeFeed(spark, s, e)
       // first batch, append mode: the snapshot (or the appends after the
-      // cursor); later batches: fresh files only
+      // cursor, or — at the -1 sentinel — v0's rows plus the appends after
+      // v0); later batches: fresh files only
       case (None, false) => startingVersion match {
+        case Some(-1L) =>
+          val v0 = table.read(spark, versionAsOf = Some(0L))
+          if (e > 0L) v0.unionByName(appendBatch(0L, e), allowMissingColumns = true)
+          else v0
         case Some(sv) => appendBatch(sv, e)
         case None => table.read(spark, versionAsOf = Some(e))
       }

@@ -4807,11 +4807,13 @@ final class VersionedTable(val root: String,
     if (vs.isEmpty) return Nil
     val retained = vs.takeRight(retainVersions)
     val dropped = vs.dropRight(retainVersions)
-    val keep = retained.flatMap(v => tryStateRefs(v).getOrElse(Nil)).toSet
+    val keep = retained.flatMap(retainedStateRefs).toSet
     val fromDropped = dropped.flatMap(v => tryStateRefs(v).getOrElse(Nil))
       .distinct.filterNot(keep)
-    // orphans: on disk, referenced by NO manifest, past the age guard
-    val live = vs.flatMap(v => tryStateRefs(v).getOrElse(Nil)).toSet
+    // orphans: on disk, referenced by NO manifest, past the age guard —
+    // retained refs are strict here too (a lenient Nil would report live
+    // files as deletable orphans)
+    val live = dropped.flatMap(v => tryStateRefs(v).getOrElse(Nil)).toSet ++ keep
     val cutoff = System.currentTimeMillis() - orphanRetentionMs
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(prefix: String, dir: Path): Unit =
@@ -4847,6 +4849,22 @@ final class VersionedTable(val root: String,
       val st = stateOf(v)
       Some(st.files ++ st.dvs ++ cdfFilesOf(v))
     } catch { case _: java.nio.file.NoSuchFileException => None }
+
+  /** [[tryStateRefs]] for a RETAINED version, where the lenient Nil would
+    * be catastrophic: a retained version whose state cannot be
+    * reconstructed (delta-chain anchor lost to a racing deeper-retention
+    * vacuum, a missing materialization) would contribute an EMPTY
+    * protection set, making its live data files deletable by the
+    * dropped-refs loop and the orphan sweep — silent data loss inside a
+    * destructive operation. Abort the vacuum instead; the Nil leniency is
+    * reserved for DROPPED versions, whose files a racing vacuum already
+    * handled. */
+  private def retainedStateRefs(v: Long): Seq[String] =
+    tryStateRefs(v).getOrElse(throw new IllegalStateException(
+      s"vacuum aborted: retained version $v of $root could not be " +
+        "reconstructed (its manifest or a delta-chain anchor is missing — " +
+        "e.g. a racing vacuum with a smaller retention); nothing in the " +
+        "keep-set phase was deleted — retry once the race settles"))
 
   /** Rewrite version `v`'s manifest as a SELF-CONTAINED snapshot (same
     * state, same metadata, full file lists instead of the delta) — run on
@@ -4905,8 +4923,12 @@ final class VersionedTable(val root: String,
       }).toSet
     if (droppedIngest.nonEmpty) mergeSidecarIngest(droppedIngest)
     // data files AND deletion-vector files referenced by any retained
-    // manifest stay; everything else the dropped manifests reference goes
-    val keep = retained.flatMap(v => tryStateRefs(v).getOrElse(Nil)).toSet
+    // manifest stay; everything else the dropped manifests reference goes.
+    // Strict for retained versions — a reconstruction failure here ABORTS
+    // before anything is deleted (see retainedStateRefs); up to this point
+    // the vacuum has only materialized the floor (content-preserving) and
+    // folded sidecar memory (idempotent), both safe to leave behind.
+    val keep = retained.flatMap(retainedStateRefs).toSet
     var deleted = 0
     droppedRefs.foreach { case (v, refs) =>
       refs.foreach { f =>
@@ -4917,8 +4939,11 @@ final class VersionedTable(val root: String,
       Files.deleteIfExists(manifestPath(v))
     }
     // orphan sweep: on-disk files referenced by NO remaining manifest (a
-    // rejected batch or lost publish race) go once past the age guard
-    val live = versions().flatMap(v => tryStateRefs(v).getOrElse(Nil)).toSet
+    // rejected batch or lost publish race) go once past the age guard.
+    // Strict again: every surviving version is retained, and a lenient Nil
+    // would expose a live-but-old data file to the sweep below; aborting
+    // here merely skips the orphan sweep — the retention drop above is done
+    val live = versions().flatMap(retainedStateRefs).toSet
     val cutoff = System.currentTimeMillis() - orphanRetentionMs
     // recursive: hive-partitioned commits nest k=v dirs under the commit dir
     def sweepOrphans(prefix: String, dir: Path): Unit =

@@ -20,7 +20,7 @@ class NotebookJobSpec extends AnyFunSuite with SparkSpec {
     assert(env === Map("ETL_CONF_CURRENT_TIMESTAMP" -> "current_timestamp()"))
 
     def unwrap(s: Stage): Stage = s match {
-      case Authenticated(inner, _) => inner
+      case Authenticated(inner, _, _) => inner
       case other => other
     }
     val kinds = job.stages.map(s => unwrap(s).getClass.getSimpleName)
@@ -47,8 +47,13 @@ class NotebookJobSpec extends AnyFunSuite with SparkSpec {
     // silently dropped): AmazonIAM on the S3 extracts, the typing
     // transform's schema read, and the Delta load (scd2-job.ipynb:47-49,
     // 94-96, 170-172, 215-217)
-    val authed = job.stages.collect { case Authenticated(inner, m) =>
+    val authed = job.stages.collect { case Authenticated(inner, m, _) =>
       inner.getClass.getSimpleName -> m }
+    // the per-stage scoping (Authenticated.applyMethod) binds the method to
+    // the stage's OWN bucket — the notebook's URIs name one
+    val scopedUris = job.stages.collect {
+      case Authenticated(_, _, uris) => uris }.flatten
+    assert(scopedUris.nonEmpty && scopedUris.forall(_.startsWith("s3a://")))
     assert(authed.map(_._2).toSet === Set("AmazonIAM"))
     assert(authed.map(_._1).sorted === Seq(
       "DelimitedExtract", "DelimitedExtract", "TableLoad", "TypingTransform"))

@@ -88,14 +88,27 @@ class TableStreamSpec extends AnyFunSuite with SparkSpec {
     }
     // a timestamp at or before the FIRST commit while version 0 is still
     // retained means nothing was vacuumed: "from table creation" reads
-    // every retained change (Delta starts from the earliest version here)
+    // every retained change INCLUDING version 0's rows (Delta starts from
+    // the earliest version INCLUSIVELY — cursor-0 semantics would silently
+    // drop the creation commit)
     drain(spark.readStream.format("graft-table").option("path", root)
       .option("startingTimestamp", "1").load()
       .writeStream.format("memory").queryName("ts_creation")
       .option("checkpointLocation", tmpDir("ts-ckpt3-"))
       .trigger(Trigger.AvailableNow()).start())
     assert(spark.table("ts_creation").as[(Long, String)].collect().sorted.toSeq
-      === Seq((2L, "b"), (3L, "c")))
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // same pre-creation timestamp under CDF: v0's rows surface as inserts
+    // at _commit_version 0, then the later commits' changes follow
+    drain(spark.readStream.format("graft-table").option("path", root)
+      .option("startingTimestamp", "1").option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("ts_creation_cdf")
+      .option("checkpointLocation", tmpDir("ts-ckpt4-"))
+      .trigger(Trigger.AvailableNow()).start())
+    assert(spark.table("ts_creation_cdf")
+      .selectExpr("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+      === Seq((1L, "insert", 0L), (2L, "insert", 1L), (3L, "insert", 2L)))
     // once vacuum has dropped version 0, the same spelling fails loudly —
     // earlier commits really may be gone, and replaying an incomplete
     // history as if complete would be silent data loss
