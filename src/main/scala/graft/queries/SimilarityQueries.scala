@@ -1454,11 +1454,12 @@ object SimilarityQueries {
     * documents table with the identical decimal discipline — shared by the
     * build-once (s14) and build-then-admit (s15) stores, because an
     * exactly-maintained index must serve exactly the full-corpus result. */
-  private def bm25OracleSql(queries: Seq[(Long, Seq[String])], k: Int): String = {
+  private def bm25OracleSql(queries: Seq[(Long, Seq[String])], k: Int,
+      where: String = ""): String = {
     val qvals = queries.flatMap { case (q, ws) =>
       ws.map(wd => s"($q, '$wd')") }.mkString(", ")
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |             FROM documents),
+         |             FROM documents $where),
          |doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
          |           FROM tok GROUP BY doc_id),
          |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
@@ -1514,8 +1515,244 @@ object SimilarityQueries {
     (spark, dir) => bm25TopK(spark, textAdmitRoot(spark, dir), Bm25AdmitQueries, 10),
     Some(bm25OracleSql(Bm25AdmitQueries, 10)))
 
+  /** Keyword queries for the stream-admitted store — a third distinct term
+    * set so s14/s15/s16 cannot accidentally share cached results. */
+  private val Bm25StreamQueries: Seq[(Long, Seq[String])] =
+    Seq(1L -> Seq("window", "spark"), 2L -> Seq("dup", "sort"))
+
+  /** The s16 store: s15's build-then-admit split, but the admitted slice
+    * arrives through the STREAMING funnel
+    * ([[graft.streaming.StreamingEtl.textAdmitStream]]) — landed as a file,
+    * admitted exactly-once under the (checkpoint, batchId) txn mark the
+    * postings append carries. The restart contract is asserted in-build:
+    * re-running the stream on the SAME checkpoint admits nothing (postings
+    * version and nd/totalLen unchanged — a replayed batch is recognized
+    * inside admit, after any torn tail is rolled forward). */
+  private def textStreamRoot(spark: SparkSession, dir: String): String = {
+    val root = indexLakeRoot(spark, dir) + "/text_stream"
+    val fp = docsFingerprint(dir)
+    if (verifiedFresh.get(root) == fp) return root
+    this.synchronized {
+      if (verifiedFresh.get(root) == fp) return root
+      val postings = graft.table.VersionedTable(s"$root/postings")
+      val fresh = graft.table.VersionedTable.exists(s"$root/postings") &&
+        postings.properties.get("corpusFingerprint").contains(fp) &&
+        postings.properties.get("indexFormat")
+          .contains(graft.dedup.TextIndexStore.Format)
+      if (!fresh) {
+        wipeDir(root)
+        val docs = Tables.table(spark, dir, "documents")
+        graft.dedup.TextIndexStore.build(spark, root,
+          docs.filter("doc_id % 7 != 0"), fp + ":base")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-s16-").toString
+        docs.filter("doc_id % 7 = 0").coalesce(1).write.parquet(s"$tmp/landing")
+        def drain(): Unit = {
+          val q = graft.streaming.StreamingEtl.textAdmitStream(spark,
+            s"$tmp/landing", docs.schema, root, fp, s"$tmp/ckpt")
+          q.processAllAvailable(); q.stop()
+        }
+        drain()
+        val v1 = postings.resolve()
+        val stats1 = graft.dedup.TextIndexStore.stats(root)
+        drain() // same checkpoint: the replayed batch must admit NOTHING
+        require(postings.resolve() == v1 &&
+          graft.dedup.TextIndexStore.stats(root) == stats1,
+          "a restarted admission stream on the same checkpoint must be a no-op")
+      }
+      verifiedFresh.put(root, fp)
+      root
+    }
+  }
+
+  /** s16: BM25 served from a store grown by STREAMING admission — s15's
+    * exactness contract (the oracle recomputes over the FULL corpus) plus
+    * the streaming funnel's exactly-once restart, asserted in-build. */
+  val s16StreamBm25Admit: Q = Q(
+    "s16_stream_bm25_admit",
+    (spark, dir) => bm25TopK(spark, textStreamRoot(spark, dir), Bm25StreamQueries, 10),
+    Some(bm25OracleSql(Bm25StreamQueries, 10)))
+
+  // ------------------------------------------------------------- q127
+
+  /** Forgotten-id modulus for q127: doc_id/vec_id % 13 = 0 are erased. */
+  private val ForgetMod = 13
+
+  private val ForgetBm25Queries: Seq[(Long, Seq[String])] =
+    Seq(1L -> Seq("sort", "dup"), 2L -> Seq("window", "merge"))
+
+  /** The q127 store trio: signature + vector + text index stores built on
+    * the FULL corpus, then the `% ForgetMod = 0` ids ERASED through each
+    * store's evict verb — the serving queries read the post-erasure stores
+    * while the oracle recomputes every result on corpus-minus-forgotten,
+    * so hash equality proves right-to-be-forgotten actually reached the
+    * indexes (the reference's own delete-and-prove flow,
+    * scd2-job.ipynb:443-483, extended from the base table to its derived
+    * index state). */
+  private def forgetRoot(spark: SparkSession, dir: String): String = {
+    val root = indexLakeRoot(spark, dir) + "/forget"
+    val fp = docsFingerprint(dir) + ":" + corpusFingerprint(dir)
+    if (verifiedFresh.get(root) == fp) return root
+    this.synchronized {
+      if (verifiedFresh.get(root) == fp) return root
+      val textPost = graft.table.VersionedTable(s"$root/text/postings")
+      val sigsT = graft.table.VersionedTable(s"$root/sig/sigs")
+      val centsT = graft.table.VersionedTable(s"$root/vec/cents")
+      val fresh = graft.table.VersionedTable.exists(s"$root/text/postings") &&
+        textPost.properties.get("corpusFingerprint").contains(fp) &&
+        graft.table.VersionedTable.exists(s"$root/sig/sigs") &&
+        sigsT.properties.get("forgetFingerprint").contains(fp) &&
+        graft.table.VersionedTable.exists(s"$root/vec/cents") &&
+        centsT.properties.get("forgetFingerprint").contains(fp)
+      if (!fresh) {
+        wipeDir(root)
+        val docs = Tables.table(spark, dir, "documents")
+        val emb = Tables.table(spark, dir, "embeddings")
+        val docVictims = docs.filter(s"doc_id % $ForgetMod = 0").select("doc_id")
+        val vecVictims = emb.filter(s"vec_id % $ForgetMod = 0").select("vec_id")
+        graft.dedup.TextIndexStore.build(spark, s"$root/text", docs, fp + ":full")
+        graft.dedup.TextIndexStore.evict(spark, s"$root/text", docVictims, fp)
+        graft.dedup.SignatureStore.build(spark, s"$root/sig", docs)
+        graft.dedup.SignatureStore.evict(spark, s"$root/sig", docVictims)
+        sigsT.setProperties(Map("forgetFingerprint" -> fp))
+        graft.dedup.VectorStore.build(spark, s"$root/vec", emb)
+        graft.dedup.VectorStore.evict(spark, s"$root/vec", vecVictims)
+        centsT.setProperties(Map("forgetFingerprint" -> fp))
+      }
+      verifiedFresh.put(root, fp)
+      root
+    }
+  }
+
+  /** q127: right-to-be-forgotten THROUGH THE INDEXES — the base-table
+    * delete lifecycle (q121) extended to the derived stores. All three
+    * serving surfaces are read post-erasure and unified into one
+    * (part, a, b, score) frame:
+    *  - `bm25`: keyword top-10 from the evicted inverted index (per-term
+    *    df decrements, lexicon deletions, nd/totalLen shrink — the
+    *    aggregate-maintenance erasure);
+    *  - `sig`:  every document probed against the evicted signature store
+    *    (band-key candidates, ≥8 of 16 MinHash lanes verify, self
+    *    excluded) — min surviving partner + partner count per doc;
+    *  - `vec`:  IVF top-10 for the vec_id=2 query from the evicted vector
+    *    store (centroids intentionally NOT retrained — they are corpus
+    *    statistics; the forgotten embedding itself is gone).
+    * The oracle recomputes each surface relationally on
+    * corpus-minus-forgotten: hash equality = the erasure is serving-exact. */
+  val q127ForgetIndexed: Q = Q(
+    "q127_forget_indexed",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.registerAll(spark)
+      val root = forgetRoot(spark, dir)
+      // bm25 face — the evicted text index
+      val bm = bm25TopK(spark, s"$root/text", ForgetBm25Queries, 10)
+        .select(lit("bm25").as("part"), col("q_id").as("a"),
+          col("doc_id").as("b"), col("score"))
+      // sig face — probe ALL documents against the evicted store
+      val docs = Tables.table(spark, dir, "documents")
+      val probeSigs = docs.select(col("doc_id"),
+        expr(s"minhash_sig(${graft.dedup.SignatureStore.ShinglesExpr})").as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      probeSigs.count()
+      val probeBands = probeSigs.select(col("doc_id"),
+          explode(expr(graft.dedup.SignatureStore.BandKeysExpr)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val storedBands = graft.table.VersionedTable(s"$root/sig/bands").read(spark)
+      val cand = probeBands
+        .join(storedBands.toDF("s_id", "band2", "bkey2"),
+          col("band") === col("band2") && col("bkey") === col("bkey2") &&
+            col("doc_id") =!= col("s_id"))
+        .select("doc_id", "s_id").distinct()
+      val storedSigs = graft.table.VersionedTable(s"$root/sig/sigs").read(spark)
+        .select(col("doc_id").as("s_id"), col("sig").as("sb"))
+      val sigPart = cand
+        .join(probeSigs.select(col("doc_id"), col("sig").as("sa")), "doc_id")
+        .join(storedSigs, "s_id")
+        .filter(expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), " +
+          s"0, (acc, v) -> acc + v) >= ${graft.dedup.SignatureStore.MinAgreeingLanes}"))
+        .groupBy("doc_id")
+        .agg(min(col("s_id")).as("b"),
+          expr("CAST(count(DISTINCT s_id) AS DOUBLE)").as("score"))
+        .select(lit("sig").as("part"), col("doc_id").as("a"), col("b"), col("score"))
+        .localCheckpoint(true) // pin before releasing the signature cache
+      probeSigs.unpersist()
+      // vec face — IVF probe of the evicted vector store
+      val e = vectors(spark, dir)
+      val q = e.filter(col("vec_id") === 2)
+        .select(col("v").as("qv"), col("nv").as("nqv"))
+      val cents = graft.table.VersionedTable(s"$root/vec/cents").read(spark)
+      val probes = cents.crossJoin(broadcast(q))
+        .withColumn("qsim", cosineWithNorms6(col("cv"), col("ncv"), col("qv"), col("nqv")))
+        .orderBy(col("qsim").desc, col("c_id")).limit(4)
+        .select("c_id").collect().map(_.getLong(0)).toSeq
+      val assigned = graft.table.VersionedTable(s"$root/vec/assigned")
+        .readPartitioned(spark, s"c_id IN (${probes.mkString(", ")})")._1
+      val vecPart = assigned.crossJoin(broadcast(q))
+        .withColumn("sim", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .select(lit("vec").as("part"), lit(2L).as("a"),
+          col("vec_id").as("b"), col("sim").as("score"))
+      bm.unionByName(sigPart).unionByName(vecPart)
+    },
+    Some {
+      val lanes16 = "list_sum(list_transform(range(1, 17), " +
+        "i -> CASE WHEN pa.sig[i] = pb.sig[i] THEN 1 ELSE 0 END))"
+      s"""SELECT 'bm25' AS part, q_id AS a, doc_id AS b, score FROM (
+         |${bm25OracleSql(ForgetBm25Queries, 10, s"WHERE doc_id % $ForgetMod != 0")}
+         |) bmq
+         |UNION ALL
+         |SELECT 'sig' AS part, a, b, score FROM (
+         |WITH sh_all AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+         |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS shingle
+         |  FROM documents),
+         |hm AS (
+         |  SELECT doc_id, shingle,
+         |    md5('0:' || shingle) || md5('1:' || shingle) ||
+         |    md5('2:' || shingle) || md5('3:' || shingle) AS h
+         |  FROM sh_all),
+         |sig AS (
+         |  SELECT doc_id, i, min(substr(h, 1 + i * 8, 8)) AS mh
+         |  FROM hm, (SELECT unnest(range(0, 16)) AS i) perms
+         |  GROUP BY doc_id, i),
+         |sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b * 2 + 1:b * 2 + 2], ',')) AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) bs),
+         |cand AS (
+         |  SELECT DISTINCT p.doc_id AS a_id, s.doc_id AS s_id
+         |  FROM bands p JOIN bands s
+         |    ON p.b = s.b AND p.bkey = s.bkey
+         |   AND s.doc_id % $ForgetMod != 0 AND p.doc_id != s.doc_id),
+         |lanes AS (
+         |  SELECT c.a_id, c.s_id
+         |  FROM cand c
+         |  JOIN sigs pa ON pa.doc_id = c.a_id
+         |  JOIN sigs pb ON pb.doc_id = c.s_id
+         |  WHERE $lanes16 >= ${graft.dedup.SignatureStore.MinAgreeingLanes})
+         |SELECT a_id AS a, min(s_id) AS b, CAST(count(DISTINCT s_id) AS DOUBLE) AS score
+         |FROM lanes GROUP BY a_id
+         |) sq
+         |UNION ALL
+         |SELECT 'vec' AS part, CAST(2 AS BIGINT) AS a, vec_id AS b, sim AS score FROM (
+         |WITH ${duckAssignedFor("")},
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 2),
+         |probed AS (
+         |  SELECT c_id AS probe_c
+         |  FROM cents, q
+         |  ORDER BY round(${duckCos("cv", "qv")}, 6) DESC, c_id
+         |  LIMIT 4)
+         |SELECT vec_id, round(${duckCos("v", "qv")}, 6) AS sim
+         |FROM assigned JOIN probed ON c_id = probe_c, q
+         |WHERE vec_id % $ForgetMod != 0
+         |ORDER BY sim DESC, vec_id
+         |LIMIT 10
+         |) vq""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
     s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
     s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf, s12AnnFiltered,
-    s13RangeSearch, s14Bm25Stored, s15Bm25Admit)
+    s13RangeSearch, s14Bm25Stored, s15Bm25Admit, s16StreamBm25Admit,
+    q127ForgetIndexed)
 }

@@ -290,6 +290,36 @@ object StreamingEtl {
         ()
     }
 
+  /** Continuous BM25 index maintenance — the lexical sibling of
+    * [[vectorAdmitStream]]: each landed micro-batch of documents admits
+    * into the lake-resident inverted index
+    * ([[graft.dedup.TextIndexStore.admit]]), stamped `(checkpointDir,
+    * batchId)` on the postings append. Exactly-once lives INSIDE admit
+    * here (not in the funnel): a replayed batch is recognized via the
+    * postings table's idempotent-writer marks and skipped — after any torn
+    * prior admit is rolled forward — so a crash at any point between the
+    * admit's three commits restarts cleanly. `fingerprint` is the corpus
+    * fingerprint the store should record once the batch is in. */
+  def textAdmitStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      storeRoot: String,
+      fingerprint: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.dedup.TextIndexStore.admit(batch.sparkSession, storeRoot,
+            batch, fingerprint, txn = Some(checkpointDir -> batchId))
+          ()
+        }
+      }
+      .start()
+
   /** Continuous SCD1 upsert (CDC "latest state per key"): each micro-batch
     * is reduced to its newest row per `key` (descending `orderCols`,
     * lexicographic, so include a unique tiebreaker column), then merged into

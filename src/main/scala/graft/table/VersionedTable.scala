@@ -3077,9 +3077,14 @@ final class VersionedTable(val root: String,
     // pin the output columns to the TABLE's types: merge expressions can
     // silently widen (e.g. an int column SET from a long source) and the
     // manifest-schema'd read would then choke on the widened files — Delta
-    // likewise casts SET/INSERT values to the target column type
+    // likewise casts SET/INSERT values to the target column type. A type
+    // differing ONLY in nullability is written as-is: the full-outer merge
+    // join relaxes containsNull on untouched array columns, and Cast
+    // refuses the (semantically no-op) nullable→non-null direction
+    val outTypes = marked0.schema.fields.map(f => f.name -> f.dataType).toMap
     val marked = marked0.select(schema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)) ++
+      if (outTypes.get(f.name).exists(_.catalogString == f.dataType.catalogString)) col(f.name)
+      else col(f.name).cast(f.dataType).as(f.name)) ++
       (if (captureCdf) Seq(col("__change_kind"), col("__pre")) else Nil): _*)
     val merged =
       if (!captureCdf) marked
