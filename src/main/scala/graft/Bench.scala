@@ -90,11 +90,17 @@ object Bench {
       }
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    // lifecycle/serve split rows for queries that mark their phase
+    // boundary (PhaseClock): <name>_setup + <name>_serve accompany the
+    // combined entry, so a commit-cost change and a read-path change are
+    // separately visible in the record
+    val splits = scala.collection.mutable.LinkedHashMap[String, Double]()
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // attribute each query's own cost, not the previous query's garbage:
       // drop leftover cached blocks and take the GC hit between measurements
       spark.sharedState.cacheManager.clearCache()
       System.gc()
+      graft.queries.PhaseClock.clear(name)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -102,7 +108,15 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val t1 = System.nanoTime()
+      if (ok) {
+        graft.queries.PhaseClock.serveMarkNanos(name)
+          .filter(m => m >= t0 && m <= t1).foreach { m =>
+            splits(s"${name}_setup") = (m - t0) / 1e9
+            splits(s"${name}_serve") = (t1 - m) / 1e9
+          }
+        (t1 - t0) / 1e9
+      } else -1.0
     }
     val first = picked.map { case (name, fn) => name -> time(name, fn) }
     // Quiet-lane re-measurement (the outlier protocol BASELINE.md
@@ -145,9 +159,14 @@ object Bench {
       val burst = t > math.max(2.0, 3 * median) ||
         baseline.get(name).exists(b => t > 2 * b)
       if (burst && t >= 0) {
+        // keep the split rows consistent with whichever run's combined
+        // number wins the min below
+        val priorSplit = Seq(s"${name}_setup", s"${name}_serve")
+          .flatMap(k => splits.get(k).map(k -> _))
         val l0 = load1; val g0 = gcMillis
         val t2 = time(name, byName(name))
         val g1 = gcMillis
+        if (!(t2 >= 0 && t2 < t)) priorSplit.foreach { case (k, v) => splits(k) = v }
         val best = if (t2 >= 0) math.min(t, t2) else t
         if (baseline.get(name).exists(b => best > 2 * b)) {
           val note = String.format(java.util.Locale.ROOT,
@@ -161,7 +180,7 @@ object Bench {
         name -> best
       } else name -> t
     }
-    val results = retimed ++
+    val results = retimed ++ splits.toSeq ++
       (if (ivfBuildCold >= 0) Seq("ivf_build_cold" -> ivfBuildCold) else Nil) ++
       (if (ivfBuild >= 0) Seq("ivf_build" -> ivfBuild) else Nil) ++
       (if (bm25Cold >= 0) Seq("bm25_build_cold" -> bm25Cold) else Nil) ++
@@ -173,7 +192,10 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => Verify.jsonQuote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // the _setup/_serve rows decompose combined entries already counted —
+    // summing them too would double-count the suite total
+    val total = retimed.map(_._2).filter(_ >= 0).sum +
+      Seq(ivfBuildCold, ivfBuild, bm25Cold, bm25Warm).filter(_ >= 0).sum
     val cont =
       if (contention.isEmpty) ""
       else contention.map { case (k, v) =>

@@ -577,6 +577,7 @@ object DedupQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft-d12-").toString
       graft.dedup.SignatureStore.build(spark, s"$tmp/ix",
         docs.filter("doc_id % 2 = 0"))
+      PhaseClock.markServe("d12_incremental_dedup") // build above, per-batch admit below
       graft.dedup.SignatureStore.admit(spark, s"$tmp/ix",
         docs.filter("doc_id % 2 = 1"))
     },
@@ -644,6 +645,7 @@ object DedupQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft-d13-").toString
       graft.dedup.VectorStore.build(spark, s"$tmp/vx",
         emb.filter("vec_id % 2 = 0"))
+      PhaseClock.markServe("d13_incremental_embedding_dedup") // build / admit split
       graft.dedup.VectorStore.admit(spark, s"$tmp/vx",
         emb.filter("vec_id % 2 = 1"))
     },

@@ -165,6 +165,7 @@ object MultimodalQueries {
         .toDF("vec_id", "label", "embedding")
       graft.dedup.VectorStore.build(spark, s"$tmp/vx",
         media.filter(col("vec_id") % 2 === 0))
+      PhaseClock.markServe("m6_media_embed_admit") // decode+build / admit split
       graft.dedup.VectorStore.admit(spark, s"$tmp/vx",
         media.filter(col("vec_id") % 2 === 1), threshold = 0.9)
     },

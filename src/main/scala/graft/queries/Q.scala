@@ -27,3 +27,19 @@ object Q {
   def dualSql(name: String, sparkSql: String, duckSql: String): Q =
     Q(name, (spark, dir) => { Tables.registerAll(spark, dir); spark.sql(sparkSql) }, Some(duckSql))
 }
+
+/** Lifecycle/serve phase boundary for gate queries whose run is a
+  * LIFECYCLE (build state, commit batches, drain streams) followed by one
+  * serving read: the query calls [[markServe]] when its setup is done, and
+  * the bench reports `<name>_setup` / `<name>_serve` split rows alongside
+  * the combined number — a commit-cost regression and a read-path
+  * regression are different bugs and deserve different numbers (the same
+  * split `ivf_build_cold`/`ivf_build` already gives the index builds).
+  * Correctness runs ignore the marks entirely. */
+object PhaseClock {
+  private val marks = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def markServe(name: String): Unit = { marks.put(name, System.nanoTime()); () }
+  private[graft] def serveMarkNanos(name: String): Option[Long] =
+    Option(marks.get(name)).map(_.longValue)
+  private[graft] def clear(name: String): Unit = { marks.remove(name); () }
+}

@@ -452,6 +452,8 @@ object SourceQueries {
       base.update(spark, "o_orderpriority = '1-URGENT'",
         Map("price" -> "price + 1"))
       mv.refresh(spark)
+      // lifecycle above (commits + incremental refreshes), serving read below
+      PhaseClock.markServe("q85_incremental_agg")
       mv.read(spark).select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
         col("sum_price").cast("double").as("sum_price"))
     },
@@ -594,6 +596,9 @@ object SourceQueries {
       (1L to 4L).foreach(v => require(
         t.cdfKindOf(v).exists(k => k == "append" || k == "files"),
         s"version $v lacks write-time capture (kind=${t.cdfKindOf(v)})"))
+      // the five-commit CDC timeline above is setup; the feed read below
+      // is what a downstream consumer pays per drain
+      PhaseClock.markServe("q97_change_feed_stored")
       t.changeFeed(spark, 0L, 4L)
         .groupBy("_commit_version", "_change_type")
         .agg(count(lit(1)).as("n"),

@@ -553,6 +553,8 @@ object StreamingQueries {
       // compaction materialized the tombstones: the head carries no DVs
       // (delete-free reads from here on — the amortization actually landed)
       require(t.dvFileCount() == 0, "compact did not clear the deletion vectors")
+      // CDC drains + compaction above; the delete-free latest-state read below
+      PhaseClock.markServe("q105_stream_cdc_mor")
       t.read(spark)
         .select($"user_id", $"ts".as("last_ts"),
           $"event_type".as("last_type"), $"value".as("last_value"))
@@ -625,6 +627,8 @@ object StreamingQueries {
       val decisionsT = graft.table.VersionedTable(s"$tmp/decisions")
       decisionsT.commit(Seq.empty[(Long, String, Option[Long])]
         .toDF("vec_id", "verdict", "dup_of"))
+      // store build + landing above; the streaming admission itself below
+      PhaseClock.markServe("q119_stream_vector_admit")
       val q = graft.streaming.StreamingEtl.vectorAdmitStream(spark, landing,
         emb.schema, s"$tmp/vx", s"$tmp/decisions", s"$tmp/ckpt")
       q.processAllAvailable(); q.stop()
@@ -695,6 +699,9 @@ object StreamingQueries {
       src.appendIdentity(spark, spark.sql(
         """SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice
           |FROM orders WHERE o_orderkey % 500 = 0""".stripMargin))
+      // seed + source mutations above; the steady-state replication cost
+      // (catch-up drain applying three commits in one merge) below
+      PhaseClock.markServe("q125_cdc_replica")
       drain() // catch-up: all three commits collapse into one merge
       val s = src.read(spark)
       val r = replica.read(spark)

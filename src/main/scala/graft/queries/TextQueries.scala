@@ -731,9 +731,94 @@ object TextQueries {
         |FROM m CROSS JOIN tot
         |GROUP BY source, all_tokens""".stripMargin)
 
+  /** t21: BPE ENCODE — apply the learned merge vocabulary to tokenize the
+    * corpus (the other half of t18, and the step that actually runs over
+    * 100 TB: training is one counting pass, but every training document is
+    * ENCODED). The bounded merge table (t18's top-20 pairs, rank-ordered
+    * by count then pair) collects to the driver and folds into the row
+    * expression as literals, so the apply pass is ONE map over the corpus:
+    * zero shuffles, zero joins, per-row codegen'd string work.
+    *
+    * Mechanism (shared bit-for-bit with the DuckDB oracle, which replays
+    * the same merge list through a recursive CTE): a document is encoded
+    * as its characters joined by a DOUBLED sentinel (`␟␟c₁␟␟c₂␟␟…`), and
+    * merge rank r rewrites every `␟a␟␟b␟` to `␟ab␟` — the single-sentinel
+    * pattern edges force a and b to be COMPLETE adjacent tokens (a suffix
+    * like "xa"+"b" cannot match), the doubled boundary keeps back-to-back
+    * merge sites independent, and left-to-right non-overlapping `replace`
+    * is exactly the greedy single-pass-per-rank BPE application both
+    * engines implement identically. Spaces ride along as ordinary tokens
+    * that no learned pair contains, so merges never cross words; they are
+    * dropped from the final token stream. */
+  val t21BpeEncode: Q = Q(
+    "t21_bpe_encode",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, expr, lit, regexp_replace}
+      Tables.registerAll(spark, dir)
+      // the bounded merge table — t18's learning pass, rank-ordered
+      val merges: Seq[String] = spark.sql(
+        """SELECT p FROM (
+          |  SELECT p, count(*) AS n FROM (
+          |    SELECT w, explode(transform(sequence(1, length(w) - 1),
+          |                                i -> substring(w, i, 2))) AS p
+          |    FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+          |    WHERE length(w) >= 2) pr
+          |  GROUP BY p ORDER BY n DESC, p LIMIT 20) m
+          |ORDER BY n DESC, p""".stripMargin)
+        .collect().map(_.getString(0)).toSeq
+      val sep = "\u001F"; val sep2 = sep + sep // chr(31), the oracle sentinel
+      val init = concat(lit(sep2),
+        regexp_replace(col("text"), lit("(?s)(.)"), lit("$1" + sep2)))
+      val encoded = merges.foldLeft(init) { (c, p) =>
+        org.apache.spark.sql.functions.replace(c,
+          lit(sep + p.substring(0, 1) + sep2 + p.substring(1, 2) + sep),
+          lit(sep + p + sep))
+      }
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), encoded.as("s"))
+        .withColumn("toks",
+          expr(s"filter(split(s, '$sep2'), x -> x != '' AND x != ' ')"))
+        .select(col("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+          expr("array_join(toks, ' ')").as("enc"))
+    },
+    Some(
+      """WITH RECURSIVE merges AS (
+        |  SELECT pair,
+        |    CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS r
+        |  FROM (
+        |    SELECT p AS pair, count(*) AS n
+        |    FROM (
+        |      SELECT w, unnest(list_transform(range(1, length(w)),
+        |                                      i -> substring(w, i, 2))) AS p
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |      WHERE length(w) >= 2)
+        |    GROUP BY p ORDER BY n DESC, pair LIMIT 20) t),
+        |st AS (
+        |  SELECT doc_id,
+        |    chr(31) || chr(31) ||
+        |      regexp_replace(text, '(?s)(.)', '\1' || chr(31) || chr(31), 'g') AS s,
+        |    CAST(0 AS BIGINT) AS r
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT e.doc_id,
+        |    replace(e.s,
+        |      chr(31) || substring(m.pair, 1, 1) || chr(31) || chr(31) ||
+        |        substring(m.pair, 2, 1) || chr(31),
+        |      chr(31) || m.pair || chr(31)),
+        |    e.r + 1
+        |  FROM st e JOIN merges m ON m.r = e.r + 1)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks, ' ') AS enc
+        |FROM (
+        |  SELECT doc_id,
+        |    list_filter(string_split(s, chr(31) || chr(31)),
+        |                x -> x != '' AND x != ' ') AS toks
+        |  FROM st WHERE r = (SELECT max(r) FROM merges)) f""".stripMargin))
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
     t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split,
     t15UnigramLogprob, t16QualityClassifier, t17BigramLogprob, t18BpePairs,
-    t19Boilerplate, t20DatasetCard, q120TrainingPipeline)
+    t19Boilerplate, t20DatasetCard, t21BpeEncode, q120TrainingPipeline)
 }

@@ -4969,13 +4969,20 @@ final class VersionedTable(val root: String,
     Seq("data" -> dataDir, "dv" -> dvDir, "cdf" -> cdfDir).foreach { case (prefix, base) =>
       if (Files.isDirectory(base)) sweepOrphans(prefix, base)
     }
-    // sweep now-empty dirs bottom-up (partition subdirs before commit dirs)
+    // sweep now-empty dirs bottom-up (partition subdirs before commit dirs).
+    // Same age guard as the orphan sweep: a CONCURRENT writer's in-progress
+    // commit dir (created empty — e.g. the committer's _temporary staging
+    // dir — moments before its tasks write into it) must not be swept out
+    // from under the write; only dirs old enough that no live writer can
+    // still be filling them go.
     def sweepEmpty(dir: Path): Unit = {
       listNames(dir).foreach { n =>
         val p = dir.resolve(n)
         if (Files.isDirectory(p)) {
           sweepEmpty(p)
-          if (listNames(p).isEmpty) Files.deleteIfExists(p)
+          val old = scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+            .toOption.exists(_ < cutoff)
+          if (old && listNames(p).isEmpty) Files.deleteIfExists(p)
         }
       }
     }

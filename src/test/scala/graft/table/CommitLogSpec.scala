@@ -102,6 +102,94 @@ class CommitLogSpec extends AnyFunSuite with SparkSpec {
     assert(VersionedTable(root).read(spark).count() === 41L)
   }
 
+  test("racing delta appends against a concurrent checkpoint + vacuum: " +
+      "cold-JVM replay equals the serial result") {
+    val root = tmpDir("clog-race-")
+    val t = VersionedTable(root)
+    t.commit(Seq((0L, "seed")).toDF("id", "s"))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // 4 writers × 6 delta appends each, all CAS-publishing and rebasing
+    // against each other, while a maintenance loop checkpoints and vacuums
+    // the retention floor (materializing it out from under the replayers)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintenance = Future {
+      val tm = VersionedTable(root)
+      while (!stop.get) {
+        try { tm.checkpoint(spark); () } catch { case _: Exception => () }
+        try { tm.vacuum(retainVersions = 8); () } catch { case _: Exception => () }
+        Thread.sleep(20)
+      }
+    }
+    val writers = (1 to 4).map { w =>
+      Future {
+        val tw = VersionedTable(root)
+        (0 until 6).foreach { i =>
+          tw.append(Seq((w * 1000L + i, s"w$w")).toDF("id", "s"))
+        }
+      }
+    }
+    writers.foreach(Await.result(_, 300.seconds))
+    stop.set(true)
+    Await.result(maintenance, 300.seconds)
+    // the serial result: every writer's every row, exactly once — no append
+    // lost to a rebase, none double-published, none vacuumed away
+    val expect = (for (w <- 1 to 4; i <- 0 until 6) yield w * 1000L + i).toSet
+    def ids(tt: VersionedTable): Set[Long] =
+      tt.read(spark).select("id").collect().map(_.getLong(0)).toSet
+    val live = ids(t)
+    assert(live.size === 24 + (if (live.contains(0L)) 1 else 0))
+    assert(expect.subsetOf(live), s"missing: ${expect -- live}")
+    // cold JVM: replay from disk anchors only (the vacuumed floor must have
+    // been materialized; a delta replaying through dropped manifests fails)
+    VersionedTable.clearStateCache()
+    assert(ids(VersionedTable(root)) === live)
+  }
+
+  test("cross-JVM: a forked Spark writer appends deltas while this JVM " +
+      "appends, checkpoints and vacuums — replay equals the serial sum") {
+    val root = tmpDir("clog-xjvm-")
+    val t = VersionedTable(root)
+    t.commit(Seq((0L, "seed")).toDF("id", "s"))
+    val dir = tmpDir("clog-xjvm-barrier-")
+    val ready = Paths.get(dir, "ready"); val go = Paths.get(dir, "go")
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    // child output goes to a FILE: a Spark child logs more than a pipe
+    // buffer holds, and an undrained pipe deadlocks the child mid-append
+    val childLog = Paths.get(dir, "child.log")
+    val proc = new ProcessBuilder(javaBin, "-cp", cp,
+      "graft.table.DeltaRaceChild", root, "7", "6",
+      ready.toString, go.toString)
+      .redirectErrorStream(true).redirectOutput(childLog.toFile).start()
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!Files.exists(ready) && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(Files.exists(ready), "race child never came up")
+    Files.write(go, Array.emptyByteArray)
+    // parent leg: interleaved appends + a checkpoint + a floor-dropping
+    // vacuum while the child JVM publishes its own delta manifests
+    (0 until 6).foreach { i =>
+      t.append(Seq((500L + i, "parent")).toDF("id", "s"))
+      if (i == 2) { try { t.checkpoint(spark); () } catch { case _: Exception => () } }
+      if (i == 4) { try { t.vacuum(retainVersions = 6); () } catch { case _: Exception => () } }
+    }
+    assert(proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "race child did not exit")
+    val out = new String(Files.readAllBytes(childLog), "UTF-8")
+    assert(out.contains("DONE 7"),
+      s"child failed:\n${out.linesIterator.toSeq.takeRight(40).mkString("\n")}")
+    // serial sum across both JVMs, from a cold state cache
+    VersionedTable.clearStateCache()
+    val live = VersionedTable(root).read(spark).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val expect = (0 until 6).map(500L + _).toSet ++
+      (0 until 6).map(700000L + _).toSet
+    assert(expect.subsetOf(live), s"missing: ${expect -- live}")
+    assert(live.size === expect.size + (if (live.contains(0L)) 1 else 0))
+  }
+
   test("an overwrite writes a snapshot (its delta would be bigger), rewrites stay deltas") {
     val root = tmpDir("clog-ow-")
     val t = VersionedTable(root)
