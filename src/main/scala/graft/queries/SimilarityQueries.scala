@@ -1569,7 +1569,12 @@ object SimilarityQueries {
     * the streaming funnel's exactly-once restart, asserted in-build. */
   val s16StreamBm25Admit: Q = Q(
     "s16_stream_bm25_admit",
-    (spark, dir) => bm25TopK(spark, textStreamRoot(spark, dir), Bm25StreamQueries, 10),
+    (spark, dir) => {
+      val root = textStreamRoot(spark, dir)
+      // build + streamed admission above (once per corpus); probe below
+      PhaseClock.markServe("s16_stream_bm25_admit")
+      bm25TopK(spark, root, Bm25StreamQueries, 10)
+    },
     Some(bm25OracleSql(Bm25StreamQueries, 10)))
 
   // ------------------------------------------------------------- q127
@@ -1643,6 +1648,8 @@ object SimilarityQueries {
     (spark, dir) => {
       graft.functions.GraftFunctions.registerAll(spark)
       val root = forgetRoot(spark, dir)
+      // store trio build + erasure above (once per corpus); serving below
+      PhaseClock.markServe("q127_forget_indexed")
       // bm25 face — the evicted text index
       val bm = bm25TopK(spark, s"$root/text", ForgetBm25Queries, 10)
         .select(lit("bm25").as("part"), col("q_id").as("a"),
