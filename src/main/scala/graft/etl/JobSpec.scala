@@ -212,6 +212,24 @@ object JobSpec {
           .getOrElse(graft.dedup.VectorStore.DefaultThreshold),
         optStr(n, "probes").map(_.toInt)
           .getOrElse(graft.dedup.VectorStore.DefaultProbes), envs(n))
+      case "DedupIndexEvict" => DedupIndexEvict(
+        name, str(n, "inputView"), str(n, "storeURI"),
+        optStr(n, "outputView"), envs(n))
+      case "VectorIndexEvict" => VectorIndexEvict(
+        name, str(n, "inputView"), str(n, "storeURI"),
+        optStr(n, "outputView"), envs(n))
+      case "VectorIndexRebalance" => VectorIndexRebalance(
+        name, str(n, "storeURI"),
+        optStr(n, "ifSkewAbove").map(_.toDouble), envs(n))
+      case "TextIndexBuild" => TextIndexBuild(
+        name, str(n, "inputView"), str(n, "storeURI"),
+        str(n, "fingerprint"), envs(n))
+      case "TextIndexAdmit" => TextIndexAdmit(
+        name, str(n, "inputView"), str(n, "storeURI"),
+        str(n, "fingerprint"), optStr(n, "outputView"), envs(n))
+      case "TextIndexEvict" => TextIndexEvict(
+        name, str(n, "inputView"), str(n, "storeURI"),
+        str(n, "fingerprint"), optStr(n, "outputView"), envs(n))
       case "MatViewRefresh" =>
         val sumsNode = n.get("sums")
         require(sumsNode != null && sumsNode.isObject,

@@ -827,3 +827,119 @@ final case class VectorIndexAdmit(
     Some(df)
   }
 }
+
+/** Shared shape of the erasure stages: run the store's evict verb over the
+  * input view's id column and (optionally) register a one-row audit frame
+  * `(n_evicted BIGINT)` — the number a right-to-be-forgotten DAG records
+  * in its compliance log. */
+private[etl] object EvictStage {
+  def emit(spark: SparkSession, n: Long, outputView: Option[String]): Option[DataFrame] =
+    outputView.map { v =>
+      import spark.implicits._
+      val df = Seq(n).toDF("n_evicted")
+      df.createOrReplaceTempView(v)
+      df
+    }
+}
+
+/** Erase documents from a signature store by the input view's `doc_id`
+  * column ([[graft.dedup.SignatureStore.evict]]) — the declarative face of
+  * right-to-be-forgotten for the dedup index. */
+final case class DedupIndexEvict(
+    name: String,
+    inputView: String,
+    storeURI: String,
+    outputView: Option[String] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val n = graft.dedup.SignatureStore.evict(spark, sub(storeURI, env),
+      spark.table(inputView))
+    EvictStage.emit(spark, n, outputView)
+  }
+}
+
+/** Erase vectors from a vector store by the input view's `vec_id` column
+  * ([[graft.dedup.VectorStore.evict]]). */
+final case class VectorIndexEvict(
+    name: String,
+    inputView: String,
+    storeURI: String,
+    outputView: Option[String] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val n = graft.dedup.VectorStore.evict(spark, sub(storeURI, env),
+      spark.table(inputView))
+    EvictStage.emit(spark, n, outputView)
+  }
+}
+
+/** REINDEX the vector store when (or unconditionally if no bound is set)
+  * its tracked per-centroid load skew crosses `ifSkewAbove`
+  * ([[graft.dedup.VectorStore.rebalance]]) — the maintenance stage a
+  * scheduled DAG runs next to TableCompact/TableVacuum. */
+final case class VectorIndexRebalance(
+    name: String,
+    storeURI: String,
+    ifSkewAbove: Option[Double] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    graft.dedup.VectorStore.rebalance(spark, sub(storeURI, env), ifSkewAbove)
+    None
+  }
+}
+
+/** Build the BM25 inverted-index store from the input view's
+  * (doc_id, text) ([[graft.dedup.TextIndexStore.build]]); `fingerprint`
+  * is the corpus stamp consumers validate against. */
+final case class TextIndexBuild(
+    name: String,
+    inputView: String,
+    storeURI: String,
+    fingerprint: String,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    graft.dedup.TextIndexStore.build(spark, sub(storeURI, env),
+      spark.table(inputView), sub(fingerprint, env))
+    None
+  }
+}
+
+/** Admit a document batch into the BM25 store
+  * ([[graft.dedup.TextIndexStore.admit]]: bucket appends + df merge +
+  * exact stat advance; already-indexed doc_ids drop). Optionally registers
+  * a one-row `(n_admitted BIGINT)` audit view. */
+final case class TextIndexAdmit(
+    name: String,
+    inputView: String,
+    storeURI: String,
+    fingerprint: String,
+    outputView: Option[String] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val n = graft.dedup.TextIndexStore.admit(spark, sub(storeURI, env),
+      spark.table(inputView), sub(fingerprint, env))
+    outputView.map { v =>
+      import spark.implicits._
+      val df = Seq(n).toDF("n_admitted")
+      df.createOrReplaceTempView(v)
+      df
+    }
+  }
+}
+
+/** Erase documents from the BM25 store by the input view's `doc_id`
+  * column ([[graft.dedup.TextIndexStore.evict]]: bucket-pruned postings
+  * delete, exact df decrements, stats shrink). */
+final case class TextIndexEvict(
+    name: String,
+    inputView: String,
+    storeURI: String,
+    fingerprint: String,
+    outputView: Option[String] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val n = graft.dedup.TextIndexStore.evict(spark, sub(storeURI, env),
+      spark.table(inputView), sub(fingerprint, env))
+    EvictStage.emit(spark, n, outputView)
+  }
+}

@@ -85,4 +85,55 @@ class ForgetSpec extends AnyFunSuite with SparkSpec {
     TextIndexStore.build(spark, minus, docs.filter("doc_id % 10 != 0"), "fpM")
     assert(TextIndexStore.stats(s"$base/text") === TextIndexStore.stats(minus))
   }
+
+  test("erasure and maintenance verbs are reachable from the declarative " +
+      "job surface (build → admit → evict → guarded rebalance)") {
+    val base = tmpDir("forget-job-")
+    docsDf(60).createOrReplaceTempView("fj_docs")
+    docsDf(60).filter("doc_id < 40").createOrReplaceTempView("fj_docs_base")
+    docsDf(60).filter("doc_id >= 40").createOrReplaceTempView("fj_docs_batch")
+    vecsDf(40).createOrReplaceTempView("fj_vecs")
+    docsDf(60).filter("doc_id % 10 = 0").select("doc_id")
+      .createOrReplaceTempView("fj_victims")
+    vecsDf(40).filter("vec_id % 10 = 0").select("vec_id")
+      .createOrReplaceTempView("fj_vvictims")
+    graft.etl.JobSpec.fromJson(
+      s"""{"stages": [
+         |  {"type": "TextIndexBuild", "name": "tb", "inputView": "fj_docs_base",
+         |   "storeURI": "$base/text", "fingerprint": "fp0"},
+         |  {"type": "TextIndexAdmit", "name": "ta", "inputView": "fj_docs_batch",
+         |   "storeURI": "$base/text", "fingerprint": "fp1",
+         |   "outputView": "text_admissions"},
+         |  {"type": "TextIndexEvict", "name": "te", "inputView": "fj_victims",
+         |   "storeURI": "$base/text", "fingerprint": "fp2",
+         |   "outputView": "text_evictions"},
+         |  {"type": "DedupIndexBuild", "name": "sb", "inputView": "fj_docs",
+         |   "storeURI": "$base/sig"},
+         |  {"type": "DedupIndexEvict", "name": "se", "inputView": "fj_victims",
+         |   "storeURI": "$base/sig", "outputView": "sig_evictions"},
+         |  {"type": "VectorIndexBuild", "name": "vb", "inputView": "fj_vecs",
+         |   "storeURI": "$base/vec"},
+         |  {"type": "VectorIndexEvict", "name": "ve", "inputView": "fj_vvictims",
+         |   "storeURI": "$base/vec", "outputView": "vec_evictions"},
+         |  {"type": "VectorIndexRebalance", "name": "vr",
+         |   "storeURI": "$base/vec", "ifSkewAbove": "1000.0"}
+         |]}""".stripMargin).run(spark, Map.empty)
+    // audit views: 20 docs admitted; 6 doc victims (0,10..50), 4 vec (0..30)
+    assert(spark.table("text_admissions").head.getLong(0) === 20L)
+    assert(spark.table("text_evictions").head.getLong(0) === 6L)
+    assert(spark.table("sig_evictions").head.getLong(0) === 6L)
+    assert(spark.table("vec_evictions").head.getLong(0) === 4L)
+    // nothing forgotten survives in any store's current version
+    for ((t, c) <- Seq(s"$base/text/postings" -> "doc_id",
+        s"$base/sig/sigs" -> "doc_id", s"$base/vec/assigned" -> "vec_id"))
+      assert(VersionedTable(t).read(spark).filter(s"$c % 10 = 0").isEmpty)
+    // the guarded rebalance sat below its bound: a no-op, no burnt version
+    // (evict committed the last assigned version; rebalance added none)
+    assert(VersionedTable(s"$base/vec/cents").resolve() === 0L,
+      "a below-bound rebalance must not retrain the centroids")
+    // erasure stats exact: the evicted text store equals a minus-build
+    val minus = tmpDir("forget-job-minus-") + "/text"
+    TextIndexStore.build(spark, minus, docsDf(60).filter("doc_id % 10 != 0"), "fpM")
+    assert(TextIndexStore.stats(s"$base/text") === TextIndexStore.stats(minus))
+  }
 }
