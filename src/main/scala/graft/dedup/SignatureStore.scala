@@ -72,6 +72,15 @@ object SignatureStore {
   private def sigsTable(root: String) = VersionedTable(s"$root/sigs")
   private def bandsTable(root: String) = VersionedTable(s"$root/bands")
 
+  /** Test-only fault injection: admit/evict throw at the named point —
+    * simulating the crash between the two store commits that the
+    * bands-first ordering exists for. Points: "afterBandsAppend",
+    * "afterBandsDelete". */
+  @volatile private[graft] var failpoint: Option[String] = None
+  private def trip(p: String): Unit =
+    if (failpoint.contains(p))
+      throw new IllegalStateException(s"injected failure at $p")
+
   /** (doc_id, checksum, sig) for a documents frame — per-row codegen'd
     * folds, no shuffle. */
   private def signatures(spark: SparkSession, docs: DataFrame): DataFrame = {
@@ -132,10 +141,18 @@ object SignatureStore {
     val present = prunedRead(spark, sigsT, "doc_id", ids).select("doc_id")
       .join(ids, Seq("doc_id"), "left_semi").count()
     if (present == 0) return 0L
-    sigsT.mergeCow(spark, ids, "source.doc_id = target.doc_id",
+    // BANDS delete FIRST: the two deletes are separate commits, and the
+    // tear between them must be re-runnable. Bands-gone-sigs-present keeps
+    // the doc rejecting its own replays AND keeps `present` > 0 on the
+    // retry, which completes the sigs delete. The reverse order would
+    // leave orphaned band rows that the retry's present=0 early-return
+    // above never cleans — a permanent doc_id association surviving a
+    // right-to-be-forgotten delete.
+    bandsTable(root).mergeCow(spark, ids, "source.doc_id = target.doc_id",
       targetKey = "doc_id", sourceKey = "doc_id",
       whenMatchedDelete = Some(Merge.MatchedDelete(None)))
-    bandsTable(root).mergeCow(spark, ids, "source.doc_id = target.doc_id",
+    trip("afterBandsDelete")
+    sigsT.mergeCow(spark, ids, "source.doc_id = target.doc_id",
       targetKey = "doc_id", sourceKey = "doc_id",
       whenMatchedDelete = Some(Merge.MatchedDelete(None)))
     present
@@ -222,13 +239,23 @@ object SignatureStore {
           coalesce(col("exact_of"), col("near_of")).as("dup_of"))
         .localCheckpoint(true)
       // append the admitted documents' signatures — the store stays the
-      // single source of truth for every later batch
+      // single source of truth for every later batch. BANDS land FIRST:
+      // the two appends are separate commits, and the tear between them
+      // must self-heal. Bands-without-sigs (crash after the first append)
+      // is repaired by the batch's replay — the band candidates find no
+      // sig row to verify against and no checksum rejects the doc, so it
+      // re-admits and both tables complete (the duplicated band rows are
+      // harmless: candidates are distinct pairs). The reverse order would
+      // leave sigs-without-bands, where the replay REJECTS the doc as an
+      // exact dup of its own signature and the band gap — near-dup misses
+      // for that document — becomes silent and permanent.
       val admittedIds = decisions.filter(col("verdict") === "admitted")
         .select("doc_id")
       val admittedSigs = s.join(admittedIds, "doc_id")
       if (!admittedIds.isEmpty) {
-        sigsT.append(admittedSigs, collectStats = false)
         bandsTable(root).append(bandRows(admittedSigs), collectStats = false)
+        trip("afterBandsAppend")
+        sigsT.append(admittedSigs, collectStats = false)
       }
       decisions
     } finally { s.unpersist(); () }

@@ -135,6 +135,51 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(sigsT.read(spark).count() === 6) // 3 corpus + 61, 63, 75
   }
 
+  test("a torn admit (crash between the bands and sigs appends) self-heals " +
+      "on the batch's replay — no permanent band gap, no double sigs") {
+    val root = tmpDir("dix-torn-") + "/ix"
+    SignatureStore.build(spark, root, corpus)
+    val batch = docs(
+      21L -> "entirely novel text that matches nothing stored in the signature index",
+      23L -> "another fresh document with its own unique words and no duplicates")
+    SignatureStore.failpoint = Some("afterBandsAppend")
+    try intercept[IllegalStateException](SignatureStore.admit(spark, root, batch))
+    finally SignatureStore.failpoint = None
+    // torn state: bands landed, sigs did not — the doc must NOT reject its
+    // own replay (that would make the missing sig row permanent)
+    assert(VersionedTable(s"$root/sigs").read(spark)
+      .filter("doc_id >= 20").isEmpty)
+    val d = SignatureStore.admit(spark, root, batch)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(21L -> "admitted", 23L -> "admitted"),
+      s"a replayed torn batch must re-admit, got $d")
+    assert(VersionedTable(s"$root/sigs").read(spark)
+      .filter("doc_id >= 20").count() === 2)
+    // the duplicated band rows are harmless: a near-dup of 21 still
+    // verdicts against exactly one stored signature
+    val d2 = SignatureStore.admit(spark, root, docs(
+      31L -> "entirely novel text that matches nothing stored in the signature index"))
+      .collect().head
+    assert(d2.getString(1) === "exact_dup" && d2.getLong(2) === 21L)
+  }
+
+  test("a torn evict (crash between the bands and sigs deletes) completes " +
+      "on the retry — no orphaned band rows survive") {
+    val root = tmpDir("dix-tornev-") + "/ix"
+    SignatureStore.build(spark, root, corpus)
+    val victims = Seq(2L).toDF("doc_id")
+    SignatureStore.failpoint = Some("afterBandsDelete")
+    try intercept[IllegalStateException](SignatureStore.evict(spark, root, victims))
+    finally SignatureStore.failpoint = None
+    // torn state: bands gone, sig row still present — present > 0 keeps
+    // the retry from early-returning, so the erasure completes
+    assert(VersionedTable(s"$root/bands").read(spark).filter("doc_id = 2").isEmpty)
+    assert(VersionedTable(s"$root/sigs").read(spark).filter("doc_id = 2").count() === 1)
+    assert(SignatureStore.evict(spark, root, victims) === 1L)
+    assert(VersionedTable(s"$root/sigs").read(spark).filter("doc_id = 2").isEmpty)
+    assert(VersionedTable(s"$root/bands").read(spark).filter("doc_id = 2").isEmpty)
+  }
+
   test("a store built by an incompatible format refuses to serve") {
     val root = tmpDir("dix3-") + "/ix"
     SignatureStore.build(spark, root, corpus)
