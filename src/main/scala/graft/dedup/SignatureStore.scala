@@ -179,9 +179,11 @@ object SignatureStore {
     * admissions both read the pre-append store, so mutual duplicates
     * across racing batches may both admit (the same boundary every batch
     * dedup pipeline has) — run admissions serially per store, as a
-    * scheduled DAG does; replays are naturally idempotent (a replayed
-    * document rejects as an exact duplicate of its own committed
-    * signature). */
+    * scheduled DAG does; replays are IDEMPOTENT in the strong sense: a
+    * stored row carrying a batch document's own id is recognized as the
+    * document itself (never a duplicate of itself), so a replayed batch
+    * returns the first run's decisions byte for byte and re-stores
+    * nothing. */
   def admit(spark: SparkSession, root: String, batch: DataFrame): DataFrame = {
     val sigsT = sigsTable(root)
     require(sigsT.latestVersion().isDefined,
@@ -193,12 +195,18 @@ object SignatureStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       s.count()
-      // exact rejects: Bloom-pruned store read by the batch's checksums
+      // exact rejects: Bloom-pruned store read by the batch's checksums.
+      // A stored row with the batch document's OWN id is the document
+      // itself (a crash-replayed batch — ids unique by contract): excluded
+      // here and below, so a replay verdicts exactly as the first run did
+      // instead of rejecting each doc as a dup of itself; the append skip
+      // below keeps the replay from double-storing
       val storedByChecksum = prunedRead(spark, sigsT, "checksum",
         s.select("checksum"))
       val exact = s.select(col("doc_id"), col("checksum"))
         .join(storedByChecksum.select(col("doc_id").as("s_id"), col("checksum")),
           "checksum")
+        .filter(col("s_id") =!= col("doc_id"))
         .groupBy("doc_id").agg(min(col("s_id")).as("exact_of"))
       // near-dup candidates: batch band keys vs stored band rows
       // (Bloom-pruned by bkey), then signature-lane verification — both
@@ -212,7 +220,8 @@ object SignatureStore {
       // runs twice per admission
       val cand = batchBands
         .join(storedBands.toDF("s_id", "band2", "bkey2"),
-          col("band") === col("band2") && col("bkey") === col("bkey2"))
+          col("band") === col("band2") && col("bkey") === col("bkey2") &&
+            col("doc_id") =!= col("s_id")) // self = replay, not a candidate
         .select(col("doc_id"), col("s_id")).distinct()
         .localCheckpoint(true)
       val storedSigs = prunedRead(spark, sigsT, "doc_id",
@@ -251,8 +260,15 @@ object SignatureStore {
       // for that document — becomes silent and permanent.
       val admittedIds = decisions.filter(col("verdict") === "admitted")
         .select("doc_id")
+      // replay-append skip: batch docs whose SIG row already exists keep
+      // their "admitted" verdict but re-store nothing (the Bloom-pruned
+      // id probe is the same point lookup the exact check uses)
+      val alreadyStored = prunedRead(spark, sigsT, "doc_id", admittedIds)
+        .select("doc_id")
+        .join(admittedIds, Seq("doc_id"), "left_semi").distinct()
       val admittedSigs = s.join(admittedIds, "doc_id")
-      if (!admittedIds.isEmpty) {
+        .join(alreadyStored, Seq("doc_id"), "left_anti")
+      if (!admittedSigs.isEmpty) {
         bandsTable(root).append(bandRows(admittedSigs), collectStats = false)
         trip("afterBandsAppend")
         sigsT.append(admittedSigs, collectStats = false)

@@ -180,9 +180,17 @@ object VectorStore {
       // partitions of the store are listed and read
       val (stored, _, _) = assignedTable(root).readPrunedByJoinKeys(
         spark, probeRows.select("c_id"), "c_id", "c_id")
+      // a stored row with the batch vector's OWN id is the vector itself
+      // (a crash-replayed batch — ids are unique by contract): it is not a
+      // duplicate, and treating it as one would flip the replay's verdict
+      // to near_dup-of-itself, corrupting any persisted decisions log. The
+      // self-exclusion plus the replay-append skip below make admit
+      // IDEMPOTENT: a replayed batch returns the first run's decisions
+      // byte for byte and appends nothing.
       val near = probeRows
         .join(stored.select(col("c_id"), col("vec_id").as("s_id"),
             col("v").as("sv"), col("nv").as("snv")), "c_id")
+        .filter(col("s_id") =!= col("vec_id"))
         .withColumn("sim", graft.functions.VectorFunctions.cosineWithNorms6(
           col("v"), col("nv"), col("sv"), col("snv")))
         .filter(col("sim") >= threshold)
@@ -194,8 +202,14 @@ object VectorStore {
             .otherwise(lit("admitted")).as("verdict"),
           col("near_of").as("dup_of"))
         .localCheckpoint(true)
+      // batch ids already stored (the replayed vector sits in its own
+      // top-1 partition, which the probe read): verdict stays "admitted",
+      // the append skips them
+      val existing = stored.select("vec_id")
+        .join(vecs.select("vec_id"), Seq("vec_id"), "left_semi").distinct()
       val admitted = assignedBatch.join(
         decisions.filter(col("verdict") === "admitted").select("vec_id"), "vec_id")
+        .join(existing, Seq("vec_id"), "left_anti")
       if (!admitted.isEmpty) {
         assignedTable(root).append(admitted.repartition(col("c_id")),
           collectStats = false)

@@ -180,6 +180,32 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(VersionedTable(s"$root/bands").read(spark).filter("doc_id = 2").isEmpty)
   }
 
+  test("a replayed admission batch returns the FIRST run's decisions byte " +
+      "for byte and re-stores nothing (strong idempotency)") {
+    val root = tmpDir("dix-replay-") + "/ix"
+    SignatureStore.build(spark, root, corpus)
+    val batch = docs(
+      41L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      43L -> "entirely novel text that matches nothing stored in the signature index")
+    def run() = SignatureStore.admit(spark, root, batch).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1).toSeq
+    val first = run()
+    assert(first === Seq((41L, "exact_dup", Some(2L)), (43L, "admitted", None)))
+    val sigsV = VersionedTable(s"$root/sigs").resolve()
+    val bandsV = VersionedTable(s"$root/bands").resolve()
+    // the crash-replay shape: the same batch runs again (e.g. a decisions
+    // append failed after the store append landed) — verdicts must NOT
+    // flip to dup-of-self, and nothing may double-store
+    assert(run() === first,
+      "a replayed batch must verdict exactly as the first run")
+    assert(VersionedTable(s"$root/sigs").resolve() === sigsV &&
+      VersionedTable(s"$root/bands").resolve() === bandsV,
+      "a replayed batch must not commit")
+    assert(VersionedTable(s"$root/sigs").read(spark)
+      .filter("doc_id = 43").count() === 1)
+  }
+
   test("a store built by an incompatible format refuses to serve") {
     val root = tmpDir("dix3-") + "/ix"
     SignatureStore.build(spark, root, corpus)

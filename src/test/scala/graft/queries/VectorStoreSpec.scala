@@ -227,6 +227,32 @@ class VectorStoreSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getString(1) === "near_dup")
   }
 
+  test("a replayed admission batch returns the FIRST run's decisions byte " +
+      "for byte and appends nothing (strong idempotency)") {
+    val root = tmpDir("vx-replay-") + "/vx"
+    VectorStore.build(spark, root,
+      vecs((0L until 30L).map(i => i -> (i % 3 + 1)): _*))
+    val batch = vecs(400L -> 2L, 401L -> 91L)
+    def run() = VectorStore.admit(spark, root, batch).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1).toSeq
+    val first = run()
+    assert(first.map(x => (x._1, x._2)) ===
+      Seq((400L, "near_dup"), (401L, "admitted")))
+    val v = VersionedTable(s"$root/assigned").resolve()
+    val load = VectorStore.load(root)
+    // the crash-replay shape (q119's decisions append failed after the
+    // store append landed): verdicts must not flip to near_dup-of-itself,
+    // and the store must not grow a duplicate row
+    assert(run() === first,
+      "a replayed batch must verdict exactly as the first run")
+    assert(VersionedTable(s"$root/assigned").resolve() === v,
+      "a replayed batch must not commit")
+    assert(VectorStore.load(root) === load)
+    assert(VersionedTable(s"$root/assigned").read(spark)
+      .filter($"vec_id" === 401L).count() === 1)
+  }
+
   test("a second session admits from the stored index; incompatible format refuses") {
     val root = tmpDir("vx2-") + "/vx"
     VectorStore.build(spark, root,
