@@ -811,8 +811,86 @@ object DedupQueries {
          |JOIN counts ce ON ce.doc_id = eval_id
          |WHERE CAST(i AS DOUBLE) / (ct.n + ce.n - i) >= 0.5""".stripMargin))
 
+  /** d16: EXACT-SUBSTRING excision — the alignment-free complement of d8
+    * (Lee et al. 2022's ExactSubstr dedup, the heavyweight pass of the
+    * "Deduplicating Training Data" pipeline): a duplicated span of ≥ 8
+    * words at ANY offset is kept only at its first corpus occurrence
+    * (ordered by doc_id, then position — within-document repeats excise
+    * too) and cut everywhere else; overlapping duplicated grams excise as
+    * the UNION of their token positions, so a long shared span disappears
+    * as one piece without any grid alignment (d8's fixed windows miss a
+    * duplicated span that straddles passage boundaries).
+    *
+    * Scale shape: the overlapping 8-gram stream is O(total tokens) rows —
+    * one shuffle on the gram for the occurrence window (count + rank ride
+    * the same partition), one bounded explode of 8 positions per EXCISED
+    * occurrence (duplication mass, not corpus mass), one join back on
+    * (doc_id, position), one reassembly aggregation. Nothing quadratic,
+    * no driver state. At 100 TB the gram column is the shuffle payload —
+    * hash it to a 64-bit rolling fingerprint (t4's machinery) to cut the
+    * bytes ~8×; kept as the plain string here so the oracle is
+    * byte-identical (d8's same note). */
+  val d16ExactSubstring: Q = Q.dualSql("d16_exact_substring",
+    sparkSql =
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, pos, array_join(slice(w, pos, 8), ' ') AS gram
+        |  FROM toks
+        |  LATERAL VIEW explode(sequence(1, size(w) - 7)) s AS pos
+        |  WHERE size(w) >= 8),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY gram) AS cnt
+        |  FROM grams),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM ranked
+        |  LATERAL VIEW explode(sequence(pos, pos + 7)) e AS p
+        |  WHERE cnt > 1 AND rn > 1),
+        |tokpos AS (
+        |  SELECT doc_id, p, element_at(w, p) AS tok
+        |  FROM toks
+        |  LATERAL VIEW explode(sequence(1, size(w))) t AS p)
+        |SELECT t.doc_id,
+        |  count(CASE WHEN c.p IS NULL THEN 1 END) AS kept,
+        |  count(CASE WHEN c.p IS NOT NULL THEN 1 END) AS dropped,
+        |  COALESCE(array_join(transform(array_sort(
+        |    collect_list(CASE WHEN c.p IS NULL THEN struct(t.p, t.tok) END)),
+        |    x -> x.tok), ' '), '') AS text_clean
+        |FROM tokpos t
+        |LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+        |GROUP BY t.doc_id""".stripMargin,
+    duckSql =
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+        |  FROM toks, LATERAL unnest(range(1, len(w) - 7 + 1)) s(i)
+        |  WHERE len(w) >= 8),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY gram) AS cnt
+        |  FROM grams),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos + j AS p
+        |  FROM ranked, LATERAL unnest(range(0, 8)) e(j)
+        |  WHERE cnt > 1 AND rn > 1),
+        |tokpos AS (
+        |  SELECT doc_id, i AS p, w[i] AS tok
+        |  FROM toks, LATERAL unnest(range(1, len(w) + 1)) t(i))
+        |SELECT t.doc_id,
+        |  count(CASE WHEN c.p IS NULL THEN 1 END) AS kept,
+        |  count(CASE WHEN c.p IS NOT NULL THEN 1 END) AS dropped,
+        |  COALESCE(string_agg(CASE WHEN c.p IS NULL THEN t.tok END,
+        |    ' ' ORDER BY t.p), '') AS text_clean
+        |FROM tokpos t
+        |LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+        |GROUP BY t.doc_id""".stripMargin)
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d6DedupClusters, d7CollectionMinHash, d8PassageDedup, d9Decontaminate,
     d10EditDistance, d12IncrementalDedup, d13IncrementalVecDedup,
-    d14ContainmentDedup, d15FuzzyDecontamination)
+    d14ContainmentDedup, d15FuzzyDecontamination, d16ExactSubstring)
 }
