@@ -184,10 +184,9 @@ object DedupQueries {
       out
   }
 
-  val d3MinHashLsh: Q = Q(
-    "d3_minhash_lsh",
-    (spark, dir) => lshVerifiedPairs(spark, dir),
-    Some(
+  /** d3's relational replay, factored so the split-leakage audit (d17) can
+    * reuse the verified-pair construction verbatim. */
+  private val d3OracleSql: String =
       s"""WITH sh_all AS ($duckShingles),
          |hm AS (
          |  SELECT doc_id, shingle,
@@ -219,7 +218,12 @@ object DedupQueries {
          |FROM inter
          |JOIN counts ca ON ca.doc_id = a_id
          |JOIN counts cb ON cb.doc_id = b_id
-         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin))
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin
+
+  val d3MinHashLsh: Q = Q(
+    "d3_minhash_lsh",
+    (spark, dir) => lshVerifiedPairs(spark, dir),
+    Some(d3OracleSql))
 
   /** d4: 16-bit SimHash over distinct words (md5-bit voting), with the
     * bucket size as the dedup signal. Per-row nested higher-order folds on
@@ -889,8 +893,54 @@ object DedupQueries {
         |LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
         |GROUP BY t.doc_id""".stripMargin)
 
+  /** d17: SPLIT-LEAKAGE audit — near-duplicate pairs that straddle t14's
+    * deterministic train/val/test split: the eval-integrity check every
+    * training pipeline must run (a test document whose near-dup sits in
+    * train inflates eval scores exactly like decontamination misses do;
+    * Lee et al. 2022 measure this leakage directly). Pure composition of
+    * two gated operators — d3's LSH-verified pairs × t14's hash split —
+    * so the audit inherits both of their scale shapes: banded candidate
+    * generation, one broadcast-sized split column join per side. */
+  val d17SplitLeakage: Q = {
+    val splitExprSpark =
+      """CASE WHEN substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 1)
+        |          BETWEEN '0' AND 'b' THEN 'train'
+        |     WHEN substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 1)
+        |          BETWEEN 'c' AND 'd' THEN 'val'
+        |     ELSE 'test' END""".stripMargin
+    Q(
+      "d17_split_leakage",
+      (spark, dir) => {
+        val pairs = lshVerifiedPairs(spark, dir)
+        val splits = Tables.table(spark, dir, "documents")
+          .selectExpr("doc_id", s"$splitExprSpark AS split")
+        pairs
+          .join(splits.toDF("a_id", "split_a"), "a_id")
+          .join(splits.toDF("b_id", "split_b"), "b_id")
+          .filter(col("split_a") =!= col("split_b"))
+          .select("a_id", "b_id", "split_a", "split_b", "jaccard")
+      },
+      Some(
+        s"""WITH pairs AS (SELECT * FROM ($d3OracleSql) z),
+           |splits AS (
+           |  SELECT doc_id,
+           |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+           |              BETWEEN '0' AND 'b' THEN 'train'
+           |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+           |              BETWEEN 'c' AND 'd' THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents)
+           |SELECT p.a_id, p.b_id, sa.split AS split_a, sb.split AS split_b,
+           |  p.jaccard
+           |FROM pairs p
+           |JOIN splits sa ON sa.doc_id = p.a_id
+           |JOIN splits sb ON sb.doc_id = p.b_id
+           |WHERE sa.split <> sb.split""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d6DedupClusters, d7CollectionMinHash, d8PassageDedup, d9Decontaminate,
     d10EditDistance, d12IncrementalDedup, d13IncrementalVecDedup,
-    d14ContainmentDedup, d15FuzzyDecontamination, d16ExactSubstring)
+    d14ContainmentDedup, d15FuzzyDecontamination, d16ExactSubstring,
+    d17SplitLeakage)
 }
