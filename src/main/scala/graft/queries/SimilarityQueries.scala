@@ -1757,9 +1757,106 @@ object SimilarityQueries {
          |) vq""".stripMargin
     })
 
+  /** Shortest-decimal-repr HALF_UP rounding to 6dp — the exact driver-side
+    * image of both engines' `round(x, 6)` (java BigDecimal.valueOf goes
+    * through Double.toString, the same shortest representation). */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Sequential-fold dot product — the same strictly left-to-right order
+    * as vec_dot / DuckDB's list_sum(list_transform(...)). */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** s17: MMR diversity re-ranking (Carbonell & Goldstein 1998 maximal
+    * marginal relevance) — the serving op that keeps a near-dup-heavy
+    * corpus from returning ten copies of the same document: greedily pick
+    * k=10 of a top-30 relevance pool, each step maximizing
+    * `round(0.7·rel − 0.3·max-sim-to-already-picked, 6)` (ties → lowest
+    * vec_id). Scale shape: the candidate pool is generated DISTRIBUTED
+    * (one broadcast-query scan, TakeOrderedAndProject top-30); the greedy
+    * rerank is O(k·pool·dim) on the BOUNDED pool and runs driver-side —
+    * the standard in-memory reranker stage, same boundedness class as the
+    * probe-id collect every IVF serve does. Exactness: every similarity is
+    * the engines' shared sequential fold rounded 6dp, and the MMR
+    * combination uses identical double literals, so the greedy argmax
+    * sequence is bit-deterministic; the oracle replays the selection with
+    * a recursive CTE carrying the picked list. */
+  val s17MmrRerank: Q = Q(
+    "s17_mmr_rerank",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = vectors(spark, dir)
+      val q = e.filter(col("vec_id") === 3)
+        .select(col("v").as("qv"), col("nv").as("nqv"))
+      val pool = e.filter(col("vec_id") =!= 3)
+        .crossJoin(broadcast(q))
+        .withColumn("rel", cosineWithNorms6(col("v"), col("nv"), col("qv"), col("nqv")))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(30)
+        .select(col("vec_id"), col("label"), col("v"), col("nv"), col("rel"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Double](2).toArray, r.getDouble(3), r.getDouble(4)))
+      val sim6 = scala.collection.mutable.Map.empty[(Long, Long), Double]
+      def simOf(a: (Long, Int, Array[Double], Double, Double),
+          b: (Long, Int, Array[Double], Double, Double)): Double =
+        sim6.getOrElseUpdate((a._1, b._1),
+          round6(dotSeq(a._3, b._3) / (a._4 * b._4)))
+      val picked = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Int, Array[Double], Double, Double)]
+      while (picked.size < 10) {
+        val remaining = pool.filterNot(c => picked.exists(_._1 == c._1))
+        val best = remaining.maxBy { c =>
+          val mmr =
+            if (picked.isEmpty) c._5
+            else round6(0.7 * c._5 - 0.3 * picked.map(simOf(c, _)).max)
+          (mmr, -c._1) // ties → lowest vec_id
+        }
+        picked += best
+      }
+      picked.toSeq.zipWithIndex
+        .map { case ((id, label, _, _, rel), i) => (i + 1L, id, label, rel) }
+        .toDF("rank", "vec_id", "label", "rel")
+    },
+    Some(
+      s"""WITH RECURSIVE
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3),
+         |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cands AS (
+         |  SELECT vec_id, label, v, round(${duckCos("v", "qv")}, 6) AS rel
+         |  FROM e, q WHERE vec_id <> 3
+         |  ORDER BY rel DESC, vec_id LIMIT 30),
+         |sims AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    round(${duckCos("a.v", "b.v")}, 6) AS sim
+         |  FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+         |sel AS (
+         |  SELECT 1 AS step,
+         |    [(SELECT vec_id FROM cands ORDER BY rel DESC, vec_id LIMIT 1)] AS picked
+         |  UNION ALL
+         |  SELECT step + 1, list_append(picked, (
+         |    SELECT c.vec_id FROM cands c
+         |    WHERE NOT list_contains(s.picked, c.vec_id)
+         |    ORDER BY round(0.7 * c.rel - 0.3 * (
+         |        SELECT max(sm.sim) FROM sims sm
+         |        WHERE sm.a = c.vec_id AND list_contains(s.picked, sm.b)), 6)
+         |      DESC, c.vec_id
+         |    LIMIT 1))
+         |  FROM sel s WHERE step < 10)
+         |SELECT CAST(r.i AS BIGINT) AS rank, s.picked[r.i] AS vec_id,
+         |  c.label, c.rel
+         |FROM sel s, LATERAL unnest(range(1, 11)) r(i)
+         |JOIN cands c ON c.vec_id = s.picked[r.i]
+         |WHERE s.step = 10""".stripMargin))
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
     s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
     s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf, s12AnnFiltered,
     s13RangeSearch, s14Bm25Stored, s15Bm25Admit, s16StreamBm25Admit,
-    q127ForgetIndexed)
+    q127ForgetIndexed, s17MmrRerank)
 }
