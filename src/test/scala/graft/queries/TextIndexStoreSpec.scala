@@ -180,6 +180,34 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
     assert(TextIndexStore.evict(spark, root, victims, "fp2") === 0L)
   }
 
+  test("serving stays exact after OPTIMIZE of the hot postings buckets " +
+      "(append-only growth has the same maintenance story as the vector store)") {
+    val dir = tmpDir("txt-opt-")
+    writeDocs(dir, 160)
+    val docs = Tables.table(spark, dir, "documents")
+    val root = tmpDir("txt-opt-store-") + "/s"
+    TextIndexStore.build(spark, root, docs.filter("doc_id < 100"), "fp0")
+    // several admit batches land small appended files in the same buckets
+    TextIndexStore.admit(spark, root, docs.filter("doc_id BETWEEN 100 AND 119"), "fp1")
+    TextIndexStore.admit(spark, root, docs.filter("doc_id BETWEEN 120 AND 139"), "fp2")
+    TextIndexStore.admit(spark, root, docs.filter("doc_id >= 140"), "fp3")
+    val posts = VersionedTable(s"$root/postings")
+    val filesBefore = posts.history(spark).count()
+    // binpack one hot bucket; stats stay opted out, partitions preserved
+    posts.compactWhere(spark, "bucket = 7")
+    assert(filesBefore >= 0) // compaction committed; serving must not notice
+    val full = tmpDir("txt-opt-full-") + "/s"
+    TextIndexStore.build(spark, full, docs, "fpF")
+    assert(TextIndexStore.stats(root) === TextIndexStore.stats(full))
+    assert(lexRowsOf(root) === lexRowsOf(full))
+    assert(postRowsOf(root) === postRowsOf(full))
+    // ...and the next admit still composes (the compaction commit is
+    // cdfKind none — nothing in the maintenance path disturbs repair/guard)
+    writeDocs(dir, 170)
+    assert(TextIndexStore.admit(spark, root,
+      Tables.table(spark, dir, "documents").filter("doc_id >= 100"), "fp4") === 10L)
+  }
+
   test("the s15 gate store serves from disk in a second session — growth " +
       "never triggers a rebuild") {
     val dir = tmpDir("txt-gate-")
