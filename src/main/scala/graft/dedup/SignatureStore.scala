@@ -72,10 +72,10 @@ object SignatureStore {
   private def sigsTable(root: String) = VersionedTable(s"$root/sigs")
   private def bandsTable(root: String) = VersionedTable(s"$root/bands")
 
-  /** Test-only fault injection: admit/evict throw at the named point —
-    * simulating the crash between the two store commits that the
-    * bands-first ordering exists for. Points: "afterBandsAppend",
-    * "afterBandsDelete". */
+  /** Test-only fault injection: admit/evict/build throw at the named
+    * point — simulating the crash between two store commits that the
+    * bands-first ordering and the build completion stamp exist for.
+    * Points: "afterBandsAppend", "afterBandsDelete", "buildAfterSigs". */
   @volatile private[graft] var failpoint: Option[String] = None
   private def trip(p: String): Unit =
     if (failpoint.contains(p))
@@ -95,14 +95,19 @@ object SignatureStore {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
   /** Bootstrap the store from an initial corpus (the ONE full-corpus pass;
-    * everything after is incremental). Idempotent per empty root. */
+    * everything after is incremental). The final property commit (carrying
+    * `indexFormat`) is the COMPLETION STAMP: a build that crashed between
+    * its commits left no stamp, refuses to admit (which requires the
+    * format), and is simply re-run — the snapshot commits overwrite the
+    * torn halves. Only a COMPLETED store refuses a rebuild. */
   def build(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
     val sigsT = sigsTable(root)
-    require(sigsT.latestVersion().isEmpty, s"$root already holds a signature store")
+    require(sigsT.properties.get("indexFormat").isEmpty,
+      s"$root already holds a completed signature store")
     val s = signatures(spark, corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // properties BEFORE the first commit so its Bloom sidecars build.
+      // Bloom declarations BEFORE the first commit so its sidecars build.
       // collectStats = false on both stores: every probe is a Bloom
       // point-lookup on high-cardinality hashes (checksum/doc_id/bkey) —
       // min/max ranges can never prune them, and the stats pass would
@@ -110,14 +115,16 @@ object SignatureStore {
       // same rule the ANN index stores apply)
       sigsT.setProperties(Map(
         "bloomIndexColumns" -> "checksum,doc_id",
-        "indexFormat" -> "1",
         "signature" -> "minhash16/band8/shingle3"))
       sigsT.commit(s, collectStats = false)
+      trip("buildAfterSigs")
       val bandsT = bandsTable(root)
       // doc_id rides the band table's Bloom sidecars too: admission probes
       // by bkey, ERASURE ([[evict]]) probes by doc_id — both point lookups
       bandsT.setProperties(Map("bloomIndexColumns" -> "bkey,doc_id"))
       bandsT.commit(bandRows(s), collectStats = false)
+      // the completion stamp: only now is the store admittable
+      sigsT.setProperties(Map("indexFormat" -> "1"))
     } finally { s.unpersist(); () }
   }
 

@@ -78,10 +78,12 @@ object TextIndexStore {
 
   private def clearedPending = PendingKeys.map(_ -> "").toMap
 
-  /** Test-only fault injection: [[admit]] throws at the named point —
-    * simulating the mid-admit crash the pending marker exists for. Points:
-    * "afterAppend" (postings landed, lexicon did not), "afterLexicon"
-    * (lexicon merged, stats commit missing). */
+  /** Test-only fault injection: [[admit]]/[[build]] throw at the named
+    * point — simulating the mid-operation crashes the pending marker and
+    * the build completion stamp exist for. Points: "afterAppend" (postings
+    * landed, lexicon did not), "afterLexicon" (lexicon merged, stats
+    * commit missing), "buildAfterPostings" (a build torn before its
+    * lexicon — no completion stamp). */
   @volatile private[graft] var failpoint: Option[String] = None
   private def trip(p: String): Unit =
     if (failpoint.contains(p))
@@ -157,11 +159,17 @@ object TextIndexStore {
   }
 
   /** Bootstrap: tokenize the corpus once, lay out postings + lexicon by
-    * term bucket, record the corpus stats and fingerprint. */
+    * term bucket, record the corpus stats and fingerprint. The final
+    * property commit (carrying `indexFormat`) is the COMPLETION STAMP: a
+    * build that crashed between its commits left no stamp, refuses to
+    * serve or admit (both require the format), and is simply re-run — the
+    * snapshot commits overwrite the torn halves. Only a COMPLETED store
+    * refuses a rebuild. */
   def build(spark: SparkSession, root: String, docs: DataFrame,
       fingerprint: String): Unit = {
     val postT = postingsTable(root)
-    require(postT.latestVersion().isEmpty, s"$root already holds a text index store")
+    require(postT.properties.get("indexFormat").isEmpty,
+      s"$root already holds a completed text index store")
     val tok = tokenized(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -179,6 +187,7 @@ object TextIndexStore {
         tf.join(doclen, "doc_id").withColumn("bucket", bucketCol)
           .repartition(col("bucket")),
         partitionBy = Seq("bucket"), collectStats = false)
+      trip("buildAfterPostings")
       lexiconTable(root).commit(
         tok.groupBy("word")
           .agg(expr("CAST(count(DISTINCT doc_id) AS BIGINT)").as("df"))

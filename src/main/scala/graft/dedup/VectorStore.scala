@@ -86,6 +86,14 @@ object VectorStore {
     assigned.groupBy("c_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** Test-only fault injection: [[build]] throws at the named point —
+    * simulating the torn-build crash the completion stamp exists for.
+    * Point: "buildAfterCents" (centroids committed, assigned/stamp not). */
+  @volatile private[graft] var failpoint: Option[String] = None
+  private def trip(p: String): Unit =
+    if (failpoint.contains(p))
+      throw new IllegalStateException(s"injected failure at $p")
+
   /** Normalize a raw (vec_id, label, embedding float[]) frame to the
     * store's (vec_id, label, v double[], nv) shape. */
   private def normalized(df: DataFrame): DataFrame =
@@ -94,10 +102,16 @@ object VectorStore {
       .withColumn("nv", graft.functions.VectorFunctions.l2Norm(col("v")))
 
   /** Bootstrap: train centroids on the corpus (the ONE full pass), store
-    * corpus vectors partitioned by centroid. */
+    * corpus vectors partitioned by centroid. The final property commit
+    * (carrying `indexFormat`) is the COMPLETION STAMP: a build that
+    * crashed between its commits left no stamp, refuses to admit or
+    * rebalance (both require the format), and is simply re-run — the
+    * snapshot commits overwrite the torn halves. Only a COMPLETED store
+    * refuses a rebuild. */
   def build(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
     val centsT = centsTable(root)
-    require(centsT.latestVersion().isEmpty, s"$root already holds a vector store")
+    require(centsT.properties.get("indexFormat").isEmpty,
+      s"$root already holds a completed vector store")
     // the training path's aggregates (vec_sum_u6) resolve by name;
     // idempotent when the session extensions already injected them
     graft.functions.GraftFunctions.registerAll(spark)
@@ -109,7 +123,6 @@ object VectorStore {
         "corpus — no centroids could be trained, and later batches would " +
         "assign nowhere (admit-without-store)")
       val m = graft.queries.SimilarityQueries.seedModulus(n)
-      centsT.setProperties(Map("indexFormat" -> "1", "seedModulus" -> m.toString))
       val cents0 = graft.queries.SimilarityQueries.trainedCents(spark, vecs, m)
       // a corpus with no vec_id divisible by m would seed ZERO centroids —
       // a store that admits everything and appends nothing. Tiny corpora
@@ -125,6 +138,7 @@ object VectorStore {
           graft.queries.SimilarityQueries.trainedCents(spark, vecs, 1L)
         }
       centsT.commit(cents.coalesce(1))
+      trip("buildAfterCents")
       val centsDf = centsT.read(spark)
       // co-locate per partition value before the partitioned commit (the
       // default layout would emit tasks × values tiny files); stats off —
@@ -136,6 +150,8 @@ object VectorStore {
       // seed the drift tracker from the committed layout (one slim c_id
       // scan — the counts are exact, not an estimate to reconcile later)
       writeLoad(root, countsOf(assignedTable(root).read(spark)))
+      // the completion stamp: only now is the store serveable/admittable
+      centsT.setProperties(Map("indexFormat" -> "1", "seedModulus" -> m.toString))
     } finally { vecs.unpersist(); () }
   }
 

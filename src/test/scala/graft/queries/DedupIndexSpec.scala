@@ -206,6 +206,23 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
       .filter("doc_id = 43").count() === 1)
   }
 
+  test("a torn BUILD (crash before the bands) refuses to admit and " +
+      "re-runs cleanly; only a completed store refuses a rebuild") {
+    val root = tmpDir("dix-tb-") + "/ix"
+    SignatureStore.failpoint = Some("buildAfterSigs")
+    try intercept[IllegalStateException](SignatureStore.build(spark, root, corpus))
+    finally SignatureStore.failpoint = None
+    // no completion stamp: admission refuses a half-built store
+    intercept[IllegalArgumentException](
+      SignatureStore.admit(spark, root, docs(99L -> "anything at all here")))
+    SignatureStore.build(spark, root, corpus) // re-run overwrites the torn half
+    val d = SignatureStore.admit(spark, root, docs(
+      51L -> "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .collect().head
+    assert(d.getString(1) === "exact_dup" && d.getLong(2) === 2L)
+    intercept[IllegalArgumentException](SignatureStore.build(spark, root, corpus))
+  }
+
   test("a store built by an incompatible format refuses to serve") {
     val root = tmpDir("dix3-") + "/ix"
     SignatureStore.build(spark, root, corpus)

@@ -208,6 +208,30 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
       Tables.table(spark, dir, "documents").filter("doc_id >= 100"), "fp4") === 10L)
   }
 
+  test("a torn BUILD (crash before the lexicon) refuses to serve and " +
+      "re-runs cleanly; only a completed store refuses a rebuild") {
+    val dir = tmpDir("txt-tb-")
+    writeDocs(dir, 100)
+    val docs = Tables.table(spark, dir, "documents")
+    val root = tmpDir("txt-tb-store-") + "/s"
+    TextIndexStore.failpoint = Some("buildAfterPostings")
+    try intercept[IllegalStateException](
+      TextIndexStore.build(spark, root, docs, "fp0"))
+    finally TextIndexStore.failpoint = None
+    // no completion stamp: admit refuses instead of serving a half-store
+    intercept[IllegalArgumentException](
+      TextIndexStore.admit(spark, root, docs.filter("doc_id < 0"), "fpX"))
+    // the re-run overwrites the torn halves and completes
+    TextIndexStore.build(spark, root, docs, "fp1")
+    val full = tmpDir("txt-tb-full-") + "/s"
+    TextIndexStore.build(spark, full, docs, "fpF")
+    assert(TextIndexStore.stats(root) === TextIndexStore.stats(full))
+    assert(postRowsOf(root) === postRowsOf(full))
+    // completed: a second build refuses
+    intercept[IllegalArgumentException](
+      TextIndexStore.build(spark, root, docs, "fp2"))
+  }
+
   test("the s15 gate store serves from disk in a second session — growth " +
       "never triggers a rebuild") {
     val dir = tmpDir("txt-gate-")

@@ -253,6 +253,21 @@ class VectorStoreSpec extends AnyFunSuite with SparkSpec {
       .filter($"vec_id" === 401L).count() === 1)
   }
 
+  test("a torn BUILD (crash before the assigned layout) refuses to admit " +
+      "and re-runs cleanly; only a completed store refuses a rebuild") {
+    val root = tmpDir("vx-tb-") + "/vx"
+    val corpus = vecs((0L until 30L).map(i => i -> (i % 3 + 1)): _*)
+    VectorStore.failpoint = Some("buildAfterCents")
+    try intercept[IllegalStateException](VectorStore.build(spark, root, corpus))
+    finally VectorStore.failpoint = None
+    intercept[IllegalArgumentException](
+      VectorStore.admit(spark, root, vecs(500L -> 9L)))
+    VectorStore.build(spark, root, corpus) // re-run overwrites the torn half
+    val d = VectorStore.admit(spark, root, vecs(500L -> 2L)).collect().head
+    assert(d.getString(1) === "near_dup")
+    intercept[IllegalArgumentException](VectorStore.build(spark, root, corpus))
+  }
+
   test("a second session admits from the stored index; incompatible format refuses") {
     val root = tmpDir("vx2-") + "/vx"
     VectorStore.build(spark, root,
