@@ -825,46 +825,59 @@ object DedupQueries {
     * as one piece without any grid alignment (d8's fixed windows miss a
     * duplicated span that straddles passage boundaries).
     *
-    * Scale shape: the overlapping 8-gram stream is O(total tokens) rows —
-    * one shuffle on the gram for the occurrence window (count + rank ride
-    * the same partition), one bounded explode of 8 positions per EXCISED
-    * occurrence (duplication mass, not corpus mass), one join back on
+    * Scale shape: the overlapping 8-gram stream is O(total tokens) rows.
+    * The occurrence accounting is a map-side-combinable
+    * `GROUP BY gram → (count, min(first_key))` — NOT a window: a window
+    * `PARTITION BY gram` must shuffle and SORT the full gram stream, so a
+    * corpus-hot gram (a boilerplate header duplicated across millions of
+    * docs) becomes one straggler task. The partial aggregate absorbs that
+    * skew on the map side (each task contributes one row per local gram),
+    * and the join back to the gram stream is a streaming hash join — no
+    * per-partition sort, no window state. `(doc_id, pos)` is encoded as
+    * one BIGINT `doc_id * 2^32 + pos` so `min()` picks the first corpus
+    * occurrence identically in both engines (pos < 2^32 by construction).
+    * Then one bounded explode of 8 positions per EXCISED occurrence
+    * (duplication mass, not corpus mass), one join back on
     * (doc_id, position), one reassembly aggregation. Nothing quadratic,
     * no driver state. At 100 TB the gram column is the shuffle payload —
     * hash it to a 64-bit rolling fingerprint (t4's machinery) to cut the
     * bytes ~8×; kept as the plain string here so the oracle is
     * byte-identical (d8's same note). */
+  private[graft] val d16SparkSql: String =
+    """WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, pos, array_join(slice(w, pos, 8), ' ') AS gram
+      |  FROM toks
+      |  LATERAL VIEW explode(sequence(1, size(w) - 7)) s AS pos
+      |  WHERE size(w) >= 8),
+      |gstats AS (
+      |  SELECT gram, count(*) AS cnt,
+      |    min(doc_id * 4294967296 + pos) AS first_key
+      |  FROM grams GROUP BY gram),
+      |excised AS (
+      |  SELECT g.doc_id, g.pos
+      |  FROM grams g JOIN gstats s ON g.gram = s.gram
+      |  WHERE s.cnt > 1 AND g.doc_id * 4294967296 + g.pos <> s.first_key),
+      |covered AS (
+      |  SELECT DISTINCT doc_id, p
+      |  FROM excised
+      |  LATERAL VIEW explode(sequence(pos, pos + 7)) e AS p),
+      |tokpos AS (
+      |  SELECT doc_id, p, element_at(w, p) AS tok
+      |  FROM toks
+      |  LATERAL VIEW explode(sequence(1, size(w))) t AS p)
+      |SELECT t.doc_id,
+      |  count(CASE WHEN c.p IS NULL THEN 1 END) AS kept,
+      |  count(CASE WHEN c.p IS NOT NULL THEN 1 END) AS dropped,
+      |  COALESCE(array_join(transform(array_sort(
+      |    collect_list(CASE WHEN c.p IS NULL THEN struct(t.p, t.tok) END)),
+      |    x -> x.tok), ' '), '') AS text_clean
+      |FROM tokpos t
+      |LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+      |GROUP BY t.doc_id""".stripMargin
+
   val d16ExactSubstring: Q = Q.dualSql("d16_exact_substring",
-    sparkSql =
-      """WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-        |grams AS (
-        |  SELECT doc_id, pos, array_join(slice(w, pos, 8), ' ') AS gram
-        |  FROM toks
-        |  LATERAL VIEW explode(sequence(1, size(w) - 7)) s AS pos
-        |  WHERE size(w) >= 8),
-        |ranked AS (
-        |  SELECT doc_id, pos,
-        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
-        |    count(*) OVER (PARTITION BY gram) AS cnt
-        |  FROM grams),
-        |covered AS (
-        |  SELECT DISTINCT doc_id, p
-        |  FROM ranked
-        |  LATERAL VIEW explode(sequence(pos, pos + 7)) e AS p
-        |  WHERE cnt > 1 AND rn > 1),
-        |tokpos AS (
-        |  SELECT doc_id, p, element_at(w, p) AS tok
-        |  FROM toks
-        |  LATERAL VIEW explode(sequence(1, size(w))) t AS p)
-        |SELECT t.doc_id,
-        |  count(CASE WHEN c.p IS NULL THEN 1 END) AS kept,
-        |  count(CASE WHEN c.p IS NOT NULL THEN 1 END) AS dropped,
-        |  COALESCE(array_join(transform(array_sort(
-        |    collect_list(CASE WHEN c.p IS NULL THEN struct(t.p, t.tok) END)),
-        |    x -> x.tok), ' '), '') AS text_clean
-        |FROM tokpos t
-        |LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
-        |GROUP BY t.doc_id""".stripMargin,
+    sparkSql = d16SparkSql,
     duckSql =
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |grams AS (
@@ -872,15 +885,17 @@ object DedupQueries {
         |    array_to_string(list_slice(w, i, i + 7), ' ') AS gram
         |  FROM toks, LATERAL unnest(range(1, len(w) - 7 + 1)) s(i)
         |  WHERE len(w) >= 8),
-        |ranked AS (
-        |  SELECT doc_id, pos,
-        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
-        |    count(*) OVER (PARTITION BY gram) AS cnt
-        |  FROM grams),
+        |gstats AS (
+        |  SELECT gram, count(*) AS cnt,
+        |    min(doc_id * 4294967296 + pos) AS first_key
+        |  FROM grams GROUP BY gram),
+        |excised AS (
+        |  SELECT g.doc_id, g.pos
+        |  FROM grams g JOIN gstats s ON g.gram = s.gram
+        |  WHERE s.cnt > 1 AND g.doc_id * 4294967296 + g.pos <> s.first_key),
         |covered AS (
         |  SELECT DISTINCT doc_id, pos + j AS p
-        |  FROM ranked, LATERAL unnest(range(0, 8)) e(j)
-        |  WHERE cnt > 1 AND rn > 1),
+        |  FROM excised, LATERAL unnest(range(0, 8)) e(j)),
         |tokpos AS (
         |  SELECT doc_id, i AS p, w[i] AS tok
         |  FROM toks, LATERAL unnest(range(1, len(w) + 1)) t(i))

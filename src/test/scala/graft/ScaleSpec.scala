@@ -107,6 +107,38 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(exact.exceptAll(bloomed).count() === 0)
   }
 
+  test("d16 plan is window-free: partial aggregate absorbs hot-gram skew") {
+    // the occurrence accounting must be a map-side-combinable groupBy, not
+    // `row_number()/count(*) OVER (PARTITION BY gram)` — a window shuffles
+    // and SORTS the full gram stream into one task per gram, so a corpus-hot
+    // gram is a straggler; the partial aggregate contributes one row per
+    // (task, gram) instead
+    graft.queries.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val qe = spark.sql(graft.queries.DedupQueries.d16SparkSql).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Window"), s"d16 regressed to a window plan:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"expected a partial (map-side) aggregate over gram:\n$plan")
+  }
+
+  test("d16 hot gram: one 8-gram duplicated across 10k docs completes skew-free") {
+    // the adversarial shape the window plan would straggle on: every doc is
+    // the SAME 8 tokens, so a single gram carries the whole corpus. First
+    // corpus occurrence (doc 0) keeps its text; every other doc excises fully.
+    graft.queries.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val docs = spark.range(0, 10000)
+      .selectExpr("id AS doc_id", "'t0 t1 t2 t3 t4 t5 t6 t7' AS text")
+    docs.createOrReplaceTempView("documents")
+    try {
+      val out = spark.sql(graft.queries.DedupQueries.d16SparkSql).collect()
+      assert(out.length === 10000)
+      val byId = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(byId(0L) === ((8L, 0L, "t0 t1 t2 t3 t4 t5 t6 t7")))
+      assert(byId(1L) === ((0L, 8L, "")))
+      assert(out.count(r => r.getLong(2) == 8L) === 9999)
+    } finally graft.queries.Tables.registerAll(spark, "/root/testdata/sf0.001")
+  }
+
   test("interval join matches the naive theta join, including window edges") {
     import java.sql.Timestamp
     def t(ms: Long) = new Timestamp(ms)
