@@ -78,12 +78,25 @@ object TextIndexStore {
 
   private def clearedPending = PendingKeys.map(_ -> "").toMap
 
+  /** The torn-EVICT marker's property keys — the symmetric protection on
+    * the erasure verb (an evict also spans three commits; a crash after the
+    * postings delete would otherwise leave lexicon df and nd/totalLen
+    * permanently overcounted, and a naive retry would find the postings
+    * already gone and never decrement). */
+  private val EvictPendingKeys = Seq("evictPending", "evictPendingFingerprint",
+    "evictPendingPostingsBase", "evictPendingLexiconBase",
+    "evictPendingNd", "evictPendingLen")
+
+  private def clearedEvictPending = EvictPendingKeys.map(_ -> "").toMap
+
   /** Test-only fault injection: [[admit]]/[[build]] throw at the named
     * point — simulating the mid-operation crashes the pending marker and
     * the build completion stamp exist for. Points: "afterAppend" (postings
     * landed, lexicon did not), "afterLexicon" (lexicon merged, stats
     * commit missing), "buildAfterPostings" (a build torn before its
-    * lexicon — no completion stamp). */
+    * lexicon — no completion stamp), "afterPostingsDelete" (an evict's
+    * postings delete landed, lexicon still overcounted),
+    * "afterLexiconEvict" (lexicon decremented, stats commit missing). */
   @volatile private[graft] var failpoint: Option[String] = None
   private def trip(p: String): Unit =
     if (failpoint.contains(p))
@@ -134,6 +147,12 @@ object TextIndexStore {
     *    clears atomically WITH the stats, so a present marker proves the
     *    stats never landed). */
   def repair(spark: SparkSession, root: String): Boolean = {
+    val a = repairAdmit(spark, root)
+    val e = repairEvict(spark, root)
+    a || e
+  }
+
+  private def repairAdmit(spark: SparkSession, root: String): Boolean = {
     val postT = postingsTable(root)
     val props = postT.properties
     if (!props.get("admitPending").contains("1")) return false
@@ -155,6 +174,52 @@ object TextIndexStore {
       "nd" -> (nd + props("admitPendingNd").toLong).toString,
       "totalLen" -> (totalLen + props("admitPendingLen").toLong).toString)
       ++ clearedPending)
+    true
+  }
+
+  /** Roll a torn [[evict]] FORWARD. The deleted docs' postings — the only
+    * record of their term df contributions — are no longer in the live
+    * table, but they ARE in the marker-pinned pre-delete version: the
+    * victims' rows are exactly `read(asOf = postBase)` anti-joined against
+    * the live doc_ids (the COW delete commit is atomic, so a bumped
+    * postings version means every victim's rows left together). From that
+    * slice the lexicon decrement and the stats commit replay
+    * deterministically:
+    *  - marker set, postings unmoved → clear the marker (the evict never
+    *    started writing data; the caller re-runs it);
+    *  - postings deleted, lexicon unmoved → replay the df decrement from
+    *    the time-travel diff, then the stats commit;
+    *  - lexicon decremented, stats missing → the stats commit alone. */
+  private def repairEvict(spark: SparkSession, root: String): Boolean = {
+    val postT = postingsTable(root)
+    val props = postT.properties
+    if (!props.get("evictPending").contains("1")) return false
+    val postBase = props("evictPendingPostingsBase").toLong
+    val lexBase = props("evictPendingLexiconBase").toLong
+    if (postT.latestVersion().contains(postBase)) {
+      postT.setProperties(clearedEvictPending)
+      return true
+    }
+    if (lexiconTable(root).latestVersion().contains(lexBase)) {
+      val victims = postT.read(spark, versionAsOf = Some(postBase))
+        .join(postT.read(spark).select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+      lexiconTable(root).mergeCow(spark,
+        victims.groupBy("word", "bucket")
+          .agg(expr("CAST(count(*) AS BIGINT)").as("df"))
+          .select("word", "df", "bucket"),
+        "source.bucket = target.bucket AND source.word = target.word",
+        targetKey = "bucket", sourceKey = "bucket",
+        whenMatchedUpdate = Some(Merge.MatchedUpdate(Some("target.df > source.df"),
+          Map("df" -> "target.df - source.df"))),
+        whenMatchedDelete = Some(Merge.MatchedDelete(Some("target.df <= source.df"))))
+    }
+    val (nd, totalLen) = stats(root)
+    postT.setProperties(Map(
+      "corpusFingerprint" -> props("evictPendingFingerprint"),
+      "nd" -> (nd - props("evictPendingNd").toLong).toString,
+      "totalLen" -> (totalLen - props("evictPendingLen").toLong).toString)
+      ++ clearedEvictPending)
     true
   }
 
@@ -293,7 +358,16 @@ object TextIndexStore {
     * one slim postings scan filtered to the ids recovers (word, len,
     * bucket); the deletes themselves are bucket-pruned COW merges touching
     * only the docs' term buckets. Batch forget requests amortize the scan.
-    * Returns the number of documents actually erased. */
+    * Returns the number of documents actually erased.
+    *
+    * Torn-evict protection, symmetric with admit's: the three commits
+    * (postings delete, lexicon decrement, stats) are guarded by an
+    * `evictPending` marker written atomically BEFORE the delete and
+    * cleared atomically WITH the stats commit; [[repair]] rolls a torn
+    * evict forward from the marker-pinned pre-delete postings version
+    * (the victims' rows remain time-travel-readable there), so a crash at
+    * any point leaves the store repairable-exact rather than silently
+    * overcounting df/nd/totalLen. */
   def evict(spark: SparkSession, root: String, docIds: DataFrame,
       fingerprint: String): Long = {
     val postT = postingsTable(root)
@@ -312,11 +386,22 @@ object TextIndexStore {
         expr("CAST(coalesce(sum(len), 0) AS BIGINT)").as("el")).head()
     val (ed, elen) = (s.getLong(0), s.getLong(1))
     if (ed == 0) return 0L
+    // the torn-evict marker: one atomic property commit BEFORE the delete
+    // records the victim stats and the pre-delete versions — everything
+    // repair needs to roll forward from the time-travel-pinned victim rows
+    postT.setProperties(Map(
+      "evictPending" -> "1",
+      "evictPendingFingerprint" -> fingerprint,
+      "evictPendingPostingsBase" -> postT.latestVersion().get.toString,
+      "evictPendingLexiconBase" -> lexiconTable(root).latestVersion().get.toString,
+      "evictPendingNd" -> ed.toString,
+      "evictPendingLen" -> elen.toString))
     // postings: bucket-pruned COW delete of the docs' rows
     postT.mergeCow(spark, mine.select("doc_id", "bucket").distinct(),
       "source.bucket = target.bucket AND source.doc_id = target.doc_id",
       targetKey = "bucket", sourceKey = "bucket",
       whenMatchedDelete = Some(Merge.MatchedDelete(None)))
+    trip("afterPostingsDelete")
     // lexicon: df decrements within the docs' term buckets; a term whose
     // df reaches zero leaves the lexicon (serving-exact: BM25's idf of an
     // absent term is exactly a zero-df term's)
@@ -329,11 +414,14 @@ object TextIndexStore {
       whenMatchedUpdate = Some(Merge.MatchedUpdate(Some("target.df > source.df"),
         Map("df" -> "target.df - source.df"))),
       whenMatchedDelete = Some(Merge.MatchedDelete(Some("target.df <= source.df"))))
-    val (nd, totalLen) = stats(root)
+    trip("afterLexiconEvict")
+    // stats shrink and the marker clears in ONE property commit — the
+    // evict is atomic-or-repairable end to end, like admit
+    val (nd0, tl0) = stats(root)
     postT.setProperties(Map(
       "corpusFingerprint" -> fingerprint,
-      "nd" -> (nd - ed).toString,
-      "totalLen" -> (totalLen - elen).toString))
+      "nd" -> (nd0 - ed).toString,
+      "totalLen" -> (tl0 - elen).toString) ++ clearedEvictPending)
     ed
   }
 }

@@ -130,6 +130,62 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
     assert(lexRowsOf(root) === lexRowsOf(full))
   }
 
+  test("a torn EVICT (crash after the postings delete) is rolled forward — " +
+      "lexicon df and nd/totalLen do not stay overcounted") {
+    val dir = tmpDir("txt-tevict-")
+    writeDocs(dir, 150)
+    val docs = Tables.table(spark, dir, "documents")
+    val root = tmpDir("txt-tevict-store-") + "/s"
+    TextIndexStore.build(spark, root, docs, "fp0")
+    val victims = docs.filter("doc_id >= 120").select("doc_id")
+    TextIndexStore.failpoint = Some("afterPostingsDelete")
+    try intercept[IllegalStateException] {
+      TextIndexStore.evict(spark, root, victims, "fp1")
+    } finally TextIndexStore.failpoint = None
+    // the tear is DETECTED: postings are gone but the marker is present and
+    // lexicon/stats still count the victims — a blind retry would find no
+    // postings to erase and silently keep the overcount forever
+    val posts = VersionedTable(s"$root/postings")
+    assert(posts.properties.get("evictPending").contains("1"))
+    assert(TextIndexStore.stats(root)._1 === 150L, "stats must not have shrunk yet")
+    // the next verb repairs first: the victims' rows are recovered from the
+    // marker-pinned pre-delete version and the df decrement + stats replay
+    assert(TextIndexStore.repair(spark, root) === true)
+    assert(TextIndexStore.repair(spark, root) === false, "repair is idempotent")
+    assert(!posts.properties.contains("evictPending"))
+    assert(posts.properties.get("corpusFingerprint").contains("fp1"))
+    val survivors = tmpDir("txt-tevict-full-") + "/s"
+    TextIndexStore.build(spark, survivors, docs.filter("doc_id < 120"), "fpF")
+    assert(TextIndexStore.stats(root) === TextIndexStore.stats(survivors))
+    assert(lexRowsOf(root) === lexRowsOf(survivors))
+    assert(postRowsOf(root) === postRowsOf(survivors))
+  }
+
+  test("a torn EVICT (crash after the lexicon decrement, stats missing) " +
+      "completes via the next admit's implicit repair without double-decrementing") {
+    val dir = tmpDir("txt-tevict2-")
+    writeDocs(dir, 160)
+    val docs = Tables.table(spark, dir, "documents")
+    val root = tmpDir("txt-tevict2-store-") + "/s"
+    TextIndexStore.build(spark, root, docs.filter("doc_id < 120"), "fp0")
+    TextIndexStore.failpoint = Some("afterLexiconEvict")
+    try intercept[IllegalStateException] {
+      TextIndexStore.evict(spark, root, docs.filter("doc_id >= 100").select("doc_id"), "fp1")
+    } finally TextIndexStore.failpoint = None
+    // next admit repairs the torn evict (stats commit only — the lexicon
+    // decrement already landed and must NOT replay), then admits its batch
+    assert(TextIndexStore.admit(spark, root,
+      docs.filter("doc_id >= 120"), "fp2") === 40L)
+    val posts = VersionedTable(s"$root/postings")
+    assert(!posts.properties.contains("evictPending"))
+    val expected = tmpDir("txt-tevict2-full-") + "/s"
+    TextIndexStore.build(spark, expected,
+      docs.filter("doc_id < 100 OR doc_id >= 120"), "fpF")
+    assert(TextIndexStore.stats(root) === TextIndexStore.stats(expected))
+    assert(lexRowsOf(root) === lexRowsOf(expected))
+    assert(postRowsOf(root) === postRowsOf(expected))
+  }
+
   test("re-admitting an already-indexed batch is a loud no-op: 0 admitted, " +
       "no commit, stats unchanged") {
     val dir = tmpDir("txt-dup-")
