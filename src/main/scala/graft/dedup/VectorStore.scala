@@ -69,15 +69,27 @@ object VectorStore {
         val Array(c, n) = kv.split(':'); c.toLong -> n.toLong
       }.toMap).getOrElse(Map.empty)
 
+  private def encodeLoad(m: Map[Long, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (c, n) => s"$c:$n" }.mkString(",")
+
   private def writeLoad(root: String, m: Map[Long, Long]): Unit =
-    centsTable(root).setProperties(Map("centroidLoad" ->
-      m.toSeq.sortBy(_._1).map { case (c, n) => s"$c:$n" }.mkString(",")))
+    centsTable(root).setProperties(Map("centroidLoad" -> encodeLoad(m)))
 
   /** Max/mean partition skew of the tracked load — the rebalance trigger.
     * 1.0 is perfectly even; a store whose hot centroid holds 10× the mean
-    * reports 10. Empty/untracked load reports 1.0 (nothing to skew). */
-  def imbalance(root: String): Double = {
-    val m = load(root).values.filter(_ > 0)
+    * reports 10. Empty/untracked load reports 1.0 (nothing to skew).
+    *
+    * The tracked load is a monitoring CACHE: admit/evict bump it in a
+    * property commit AFTER their data commit, so a crash between the two
+    * leaves it skewed. Every reading that GATES an action re-derives the
+    * exact counts from the assigned table first ([[rebalance]]'s
+    * ifSkewAbove) and writes the reconciled counts back — the cache
+    * self-heals at every gate, so a torn counter update can delay a
+    * dashboard but never mis-gate a rebalance. */
+  def imbalance(root: String): Double = imbalanceOf(load(root))
+
+  private def imbalanceOf(counts: Map[Long, Long]): Double = {
+    val m = counts.values.filter(_ > 0)
     if (m.isEmpty) 1.0
     else m.max.toDouble / (m.sum.toDouble / m.size)
   }
@@ -86,13 +98,63 @@ object VectorStore {
     assigned.groupBy("c_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  /** Test-only fault injection: [[build]] throws at the named point —
-    * simulating the torn-build crash the completion stamp exists for.
-    * Point: "buildAfterCents" (centroids committed, assigned/stamp not). */
+  /** Test-only fault injection: [[build]]/[[rebalance]] throw at the named
+    * point — simulating the torn-operation crashes the completion stamp and
+    * the rebalance pending marker exist for. Points: "buildAfterCents"
+    * (centroids committed, assigned/stamp not), "rebalanceAfterCents"
+    * (retrained centroids committed over the OLD partition layout),
+    * "rebalanceAfterAssigned" (re-lay landed, load/modulus/marker commit
+    * missing). */
   @volatile private[graft] var failpoint: Option[String] = None
   private def trip(p: String): Unit =
     if (failpoint.contains(p))
       throw new IllegalStateException(s"injected failure at $p")
+
+  /** The torn-rebalance marker's property keys (cleared atomically with the
+    * final load/modulus commit — marker present ⟺ a rebalance's tail is
+    * missing and the store may be serving NEW centroids over the OLD
+    * partition layout, the silently-wrong-probes tear). */
+  private val RebalanceKeys = Seq("rebalancePending",
+    "rebalancePendingCentsBase", "rebalancePendingAssignedBase",
+    "rebalancePendingModulus")
+
+  private def clearedRebalance = RebalanceKeys.map(_ -> "").toMap
+
+  /** Roll a torn [[rebalance]] FORWARD (returns whether there was one).
+    * Every post-retrain step is deterministic from the committed centroids
+    * (the re-lay is assignTo over the store's own rows — row-preserving),
+    * so the store returns to layout-consistent serving without retraining:
+    *  - marker set, centroids unmoved → clear the marker (the retrain never
+    *    committed; the store still serves the old generation consistently);
+    *  - centroids committed, assigned unmoved → the MIXED-GENERATION tear:
+    *    re-lay the partitions under the new centroids, then the final
+    *    commit;
+    *  - re-lay landed, load/modulus missing → the final commit alone. */
+  def repairRebalance(spark: SparkSession, root: String): Boolean = {
+    val centsT = centsTable(root)
+    val assignedT = assignedTable(root)
+    val props = centsT.properties
+    if (!props.get("rebalancePending").contains("1")) return false
+    val centsBase = props("rebalancePendingCentsBase").toLong
+    val assignedBase = props("rebalancePendingAssignedBase").toLong
+    if (centsT.latestVersion().contains(centsBase)) {
+      centsT.setProperties(clearedRebalance)
+      return true
+    }
+    if (assignedT.latestVersion().contains(assignedBase)) {
+      graft.functions.GraftFunctions.registerAll(spark)
+      val vecs = assignedT.read(spark).select("vec_id", "label", "v", "nv")
+      assignedT.commit(
+        graft.queries.SimilarityQueries.assignTo(vecs, centsT.read(spark))
+          .repartition(col("c_id")),
+        partitionBy = Seq("c_id"), collectStats = false)
+    }
+    centsT.setProperties(Map(
+      "seedModulus" -> props("rebalancePendingModulus"),
+      "centroidLoad" -> encodeLoad(countsOf(assignedT.read(spark))))
+      ++ clearedRebalance)
+    true
+  }
 
   /** Normalize a raw (vec_id, label, embedding float[]) frame to the
     * store's (vec_id, label, v double[], nv) shape. */
@@ -167,6 +229,10 @@ object VectorStore {
       s"$root holds no vector store — build(corpus) first")
     require(centsT.properties.get("indexFormat").contains("1"),
       s"$root was built by an incompatible vector-store format — rebuild")
+    // a torn rebalance (new centroids over the old layout) repairs before
+    // any probe reads — otherwise this admit would rank the new cents but
+    // read mismatched c_id partitions and serve wrong verdicts
+    repairRebalance(spark, root)
     graft.functions.GraftFunctions.registerAll(spark)
     val vecs = normalized(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -256,6 +322,7 @@ object VectorStore {
     val centsT = centsTable(root)
     require(centsT.latestVersion().isDefined,
       s"$root holds no vector store — build(corpus) first")
+    repairRebalance(spark, root)
     val ids = vecIds.select("vec_id").distinct().localCheckpoint(true)
     // locate the victims' centroids BEFORE the delete: exact load
     // decrements, and the erasure count to report
@@ -292,9 +359,18 @@ object VectorStore {
       s"$root holds no vector store — build(corpus) first")
     require(centsT.properties.get("indexFormat").contains("1"),
       s"$root was built by an incompatible vector-store format — rebuild")
-    if (ifSkewAbove.exists(bound => imbalance(root) <= bound)) return false
-    graft.functions.GraftFunctions.registerAll(spark)
+    // a torn prior rebalance completes before anything is gated or retrained
+    repairRebalance(spark, root)
     val assignedT = assignedTable(root)
+    // the gate decides from EXACT counts re-derived off the assigned table,
+    // never the cached property (a torn admit/evict counter update could
+    // otherwise mis-gate forever); the fresh counts reconcile the cache
+    if (ifSkewAbove.isDefined) {
+      val fresh = countsOf(assignedT.read(spark))
+      writeLoad(root, fresh)
+      if (imbalanceOf(fresh) <= ifSkewAbove.get) return false
+    }
+    graft.functions.GraftFunctions.registerAll(spark)
     val vecs = assignedT.read(spark).select("vec_id", "label", "v", "nv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -309,14 +385,30 @@ object VectorStore {
             s"modulus $m — centroids cannot retrain; rebalance aborted")
           graft.queries.SimilarityQueries.trainedCents(spark, vecs, 1L)
         }
+      // the torn-rebalance marker: one atomic property commit BEFORE the
+      // retrain commit records the pre-rebalance versions — a crash leaving
+      // new centroids over the old partition layout (probes would rank the
+      // new cents but read mismatched c_id partitions: silently wrong
+      // serving) is detected and rolled forward by the next verb
+      centsT.setProperties(Map(
+        "rebalancePending" -> "1",
+        "rebalancePendingCentsBase" -> centsT.latestVersion().get.toString,
+        "rebalancePendingAssignedBase" -> assignedT.latestVersion().get.toString,
+        "rebalancePendingModulus" -> m.toString))
       centsT.commit(cents.coalesce(1))
-      centsT.setProperties(Map("seedModulus" -> m.toString))
+      trip("rebalanceAfterCents")
       val centsDf = centsT.read(spark)
       assignedT.commit(
         graft.queries.SimilarityQueries.assignTo(vecs, centsDf)
           .repartition(col("c_id")),
         partitionBy = Seq("c_id"), collectStats = false)
-      writeLoad(root, countsOf(assignedT.read(spark)))
+      trip("rebalanceAfterAssigned")
+      // load, modulus and the marker clear in ONE property commit — the
+      // rebalance is atomic-or-repairable end to end
+      centsT.setProperties(Map(
+        "seedModulus" -> m.toString,
+        "centroidLoad" -> encodeLoad(countsOf(assignedT.read(spark))))
+        ++ clearedRebalance)
       true
     } finally { vecs.unpersist(); () }
   }

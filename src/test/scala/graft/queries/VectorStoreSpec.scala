@@ -227,6 +227,81 @@ class VectorStoreSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getString(1) === "near_dup")
   }
 
+  private def angleVecs2(rows: (Long, Double)*) =
+    rows.toSeq.toDF("vec_id", "deg")
+      .selectExpr("vec_id", "'x' AS label",
+        "array(CAST(cos(radians(deg)) AS FLOAT), " +
+          "CAST(sin(radians(deg)) AS FLOAT)) AS embedding")
+
+  /** A skewed store ready to rebalance: 3 seeded centroids, 30 admits
+    * crowding the 0° partition (the rebalance test's shape). */
+  private def skewedStore(): String = {
+    val root = tmpDir("vx-trb-") + "/vx"
+    VectorStore.build(spark, root, angleVecs2(
+      0L -> 0.0, 25L -> 90.0, 50L -> 180.0))
+    VectorStore.admit(spark, root,
+      angleVecs2((0 until 30).map(i => (100L + i) -> (10.0 + i)): _*),
+      threshold = 0.9999)
+    root
+  }
+
+  test("a torn REBALANCE (crash after the retrained centroids commit) is " +
+      "repaired before the next admit probes — no mixed-generation serving") {
+    val root = skewedStore()
+    val centsT = VersionedTable(s"$root/cents")
+    val assignedT = VersionedTable(s"$root/assigned")
+    val (vc0, va0) = (centsT.resolve(), assignedT.resolve())
+    VectorStore.failpoint = Some("rebalanceAfterCents")
+    try intercept[IllegalStateException] { VectorStore.rebalance(spark, root) }
+    finally VectorStore.failpoint = None
+    // the tear is DETECTED, not silently served: NEW centroids sit over the
+    // OLD partition layout and the marker says so
+    assert(centsT.resolve() === vc0 + 1 && assignedT.resolve() === va0)
+    assert(centsT.properties.get("rebalancePending").contains("1"))
+    // the next admit repairs first (re-lays the partitions under the new
+    // centroids), then serves correctly: an exact dup of a stored vector
+    // must reject — under the mixed layout its probe would read the wrong
+    // partition and wrongly admit
+    val d = VectorStore.admit(spark, root, angleVecs2(300L -> 25.0)).collect()
+    assert(d.head.getString(1) === "near_dup")
+    assert(!centsT.properties.contains("rebalancePending"))
+    // generation agreement: every stored vector's partition IS its top-1
+    // assignment under the CURRENT centroids
+    val stored = assignedT.read(spark)
+    val relaid = graft.queries.SimilarityQueries.assignTo(
+      stored.select("vec_id", "label", "v", "nv"), centsT.read(spark))
+      .select($"vec_id", $"c_id".as("want"))
+    assert(stored.select("vec_id", "c_id").join(relaid, "vec_id")
+      .filter($"c_id" =!= $"want").count() === 0,
+      "assigned partitions must agree with the current centroid generation")
+  }
+
+  test("a torn REBALANCE (crash after the re-lay, load/modulus commit " +
+      "missing) completes via explicit repairRebalance") {
+    val root = skewedStore()
+    val centsT = VersionedTable(s"$root/cents")
+    val loadBefore = VectorStore.load(root)
+    VectorStore.failpoint = Some("rebalanceAfterAssigned")
+    try intercept[IllegalStateException] { VectorStore.rebalance(spark, root) }
+    finally VectorStore.failpoint = None
+    assert(centsT.properties.get("rebalancePending").contains("1"))
+    // the re-lay landed but the load cache still shows the pre-rebalance
+    // skew — repair must finish the tail, not replay the re-lay
+    val assignedT = VersionedTable(s"$root/assigned")
+    val vAfterTear = assignedT.resolve()
+    assert(VectorStore.repairRebalance(spark, root) === true)
+    assert(VectorStore.repairRebalance(spark, root) === false, "repair is idempotent")
+    assert(assignedT.resolve() === vAfterTear, "repair must not re-lay again")
+    assert(!centsT.properties.contains("rebalancePending"))
+    val loadAfter = VectorStore.load(root)
+    assert(loadAfter !== loadBefore, "the load cache must have reconciled")
+    // the reconciled cache equals the exact per-partition counts
+    val exact = assignedT.read(spark).groupBy("c_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loadAfter === exact)
+    assert(VectorStore.imbalance(root) < 5.0)
+  }
+
   test("a replayed admission batch returns the FIRST run's decisions byte " +
       "for byte and appends nothing (strong idempotency)") {
     val root = tmpDir("vx-replay-") + "/vx"
