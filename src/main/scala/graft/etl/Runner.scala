@@ -64,7 +64,7 @@ object Runner {
         order += n
     }
     jobs.foreach(j => visit(j.name))
-    order.foreach { n =>
+    try order.foreach { n =>
       val job = byName(n)
       withScopedConf(spark, job.sparkConf) {
         var attempt = 0
@@ -74,7 +74,13 @@ object Runner {
           job.spec.run(spark, job.env ++ env ++ job.envOverride, environment)
         }
       }
-    }
+    } finally
+      // per-bucket credential bindings are JOB-scoped, and for a DAG the
+      // run is the job: unwind them here so one workflow's auth methods
+      // never become ambient config for the next (stage-scoped restore
+      // would break cross-task lazy views, which scan under the declaring
+      // stage's credentials until the DAG's sinks materialize them)
+      Authenticated.restoreBucketAuth(spark)
     order.toSeq
   }
 

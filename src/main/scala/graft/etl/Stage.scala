@@ -59,6 +59,37 @@ object Authenticated {
 
   private val logged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Per-bucket auth bindings live in this JVM: bucket → (method, the
+    * per-bucket config values each binding replaced — captured at FIRST
+    * binding, so a later restore returns the config to its pre-job state).
+    * The registry is what keeps per-bucket scoping from becoming a
+    * bucket-granular ambient-state leak: a stage declaring a DIFFERENT
+    * method for an already-bound bucket REFUSES loudly (silently running
+    * under whichever provider landed last is the security bug the scoping
+    * exists to prevent), and [[restoreBucketAuth]] unwinds every binding
+    * at the job boundary. */
+  private val bucketBindings = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Map[String, Option[String]])]()
+
+  /** Restore every per-bucket credential key this process applied to its
+    * pre-binding value and clear the bindings — call at the JOB boundary
+    * (not per stage: a stage's lazily-extracted views scan during later
+    * stages' actions and must still see their declared credentials).
+    * [[Runner.run]] calls this after the DAG completes; a host embedding
+    * [[JobSpec.run]] directly should call it once the job's outputs are
+    * materialized. */
+  def restoreBucketAuth(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    bucketBindings.asScala.values.foreach { case (_, prior) =>
+      prior.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
+    bucketBindings.clear()
+  }
+
   private def bucketOf(uri: String): Option[String] =
     scala.util.Try(java.net.URI.create(uri)).toOption
       .filter(u => Set("s3a", "s3n", "s3").contains(u.getScheme))
@@ -71,10 +102,13 @@ object Authenticated {
     * Two scopes, by what the stage touches:
     *  - object-store URIs: the provider binds to the stage's own buckets
     *    via Hadoop's per-bucket `fs.s3a.bucket.<name>.*` keys, which stay
-    *    set — correct for the stage's LAZY frames (a view extracted here
-    *    scans during a later stage's action, and must still see its
-    *    declared credentials) while leaving the base `fs.s3a.*` config,
-    *    and so every other bucket, untouched;
+    *    set for the JOB — correct for the stage's LAZY frames (a view
+    *    extracted here scans during a later stage's action, and must still
+    *    see its declared credentials) while leaving the base `fs.s3a.*`
+    *    config, and so every other bucket, untouched. The binding is
+    *    registered ([[bucketBindings]]): a conflicting method for the same
+    *    bucket refuses, and [[restoreBucketAuth]] unwinds everything at
+    *    the job boundary;
     *  - no bucket to scope to (local paths, where the provider key is
     *    inert anyway): the base key is set for the duration of the stage
     *    and the prior value restored after it — the returned thunk.
@@ -85,6 +119,19 @@ object Authenticated {
       s"unknown authentication method '$method'"))
     val conf = spark.sparkContext.hadoopConfiguration
     val buckets = uris.flatMap(bucketOf).distinct
+    // conflicting methods for the same bucket within one process refuse
+    // LOUDLY: the second binding would silently win for both stages' lazy
+    // frames — a bucket-granular version of the ambient-state leak this
+    // scoping exists to eliminate. Same-method re-binding is a no-op.
+    buckets.foreach { b =>
+      Option(bucketBindings.get(b)).foreach { case (m0, _) =>
+        require(m0 == method, s"bucket '$b' is already bound to " +
+          s"authentication method '$m0' in this process; also binding " +
+          s"'$method' would make both stages run under whichever landed " +
+          "last — align the methods, or restore the scope between jobs " +
+          "(Authenticated.restoreBucketAuth)")
+      }
+    }
     val applied: Map[String, String] =
       if (buckets.nonEmpty)
         (for (b <- buckets; (k, v) <- settings)
@@ -92,6 +139,16 @@ object Authenticated {
       else settings
     val prior = if (buckets.nonEmpty) Map.empty[String, Option[String]]
                 else applied.map { case (k, _) => k -> Option(conf.get(k)) }
+    // first binding captures the keys' pre-binding values for the
+    // job-boundary restore — per-bucket config is scoped, not permanent
+    buckets.foreach { b =>
+      bucketBindings.computeIfAbsent(b, _ => {
+        val keys = settings.keys.toSeq
+          .map(k => s"fs.s3a.bucket.$b.${k.stripPrefix("fs.s3a.")}")
+        (method, keys.map(k => k -> Option(conf.get(k))).toMap)
+      })
+      ()
+    }
     applied.foreach { case (k, v) => conf.set(k, v) }
     if (logged.add(method + buckets.mkString(",")))
       System.err.println(s"[graft] authentication method $method applied: " +

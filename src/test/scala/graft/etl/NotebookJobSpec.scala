@@ -179,4 +179,37 @@ class NotebookJobSpec extends AnyFunSuite with SparkSpec {
     val out = spark.table("nb_agg").as[(String, Long)].collect().toMap
     assert(out === Map("a_nb" -> 2L, "b_nb" -> 1L))
   }
+
+  test("per-bucket auth bindings are job-scoped: conflicting methods refuse, " +
+      "restoreBucketAuth returns the config to its pre-binding state") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "fs.s3a.bucket.nbauth-test.aws.credentials.provider"
+    conf.set(key, "prior.Provider") // the pre-job value the restore must recover
+    try {
+      val r1 = Authenticated.applyMethod(spark, "AmazonIAM",
+        Seq("s3a://nbauth-test/app/data.csv"))
+      assert(conf.get(key).contains("InstanceProfileCredentialsProvider"))
+      // stage-scope restore is a no-op for bucket keys (lazy frames of this
+      // stage still scan under the declared credentials in later stages)
+      r1()
+      assert(conf.get(key).contains("InstanceProfileCredentialsProvider"))
+      // same method re-binds fine; a DIFFERENT method for the same bucket
+      // refuses loudly instead of silently winning for both stages
+      Authenticated.applyMethod(spark, "AmazonIAM", Seq("s3a://nbauth-test/other"))()
+      val e = intercept[IllegalArgumentException] {
+        Authenticated.applyMethod(spark, "AmazonAnonymous",
+          Seq("s3a://nbauth-test/pub"))
+      }
+      assert(e.getMessage.contains("already bound"))
+      // the job boundary unwinds the binding to the PRE-JOB value…
+      Authenticated.restoreBucketAuth(spark)
+      assert(conf.get(key) === "prior.Provider")
+      // …after which a different method may bind cleanly
+      Authenticated.applyMethod(spark, "AmazonAnonymous", Seq("s3a://nbauth-test/pub"))()
+      assert(conf.get(key).contains("AnonymousAWSCredentialsProvider"))
+    } finally {
+      Authenticated.restoreBucketAuth(spark)
+      conf.unset(key)
+    }
+  }
 }
