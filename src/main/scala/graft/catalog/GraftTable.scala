@@ -107,11 +107,15 @@ class GraftTable(val table: VersionedTable, tableName: String,
   * `SELECT count(*)` costs one manifest read instead of a full scan.
   * Spark only attempts aggregate pushdown when every filter pushed
   * completely; since this builder keeps all filters residual, a filtered
-  * count can never take the metadata path by construction. Tables whose
-  * files predate row-count stats (or opted stats off) reject the pushdown
-  * and scan normally. MIN/MAX are deliberately NOT served from stats:
-  * a DV tombstone may hide the extreme row, and temporal stats are
-  * zone-rendered — both silent-wrong-answer traps. */
+  * aggregate can never take the metadata path by construction. Tables
+  * whose files predate row-count stats (or opted stats off) reject the
+  * pushdown and scan normally. MIN/MAX are served from stats ONLY for a
+  * DV-FREE snapshot on numeric/string columns with the stat in every live
+  * file ([[VersionedTable.metaMinMax]]) — the common append-only analytics
+  * shape, where `SELECT max(ts_col)` is a constant freshness probe. A DV
+  * tombstone may hide the extreme row and temporal stats are zone-rendered
+  * (order-correct for pruning, value-unsafe to RETURN), so those cases
+  * reject and scan — a guess is never served. */
 final class GraftScanBuilder(spark: SparkSession, t: VersionedTable,
     versionAsOf: Option[Long], fullSchema: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
@@ -119,7 +123,8 @@ final class GraftScanBuilder(spark: SparkSession, t: VersionedTable,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
-  private var metaCount: Option[(Long, Int)] = None // (count, #count(*) aggs)
+  // manifest-answered aggregate row: one (value, type) per aggregate expr
+  private var metaAgg: Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -133,35 +138,87 @@ final class GraftScanBuilder(spark: SparkSession, t: VersionedTable,
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    canServe(agg)
+    serve(agg).isDefined
 
-  private def canServe(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
-
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (!canServe(agg)) return false
-    t.rowCountOf(spark, versionAsOf.getOrElse(-1L)) match {
-      case Some(n) =>
-        metaCount = Some((n, agg.aggregateExpressions.length)); true
-      case None => false // stats-less files: fall back to the real scan
+  /** A rendered stat string converted back to the column's EXTERNAL row
+    * type. Integral and string round-trips are exact by construction;
+    * Float/Double round-trip exactly through Java's toString/parse;
+    * Decimal re-scales without rounding or refuses. Temporal types never
+    * reach here (gated out — zone-rendered stats are a wrong-answer trap
+    * for a VALUE, even though they order correctly for pruning). */
+  private def typedStat(s: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    import scala.util.Try
+    dt match {
+      case ByteType => Try(s.toByte).toOption
+      case ShortType => Try(s.toShort).toOption
+      case IntegerType => Try(s.toInt).toOption
+      case LongType => Try(s.toLong).toOption
+      case FloatType => Try(s.toFloat).toOption
+      case DoubleType => Try(s.toDouble).toOption
+      case d: DecimalType => Try(new java.math.BigDecimal(s)
+        .setScale(d.scale)).toOption.filter(_.precision <= d.precision)
+      case StringType => Some(s)
+      case _ => None
     }
   }
 
-  override def build(): Scan = metaCount match {
-    case Some((n, k)) => new V1Scan {
-      override def readSchema(): StructType = StructType(
-        (0 until k).map(i => org.apache.spark.sql.types.StructField(
-          s"count_star_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+  /** The aggregation as a manifest-answered row, or None when any part of
+    * it cannot be served SOUNDLY: count(*) needs complete per-file row
+    * counts (DV tombstones subtract); MIN/MAX additionally need a DV-FREE
+    * snapshot, the stat in every live file, and a numeric/string column
+    * (see [[VersionedTable.metaMinMax]]). Filters must be absent and the
+    * aggregation ungrouped — Spark only offers the pushdown then anyway,
+    * since every filter stays residual here. */
+  private def serve(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.{LongType, NumericType, StringType}
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+    val v = versionAsOf.getOrElse(-1L)
+    def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    def minmax(e: org.apache.spark.sql.connector.expressions.Expression,
+        isMin: Boolean): Option[(Any, org.apache.spark.sql.types.DataType)] =
+      for {
+        c <- colNameOf(e)
+        f <- fullSchema.fields.find(_.name == c)
+        if f.dataType.isInstanceOf[NumericType] || f.dataType == StringType
+        (mn, mx) <- t.metaMinMax(v, c)
+        value <- typedStat(if (isMin) mn else mx, f.dataType)
+      } yield (value, f.dataType)
+    val vals = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        t.rowCountOf(spark, v).map(n => (n: Any, LongType
+          : org.apache.spark.sql.types.DataType))
+      case m: Min => minmax(m.column, isMin = true)
+      case m: Max => minmax(m.column, isMin = false)
+      case _ => None
+    }
+    if (vals.exists(_.isEmpty)) None else Some(vals.flatten)
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    metaAgg = serve(agg)
+    metaAgg.isDefined
+  }
+
+  override def build(): Scan = metaAgg match {
+    case Some(vals) => new V1Scan {
+      override def readSchema(): StructType = GraftMetaAggScan.schemaOf(vals)
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T =
-        new GraftMetaAggScan(context, n, k).asInstanceOf[T]
+        new GraftMetaAggScan(context, vals).asInstanceOf[T]
       override def description(): String =
-        s"GraftMetaCountScan(${t.root}, count=$n)"
+        s"GraftMetaAggScan(${t.root}, ${vals.map(_._1).mkString(",")})"
     }
     case None => new V1Scan {
       override def readSchema(): StructType = required
@@ -175,16 +232,22 @@ final class GraftScanBuilder(spark: SparkSession, t: VersionedTable,
   }
 }
 
-/** One pre-aggregated row: the manifest-answered count(*). */
-private final class GraftMetaAggScan(ctx: SQLContext, n: Long, k: Int)
+/** One pre-aggregated row: manifest-answered count(*)/MIN/MAX values, one
+  * typed column per pushed aggregate expression. */
+private object GraftMetaAggScan {
+  def schemaOf(vals: Seq[(Any, org.apache.spark.sql.types.DataType)]): StructType =
+    StructType(vals.zipWithIndex.map { case ((_, dt), i) =>
+      org.apache.spark.sql.types.StructField(s"meta_agg_$i", dt, nullable = false) })
+}
+private final class GraftMetaAggScan(ctx: SQLContext,
+    vals: Seq[(Any, org.apache.spark.sql.types.DataType)])
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
-  override def schema: StructType = StructType(
-    (0 until k).map(i => org.apache.spark.sql.types.StructField(
-      s"count_star_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def schema: StructType = GraftMetaAggScan.schemaOf(vals)
   override def buildScan(): RDD[Row] =
-    ctx.sparkContext.parallelize(Seq(Row.fromSeq(Seq.fill(k)(n))), 1)
-  override def toString: String = s"GraftMetaAggScan(count=$n)"
+    ctx.sparkContext.parallelize(Seq(Row.fromSeq(vals.map(_._1))), 1)
+  override def toString: String =
+    s"GraftMetaAggScan(${vals.map(_._1).mkString(",")})"
 }
 
 private final class GraftV1TableScan(ctx: SQLContext, spark: SparkSession,
@@ -204,7 +267,8 @@ private final class GraftV1TableScan(ctx: SQLContext, spark: SparkSession,
     val (df, _, _) = t.readBounded(spark,
       StatsBounds.bounds(pushed, zone),
       None, versionAsOf,
-      exactValues = StatsBounds.exactValues(pushed, zone))
+      exactValues = StatsBounds.exactValues(pushed, zone),
+      nullness = StatsBounds.nullness(pushed))
     df.select(required.fieldNames.toSeq.map(col): _*)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }

@@ -1453,6 +1453,122 @@ object SourceQueries {
     },
     Some("SELECT count(*) AS n FROM orders WHERE o_orderkey % 10 <> 0"))
 
+  /** q128: nullCount file statistics — the manifest records per-file null
+    * counts alongside min/max (Delta/Iceberg parity), so `IS NULL` skips
+    * every fully-populated file and `IS NOT NULL` skips all-null files at
+    * the manifest, before any I/O (asserted in-query via readBounded's
+    * kept/total, the q101 pattern). The write range-sorts on the nullable
+    * column so nulls cluster into whole files — the layout a real pipeline
+    * gets from clustering on the sparse column it later filters on. At
+    * 100 TB `WHERE col IS NOT NULL` over a mostly-null enrichment column
+    * is a constant shape (joins emit it implicitly for every key); skipping
+    * the all-null mass at the manifest is the difference between reading
+    * the populated slice and scanning the table. */
+  val q128NullPruning: Q = Q(
+    "q128_null_pruning",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-np-").toString
+      val t = graft.table.VersionedTable(s"$tmp/t")
+      t.commit(spark.sql(
+        """SELECT o_orderkey,
+          |  CASE WHEN o_orderkey % 4 = 0 THEN NULL
+          |       ELSE o_orderpriority END AS prio,
+          |  o_totalprice FROM orders""".stripMargin),
+        numPartitions = Some(8), sortBy = Seq("prio"))
+      // both null-predicate shapes must skip files purely from the manifest
+      val (_, keptNull, total) = t.readBounded(spark, Nil,
+        nullness = Seq(("prio", true)))
+      require(keptNull < total,
+        s"IS NULL nullCount skipping did not engage ($keptNull/$total files)")
+      val (_, keptNotNull, _) = t.readBounded(spark, Nil,
+        nullness = Seq(("prio", false)))
+      require(keptNotNull < total,
+        s"IS NOT NULL nullCount skipping did not engage ($keptNotNull/$total files)")
+      spark.sql(
+        s"""SELECT 'is_null' AS side, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           |FROM graft.`$tmp/t` WHERE prio IS NULL
+           |UNION ALL
+           |SELECT 'not_null' AS side, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           |FROM graft.`$tmp/t` WHERE prio IS NOT NULL""".stripMargin)
+        .localCheckpoint(true)
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT CASE WHEN o_orderkey % 4 = 0 THEN NULL
+        |              ELSE o_orderpriority END AS prio,
+        |         o_totalprice FROM orders)
+        |SELECT 'is_null' AS side, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM t WHERE prio IS NULL
+        |UNION ALL
+        |SELECT 'not_null' AS side, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM t WHERE prio IS NOT NULL""".stripMargin))
+
+  /** q129: MIN/MAX aggregate pushdown — an unfiltered, ungrouped MIN/MAX
+    * (and count(*)) over a DV-free snapshot is answered from manifest
+    * stats alone: the executed plan is asserted in-query to contain the
+    * metadata scan and NO file scan. The negatives are asserted too — a
+    * FILTERED aggregate, a snapshot carrying deletion vectors (whose
+    * tombstone may hide the extreme row; the scan must return the
+    * post-delete max, not the stats max), and a stats-off table all take
+    * the real scan. At 100 TB `SELECT max(ingest_key)` is the freshness
+    * probe every downstream scheduler polls; a manifest read per poll vs a
+    * table scan is the whole game. */
+  val q129MetaMinMax: Q = Q(
+    "q129_meta_minmax",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mm-").toString
+      val t = graft.table.VersionedTable(s"$tmp/t")
+      t.commit(spark.sql(
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders"),
+        numPartitions = Some(4))
+      val df = spark.sql(
+        s"""SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           |  max(o_orderpriority) AS max_prio, count(*) AS n
+           |FROM graft.`$tmp/t`""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("GraftMetaAggScan"),
+        s"unfiltered MIN/MAX must be served from manifest metadata:\n$plan")
+      require(!plan.contains("GraftScan("),
+        s"the metadata-served aggregate must not also scan files:\n$plan")
+      // negative 1: a FILTERED aggregate takes the real scan
+      val filtered = spark.sql(
+        s"SELECT max(o_orderkey) AS m FROM graft.`$tmp/t` WHERE o_totalprice > 100")
+      require(!filtered.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"),
+        "a filtered aggregate must scan — stats cannot see the filter")
+      // negative 2: a snapshot with DVs scans, and returns the POST-delete
+      // extreme (the stats max row is tombstoned)
+      val t2 = graft.table.VersionedTable(s"$tmp/t2")
+      t2.setProperties(Map("enableDeletionVectors" -> "true"))
+      t2.commit(spark.sql("SELECT o_orderkey FROM orders"), numPartitions = Some(4))
+      val trueMax = spark.sql("SELECT max(o_orderkey) FROM orders").head.getLong(0)
+      t2.deleteMor(spark, s"o_orderkey = $trueMax")
+      val mm2 = spark.sql(s"SELECT max(o_orderkey) AS m FROM graft.`$tmp/t2`")
+      require(!mm2.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"),
+        "a DV-carrying snapshot must scan — the tombstone may hide the extreme")
+      require(mm2.head.getLong(0) < trueMax,
+        "the scanned max must reflect the deleted extreme row")
+      // negative 3: a stats-off table scans
+      val t3 = graft.table.VersionedTable(s"$tmp/t3")
+      t3.commit(spark.sql("SELECT o_orderkey FROM orders"),
+        numPartitions = Some(2), collectStats = false)
+      val mm3 = spark.sql(s"SELECT max(o_orderkey) AS m FROM graft.`$tmp/t3`")
+      require(!mm3.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"),
+        "a stats-less table must scan")
+      df.localCheckpoint(true)
+    },
+    Some(
+      """SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  max(o_orderpriority) AS max_prio, count(*) AS n
+        |FROM orders""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1463,5 +1579,5 @@ object SourceQueries {
     q111TemporalDelete, q112SymlinkManifest, q113ConvertInPlace,
     q114DynamicOverwrite, q116CopyInto, q117GeneratedPartition,
     q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults,
-    q124RowTracking, q126MetaCount)
+    q124RowTracking, q126MetaCount, q128NullPruning, q129MetaMinMax)
 }

@@ -413,7 +413,8 @@ final class TableRelation(
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val (df, _, _) = t.readBounded(spark, bounds(filters), relativeVersion, versionAsOf,
       exactValues = graft.table.StatsBounds.exactValues(filters,
-        t.statsRenderZone(spark, relativeVersion, versionAsOf)))
+        t.statsRenderZone(spark, relativeVersion, versionAsOf)),
+      nullness = graft.table.StatsBounds.nullness(filters))
     import org.apache.spark.sql.functions.col
     df.select(requiredColumns.toSeq.map(col): _*)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]

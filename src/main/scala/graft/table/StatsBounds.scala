@@ -58,6 +58,21 @@ object StatsBounds {
       case _ => Nil
     }
 
+  /** Conjunctive filters → per-column nullness requirements for
+    * nullCount-stat skipping: `(col, true)` = the query needs NULL rows of
+    * `col` (IS NULL — a file whose nullCount is 0 is skipped), `(col,
+    * false)` = it needs NON-NULL rows (IS NOT NULL, which Spark also
+    * injects for every referenced column — a file whose nullCount equals
+    * its row count is skipped). Only top-level conjuncts qualify; an
+    * IsNull under OR cannot prune alone and contributes nothing. */
+  def nullness(filters: Array[Filter]): Seq[(String, Boolean)] =
+    filters.toSeq.flatMap {
+      case IsNull(c) => Seq((c, true))
+      case IsNotNull(c) => Seq((c, false))
+      case And(l, r) => nullness(Array(l)) ++ nullness(Array(r))
+      case _ => Nil
+    }
+
   /** Conjunctive filters → per-column [lo, hi] bounds for stats skipping.
     * Only shapes whose bound is exact survive; everything else contributes
     * no bound (and is still applied row-level by Spark). An In's min/max is

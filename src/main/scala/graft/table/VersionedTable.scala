@@ -1262,7 +1262,8 @@ final class VersionedTable(val root: String,
     // dropped, corrupting DV reads and COW touched-file detection. Reserve
     // them at the single write funnel, as Delta reserves _metadata.
     val reserved = df.columns.filter(c =>
-      Reserved.contains(c) || c == VersionedTable.RowCountStat)
+      Reserved.contains(c) || c == VersionedTable.RowCountStat ||
+        c.startsWith(VersionedTable.NullCountPrefix))
     require(reserved.isEmpty,
       s"column name(s) ${reserved.mkString(", ")} are reserved by $root " +
         "(internal row-position/row-count bookkeeping); rename before committing")
@@ -1498,8 +1499,13 @@ final class VersionedTable(val root: String,
     // reference it (double underscore is write-reserved), so the pruning
     // machinery ignores it — but [[rowCountOf]]/DESCRIBE DETAIL can answer
     // count(*) from the manifest, zero data I/O at any table size
+    // null counts ride the SAME one-pass aggregation (count(c) counts the
+    // non-nulls; rows − that = nulls, computed below from __nrows) — Delta/
+    // Iceberg-style nullCount for IS NULL / IS NOT NULL file skipping
     val aggs = statCols.flatMap { case (c, _) =>
-      Seq(fmin(col(c)).cast("string").as(s"min_$c"), fmax(col(c)).cast("string").as(s"max_$c")) } :+
+      Seq(fmin(col(c)).cast("string").as(s"min_$c"),
+        fmax(col(c)).cast("string").as(s"max_$c"),
+        org.apache.spark.sql.functions.count(col(c)).as(s"nn_$c")) } :+
       org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
         .cast("string").as("__nrows")
     val dataStats = written.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
@@ -1523,11 +1529,16 @@ final class VersionedTable(val root: String,
             fname.substring(j + abs.length)
           }
         val n = row.getAs[String]("__nrows")
+        val nullStats = statCols.map { case (c, _) =>
+          val nc = (n.toLong - row.getAs[Long](s"nn_$c")).toString
+          s"${VersionedTable.NullCountPrefix}$c" -> ((nc, nc, "nulls"))
+        }.toMap
         rel -> (statCols.flatMap { case (c, kind) =>
           val mn = row.getAs[String](s"min_$c")
           val mx = row.getAs[String](s"max_$c")
           if (mn != null && mx != null) Some(c -> (mn, mx, kind)) else None
-        }.toMap + (VersionedTable.RowCountStat -> (n, n, "rows")))
+        }.toMap ++ nullStats
+          + (VersionedTable.RowCountStat -> (n, n, "rows")))
       }.toMap
     files.map { f =>
       // a file absent from the grouped aggregation produced no rows (an
@@ -2451,6 +2462,14 @@ final class VersionedTable(val root: String,
         attr(a).map(c => (c, Some(l): L, None: L))
       case _ => Nil
     }
+    // IS NULL / IS NOT NULL conjuncts prune on the nullCount pseudo-stat
+    // (same skip rules as readBounded's nullness pass); only columns the
+    // schema actually has qualify — an unknown name contributes nothing
+    val nullConjuncts: Seq[(String, Boolean)] = conj(parsed).flatMap {
+      case ce.IsNull(a) => attr(a).map((_, true))
+      case ce.IsNotNull(a) => attr(a).map((_, false))
+      case _ => Nil
+    }.filter { case (c, _) => schema.fields.exists(_.name == c) }
     val statsZone = statsZoneOf(v)
       .getOrElse(spark.sessionState.conf.sessionLocalTimeZone)
     // a bound survives only when the literal converts soundly for the
@@ -2485,7 +2504,7 @@ final class VersionedTable(val root: String,
           else Some((f.name, f.dataType, loB.flatten, hiB.flatten))
         }
       }
-    if (usable.isEmpty) return None
+    if (usable.isEmpty && nullConjuncts.isEmpty) return None
     var cf = spark.read.parquet(ckptDataDir(v).toString)
       .filter(col("kind") === "data")
     usable.foreach { case (c, dt, lo, hi) =>
@@ -2501,6 +2520,16 @@ final class VersionedTable(val root: String,
         coalesce(side(element_at(st, 1), lex) <= boundLit(x, lex), lit(true))
       }.getOrElse(lit(true))
       cf = cf.filter(st.isNull || (loOk && hiOk))
+    }
+    nullConjuncts.foreach { case (c, wantNull) =>
+      val nc = element_at(element_at(col("stats"),
+        lit(s"${VersionedTable.NullCountPrefix}$c")), 1).cast("long")
+      val rows = element_at(element_at(col("stats"),
+        lit(VersionedTable.RowCountStat)), 1).cast("long")
+      val ok =
+        if (wantNull) nc > 0L // IS NULL: a zero-null file cannot match
+        else nc < rows        // IS NOT NULL: an all-null file cannot match
+      cf = cf.filter(coalesce(ok, lit(true))) // no stat → survive
     }
     Some(cf.select("path").as[String].collect().toSeq)
   }
@@ -3450,7 +3479,8 @@ final class VersionedTable(val root: String,
       bounds: Seq[(String, Option[String], Option[String])],
       relativeVersion: Option[Int] = None,
       versionAsOf: Option[Long] = None,
-      exactValues: Seq[(String, Seq[String])] = Nil): (DataFrame, Int, Int) = {
+      exactValues: Seq[(String, Seq[String])] = Nil,
+      nullness: Seq[(String, Boolean)] = Nil): (DataFrame, Int, Int) = {
     val v = resolve(relativeVersion, versionAsOf)
     val all = filesOf(v)
     val stats = statsOf(v)
@@ -3471,11 +3501,33 @@ final class VersionedTable(val root: String,
       }
       aboveLo && belowHi
     }
-    val ranged = all.filter { f =>
+    val rangedMinMax = all.filter { f =>
       bounds.forall { case (c, lo, hi) =>
         stats.get(f).flatMap(_.get(c)) match {
           case Some((mn, mx, kind)) => overlaps(mn, mx, kind, lo, hi)
           case None => true // no stats → cannot skip
+        }
+      }
+    }
+    // nullCount pass: an IS NULL conjunct skips files with ZERO nulls in
+    // the column, IS NOT NULL skips all-null files. Deletes (DVs) only
+    // remove rows — they can neither add nulls to a zero-null file nor
+    // non-nulls to an all-null one — so the write-time counts stay sound
+    // prune evidence for any live subset of the file.
+    val ranged = rangedMinMax.filter { f =>
+      nullness.forall { case (c, wantNull) =>
+        stats.get(f).flatMap(
+            _.get(s"${VersionedTable.NullCountPrefix}$c")) match {
+          case Some((nc, _, _)) =>
+            scala.util.Try(nc.toLong).toOption match {
+              case Some(nulls) if wantNull => nulls > 0
+              case Some(nulls) =>
+                stats.get(f).flatMap(_.get(VersionedTable.RowCountStat))
+                  .flatMap(r => scala.util.Try(r._1.toLong).toOption)
+                  .forall(rows => nulls < rows)
+              case None => true // unparseable → cannot skip safely
+            }
+          case None => true // no nullCount recorded → cannot skip
         }
       }
     }
@@ -3841,6 +3893,37 @@ final class VersionedTable(val root: String,
     * producer opted stats off — callers fall back to a scan. At 100 TB
     * this answers count(*) in milliseconds instead of a full-table scan
     * (Iceberg's record_count; Delta's numRecords). */
+  /** MIN/MAX of `column` answered from manifest stats alone, when SOUND:
+    * requires a DV-free snapshot (a deletion-vector tombstone may hide the
+    * extreme row — the reason the aggregate pushdown historically served
+    * only count(*)) and the stat recorded in EVERY live file (a stats-less
+    * commit or an all-null file could hide it just as silently). Returns
+    * the rendered (min, max) stat strings for the caller to convert with
+    * the column's type; None whenever any precondition fails — the caller
+    * then scans, never serves a guess. The common case this unlocks is the
+    * append-only analytics table: no DVs ever, stats on every commit, and
+    * `SELECT max(event_time)` (the freshness probe run constantly at
+    * 100 TB) becomes one manifest read. */
+  def metaMinMax(version: Long, column: String): Option[(String, String)] = {
+    val v = if (version < 0) resolve() else version
+    if (dvsOf(v).nonEmpty) return None
+    val fs = filesOf(v)
+    if (fs.isEmpty) return None
+    val stats = statsOf(v)
+    val per = fs.map(f => stats.get(f).flatMap(_.get(column)))
+    if (per.exists(_.isEmpty)) return None
+    val triples = per.flatten
+    if (triples.map(_._3).distinct.length != 1) return None // mixed kinds
+    if (triples.head._3 == "num") {
+      val keys = triples.map { case (mn, mx, _) =>
+        (scala.util.Try(BigDecimal(mn)).toOption,
+         scala.util.Try(BigDecimal(mx)).toOption) }
+      if (keys.exists(k => k._1.isEmpty || k._2.isEmpty)) None // NaN etc.
+      else Some((triples.minBy(t => BigDecimal(t._1))._1,
+                 triples.maxBy(t => BigDecimal(t._2))._2))
+    } else Some((triples.map(_._1).min, triples.map(_._2).max))
+  }
+
   def rowCountOf(spark: SparkSession, version: Long = -1L): Option[Long] = {
     val v = if (version < 0) resolve() else version
     val stats = statsOf(v)
@@ -5031,6 +5114,15 @@ object VersionedTable {
     * "rows"); never a real column (double underscore is write-reserved),
     * never consulted by pruning. */
   val RowCountStat = "__rows"
+
+  /** Reserved stats pseudo-column prefix: `__nulls_<col>` carries the
+    * file's NULL count for `<col>` (kind "nulls", min=max=count — riding
+    * the existing (min, max, kind) triple so the manifest format is
+    * unchanged). Delta and Iceberg both record nullCount; it is what lets
+    * `IS NULL` skip every fully-populated file and `IS NOT NULL` skip
+    * all-null files — a frequent real-user predicate the min/max range
+    * machinery cannot see (an all-null column records NO min/max at all). */
+  val NullCountPrefix = "__nulls_"
 
   /** Spark's parquet field-id metadata key (`ParquetUtils.FIELD_ID_METADATA_KEY`):
     * writers populate parquet field ids from it, and with

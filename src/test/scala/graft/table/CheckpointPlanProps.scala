@@ -31,10 +31,15 @@ object CheckpointPlanProps extends Properties("CheckpointPlan") with SparkSpec {
 
   private lazy val (plain, ckptd) = {
     val base = tmpDir("ckpp-")
+    // ns: null on a key RANGE, so the k-sorted files split into all-null,
+    // mixed, and zero-null — the three shapes nullCount pruning must
+    // distinguish (IS NULL may skip the zero-null files, IS NOT NULL the
+    // all-null ones, and the mixed file must always survive both)
     val df = spark.range(0, 400).selectExpr(
       "id AS k",
       "CAST(id AS STRING) AS s",
-      "timestamp_seconds(1600000000 + id * 3600) AS ts")
+      "timestamp_seconds(1600000000 + id * 3600) AS ts",
+      "CASE WHEN id < 120 THEN NULL ELSE CAST(id AS STRING) END AS ns")
     val p = VersionedTable(base + "/plain")
     val c = VersionedTable(base + "/ckptd")
     Seq(p, c).foreach(_.commit(df, numPartitions = Some(8), sortBy = Seq("k")))
@@ -69,9 +74,15 @@ object CheckpointPlanProps extends Properties("CheckpointPlan") with SparkSpec {
       s"DATE '$ds'") // date-vs-timestamp: must contribute NO bound
   } yield s"ts $op $lit"
 
+  // nullness conjuncts: the range-null column both ways, plus the
+  // never-null column (its IS NULL may prune EVERY file — the planned
+  // delete must then touch zero rows, same as the manifest-planned one)
+  private val nullAtom: Gen[String] = Gen.oneOf(
+    "ns IS NULL", "ns IS NOT NULL", "s IS NULL", "s IS NOT NULL")
+
   private val predGen: Gen[String] = for {
     n <- Gen.chooseNum(1, 2)
-    atoms <- Gen.listOfN(n, Gen.oneOf(kAtom, sAtom, tsAtom))
+    atoms <- Gen.listOfN(n, Gen.oneOf(kAtom, sAtom, tsAtom, nullAtom))
   } yield atoms.mkString(" AND ")
 
   property("checkpointed DELETE ≡ manifest-planned DELETE for random predicates") =
