@@ -39,6 +39,79 @@ object LinkCommitStore extends CommitStore {
   }
 }
 
+/** An S3-class deployment's FAILURE surface modeled over any inner store,
+  * together with the recovery discipline a production client must
+  * implement — the conformance harness for "would this survive a real
+  * object store", runnable under every race spec the plain stores pass:
+  *
+  *  - THROTTLE (503 retry storm): the attempt fails BEFORE any bytes move;
+  *    safe to retry blindly, bounded by `maxRetries` like the SDK budget.
+  *  - LOST RESPONSE: the conditional PUT **landed** but the 200 never
+  *    arrived — the ambiguous outcome, and the real-world trap: a naive
+  *    client retries, gets "already exists" FOR ITS OWN COMMIT, concludes
+  *    it lost the race, and re-commits its batch as a new version
+  *    (duplicate data) or abandons a rebase it actually won. Recovery is
+  *    read-back self-identification: create-if-absent guarantees the
+  *    visible bytes are the winner's complete payload, so `bytes == mine ⟺
+  *    I won`. This is why EVERY ambiguous or losing verdict here re-reads
+  *    the object before reporting. (It relies on payloads being
+  *    writer-unique — manifests carry a fresh commit UUID, so they are;
+  *    two IDENTICAL racing payloads would both claim the win, which is
+  *    exactly when the claim is semantically harmless.)
+  *  - DUPLICATE DELIVERY: a network-level retry re-delivers an
+  *    already-acknowledged PUT; create-if-absent absorbs it as a no-op and
+  *    the original verdict stands.
+  *
+  * (List-after-write lag is deliberately NOT modeled: S3 has been strongly
+  * consistent for list-after-write since 2020-12, and GCS/ADLS longer —
+  * the lag class this store would have had to defend against no longer
+  * exists on the stores the conditional-PUT path targets.)
+  *
+  * Faults draw from a seeded generator; the shared-state interleaving
+  * under concurrency is scheduler-dependent (as real faults are), but a
+  * single-threaded replay of a seed is reproducible. */
+final class FaultyCommitStore(inner: CommitStore, seed: Long,
+    throttleProb: Double = 0.3, lostResponseProb: Double = 0.3,
+    duplicateProb: Double = 0.3, maxRetries: Int = 30) extends CommitStore {
+  private val rnd = new java.util.Random(seed)
+  private def roll(p: Double): Boolean = synchronized(rnd.nextDouble() < p)
+
+  /** Count of injected faults, for specs to assert the run actually
+    * exercised the failure paths rather than passing vacuously. */
+  val injected = new java.util.concurrent.atomic.AtomicLong()
+
+  override def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new java.io.IOException(s"retry budget exhausted for $target")
+      if (roll(throttleProb)) {
+        injected.incrementAndGet() // 503 before any bytes moved: retry
+      } else {
+        val won = inner.putIfAbsent(target, bytes)
+        if (roll(duplicateProb)) { // redelivery of the acknowledged PUT
+          injected.incrementAndGet()
+          inner.putIfAbsent(target, bytes)
+          ()
+        }
+        if (won && roll(lostResponseProb)) {
+          injected.incrementAndGet()
+          return readBackWon(target, bytes) // ambiguous: disambiguate
+        }
+        if (!won) return readBackWon(target, bytes) // collision — with us?
+        return true
+      }
+    }
+    false // unreachable
+  }
+
+  /** The winner's bytes are visible and complete (the trait's no-partial
+    * contract), so equality with what we tried to write IS the verdict. */
+  private def readBackWon(target: Path, bytes: Array[Byte]): Boolean =
+    java.util.Arrays.equals(Files.readAllBytes(target), bytes)
+}
+
 /** Conditional-PUT shape: the local-filesystem model of
   * `PUT If-None-Match: *`. A real conditional PUT is atomic at OBJECT
   * granularity — the key either doesn't exist or holds the complete bytes,

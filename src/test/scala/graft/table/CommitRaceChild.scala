@@ -9,8 +9,13 @@ import java.nio.file.{Files, Paths}
 object CommitRaceChild {
   def main(args: Array[String]): Unit = {
     val Array(storeName, target, id, goFile) = args
-    val store: CommitStore =
-      if (storeName == "link") LinkCommitStore else ConditionalPutCommitStore
+    val store: CommitStore = storeName match {
+      case "link" => LinkCommitStore
+      // per-child seed: every process injects its own fault sequence
+      case "faulty" => new FaultyCommitStore(ConditionalPutCommitStore,
+        seed = id.toLong * 7919L)
+      case _ => ConditionalPutCommitStore
+    }
     // distinctive, self-delimiting payload: a torn/mixed write is detectable
     val payload = (s"writer-$id:" + ("x" * 65536) + s":end-$id").getBytes("UTF-8")
     val go = Paths.get(goFile)

@@ -18,7 +18,11 @@ class CommitStoreSpec extends AnyFunSuite with SparkSpec {
 
   private val stores = Seq(
     "link" -> LinkCommitStore,
-    "conditional-put" -> ConditionalPutCommitStore)
+    "conditional-put" -> ConditionalPutCommitStore,
+    // the S3 failure model over the conditional-PUT impl: 503 storms,
+    // lost responses (read-back disambiguation), duplicate delivery —
+    // every invariant below must hold under injected faults too
+    "faulty-s3" -> new FaultyCommitStore(ConditionalPutCommitStore, seed = 13L))
 
   stores.foreach { case (name, store) =>
     test(s"[$name] exactly one of N concurrent putIfAbsent calls wins") {
@@ -128,7 +132,11 @@ class CommitStoreSpec extends AnyFunSuite with SparkSpec {
       val go = Paths.get(dir, "go")
       val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
       val cp = System.getProperty("java.class.path")
-      val storeArg = if (name == "link") "link" else "put"
+      val storeArg = name match {
+        case "link" => "link"
+        case "faulty-s3" => "faulty"
+        case _ => "put"
+      }
       val procs = (1 to 6).map { i =>
         new ProcessBuilder(javaBin, "-cp", cp, "graft.table.CommitRaceChild",
           storeArg, target.toString, i.toString, go.toString)
