@@ -167,9 +167,16 @@ object StreamingQueries {
           col("buy_ts") >= col("view_ts") &&
           col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
       val qname = s"q52_sink_${System.nanoTime()}"
+      // AvailableNow, not processAllAvailable: the post-data watermark
+      // batch (pure state eviction — ~3s of state-store commits across
+      // 32 partitions × 4 join stores, measured at sf0.1) is then ALWAYS
+      // planned before termination instead of racing processAllAvailable's
+      // idle check. The race made the benched time bimodal ({1,2}-batch
+      // runs — the r10→r12 "regression" was the mode flipping, not code).
       val q = joined.writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .format("memory").queryName(qname).start()
-      q.processAllAvailable()
+      q.awaitTermination()
       q.stop()
       spark.table(qname)
         .select("view_id", "buy_id", "user_id", "view_ts", "buy_ts", "value")
@@ -302,9 +309,15 @@ object StreamingQueries {
           col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
         "left_outer")
       val qname = s"q88_sink_${System.nanoTime()}"
+      // AvailableNow is CORRECTNESS here, not just determinism: the
+      // null-padded outer rows are emitted by the post-data watermark
+      // batch (state eviction), which processAllAvailable only awaited by
+      // luck of its idle-check timing — a latent oracle flake. AvailableNow
+      // terminates only after that batch is planned and run.
       val q = joined.writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .format("memory").queryName(qname).start()
-      q.processAllAvailable()
+      q.awaitTermination()
       q.stop()
       spark.table(qname)
         .filter(col("view_ts") < lit(cutoff) - expr("INTERVAL 2 HOURS"))
