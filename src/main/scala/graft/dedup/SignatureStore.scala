@@ -273,8 +273,12 @@ object SignatureStore {
       val alreadyStored = prunedRead(spark, sigsT, "doc_id", admittedIds)
         .select("doc_id")
         .join(admittedIds, Seq("doc_id"), "left_semi").distinct()
+      // pinned once: the emptiness gate and BOTH appends consume this frame
+      // — unpinned, the replay-skip anti-join would recompute three times
+      // (three planning rounds + jobs in an already job-dense serial chain)
       val admittedSigs = s.join(admittedIds, "doc_id")
         .join(alreadyStored, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       if (!admittedSigs.isEmpty) {
         bandsTable(root).append(bandRows(admittedSigs), collectStats = false)
         trip("afterBandsAppend")
