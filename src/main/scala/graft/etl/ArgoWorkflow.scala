@@ -72,7 +72,7 @@ object ArgoWorkflow {
       // env beats them via JobDef.env), but the spliced CLI args are the
       // container's literal command line and beat everything (envOverride)
       JobDef(taskName, jobSpec, deps, env = nbEnv, envOverride = cliEnv,
-        sparkConf = sparkConf)
+        sparkConf = sparkConf, configUri = Some(configUri))
     }.toSeq
     (jobs, params)
   }

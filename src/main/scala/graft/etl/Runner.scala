@@ -38,7 +38,12 @@ final case class JobDef(name: String, spec: JobSpec, dependsOn: Seq[String] = Ni
       * spliced `--ETL_CONF_*` CLI args are the container's literal command
       * line and always win over workflow-level defaults, unlike `env`
       * (notebook `%env` defaults, which the workflow env overrides). */
-    envOverride: Map[String, String] = Map.empty)
+    envOverride: Map[String, String] = Map.empty,
+    /** The job document's source path, when it was loaded from one — what a
+      * FORKED run hands the child JVM to re-parse (each reference pod
+      * re-reads its own configUri; the parent never serializes the parsed
+      * spec). None for inline-stage jobs, which forked mode rejects. */
+    configUri: Option[String] = None)
 
 object Runner {
 
@@ -48,22 +53,7 @@ object Runner {
           environment: String = "production",
           onAttempt: (String, Int) => Unit = (_, _) => ()): Seq[String] = {
     val byName = jobs.map(j => j.name -> j).toMap
-    require(byName.size == jobs.size, "duplicate job names")
-    jobs.flatMap(_.dependsOn).foreach(d =>
-      require(byName.contains(d), s"unknown dependency '$d'"))
-
-    val order = scala.collection.mutable.ArrayBuffer.empty[String]
-    val state = scala.collection.mutable.Map.empty[String, Int] // 1=visiting 2=done
-    def visit(n: String): Unit = state.getOrElse(n, 0) match {
-      case 2 => ()
-      case 1 => throw new IllegalArgumentException(s"dependency cycle through '$n'")
-      case _ =>
-        state(n) = 1
-        byName(n).dependsOn.foreach(visit)
-        state(n) = 2
-        order += n
-    }
-    jobs.foreach(j => visit(j.name))
+    val order = topoOrder(jobs)
     try order.foreach { n =>
       val job = byName(n)
       withScopedConf(spark, job.sparkConf) {
@@ -84,6 +74,86 @@ object Runner {
     order.toSeq
   }
 
+  /** Run the DAG with ONE OS PROCESS PER TASK — the reference's actual
+    * execution model (each Argo task is a separate spark-submit
+    * application, scd2-job-scheduler.yaml:17-31), which the in-process
+    * [[run]] only approximates. Semantics that differ from in-process, all
+    * in forked mode's favor:
+    *  - handoff is LAKE-ONLY: a task's temp views die with its JVM, so a
+    *    DAG that leans on session state fails here exactly as it would on
+    *    the cluster;
+    *  - per-task `sparkConf` applies at SESSION BUILD time in the child —
+    *    even static SQL confs take effect, where in-process scoping must
+    *    skip them;
+    *  - a retry is a fresh JVM (the pod-restart shape), not a re-run in a
+    *    warm session.
+    * Each child re-parses its own `configUri` (as a pod re-reads its
+    * config); inline-stage jobs have no document to hand over and refuse
+    * up front. Locally the child is a bare JVM on this classpath running
+    * [[JobChild]]; a cluster deployment would swap the ProcessBuilder for
+    * spark-submit — everything else (topology, retries, env precedence) is
+    * identical. */
+  def runForked(jobs: Seq[JobDef], env: Map[String, String],
+                environment: String = "production",
+                cpusPerTask: Int = 4): Seq[String] = {
+    jobs.foreach(j => require(j.configUri.isDefined,
+      s"forked mode needs a configUri for job '${j.name}' — inline-stage " +
+        "jobs have no document for the child JVM to re-parse"))
+    val order = topoOrder(jobs)
+    val byName = jobs.map(j => j.name -> j).toMap
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    order.foreach { n =>
+      val job = byName(n)
+      // env precedence identical to in-process run: notebook %env defaults
+      // < workflow/caller env < CLI splices; the child re-derives the
+      // notebook defaults from its own parse, so only the upper layers ship
+      val shipped = env ++ job.envOverride
+      val doc = new ObjectMapper().createObjectNode()
+      doc.put("environment", environment)
+      doc.put("cpus", cpusPerTask)
+      val envNode = doc.putObject("env")
+      shipped.foreach { case (k, v) => envNode.put(k, v) }
+      val confNode = doc.putObject("sparkConf")
+      job.sparkConf.foreach { case (k, v) => confNode.put(k, v) }
+      val ctl = java.nio.file.Files.createTempFile(s"graft-job-$n-", ".json")
+      java.nio.file.Files.write(ctl,
+        new ObjectMapper().writerWithDefaultPrettyPrinter().writeValueAsBytes(doc))
+      runWithRetries(job.retries, job.retryIntervalMs) {
+        val p = new ProcessBuilder(javaBin, "-cp", cp, "graft.etl.JobChild",
+          job.configUri.get, ctl.toString).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        val code = p.waitFor()
+        if (code != 0) throw new IllegalStateException(
+          s"forked job '$n' exited $code:\n${out.takeRight(4000)}")
+      }
+    }
+    order
+  }
+
+  /** Topological order shared by [[run]] and [[runForked]] — fails fast on
+    * unknown deps or cycles. */
+  private def topoOrder(jobs: Seq[JobDef]): Seq[String] = {
+    val byName = jobs.map(j => j.name -> j).toMap
+    require(byName.size == jobs.size, "duplicate job names")
+    jobs.flatMap(_.dependsOn).foreach(d =>
+      require(byName.contains(d), s"unknown dependency '$d'"))
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val state = scala.collection.mutable.Map.empty[String, Int]
+    def visit(n: String): Unit = state.getOrElse(n, 0) match {
+      case 2 => ()
+      case 1 => throw new IllegalArgumentException(s"dependency cycle through '$n'")
+      case _ =>
+        state(n) = 1
+        byName(n).dependsOn.foreach(visit)
+        state(n) = 2
+        order += n
+    }
+    jobs.foreach(j => visit(j.name))
+    order.toSeq
+  }
+
   /** Parse a workflow document:
     * `{"parameters": {"k": "v"}, "jobs": [{"name": ..., "dependsOn": [...],
     * "stages"|"configUri": ...}]}` — `configUri` loads the job spec from a
@@ -100,15 +170,19 @@ object Runner {
       else Map.empty[String, String]
     val resolved = params ++ env
     val jobs = root.get("jobs").elements().asScala.map { j =>
-      val (spec, jobEnv) =
-        if (j.has("configUri")) {
-          val uri = EnvResolver.substitute(j.get("configUri").asText(), resolved)
+      val uriOpt =
+        if (j.has("configUri"))
+          Some(EnvResolver.substitute(j.get("configUri").asText(), resolved))
+        else None
+      val (spec, jobEnv) = uriOpt match {
+        case Some(uri) =>
           // the reference's configUri points at the NOTEBOOK itself
           // (scd2-job-scheduler.yaml:28-29 → .ipynb): notebook %env vars are
           // job-scoped defaults under the workflow parameters
           if (uri.endsWith(".ipynb")) NotebookJob.fromFile(uri)
           else (JobSpec.fromFile(uri), Map.empty[String, String])
-        } else (JobSpec.fromJson(j.toString), Map.empty[String, String])
+        case None => (JobSpec.fromJson(j.toString), Map.empty[String, String])
+      }
       val deps =
         if (j.has("dependsOn")) j.get("dependsOn").elements().asScala.map(_.asText()).toSeq
         else Nil
@@ -116,7 +190,7 @@ object Runner {
         retries = if (j.has("retries")) j.get("retries").asInt() else 0,
         retryIntervalMs =
           if (j.has("retryIntervalMs")) j.get("retryIntervalMs").asLong() else 10000L,
-        env = jobEnv)
+        env = jobEnv, configUri = uriOpt)
     }.toSeq
     (jobs, params)
   }
