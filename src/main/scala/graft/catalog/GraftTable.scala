@@ -174,7 +174,7 @@ final class GraftScanBuilder(spark: SparkSession, t: VersionedTable,
   private def serve(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types.{LongType, NumericType, StringType}
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
         agg.aggregateExpressions.isEmpty) return None
@@ -198,6 +198,11 @@ final class GraftScanBuilder(spark: SparkSession, t: VersionedTable,
       case _: CountStar =>
         t.rowCountOf(spark, v).map(n => (n: Any, LongType
           : org.apache.spark.sql.types.DataType))
+      // count(col) = Σ rows − Σ nulls from the nullCount pseudo-stats —
+      // DV-free snapshots only; count(DISTINCT col) can never serve
+      case c: Count if !c.isDistinct =>
+        colNameOf(c.column).flatMap(t.metaNonNullCount(v, _))
+          .map(n => (n: Any, LongType: org.apache.spark.sql.types.DataType))
       case m: Min => minmax(m.column, isMin = true)
       case m: Max => minmax(m.column, isMin = false)
       case _ => None

@@ -953,9 +953,74 @@ object DedupQueries {
            |WHERE sa.split <> sb.split""".stripMargin))
   }
 
+  /** d18: SEQUENCE PACKING — assign documents to fixed-token-budget packs
+    * (256 tokens) by the greedy first-fit-by-arrival rule, the batch-prep
+    * step every LLM pretraining pipeline runs (short documents concatenate
+    * into one training sequence; padding waste is the metric). Exact
+    * global first-fit is inherently serial, so this is the standard
+    * distributed shape: hash documents into buckets, pack greedily WITHIN
+    * each bucket (ordered by doc_id — arrival order), packs never cross
+    * buckets. A document longer than the budget opens its own pack (the
+    * greedy rule handles it with no special case).
+    *
+    * Scale: one shuffle (groupBy bucket), then a per-bucket O(bucket-size)
+    * fold via the `aggregate` higher-order function — no window, no
+    * iteration, no driver state; the assignment list stays inside the
+    * bucket's row. Bucket count is the parallelism knob (fixed at 16 here
+    * so the DuckDB oracle's recursive-CTE replay of the same greedy fold
+    * stays shallow; at 100 TB it scales with corpus / target-pack-count).
+    * The oracle replays the fold row by row per bucket — hash-exact. */
+  val d18SequencePack: Q = Q.dualSql("d18_sequence_pack",
+    sparkSql =
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(size(split(text, ' ')) AS INT) AS n FROM documents),
+        |b AS (SELECT doc_id, n, pmod(doc_id, 16) AS bucket FROM toks),
+        |lists AS (
+        |  SELECT bucket, array_sort(collect_list(struct(doc_id, n))) AS docs
+        |  FROM b GROUP BY bucket),
+        |packed AS (
+        |  SELECT bucket,
+        |    aggregate(docs,
+        |      struct(CAST(0 AS INT) AS pack, CAST(0 AS INT) AS fill,
+        |             CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, n: INT, pack: INT>>) AS out),
+        |      (acc, d) -> IF(acc.fill + d.n > 256 AND acc.fill > 0,
+        |        CAST(named_struct('pack', acc.pack + 1, 'fill', d.n,
+        |               'out', concat(acc.out, array(named_struct(
+        |                 'doc_id', d.doc_id, 'n', d.n, 'pack', acc.pack + 1))))
+        |          AS STRUCT<pack: INT, fill: INT,
+        |                    out: ARRAY<STRUCT<doc_id: BIGINT, n: INT, pack: INT>>>),
+        |        CAST(named_struct('pack', acc.pack, 'fill', acc.fill + d.n,
+        |               'out', concat(acc.out, array(named_struct(
+        |                 'doc_id', d.doc_id, 'n', d.n, 'pack', acc.pack))))
+        |          AS STRUCT<pack: INT, fill: INT,
+        |                    out: ARRAY<STRUCT<doc_id: BIGINT, n: INT, pack: INT>>>)),
+        |      acc -> acc.out) AS assigns
+        |  FROM lists)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, a.doc_id,
+        |  CAST(a.n AS BIGINT) AS n, CAST(a.pack AS BIGINT) AS pack
+        |FROM packed LATERAL VIEW explode(assigns) e AS a""".stripMargin,
+    duckSql =
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |ord AS (
+        |  SELECT doc_id % 16 AS bucket, doc_id, n,
+        |    row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS i
+        |  FROM toks),
+        |packrec AS (
+        |  SELECT bucket, i, doc_id, n, 0 AS pack, n AS fill
+        |  FROM ord WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.bucket, o.i, o.doc_id, o.n,
+        |    CASE WHEN p.fill + o.n > 256 THEN p.pack + 1 ELSE p.pack END,
+        |    CASE WHEN p.fill + o.n > 256 THEN o.n ELSE p.fill + o.n END
+        |  FROM packrec p JOIN ord o ON o.bucket = p.bucket AND o.i = p.i + 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, doc_id,
+        |  CAST(n AS BIGINT) AS n, CAST(pack AS BIGINT) AS pack
+        |FROM packrec""".stripMargin)
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d6DedupClusters, d7CollectionMinHash, d8PassageDedup, d9Decontaminate,
     d10EditDistance, d12IncrementalDedup, d13IncrementalVecDedup,
     d14ContainmentDedup, d15FuzzyDecontamination, d16ExactSubstring,
-    d17SplitLeakage)
+    d17SplitLeakage, d18SequencePack)
 }

@@ -1485,6 +1485,19 @@ object SourceQueries {
         nullness = Seq(("prio", false)))
       require(keptNotNull < total,
         s"IS NOT NULL nullCount skipping did not engage ($keptNotNull/$total files)")
+      // count(col) — the non-null count — serves from the same pseudo-stats
+      // (rows − nulls per file, DV-free): metadata plan, exact value;
+      // count(DISTINCT col) can never take the path
+      val cnt = spark.sql(s"SELECT count(prio) AS n FROM graft.`$tmp/t`")
+      require(cnt.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"),
+        "count(col) over a DV-free snapshot must serve from manifest metadata")
+      val exactNonNull = spark.sql(
+        "SELECT count(*) FROM orders WHERE o_orderkey % 4 <> 0").head.getLong(0)
+      require(cnt.head.getLong(0) == exactNonNull,
+        s"metadata count(prio) must equal the exact non-null count")
+      val dist = spark.sql(s"SELECT count(DISTINCT prio) AS n FROM graft.`$tmp/t`")
+      require(!dist.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"),
+        "count(DISTINCT col) must scan")
       spark.sql(
         s"""SELECT 'is_null' AS side, count(*) AS n,
            |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue

@@ -3924,6 +3924,29 @@ final class VersionedTable(val root: String,
     } else Some((triples.map(_._1).min, triples.map(_._2).max))
   }
 
+  /** count(col) — the NON-NULL row count — answered from the per-file
+    * `__nulls_<col>` pseudo-stats: Σ(rows) − Σ(nulls), when the snapshot is
+    * DV-free (a tombstone could hide either a null or a non-null row) and
+    * BOTH stats are recorded in every live file. None otherwise — the
+    * caller scans, never serves a guess. */
+  def metaNonNullCount(version: Long, column: String): Option[Long] = {
+    val v = if (version < 0) resolve() else version
+    if (dvsOf(v).nonEmpty) return None
+    val fs = filesOf(v)
+    if (fs.isEmpty) return Some(0L)
+    val stats = statsOf(v)
+    val per = fs.map { f =>
+      for {
+        m <- stats.get(f)
+        (rows, _, _) <- m.get(VersionedTable.RowCountStat)
+        (nulls, _, _) <- m.get(s"${VersionedTable.NullCountPrefix}$column")
+        r <- scala.util.Try(rows.toLong).toOption
+        n <- scala.util.Try(nulls.toLong).toOption
+      } yield r - n
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
   def rowCountOf(spark: SparkSession, version: Long = -1L): Option[Long] = {
     val v = if (version < 0) resolve() else version
     val stats = statsOf(v)
