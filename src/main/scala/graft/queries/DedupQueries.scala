@@ -284,9 +284,55 @@ object DedupQueries {
     * round is exactly one join + one groupBy + one count action. The driver
     * loop only steers; all data stays distributed. Oracle: DuckDB
     * recursive-CTE reachability over the identical LSH edge pipeline. */
-  val d6DedupClusters: Q = Q(
-    "d6_dedup_clusters",
-    (spark, dir) => {
+  /** d6's DuckDB-side CTE chain up to `comp` (doc_id, component) — the
+    * recursive-reachability replay of the label propagation, factored so
+    * d19's oracle composes on the identical clustering. */
+  private val d6CompCtes: String =
+    s"""sh_all AS ($duckShingles),
+       |hm AS (
+       |  SELECT doc_id, shingle,
+       |    md5('0:' || shingle) || md5('1:' || shingle) ||
+       |    md5('2:' || shingle) || md5('3:' || shingle) AS h
+       |  FROM sh_all),
+       |sig AS (
+       |  SELECT doc_id, i, min(substr(h, 1 + i * 8, 8)) AS mh
+       |  FROM hm, (SELECT unnest(range(0, 16)) AS i) perms
+       |  GROUP BY doc_id, i),
+       |sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b, md5(array_to_string(sig[b * 2 + 1:b * 2 + 2], ',')) AS bkey
+       |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) bs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |shingles AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+       |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS i
+       |  FROM cand c
+       |  JOIN shingles sa ON sa.doc_id = c.a_id
+       |  JOIN shingles sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+       |  GROUP BY c.a_id, c.b_id),
+       |edges AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN counts ca ON ca.doc_id = a_id
+       |  JOIN counts cb ON cb.doc_id = b_id
+       |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+       |edges2 AS (SELECT a_id AS src, b_id AS dst FROM edges
+       |           UNION SELECT b_id, a_id FROM edges),
+       |walk(n, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges2 e ON e.src = w.n),
+       |comp AS (SELECT n AS doc_id, min(lbl) AS component FROM walk GROUP BY n)"""
+      .stripMargin
+
+  /** Near-dup connected components (d6's label propagation), shared with
+    * d19's exemplar selection: (doc_id, component) for EVERY document —
+    * singletons are their own component. */
+  private[queries] def components(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       Tables.registerAll(spark, dir)
       val edges = lshVerifiedPairs(spark, dir).select("a_id", "b_id").persist()
       val sym = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -321,61 +367,29 @@ object DedupQueries {
       if (changed > 0) throw new IllegalStateException(
         s"label propagation did not converge within $iter iterations")
       sym.unpersist()
-      val comp = Tables.table(spark, dir, "documents").select("doc_id")
-        .join(lbl.select(col("doc_id"), col("lbl")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"))
       // pin the small per-doc result eagerly so the final label cache can
       // release before return (cache entries outlive the query otherwise;
       // checkpoint blocks are GC-freed with the frame)
-      val out = comp.select(
-          col("doc_id"), col("component"),
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("component"))).as("cluster_size"),
-          (col("doc_id") === col("component")).as("is_canonical"))
+      val comp = Tables.table(spark, dir, "documents").select("doc_id")
+        .join(lbl.select(col("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"))
         .localCheckpoint(true)
       lbl.unpersist()
-      out
+      comp
+  }
+
+  val d6DedupClusters: Q = Q(
+    "d6_dedup_clusters",
+    (spark, dir) => {
+      components(spark, dir).select(
+        col("doc_id"), col("component"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))).as("cluster_size"),
+        (col("doc_id") === col("component")).as("is_canonical"))
     },
     Some(
       s"""WITH RECURSIVE
-         |sh_all AS ($duckShingles),
-         |hm AS (
-         |  SELECT doc_id, shingle,
-         |    md5('0:' || shingle) || md5('1:' || shingle) ||
-         |    md5('2:' || shingle) || md5('3:' || shingle) AS h
-         |  FROM sh_all),
-         |sig AS (
-         |  SELECT doc_id, i, min(substr(h, 1 + i * 8, 8)) AS mh
-         |  FROM hm, (SELECT unnest(range(0, 16)) AS i) perms
-         |  GROUP BY doc_id, i),
-         |sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sig GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b, md5(array_to_string(sig[b * 2 + 1:b * 2 + 2], ',')) AS bkey
-         |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) bs),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |shingles AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
-         |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.a_id, c.b_id, count(*) AS i
-         |  FROM cand c
-         |  JOIN shingles sa ON sa.doc_id = c.a_id
-         |  JOIN shingles sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
-         |  GROUP BY c.a_id, c.b_id),
-         |edges AS (
-         |  SELECT a_id, b_id FROM inter
-         |  JOIN counts ca ON ca.doc_id = a_id
-         |  JOIN counts cb ON cb.doc_id = b_id
-         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
-         |edges2 AS (SELECT a_id AS src, b_id AS dst FROM edges
-         |           UNION SELECT b_id, a_id FROM edges),
-         |walk(n, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, w.lbl FROM walk w JOIN edges2 e ON e.src = w.n),
-         |comp AS (SELECT n AS doc_id, min(lbl) AS component FROM walk GROUP BY n)
+         |$d6CompCtes
          |SELECT doc_id, component,
          |  count(*) OVER (PARTITION BY component) AS cluster_size,
          |  doc_id = component AS is_canonical
@@ -1018,9 +1032,65 @@ object DedupQueries {
         |  CAST(n AS BIGINT) AS n, CAST(pack AS BIGINT) AS pack
         |FROM packrec""".stripMargin)
 
+  /** d19: EXEMPLAR SELECTION — the retention decision after clustering:
+    * within each near-dup cluster keep the HIGHEST-QUALITY document (t2's
+    * quality score; doc_id breaks ties), not d6's min-id canonical — the
+    * policy real pipelines want, since near-dup clusters usually contain
+    * one clean original and several degraded copies, and keeping the
+    * min-id one throws away quality for determinism. Output is the full
+    * per-document decision list (doc_id, component, quality_score, kept) —
+    * the artifact a downstream filter joins against.
+    *
+    * Pure composition of two gated operators (d6's components × t2's
+    * quality), inheriting both scale shapes; the argmax adds one window
+    * over the component key — bounded by cluster sizes, which LSH-verified
+    * near-dup clusters keep small by construction (a giant cluster means
+    * boilerplate, which d16/t19 handle upstream). */
+  val d19ExemplarSelection: Q = {
+    val qualityExpr =
+      """round(least(size(split(text, ' ')) / 1e2, 1e0) * 4e-1
+        |  + (1e0 - round(CAST(size(filter(split(text, ' '),
+        |        w -> w IN ('the','a','of','is','to','in'))) AS DOUBLE)
+        |      / size(split(text, ' ')), 6)) * 3e-1
+        |  + least(round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / size(split(text, ' ')), 6) / 1e1, 1e0) * 3e-1, 6)"""
+        .stripMargin.replace("\n", " ")
+    Q(
+      "d19_exemplar_selection",
+      (spark, dir) => {
+        val comp = components(spark, dir)
+        val quality = Tables.table(spark, dir, "documents")
+          .selectExpr("doc_id", s"$qualityExpr AS quality_score")
+        import org.apache.spark.sql.expressions.Window
+        comp.join(quality, "doc_id")
+          .select(col("doc_id"), col("component"), col("quality_score"),
+            (org.apache.spark.sql.functions.row_number().over(
+              Window.partitionBy(col("component"))
+                .orderBy(col("quality_score").desc, col("doc_id"))) === 1)
+              .as("kept"))
+      },
+      Some(
+        s"""WITH RECURSIVE
+           |$d6CompCtes,
+           |quality AS (
+           |  SELECT doc_id,
+           |    round(least(len(string_split(text, ' ')) / 1e2, 1e0) * 4e-1
+           |      + (1e0 - round(CAST(len(list_filter(string_split(text, ' '),
+           |            w -> w IN ('the','a','of','is','to','in'))) AS DOUBLE)
+           |          / len(string_split(text, ' ')), 6)) * 3e-1
+           |      + least(round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |          / len(string_split(text, ' ')), 6) / 1e1, 1e0) * 3e-1, 6)
+           |      AS quality_score
+           |  FROM documents)
+           |SELECT c.doc_id, c.component, q.quality_score,
+           |  row_number() OVER (PARTITION BY c.component
+           |    ORDER BY q.quality_score DESC, c.doc_id) = 1 AS kept
+           |FROM comp c JOIN quality q ON q.doc_id = c.doc_id""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(d1Exact, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d6DedupClusters, d7CollectionMinHash, d8PassageDedup, d9Decontaminate,
     d10EditDistance, d12IncrementalDedup, d13IncrementalVecDedup,
     d14ContainmentDedup, d15FuzzyDecontamination, d16ExactSubstring,
-    d17SplitLeakage, d18SequencePack)
+    d17SplitLeakage, d18SequencePack, d19ExemplarSelection)
 }
