@@ -1455,11 +1455,11 @@ object SimilarityQueries {
     * build-once (s14) and build-then-admit (s15) stores, because an
     * exactly-maintained index must serve exactly the full-corpus result. */
   private def bm25OracleSql(queries: Seq[(Long, Seq[String])], k: Int,
-      where: String = ""): String = {
+      where: String = "", corpusSql: String = "documents"): String = {
     val qvals = queries.flatMap { case (q, ws) =>
       ws.map(wd => s"($q, '$wd')") }.mkString(", ")
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |             FROM documents $where),
+         |             FROM $corpusSql $where),
          |doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
          |           FROM tok GROUP BY doc_id),
          |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
@@ -1854,9 +1854,56 @@ object SimilarityQueries {
          |JOIN cands c ON c.vec_id = s.picked[r.i]
          |WHERE s.step = 10""".stripMargin))
 
+  /** q130: derived-index maintenance from the base table's CHANGE FEED —
+    * the index follows the table. A corpus VersionedTable takes an append
+    * (inserts), a SQL-shaped DELETE, and an UPDATE rewriting text; one
+    * [[graft.dedup.TextIndexStore.syncFromTable]] call drives the store's
+    * evict/admit verbs from the feed's changed ids and advances the synced
+    * cursor, after which BM25 serving equals a relational recompute on the
+    * table's CURRENT contents (updates included — the updated text scores,
+    * the stale postings are gone). Re-sync asserted a loud (0,0) no-op
+    * in-query. At 100 TB this is how a derived index stays fresh: the feed
+    * is change-sized, the evict/admit touch only the changed ids' buckets
+    * — a day that touched 0.1 % of the corpus syncs 0.1 % of the index. */
+  val q130IndexTableSync: Q = {
+    val queries = Seq(1L -> Seq("dup", "merge"), 2L -> Seq("spark", "window"))
+    Q(
+      "q130_index_table_sync",
+      (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q130-").toString
+        val t = graft.table.VersionedTable(s"$tmp/corpus")
+        val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+        t.commit(docs.filter("doc_id % 5 <> 0"), numPartitions = Some(4))
+        graft.dedup.TextIndexStore.build(spark, s"$tmp/ix", t.read(spark), "fp0")
+        graft.dedup.TextIndexStore.markSynced(s"$tmp/ix", t.resolve())
+        // the table moves on: inserts, deletes, and a text-rewriting update
+        t.append(docs.filter("doc_id % 5 = 0"))
+        t.delete(spark, "doc_id % 10 = 3")
+        t.update(spark, "doc_id % 10 = 7",
+          Map("text" -> "concat(text, ' graftsync graftsync')"))
+        val (admitted, evicted) =
+          graft.dedup.TextIndexStore.syncFromTable(spark, s"$tmp/ix", t, "fp1")
+        require(admitted > 0 && evicted > 0,
+          s"the sync must both admit and evict ($admitted/$evicted)")
+        // the synced store must be exactly a build on the CURRENT table
+        require(graft.dedup.TextIndexStore.stats(s"$tmp/ix")._1 ==
+          t.read(spark).count(), "nd must equal the table's current row count")
+        // a replayed sync past the cursor is a loud no-op
+        require(graft.dedup.TextIndexStore.syncFromTable(
+          spark, s"$tmp/ix", t, "fp2") == ((0L, 0L)), "re-sync must no-op")
+        bm25TopK(spark, s"$tmp/ix", queries, 10)
+      },
+      Some(bm25OracleSql(queries, 10,
+        corpusSql = """(SELECT doc_id,
+          |  CASE WHEN doc_id % 10 = 7 THEN text || ' graftsync graftsync'
+          |       ELSE text END AS text
+          |FROM documents WHERE doc_id % 10 <> 3)""".stripMargin)))
+  }
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
     s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
     s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf, s12AnnFiltered,
     s13RangeSearch, s14Bm25Stored, s15Bm25Admit, s16StreamBm25Admit,
-    q127ForgetIndexed, s17MmrRerank)
+    q127ForgetIndexed, s17MmrRerank, q130IndexTableSync)
 }
