@@ -230,6 +230,9 @@ object JobSpec {
       case "TextIndexEvict" => TextIndexEvict(
         name, str(n, "inputView"), str(n, "storeURI"),
         str(n, "fingerprint"), optStr(n, "outputView"), envs(n))
+      case "TextIndexSync" => TextIndexSync(
+        name, str(n, "tableURI"), str(n, "storeURI"),
+        str(n, "fingerprint"), optStr(n, "outputView"), envs(n))
       case "MatViewRefresh" =>
         val sumsNode = n.get("sums")
         require(sumsNode != null && sumsNode.isObject,

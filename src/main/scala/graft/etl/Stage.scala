@@ -1000,3 +1000,27 @@ final case class TextIndexEvict(
     EvictStage.emit(spark, n, outputView)
   }
 }
+
+/** Sync the BM25 store to its base TABLE's head via the change feed
+  * ([[graft.dedup.TextIndexStore.syncFromTable]]: evict changed ids' stale
+  * postings, admit their current rows, advance the resumable cursor) —
+  * the one-stage maintenance DAG node that keeps a derived index fresh;
+  * the optional audit view reports (n_admitted, n_evicted). */
+final case class TextIndexSync(
+    name: String,
+    tableURI: String,
+    storeURI: String,
+    fingerprint: String,
+    outputView: Option[String] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val (a, e) = graft.dedup.TextIndexStore.syncFromTable(spark,
+      sub(storeURI, env), VersionedTable(sub(tableURI, env)), sub(fingerprint, env))
+    outputView.map { v =>
+      import spark.implicits._
+      val df = Seq((a, e)).toDF("n_admitted", "n_evicted")
+      df.createOrReplaceTempView(v)
+      df
+    }
+  }
+}

@@ -136,4 +136,33 @@ class ForgetSpec extends AnyFunSuite with SparkSpec {
     TextIndexStore.build(spark, minus, docsDf(60).filter("doc_id % 10 != 0"), "fpM")
     assert(TextIndexStore.stats(s"$base/text") === TextIndexStore.stats(minus))
   }
+
+  test("TextIndexSync stage keeps a derived index following its table " +
+      "through append/delete/update — idempotent from the declarative surface") {
+    val base = tmpDir("sync-job-")
+    val t = VersionedTable(s"$base/corpus")
+    t.commit(docsDf(100).filter("doc_id % 5 <> 0"), numPartitions = Some(2))
+    TextIndexStore.build(spark, s"$base/ix", t.read(spark), "fp0")
+    TextIndexStore.markSynced(s"$base/ix", t.resolve())
+    t.append(docsDf(100).filter("doc_id % 5 = 0"))
+    t.delete(spark, "doc_id % 10 = 3")
+    t.update(spark, "doc_id % 10 = 7",
+      Map("text" -> "concat(text, ' synced synced')"))
+    val job = graft.etl.JobSpec.fromJson(
+      s"""{"stages": [
+         |  {"type": "TextIndexSync", "name": "sync",
+         |   "tableURI": "$base/corpus", "storeURI": "$base/ix",
+         |   "fingerprint": "fp1", "outputView": "sync_audit"}]}""".stripMargin)
+    job.run(spark, Map.empty)
+    val (a, e) = spark.table("sync_audit").as[(Long, Long)].collect().head
+    assert(a > 0 && e > 0, s"sync must admit and evict ($a/$e)")
+    assert(TextIndexStore.stats(s"$base/ix")._1 === t.read(spark).count())
+    // the synced store is EXACTLY a build on the current table contents
+    val fresh = tmpDir("sync-job-fresh-") + "/ix"
+    TextIndexStore.build(spark, fresh, t.read(spark), "fpF")
+    assert(TextIndexStore.stats(s"$base/ix") === TextIndexStore.stats(fresh))
+    // re-running the same job is a no-op: cursor already at head
+    job.run(spark, Map.empty)
+    assert(spark.table("sync_audit").as[(Long, Long)].collect().head === ((0L, 0L)))
+  }
 }
