@@ -1416,7 +1416,8 @@ object SimilarityQueries {
     * (strict subset asserted in-query), s11's exact decimal discipline, nd
     * and avglen derived from the store's exact integer accumulators. */
   private def bm25TopK(spark: SparkSession, root: String,
-      queries: Seq[(Long, Seq[String])], k: Int): org.apache.spark.sql.DataFrame = {
+      queries: Seq[(Long, Seq[String])], k: Int,
+      conjunctive: Boolean = false): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
     val (nd, totalLen) = graft.dedup.TextIndexStore.stats(root)
@@ -1444,7 +1445,20 @@ object SimilarityQueries {
            |AS DECIMAL(18,6))""".stripMargin))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    contrib.groupBy("q_id", "doc_id").agg(expr("SUM(c6)").as("score"))
+    val grouped = contrib.groupBy("q_id", "doc_id")
+      .agg(expr("SUM(c6)").as("score"),
+        expr("count(DISTINCT qword)").as("n_matched"))
+    // conjunctive (boolean AND) mode: a document scores only when it
+    // matched EVERY query term — the count rides the same aggregation,
+    // so the filter is free on top of the pruned probe
+    val qcounts = queries.map { case (q, ws) => (q, ws.distinct.size.toLong) }
+      .toDF("q_id", "n_terms")
+    val filtered =
+      if (conjunctive)
+        grouped.join(broadcast(qcounts), "q_id")
+          .filter(col("n_matched") === col("n_terms"))
+      else grouped
+    filtered
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("doc_id"),
         expr("CAST(score AS DOUBLE)").as("score"), col("rk"))
@@ -1455,9 +1469,26 @@ object SimilarityQueries {
     * build-once (s14) and build-then-admit (s15) stores, because an
     * exactly-maintained index must serve exactly the full-corpus result. */
   private def bm25OracleSql(queries: Seq[(Long, Seq[String])], k: Int,
-      where: String = "", corpusSql: String = "documents"): String = {
+      where: String = "", corpusSql: String = "documents",
+      conjunctive: Boolean = false): String = {
     val qvals = queries.flatMap { case (q, ws) =>
       ws.map(wd => s"($q, '$wd')") }.mkString(", ")
+    val qcvals = queries.map { case (q, ws) =>
+      s"($q, ${ws.distinct.size})" }.mkString(", ")
+    val conjCtes =
+      if (conjunctive)
+        s""",qcount(q_id, n_terms) AS (VALUES $qcvals),
+           |matched AS (
+           |  SELECT qt.q_id, f.doc_id, count(DISTINCT qt.qword) AS n_matched
+           |  FROM qterm qt JOIN tf f ON f.word = qt.qword
+           |  GROUP BY qt.q_id, f.doc_id)""".stripMargin
+      else ""
+    val conjJoin =
+      if (conjunctive)
+        """ JOIN matched m ON m.q_id = bm25.q_id AND m.doc_id = bm25.doc_id
+          | JOIN qcount qc ON qc.q_id = bm25.q_id AND m.n_matched = qc.n_terms"""
+          .stripMargin.replace("\n", "")
+      else ""
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
          |             FROM $corpusSql $where),
          |doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
@@ -1484,12 +1515,12 @@ object SimilarityQueries {
          |  JOIN doclen l ON l.doc_id = f.doc_id
          |  CROSS JOIN stats s),
          |bm25 AS (SELECT q_id, doc_id, SUM(c6) AS score
-         |         FROM contrib GROUP BY q_id, doc_id)
+         |         FROM contrib GROUP BY q_id, doc_id)$conjCtes
          |SELECT q_id, doc_id, CAST(score AS DOUBLE) AS score, rk FROM (
-         |  SELECT q_id, doc_id, score,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY score DESC, doc_id) AS rk
-         |  FROM bm25) t
+         |  SELECT bm25.q_id, bm25.doc_id, score,
+         |    row_number() OVER (PARTITION BY bm25.q_id
+         |      ORDER BY score DESC, bm25.doc_id) AS rk
+         |  FROM bm25$conjJoin) t
          |WHERE rk <= $k""".stripMargin
   }
 
@@ -1854,6 +1885,26 @@ object SimilarityQueries {
          |JOIN cands c ON c.vec_id = s.picked[r.i]
          |WHERE s.step = 10""".stripMargin))
 
+  /** s18: CONJUNCTIVE (boolean AND) retrieval from the stored BM25 index —
+    * a document ranks only when it matched EVERY query term, the classic
+    * boolean-retrieval serving mode next to s14's disjunctive BM25 (an
+    * explicit multi-term query like "spark window sort" usually MEANS the
+    * conjunction; disjunctive scoring surfaces strong single-term matches
+    * the user didn't ask for). The matched-term count rides the SAME
+    * pruned-probe aggregation that sums the scores, so the AND filter is
+    * free on top of s14's bucket-pruned read — no second pass, no
+    * intersection join; at 100 TB the probe I/O is identical to the
+    * disjunctive query's. */
+  val s18BooleanRetrieval: Q = {
+    val queries = Seq(1L -> Seq("dup", "merge", "window"),
+      2L -> Seq("spark", "sort"))
+    Q(
+      "s18_boolean_retrieval",
+      (spark, dir) => bm25TopK(spark, textIndexRoot(spark, dir), queries, 10,
+        conjunctive = true),
+      Some(bm25OracleSql(queries, 10, conjunctive = true)))
+  }
+
   /** q130: derived-index maintenance from the base table's CHANGE FEED —
     * the index follows the table. A corpus VersionedTable takes an append
     * (inserts), a SQL-shaped DELETE, and an UPDATE rewriting text; one
@@ -1905,5 +1956,5 @@ object SimilarityQueries {
     s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
     s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf, s12AnnFiltered,
     s13RangeSearch, s14Bm25Stored, s15Bm25Admit, s16StreamBm25Admit,
-    q127ForgetIndexed, s17MmrRerank, q130IndexTableSync)
+    q127ForgetIndexed, s17MmrRerank, s18BooleanRetrieval, q130IndexTableSync)
 }
