@@ -1933,6 +1933,9 @@ object SimilarityQueries {
         t.delete(spark, "doc_id % 10 = 3")
         t.update(spark, "doc_id % 10 = 7",
           Map("text" -> "concat(text, ' graftsync graftsync')"))
+        // corpus build + table mutations above; the sync + probe below IS
+        // the maintenance verb under measurement
+        PhaseClock.markServe("q130_index_table_sync")
         val (admitted, evicted) =
           graft.dedup.TextIndexStore.syncFromTable(spark, s"$tmp/ix", t, "fp1")
         require(admitted > 0 && evicted > 0,
