@@ -306,6 +306,47 @@ object VectorStore {
     } finally { vecs.unpersist(); () }
   }
 
+  /** Derived-index maintenance from the BASE TABLE's change feed — the
+    * ANN-serving twin of [[graft.dedup.TextIndexStore.syncFromTable]]: the
+    * store MIRRORS the table (every current row is stored), so sync evicts
+    * the changed ids' stale rows and re-admits their CURRENT rows in
+    * mirror mode (threshold 2.0 — rounded cosine can never reach it, so
+    * nothing near-dup-rejects; the dedup-gate semantics stay available
+    * through the ordinary [[admit]]). Inserts evict nothing, deletes admit
+    * nothing, updates (changed embeddings) re-assign to their new top-1
+    * centroid — centroids stay FIXED between [[rebalance]] runs, the
+    * standard IVF serving contract, so a drifting table eventually trips
+    * the skew gate like any admission stream. The synced cursor rides in
+    * the cents properties; interrupted syncs converge on replay and a call
+    * past the cursor is a loud no-op. Returns (admitted, evicted). */
+  def syncFromTable(spark: SparkSession, root: String,
+      table: graft.table.VersionedTable): (Long, Long) = {
+    val centsT = centsTable(root)
+    require(centsT.properties.get("indexFormat").contains("1"),
+      s"$root was built by an incompatible vector-store format — rebuild")
+    repairRebalance(spark, root)
+    val head = table.resolve()
+    val from = centsT.properties.get("syncedVersion").map(_.toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"$root carries no syncedVersion cursor — markSynced(buildVersion) " +
+          "after building the store from a table snapshot"))
+    if (head <= from) return (0L, 0L)
+    val changed = table.changeFeed(spark, from, head)
+      .select("vec_id").distinct().localCheckpoint(true)
+    val evicted = evict(spark, root, changed)
+    val current = table.read(spark)
+      .join(changed, Seq("vec_id")).select("vec_id", "label", "embedding")
+    val admitted = admit(spark, root, current, threshold = 2.0)
+      .filter(col("verdict") === "admitted").count()
+    centsT.setProperties(Map("syncedVersion" -> head.toString))
+    (admitted, evicted)
+  }
+
+  /** Record the table version a just-built store reflects — the cursor
+    * [[syncFromTable]] advances from. */
+  def markSynced(root: String, version: Long): Unit =
+    centsTable(root).setProperties(Map("syncedVersion" -> version.toString))
+
   /** Erase vectors from the store — the right-to-be-forgotten verb
     * (SURVEY §2.12): after evict, no surviving assigned row carries a
     * forgotten vec_id, so probes and near-dup admission serve exactly as

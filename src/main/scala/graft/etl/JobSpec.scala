@@ -233,6 +233,9 @@ object JobSpec {
       case "TextIndexSync" => TextIndexSync(
         name, str(n, "tableURI"), str(n, "storeURI"),
         str(n, "fingerprint"), optStr(n, "outputView"), envs(n))
+      case "VectorIndexSync" => VectorIndexSync(
+        name, str(n, "tableURI"), str(n, "storeURI"),
+        optStr(n, "outputView"), envs(n))
       case "MatViewRefresh" =>
         val sumsNode = n.get("sums")
         require(sumsNode != null && sumsNode.isObject,

@@ -945,6 +945,28 @@ final case class VectorIndexRebalance(
   }
 }
 
+/** Sync the vector store to its base TABLE's head via the change feed
+  * ([[graft.dedup.VectorStore.syncFromTable]]: mirror-mode evict+admit of
+  * the changed ids, resumable cursor) — [[TextIndexSync]]'s ANN twin;
+  * the optional audit view reports (n_admitted, n_evicted). */
+final case class VectorIndexSync(
+    name: String,
+    tableURI: String,
+    storeURI: String,
+    outputView: Option[String] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val (a, e) = graft.dedup.VectorStore.syncFromTable(spark,
+      sub(storeURI, env), VersionedTable(sub(tableURI, env)))
+    outputView.map { v =>
+      import spark.implicits._
+      val df = Seq((a, e)).toDF("n_admitted", "n_evicted")
+      df.createOrReplaceTempView(v)
+      df
+    }
+  }
+}
+
 /** Build the BM25 inverted-index store from the input view's
   * (doc_id, text) ([[graft.dedup.TextIndexStore.build]]); `fingerprint`
   * is the corpus stamp consumers validate against. */

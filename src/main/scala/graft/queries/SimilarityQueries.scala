@@ -451,8 +451,13 @@ object SimilarityQueries {
   /** Training + assignment replay over an ARBITRARY corpus CTE: `eDef`
     * must define `e(vec_id, label, v DOUBLE[64])` — the m6 oracle feeds
     * derived media embeddings through the same k-means replay the d13
-    * oracle runs over the embeddings table. */
-  private[graft] def duckAssignedFromE(eDef: String): String = {
+    * oracle runs over the embeddings table. `assignFrom` lets the FINAL
+    * assignment run over a DIFFERENT corpus CTE (also defined inside
+    * `eDef`) than the one that trained the centroids — the shape a synced
+    * store has: centroids from the build snapshot, rows from the current
+    * table (q131). */
+  private[graft] def duckAssignedFromE(eDef: String,
+      assignFrom: String = "e"): String = {
     val init =
       s"""$eDef,
          |params AS (SELECT GREATEST(25, COUNT(*) // $TargetClusterRows) AS m FROM e),
@@ -482,7 +487,7 @@ object SimilarityQueries {
          |      row_number() OVER (
          |        PARTITION BY e.vec_id
          |        ORDER BY round(${duckCos("e.v", "c.cv")}, 6) DESC, c.c_id) AS rk
-         |    FROM e, cents c) t
+         |    FROM $assignFrom e, cents c) t
          |  WHERE rk = 1)""".stripMargin
     (Seq(init) ++ iters ++ Seq(fin)).mkString(",\n")
   }
@@ -1955,9 +1960,87 @@ object SimilarityQueries {
           |FROM documents WHERE doc_id % 10 <> 3)""".stripMargin)))
   }
 
+  /** q131: the VECTOR store follows its base table — the ANN-serving twin
+    * of q130's BM25 sync. The store MIRRORS the table (mirror-mode
+    * re-admission: nothing near-dup-rejects during sync), so after an
+    * append + DELETE + embedding-rewriting UPDATE one
+    * [[graft.dedup.VectorStore.syncFromTable]] call leaves the assigned
+    * layout exactly "every current row at its top-1 centroid under the
+    * BUILD-snapshot centroids" — which the oracle replays with the k-means
+    * trained on the build corpus and the assignment run over the CURRENT
+    * corpus (the split duckAssignedFromE). Serving proof: a fresh probe
+    * batch's admit decisions against the synced store hash-match the
+    * relational replay — deleted duplicates stop rejecting probes, negated
+    * (updated) vectors reject only probes near their NEW direction. */
+  val q131VectorTableSync: Q = {
+    val eDef =
+      """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |      FROM embeddings WHERE vec_id % 5 <> 1),
+        |cur AS (SELECT vec_id, label,
+        |      CASE WHEN vec_id % 10 = 7
+        |           THEN list_transform(embedding::DOUBLE[], x -> -x)
+        |           ELSE embedding::DOUBLE[] END AS v
+        |      FROM embeddings WHERE vec_id % 10 <> 3)""".stripMargin
+    Q(
+      "q131_vector_table_sync",
+      (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q131-").toString
+        val t = graft.table.VersionedTable(s"$tmp/emb")
+        val emb = Tables.table(spark, dir, "embeddings")
+          .select("vec_id", "label", "embedding")
+        // v0 keeps the % 25 = 0 seed ids (a % 5 <> 0 split would exclude
+        // every seed and trip the tiny-corpus every-vector fallback, which
+        // the oracle's k-means replay does not model)
+        t.commit(emb.filter("vec_id % 5 <> 1"), numPartitions = Some(4))
+        graft.dedup.VectorStore.build(spark, s"$tmp/vx", t.read(spark))
+        graft.dedup.VectorStore.markSynced(s"$tmp/vx", t.resolve())
+        t.append(emb.filter("vec_id % 5 = 1"))
+        t.delete(spark, "vec_id % 10 = 3")
+        t.update(spark, "vec_id % 10 = 7",
+          Map("embedding" -> "transform(embedding, x -> -x)"))
+        PhaseClock.markServe("q131_vector_table_sync")
+        val (a, e) = graft.dedup.VectorStore.syncFromTable(spark, s"$tmp/vx", t)
+        require(a > 0 && e > 0, s"the sync must both admit and evict ($a/$e)")
+        // mirror invariant: the store holds exactly the table's current rows
+        require(graft.table.VersionedTable(s"$tmp/vx/assigned")
+          .read(spark).count() == t.read(spark).count(),
+          "the synced store must mirror the table row for row")
+        require(graft.dedup.VectorStore.syncFromTable(spark, s"$tmp/vx", t)
+          == ((0L, 0L)), "re-sync past the cursor must no-op")
+        val probe = emb.filter("vec_id % 7 = 1")
+          .selectExpr("vec_id + 1000000 AS vec_id", "label", "embedding")
+        graft.dedup.VectorStore.admit(spark, s"$tmp/vx", probe)
+      },
+      Some(
+        s"""WITH ${duckAssignedFromE(eDef, assignFrom = "cur")},
+           |b AS (SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
+           |      FROM embeddings WHERE vec_id % 7 = 1),
+           |b_probed AS (
+           |  SELECT vec_id, v, c_id FROM (
+           |    SELECT b.vec_id, b.v, c.c_id,
+           |      row_number() OVER (PARTITION BY b.vec_id
+           |        ORDER BY round(${duckCos("b.v", "c.cv")}, 6) DESC,
+           |                 c.c_id) AS rk
+           |    FROM b, cents c) t
+           |  WHERE rk <= 2),
+           |near AS (
+           |  SELECT ba.vec_id, min(a.vec_id) AS near_of
+           |  FROM b_probed ba JOIN assigned a ON a.c_id = ba.c_id
+           |  WHERE round(${duckCos("ba.v", "a.v")}, 6) >= 0.45
+           |  GROUP BY ba.vec_id)
+           |SELECT b.vec_id,
+           |  CASE WHEN n.near_of IS NOT NULL THEN 'near_dup'
+           |       ELSE 'admitted' END AS verdict,
+           |  n.near_of AS dup_of
+           |FROM b
+           |LEFT JOIN near n ON n.vec_id = b.vec_id""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(s1CosineTopK, s2AnnIvf, d5EmbeddingNearDup, s3SrpLsh,
     s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
     s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf, s12AnnFiltered,
     s13RangeSearch, s14Bm25Stored, s15Bm25Admit, s16StreamBm25Admit,
-    q127ForgetIndexed, s17MmrRerank, s18BooleanRetrieval, q130IndexTableSync)
+    q127ForgetIndexed, s17MmrRerank, s18BooleanRetrieval, q130IndexTableSync,
+    q131VectorTableSync)
 }

@@ -302,6 +302,47 @@ class VectorStoreSpec extends AnyFunSuite with SparkSpec {
     assert(VectorStore.imbalance(root) < 5.0)
   }
 
+  test("VectorIndexSync keeps the store mirroring its table through " +
+      "append/delete/update — declarative, idempotent, serving-correct") {
+    val base = tmpDir("vx-sync-")
+    val t = VersionedTable(s"$base/emb")
+    t.commit(vecs((0L until 30L).map(i => i -> (i % 3 + 1)): _*))
+    VectorStore.build(spark, s"$base/vx", t.read(spark))
+    VectorStore.markSynced(s"$base/vx", t.resolve())
+    // the table moves on: 10 inserts of a NEW direction, delete every
+    // seed-2 vector, rewrite one vector to a negated direction
+    t.append(vecs((100L until 110L).map(i => i -> 77L): _*))
+    t.delete(spark, "label = 'l2'")
+    t.update(spark, "vec_id = 0",
+      Map("embedding" -> "transform(embedding, x -> -x)"))
+    graft.etl.JobSpec.fromJson(
+      s"""{"stages": [
+         |  {"type": "VectorIndexSync", "name": "sync",
+         |   "tableURI": "$base/emb", "storeURI": "$base/vx",
+         |   "outputView": "vx_sync_audit"}]}""".stripMargin)
+      .run(spark, Map.empty)
+    val (a, e) = spark.table("vx_sync_audit").as[(Long, Long)].collect().head
+    assert(a > 0 && e > 0, s"sync must admit and evict ($a/$e)")
+    // mirror invariant + idempotence
+    assert(VersionedTable(s"$base/vx/assigned").read(spark).count() ===
+      t.read(spark).count())
+    assert(VectorStore.syncFromTable(spark, s"$base/vx", t) === ((0L, 0L)))
+    // serving: a dup of the DELETED direction now admits (nothing left to
+    // match), a dup of the surviving/inserted directions rejects, and a
+    // dup of vector 0's OLD direction admits while its NEW one rejects
+    val d = VectorStore.admit(spark, s"$base/vx", vecs(
+        200L -> 2L,  // deleted direction
+        201L -> 1L,  // surviving direction
+        202L -> 77L) // inserted direction
+        .union(vecs(203L -> 1L).selectExpr("vec_id", "label",
+          "transform(embedding, x -> CAST(-x AS FLOAT)) AS embedding")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d(200L) === "admitted", "the deleted direction must stop matching")
+    assert(d(201L) === "near_dup" && d(202L) === "near_dup")
+    // 203 = negated seed-1 direction = vector 0's rewritten embedding
+    assert(d(203L) === "near_dup", "the UPDATED embedding must be servable")
+  }
+
   test("a replayed admission batch returns the FIRST run's decisions byte " +
       "for byte and appends nothing (strong idempotency)") {
     val root = tmpDir("vx-replay-") + "/vx"
