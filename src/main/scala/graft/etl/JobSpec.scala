@@ -195,6 +195,11 @@ object JobSpec {
         else Nil,
         if (n.has("zOrderBy")) n.get("zOrderBy").elements().asScala.map(_.asText()).toSeq
         else Nil, optInt(n, "targetFileSizeMb"), envs(n))
+      case "TableCluster" => TableCluster(
+        name, str(n, "tableURI"),
+        n.get("zOrderBy").elements().asScala.map(_.asText()).toSeq,
+        optInt(n, "targetFileSizeMb").getOrElse(128),
+        optInt(n, "numFiles"), envs(n))
       case "TableVacuum" => TableVacuum(
         name, str(n, "tableURI"), optInt(n, "retainVersions").getOrElse(2), envs(n))
       case "TableRestore" => TableRestore(

@@ -588,6 +588,26 @@ final case class TableCompact(
   }
 }
 
+/** Incremental OPTIMIZE ZORDER: cluster only the live files no previous
+  * cluster run produced (VersionedTable.clusterIncremental) — the nightly
+  * maintenance shape where re-sorting the whole table per run is a
+  * petabyte job and the new data is the only thing worth laying out. */
+final case class TableCluster(
+    name: String,
+    tableURI: String,
+    zOrderBy: Seq[String],
+    targetFileSizeMb: Int = 128,
+    /** Explicit output-file count for the new cube (overrides the size
+      * target) — test/bench shaping; production keeps the size knob. */
+    numFiles: Option[Int] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    VersionedTable(sub(tableURI, env)).clusterIncremental(spark, zOrderBy,
+      targetFileSizeMb.toLong * 1024 * 1024, numFiles)
+    None
+  }
+}
+
 /** VACUUM a versioned table: drop data files outside the newest
   * `retainVersions` manifests. */
 final case class TableVacuum(

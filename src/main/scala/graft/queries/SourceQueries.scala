@@ -1582,6 +1582,49 @@ object SourceQueries {
         |  max(o_orderpriority) AS max_prio, count(*) AS n
         |FROM orders""".stripMargin))
 
+  /** q132: incremental clustering — two append batches, a cluster run after
+    * each; the second run must cluster ONLY the second batch's files (every
+    * file the first run produced carries verbatim into the new version —
+    * the ZCube property that makes nightly OPTIMIZE O(new data) instead of
+    * O(table) at 100 TB), and the layout must still skip files on BOTH
+    * z-dimensions across cubes. Content equality vs the plain SQL select. */
+  val q132IncrementalCluster: Q = Q(
+    "q132_incremental_cluster",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ic-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_v")
+      val proj = spark.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
+      t.append(proj.filter("o_orderkey % 2 = 0"), numPartitions = Some(4))
+      JobSpec(Seq(TableCluster("cluster new", "${lake}/orders_v",
+        zOrderBy = Seq("o_custkey", "o_orderkey"), numFiles = Some(4))))
+        .run(spark, Map("lake" -> tmp))
+      val cube1 = t.filesOf(t.resolve()).toSet
+      t.append(proj.filter("o_orderkey % 2 = 1"), numPartitions = Some(4))
+      val beforeSecond = t.filesOf(t.resolve()).toSet
+      t.clusterIncremental(spark, Seq("o_custkey", "o_orderkey"),
+        numFiles = Some(4))
+      val after = t.filesOf(t.resolve()).toSet
+      require(cube1.subsetOf(after),
+        s"the second run must leave the first cube's ${cube1.size} files " +
+          s"untouched (${(cube1 -- after).size} were rewritten)")
+      require((beforeSecond -- cube1).forall(f => !after.contains(f)),
+        "the second run must rewrite every unclustered append file")
+      // a third run with nothing new is a no-op: no version burned
+      val head = t.resolve()
+      t.clusterIncremental(spark, Seq("o_custkey", "o_orderkey"))
+      require(t.resolve() == head, "a fully clustered table must no-op")
+      // cross-cube skipping on the SECOND dimension a range sort can't serve
+      val (pruned, sCust, total) = t.readPruned(spark, "o_custkey", "100", "499")
+      require(sCust < total,
+        s"incremental clustering must allow skipping on o_custkey ($sCust of $total)")
+      pruned.filter(col("o_custkey").between(100, 499))
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 499""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1592,5 +1635,6 @@ object SourceQueries {
     q111TemporalDelete, q112SymlinkManifest, q113ConvertInPlace,
     q114DynamicOverwrite, q116CopyInto, q117GeneratedPartition,
     q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults,
-    q124RowTracking, q126MetaCount, q128NullPruning, q129MetaMinMax)
+    q124RowTracking, q126MetaCount, q128NullPruning, q129MetaMinMax,
+    q132IncrementalCluster)
 }

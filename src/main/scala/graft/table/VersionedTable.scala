@@ -369,7 +369,7 @@ final class VersionedTable(val root: String,
     }
   }
 
-  private def filesOf(v: Long): Seq[String] = stateOf(v).files
+  private[graft] def filesOf(v: Long): Seq[String] = stateOf(v).files
 
   /** Deletion-vector sidecar files of a version (table-relative paths).
     * Each DV parquet holds (file STRING, row_index BIGINT) tombstones — the
@@ -3766,55 +3766,187 @@ final class VersionedTable(val root: String,
       commitPinned(read(spark, versionAsOf = Some(pinned)), pinned,
         numPartitions = Some(numFiles0), sortBy = sortBy)
     else {
-      import org.apache.spark.sql.functions.{expr, max => fmax, min => fmin}
       require(partitionByOf(pinned).isEmpty,
         "zOrderBy on a partitioned table is not supported: the z-curve layout " +
           "would fight the hive partition dirs — compact with sortBy instead " +
           "(files are already partition-pruned before stats skipping applies)")
-      require(zOrderBy.size >= 2 && zOrderBy.size <= 4,
-        "zOrderBy takes 2-4 columns (16 bits each in a 64-bit z-value)")
       val df = read(spark, versionAsOf = Some(pinned))
-      zOrderBy.foreach { c =>
-        val f = df.schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(s"zOrderBy column $c not in table"))
-        require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-          s"zOrderBy needs numeric columns; $c is ${f.dataType.simpleString}")
-      }
-      // global bounds come from the manifest's per-file stats when every
-      // file carries them (zero extra I/O); only a stats-less legacy table
-      // pays the pre-scan
-      val fileStats = statsOf(pinned)
-      val allFiles = filesOf(pinned)
-      val fromManifest: Option[Map[String, (Double, Double)]] =
-        if (allFiles.nonEmpty && zOrderBy.forall(c =>
-              allFiles.forall(f => fileStats.get(f).exists(_.contains(c)))))
-          Some(zOrderBy.map { c =>
-            val ranges = allFiles.map(f => fileStats(f)(c))
-            c -> (ranges.map(_._1.toDouble).min, ranges.map(_._2.toDouble).max)
-          }.toMap)
-        else None
-      val bounds: Map[String, (Double, Double)] = fromManifest.getOrElse {
-        val aggs = zOrderBy.flatMap(c => Seq(
-          fmin(col(c)).cast("double").as(s"mn_$c"), fmax(col(c)).cast("double").as(s"mx_$c")))
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        zOrderBy.map(c => c -> (row.getAs[Double](s"mn_$c"), row.getAs[Double](s"mx_$c"))).toMap
-      }
-      val k = zOrderBy.size
-      var ranked = df
-      zOrderBy.zipWithIndex.foreach { case (c, j) =>
-        val (mn, mx) = bounds(c)
-        val span = if (mx > mn) mx - mn else 1.0
-        ranked = ranked.withColumn(s"__zr$j", expr(
-          s"least(65535L, greatest(0L, CAST((CAST($c AS DOUBLE) - ${mn}D) / ${span}D * 65535D AS BIGINT)))"))
-      }
-      val terms = for (i <- 0 until 16; j <- 0 until k)
-        yield s"shiftleft(shiftright(__zr$j, $i) & 1L, ${i * k + j})"
-      val laidOut = ranked.withColumn("__z", expr(terms.mkString(" + ")))
-        .repartitionByRange(numFiles0, col("__z"))
-        .sortWithinPartitions(col("__z"))
-        .drop((0 until k).map(j => s"__zr$j") :+ "__z": _*)
-      commitPinned(laidOut, pinned, forceStats = true)
+      zOrderValidate(df.schema, zOrderBy)
+      val bounds = zBounds(df, zOrderBy, pinned, filesOf(pinned))
+      commitPinned(zLayout(df, zOrderBy, bounds, numFiles0), pinned, forceStats = true)
     }
+  }
+
+  /** Validate a Z-order column list: 2-4 numeric columns present in `schema`. */
+  private def zOrderValidate(schema: org.apache.spark.sql.types.StructType,
+      zOrderBy: Seq[String]): Unit = {
+    require(zOrderBy.size >= 2 && zOrderBy.size <= 4,
+      "zOrderBy takes 2-4 columns (16 bits each in a 64-bit z-value)")
+    zOrderBy.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"zOrderBy column $c not in table"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zOrderBy needs numeric columns; $c is ${f.dataType.simpleString}")
+    }
+  }
+
+  /** Per-column global (min, max) for the z-scaling. Bounds come from the
+    * manifest's per-file stats when every file in `over` carries them (zero
+    * extra I/O); only a stats-less legacy table pays the pre-scan over `df`. */
+  private def zBounds(df: DataFrame, zOrderBy: Seq[String], v: Long,
+      over: Seq[String]): Map[String, (Double, Double)] = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val fileStats = statsOf(v)
+    val fromManifest: Option[Map[String, (Double, Double)]] =
+      if (over.nonEmpty && zOrderBy.forall(c =>
+            over.forall(f => fileStats.get(f).exists(_.contains(c)))))
+        Some(zOrderBy.map { c =>
+          val ranges = over.map(f => fileStats(f)(c))
+          c -> (ranges.map(_._1.toDouble).min, ranges.map(_._2.toDouble).max)
+        }.toMap)
+      else None
+    fromManifest.getOrElse {
+      val aggs = zOrderBy.flatMap(c => Seq(
+        fmin(col(c)).cast("double").as(s"mn_$c"), fmax(col(c)).cast("double").as(s"mx_$c")))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      zOrderBy.map(c => c -> (row.getAs[Double](s"mn_$c"), row.getAs[Double](s"mx_$c"))).toMap
+    }
+  }
+
+  /** Lay `df` out along a Z-curve over `zOrderBy`: each column min/max-scaled
+    * to 16 bits against `bounds`, the bits interleaved into one 64-bit
+    * z-value, rows range-partitioned into `numFiles` tasks and sorted by it —
+    * per-file stats ranges stay narrow in EVERY listed dimension, so
+    * [[readPruned]] skips files for predicates on any of them. */
+  private def zLayout(df: DataFrame, zOrderBy: Seq[String],
+      bounds: Map[String, (Double, Double)], numFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val k = zOrderBy.size
+    var ranked = df
+    zOrderBy.zipWithIndex.foreach { case (c, j) =>
+      val (mn, mx) = bounds(c)
+      val span = if (mx > mn) mx - mn else 1.0
+      ranked = ranked.withColumn(s"__zr$j", expr(
+        s"least(65535L, greatest(0L, CAST((CAST($c AS DOUBLE) - ${mn}D) / ${span}D * 65535D AS BIGINT)))"))
+    }
+    val terms = for (i <- 0 until 16; j <- 0 until k)
+      yield s"shiftleft(shiftright(__zr$j, $i) & 1L, ${i * k + j})"
+    ranked.withColumn("__z", expr(terms.mkString(" + ")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop((0 until k).map(j => s"__zr$j") :+ "__z": _*)
+  }
+
+  // ---- Incremental clustering (ZCube-shaped OPTIMIZE) --------------------
+  //
+  // Full OPTIMIZE ZORDER re-sorts the WHOLE snapshot: at 100 TB with daily
+  // appends that is a petabyte rewrite per run for data that was already
+  // laid out last time. The incremental verb clusters ONLY the live files
+  // no previous cluster run produced — each run adds one Z-ordered "cube"
+  // of the new data and every prior cube (files + stats) carries verbatim,
+  // so the steady-state cost is O(appended-since-last-run), not O(table).
+  // Reads prune from per-file min/max stats regardless of which cube a
+  // file sits in; more cubes only means proportionally more files per
+  // z-region (bounded by run count, reset any time by a full compact).
+  //
+  // Bookkeeping is a CAS-versioned `_cluster-v*.json` sidecar in the log
+  // dir (the properties-document protocol) recording the clustering spec
+  // and the file set the last run left clustered. The sidecar is a CACHE,
+  // never load-bearing for correctness: intersecting it with the live
+  // file list drops files later rewrites removed, a spec change empties
+  // it (full recluster), and a crash between the data commit and the
+  // sidecar write only makes the next run re-cluster files that were
+  // already clustered — idempotent wasted work, not a wrong answer
+  // (unlike a serving-path tear, no marker/repair machinery is owed).
+
+  private def clusterPath(v: Long): Path = logDir.resolve(f"_cluster-v$v%08d.json")
+
+  private def clusterSidecarVersions(): Seq[Long] =
+    listNames(logDir)
+      .collect { case s if s.matches("_cluster-v\\d{8}\\.json") => s.substring(10, 18).toLong }
+      .sorted
+
+  /** Latest recorded clustering state: (spec, files the run left clustered). */
+  private[table] def clusterState(): Option[(Seq[String], Set[String])] =
+    clusterSidecarVersions().lastOption.map { v =>
+      val node = mapper.readTree(Files.readAllBytes(clusterPath(v)))
+      val spec = node.get("spec").elements().asScala.map(_.asText()).toSeq
+      val fs = node.get("files").elements().asScala.map(_.asText()).toSet
+      (spec, fs)
+    }
+
+  private def recordClusterState(spec: Seq[String], files: Set[String]): Unit = {
+    val json = mapper.createObjectNode()
+    val sn = json.putArray("spec"); spec.foreach(sn.add)
+    val fn = json.putArray("files"); files.toSeq.sorted.foreach(fn.add)
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json)
+    while (true) {
+      val next = clusterSidecarVersions().lastOption.map(_ + 1L).getOrElse(0L)
+      if (store.putIfAbsent(clusterPath(next), bytes)) {
+        clusterSidecarVersions().dropRight(3).foreach(v => Files.deleteIfExists(clusterPath(v)))
+        return
+      }
+    }
+  }
+
+  /** Incremental OPTIMIZE ZORDER: Z-order ONLY the live files not produced
+    * by a previous `clusterIncremental(zOrderBy)` run; previously clustered
+    * files and their stats carry verbatim into the new version. A run with
+    * nothing new to cluster is a no-op (no version burned). A different
+    * `zOrderBy` than the recorded spec reclusters the whole snapshot (the
+    * old layout serves the old spec, not the new one). Deletion-vector
+    * tombstones on the rewritten slice materialize (as in [[compact]]);
+    * untouched files keep theirs. Racing pure appends rebase (the appended
+    * files simply stay unclustered until the next run); any interloper that
+    * touched the files being clustered raises [[ConcurrentCommitException]].
+    * Returns the committed version (the pinned head when nothing ran). */
+  def clusterIncremental(spark: SparkSession, zOrderBy: Seq[String],
+      targetFileSizeBytes: Long = 128L << 20,
+      numFiles: Option[Int] = None): Long = {
+    require(targetFileSizeBytes > 0, "targetFileSizeBytes must be positive")
+    val pinned = resolve()
+    require(partitionByOf(pinned).isEmpty,
+      "clusterIncremental on a partitioned table is not supported: the " +
+        "z-curve layout would fight the hive partition dirs")
+    val live = filesOf(pinned)
+    if (live.isEmpty) return pinned
+    val schema = schemaOf(pinned).getOrElse(throw new IllegalStateException(
+      s"version $pinned of $root has no recorded schema"))
+    zOrderValidate(schema, zOrderBy)
+    val clusteredPrior: Set[String] = clusterState() match {
+      case Some((spec, fs)) if spec == zOrderBy => fs.intersect(live.toSet)
+      case _ => Set.empty
+    }
+    val candidates = live.filterNot(clusteredPrior)
+    if (candidates.isEmpty) return pinned
+    val dvs = dvsOf(pinned)
+    val pVals = partitionValuesOf(pinned)
+    val slice = scanLive(spark, candidates, Some(schema), dvs, keepPos = false, Nil, pVals)
+    // scale against the WHOLE snapshot's bounds (manifest stats, zero I/O
+    // when present): every cube maps the same value to the same z-region,
+    // so cross-cube file ranges stay comparable as the table grows
+    val bounds = zBounds(slice, zOrderBy, pinned, live)
+    val numFiles0 = numFiles.getOrElse {
+      val bytes = candidates
+        .map(f => scala.util.Try(Files.size(Paths.get(root).resolve(f))).getOrElse(0L)).sum
+      math.max(1, math.ceil(bytes.toDouble / targetFileSizeBytes).toInt)
+    }
+    val laidOut = zLayout(slice, zOrderBy, bounds, numFiles0)
+    val (commitId, newFiles, newPartVals, stamped) = writeDataFiles(laidOut, None, Nil, Nil)
+    val partTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+    // stats are the point of clustering: force-collect for the new cube
+    val stats =
+      if (newFiles.nonEmpty)
+        collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
+      else Map.empty[String, Map[String, (String, String, String)]]
+    val untouched = live.filterNot(candidates.toSet)
+    val committed = publishRewrite(pinned, candidates.toSet, newFiles, stats, schema.json,
+      carryDvs(spark, dvs, untouched), newPartVals,
+      cdfKind = Some("none"), cdfFiles = Nil, txn = None,
+      freshSafe = (_, _) => true, stampedIds = stamped,
+      operation = Some("CLUSTER"))
+    recordClusterState(zOrderBy, clusteredPrior ++ newFiles)
+    committed
   }
 
   /** DESCRIBE HISTORY parity: one row per retained version — version number,
