@@ -1625,6 +1625,60 @@ object SourceQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey BETWEEN 100 AND 499""".stripMargin))
 
+  /** q133: incremental CLONE SYNC — the nightly-backup refresh verb
+    * (Delta's `CREATE OR REPLACE ... CLONE src` re-run on a schedule). A
+    * deep clone is taken at v0; the source then appends a second batch and
+    * COW-deletes a key range; one `cloneSync` brings the backup to the
+    * current snapshot transferring ONLY the files the target lacks
+    * (asserted: 0 < transferred < referenced — the surviving first-batch
+    * files are never re-copied, so at 100 TB a nightly refresh costs
+    * O(day's churn), not O(table)). A second sync is a no-op that burns no
+    * target version; the FIRST sync point stays time-travelable on the
+    * target's own chain (restore-point semantics); a target this table did
+    * not create is refused (cloneSource provenance). Content equality of
+    * the refreshed backup vs the plain SQL oracle. */
+  val q133CloneSync: Q = Q(
+    "q133_clone_sync",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csync-").toString
+      val src = graft.table.VersionedTable(s"$tmp/src")
+      val proj = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")
+      src.commit(proj.filter("o_orderkey % 2 = 0"),
+        numPartitions = Some(4), sortBy = Seq("o_orderkey"))
+      src.cloneDeep(s"$tmp/bak")
+      val bak = graft.table.VersionedTable(s"$tmp/bak")
+      val firstSync = bak.resolve()
+      val countAtFirst = bak.read(spark).count()
+      // the source moves on: an append batch and a COW delete
+      src.append(proj.filter("o_orderkey % 2 = 1"),
+        numPartitions = Some(4), sortBy = Seq("o_orderkey"))
+      src.delete(spark, "o_orderkey <= 200")
+      val (copied, refs) = src.cloneSync(s"$tmp/bak")
+      require(copied > 0 && copied < refs,
+        s"sync must transfer only the delta, not the table ($copied of $refs)")
+      // re-sync of an already-current target: nothing moves, no version burned
+      val head = bak.latestVersion().get
+      val (again, _) = src.cloneSync(s"$tmp/bak")
+      require(again == 0 && bak.latestVersion().contains(head),
+        "a second sync of a current backup must be a version-free no-op")
+      // the pre-refresh sync point survives as a restore point on the TARGET
+      require(bak.read(spark, versionAsOf = Some(firstSync)).count() == countAtFirst,
+        "the first sync point must stay time-travelable on the backup's chain")
+      // provenance guard: an unrelated table refuses the publish
+      val other = graft.table.VersionedTable(s"$tmp/other")
+      other.commit(proj.limit(10), numPartitions = Some(1))
+      val refused =
+        try { src.cloneSync(s"$tmp/other"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "cloneSync must refuse a target it did not create")
+      bak.read(spark).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+    Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey > 200""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1636,5 +1690,5 @@ object SourceQueries {
     q114DynamicOverwrite, q116CopyInto, q117GeneratedPartition,
     q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults,
     q124RowTracking, q126MetaCount, q128NullPruning, q129MetaMinMax,
-    q132IncrementalCluster)
+    q132IncrementalCluster, q133CloneSync)
 }

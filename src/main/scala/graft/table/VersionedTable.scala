@@ -188,7 +188,78 @@ final class VersionedTable(val root: String,
       identityAllowExplicit = Some(identityAllowsExplicit(v)))
     val props = properties
     if (props.nonEmpty) tgt.setProperties(props)
+    // provenance stamp (AFTER the source-property copy, which may carry a
+    // cloneSource of the source's own ancestor): [[cloneSync]] refuses to
+    // publish over a target this table did not create
+    tgt.setProperties(Map("cloneSource" -> Paths.get(root).toAbsolutePath.toString))
     tgt
+  }
+
+  /** Incremental clone refresh — the re-runnable face of CLONE (Delta's
+    * `CREATE OR REPLACE ... CLONE src` run nightly as a backup): bring an
+    * existing clone up to this table's CURRENT snapshot by transferring
+    * ONLY the referenced data/DV files the target does not already hold
+    * (files are immutable under content-addressed commit dirs, so presence
+    * IS identity) and publishing ONE new target version with the source
+    * snapshot's manifest metadata. At 100 TB a nightly re-clone costs
+    * O(day's churn), not O(table); the target's own version chain becomes
+    * the backup's restore-point history (old sync points stay
+    * time-travelable until the TARGET is vacuumed). Refuses a target this
+    * table did not create (`cloneSource` provenance property). A target
+    * already at the source snapshot is a no-op — no version burned. A
+    * crash mid-copy leaves unreferenced files on the target (storage, not
+    * correctness); the re-run skips what landed and converges. Returns
+    * (filesTransferred, filesReferenced). */
+  def cloneSync(targetRoot: String, deep: Boolean = true): (Int, Int) = {
+    val v = resolve()
+    val tgt = VersionedTable(targetRoot)
+    require(tgt.latestVersion().isDefined,
+      s"clone-sync target $targetRoot holds no table — cloneShallow/cloneDeep first")
+    val srcId = Paths.get(root).toAbsolutePath.toString
+    require(tgt.properties.get("cloneSource").contains(srcId),
+      s"$targetRoot is not a clone of $root (cloneSource mismatch) — " +
+        "refusing to publish over an unrelated table's history")
+    val files = filesOf(v)
+    val dvs = dvsOf(v)
+    val refs = files ++ dvs
+    val tgtHead = tgt.resolve()
+    if (tgt.filesOf(tgtHead).toSet == files.toSet &&
+        tgt.dvsOf(tgtHead).toSet == dvs.toSet &&
+        tgt.schemaOf(tgtHead).map(_.json) == schemaOf(v).map(_.json))
+      return (0, refs.size)
+    var copied = 0
+    refs.foreach { f =>
+      val src = Paths.get(root).resolve(f)
+      val dst = Paths.get(targetRoot).resolve(f)
+      if (!Files.exists(dst)) {
+        copied += 1
+        Files.createDirectories(dst.getParent)
+        if (deep) { Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING); () }
+        else {
+          try { Files.createLink(dst, src); () }
+          catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+          }
+        }
+      }
+    }
+    tgt.publish(files, schemaOf(v).map(_.json).getOrElse(
+        throw new IllegalStateException(s"version $v of $root has no recorded schema")),
+      statsOf(v), txn = None, base = Some(tgtHead), constraints = constraintsOf(v),
+      dvs = dvs, partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v),
+      columnIdsOverride = Some(columnIdsOf(v)),
+      maxColumnIdFloor = maxColumnIdOf(v),
+      operation = Some("CLONE"),
+      identity = identityOf(v),
+      identityAllowExplicit = Some(identityAllowsExplicit(v)),
+      // the sync MIRRORS the source: a source that dropped its identity
+      // must not leave the target's carried declaration re-minting ids
+      identityClear = identityOf(v).isEmpty)
+    val props = properties
+    if (props.nonEmpty) tgt.setProperties(props)
+    tgt.setProperties(Map("cloneSource" -> srcId))
+    (copied, refs.size)
   }
 
   /** Version `v`'s commit wall-clock in ms: the manifest's IN-COMMIT

@@ -97,6 +97,73 @@ class CloneSpec extends AnyFunSuite with SparkSpec {
     assert(clone.read(spark).filter("a IS NOT NULL").count() === 0)
   }
 
+  test("cloneSync transfers only the delta, carries DVs, and is idempotent") {
+    val base = tmpDir("csync-")
+    val src = VersionedTable(base + "/src")
+    src.commit(spark.range(0, 2000).selectExpr("id AS k", "id % 7 AS v"),
+      numPartitions = Some(4), sortBy = Seq("k"))
+    src.cloneDeep(base + "/bak")
+    val bak = VersionedTable(base + "/bak")
+    // source moves: an append and a MOR delete (the DV must sync across)
+    src.append(spark.range(2000, 3000).selectExpr("id AS k", "id % 7 AS v"),
+      numPartitions = Some(2), sortBy = Seq("k"))
+    src.deleteMor(spark, "k = 42")
+    val (copied, refs) = src.cloneSync(base + "/bak")
+    assert(copied > 0 && copied < refs,
+      s"only the new append files + the DV should move ($copied of $refs)")
+    assert(bak.read(spark).as[(Long, Long)].collect().sorted.toSeq ===
+      src.read(spark).as[(Long, Long)].collect().sorted.toSeq)
+    assert(bak.read(spark).filter("k = 42").count() === 0)
+    // idempotent: a current target burns no version and moves no bytes
+    val head = bak.latestVersion().get
+    assert(src.cloneSync(base + "/bak") === ((0, refs)))
+    assert(bak.latestVersion().contains(head))
+  }
+
+  test("cloneSync shallow mode hard-links the delta instead of copying") {
+    val base = tmpDir("csync-ln-")
+    val src = VersionedTable(base + "/src")
+    src.commit(spark.range(0, 500).selectExpr("id AS k"), numPartitions = Some(2))
+    src.cloneShallow(base + "/bak")
+    src.append(spark.range(500, 900).selectExpr("id AS k"), numPartitions = Some(2))
+    val (copied, _) = src.cloneSync(base + "/bak", deep = false)
+    assert(copied === 2)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(base + "/bak/data"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".parquet"))
+    files.foreach { p =>
+      assert(java.nio.file.Files.getAttribute(p, "unix:nlink").asInstanceOf[Int] >= 2,
+        s"$p should be a hard link in shallow sync mode")
+    }
+    assert(VersionedTable(base + "/bak").read(spark).count() === 900)
+  }
+
+  test("cloneSync mirrors schema evolution — renamed source reads right on the backup") {
+    val base = tmpDir("csync-ids-")
+    val src = VersionedTable(base + "/src")
+    src.commit(spark.range(0, 100).selectExpr("id", "id * 3 AS b"))
+    src.cloneDeep(base + "/bak")
+    src.renameColumn("b", "bb")
+    src.append(spark.range(100, 200).selectExpr("id", "id * 3 AS bb"))
+    src.cloneSync(base + "/bak")
+    val bak = VersionedTable(base + "/bak")
+    assert(bak.columnIdsOf(bak.resolve()) === src.columnIdsOf(src.resolve()))
+    assert(bak.read(spark).selectExpr("sum(bb)").head.getLong(0) ===
+      (0L until 200L).map(_ * 3).sum)
+  }
+
+  test("cloneSync refuses a target it did not create") {
+    val base = tmpDir("csync-guard-")
+    val src = VersionedTable(base + "/src")
+    src.commit(Seq((1L, 1L)).toDF("k", "v"))
+    // an unrelated table at the target path
+    val other = VersionedTable(base + "/other")
+    other.commit(Seq((9L, 9L)).toDF("k", "v"))
+    intercept[IllegalArgumentException] { src.cloneSync(base + "/other") }
+    // an empty path was never cloned either
+    intercept[IllegalArgumentException] { src.cloneSync(base + "/nowhere") }
+  }
+
   test("cloning onto an existing table is refused") {
     val base = tmpDir("clone-")
     val src = VersionedTable(base + "/src")
