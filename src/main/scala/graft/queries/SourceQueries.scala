@@ -1679,6 +1679,52 @@ object SourceQueries {
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey > 200""".stripMargin))
 
+  /** q134: POINT-LOOKUP read — `readByKeys` serves `key IN (...)` from
+    * file-skipping metadata alone, on BOTH layouts that matter: a sorted
+    * table prunes by per-KEY min-max stats (2 scattered keys keep ~2 of 8
+    * files — the range HULL would have kept all 8), and a round-robin
+    * table — where every file's range spans the whole domain and stats
+    * cannot skip anything — prunes by the Bloom sidecars instead (asserted
+    * ≤ half the files). The two reads must agree row-for-row. This is the
+    * serving half of q109's Bloom-pruned merge: the operational "fetch
+    * these ids from a 100 TB table" probe that reads a handful of files,
+    * never the table. */
+  val q134PointLookup: Q = Q(
+    "q134_point_lookup",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pl-").toString
+      val proj = spark.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
+      val keys = spark.sql(
+        "SELECT min(o_orderkey), max(o_orderkey) FROM orders").head()
+      val ks = Seq(keys.getLong(0).toString, keys.getLong(1).toString)
+      // layout 1: sorted — per-key stats skipping, no index needed
+      val sorted = graft.table.VersionedTable(s"$tmp/sorted")
+      sorted.commit(proj, numPartitions = Some(8), sortBy = Seq("o_orderkey"))
+      val (dfS, keptS, totalS) = sorted.readByKeys(spark, "o_orderkey", ks)
+      require(keptS <= 2 && keptS < totalS,
+        s"sorted layout: 2 point keys must keep ~2 files ($keptS/$totalS)")
+      // layout 2: round-robin — stats cannot skip, the Bloom sidecar does
+      val rr = graft.table.VersionedTable(s"$tmp/rr")
+      rr.setProperties(Map("bloomIndexColumns" -> "o_orderkey"))
+      rr.commit(proj, numPartitions = Some(8))
+      val (dfR, keptR, totalR) = rr.readByKeys(spark, "o_orderkey", ks)
+      require(keptR <= 4 && keptR < totalR,
+        s"round-robin layout: the Bloom sidecar must prune ($keptR/$totalR)")
+      val inK = col("o_orderkey").isin(ks.map(_.toLong): _*)
+      val a = dfS.filter(inK)
+      val b = dfR.filter(inK)
+      require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "the two pruned reads must serve identical rows")
+      b
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT min(o_orderkey) FROM orders
+        |                     UNION ALL SELECT max(o_orderkey) FROM orders)"""
+        .stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1690,5 +1736,5 @@ object SourceQueries {
     q114DynamicOverwrite, q116CopyInto, q117GeneratedPartition,
     q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults,
     q124RowTracking, q126MetaCount, q128NullPruning, q129MetaMinMax,
-    q132IncrementalCluster, q133CloneSync)
+    q132IncrementalCluster, q133CloneSync, q134PointLookup)
 }

@@ -3655,6 +3655,62 @@ final class VersionedTable(val root: String,
                  relativeVersion: Option[Int] = None): (DataFrame, Int, Int) =
     readBounded(spark, Seq((column, Some(lo), Some(hi))), relativeVersion)
 
+  /** Point-lookup read: serve `column IN keys` scanning only the files that
+    * can hold SOME key — the record-level-index serving shape (Delta Bloom
+    * index / Hudi RLI). Two metadata passes, no data I/O for skipped files:
+    *  - per-KEY min-max stats (a sorted layout probed at two distant points
+    *    keeps ~2 files — tighter than the range-hull check [[readBounded]]
+    *    runs, whose hull would span the table);
+    *  - Bloom sidecars when `column` is indexed (the uniform round-robin
+    *    layout min-max cannot prune; timestamps excluded — the rendered key
+    *    would re-parse in the session zone, not the stats zone).
+    * Both passes are conservative: unparseable/missing stats keep the file,
+    * rows still need the caller's residual `IN` filter. At 100 TB a 2-key
+    * probe of a million-file table reads kilobytes of manifest + sidecar
+    * and a handful of files, never the table. Returns (df, kept, total). */
+  def readByKeys(spark: SparkSession, column: String, keys: Seq[String],
+      relativeVersion: Option[Int] = None,
+      versionAsOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    require(keys.nonEmpty, "readByKeys needs at least one key")
+    val v = resolve(relativeVersion, versionAsOf)
+    val all = filesOf(v)
+    val stats = statsOf(v)
+    def num(s: String): Option[BigDecimal] = scala.util.Try(BigDecimal(s)).toOption
+    val ranged = all.filter { f =>
+      stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx, kind)) =>
+          keys.exists { k =>
+            if (kind == "num") (num(mn), num(mx), num(k)) match {
+              case (Some(a), Some(b), Some(x)) => a <= x && x <= b
+              case _ => true // unparseable → cannot skip safely
+            } else mn <= k && k <= mx
+          }
+        case None => true // no stats → cannot skip
+      }
+    }
+    val kept =
+      if (!bloomIndexColumns.contains(column)) ranged
+      else schemaOf(v).flatMap(_.fields.find(f => f.name == column &&
+          f.dataType != org.apache.spark.sql.types.TimestampType)).fold(ranged) { f =>
+        import org.apache.spark.sql.functions.expr
+        val lits = keys.map(x =>
+          "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'").mkString(", ")
+        bloomPruneCandidates(spark, ranged, column,
+          spark.range(1).select(expr(s"explode(array($lits))").as("__s"))
+            .select(expr(s"xxhash64(CAST(__s AS ${f.dataType.sql}))").as("__h")))
+      }
+    val df =
+      if (kept.nonEmpty) scanLive(spark, kept, schemaOf(v), dvsOf(v),
+        keepPos = false, partitionByOf(v), partitionValuesOf(v))
+      else schemaOf(v) match {
+        case Some(s) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => throw new IllegalStateException(
+          s"version $v of $root has no recorded schema")
+      }
+    (df, kept.size, all.size)
+  }
+
   /** Publish a rewrite of snapshot `base` as version `base`+1, pinned: if
     * any other writer committed after `base` was read, the link collides and
     * [[ConcurrentCommitException]] surfaces instead of silently republishing

@@ -59,6 +59,34 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     assert(keptRange === 8)
   }
 
+  test("readByKeys: per-key stats skip on sorted layouts, bloom on uniform ones") {
+    val base = tmpDir("bloom-rbk-")
+    // sorted: per-KEY stats keep ~1 file per key; the range HULL would keep all
+    val s = VersionedTable(base + "/sorted")
+    s.commit(spark.range(0, 8000).selectExpr("id AS k", "id % 5 AS v"),
+      numPartitions = Some(8), sortBy = Seq("k"))
+    val (dfS, keptS, totalS) = s.readByKeys(spark, "k", Seq("3", "7999"))
+    assert(totalS === 8 && keptS === 2)
+    assert(dfS.filter("k IN (3, 7999)").count() === 2)
+    // uniform: stats cannot skip, the sidecar can
+    val t = uniformTable(base + "/t", indexed = true)
+    val (dfT, keptT, totalT) = t.readByKeys(spark, "k", Seq("1234"))
+    assert(totalT === 8 && keptT >= 1 && keptT <= 3)
+    assert(dfT.filter("k = 1234").count() === 1)
+    // uniform + unindexed: both passes conservative — keeps all, still exact
+    val plain = uniformTable(base + "/plain", indexed = false)
+    val (dfP, keptP, _) = plain.readByKeys(spark, "k", Seq("1234"))
+    assert(keptP === 8 && dfP.filter("k = 1234").count() === 1)
+    // an absent key on the sorted table keeps only its range file; the
+    // residual filter then serves zero rows (out-of-domain: zero files)
+    val (dfNone, keptNone, _) = s.readByKeys(spark, "k", Seq("900000"))
+    assert(keptNone === 0 && dfNone.count() === 0)
+    // a DV-deleted row is not served even when its file is kept
+    s.deleteMor(spark, "k = 3")
+    val (dfDv, _, _) = s.readByKeys(spark, "k", Seq("3"))
+    assert(dfDv.filter("k = 3").count() === 0)
+  }
+
   test("IN-list point lookups probe the sidecar per member value") {
     val t = uniformTable(tmpDir("bloom-in-") + "/t", indexed = true)
     // the bounds channel would collapse IN (3, 7005) to the range
