@@ -1910,6 +1910,84 @@ object SimilarityQueries {
       Some(bm25OracleSql(queries, 10, conjunctive = true)))
   }
 
+  /** s19: PHRASE retrieval — documents rank by how often the query terms
+    * appear CONSECUTIVELY in order (token-slide count over the corpus'
+    * single-space tokenization), the "exact phrase" serving mode the
+    * doc-level index alone cannot answer (its postings carry tf, not
+    * positions). Two-stage plan instead of a positional index: (1) the
+    * stored index's bucket-pruned conjunctive probe (s18's shape — probe
+    * I/O is the query terms' buckets, asserted a strict subset) yields the
+    * candidate docs that contain every term ANYWHERE; (2) only candidates
+    * are fetched and verified positionally with a codegen'd
+    * filter/slice scan of the token array — no positional postings, so the
+    * index stays tf-sized (a positional index is ~5-10× larger and
+    * complicates every admit/evict/compact verb). At production vocabulary
+    * the AND-candidates of a multi-term phrase are rare and the fetch is a
+    * [[graft.table.VersionedTable.readByKeys]] point read; on this
+    * synthetic ~30-word corpus candidates are dense (~60 %), so the entry
+    * broadcasts the candidate ids against one corpus scan — the verify
+    * cost is then ONE pass over candidate rows either way. Phrase ≠ AND is
+    * the teeth: q2's three terms co-occur in ~270 docs but are adjacent in
+    * ~1. Oracle replays the same slide count with DuckDB list lambdas. */
+  val s19PhraseRetrieval: Q = {
+    val phrases: Seq[(Long, Seq[String])] =
+      Seq(1L -> Seq("spark", "window"), 2L -> Seq("merge", "sort", "table"))
+    Q(
+      "s19_phrase_retrieval",
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.registerAll(spark, dir)
+        val root = textIndexRoot(spark, dir)
+        val qterm = phrases.flatMap { case (q, ws) => ws.distinct.map(q -> _) }
+          .toDF("q_id", "qword")
+          .withColumn("qb", expr(s"pmod(xxhash64(qword), $TextBuckets)"))
+        val buckets = qterm.select(col("qb").as("b")).distinct()
+        val (posts, keptP, totalP) = graft.table.VersionedTable(s"$root/postings")
+          .readPrunedByJoinKeys(spark, buckets, "b", "bucket")
+        require(keptP < totalP,
+          s"the candidate probe must read a strict bucket subset ($keptP/$totalP)")
+        val qcounts = phrases.map { case (q, ws) => (q, ws.distinct.size.toLong) }
+          .toDF("q_id", "n_terms")
+        val cand = broadcast(qterm)
+          .join(posts.select(col("word"), col("doc_id")), col("qword") === col("word"))
+          .groupBy("q_id", "doc_id")
+          .agg(expr("count(DISTINCT qword)").as("n_matched"))
+          .join(broadcast(qcounts), "q_id")
+          .filter(col("n_matched") === col("n_terms"))
+          .select("q_id", "doc_id")
+        val ptoks = phrases.toDF("q_id", "ptoks")
+        val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+        val verified = docs.join(broadcast(cand), "doc_id")
+          .join(broadcast(ptoks), "q_id")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("tf", expr(
+            """CAST(CASE WHEN size(toks) >= size(ptoks)
+              |  THEN size(filter(sequence(1, size(toks) - size(ptoks) + 1),
+              |       i -> slice(toks, i, size(ptoks)) = ptoks))
+              |  ELSE 0 END AS BIGINT)""".stripMargin))
+          .filter(col("tf") > 0)
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("tf").desc, col("doc_id"))
+        verified.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+          .select("q_id", "doc_id", "tf", "rk")
+      },
+      Some {
+        val qvals = phrases.map { case (q, ws) =>
+          s"($q, [${ws.map(w => s"'$w'").mkString(", ")}])" }.mkString(", ")
+        s"""WITH q(q_id, ptoks) AS (VALUES $qvals),
+           |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |tf AS (SELECT q.q_id, t.doc_id,
+           |    CAST(len(list_filter(range(1, len(t.toks) - len(q.ptoks) + 2),
+           |        i -> t.toks[i:i + len(q.ptoks) - 1] = q.ptoks)) AS BIGINT) AS tf
+           |    FROM q CROSS JOIN tok t)
+           |SELECT q_id, doc_id, tf, rk FROM (
+           |  SELECT q_id, doc_id, tf,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY tf DESC, doc_id) AS rk
+           |  FROM tf WHERE tf > 0) z
+           |WHERE rk <= 10""".stripMargin
+      })
+  }
+
   /** q130: derived-index maintenance from the base table's CHANGE FEED —
     * the index follows the table. A corpus VersionedTable takes an append
     * (inserts), a SQL-shaped DELETE, and an UPDATE rewriting text; one
@@ -2041,6 +2119,6 @@ object SimilarityQueries {
     s4QuantizeInt8, s5KnnJoin, s6IvfPq, d11SemanticDedup, s7KmeansTrain,
     s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf, s12AnnFiltered,
     s13RangeSearch, s14Bm25Stored, s15Bm25Admit, s16StreamBm25Admit,
-    q127ForgetIndexed, s17MmrRerank, s18BooleanRetrieval, q130IndexTableSync,
-    q131VectorTableSync)
+    q127ForgetIndexed, s17MmrRerank, s18BooleanRetrieval, s19PhraseRetrieval,
+    q130IndexTableSync, q131VectorTableSync)
 }
