@@ -816,9 +816,77 @@ object TextQueries {
         |                x -> x != '' AND x != ' ') AS toks
         |  FROM st WHERE r = (SELECT max(r) FROM merges)) f""".stripMargin))
 
+  /** t22: training-shard EXPORT — the last mile of the curation pipeline:
+    * the corpus physically re-laid as N deterministic shards, one parquet
+    * file per shard, rows inside each file in a SEEDED pseudorandom order.
+    * Shard assignment is content-stable (md5(doc_id) Horner-folded mod N —
+    * re-exporting after corpus growth never moves an old doc across
+    * shards, the property t14 gives splits); within-shard order is
+    * md5(seed:doc_id) — changing the seed reshuffles the reading order
+    * without touching shard membership (epoch reshuffling for multi-epoch
+    * training). The write is ONE shuffle (repartition by shard; each
+    * shard's rows land in exactly one task, so partitionBy emits exactly
+    * one file per shard — asserted on disk) + an in-task sort; at 100 TB
+    * shard count is the parallelism/file-size knob and no global sort
+    * exists anywhere. The returned manifest (per shard: doc count, token
+    * mass, first doc in seeded order) is computed from the READ-BACK of
+    * the exported files — the oracle recomputes it relationally, so the
+    * roundtrip itself is under the hash. */
+  val t22ShardExport: Q = {
+    def horner(hx: String) = (1 to 6)
+      .map(i => s"CAST(instr('0123456789abcdef', substr($hx, $i, 1)) - 1 AS BIGINT)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+    val sparkShard = s"${horner("md5(CAST(CAST(doc_id AS STRING) AS BINARY))")} % 8"
+    val duckShard = s"${horner("md5(CAST(doc_id AS VARCHAR))")} % 8"
+    Q(
+      "t22_shard_export",
+      (spark, dir) => {
+        import org.apache.spark.sql.functions.{col, expr}
+        Tables.registerAll(spark, dir)
+        val out = java.nio.file.Files.createTempDirectory("graft-shards-")
+          .toString + "/export"
+        val staged = spark.sql(
+          s"""SELECT doc_id, CAST($sparkShard AS BIGINT) AS shard,
+             |  md5(CAST(concat('s42:', CAST(doc_id AS STRING)) AS BINARY)) AS rank,
+             |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tok
+             |FROM documents""".stripMargin)
+        staged.repartition(col("shard"))
+          .sortWithinPartitions(col("shard"), col("rank"), col("doc_id"))
+          .write.partitionBy("shard").parquet(out)
+        // physical contract: one parquet file per shard directory
+        val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+          .toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(p => p.getFileName.toString.startsWith("shard="))
+        require(dirs.nonEmpty, "export produced no shard directories")
+        dirs.foreach { d =>
+          val files = java.nio.file.Files.list(d).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.toString.endsWith(".parquet"))
+          require(files.length == 1,
+            s"${d.getFileName} must hold exactly one file, found ${files.length}")
+        }
+        val back = spark.read.parquet(out)
+        back.groupBy(expr("CAST(shard AS BIGINT)").as("shard"))
+          .agg(expr("CAST(count(*) AS BIGINT)").as("n_docs"),
+            expr("CAST(sum(n_tok) AS BIGINT)").as("n_tokens"),
+            expr("min_by(doc_id, rank)").as("first_doc"))
+      },
+      Some(
+        s"""WITH s AS (
+           |  SELECT doc_id, CAST($duckShard AS BIGINT) AS shard,
+           |    md5('s42:' || CAST(doc_id AS VARCHAR)) AS rank,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           |  FROM documents)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |  min_by(doc_id, rank) AS first_doc
+           |FROM s GROUP BY shard""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
     t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split,
     t15UnigramLogprob, t16QualityClassifier, t17BigramLogprob, t18BpePairs,
-    t19Boilerplate, t20DatasetCard, t21BpeEncode, q120TrainingPipeline)
+    t19Boilerplate, t20DatasetCard, t21BpeEncode, t22ShardExport,
+    q120TrainingPipeline)
 }
