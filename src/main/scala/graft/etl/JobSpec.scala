@@ -141,6 +141,18 @@ object JobSpec {
       case "SQLAssert" | "SQLValidate" => SQLAssert(
         name, str(n, "sql"), optStr(n, "expect").getOrElse("all_true"),
         strMap(n, "sqlParams"), envs(n))
+      case "ExpectTransform" =>
+        require(n.has("expectations"),
+          s"ExpectTransform '$name' needs an expectations object")
+        ExpectTransform(
+          name, str(n, "inputView"), str(n, "outputView"),
+          // JSON object order is not contractual (Jackson does not
+          // preserve it here) — sort by name so the metrics-row order and
+          // the _violations rendering are deterministic across runs
+          n.get("expectations").properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toSeq.sortBy(_._1),
+          optStr(n, "onViolation").getOrElse("drop"),
+          optStr(n, "quarantineURI"), optStr(n, "metricsView"), envs(n))
       case "DeltaLakeLoad" | "TableLoad" => TableLoad(
         name, str(n, "inputView"), str(n, "outputURI"), optInt(n, "numPartitions"),
         if (n.has("partitionBy")) n.get("partitionBy").elements().asScala.map(_.asText()).toSeq

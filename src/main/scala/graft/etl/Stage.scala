@@ -368,6 +368,83 @@ final case class SQLAssert(
   }
 }
 
+/** Declarative data-quality EXPECTATIONS — [[SQLAssert]]'s per-row checks
+  * with a POLICY other than fail-the-job (the Delta-Live-Tables expectation
+  * shape): each named boolean expectation evaluates over every row of
+  * `inputView` (a NULL result is a violation — SQLAssert's 3VL rule);
+  * passing rows register as `outputView` and the pipeline continues.
+  *  - `onViolation = "drop"` (default): failing rows are filtered out;
+  *  - `"quarantine"`: failing rows — plus a `_violations` column naming
+  *    every expectation they broke — APPEND to the versioned table at
+  *    `quarantineURI`. The triage workflow: bad rows are never lost, and
+  *    re-processing them later is a table read, not a pipeline re-run;
+  *  - `"fail"`: any violation aborts the job with a 3-row sample
+  *    (SQLAssert parity, for the checks that must gate).
+  * `metricsView` registers per-expectation violation counts plus the row
+  * total — the DLT event-log shape a dashboard reads.
+  * Scale: the output is ONE filtered scan of the input (the expectation
+  * columns are codegen'd predicates riding that scan), the quarantine
+  * write touches only failing rows, and metrics is one map-side-combinable
+  * aggregate. No collect anywhere — the fail-mode sample is a limit(3). */
+final case class ExpectTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    expectations: Seq[(String, String)],
+    onViolation: String = "drop",
+    quarantineURI: Option[String] = None,
+    metricsView: Option[String] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  require(Seq("drop", "quarantine", "fail").contains(onViolation),
+    s"ExpectTransform '$name': onViolation must be drop, quarantine, or " +
+      s"fail — got '$onViolation'")
+  require(onViolation != "quarantine" || quarantineURI.nonEmpty,
+    s"ExpectTransform '$name': quarantine mode needs a quarantineURI")
+  require(expectations.nonEmpty,
+    s"ExpectTransform '$name': at least one expectation is required")
+  require(expectations.forall(_._1.matches("[A-Za-z_][A-Za-z0-9_]*")),
+    s"ExpectTransform '$name': expectation names must be identifiers")
+
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{array, array_compact, array_contains,
+      coalesce, col, concat_ws, count, expr, lit, not, size, sum, when}
+    val df = spark.table(sub(inputView, env))
+    val vio = array(expectations.map { case (en, cond) =>
+      when(not(coalesce(expr(sub(cond, env)).cast("boolean"), lit(false))), lit(en))
+    }: _*)
+    val tagged = df.withColumn("_violations", array_compact(vio))
+    val kept = tagged.filter(size(col("_violations")) === 0).drop("_violations")
+    metricsView.foreach { mv =>
+      val sums = expectations.map { case (en, _) =>
+        sum(when(array_contains(col("_violations"), en), 1L).otherwise(0L))
+          .as(s"__v_$en") }
+      val aggRow = tagged.agg(sums.head, (sums.tail :+ count(lit(1)).as("__n")): _*)
+      val stackArgs = expectations
+        .map { case (en, _) => s"'$en', `__v_$en`" }.mkString(", ")
+      aggRow.select(
+          expr(s"stack(${expectations.size}, $stackArgs)")
+            .as(Seq("expectation", "n_violations")),
+          col("__n").as("n_rows"))
+        .createOrReplaceTempView(sub(mv, env))
+    }
+    onViolation match {
+      case "fail" =>
+        val sample = tagged.filter(size(col("_violations")) > 0).limit(3).collect()
+        if (sample.nonEmpty) throw new IllegalStateException(
+          s"ExpectTransform '$name' failed; e.g. " +
+            sample.map(_.toString).mkString("; "))
+      case "quarantine" =>
+        val failed = tagged.filter(size(col("_violations")) > 0)
+          .withColumn("_violations", concat_ws(",", col("_violations")))
+        VersionedTable(sub(quarantineURI.get, env)).append(failed)
+        ()
+      case _ => ()
+    }
+    kept.createOrReplaceTempView(sub(outputView, env))
+    Some(kept)
+  }
+}
+
 /** Full-snapshot write of a view to a versioned table (reference
   * `DeltaLakeLoad`, scd2-job.ipynb:163-172; `numPartitions` knob `:168`).
   * `partitionBy` lays the table out hive-partitioned with partition values

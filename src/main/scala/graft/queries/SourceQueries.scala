@@ -1725,6 +1725,60 @@ object SourceQueries {
         |                     UNION ALL SELECT max(o_orderkey) FROM orders)"""
         .stripMargin))
 
+  /** q135: declarative data-quality EXPECTATIONS (the DLT shape) — a
+    * quarantine-mode ExpectTransform splits orders on two named
+    * expectations; passing rows flow on as the output view, failing rows
+    * land in a versioned quarantine table WITH the names of the
+    * expectations they broke, and the metrics view carries per-expectation
+    * violation counts. In-query cross-checks: kept + quarantined = input
+    * (no row lost or duplicated), the metrics counts equal independent
+    * recomputation, and a multi-violation row carries BOTH names. The
+    * whole stage is one filtered scan + one failing-rows append + one
+    * aggregate — no collect, 100 TB-shaped. Oracle: the passing rows. */
+  val q135Expectations: Q = Q(
+    "q135_expectations",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dq-").toString
+      JobSpec(Seq(
+        SQLTransform("src",
+          "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders",
+          "q135_src"),
+        ExpectTransform("dq", "q135_src", "q135_clean",
+          Seq("priority_specified" -> "o_orderpriority <> '4-NOT SPECIFIED'",
+            "price_cap" -> "o_totalprice < 300000"),
+          onViolation = "quarantine",
+          quarantineURI = Some("${lake}/quarantine"),
+          metricsView = Some("q135_metrics"))
+      )).run(spark, Map("lake" -> tmp))
+      val clean = spark.table("q135_clean")
+      val quar = graft.table.VersionedTable(s"$tmp/quarantine").read(spark)
+      val total = spark.table("q135_src").count()
+      require(clean.count() + quar.count() == total,
+        "kept + quarantined must partition the input")
+      // metrics agree with an independent recomputation
+      val m = spark.table("q135_metrics").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val prioViol = spark.table("q135_src")
+        .filter("o_orderpriority = '4-NOT SPECIFIED'").count()
+      val priceViol = spark.table("q135_src")
+        .filter("o_totalprice >= 300000").count()
+      require(m("priority_specified") == prioViol && m("price_cap") == priceViol,
+        s"metrics mismatch: $m vs ($prioViol, $priceViol)")
+      // a row violating BOTH expectations carries both names
+      val both = quar.filter(
+        "o_orderpriority = '4-NOT SPECIFIED' AND o_totalprice >= 300000")
+      require(both.count() == 0 ||
+        both.filter("_violations = 'priority_specified,price_cap'").count()
+          == both.count(),
+        "multi-violation rows must name every broken expectation")
+      clean
+    },
+    Some(
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE o_orderpriority <> '4-NOT SPECIFIED'
+        |  AND o_totalprice < 300000""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1736,5 +1790,5 @@ object SourceQueries {
     q114DynamicOverwrite, q116CopyInto, q117GeneratedPartition,
     q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults,
     q124RowTracking, q126MetaCount, q128NullPruning, q129MetaMinMax,
-    q132IncrementalCluster, q133CloneSync, q134PointLookup)
+    q132IncrementalCluster, q133CloneSync, q134PointLookup, q135Expectations)
 }

@@ -42,6 +42,42 @@ class JobSpecSpec extends AnyFunSuite with SparkSpec {
     assert(spec.stages(5).asInstanceOf[TableExtract].relativeVersion === Some(-1))
   }
 
+  test("ExpectTransform: drop mode filters, fail mode aborts, JSON parses") {
+    Seq((1L, Option(5L)), (2L, Option(-1L)), (3L, Option.empty[Long]))
+      .toDF("id", "v").createOrReplaceTempView("et_in")
+    // drop: NULL evaluates as a violation (3VL), metrics count it
+    JobSpec(Seq(ExpectTransform("dq", "et_in", "et_out",
+      Seq("positive" -> "v > 0"), metricsView = Some("et_m"))))
+      .run(spark, Map.empty)
+    assert(spark.table("et_out").select("id").as[Long].collect().sorted === Seq(1L))
+    assert(spark.table("et_m").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))) === Array(("positive", 2L, 3L)))
+    // fail: any violation aborts with a sample
+    val e = intercept[IllegalStateException] {
+      JobSpec(Seq(ExpectTransform("dq2", "et_in", "et_out2",
+        Seq("positive" -> "v > 0"), onViolation = "fail"))).run(spark, Map.empty)
+    }
+    assert(e.getMessage.contains("dq2"))
+    // JSON round trip: expectations land name-sorted (deterministic order)
+    val spec = JobSpec.fromJson(
+      """{"stages": [
+        |  {"type": "ExpectTransform", "name": "dq", "inputView": "a",
+        |   "outputView": "b", "onViolation": "quarantine",
+        |   "quarantineURI": "${lake}/q", "metricsView": "m",
+        |   "expectations": {"zzz": "x > 0", "aaa": "y > 0"}}
+        |]}""".stripMargin)
+    val et = spec.stages.head.asInstanceOf[ExpectTransform]
+    assert(et.expectations === Seq("aaa" -> "y > 0", "zzz" -> "x > 0"))
+    assert(et.onViolation === "quarantine" && et.quarantineURI.contains("${lake}/q"))
+    // invalid policy refuses at construction
+    intercept[IllegalArgumentException] {
+      ExpectTransform("bad", "a", "b", Seq("e" -> "x"), onViolation = "ignore")
+    }
+    intercept[IllegalArgumentException] { // quarantine without a URI
+      ExpectTransform("bad", "a", "b", Seq("e" -> "x"), onViolation = "quarantine")
+    }
+  }
+
   test("maintenance verbs run from a declarative JSON job spec (the " +
       "reference's SQL-stage idiom): COPY INTO + OPTIMIZE + DESCRIBE HISTORY") {
     val base = tmpDir("js-maint-")
