@@ -1779,6 +1779,56 @@ object SourceQueries {
         |WHERE o_orderpriority <> '4-NOT SPECIFIED'
         |  AND o_totalprice < 300000""".stripMargin))
 
+  /** q136: FSCK — the manifest reconciled with physical storage after an
+    * ops incident deletes data files out from under the log. One
+    * partition's files are removed ON DISK (the manifest still references
+    * them: a plain read now crashes — asserted); `fsck(dryRun)` names
+    * exactly the lost files without committing, then the repair publishes
+    * one head version referencing only the survivors, so reads work again
+    * and the loss is explicit and bounded. A clean table FSCKs to a no-op
+    * (no version burned — asserted). Metadata-plane only: one existence
+    * check per referenced file, no data I/O; at 100 TB the cost is the
+    * file listing, not the table. Oracle: the surviving partitions. */
+  val q136Fsck: Q = Q(
+    "q136_fsck",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fsck-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_pt")
+      t.commit(spark.sql(
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders"),
+        partitionBy = Seq("o_orderpriority"))
+      // a clean table is a no-op: nothing missing, no version burned
+      val head = t.resolve()
+      require(t.fsck() == ((Nil, None)) && t.resolve() == head,
+        "fsck of an intact table must be a version-free no-op")
+      // the incident: one partition's files vanish from disk
+      val v = t.resolve()
+      val lost = t.partitionValuesOf(v).collect {
+        case (f, pv) if pv.get("o_orderpriority").flatten.contains("5-LOW") => f
+      }.toSeq
+      require(lost.nonEmpty, "expected a 5-LOW partition file")
+      lost.foreach { f =>
+        java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tmp/orders_pt").resolve(f))
+      }
+      // a plain read of the damaged head fails
+      val broken =
+        try { t.read(spark).count(); false } catch { case _: Exception => true }
+      require(broken, "reading a manifest that references lost files must fail")
+      // dry run names exactly the losses, commits nothing
+      val (dryMissing, dryV) = t.fsck(dryRun = true)
+      require(dryMissing.sorted == lost.sorted && dryV.isEmpty && t.resolve() == v,
+        "dry run must name the lost files and burn no version")
+      // the repair: one new version over the survivors
+      val (missing, nv) = t.fsck()
+      require(missing.sorted == lost.sorted && nv.contains(v + 1),
+        s"fsck must drop exactly the lost files ($missing)")
+      t.read(spark).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    },
+    Some(
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE o_orderpriority <> '5-LOW'""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1790,5 +1840,6 @@ object SourceQueries {
     q114DynamicOverwrite, q116CopyInto, q117GeneratedPartition,
     q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults,
     q124RowTracking, q126MetaCount, q128NullPruning, q129MetaMinMax,
-    q132IncrementalCluster, q133CloneSync, q134PointLookup, q135Expectations)
+    q132IncrementalCluster, q133CloneSync, q134PointLookup, q135Expectations,
+    q136Fsck)
 }

@@ -5155,6 +5155,50 @@ final class VersionedTable(val root: String,
     })
   }
 
+  /** FSCK: reconcile the head manifest with PHYSICAL storage (Delta's
+    * `FSCK REPAIR TABLE`) — the verb for the day an ops incident deleted
+    * data files out from under the log. Lists the head's referenced files
+    * that no longer exist; unless `dryRun`, publishes one new version
+    * referencing only the surviving files (their stats, partition values,
+    * column ids, identity state carried verbatim) so reads stop failing —
+    * the lost rows are gone either way, FSCK makes the loss EXPLICIT and
+    * bounded instead of a scan-time crash. A missing DELETION VECTOR
+    * refuses outright: its content (which rows of which files were
+    * deleted) is unrecoverable, so dropping it would RESURRECT deleted
+    * rows — restore to an intact version instead. Earlier versions are
+    * untouched (still time-travelable until vacuum, still broken if they
+    * reference the lost file — FSCK repairs the head, not history).
+    * CDF of the repair is the conservative "unknown" kind (a file loss is
+    * not a row-level change the feed can represent; readers re-diff).
+    * Metadata-plane only: one existence check per referenced file, no data
+    * I/O. Pinned publish — a concurrent writer surfaces as a commit
+    * conflict, never a lost update. Returns (missingFiles, newVersion). */
+  def fsck(dryRun: Boolean = false): (Seq[String], Option[Long]) = {
+    val v = resolve()
+    val missingDvs = dvsOf(v).filterNot(d => Files.exists(Paths.get(root).resolve(d)))
+    require(missingDvs.isEmpty,
+      s"deletion vector(s) ${missingDvs.mkString(", ")} are missing: their " +
+        "row-level content is unrecoverable and dropping them would " +
+        "RESURRECT deleted rows — RESTORE to an intact version instead")
+    val missing = filesOf(v).filterNot(f => Files.exists(Paths.get(root).resolve(f)))
+    if (missing.isEmpty || dryRun) return (missing, None)
+    val gone = missing.toSet
+    val kept = filesOf(v).filterNot(gone)
+    val nv = publish(kept,
+      schemaOf(v).map(_.json).getOrElse(throw new IllegalStateException(
+        s"version $v of $root has no recorded schema")),
+      statsOf(v).view.filterKeys(!gone(_)).toMap, txn = None, base = Some(v),
+      constraints = constraintsOf(v), dvs = dvsOf(v),
+      partitionBy = partitionByOf(v),
+      partitions = partitionValuesOf(v).view.filterKeys(!gone(_)).toMap,
+      columnIdsOverride = Some(columnIdsOf(v)),
+      maxColumnIdFloor = maxColumnIdOf(v),
+      operation = Some("FSCK"),
+      identity = identityOf(v),
+      identityAllowExplicit = Some(identityAllowsExplicit(v)))
+    (missing, Some(nv))
+  }
+
   def vacuumHours(retainHours: Double, force: Boolean = false,
                   orphanRetentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     if (versions().isEmpty) {
