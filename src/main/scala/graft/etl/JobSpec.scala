@@ -212,6 +212,14 @@ object JobSpec {
         n.get("zOrderBy").elements().asScala.map(_.asText()).toSeq,
         optInt(n, "targetFileSizeMb").getOrElse(128),
         optInt(n, "numFiles"), envs(n))
+      case "TableCloneSync" => TableCloneSync(
+        name, str(n, "tableURI"), str(n, "targetURI"),
+        !n.has("deep") || n.get("deep").asBoolean(true),
+        optStr(n, "outputView"), envs(n))
+      case "TableFsck" => TableFsck(
+        name, str(n, "tableURI"),
+        n.has("dryRun") && n.get("dryRun").asBoolean(false),
+        optStr(n, "outputView"), envs(n))
       case "TableVacuum" => TableVacuum(
         name, str(n, "tableURI"), optInt(n, "retainVersions").getOrElse(2), envs(n))
       case "TableRestore" => TableRestore(

@@ -698,6 +698,59 @@ final case class TableVacuum(
   }
 }
 
+/** Scheduled-backup refresh: bring `targetURI` (an existing clone of
+  * `tableURI`) to the source's current snapshot, transferring only the
+  * files the target lacks ([[graft.table.VersionedTable.cloneSync]]); a
+  * missing target is seeded with a first full clone, so ONE declared stage
+  * is the whole nightly-backup job. `deep=false` hard-links instead of
+  * copying where the store allows. The (transferred, referenced) audit
+  * registers as `outputView` when given. */
+final case class TableCloneSync(
+    name: String,
+    tableURI: String,
+    targetURI: String,
+    deep: Boolean = true,
+    outputView: Option[String] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val src = VersionedTable(sub(tableURI, env))
+    val tgt = sub(targetURI, env)
+    val (moved, refs) =
+      if (VersionedTable(tgt).latestVersion().isEmpty) {
+        if (deep) src.cloneDeep(tgt) else src.cloneShallow(tgt)
+        val n = VersionedTable(tgt).filesOf(VersionedTable(tgt).resolve()).size
+        (n, n)
+      } else src.cloneSync(tgt, deep)
+    outputView.map { ov =>
+      import spark.implicits._
+      val df = Seq((moved, refs)).toDF("n_transferred", "n_referenced")
+      df.createOrReplaceTempView(sub(ov, env))
+      df
+    }
+  }
+}
+
+/** Storage reconciliation ([[graft.table.VersionedTable.fsck]]) as a DAG
+  * node: `dryRun=true` only reports; either way the lost-file list (and the
+  * repaired version, if any) registers as `outputView` when given — the
+  * audit a scheduled integrity check alerts on. */
+final case class TableFsck(
+    name: String,
+    tableURI: String,
+    dryRun: Boolean = false,
+    outputView: Option[String] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val (missing, nv) = VersionedTable(sub(tableURI, env)).fsck(dryRun)
+    outputView.map { ov =>
+      import spark.implicits._
+      val df = missing.map(f => (f, nv)).toDF("missing_file", "repaired_version")
+      df.createOrReplaceTempView(sub(ov, env))
+      df
+    }
+  }
+}
+
 /** Refresh an incrementally maintained materialized aggregate (see
   * [[graft.table.MaterializedAgg]]): fold the base table's appends since
   * the last refresh into the pre-aggregated view — the declarative face of

@@ -78,6 +78,32 @@ class JobSpecSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("TableCloneSync seeds a missing backup, then refreshes incrementally; " +
+      "TableFsck reports") {
+    val base = tmpDir("js-csync-")
+    val t = VersionedTable(s"$base/src")
+    t.commit(spark.range(0, 200).selectExpr("id AS k"), numPartitions = Some(2))
+    val spec = JobSpec.fromJson(
+      s"""{"stages": [
+         |  {"type": "TableCloneSync", "name": "bak",
+         |   "tableURI": "$${lake}/src", "targetURI": "$${lake}/bak",
+         |   "outputView": "sync_audit"},
+         |  {"type": "TableFsck", "name": "integrity", "dryRun": true,
+         |   "tableURI": "$${lake}/bak", "outputView": "fsck_audit"}
+         |]}""".stripMargin)
+    // first run seeds the backup with a full clone
+    spec.run(spark, Map("lake" -> base))
+    val first = spark.table("sync_audit").head()
+    assert(first.getInt(0) === first.getInt(1) && first.getInt(0) > 0)
+    assert(spark.table("fsck_audit").count() === 0) // intact backup
+    // source grows; the re-run moves only the delta
+    t.append(spark.range(200, 300).selectExpr("id AS k"), numPartitions = Some(1))
+    spec.run(spark, Map("lake" -> base))
+    val second = spark.table("sync_audit").head()
+    assert(second.getInt(0) === 1 && second.getInt(1) === 3)
+    assert(VersionedTable(s"$base/bak").read(spark).count() === 300)
+  }
+
   test("maintenance verbs run from a declarative JSON job spec (the " +
       "reference's SQL-stage idiom): COPY INTO + OPTIMIZE + DESCRIBE HISTORY") {
     val base = tmpDir("js-maint-")
