@@ -16,6 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   RESTORE '<path>' TO TIMESTAMP AS OF '<ts>'
   *   CREATE TABLE '<dst>' [SHALLOW | DEEP] CLONE '<src>'
   *   REORG TABLE '<path>' APPLY (PURGE)
+  *   FSCK REPAIR TABLE '<path>' [DRY RUN]
   *   GENERATE symlink_format_manifest FOR TABLE '<path>'
   *   CONVERT TO GRAFT '<path>'
   *   ANALYZE TABLE '<path>' COMPUTE STATISTICS
@@ -65,6 +66,8 @@ object TableSql {
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P\\s*""".r
   private val Reorg =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$P\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*""".r
+  private val Fsck =
+    s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$P(\\s+DRY\\s+RUN)?\\s*""".r
   private val Generate =
     s"""(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$P\\s*""".r
   private val Analyze =
@@ -150,7 +153,8 @@ object TableSql {
     dispatch(spark, sql).getOrElse(throw new IllegalArgumentException(
       s"unrecognized graft maintenance statement: '$sql' — supported: OPTIMIZE, " +
         "VACUUM, DESCRIBE HISTORY, RESTORE ... TO VERSION AS OF, " +
-        "CREATE TABLE ... [SHALLOW|DEEP] CLONE, REORG TABLE ... APPLY (PURGE)"))
+        "CREATE TABLE ... [SHALLOW|DEEP] CLONE, REORG TABLE ... APPLY (PURGE), " +
+        "FSCK REPAIR TABLE ... [DRY RUN]"))
 
   private def dispatch(spark: SparkSession, sql: String): Option[DataFrame] = Some(sql match {
     case Optimize(p, null, null) =>
@@ -223,6 +227,12 @@ object TableSql {
     case Reorg(p) =>
       val path = ref(spark, p)
       status(spark, "REORG PURGE", path, VersionedTable(path).reorgPurge(spark))
+    case Fsck(p, dry) =>
+      // Delta's FSCK REPAIR TABLE spelling; DRY RUN reports, never commits
+      val path = ref(spark, p)
+      val (missing, nv) = VersionedTable(path).fsck(dryRun = dry != null)
+      import spark.implicits._
+      missing.map(f => (f, nv)).toDF("missing_file", "repaired_version")
     case Generate(p) =>
       // Delta's GENERATE spelling (`scd2-job.ipynb:382` is this artifact):
       // (re)write the Athena-interop manifest tree for the latest version

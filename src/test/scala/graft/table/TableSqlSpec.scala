@@ -87,6 +87,26 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     assert(t.resolve() === v)
   }
 
+  test("FSCK REPAIR TABLE verb: DRY RUN reports, repair commits the survivors") {
+    val base = tmpDir("tsql-fsck-")
+    val t = VersionedTable(base + "/t")
+    t.commit(spark.range(0, 100).selectExpr("id AS k"), numPartitions = Some(2),
+      sortBy = Seq("k"))
+    val v = t.resolve()
+    val lost = java.nio.file.Files.walk(java.nio.file.Paths.get(base + "/t/data"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".parquet")).minBy(_.toString)
+    java.nio.file.Files.delete(lost)
+    val dry = TableSql.run(spark, s"FSCK REPAIR TABLE '$base/t' DRY RUN")
+    assert(dry.count() === 1 && t.resolve() === v) // reported, not committed
+    assert(dry.select("repaired_version").head.get(0) === null)
+    val rep = TableSql.run(spark, s"FSCK REPAIR TABLE '$base/t'")
+    assert(rep.count() === 1 && t.resolve() === v + 1)
+    assert(t.read(spark).count() === 50)
+    // clean table: an empty report frame
+    assert(TableSql.run(spark, s"FSCK REPAIR TABLE '$base/t'").count() === 0)
+  }
+
   test("ANALYZE TABLE backfills skipped stats; pruning starts working") {
     val base = tmpDir("tsql-")
     val root = base + "/t"
