@@ -735,9 +735,56 @@ object StreamingQueries {
         |SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice
         |FROM orders WHERE o_orderkey % 500 = 0""".stripMargin))
 
+  /** q137: STREAMING data quality — [[graft.etl.ExpectTransform]]'s
+    * quarantine policy in the continuous funnel
+    * ([[graft.streaming.StreamingEtl.expectationsStream]]): each
+    * micro-batch splits on two named expectations; passing rows append to
+    * the clean table, failing rows (tagged with the broken expectation
+    * names) to the quarantine table, BOTH exactly-once under one txn
+    * identity checked per sink — the design point a single-sink guard
+    * misses, because a crash between the two appends must replay into only
+    * the sink that missed the batch. Asserted in-query: multi-batch run,
+    * clean + quarantined partitions the input, and a full restart over the
+    * same checkpoint burns no version on either table. Oracle: the passing
+    * rows (q135's relational predicate). */
+  val q137StreamExpectations: Q = Q(
+    "q137_stream_expectations",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdq-").toString
+      val src = spark.sql(
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders")
+      src.repartition(6).write.mode("overwrite").parquet(s"$tmp/landing")
+      val exps = Seq(
+        "priority_specified" -> "o_orderpriority <> '4-NOT SPECIFIED'",
+        "price_cap" -> "o_totalprice < 300000")
+      def run(): Unit = {
+        graft.streaming.StreamingEtl.expectationsStream(spark, s"$tmp/landing",
+          src.schema, s"$tmp/clean", s"$tmp/quarantine", exps, s"$tmp/ckpt",
+          maxFilesPerTrigger = Some(2)).awaitTermination(120000)
+        ()
+      }
+      run()
+      val clean = graft.table.VersionedTable(s"$tmp/clean")
+      val quar = graft.table.VersionedTable(s"$tmp/quarantine")
+      require(clean.latestVersion().exists(_ >= 1),
+        s"expected multiple micro-batch commits, got ${clean.latestVersion()}")
+      require(clean.read(spark).count() + quar.read(spark).count() == src.count(),
+        "clean + quarantined must partition the stream")
+      val (cv, qv) = (clean.latestVersion(), quar.latestVersion())
+      run() // restart over the same checkpoint: no new data, no new version
+      require(clean.latestVersion() == cv && quar.latestVersion() == qv,
+        "a restart replayed a committed batch into a sink")
+      clean.read(spark)
+    },
+    Some(
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE o_orderpriority <> '4-NOT SPECIFIED'
+        |  AND o_totalprice < 300000""".stripMargin))
+
   val all: Seq[Q] = Seq(q26StreamingWindow, q27SketchDistinct, q38KmvSketch,
     q51StreamingDedup, q52StreamStreamJoin, q67StreamSessions, q75StreamCdcUpsert,
     q88StreamOuterJoin, q92StreamTws, q98TwsSessionTimers, q100StreamTableSource,
     q102StreamTableSink, q105StreamCdcMor, q115StreamStaticJoin,
-    q119StreamVectorAdmit, q125CdcReplica)
+    q119StreamVectorAdmit, q125CdcReplica, q137StreamExpectations)
 }

@@ -199,6 +199,69 @@ object StreamingEtl {
       .start()
   }
 
+  /** Test-only fault injection for [[expectationsStream]]: throw between
+    * the two sink appends, simulating the crash window the per-sink txn
+    * guards exist for. */
+  @volatile private[graft] var expectationsFailpoint: Boolean = false
+
+  /** Streaming data quality — [[graft.etl.ExpectTransform]]'s quarantine
+    * policy in the continuous funnel: each arriving micro-batch splits on
+    * the named expectations (NULL = violation, the same 3VL rule); passing
+    * rows APPEND to the clean table, failing rows — tagged with the broken
+    * expectation names — to the quarantine table. EXACTLY-ONCE on BOTH
+    * sinks with one txn identity: each table records (checkpoint, batchId)
+    * with its own append and checks it independently, so a crash BETWEEN
+    * the two appends replays the batch into ONLY the sink that missed it —
+    * no duplicate on the one that committed, no loss on the other. The
+    * file-source batch is deterministic under replay (same files, same
+    * rows), so the recomputed split is identical on the retry. Cost per
+    * batch: the two filtered writes, batch-sized. */
+  def expectationsStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      cleanRoot: String,
+      quarantineRoot: String,
+      expectations: Seq[(String, String)],
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.{array, array_compact, coalesce,
+      col, concat_ws, expr, lit, not, size, when}
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    reader.parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val vio = array(expectations.map { case (en, cond) =>
+            when(not(coalesce(expr(cond).cast("boolean"), lit(false))), lit(en))
+          }: _*)
+          val tagged = batch.withColumn("_violations", array_compact(vio))
+          val clean = VersionedTable(cleanRoot)
+          if (!clean.lastTxn(checkpointDir).exists(_ >= batchId)) {
+            clean.append(
+              tagged.filter(size(col("_violations")) === 0).drop("_violations"),
+              txn = Some(checkpointDir -> batchId))
+            ()
+          }
+          if (expectationsFailpoint)
+            throw new IllegalStateException(
+              "injected failure between the clean and quarantine appends")
+          val quarantine = VersionedTable(quarantineRoot)
+          if (!quarantine.lastTxn(checkpointDir).exists(_ >= batchId)) {
+            quarantine.append(
+              tagged.filter(size(col("_violations")) > 0)
+                .withColumn("_violations", concat_ws(",", col("_violations"))),
+              txn = Some(checkpointDir -> batchId))
+            ()
+          }
+        }
+      }
+      .start()
+  }
+
   /** Continuous SCD2: merge every arriving CDC micro-batch into the versioned
     * table. `stage` maps a raw batch to the staged merge source (the dual-row
     * trick, scd2-job.ipynb:298) given the current table snapshot. */

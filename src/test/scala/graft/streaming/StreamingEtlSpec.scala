@@ -109,6 +109,38 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
     assert(t.lastTxn(ckpt).isDefined)
   }
 
+  test("expectationsStream: a crash between the two sink appends replays " +
+      "into only the sink that missed the batch") {
+    val landing = tmpDir("eq-")
+    val base = tmpDir("eq-t-")
+    val ckpt = tmpDir("eq-c-")
+    Seq((1L, 5L), (2L, -1L), (3L, 9L), (4L, -7L)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val exps = Seq("positive" -> "v > 0")
+    // injected crash AFTER the clean append, BEFORE the quarantine append
+    StreamingEtl.expectationsFailpoint = true
+    try {
+      val q = StreamingEtl.expectationsStream(spark, landing, schema,
+        s"$base/clean", s"$base/quar", exps, ckpt)
+      intercept[Exception] { q.awaitTermination(120000); q.stop() }
+    } finally StreamingEtl.expectationsFailpoint = false
+    val clean = VersionedTable(s"$base/clean")
+    val quar = VersionedTable(s"$base/quar")
+    assert(clean.read(spark).count() === 2) // committed before the crash
+    assert(quar.latestVersion().isEmpty)    // missed the batch
+    // the restart replays the batch: quarantine catches up, clean does NOT
+    // double-append (its per-sink txn guard sees the committed batchId)
+    val q2 = StreamingEtl.expectationsStream(spark, landing, schema,
+      s"$base/clean", s"$base/quar", exps, ckpt)
+    assert(q2.awaitTermination(120000))
+    assert(clean.read(spark).as[(Long, Long)].collect().sorted.toSeq
+      === Seq((1L, 5L), (3L, 9L)))
+    assert(quar.read(spark).select("id", "_violations").as[(Long, String)]
+      .collect().sorted.toSeq === Seq((2L, "positive"), (4L, "positive")))
+    assert(clean.versions().size === 1 && quar.versions().size === 1)
+  }
+
   test("watermarked windowed aggregation over a parquet-backed stream") {
     val dir = tmpDir("ev-")
     graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
