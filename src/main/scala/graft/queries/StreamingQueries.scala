@@ -775,6 +775,7 @@ object StreamingQueries {
       run() // restart over the same checkpoint: no new data, no new version
       require(clean.latestVersion() == cv && quar.latestVersion() == qv,
         "a restart replayed a committed batch into a sink")
+      PhaseClock.markServe("q137_stream_expectations")
       clean.read(spark)
     },
     Some(

@@ -15,6 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   RESTORE '<path>' TO VERSION AS OF <v>
   *   RESTORE '<path>' TO TIMESTAMP AS OF '<ts>'
   *   CREATE TABLE '<dst>' [SHALLOW | DEEP] CLONE '<src>'
+  *   CREATE OR REPLACE TABLE '<dst>' [SHALLOW | DEEP] CLONE '<src>'
   *   REORG TABLE '<path>' APPLY (PURGE)
   *   FSCK REPAIR TABLE '<path>' [DRY RUN]
   *   GENERATE symlink_format_manifest FOR TABLE '<path>'
@@ -64,6 +65,10 @@ object TableSql {
     s"""(?is)\\s*RESTORE\\s+$P\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+$L\\s*""".r
   private val Clone =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P\\s*""".r
+  // Delta's scheduled-backup spelling: re-running it refreshes the clone
+  // incrementally (cloneSync — only the files the target lacks transfer)
+  private val CloneSync =
+    s"""(?is)\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+$P\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+$P\\s*""".r
   private val Reorg =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$P\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*""".r
   private val Fsck =
@@ -224,6 +229,20 @@ object TableSql {
       if (kind.equalsIgnoreCase("deep")) srcT.cloneDeep(ref(spark, dst))
       else srcT.cloneShallow(ref(spark, dst))
       status(spark, s"${kind.toUpperCase} CLONE", ref(spark, dst), 0L)
+    case CloneSync(dst, kind, src) =>
+      // first run = full clone; re-runs = incremental refresh (only the
+      // files the target lacks move, one target version per refresh)
+      val deep = kind == null || kind.equalsIgnoreCase("deep")
+      val srcT = VersionedTable(ref(spark, src))
+      val d = ref(spark, dst)
+      val tgt = VersionedTable(d)
+      if (tgt.latestVersion().isEmpty) {
+        if (deep) srcT.cloneDeep(d) else srcT.cloneShallow(d)
+        status(spark, "CLONE SYNC (seed)", d, 0L)
+      } else {
+        srcT.cloneSync(d, deep)
+        status(spark, "CLONE SYNC", d, tgt.resolve())
+      }
     case Reorg(p) =>
       val path = ref(spark, p)
       status(spark, "REORG PURGE", path, VersionedTable(path).reorgPurge(spark))

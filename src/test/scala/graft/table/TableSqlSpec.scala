@@ -87,6 +87,23 @@ class TableSqlSpec extends AnyFunSuite with SparkSpec {
     assert(t.resolve() === v)
   }
 
+  test("CREATE OR REPLACE ... CLONE: first run seeds, re-runs refresh incrementally") {
+    val base = tmpDir("tsql-csync-")
+    val t = VersionedTable(base + "/src")
+    t.commit(spark.range(0, 100).selectExpr("id AS k"), numPartitions = Some(2))
+    val seed = TableSql.run(spark,
+      s"CREATE OR REPLACE TABLE '$base/bak' CLONE '$base/src'")
+    assert(seed.head.getString(0) === "CLONE SYNC (seed)")
+    t.append(spark.range(100, 150).selectExpr("id AS k"), numPartitions = Some(1))
+    val sync = TableSql.run(spark,
+      s"CREATE OR REPLACE TABLE '$base/bak' CLONE '$base/src'")
+    assert(sync.head.getString(0) === "CLONE SYNC")
+    assert(VersionedTable(base + "/bak").read(spark).count() === 150)
+    // an ordinary CREATE OR REPLACE TABLE (no CLONE) is NOT intercepted
+    assert(TableSql.runOpt(spark,
+      "CREATE OR REPLACE TABLE x AS SELECT 1 AS a").isEmpty)
+  }
+
   test("FSCK REPAIR TABLE verb: DRY RUN reports, repair commits the survivors") {
     val base = tmpDir("tsql-fsck-")
     val t = VersionedTable(base + "/t")
