@@ -225,8 +225,15 @@ final class VersionedTable(val root: String,
     val tgtHead = tgt.resolve()
     if (tgt.filesOf(tgtHead).toSet == files.toSet &&
         tgt.dvsOf(tgtHead).toSet == dvs.toSet &&
-        tgt.schemaOf(tgtHead).map(_.json) == schemaOf(v).map(_.json))
+        tgt.schemaOf(tgtHead).map(_.json) == schemaOf(v).map(_.json)) {
+      // data is current, but a prior sync may have crashed between its
+      // publish and its property commit — re-assert the mirrored props
+      // (a no-op commit when they already match), so the tear heals here
+      val props = properties
+      if (props.nonEmpty) tgt.setProperties(props)
+      tgt.setProperties(Map("cloneSource" -> srcId))
       return (0, refs.size)
+    }
     var copied = 0
     refs.foreach { f =>
       val src = Paths.get(root).resolve(f)

@@ -118,6 +118,12 @@ class CloneSpec extends AnyFunSuite with SparkSpec {
     val head = bak.latestVersion().get
     assert(src.cloneSync(base + "/bak") === ((0, refs)))
     assert(bak.latestVersion().contains(head))
+    // a property change alone still mirrors through the no-op sync path
+    // (heals a crash between a prior sync's publish and its props commit)
+    src.setProperties(Map("pii" -> "scrubbed"))
+    src.cloneSync(base + "/bak")
+    assert(bak.latestVersion().contains(head) &&
+      bak.properties.get("pii").contains("scrubbed"))
   }
 
   test("cloneSync shallow mode hard-links the delta instead of copying") {
