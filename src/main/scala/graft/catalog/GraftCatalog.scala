@@ -80,7 +80,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
-    if (!VersionedTable.exists(p.toString)) throw new NoSuchTableException(ident)
+    if (!VersionedTable.exists(p.toString)) {
+      // metadata-table fallback (graft.ns.t.files|partitions|history): only
+      // on a MISS — a real table named `files` always wins — and only when
+      // the prefix names a real table
+      if (ident.namespace.nonEmpty &&
+          GraftMetadataTable.Kinds(ident.name.toLowerCase(java.util.Locale.ROOT))) {
+        val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+        val pp = tablePath(parent)
+        if (VersionedTable.exists(pp.toString))
+          return new GraftMetadataTable(VersionedTable(pp.toString),
+            ident.toString, ident.name.toLowerCase(java.util.Locale.ROOT))
+      }
+      throw new NoSuchTableException(ident)
+    }
     new GraftTable(VersionedTable(p.toString), ident.toString, versionAsOf = None)
   }
 

@@ -1,0 +1,66 @@
+package graft.catalog
+
+import graft.table.VersionedTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Iceberg-parity METADATA TABLES, addressed by a dotted suffix on the
+  * table identifier — the inspection surface a lake operator queries with
+  * plain SQL instead of bespoke commands:
+  *
+  * {{{
+  *   SELECT * FROM graft.default.t.files       -- live files: path, size,
+  *                                             --   row/DV counts, partition
+  *   SELECT * FROM graft.default.t.partitions  -- per-partition files/rows/bytes
+  *   SELECT * FROM graft.default.t.history     -- the commit log with metrics
+  * }}}
+  *
+  * Resolution rides [[GraftCatalog.loadTable]]: an identifier that does NOT
+  * name a real table, whose last segment is a known metadata kind and whose
+  * prefix DOES name one, loads this relation (a real table named `files`
+  * always wins — the fallback only fires on misses). Served as a
+  * [[LocalScan]]: the rows are manifest/DV-sidecar metadata built on the
+  * DRIVER at scan time — the same plane `DESCRIBE HISTORY` reads, O(files)
+  * + O(versions), never data I/O — and Spark plans it as a local table
+  * scan, so joins/filters/aggregations over the metadata run as ordinary
+  * SQL. Each scan re-reads the CURRENT head (operational freshness over
+  * snapshot pinning — inspect a pinned version via `VERSION AS OF` on the
+  * base table instead). */
+class GraftMetadataTable(t: VersionedTable, ident: String, kind: String)
+    extends Table with SupportsRead {
+
+  private def frame() = {
+    val spark = SparkSession.active
+    kind match {
+      case "files" => t.filesMeta(spark)
+      case "partitions" => t.partitionsMeta(spark)
+      case "history" => t.history(spark)
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table kind '$other'")
+    }
+  }
+
+  override def name(): String = ident
+  override def schema(): StructType = frame().schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        private val df = frame()
+        override def readSchema(): StructType = df.schema
+        override def rows(): Array[InternalRow] =
+          df.queryExecution.executedPlan.executeCollect()
+      }
+    }
+}
+
+object GraftMetadataTable {
+  /** The recognized dotted suffixes. */
+  val Kinds: Set[String] = Set("files", "partitions", "history")
+}

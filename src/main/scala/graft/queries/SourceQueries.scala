@@ -1829,6 +1829,50 @@ object SourceQueries {
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         |WHERE o_orderpriority <> '5-LOW'""".stripMargin))
 
+  /** q138: METADATA TABLES — Iceberg's dotted-suffix inspection surface
+    * (`graft.<tbl>.files` / `.partitions` / `.history`) as plain SQL
+    * relations through the catalog, planned as LOCAL scans over
+    * manifest/DV-sidecar metadata (O(files)+O(versions) driver rows, zero
+    * data I/O — at 100 TB inspecting the table costs the manifest, not a
+    * scan). The table carries DVs on purpose: `.files` must report
+    * write-time row_count AND dv_rows so live = row_count − dv_rows, and
+    * `.partitions`' num_rows must be DV-exact (the q129 never-serve-a-guess
+    * discipline: a stats-less file nulls its partition instead). In-query:
+    * .files row/size sanity against the manifest, .history row-per-version.
+    * Oracle: per-partition live counts recomputed relationally. */
+  val q138MetadataTables: Q = Q(
+    "q138_metadata_tables",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-meta-").toString
+      val root = s"$tmp/orders_pt"
+      val t = graft.table.VersionedTable(root)
+      t.commit(spark.sql(
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"),
+        partitionBy = Seq("o_orderstatus"))
+      val (_, deleted) = t.deleteMor(spark, "o_orderkey % 97 = 3")
+      require(deleted > 0, "expected DV-deleted rows")
+      val total = spark.table("orders").count()
+      val files = spark.sql(s"SELECT * FROM graft.`$root`.files")
+      require(files.count() == t.filesOf(t.resolve()).size,
+        ".files must list exactly the head's live files")
+      require(files.selectExpr("sum(row_count - dv_rows)").head.getLong(0)
+        == total - deleted,
+        ".files live counts (row_count - dv_rows) must sum to the table")
+      require(files.filter("size_bytes <= 0 OR partition IS NULL").count() == 0,
+        ".files must carry sizes and partition tuples")
+      val hist = spark.sql(s"SELECT * FROM graft.`$root`.history")
+      require(hist.count() == t.versions().size,
+        ".history must carry one row per retained version")
+      spark.sql(
+        s"""SELECT o_orderstatus, num_rows AS n
+           |FROM graft.`$root`.partitions""".stripMargin)
+    },
+    Some(
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE NOT (o_orderkey % 97 = 3)
+        |GROUP BY o_orderstatus""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1841,5 +1885,5 @@ object SourceQueries {
     q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults,
     q124RowTracking, q126MetaCount, q128NullPruning, q129MetaMinMax,
     q132IncrementalCluster, q133CloneSync, q134PointLookup, q135Expectations,
-    q136Fsck)
+    q136Fsck, q138MetadataTables)
 }

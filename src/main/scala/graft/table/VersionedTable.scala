@@ -4228,6 +4228,89 @@ final class VersionedTable(val root: String,
     }
   }
 
+  /** `.files` metadata relation (Iceberg's files table, Delta's
+    * snapshot.allFiles): one row per LIVE data file of the head snapshot —
+    * path, physical size, write-time row count (null where stats were
+    * skipped), DV-deleted row count (so `row_count - dv_rows` is the live
+    * count), and the hive-rendered partition tuple. Pure manifest + DV
+    * sidecar metadata: no data I/O; the DV counts aggregate the sidecars,
+    * which are change-sized. */
+  def filesMeta(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val v = resolve()
+    val stats = statsOf(v)
+    val vals = partitionValuesOf(v)
+    val dvCounts: Map[String, Long] = dvsOf(v) match {
+      case Nil => Map.empty
+      case dvs => dvFrame(spark, dvs).groupBy("file").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val rows = filesOf(v).map { f =>
+      val sz = scala.util.Try(Files.size(Paths.get(root).resolve(f))).getOrElse(0L)
+      val rc: java.lang.Long = stats.get(f)
+        .flatMap(_.get(VersionedTable.RowCountStat))
+        .flatMap(s => scala.util.Try(java.lang.Long.valueOf(s._1)).toOption).orNull
+      val part = {
+        val m = vals.getOrElse(f, Map.empty)
+        if (m.isEmpty) null
+        else m.toSeq.sortBy(_._1)
+          .map { case (k, ov) => s"$k=${ov.getOrElse("__HIVE_DEFAULT_PARTITION__")}" }
+          .mkString("/")
+      }
+      org.apache.spark.sql.Row(f, sz, rc, dvCounts.getOrElse(f, 0L), part)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("size_bytes", LongType, nullable = false),
+        StructField("row_count", LongType),
+        StructField("dv_rows", LongType, nullable = false),
+        StructField("partition", StringType))))
+  }
+
+  /** `.partitions` metadata relation (Iceberg's partitions table):
+    * [[showPartitions]]' per-partition file/byte counts plus LIVE row
+    * counts — write-time `__rows` minus the partition's DV-deleted rows,
+    * and NULL (never a guess) for a partition holding any stats-less
+    * file. Same manifest-only cost as showPartitions. */
+  def partitionsMeta(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val v = resolve()
+    val pb = partitionByOf(v)
+    require(pb.nonEmpty, s"$root is not partitioned")
+    // same refusal as showPartitions: a pre-evolution file has no values
+    // for the current spec, and the hive null partition would be a lie
+    require(!mixedLayoutOf(v),
+      s"$root mixes partition layouts after an ALTER ... SET PARTITIONED BY; " +
+        "run OPTIMIZE to rewrite into the current layout first")
+    val schema = schemaOf(v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema"))
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    val vals = partitionValuesOf(v)
+    val fm = filesMeta(spark)
+    val perFile = fm.withColumn("live_rows",
+      expr("row_count - dv_rows"))
+    // re-attach the TYPED partition columns from the manifest values
+    val withParts = {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val rows = filesOf(v).map { f =>
+        val m = vals.getOrElse(f, Map.empty)
+        org.apache.spark.sql.Row.fromSeq(f +: pb.map(c => m.getOrElse(c, None).orNull))
+      }
+      val pdf = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StructType(StructField("__pf", StringType, nullable = false) +:
+          pb.map(c => StructField(s"__p_$c", StringType))))
+      perFile.join(pdf, perFile("path") === pdf("__pf"))
+    }
+    withParts
+      .groupBy(pb.map(c => col(s"__p_$c").cast(typeOf(c)).as(c)): _*)
+      .agg(expr("count(*)").as("num_files"),
+        expr("CASE WHEN count(live_rows) = count(*) THEN sum(live_rows) END")
+          .as("num_rows"),
+        expr("sum(size_bytes)").as("size_bytes"))
+      .orderBy(pb.map(col): _*)
+  }
+
   /** `SHOW PARTITIONS` parity: the head snapshot's distinct partition
     * value tuples with live file and row-less byte counts — pure manifest
     * metadata (the partition index IS the manifest), no directory listing

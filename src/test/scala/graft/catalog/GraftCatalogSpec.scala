@@ -29,6 +29,39 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
   private def dataFiles(vt: VersionedTable): Set[String] =
     vt.read(spark).inputFiles.filter(_.contains("/data/")).toSet
 
+  test("metadata tables: .files/.partitions/.history resolve as SQL relations") {
+    val name = fresh()
+    val t = s"graft.default.$name"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, k STRING) PARTITIONED BY (k)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    spark.sql(s"INSERT INTO $t VALUES (4, 'b')")
+    // .files: one row per live file, joinable/filterable like any relation
+    val files = spark.sql(s"SELECT * FROM $t.files")
+    assert(files.count() > 0)
+    assert(files.selectExpr("sum(row_count - dv_rows)").head.getLong(0) === 4L)
+    assert(files.filter("partition LIKE 'k=%'").count() === files.count())
+    // .partitions: typed partition column, DV-exact live rows
+    spark.sql(s"DELETE FROM $t WHERE id = 2")
+    val parts = spark.sql(
+      s"SELECT k, num_rows FROM $t.partitions ORDER BY k")
+      .as[(String, Long)].collect().toSeq
+    assert(parts === Seq(("a", 1L), ("b", 2L)))
+    // .history: one row per version, the same frame DESCRIBE HISTORY serves
+    assert(spark.sql(s"SELECT * FROM $t.history").count() ===
+      handle(t).versions().size.toLong)
+    // a REAL table named `files` (namespace default/<name>) wins over the
+    // metadata fallback — the fallback fires only on a miss
+    spark.sql(s"CREATE TABLE `graft`.`default`.`$name`.`files` (x BIGINT)")
+    try {
+      spark.sql(s"INSERT INTO `graft`.`default`.`$name`.`files` VALUES (7)")
+      assert(spark.sql(s"SELECT * FROM $t.files").columns.toSeq === Seq("x"))
+    } finally spark.sql(s"DROP TABLE `graft`.`default`.`$name`.`files`")
+    assert(spark.sql(s"SELECT * FROM $t.files").columns.contains("path"))
+    // a metadata suffix on a MISSING table still misses
+    intercept[Exception] { spark.sql(s"SELECT * FROM graft.default.nope_$name.files") }
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("CREATE TABLE / INSERT INTO / SELECT / INSERT OVERWRITE round-trip") {
     val t = s"graft.default.${fresh()}"
     spark.sql(s"CREATE TABLE $t (id BIGINT, k STRING, amt DOUBLE)")
