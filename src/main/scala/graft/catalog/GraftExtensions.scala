@@ -71,11 +71,38 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(GraftTarget(t, tout), condition) if d.resolved =>
-      GraftDeleteCommand(t, bare(condition, tout))
+      inKeyRewrite(condition, tout) match {
+        case Some((key, src, residual)) =>
+          // the compliance DELETE (`WHERE id IN (SELECT ...)`) translated
+          // to the kernel's keyed merge: the subquery runs ONCE as the
+          // merge source and the join is the file/Bloom-pruned equi-merge —
+          // never a driver-side materialization of the id list
+          GraftMergeCommand(t, src, mergeOn(key, residual), key, SubqueryKey,
+            whenMatchedUpdate = None,
+            whenMatchedDelete = Some(Merge.MatchedDelete(None)),
+            whenNotMatchedInsert = None,
+            whenNotMatchedBySourceUpdate = None,
+            whenNotMatchedBySourceDelete = None,
+            schemaEvolution = false)
+        case None => GraftDeleteCommand(t, bare(condition, tout))
+      }
 
     case u @ UpdateTable(GraftTarget(t, tout), assignments, condition) if u.resolved =>
-      GraftUpdateCommand(t, condition.map(bare(_, tout)).getOrElse("TRUE"),
-        assignments.map(a => keyName(a.key) -> bare(a.value, tout)).toMap)
+      condition.flatMap(inKeyRewrite(_, tout)) match {
+        case Some((key, src, residual)) =>
+          GraftMergeCommand(t, src, mergeOn(key, residual), key, SubqueryKey,
+            whenMatchedUpdate = Some(Merge.MatchedUpdate(None,
+              assignments.map(a =>
+                keyName(a.key) -> targetPref(a.value, tout)).toMap)),
+            whenMatchedDelete = None,
+            whenNotMatchedInsert = None,
+            whenNotMatchedBySourceUpdate = None,
+            whenNotMatchedBySourceDelete = None,
+            schemaEvolution = false)
+        case None =>
+          GraftUpdateCommand(t, condition.map(bare(_, tout)).getOrElse("TRUE"),
+            assignments.map(a => keyName(a.key) -> bare(a.value, tout)).toMap)
+      }
 
     case m @ MergeIntoTable(GraftTarget(t, tout), source, cond,
         matched, notMatched, nmbs, withSchemaEvolution) if m.resolved =>
@@ -83,6 +110,58 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
         withSchemaEvolution)
 
     case _ => plan
+  }
+
+  // ---- IN-subquery DELETE/UPDATE → keyed merge -----------------------------
+
+  /** The merge source's projected key alias (collision-proof with user
+    * columns by the dunder prefix the write funnel already reserves). */
+  private val SubqueryKey = "__gk"
+
+  private def mergeOn(key: String, residual: Option[String]): String =
+    s"source.`$SubqueryKey` = target.${PredicateSql.quote(key)}" +
+      residual.map(r => s" AND ($r)").getOrElse("")
+
+  /** `col IN (<uncorrelated single-column subquery>)` [AND plain conjuncts]
+    * → (target key column, DISTINCT-projected source plan, residual SQL
+    * rendered with the merge kernel's `target.` prefix). Anything else —
+    * correlated subqueries, NOT IN (whose NULL semantics a matched-delete
+    * cannot express), casts around the probe column, multiple subqueries —
+    * returns None and the statement falls through to the existing loud
+    * refusal, never a silently-wrong translation. */
+  private def inKeyRewrite(condition: Expression, tout: Seq[Attribute])
+      : Option[(String, LogicalPlan, Option[String])] = {
+    val tset = AttributeSet(tout)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def hasSubquery(e: Expression): Boolean =
+      e.find(_.isInstanceOf[SubqueryExpression]).isDefined
+    val (subq, rest) = conjuncts(condition).partition(hasSubquery)
+    subq match {
+      case Seq(InSubquery(Seq(a: AttributeReference), l: ListQuery))
+          if tset.contains(a) && l.outerAttrs.isEmpty &&
+            l.plan.output.size == 1 =>
+        val src = Distinct(Project(
+          Seq(Alias(l.plan.output.head, SubqueryKey)()), l.plan))
+        val residual =
+          if (rest.isEmpty) None
+          else Some(rest.map(r => s"(${targetPref(r, tout)})").mkString(" AND "))
+        Some((a.name, src, residual))
+      case _ => None
+    }
+  }
+
+  /** Render over the TARGET frame with the merge kernel's `target.` prefix
+    * (the residual conjuncts and UPDATE SET values of a subquery rewrite
+    * evaluate in the merge's joined frame, where bare names are ambiguous). */
+  private def targetPref(e: Expression, tout: Seq[Attribute]): String = {
+    val tset = AttributeSet(tout)
+    rendered(e, a =>
+      if (tset.contains(a)) Seq("target", a.name)
+      else throw new UnsupportedOperationException(
+        s"reference ${a.name} is not a column of the target table"))
   }
 
   // ---- expression → kernel SQL rendering ----------------------------------

@@ -1873,6 +1873,71 @@ object SourceQueries {
         |WHERE NOT (o_orderkey % 97 = 3)
         |GROUP BY o_orderstatus""".stripMargin))
 
+  /** q139: DML with IN-SUBQUERY conditions — the compliance shape
+    * (`DELETE FROM facts WHERE id IN (SELECT id FROM requests)`) and its
+    * UPDATE twin, both rewritten by [[graft.catalog.GraftExtensions]] to
+    * the kernel's KEYED MERGE: the subquery executes once as the merge
+    * source and the join is the file/Bloom-pruned equi-merge — never a
+    * driver-materialized id list, never a per-id loop. Asserted in-query
+    * via history metrics: the key-confined delete rewrites a strict subset
+    * of the table's files (the sorted layout localizes the subquery's key
+    * range). The UPDATE carries a plain residual conjunct next to its
+    * subquery — rendered into the merge ON, so a matched-but-residual-false
+    * row is untouched. Unsupported shapes (NOT IN, correlated) still refuse
+    * loudly rather than translate wrong. */
+  val q139SubqueryDml: Q = Q(
+    "q139_subquery_dml",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sqdml-").toString
+      val root = s"$tmp/orders_v"
+      val t = graft.table.VersionedTable(root)
+      t.commit(spark.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+          |FROM orders""".stripMargin),
+        numPartitions = Some(8), sortBy = Seq("o_orderkey"))
+      val nFiles = t.filesOf(t.resolve()).size
+      spark.sql(
+        s"""DELETE FROM graft.`$root`
+           |WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+           |                     WHERE o_orderpriority = '1-URGENT'
+           |                       AND o_orderkey < 500)""".stripMargin)
+      // file pruning proof: the key-confined delete rewrote a strict subset
+      val removed = t.history(spark).filter(col("version") === t.resolve())
+        .select("files_removed").head.getLong(0)
+      require(removed > 0 && removed < nFiles,
+        s"subquery DELETE must rewrite only the key range's files " +
+          s"($removed of $nFiles)")
+      spark.sql(
+        s"""UPDATE graft.`$root`
+           |SET o_totalprice = o_totalprice * 2
+           |WHERE o_custkey IN (SELECT c_custkey FROM customer
+           |                    WHERE c_mktsegment = 'BUILDING')
+           |  AND o_totalprice < 10000""".stripMargin)
+      // unsupported shapes refuse loudly, never translate wrong
+      val refused =
+        try {
+          spark.sql(s"""DELETE FROM graft.`$root`
+            |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders
+            |                         WHERE o_orderkey < 10)""".stripMargin)
+          false
+        } catch { case _: UnsupportedOperationException => true }
+      require(refused, "NOT IN must refuse (its NULL semantics are not a merge)")
+      t.read(spark)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
+        |                          WHERE c_mktsegment = 'BUILDING')
+        |        AND o_totalprice < 10000
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |                         WHERE o_orderpriority = '1-URGENT'
+        |                           AND o_orderkey < 500)""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1885,5 +1950,5 @@ object SourceQueries {
     q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults,
     q124RowTracking, q126MetaCount, q128NullPruning, q129MetaMinMax,
     q132IncrementalCluster, q133CloneSync, q134PointLookup, q135Expectations,
-    q136Fsck, q138MetadataTables)
+    q136Fsck, q138MetadataTables, q139SubqueryDml)
 }

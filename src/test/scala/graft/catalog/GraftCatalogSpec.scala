@@ -62,6 +62,32 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("IN-subquery DELETE/UPDATE: merge translation, MOR route, refusals") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id % 7 FROM range(100)")
+    Seq(3L, 5L, 5L, 200L).toDF("id").createOrReplaceTempView("sq_ids")
+    // DELETE: duplicate subquery rows collapse; an id absent from the
+    // target is a no-op, not an error
+    spark.sql(s"DELETE FROM $t WHERE id IN (SELECT id FROM sq_ids)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 98L)
+    assert(spark.sql(s"SELECT * FROM $t WHERE id IN (3, 5)").count() === 0L)
+    // UPDATE with a residual conjunct: only matched AND residual-true rows
+    spark.sql(s"UPDATE $t SET v = -1 WHERE id IN (SELECT id + 5 FROM sq_ids) AND v > 2")
+    val hit = spark.sql(s"SELECT id FROM $t WHERE v = -1").as[Long].collect().sorted
+    assert(hit.toSeq === Seq(10L)) // ids 8,10 matched; only v(10)=3 > 2
+    // MOR route: deletion vectors instead of rewrites
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('enableDeletionVectors' = 'true')")
+    spark.sql(s"DELETE FROM $t WHERE id IN (SELECT id * 2 FROM sq_ids)")
+    assert(spark.sql(s"SELECT * FROM $t WHERE id IN (6, 10)").count() === 0L)
+    assert(handle(t).detail(spark).select("num_deletion_vectors").head.getLong(0) > 0)
+    // correlated subqueries and NOT IN refuse loudly
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"DELETE FROM $t WHERE id NOT IN (SELECT id FROM sq_ids)")
+    }
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("CREATE TABLE / INSERT INTO / SELECT / INSERT OVERWRITE round-trip") {
     val t = s"graft.default.${fresh()}"
     spark.sql(s"CREATE TABLE $t (id BIGINT, k STRING, amt DOUBLE)")
