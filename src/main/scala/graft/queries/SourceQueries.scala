@@ -1938,6 +1938,45 @@ object SourceQueries {
         |                         WHERE o_orderpriority = '1-URGENT'
         |                           AND o_orderkey < 500)""".stripMargin))
 
+  /** q140: METADATA-ONLY partition delete — the retention verb
+    * (`DELETE WHERE day < cutoff` on a partitioned 100 TB table) must not
+    * read OR write a single data row: a partition-column predicate decides
+    * every file from its manifest partition tuple, fully-matching files
+    * drop whole, nothing rewrites. Asserted in-query from history metrics
+    * (files_added == 0, files_removed == the partition's file count) and
+    * by file-identity (every surviving file object is the SAME path as
+    * before). A general-predicate delete on the same table still rewrites
+    * only the coexisting-rows files (tier 2). Oracle: the surviving rows. */
+  val q140PartitionDelete: Q = Q(
+    "q140_partition_delete",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pdel-").toString
+      val t = graft.table.VersionedTable(s"$tmp/orders_pt")
+      t.commit(spark.sql(
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"),
+        partitionBy = Seq("o_orderstatus"))
+      val before = t.filesOf(t.resolve()).toSet
+      val dropped = t.partitionValuesOf(t.resolve()).count(
+        _._2.get("o_orderstatus").flatten.contains("P"))
+      require(dropped > 0, "expected a P partition")
+      t.delete(spark, "o_orderstatus = 'P'")
+      val h = t.history(spark).filter(col("version") === t.resolve()).head()
+      val (added, removed) = (h.getAs[Long]("files_added"),
+        h.getAs[Long]("files_removed"))
+      require(added == 0 && removed == dropped,
+        s"partition delete must be metadata-only (added=$added removed=$removed)")
+      require(t.filesOf(t.resolve()).toSet.subsetOf(before),
+        "surviving files must be the SAME objects — nothing rewritten")
+      // tier 2 on the same table: a data-column predicate that fully
+      // covers no remaining file rewrites only coexisting-rows files
+      t.delete(spark, "o_orderkey % 5 = 1")
+      t.read(spark).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    },
+    Some(
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderstatus <> 'P' AND NOT (o_orderkey % 5 = 1)""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -1950,5 +1989,5 @@ object SourceQueries {
     q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults,
     q124RowTracking, q126MetaCount, q128NullPruning, q129MetaMinMax,
     q132IncrementalCluster, q133CloneSync, q134PointLookup, q135Expectations,
-    q136Fsck, q138MetadataTables, q139SubqueryDml)
+    q136Fsck, q138MetadataTables, q139SubqueryDml, q140PartitionDelete)
 }

@@ -479,7 +479,7 @@ final class VersionedTable(val root: String,
 
   /** Per-file column stats recorded at commit: file → col → (min, max) as
     * strings (numeric-comparable via the original type at prune time). */
-  private def statsOf(v: Long): Map[String, Map[String, (String, String, String)]] =
+  private[graft] def statsOf(v: Long): Map[String, Map[String, (String, String, String)]] =
     stateOf(v).stats
 
   /** The session time zone the manifest's stats strings were RENDERED in
@@ -2655,13 +2655,68 @@ final class VersionedTable(val root: String,
     }
   }
 
-  /** Copy-on-write DELETE: rewrite ONLY the files that contain a matching
-    * row; untouched files (found by one predicate-pushed scan over the
-    * snapshot — parquet row-group stats prune most of them before any row is
-    * read) carry over into the new manifest unchanged, stats included. This
-    * is the Delta-style shape that matters at scale: deleting one key from a
-    * 100 TB table rewrites kilobytes, not the table. Returns (newVersion,
-    * rewrittenFileCount). */
+  /** Partition-metadata classification for whole-file DELETE: when the
+    * predicate references ONLY partition columns (and is deterministic
+    * after analysis), every metadata-evaluable file is decidable without
+    * reading it — its rows all share the partition tuple, so the file
+    * either fully matches (drop it whole) or is untouched. Returns
+    * Some((fullMatches, unevaluable)) in that case — `unevaluable` being
+    * pre-evolution files whose metadata lacks a referenced column, which
+    * must fall back to the scan path — or None when the predicate involves
+    * data columns at all. */
+  private def partitionWholeFileDrops(spark: SparkSession, v: Long,
+      condition: String): Option[(Seq[String], Seq[String])] = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val pb = partitionByOf(v)
+    if (pb.isEmpty) return None
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(condition)
+      catch { case _: Exception => return None }
+    val refs = parsed.references.map(_.name).toSet
+    if (refs.isEmpty || !refs.subsetOf(pb.toSet)) return None
+    val schema = schemaOf(v).getOrElse(return None)
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    val vals = partitionValuesOf(v)
+    val (evaluable, unevaluable) = filesOf(v).partition { f =>
+      refs.forall(vals.getOrElse(f, Map.empty).contains)
+    }
+    val rows = evaluable.map { f =>
+      val m = vals.getOrElse(f, Map.empty)
+      org.apache.spark.sql.Row.fromSeq(f +: pb.map(c => m.getOrElse(c, None).orNull))
+    }
+    val filtered = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(StructField("__pfile", StringType) +:
+          pb.map(c => StructField(c, StringType))))
+      .select(col("__pfile") +: pb.map(c => col(c).cast(typeOf(c)).as(c)): _*)
+      .filter(expr(condition))
+    // a nondeterministic predicate (rand() < 0.5) evaluates per ROW, not
+    // per file — only the analyzed condition can prove determinism
+    val det = filtered.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.deterministic
+    }.getOrElse(false)
+    if (!det) return None
+    Some((filtered.select("__pfile").collect().map(_.getString(0)).toSeq,
+      unevaluable))
+  }
+
+  /** Copy-on-write DELETE: rewrite ONLY the files where matching AND
+    * non-matching rows coexist; untouched files carry over into the new
+    * manifest unchanged, stats included, and FULLY-matching files are
+    * dropped whole — no scan, no rewrite. Two proof tiers:
+    *  - a predicate over partition columns alone decides every
+    *    metadata-evaluable file without data I/O (all rows share the
+    *    tuple), so the retention delete (`WHERE day < cutoff` on a
+    *    day-partitioned 100 TB table) is METADATA-ONLY — unless CDF is on,
+    *    which must read the dropped rows to capture them;
+    *  - any other predicate classifies per file from one candidate scan's
+    *    matched/kept counts — a file whose every live row matches drops
+    *    without the keep-rewrite it would otherwise pay.
+    * Deleting one key from a 100 TB table rewrites kilobytes, not the
+    * table; deleting a whole partition rewrites nothing. Returns
+    * (newVersion, removedFileCount). */
   def delete(spark: SparkSession, condition: String): (Long, Int) = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     requireNotAppendOnly("DELETE")
@@ -2674,42 +2729,68 @@ final class VersionedTable(val root: String,
     val pred = expr(condition)
     if (all.isEmpty) return (v, 0) // nothing to delete from an empty snapshot
     val allSet = all.toSet
-    // checkpointed head: the touched scan reads only stat-surviving
-    // candidates (planned distributed from the checkpoint parquet), not
-    // the whole snapshot
-    val cand = bloomPruneForPredicate(spark, v,
-      checkpointPlanCandidates(spark, v, condition).getOrElse(all), condition)
+    // tier 1: partition-metadata proof — a partition-column predicate
+    // decides every metadata-evaluable file without data I/O; only
+    // legacy-epoch files lacking a referenced value fall to the scan
+    val (proven, scanPool) = partitionWholeFileDrops(spark, v, condition) match {
+      case Some((full, unevaluable)) => (full.filter(allSet.contains), unevaluable)
+      case None =>
+        // checkpointed head: the touched scan reads only stat-surviving
+        // candidates (planned distributed from the checkpoint parquet),
+        // not the whole snapshot
+        (Seq.empty[String], bloomPruneForPredicate(spark, v,
+          checkpointPlanCandidates(spark, v, condition).getOrElse(all), condition))
+    }
+    // tier 2: ONE aggregation over the candidates classifies each file.
     // DV-applied scan: a row already merge-on-read-deleted cannot make its
-    // file "touched" (and could otherwise resurrect through the rewrite)
-    val touched =
-      if (cand.isEmpty) Seq.empty[String]
-      else scanLive(spark, cand, schema, dvs, keepPos = true, pb, pVals)
-        .filter(pred)
-        .select(col("__rel")).distinct()
-        .collect().map(_.getString(0))
-        .filter(allSet.contains).toSeq
+    // file "touched" (and could otherwise resurrect through the rewrite).
+    // SQL three-valued logic throughout: a NULL-evaluating row did NOT
+    // match and must be KEPT (it counts as kept, not matched).
+    val perFile: Array[(String, Long, Long)] =
+      if (scanPool.isEmpty) Array.empty
+      else scanLive(spark, scanPool, schema, dvs, keepPos = true, pb, pVals)
+        .groupBy(col("__rel"))
+        .agg(
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(coalesce(pred, lit(false)), 1L)
+              .otherwise(0L)).as("__m"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(not(coalesce(pred, lit(false))), 1L)
+              .otherwise(0L)).as("__k"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .filter(t => allSet.contains(t._1))
+    // a file whose every live row matches drops WHOLE — no keep-rewrite
+    val scanDrops = perFile.collect { case (f, m, k) if m > 0 && k == 0 => f }.toSeq
+    val rewrites = perFile.collect { case (f, m, k) if m > 0 && k > 0 => f }.toSeq
+    val touched = proven ++ scanDrops ++ rewrites
     if (touched.isEmpty) return (v, 0) // nothing matched: no new version needed
     val untouched = all.filterNot(touched.toSet)
-    // SQL three-valued logic: a row whose condition evaluates to NULL did
-    // NOT match the delete and must be KEPT — filter(!pred) alone would
-    // silently drop it (NULL fails both pred and !pred)
-    val keep = scanLive(spark, touched, schema, dvs, keepPos = false, pb, pVals)
-      .filter(not(coalesce(pred, lit(false))))
     // write-time CDF (iff enabled): the deleted rows, captured from the
     // touched slice only (old slice = keep ⊎ deleted, so this equals the
     // snapshot bag-diff the legacy changes() path computes — without ever
-    // re-scanning the table)
+    // re-scanning the table). This is the one path that must READ
+    // whole-dropped files.
     val cdfFiles =
       if (!cdfEnabled) Nil
       else writeCdfFiles(
         scanLive(spark, touched, schema, dvs, keepPos = false, pb, pVals)
           .filter(coalesce(pred, lit(false)))
           .withColumn("_change_type", lit("delete")))
-    val (commitId, newFiles, newPartVals, stamped) = writeDataFiles(keep, None, Nil, pb)
-    val partTypes = keep.schema.fields.map(f => f.name -> f.dataType).toMap
-    val stats = if (newFiles.nonEmpty)
-                  collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
-                else Map.empty[String, Map[String, (String, String, String)]]
+    val (commitId, newFiles, newPartVals, stamped) =
+      if (rewrites.isEmpty)
+        ("", Seq.empty[String],
+          Map.empty[String, Map[String, Option[String]]],
+          Option.empty[Map[String, Long]])
+      else writeDataFiles(
+        scanLive(spark, rewrites, schema, dvs, keepPos = false, pb, pVals)
+          .filter(not(coalesce(pred, lit(false)))),
+        None, Nil, pb)
+    val stats = if (newFiles.nonEmpty) {
+      val partTypes = schema.getOrElse(throw new IllegalStateException(
+        s"version $v of $root has no recorded schema"))
+        .fields.map(f => f.name -> f.dataType).toMap
+      collectFileStats(spark, commitId, newFiles, newPartVals, partTypes)
+    } else Map.empty[String, Map[String, (String, String, String)]]
     // snapshot-pinned with append rebase: pure-append interlopers whose
     // fresh files hold NO predicate-matching rows fold in (serial
     // equivalence is exact — the delete would not have touched them); any
@@ -2717,7 +2798,8 @@ final class VersionedTable(val root: String,
     // Constraints carry through unvalidated: a delete keeps a subset of rows
     // that already passed the table's gate.
     (publishRewrite(v, touched.toSet, newFiles, stats,
-      schema.map(_.json).getOrElse(keep.schema.json),
+      schema.map(_.json).getOrElse(throw new IllegalStateException(
+        s"version $v of $root has no recorded schema")),
       carryDvs(spark, dvs, untouched), newPartVals,
       cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdfFiles = cdfFiles,
       txn = None,

@@ -268,6 +268,59 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.latestVersion() === Some(1L))
   }
 
+  test("delete drops fully-matching files whole: no rewrite, no data write") {
+    val root = tmpDir("vt-wfd-")
+    val t = VersionedTable(root)
+    import org.apache.spark.sql.functions.col
+    // partitioned: a partition-column delete is METADATA-ONLY
+    t.commit(spark.range(0, 900).select(col("id"), (col("id") % 3).as("p")),
+      partitionBy = Seq("p"))
+    val before = t.filesOf(t.resolve()).toSet
+    t.delete(spark, "p = 1")
+    val h1 = t.history(spark).filter(col("version") === t.resolve()).head()
+    assert(h1.getAs[Long]("files_added") === 0L)
+    assert(t.filesOf(t.resolve()).toSet.subsetOf(before))
+    assert(t.read(spark).count() === 600)
+    assert(t.read(spark).filter("p = 1").count() === 0)
+    // NULL partition value: 3VL keeps it (the predicate is not TRUE there)
+    val t2 = VersionedTable(tmpDir("vt-wfd2-") + "/t")
+    t2.commit(spark.range(0, 100)
+      .selectExpr("id", "CASE WHEN id < 50 THEN 'a' END AS p"),
+      partitionBy = Seq("p"))
+    t2.delete(spark, "p = 'a'")
+    assert(t2.read(spark).count() === 50)
+    assert(t2.read(spark).filter("p IS NULL").count() === 50)
+    // tier 2: a DATA-column predicate fully covering a sorted file drops it
+    // whole too — files_added stays 0 when no file has coexisting rows
+    val t3 = VersionedTable(tmpDir("vt-wfd3-") + "/t")
+    t3.commit(spark.range(0, 1000).selectExpr("id", "id % 7 AS v"),
+      numPartitions = Some(4), sortBy = Seq("id"))
+    // delete EVERY row of whatever file holds id=0 by using the file's own
+    // stats range — derive it from the manifest
+    val stats = t3.filesOf(t3.resolve()).map { f =>
+      val (mn, mx, _) = tStats(t3, f)
+      (f, mn.toLong, mx.toLong)
+    }
+    val (f0, lo, hi) = stats.minBy(_._2)
+    t3.delete(spark, s"id BETWEEN $lo AND $hi")
+    val h3 = t3.history(spark).filter(col("version") === t3.resolve()).head()
+    assert(h3.getAs[Long]("files_added") === 0L &&
+      h3.getAs[Long]("files_removed") === 1L, s"file $f0 should drop whole")
+    assert(t3.read(spark).count() === 1000L - (hi - lo + 1))
+    // CDF still captures whole-dropped rows when enabled
+    val t4 = VersionedTable(tmpDir("vt-wfd4-") + "/t")
+    t4.setProperties(Map("enableChangeDataFeed" -> "true"))
+    t4.commit(spark.range(0, 90).selectExpr("id", "id % 3 AS p"),
+      partitionBy = Seq("p"))
+    t4.delete(spark, "p = 2")
+    val ch = t4.changeFeed(spark, 0L, t4.resolve())
+    assert(ch.filter("_change_type = 'delete'").count() === 30)
+  }
+
+  /** Manifest (min, max, kind) of column "id" for file `f`. */
+  private def tStats(t: VersionedTable, f: String): (String, String, String) =
+    t.statsOf(t.resolve())(f)("id")
+
   test("copy-on-write merge rewrites only key-overlapping files") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
