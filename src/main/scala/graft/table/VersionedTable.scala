@@ -3032,57 +3032,118 @@ final class VersionedTable(val root: String,
     * [[delete]]: a NULL condition keeps the row. Snapshot-pinned publish
     * like every rewrite. Returns (newVersion, rowsDeleted). */
   def deleteMor(spark: SparkSession, condition: String): (Long, Long) = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
     requireNotAppendOnly("DELETE (merge-on-read)")
     val v = resolve()
     val all = filesOf(v)
     if (all.isEmpty) return (v, 0L)
+    val allSet = all.toSet
     val schema = schemaOf(v)
     val dvs = dvsOf(v)
-    // checkpointed head: the match scan reads only stats-surviving
-    // candidate files, like the COW verbs
-    val cand = bloomPruneForPredicate(spark, v,
-      checkpointPlanCandidates(spark, v, condition).getOrElse(all), condition)
-    if (cand.isEmpty) return (v, 0L)
+    val pb = partitionByOf(v)
+    val pVals = partitionValuesOf(v)
+    val pred = expr(condition)
+    // FULLY-matching files drop WHOLE here too — the MOR retention delete
+    // would otherwise write a tombstone PER ROW of each such file, O(rows)
+    // where removing the manifest entry is O(1). Same two proof tiers as
+    // [[delete]]: partition-metadata (zero data I/O), then per-file
+    // matched/kept classification from one candidate-scan aggregation.
+    val (proven, scanPool) = partitionWholeFileDrops(spark, v, condition) match {
+      case Some((full, unevaluable)) => (full.filter(allSet.contains), unevaluable)
+      case None =>
+        (Seq.empty[String], bloomPruneForPredicate(spark, v,
+          checkpointPlanCandidates(spark, v, condition).getOrElse(all), condition))
+    }
+    if (proven.isEmpty && scanPool.isEmpty) return (v, 0L)
     // scan with existing DVs applied: an already-dead row must not be
     // tombstoned twice (double-counted deletes, growing DVs)
-    val matchedRows = scanLive(spark, cand, schema, dvs, keepPos = true,
-        partitionByOf(v), partitionValuesOf(v))
-      .filter(coalesce(expr(condition), lit(false)))
-    val matched = matchedRows
-      .select(col("__rel").as("file"), col("__ri").as("row_index"))
-    // write first, count the (tiny) written tombstones: counting `matched`
-    // directly would run the full predicate scan a second time
-    val newDv = writeDvFiles(matched)
-    val newDvRead = spark.read.parquet(
-      newDv.map(f => Paths.get(root).resolve(f).toString): _*)
-    val n = newDvRead.count()
-    if (n == 0L) return (v, 0L) // no match: the empty DV dir falls to vacuum
-    // the files our fresh tombstones cover — the rebase guard against a
-    // racing rewrite of (or second tombstone on) the same files
-    val dvCovered = newDvRead.select("file").distinct()
-      .collect().map(_.getString(0)).toSet
-    // write-time CDF (iff enabled): the tombstoned rows in full (one more
-    // predicate-pushed pass over the matching files; the DV itself stores
-    // only positions)
+    val perFile: Array[(String, Long, Long)] =
+      if (scanPool.isEmpty) Array.empty
+      else scanLive(spark, scanPool, schema, dvs, keepPos = true, pb, pVals)
+        .groupBy(col("__rel"))
+        .agg(sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as("__m"),
+          sum(when(org.apache.spark.sql.functions.not(
+            coalesce(pred, lit(false))), 1L).otherwise(0L)).as("__k"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .filter(t => allSet.contains(t._1))
+    val scanDrops = perFile.collect { case (f, m, k) if m > 0 && k == 0 => f }.toSeq
+    val partial = perFile.collect { case (f, m, k) if m > 0 && k > 0 => f }.toSeq
+    val drops = proven ++ scanDrops
+    if (drops.isEmpty && partial.isEmpty) return (v, 0L) // no match anywhere
+    // DV tombstones only for files where live matched and kept rows coexist
+    val (newDv, dvCovered, nPartial) =
+      if (partial.isEmpty) (Seq.empty[String], Set.empty[String], 0L)
+      else {
+        val files = writeDvFiles(
+          scanLive(spark, partial, schema, dvs, keepPos = true, pb, pVals)
+            .filter(coalesce(pred, lit(false)))
+            .select(col("__rel").as("file"), col("__ri").as("row_index")))
+        val rd = spark.read.parquet(
+          files.map(f => Paths.get(root).resolve(f).toString): _*)
+        (files, rd.select("file").distinct()
+          .collect().map(_.getString(0)).toSet, rd.count())
+      }
+    // deleted-row count for whole-dropped files: the scan tier already
+    // counted them; the metadata tier derives live = write-time __rows
+    // minus the file's existing DV rows (exact — a DV only removes live
+    // rows), falling back to a count scan for stats-less files
+    val nScanDrops = perFile.collect { case (_, m, k) if m > 0 && k == 0 => m }.sum
+    val nProven: Long =
+      if (proven.isEmpty) 0L
+      else {
+        val dvPerFile: Map[String, Long] =
+          if (dvs.isEmpty) Map.empty
+          else dvFrame(spark, dvs).groupBy("file").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val stats = statsOf(v)
+        val counted = proven.map { f =>
+          f -> stats.get(f).flatMap(_.get(VersionedTable.RowCountStat))
+            .flatMap(s => scala.util.Try(s._1.toLong).toOption)
+            .map(_ - dvPerFile.getOrElse(f, 0L))
+        }
+        val statless = counted.collect { case (f, None) => f }
+        counted.flatMap(_._2).sum + (if (statless.isEmpty) 0L
+          else scanLive(spark, statless, schema, dvs, keepPos = false, pb, pVals)
+            .count())
+      }
+    // write-time CDF (iff enabled): the deleted rows in full — the one
+    // path that must READ whole-dropped files (the DV stores positions,
+    // the manifest drop stores nothing)
     val cdfFiles =
       if (!cdfEnabled) Nil
-      else writeCdfFiles(matchedRows.drop("__rel", "__ri")
-        .withColumn("_change_type", lit("delete")))
+      else writeCdfFiles(
+        scanLive(spark, drops ++ partial, schema, dvs, keepPos = false, pb, pVals)
+          .filter(coalesce(pred, lit(false)))
+          .withColumn("_change_type", lit("delete")))
     val schemaJson = schema.map(_.json).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))
-    // data files and their stats carry verbatim (stats stay sound: a DV only
-    // narrows the live rows, min/max remain valid bounds for skipping);
+    // surviving data files and their stats carry verbatim (stats stay
+    // sound: a DV only narrows the live rows, min/max remain valid bounds);
     // append rebase as in delete — fresh files with no matching rows fold in
-    (publishRewrite(v, Set.empty, Nil, Map.empty, schemaJson,
-      dvsCarried = dvs ++ newDv, newPartVals = Map.empty,
+    // DV sidecars re-lay only when a drop actually retires some of their
+    // rows — otherwise they carry verbatim (zero DV churn on the common
+    // path where the dropped partition had no tombstones)
+    val dvsCarried = {
+      val needPrune = drops.nonEmpty && dvs.nonEmpty && {
+        import spark.implicits._
+        import org.apache.spark.sql.functions.broadcast
+        !dvFrame(spark, dvs)
+          .join(broadcast(drops.toDF("file")), Seq("file"), "left_semi")
+          .isEmpty
+      }
+      (if (needPrune) carryDvs(spark, dvs, all.filterNot(drops.toSet))
+       else dvs) ++ newDv
+    }
+    (publishRewrite(v, drops.toSet, Nil, Map.empty, schemaJson,
+      dvsCarried = dvsCarried,
+      newPartVals = Map.empty,
       cdfKind = if (cdfFiles.nonEmpty) Some("files") else None, cdfFiles = cdfFiles,
       txn = None,
       freshSafe = (h, fresh) => fresh.isEmpty ||
         scanLive(spark, fresh, schema, Nil, keepPos = false,
-          partitionByOf(v), partitionValuesOf(h))
-          .filter(coalesce(expr(condition), lit(false))).isEmpty,
-      dvGuard = dvCovered, operation = Some("DELETE")), n)
+          pb, partitionValuesOf(h))
+          .filter(coalesce(pred, lit(false))).isEmpty,
+      dvGuard = dvCovered, operation = Some("DELETE")), nPartial + nScanDrops + nProven)
   }
 
   /** Copy-on-write UPDATE: `SET col = expr` on rows matching `condition`,

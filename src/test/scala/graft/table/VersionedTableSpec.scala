@@ -321,6 +321,38 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
   private def tStats(t: VersionedTable, f: String): (String, String, String) =
     t.statsOf(t.resolve())(f)("id")
 
+  test("MOR delete drops fully-matching files instead of tombstoning every row") {
+    val root = tmpDir("vt-morwfd-") + "/t"
+    val t = VersionedTable(root)
+    import org.apache.spark.sql.functions.col
+    t.commit(spark.range(0, 900).select(col("id"), (col("id") % 3).as("p")),
+      partitionBy = Seq("p"))
+    // a prior partial MOR delete leaves DVs on a SURVIVING partition
+    val (_, n0) = t.deleteMor(spark, "id < 30 AND p = 0")
+    assert(n0 === 10)
+    // the partition delete: file drops, NO new tombstones for its rows
+    val dvBefore = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "dv"))
+      .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    val (_, n1) = t.deleteMor(spark, "p = 1")
+    assert(n1 === 300, s"row count must include whole-dropped files' live rows")
+    val dvAfter = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "dv"))
+      .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    assert(dvAfter === dvBefore,
+      "a whole-partition MOR delete must write zero tombstones")
+    val h = t.history(spark).filter(col("version") === t.resolve()).head()
+    assert(h.getAs[Long]("files_added") === 0L &&
+      h.getAs[Long]("files_removed") > 0L)
+    // the surviving partition's earlier DVs still apply
+    assert(t.read(spark).count() === 900 - 10 - 300)
+    assert(t.read(spark).filter("p = 1").count() === 0)
+    assert(t.read(spark).filter("id < 30 AND p = 0").count() === 0)
+    // mixed tier-2 case: a data predicate fully covering partition 2's live
+    // rows AND partially matching partition 0 — drop + tombstone in one verb
+    val (_, n2) = t.deleteMor(spark, "p = 2 OR id BETWEEN 30 AND 59")
+    assert(n2 === 300 + 10)
+    assert(t.read(spark).count() === 900 - 10 - 300 - 310)
+  }
+
   test("copy-on-write merge rewrites only key-overlapping files") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
