@@ -152,7 +152,10 @@ object JobSpec {
           n.get("expectations").properties().asScala
             .map(e => e.getKey -> e.getValue.asText()).toSeq.sortBy(_._1),
           optStr(n, "onViolation").getOrElse("drop"),
-          optStr(n, "quarantineURI"), optStr(n, "metricsView"), envs(n))
+          optStr(n, "quarantineURI"), optStr(n, "metricsView"),
+          if (n.has("failThreshold")) Some(n.get("failThreshold").asDouble())
+          else None,
+          envs(n))
       case "DeltaLakeLoad" | "TableLoad" => TableLoad(
         name, str(n, "inputView"), str(n, "outputURI"), optInt(n, "numPartitions"),
         if (n.has("partitionBy")) n.get("partitionBy").elements().asScala.map(_.asText()).toSeq

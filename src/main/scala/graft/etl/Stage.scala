@@ -381,11 +381,17 @@ final case class SQLAssert(
   *  - `"fail"`: any violation aborts the job with a 3-row sample
   *    (SQLAssert parity, for the checks that must gate).
   * `metricsView` registers per-expectation violation counts plus the row
-  * total — the DLT event-log shape a dashboard reads.
+  * total — the DLT event-log shape a dashboard reads. `failThreshold`
+  * composes with drop/quarantine: tolerate per-row violations up to the
+  * given FRACTION per expectation, abort the job beyond it — the "some
+  * noise is expected, a broken upstream is not" contract (a feed suddenly
+  * 40 % malformed should stop the pipeline, not quietly quarantine itself
+  * empty).
   * Scale: the output is ONE filtered scan of the input (the expectation
   * columns are codegen'd predicates riding that scan), the quarantine
-  * write touches only failing rows, and metrics is one map-side-combinable
-  * aggregate. No collect anywhere — the fail-mode sample is a limit(3). */
+  * write touches only failing rows, and metrics/threshold share one
+  * map-side-combinable aggregate. No collect anywhere — the fail-mode
+  * sample is a limit(3). */
 final case class ExpectTransform(
     name: String,
     inputView: String,
@@ -394,6 +400,7 @@ final case class ExpectTransform(
     onViolation: String = "drop",
     quarantineURI: Option[String] = None,
     metricsView: Option[String] = None,
+    failThreshold: Option[Double] = None,
     environments: Seq[String] = Nil) extends Stage {
   require(Seq("drop", "quarantine", "fail").contains(onViolation),
     s"ExpectTransform '$name': onViolation must be drop, quarantine, or " +
@@ -404,6 +411,8 @@ final case class ExpectTransform(
     s"ExpectTransform '$name': at least one expectation is required")
   require(expectations.forall(_._1.matches("[A-Za-z_][A-Za-z0-9_]*")),
     s"ExpectTransform '$name': expectation names must be identifiers")
+  require(failThreshold.forall(t => t >= 0.0 && t < 1.0),
+    s"ExpectTransform '$name': failThreshold must be in [0, 1)")
 
   def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{array, array_compact, array_contains,
@@ -414,7 +423,7 @@ final case class ExpectTransform(
     }: _*)
     val tagged = df.withColumn("_violations", array_compact(vio))
     val kept = tagged.filter(size(col("_violations")) === 0).drop("_violations")
-    metricsView.foreach { mv =>
+    def countsFrame = {
       val sums = expectations.map { case (en, _) =>
         sum(when(array_contains(col("_violations"), en), 1L).otherwise(0L))
           .as(s"__v_$en") }
@@ -422,10 +431,23 @@ final case class ExpectTransform(
       val stackArgs = expectations
         .map { case (en, _) => s"'$en', `__v_$en`" }.mkString(", ")
       aggRow.select(
-          expr(s"stack(${expectations.size}, $stackArgs)")
-            .as(Seq("expectation", "n_violations")),
-          col("__n").as("n_rows"))
-        .createOrReplaceTempView(sub(mv, env))
+        expr(s"stack(${expectations.size}, $stackArgs)")
+          .as(Seq("expectation", "n_violations")),
+        col("__n").as("n_rows"))
+    }
+    metricsView.foreach(mv => countsFrame.createOrReplaceTempView(sub(mv, env)))
+    // tolerance gate: per-expectation violation RATE above the threshold
+    // aborts regardless of the row policy — an upstream break must stop
+    // the pipeline, not quietly quarantine itself empty
+    failThreshold.foreach { t =>
+      val over = countsFrame
+        .filter(col("n_rows") > 0 &&
+          col("n_violations").cast("double") / col("n_rows") > t)
+        .collect()
+      if (over.nonEmpty) throw new IllegalStateException(
+        s"ExpectTransform '$name': violation rate above $t for " +
+          over.map(r => s"${r.getString(0)} (${r.getLong(1)}/${r.getLong(2)})")
+            .mkString(", "))
     }
     onViolation match {
       case "fail" =>

@@ -69,9 +69,24 @@ class JobSpecSpec extends AnyFunSuite with SparkSpec {
     val et = spec.stages.head.asInstanceOf[ExpectTransform]
     assert(et.expectations === Seq("aaa" -> "y > 0", "zzz" -> "x > 0"))
     assert(et.onViolation === "quarantine" && et.quarantineURI.contains("${lake}/q"))
+    // failThreshold: tolerated below the rate, aborts above it
+    JobSpec(Seq(ExpectTransform("dq3", "et_in", "et_out3",
+      Seq("positive" -> "v > 0"), failThreshold = Some(0.7))))
+      .run(spark, Map.empty) // 2/3 violating ≤ 0.7 → tolerated, rows dropped
+    assert(spark.table("et_out3").count() === 1)
+    val te = intercept[IllegalStateException] {
+      JobSpec(Seq(ExpectTransform("dq4", "et_in", "et_out4",
+        Seq("positive" -> "v > 0"), failThreshold = Some(0.5))))
+        .run(spark, Map.empty) // 2/3 > 0.5 → abort
+    }
+    assert(te.getMessage.contains("violation rate") &&
+      te.getMessage.contains("positive (2/3)"))
     // invalid policy refuses at construction
     intercept[IllegalArgumentException] {
       ExpectTransform("bad", "a", "b", Seq("e" -> "x"), onViolation = "ignore")
+    }
+    intercept[IllegalArgumentException] { // threshold domain
+      ExpectTransform("bad", "a", "b", Seq("e" -> "x"), failThreshold = Some(1.5))
     }
     intercept[IllegalArgumentException] { // quarantine without a URI
       ExpectTransform("bad", "a", "b", Seq("e" -> "x"), onViolation = "quarantine")
