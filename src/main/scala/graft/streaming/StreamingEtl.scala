@@ -239,23 +239,32 @@ object StreamingEtl {
             when(not(coalesce(expr(cond).cast("boolean"), lit(false))), lit(en))
           }: _*)
           val tagged = batch.withColumn("_violations", array_compact(vio))
+          // an empty slice is SKIPPED, not appended: a clean steady-state
+          // stream must not burn a quarantine version per batch (and vice
+          // versa). Skipping leaves no txn mark, which is still replay-safe:
+          // the retry recomputes the same deterministic empty slice and
+          // skips again; the mark ratchet only ever carries batches that
+          // actually wrote.
           val clean = VersionedTable(cleanRoot)
           if (!clean.lastTxn(checkpointDir).exists(_ >= batchId)) {
-            clean.append(
-              tagged.filter(size(col("_violations")) === 0).drop("_violations"),
-              txn = Some(checkpointDir -> batchId))
-            ()
+            val keep = tagged.filter(size(col("_violations")) === 0)
+              .drop("_violations")
+            if (!keep.isEmpty) {
+              clean.append(keep, txn = Some(checkpointDir -> batchId))
+              ()
+            }
           }
           if (expectationsFailpoint)
             throw new IllegalStateException(
               "injected failure between the clean and quarantine appends")
           val quarantine = VersionedTable(quarantineRoot)
           if (!quarantine.lastTxn(checkpointDir).exists(_ >= batchId)) {
-            quarantine.append(
-              tagged.filter(size(col("_violations")) > 0)
-                .withColumn("_violations", concat_ws(",", col("_violations"))),
-              txn = Some(checkpointDir -> batchId))
-            ()
+            val failed = tagged.filter(size(col("_violations")) > 0)
+              .withColumn("_violations", concat_ws(",", col("_violations")))
+            if (!failed.isEmpty) {
+              quarantine.append(failed, txn = Some(checkpointDir -> batchId))
+              ()
+            }
           }
         }
       }

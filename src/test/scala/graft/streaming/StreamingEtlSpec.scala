@@ -139,6 +139,14 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
     assert(quar.read(spark).select("id", "_violations").as[(Long, String)]
       .collect().sorted.toSeq === Seq((2L, "positive"), (4L, "positive")))
     assert(clean.versions().size === 1 && quar.versions().size === 1)
+    // an all-clean batch appends to the CLEAN table only — no quarantine
+    // version burned for an empty slice
+    Seq((10L, 1L), (11L, 2L)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val q3 = StreamingEtl.expectationsStream(spark, landing, schema,
+      s"$base/clean", s"$base/quar", exps, ckpt)
+    assert(q3.awaitTermination(120000))
+    assert(clean.read(spark).count() === 4 && quar.versions().size === 1)
   }
 
   test("watermarked windowed aggregation over a parquet-backed stream") {
