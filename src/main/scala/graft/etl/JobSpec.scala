@@ -215,6 +215,10 @@ object JobSpec {
         n.get("zOrderBy").elements().asScala.map(_.asText()).toSeq,
         optInt(n, "targetFileSizeMb").getOrElse(128),
         optInt(n, "numFiles"), envs(n))
+      case "StreamIngest" => StreamIngest(
+        name, str(n, "inputURI"), str(n, "outputURI"),
+        optStr(n, "schemaDDL"), optStr(n, "checkpointURI"),
+        optInt(n, "maxFilesPerTrigger"), envs(n))
       case "TableCloneSync" => TableCloneSync(
         name, str(n, "tableURI"), str(n, "targetURI"),
         !n.has("deep") || n.get("deep").asBoolean(true),

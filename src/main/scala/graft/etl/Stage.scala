@@ -720,6 +720,44 @@ final case class TableVacuum(
   }
 }
 
+/** Scheduled micro-batch ingest as a DAG node: drain everything newly
+  * landed under `inputURI` into the versioned table at `outputURI` via the
+  * exactly-once streaming funnel ([[graft.streaming.StreamingEtl
+  * .appendStream]]: AvailableNow + checkpoint + manifest txn marks), then
+  * return. One declared stage is the whole scheduled-ingest job — each
+  * scheduler tick picks up exactly the files the previous tick had not
+  * committed, a crashed tick replays without duplicating a row, and an
+  * idle tick commits nothing. The schema comes from `schemaDDL` when given
+  * (landing dirs can be empty on the first tick) or is inferred from the
+  * landed files. `checkpointURI` defaults to `<outputURI>_checkpoint`. */
+final case class StreamIngest(
+    name: String,
+    inputURI: String,
+    outputURI: String,
+    schemaDDL: Option[String] = None,
+    checkpointURI: Option[String] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val in = sub(inputURI, env)
+    val out = sub(outputURI, env)
+    val ckpt = checkpointURI.map(sub(_, env)).getOrElse(s"${out}_checkpoint")
+    val schema = schemaDDL.map(d =>
+        org.apache.spark.sql.types.StructType.fromDDL(sub(d, env)))
+      .getOrElse(spark.read.parquet(in).schema)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    val q = reader.parquet(in)
+      .writeStream.format("graft-table")
+      .option("path", out).option("txnAppId", ckpt)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    None
+  }
+}
+
 /** Scheduled-backup refresh: bring `targetURI` (an existing clone of
   * `tableURI`) to the source's current snapshot, transferring only the
   * files the target lacks ([[graft.table.VersionedTable.cloneSync]]); a

@@ -93,6 +93,31 @@ class JobSpecSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("StreamIngest stage: each run drains only the new landings, exactly-once") {
+    val base = tmpDir("js-si-")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/land")
+    val spec = JobSpec.fromJson(
+      s"""{"stages": [
+         |  {"type": "StreamIngest", "name": "ingest",
+         |   "inputURI": "$${lake}/land", "outputURI": "$${lake}/t",
+         |   "schemaDDL": "id BIGINT, k STRING"}
+         |]}""".stripMargin)
+    spec.run(spark, Map("lake" -> base))
+    val t = VersionedTable(s"$base/t")
+    assert(t.read(spark).count() === 2)
+    val v1 = t.latestVersion()
+    // an idle tick commits nothing
+    spec.run(spark, Map("lake" -> base))
+    assert(t.latestVersion() === v1)
+    // the next tick picks up exactly the new landing
+    Seq((3L, "c")).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(s"$base/land")
+    spec.run(spark, Map("lake" -> base))
+    assert(t.read(spark).as[(Long, String)].collect().sorted.toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("TableCloneSync seeds a missing backup, then refreshes incrementally; " +
       "TableFsck reports") {
     val base = tmpDir("js-csync-")
