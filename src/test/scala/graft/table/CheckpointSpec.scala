@@ -48,8 +48,10 @@ class CheckpointSpec extends AnyFunSuite with SparkSpec {
     val t = VersionedTable(tmpDir("ckpt-"))
     // CDF capture is opt-in; this test asserts cdf refs ride the checkpoint
     t.setProperties(Map("enableChangeDataFeed" -> "true"))
-    t.commit(Seq((1L, "F", 1.0), (2L, "O", 2.0)).toDF("id", "s", "amt"),
-      partitionBy = Seq("s"))
+    // partition O holds two rows: the MOR delete stays PARTIAL (a sole-row
+    // file would correctly drop whole, leaving no DV to checkpoint)
+    t.commit(Seq((1L, "F", 1.0), (2L, "O", 2.0), (3L, "O", 3.0))
+      .toDF("id", "s", "amt").coalesce(1), partitionBy = Seq("s"))
     t.deleteMor(spark, "id = 2")
     t.checkpoint(spark)
     val ck = t.checkpointFiles(spark)

@@ -103,11 +103,13 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkSpec {
     t.alterPartitioning(Nil) // unpartitioned spec
     assert(t.partitionByOf(t.resolve()).isEmpty)
     t.append(Seq((4L, "ap", "b", 40.0)).toDF("id", "region", "cat", "amt"))
-    // MOR delete tombstones a legacy-epoch row without rewriting it
-    t.deleteMor(spark, "id = 2")
+    // MOR delete tombstones a legacy-epoch row without rewriting it — id 1
+    // shares the eu file with id 3, so the delete stays PARTIAL (deleting
+    // the us file's only row would correctly drop the file, no DV)
+    t.deleteMor(spark, "id = 1")
     assert(t.dvFileCount() >= 1)
     val got = t.read(spark).select("id").as[Long].collect().sorted.toSeq
-    assert(got === Seq(1L, 3L, 4L), s"DV must apply inside the legacy epoch scan: $got")
+    assert(got === Seq(2L, 3L, 4L), s"DV must apply inside the legacy epoch scan: $got")
   }
 
   test("DSv2 catalog reads span layout epochs; count(*) pushdown stays exact") {

@@ -191,12 +191,16 @@ class PartitionedTableSpec extends AnyFunSuite with SparkSpec {
     // partition-value re-attach and DV joins compare scan paths against
     // manifest names, so any rendering mismatch SILENTLY drops whole files.
     val t = VersionedTable(tmpDir("pt-"))
-    val rows = Seq((1L, "a b"), (2L, "a:b"), (3L, "a+b"), (4L, "a%b"), (5L, "plain"))
-    t.commit(rows.toDF("id", "status"), partitionBy = Seq("status"))
+    // the escaped partition holds TWO rows so the MOR delete below is a
+    // partial one — a sole-row file would (correctly) drop whole with no DV
+    val rows = Seq((1L, "a b"), (2L, "a:b"), (3L, "a+b"), (4L, "a%b"),
+      (5L, "plain"), (6L, "a:b"))
+    t.commit(rows.toDF("id", "status").coalesce(1), partitionBy = Seq("status"))
     assert(t.read(spark).as[(Long, String)].collect().sorted.toSeq === rows)
     // DV tombstones key by the same decoded path: delete inside an escaped
-    // partition removes exactly that row
+    // partition removes exactly that row (id 6 keeps the file partial)
     t.deleteMor(spark, "id = 2")
+    assert(t.dvFileCount() >= 1, "a partial MOR delete must write a DV")
     assert(t.read(spark).as[(Long, String)].collect().sorted.toSeq ===
       rows.filterNot(_._1 == 2L))
     // manifest partition pruning keys off the recorded (unescaped) value
