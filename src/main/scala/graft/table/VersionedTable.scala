@@ -3055,57 +3055,73 @@ final class VersionedTable(val root: String,
           checkpointPlanCandidates(spark, v, condition).getOrElse(all), condition))
     }
     if (proven.isEmpty && scanPool.isEmpty) return (v, 0L)
-    // scan with existing DVs applied: an already-dead row must not be
-    // tombstoned twice (double-counted deletes, growing DVs)
-    val perFile: Array[(String, Long, Long)] =
-      if (scanPool.isEmpty) Array.empty
-      else scanLive(spark, scanPool, schema, dvs, keepPos = true, pb, pVals)
-        .groupBy(col("__rel"))
-        .agg(sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as("__m"),
-          sum(when(org.apache.spark.sql.functions.not(
-            coalesce(pred, lit(false))), 1L).otherwise(0L)).as("__k"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        .filter(t => allSet.contains(t._1))
-    val scanDrops = perFile.collect { case (f, m, k) if m > 0 && k == 0 => f }.toSeq
-    val partial = perFile.collect { case (f, m, k) if m > 0 && k > 0 => f }.toSeq
-    val drops = proven ++ scanDrops
-    if (drops.isEmpty && partial.isEmpty) return (v, 0L) // no match anywhere
-    // DV tombstones only for files where live matched and kept rows coexist
-    val (newDv, dvCovered, nPartial) =
-      if (partial.isEmpty) (Seq.empty[String], Set.empty[String], 0L)
+    // per-file LIVE row counts from metadata alone: write-time __rows minus
+    // the file's existing DV rows (exact — a DV only removes live rows).
+    // None for stats-less files, which then conservatively never whole-drop.
+    val dvPerFile: Map[String, Long] =
+      if (dvs.isEmpty) Map.empty
+      else dvFrame(spark, dvs).groupBy("file").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val statsV = statsOf(v)
+    def liveOf(f: String): Option[Long] =
+      statsV.get(f).flatMap(_.get(VersionedTable.RowCountStat))
+        .flatMap(s => scala.util.Try(s._1.toLong).toOption)
+        .map(_ - dvPerFile.getOrElse(f, 0L))
+    // ONE scan over the candidates, with existing DVs applied (an
+    // already-dead row must not be tombstoned twice): the matched positions
+    // become the tombstones, exactly as before — whole-file detection rides
+    // the tiny DV read-back (matched count == metadata live count), so the
+    // common partial-delete pays NO extra pass for the drop optimization
+    val (allDv, matchedPerFile) =
+      if (scanPool.isEmpty) (Seq.empty[String], Map.empty[String, Long])
       else {
         val files = writeDvFiles(
-          scanLive(spark, partial, schema, dvs, keepPos = true, pb, pVals)
+          scanLive(spark, scanPool, schema, dvs, keepPos = true, pb, pVals)
             .filter(coalesce(pred, lit(false)))
             .select(col("__rel").as("file"), col("__ri").as("row_index")))
-        val rd = spark.read.parquet(
-          files.map(f => Paths.get(root).resolve(f).toString): _*)
-        (files, rd.select("file").distinct()
-          .collect().map(_.getString(0)).toSet, rd.count())
+        val counts =
+          if (files.isEmpty) Map.empty[String, Long]
+          else spark.read.parquet(
+              files.map(f => Paths.get(root).resolve(f).toString): _*)
+            .groupBy("file").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            .filter { case (f, _) => allSet.contains(f) }
+        (files, counts)
       }
-    // deleted-row count for whole-dropped files: the scan tier already
-    // counted them; the metadata tier derives live = write-time __rows
-    // minus the file's existing DV rows (exact — a DV only removes live
-    // rows), falling back to a count scan for stats-less files
-    val nScanDrops = perFile.collect { case (_, m, k) if m > 0 && k == 0 => m }.sum
+    val scanDrops = matchedPerFile.collect {
+      case (f, m) if liveOf(f).contains(m) => f }.toSeq
+    val partialCovered = matchedPerFile.keySet -- scanDrops
+    val drops = proven ++ scanDrops
+    if (drops.isEmpty && matchedPerFile.isEmpty)
+      return (v, 0L) // no match anywhere: the empty DV dir falls to vacuum
+    // tombstones for whole-dropped files are dead weight in the manifest —
+    // re-lay the fresh DV without them (positions only, change-sized)
+    val newDv =
+      if (scanDrops.isEmpty || allDv.isEmpty) allDv
+      else {
+        val rd = spark.read.parquet(
+          allDv.map(f => Paths.get(root).resolve(f).toString): _*)
+        val kept = rd.filter(org.apache.spark.sql.functions.not(
+          col("file").isin(scanDrops: _*)))
+        if (kept.isEmpty) Nil else writeDvFiles(kept)
+      }
+    val nPartial = matchedPerFile.collect {
+      case (f, m) if partialCovered.contains(f) => m }.sum
+    val nScanDrops = matchedPerFile.collect {
+      case (f, m) if scanDrops.contains(f) => m }.sum
+    val dvCovered = partialCovered
+    // deleted-row count for tier-1 files: metadata live counts, one count
+    // scan only for stats-less files
     val nProven: Long =
       if (proven.isEmpty) 0L
       else {
-        val dvPerFile: Map[String, Long] =
-          if (dvs.isEmpty) Map.empty
-          else dvFrame(spark, dvs).groupBy("file").count()
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val stats = statsOf(v)
-        val counted = proven.map { f =>
-          f -> stats.get(f).flatMap(_.get(VersionedTable.RowCountStat))
-            .flatMap(s => scala.util.Try(s._1.toLong).toOption)
-            .map(_ - dvPerFile.getOrElse(f, 0L))
-        }
+        val counted = proven.map(f => f -> liveOf(f))
         val statless = counted.collect { case (f, None) => f }
         counted.flatMap(_._2).sum + (if (statless.isEmpty) 0L
           else scanLive(spark, statless, schema, dvs, keepPos = false, pb, pVals)
             .count())
       }
+    val partial = partialCovered.toSeq
     // write-time CDF (iff enabled): the deleted rows in full — the one
     // path that must READ whole-dropped files (the DV stores positions,
     // the manifest drop stores nothing)
