@@ -72,31 +72,41 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(GraftTarget(t, tout), condition) if d.resolved =>
       inKeyRewrite(condition, tout) match {
-        case Some((key, src, residual)) =>
-          // the compliance DELETE (`WHERE id IN (SELECT ...)`) translated
-          // to the kernel's keyed merge: the subquery runs ONCE as the
-          // merge source and the join is the file/Bloom-pruned equi-merge —
-          // never a driver-side materialization of the id list
-          GraftMergeCommand(t, src, mergeOn(key, residual), key, SubqueryKey,
+        case Some((key, src, residual, negated)) =>
+          // the compliance DELETE (`WHERE id IN (SELECT ...)` / EXISTS)
+          // translated to the kernel's keyed merge: the subquery runs ONCE
+          // as the merge source and the join is the file/Bloom-pruned
+          // equi-merge — never a driver-side materialization of the id
+          // list. NOT EXISTS is the NOT-MATCHED-BY-SOURCE clause (its
+          // residual gates that clause, since those rows never join).
+          GraftMergeCommand(t, src,
+            mergeOn(key, if (negated) None else residual), key, SubqueryKey,
             whenMatchedUpdate = None,
-            whenMatchedDelete = Some(Merge.MatchedDelete(None)),
+            whenMatchedDelete =
+              if (negated) None else Some(Merge.MatchedDelete(None)),
             whenNotMatchedInsert = None,
             whenNotMatchedBySourceUpdate = None,
-            whenNotMatchedBySourceDelete = None,
+            whenNotMatchedBySourceDelete =
+              if (negated) Some(Merge.NotMatchedBySourceDelete(residual))
+              else None,
             schemaEvolution = false)
         case None => GraftDeleteCommand(t, bare(condition, tout))
       }
 
     case u @ UpdateTable(GraftTarget(t, tout), assignments, condition) if u.resolved =>
       condition.flatMap(inKeyRewrite(_, tout)) match {
-        case Some((key, src, residual)) =>
-          GraftMergeCommand(t, src, mergeOn(key, residual), key, SubqueryKey,
-            whenMatchedUpdate = Some(Merge.MatchedUpdate(None,
-              assignments.map(a =>
-                keyName(a.key) -> targetPref(a.value, tout)).toMap)),
+        case Some((key, src, residual, negated)) =>
+          val set = assignments.map(a =>
+            keyName(a.key) -> targetPref(a.value, tout)).toMap
+          GraftMergeCommand(t, src,
+            mergeOn(key, if (negated) None else residual), key, SubqueryKey,
+            whenMatchedUpdate =
+              if (negated) None else Some(Merge.MatchedUpdate(None, set)),
             whenMatchedDelete = None,
             whenNotMatchedInsert = None,
-            whenNotMatchedBySourceUpdate = None,
+            whenNotMatchedBySourceUpdate =
+              if (negated) Some(Merge.NotMatchedBySourceUpdate(residual, set))
+              else None,
             whenNotMatchedBySourceDelete = None,
             schemaEvolution = false)
         case None =>
@@ -122,15 +132,25 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
     s"source.`$SubqueryKey` = target.${PredicateSql.quote(key)}" +
       residual.map(r => s" AND ($r)").getOrElse("")
 
-  /** `col IN (<uncorrelated single-column subquery>)` [AND plain conjuncts]
-    * → (target key column, DISTINCT-projected source plan, residual SQL
-    * rendered with the merge kernel's `target.` prefix). Anything else —
-    * correlated subqueries, NOT IN (whose NULL semantics a matched-delete
-    * cannot express), casts around the probe column, multiple subqueries —
-    * returns None and the statement falls through to the existing loud
-    * refusal, never a silently-wrong translation. */
+  /** Subquery shapes of a DELETE/UPDATE condition that translate to the
+    * kernel's keyed merge — (target key column, DISTINCT-projected source
+    * plan, residual SQL rendered with the merge kernel's `target.` prefix,
+    * negated):
+    *  - `col IN (<uncorrelated single-column subquery>)` → matched clause;
+    *  - `EXISTS (... WHERE inner = outer(col) [AND ...])` with exactly ONE
+    *    equi-correlation → the same semi shape (the subquery's own residual
+    *    conjuncts stay inside the source plan's filter);
+    *  - `NOT EXISTS (same shape)` → the NOT-MATCHED-BY-SOURCE clause
+    *    (negated = true) — clean NULL semantics, unlike NOT IN: a NULL
+    *    target key never equals, so it is not-matched and the verbs agree.
+    * Plain conjuncts AND'ed next to the subquery become the merge residual.
+    * Anything else — NOT IN (whose three-valued semantics no merge clause
+    * expresses), multiple/non-equi correlations, casts around the probe
+    * column, several subqueries — returns None and the statement falls
+    * through to the existing loud refusal, never a silently-wrong
+    * translation. */
   private def inKeyRewrite(condition: Expression, tout: Seq[Attribute])
-      : Option[(String, LogicalPlan, Option[String])] = {
+      : Option[(String, LogicalPlan, Option[String], Boolean)] = {
     val tset = AttributeSet(tout)
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -139,16 +159,53 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
     def hasSubquery(e: Expression): Boolean =
       e.find(_.isInstanceOf[SubqueryExpression]).isDefined
     val (subq, rest) = conjuncts(condition).partition(hasSubquery)
+    def residualOf: Option[String] =
+      if (rest.isEmpty) None
+      else Some(rest.map(r => s"(${targetPref(r, tout)})").mkString(" AND "))
+    // EXISTS source: strip projections above the correlated filter (EXISTS
+    // only checks row existence), pull the single equi-correlation out of
+    // the filter, keep the subquery's own residual conjuncts inside it
+    def existsSource(e: Exists): Option[(String, LogicalPlan)] = {
+      val a = e.outerAttrs match {
+        case Seq(x: AttributeReference) if tset.contains(x) => x
+        case _ => return None
+      }
+      if (e.joinCond.nonEmpty) return None
+      def unwrapTop(p: LogicalPlan): LogicalPlan = p match {
+        case Project(_, child) => unwrapTop(child)
+        case other => other
+      }
+      unwrapTop(e.plan) match {
+        case f: Filter =>
+          val cs = conjuncts(f.condition)
+          val (corr, keep) = cs.partition(
+            _.find(_.isInstanceOf[OuterReference]).isDefined)
+          val inner = corr match {
+            case Seq(EqualTo(i: AttributeReference, OuterReference(o)))
+                if o.exprId == a.exprId && f.child.outputSet.contains(i) => i
+            case Seq(EqualTo(OuterReference(o), i: AttributeReference))
+                if o.exprId == a.exprId && f.child.outputSet.contains(i) => i
+            case _ => return None
+          }
+          val src0 =
+            if (keep.isEmpty) f.child
+            else Filter(keep.reduce(And(_, _)), f.child)
+          Some((a.name,
+            Distinct(Project(Seq(Alias(inner, SubqueryKey)()), src0))))
+        case _ => None
+      }
+    }
     subq match {
       case Seq(InSubquery(Seq(a: AttributeReference), l: ListQuery))
           if tset.contains(a) && l.outerAttrs.isEmpty &&
             l.plan.output.size == 1 =>
         val src = Distinct(Project(
           Seq(Alias(l.plan.output.head, SubqueryKey)()), l.plan))
-        val residual =
-          if (rest.isEmpty) None
-          else Some(rest.map(r => s"(${targetPref(r, tout)})").mkString(" AND "))
-        Some((a.name, src, residual))
+        Some((a.name, src, residualOf, false))
+      case Seq(e: Exists) =>
+        existsSource(e).map { case (key, src) => (key, src, residualOf, false) }
+      case Seq(Not(e: Exists)) =>
+        existsSource(e).map { case (key, src) => (key, src, residualOf, true) }
       case _ => None
     }
   }

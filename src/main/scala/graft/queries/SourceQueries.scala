@@ -1914,6 +1914,13 @@ object SourceQueries {
            |WHERE o_custkey IN (SELECT c_custkey FROM customer
            |                    WHERE c_mktsegment = 'BUILDING')
            |  AND o_totalprice < 10000""".stripMargin)
+      // correlated EXISTS (the other compliance spelling): same keyed merge
+      spark.sql(
+        s"""DELETE FROM graft.`$root`
+           |WHERE EXISTS (SELECT 1 FROM customer c
+           |              WHERE c.c_custkey = o_custkey
+           |                AND c.c_mktsegment = 'MACHINERY')
+           |  AND o_totalprice > 400000""".stripMargin)
       // unsupported shapes refuse loudly, never translate wrong
       val refused =
         try {
@@ -1927,16 +1934,22 @@ object SourceQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     },
     Some(
-      """SELECT o_orderkey, o_custkey,
-        |  CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
-        |                          WHERE c_mktsegment = 'BUILDING')
-        |        AND o_totalprice < 10000
-        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
-        |  o_orderpriority
-        |FROM orders
-        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders
-        |                         WHERE o_orderpriority = '1-URGENT'
-        |                           AND o_orderkey < 500)""".stripMargin))
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
+        |                            WHERE c_mktsegment = 'BUILDING')
+        |          AND o_totalprice < 10000
+        |         THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |                           WHERE o_orderpriority = '1-URGENT'
+        |                             AND o_orderkey < 500))
+        |SELECT * FROM upd
+        |WHERE NOT (o_totalprice > 400000 AND EXISTS (
+        |  SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = upd.o_custkey
+        |    AND c.c_mktsegment = 'MACHINERY'))""".stripMargin))
 
   /** q140: METADATA-ONLY partition delete — the retention verb
     * (`DELETE WHERE day < cutoff` on a partitioned 100 TB table) must not

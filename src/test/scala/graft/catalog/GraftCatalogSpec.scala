@@ -88,6 +88,41 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("EXISTS / NOT EXISTS DELETE and UPDATE translate to merge clauses") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id % 7 FROM range(20)")
+    Seq((3L, "hot"), (5L, "hot"), (5L, "cold"), (8L, "cold"))
+      .toDF("rid", "tag").createOrReplaceTempView("ex_refs")
+    // EXISTS with an inner residual: only 'hot'-tagged ids delete
+    spark.sql(s"""DELETE FROM $t WHERE EXISTS (
+      |  SELECT 1 FROM ex_refs r WHERE r.rid = id AND r.tag = 'hot')""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $t WHERE id IN (3, 5)").count() === 0)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 18)
+    // NOT EXISTS + a plain residual: keep referenced rows, trim the rest
+    spark.sql(s"""DELETE FROM $t WHERE NOT EXISTS (
+      |  SELECT 1 FROM ex_refs r WHERE r.rid = id) AND id >= 10""".stripMargin)
+    // survivors: 0..9 minus {3,5} (unreferenced but < 10), plus 8 twice? no —
+    // ids 0-9 except 3,5 stay; of ids >= 10 none is referenced, all go
+    assert(spark.sql(s"SELECT id FROM $t ORDER BY id").as[Long].collect().toSeq
+      === Seq(0L, 1L, 2L, 4L, 6L, 7L, 8L, 9L))
+    // NOT EXISTS UPDATE: unreferenced survivors get flagged
+    spark.sql(s"""UPDATE $t SET v = -1 WHERE NOT EXISTS (
+      |  SELECT 1 FROM ex_refs r WHERE r.rid = id)""".stripMargin)
+    assert(spark.sql(s"SELECT id FROM $t WHERE v <> -1 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(8L)) // the only referenced survivor
+    // refusals: a second correlation and a non-equi correlation
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"""DELETE FROM $t WHERE EXISTS (
+        |  SELECT 1 FROM ex_refs r WHERE r.rid = id AND r.rid > v)""".stripMargin)
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"""DELETE FROM $t WHERE EXISTS (
+        |  SELECT 1 FROM ex_refs r WHERE r.rid > id)""".stripMargin)
+    }
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("CREATE TABLE / INSERT INTO / SELECT / INSERT OVERWRITE round-trip") {
     val t = s"graft.default.${fresh()}"
     spark.sql(s"CREATE TABLE $t (id BIGINT, k STRING, amt DOUBLE)")
