@@ -82,6 +82,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"vec_l2sq expects (array<double>, array<double>), got ${other.size} args")
     }),
+    ("phrase_count", classOf[PhraseCount], (exprs: Seq[Expression]) => exprs match {
+      case Seq(toks, ptoks) => PhraseCount(toks, ptoks)
+      case other => throw new IllegalArgumentException(
+        s"phrase_count expects (array<string>, array<string>), got ${other.size} args")
+    }),
     ("vec_sum_u6", classOf[VecSumU6], (exprs: Seq[Expression]) => exprs match {
       case Seq(v) => VecSumU6(v)
       case other => throw new IllegalArgumentException(

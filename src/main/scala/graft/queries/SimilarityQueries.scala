@@ -1937,6 +1937,7 @@ object SimilarityQueries {
       (spark, dir) => {
         import spark.implicits._
         Tables.registerAll(spark, dir)
+        graft.functions.GraftFunctions.registerAll(spark)
         val root = textIndexRoot(spark, dir)
         val qterm = phrases.flatMap { case (q, ws) => ws.distinct.map(q -> _) }
           .toDF("q_id", "qword")
@@ -1960,16 +1961,14 @@ object SimilarityQueries {
         val verified = docs.join(broadcast(cand), "doc_id")
           .join(broadcast(ptoks), "q_id")
           .withColumn("toks", split(col("text"), " "))
-          // the first-token guard short-circuits before the slice
-          // materializes: only positions holding ptoks[1] pay the O(m)
-          // window compare (~1/|vocab| of them), the rest cost one string
-          // equality — the difference between 11.3 s and ~2 s at sf0.1
-          .withColumn("tf", expr(
-            """CAST(CASE WHEN size(toks) >= size(ptoks)
-              |  THEN size(filter(sequence(1, size(toks) - size(ptoks) + 1),
-              |       i -> toks[i - 1] = ptoks[0]
-              |            AND slice(toks, i, size(ptoks)) = ptoks))
-              |  ELSE 0 END AS BIGINT)""".stripMargin))
+          // native codegen slide-count ([[graft.functions.PhraseCount]],
+          // bit-equal to the filter/sequence/slice HOF it replaced — pinned
+          // by PhraseCountSpec): the HOF was CodegenFallback, allocating
+          // the position sequence plus a slice copy per surviving position
+          // and evaluating the lambda interpreted, and was the bench's
+          // most expensive serving fold; the expression keeps the
+          // first-token short-circuit inside one codegen'd loop
+          .withColumn("tf", expr("phrase_count(toks, ptoks)"))
           .filter(col("tf") > 0)
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("tf").desc, col("doc_id"))
