@@ -2664,9 +2664,9 @@ final class VersionedTable(val root: String,
     * pre-evolution files whose metadata lacks a referenced column, which
     * must fall back to the scan path — or None when the predicate involves
     * data columns at all. */
-  private def partitionWholeFileDrops(spark: SparkSession, v: Long,
+  private[table] def partitionWholeFileDrops(spark: SparkSession, v: Long,
       condition: String): Option[(Seq[String], Seq[String])] = {
-    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.functions.{element_at, expr, lit}
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val pb = partitionByOf(v)
     if (pb.isEmpty) return None
@@ -2677,20 +2677,45 @@ final class VersionedTable(val root: String,
     if (refs.isEmpty || !refs.subsetOf(pb.toSet)) return None
     val schema = schemaOf(v).getOrElse(return None)
     val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
-    val vals = partitionValuesOf(v)
-    val (evaluable, unevaluable) = filesOf(v).partition { f =>
-      refs.forall(vals.getOrElse(f, Map.empty).contains)
+    // checkpointed head: plan the classification as a DISTRIBUTED scan of
+    // the checkpoint parquet's (path, partitions) rows — the same
+    // discipline as [[filesOverlappingSourceKeys]] — instead of the driver
+    // materializing a row per live file (at 1 M files that was the last
+    // O(files)-on-driver planning step in a rewrite verb). The checkpoint
+    // records only non-null partition values, so a hive-null partition
+    // value reads as "unrecorded" here and the file conservatively falls
+    // to the row-level scan pool — more I/O for that file, never a wrong
+    // whole-drop.
+    val planned: Option[(DataFrame, org.apache.spark.sql.Column)] =
+      if (checkpointVersions().lastOption.contains(v)) {
+        val typed = spark.read.parquet(ckptDataDir(v).toString)
+          .filter(col("kind") === "data")
+          .select(col("path").as("__pfile") +:
+            refs.toSeq.sorted.map(c => element_at(col("partitions"), lit(c))
+              .isNotNull).reduce(_ && _).as("__eval") +:
+            pb.map(c =>
+              element_at(col("partitions"), lit(c)).cast(typeOf(c)).as(c)): _*)
+        Some((typed, col("__eval")))
+      } else None
+    val (frame, evalCol) = planned.getOrElse {
+      // manifest fallback (uncheckpointed heads): driver rows, as before
+      val vals = partitionValuesOf(v)
+      val rows = filesOf(v).map { f =>
+        val m = vals.getOrElse(f, Map.empty)
+        org.apache.spark.sql.Row.fromSeq(f +:
+          java.lang.Boolean.valueOf(refs.forall(m.contains)) +:
+          pb.map(c => m.getOrElse(c, None).orNull))
+      }
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(StructField("__pfile", StringType) +:
+            StructField("__eval", org.apache.spark.sql.types.BooleanType) +:
+            pb.map(c => StructField(c, StringType))))
+        .select(col("__pfile") +: col("__eval") +:
+          pb.map(c => col(c).cast(typeOf(c)).as(c)): _*)
+      (df, col("__eval"))
     }
-    val rows = evaluable.map { f =>
-      val m = vals.getOrElse(f, Map.empty)
-      org.apache.spark.sql.Row.fromSeq(f +: pb.map(c => m.getOrElse(c, None).orNull))
-    }
-    val filtered = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        StructType(StructField("__pfile", StringType) +:
-          pb.map(c => StructField(c, StringType))))
-      .select(col("__pfile") +: pb.map(c => col(c).cast(typeOf(c)).as(c)): _*)
-      .filter(expr(condition))
+    val filtered = frame.filter(evalCol).filter(expr(condition))
     // a nondeterministic predicate (rand() < 0.5) evaluates per ROW, not
     // per file — only the analyzed condition can prove determinism
     val det = filtered.queryExecution.analyzed.collectFirst {
@@ -2699,7 +2724,8 @@ final class VersionedTable(val root: String,
     }.getOrElse(false)
     if (!det) return None
     Some((filtered.select("__pfile").collect().map(_.getString(0)).toSeq,
-      unevaluable))
+      frame.filter(!evalCol).select("__pfile")
+        .collect().map(_.getString(0)).toSeq))
   }
 
   /** Copy-on-write DELETE: rewrite ONLY the files where matching AND

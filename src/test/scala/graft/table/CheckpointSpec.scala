@@ -206,6 +206,40 @@ class CheckpointSpec extends AnyFunSuite with SparkSpec {
     assert(t.read(spark).count() === 300)
   }
 
+  test("tier-1 whole-file proof plans distributed from the checkpoint and " +
+      "matches the manifest path exactly, legacy-epoch files included") {
+    val t = VersionedTable(tmpDir("ckpt-t1-"))
+    val rows = spark.range(0, 40)
+      .selectExpr("id AS k", "CAST(id % 4 AS STRING) AS day")
+    // pre-evolution epoch first: that file has NO recorded day value, so
+    // the proof must route it to the row-scan pool on BOTH paths
+    t.commit(rows.filter("k < 10"), numPartitions = Some(1))
+    t.alterPartitioning(Seq("day"))
+    t.append(rows.filter("k >= 10"), numPartitions = Some(1))
+    val v = t.resolve()
+    // same table, same head: manifest path before the checkpoint exists,
+    // checkpoint-planned path after — the classifications must be equal
+    val manifest = t.partitionWholeFileDrops(spark, v, "day = '2'")
+    t.checkpoint(spark)
+    val planned = t.partitionWholeFileDrops(spark, v, "day = '2'")
+    assert(manifest.isDefined && planned.isDefined)
+    assert(planned.get._1.toSet === manifest.get._1.toSet,
+      "proven whole-drops diverge between the planned and manifest paths")
+    assert(planned.get._2.toSet === manifest.get._2.toSet,
+      "scan-pool fallbacks diverge between the planned and manifest paths")
+    assert(planned.get._1.nonEmpty, "the day=2 partition file must prove whole")
+    assert(planned.get._2.nonEmpty, "the legacy-epoch file must fall to the scan")
+    // guards hold on the planned path too: nondeterministic and
+    // data-column predicates refuse the tier-1 proof outright
+    assert(t.partitionWholeFileDrops(spark, v, "rand() < 0.5").isEmpty)
+    assert(t.partitionWholeFileDrops(spark, v, "k = 7").isEmpty)
+    // and the verb end-to-end: the planned proof feeds the same delete
+    val (_, removed) = t.delete(spark, "day = '2'")
+    assert(removed >= 1)
+    assert(t.read(spark).filter("day = '2'").count() === 0)
+    assert(t.read(spark).count() === 30)
+  }
+
   test("txn marks ratchet across chained checkpoints") {
     val t = VersionedTable(tmpDir("ckpt-"))
     t.commit(Seq(1).toDF("x"), txn = Some("a" -> 1L))
