@@ -201,7 +201,11 @@ object SignatureStore {
     val s = signatures(spark, batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      s.count()
+      // no explicit materialization action: the first probe-key collect
+      // below shuffles for its distinct, whose map stage computes (and
+      // caches) every partition of `s` — a separate count() was one more
+      // serial job in a fixed-latency-bound chain
+      //
       // exact rejects: Bloom-pruned store read by the batch's checksums.
       // A stored row with the batch document's OWN id is the document
       // itself (a crash-replayed batch — ids unique by contract): excluded
@@ -210,11 +214,19 @@ object SignatureStore {
       // below keeps the replay from double-storing
       val storedByChecksum = prunedRead(spark, sigsT, "checksum",
         s.select("checksum"))
-      val exact = s.select(col("doc_id"), col("checksum"))
+      // ONE pass over the checksum probe serves BOTH verdict inputs: the
+      // exact-dup witness (min other-id sharing the checksum) and the
+      // replay-skip flag — a replayed document's stored row has the SAME
+      // doc_id and checksum (ids unique by contract), so self-row presence
+      // IS "already stored"; the former separate store read by admitted
+      // doc_id (a third pruned scan plus its probe-key collect, serialized
+      // behind the decisions) is gone
+      val byChecksum = s.select(col("doc_id"), col("checksum"))
         .join(storedByChecksum.select(col("doc_id").as("s_id"), col("checksum")),
           "checksum")
-        .filter(col("s_id") =!= col("doc_id"))
-        .groupBy("doc_id").agg(min(col("s_id")).as("exact_of"))
+        .groupBy("doc_id").agg(
+          min(when(col("s_id") =!= col("doc_id"), col("s_id"))).as("exact_of"),
+          max(col("s_id") === col("doc_id")).as("already"))
       // near-dup candidates: batch band keys vs stored band rows
       // (Bloom-pruned by bkey), then signature-lane verification — both
       // sigs are AT HAND (batch in `s`, stored in the sigs table), so
@@ -236,23 +248,28 @@ object SignatureStore {
       val near = cand
         .join(s.select(col("doc_id"), col("sig").as("sa")), "doc_id")
         .join(storedSigs.select(col("doc_id").as("s_id"), col("sig").as("sb")), "s_id")
-        .filter(expr("aggregate(zip_with(sa, sb, (x, y) -> " +
-          s"IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) >= $MinAgreeingLanes"))
+        // native codegen lane count (bit-equal to the zip_with/IF fold —
+        // graft.functions.LaneAgree): the HOF ran interpreted per pair
+        .filter(expr(s"lane_agree(sa, sb) >= $MinAgreeingLanes"))
         .groupBy("doc_id").agg(min(col("s_id")).as("near_of"))
-      // eager localCheckpoint, not persist: (a) the decision rows are
-      // PINNED before the appends below (a later recompute would re-plan
-      // against handles — though even those are safe: every store read
-      // above resolved its file list at construction); (b) the returned
-      // frame's blocks are ContextCleaner-freed once unreachable, where a
-      // CacheManager entry from persist() would leak per admission batch
-      val decisions = s.select(col("doc_id"))
-        .join(exact, Seq("doc_id"), "left")
+      // eager localCheckpoint, not persist: (a) the rows are PINNED before
+      // the appends below (a later recompute would re-plan against handles
+      // — though even those are safe: every store read above resolved its
+      // file list at construction); (b) the returned frame's blocks are
+      // ContextCleaner-freed once unreachable, where a CacheManager entry
+      // from persist() would leak per admission batch. ONE pinned pass
+      // carries the decisions AND the append payload (the batch signatures
+      // ride along with the verdicts), so the decision join tree runs one
+      // job where it used to run two plus the replay-skip store read.
+      val combined = s
+        .join(byChecksum, Seq("doc_id"), "left")
         .join(near, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("checksum"), col("sig"),
           when(col("exact_of").isNotNull, lit("exact_dup"))
             .when(col("near_of").isNotNull, lit("near_dup"))
             .otherwise(lit("admitted")).as("verdict"),
-          coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+          coalesce(col("exact_of"), col("near_of")).as("dup_of"),
+          coalesce(col("already"), lit(false)).as("already"))
         .localCheckpoint(true)
       // append the admitted documents' signatures — the store stays the
       // single source of truth for every later batch. BANDS land FIRST:
@@ -264,27 +281,19 @@ object SignatureStore {
       // harmless: candidates are distinct pairs). The reverse order would
       // leave sigs-without-bands, where the replay REJECTS the doc as an
       // exact dup of its own signature and the band gap — near-dup misses
-      // for that document — becomes silent and permanent.
-      val admittedIds = decisions.filter(col("verdict") === "admitted")
-        .select("doc_id")
-      // replay-append skip: batch docs whose SIG row already exists keep
-      // their "admitted" verdict but re-store nothing (the Bloom-pruned
-      // id probe is the same point lookup the exact check uses)
-      val alreadyStored = prunedRead(spark, sigsT, "doc_id", admittedIds)
-        .select("doc_id")
-        .join(admittedIds, Seq("doc_id"), "left_semi").distinct()
-      // pinned once: the emptiness gate and BOTH appends consume this frame
-      // — unpinned, the replay-skip anti-join would recompute three times
-      // (three planning rounds + jobs in an already job-dense serial chain)
-      val admittedSigs = s.join(admittedIds, "doc_id")
-        .join(alreadyStored, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
+      // for that document — becomes silent and permanent. Replay-append
+      // skip: a doc whose sig row already exists (`already`, from the
+      // checksum self-probe above) keeps its "admitted" verdict but
+      // re-stores nothing.
+      val admittedSigs = combined
+        .filter(col("verdict") === "admitted" && !col("already"))
+        .select("doc_id", "checksum", "sig")
       if (!admittedSigs.isEmpty) {
         bandsTable(root).append(bandRows(admittedSigs), collectStats = false)
         trip("afterBandsAppend")
         sigsT.append(admittedSigs, collectStats = false)
       }
-      decisions
+      combined.select("doc_id", "verdict", "dup_of")
     } finally { s.unpersist(); () }
   }
 }

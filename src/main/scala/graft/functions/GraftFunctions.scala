@@ -82,6 +82,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"vec_l2sq expects (array<double>, array<double>), got ${other.size} args")
     }),
+    ("lane_agree", classOf[LaneAgree], (exprs: Seq[Expression]) => exprs match {
+      case Seq(a, b) => LaneAgree(a, b)
+      case other => throw new IllegalArgumentException(
+        s"lane_agree expects (array<string>, array<string>), got ${other.size} args")
+    }),
     ("phrase_count", classOf[PhraseCount], (exprs: Seq[Expression]) => exprs match {
       case Seq(toks, ptoks) => PhraseCount(toks, ptoks)
       case other => throw new IllegalArgumentException(

@@ -67,6 +67,64 @@ case class PhraseCount(left: Expression, right: Expression) extends BinaryExpres
   override def prettyName: String = "phrase_count"
 }
 
+/** Native MinHash lane-agreement counter — `lane_agree(a, b)` — the number
+  * of positions where two signature arrays carry the same lane value,
+  * bit-equal to the fold it replaces in the d12/q127 signature
+  * verification joins:
+  *
+  * {{{
+  * aggregate(zip_with(a, b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)
+  * }}}
+  *
+  * `zip_with` pads the shorter array with nulls and `IF` sends a NULL
+  * comparison to 0, so positions beyond the shorter length or holding a
+  * NULL element contribute nothing; a NULL array on either side yields
+  * NULL. Same CodegenFallback rationale as [[PhraseCount]]: the HOF
+  * allocates the zipped array and runs interpreted lambdas per candidate
+  * pair, and this count is the per-pair hot loop of every signature-store
+  * admission. */
+case class LaneAgree(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"lane_agree requires (array<string>, array<string>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LaneAgree.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.LaneAgree.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LaneAgree =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "lane_agree"
+}
+
+object LaneAgree {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) &&
+          a.getUTF8String(i).equals(b.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 object PhraseCount {
   def compute(toks: ArrayData, ptoks: ArrayData): Long = {
     val n = toks.numElements()

@@ -1710,8 +1710,8 @@ object SimilarityQueries {
       val sigPart = cand
         .join(probeSigs.select(col("doc_id"), col("sig").as("sa")), "doc_id")
         .join(storedSigs, "s_id")
-        .filter(expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), " +
-          s"0, (acc, v) -> acc + v) >= ${graft.dedup.SignatureStore.MinAgreeingLanes}"))
+        .filter(expr("lane_agree(sa, sb) >= " +
+          s"${graft.dedup.SignatureStore.MinAgreeingLanes}"))
         .groupBy("doc_id")
         .agg(min(col("s_id")).as("b"),
           expr("CAST(count(DISTINCT s_id) AS DOUBLE)").as("score"))

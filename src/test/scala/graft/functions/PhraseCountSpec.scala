@@ -72,6 +72,28 @@ class PhraseCountSpec extends AnyFunSuite with SparkSpec {
       Seq(null, null, 0L, 0L))
   }
 
+  test("lane_agree is bit-equal to the zip_with/IF fold it replaces") {
+    GraftFunctions.registerAll(spark)
+    val hof = expr(
+      "aggregate(zip_with(a, b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+    def lane(seed: Int, i: Int): String =
+      "h" + (math.abs(MurmurHash3.productHash((seed, i))) % 4)
+    val rows = for (seed <- 0 until 80) yield (
+      Array.tabulate(16)(i => lane(seed, i)),
+      Array.tabulate(if (seed % 10 == 0) 12 else 16)(i => lane(seed + 3, i)))
+    val out = rows.toDF("a", "b")
+      .select(expr("lane_agree(a, b)").as("native"), hof.as("hof")).collect()
+    out.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    assert(out.exists(_.getInt(0) > 0) && out.exists(_.getInt(0) < 16))
+    // NULL array on either side → NULL, like zip_with
+    val n = spark.sql(
+      """SELECT lane_agree(CAST(NULL AS ARRAY<STRING>), array('x')) AS a,
+        |       lane_agree(array('x'), CAST(NULL AS ARRAY<STRING>)) AS b,
+        |       lane_agree(array('x', CAST(NULL AS STRING)),
+        |                  array('x', CAST(NULL AS STRING))) AS c""".stripMargin).head()
+    assert(n.isNullAt(0) && n.isNullAt(1) && n.getInt(2) === 1)
+  }
+
   test("phrase_count stays inside whole-stage codegen") {
     GraftFunctions.registerAll(spark)
     // input must depend on the Range id — a literal projection would be
