@@ -72,15 +72,17 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(GraftTarget(t, tout), condition) if d.resolved =>
       inKeyRewrite(condition, tout) match {
-        case Some((key, src, residual, negated)) =>
-          // the compliance DELETE (`WHERE id IN (SELECT ...)` / EXISTS)
-          // translated to the kernel's keyed merge: the subquery runs ONCE
-          // as the merge source and the join is the file/Bloom-pruned
-          // equi-merge — never a driver-side materialization of the id
-          // list. NOT EXISTS is the NOT-MATCHED-BY-SOURCE clause (its
-          // residual gates that clause, since those rows never join).
+        case Some((keys, src, residual, negated)) =>
+          // the compliance DELETE (`WHERE id IN (SELECT ...)` / EXISTS /
+          // guarded NOT IN) translated to the kernel's keyed merge: the
+          // subquery runs ONCE as the merge source and the join is the
+          // file/Bloom-pruned equi-merge — never a driver-side
+          // materialization of the id list. NOT EXISTS / NOT IN are the
+          // NOT-MATCHED-BY-SOURCE clause (its residual gates that clause,
+          // since those rows never join).
           GraftMergeCommand(t, src,
-            mergeOn(key, if (negated) None else residual), key, SubqueryKey,
+            mergeOn(keys, if (negated) None else residual),
+            keys.head._1, keys.head._2,
             whenMatchedUpdate = None,
             whenMatchedDelete =
               if (negated) None else Some(Merge.MatchedDelete(None)),
@@ -95,11 +97,12 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     case u @ UpdateTable(GraftTarget(t, tout), assignments, condition) if u.resolved =>
       condition.flatMap(inKeyRewrite(_, tout)) match {
-        case Some((key, src, residual, negated)) =>
+        case Some((keys, src, residual, negated)) =>
           val set = assignments.map(a =>
             keyName(a.key) -> targetPref(a.value, tout)).toMap
           GraftMergeCommand(t, src,
-            mergeOn(key, if (negated) None else residual), key, SubqueryKey,
+            mergeOn(keys, if (negated) None else residual),
+            keys.head._1, keys.head._2,
             whenMatchedUpdate =
               if (negated) None else Some(Merge.MatchedUpdate(None, set)),
             whenMatchedDelete = None,
@@ -128,29 +131,37 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
     * columns by the dunder prefix the write funnel already reserves). */
   private val SubqueryKey = "__gk"
 
-  private def mergeOn(key: String, residual: Option[String]): String =
-    s"source.`$SubqueryKey` = target.${PredicateSql.quote(key)}" +
-      residual.map(r => s" AND ($r)").getOrElse("")
+  private def mergeOn(keys: Seq[(String, String)], residual: Option[String]): String =
+    keys.map { case (tk, sk) => s"source.`$sk` = target.${PredicateSql.quote(tk)}" }
+      .mkString(" AND ") + residual.map(r => s" AND ($r)").getOrElse("")
 
   /** Subquery shapes of a DELETE/UPDATE condition that translate to the
-    * kernel's keyed merge — (target key column, DISTINCT-projected source
-    * plan, residual SQL rendered with the merge kernel's `target.` prefix,
-    * negated):
+    * kernel's keyed merge — ((target column, source alias) key pairs,
+    * DISTINCT-projected source plan, residual SQL rendered with the merge
+    * kernel's `target.` prefix, negated):
     *  - `col IN (<uncorrelated single-column subquery>)` → matched clause;
-    *  - `EXISTS (... WHERE inner = outer(col) [AND ...])` with exactly ONE
-    *    equi-correlation → the same semi shape (the subquery's own residual
-    *    conjuncts stay inside the source plan's filter);
+    *  - `EXISTS (... WHERE inner = outer [AND ...])` with one or MORE
+    *    equi-correlations (composite-key compliance deletes) → the same
+    *    semi shape, every correlation a merge-ON equality; the subquery's
+    *    own residual conjuncts stay inside the source plan's filter;
     *  - `NOT EXISTS (same shape)` → the NOT-MATCHED-BY-SOURCE clause
-    *    (negated = true) — clean NULL semantics, unlike NOT IN: a NULL
-    *    target key never equals, so it is not-matched and the verbs agree.
+    *    (negated = true) — clean NULL semantics: a NULL target key never
+    *    equals, so it is not-matched and the verbs agree;
+    *  - `col NOT IN (<uncorrelated single-column subquery>)` → the same
+    *    NOT-MATCHED-BY-SOURCE clause, but ONLY when three-valued logic is
+    *    statically off the table: the probe column must be non-nullable
+    *    (a NULL probe row deletes under NOT IN exactly when the subquery
+    *    is empty — runtime-dependent, no static clause expresses it) AND
+    *    the subquery output must be provably non-nullable — by schema, or
+    *    through an `IS NOT NULL` conjunct the user wrote in the subquery
+    *    (one NULL in the list makes NOT IN delete nothing, which a merge
+    *    cannot express). Nullable shapes refuse loudly with the rationale.
     * Plain conjuncts AND'ed next to the subquery become the merge residual.
-    * Anything else — NOT IN (whose three-valued semantics no merge clause
-    * expresses), multiple/non-equi correlations, casts around the probe
-    * column, several subqueries — returns None and the statement falls
-    * through to the existing loud refusal, never a silently-wrong
-    * translation. */
+    * Anything else — non-equi correlations, casts around the probe column,
+    * several subqueries — returns None and the statement falls through to
+    * the existing loud refusal, never a silently-wrong translation. */
   private def inKeyRewrite(condition: Expression, tout: Seq[Attribute])
-      : Option[(String, LogicalPlan, Option[String], Boolean)] = {
+      : Option[(Seq[(String, String)], LogicalPlan, Option[String], Boolean)] = {
     val tset = AttributeSet(tout)
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -162,14 +173,14 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
     def residualOf: Option[String] =
       if (rest.isEmpty) None
       else Some(rest.map(r => s"(${targetPref(r, tout)})").mkString(" AND "))
+    def srcAlias(i: Int): String = if (i == 0) SubqueryKey else s"$SubqueryKey$i"
     // EXISTS source: strip projections above the correlated filter (EXISTS
-    // only checks row existence), pull the single equi-correlation out of
-    // the filter, keep the subquery's own residual conjuncts inside it
-    def existsSource(e: Exists): Option[(String, LogicalPlan)] = {
-      val a = e.outerAttrs match {
-        case Seq(x: AttributeReference) if tset.contains(x) => x
-        case _ => return None
-      }
+    // only checks row existence), pull the equi-correlations out of the
+    // filter, keep the subquery's own residual conjuncts inside it
+    def existsSource(e: Exists): Option[(Seq[(String, String)], LogicalPlan)] = {
+      if (e.outerAttrs.isEmpty ||
+          !e.outerAttrs.forall { case x: AttributeReference => tset.contains(x)
+                                 case _ => false }) return None
       if (e.joinCond.nonEmpty) return None
       def unwrapTop(p: LogicalPlan): LogicalPlan = p match {
         case Project(_, child) => unwrapTop(child)
@@ -180,20 +191,60 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
           val cs = conjuncts(f.condition)
           val (corr, keep) = cs.partition(
             _.find(_.isInstanceOf[OuterReference]).isDefined)
-          val inner = corr match {
-            case Seq(EqualTo(i: AttributeReference, OuterReference(o)))
-                if o.exprId == a.exprId && f.child.outputSet.contains(i) => i
-            case Seq(EqualTo(OuterReference(o), i: AttributeReference))
-                if o.exprId == a.exprId && f.child.outputSet.contains(i) => i
+          // EVERY correlated conjunct must be inner-column = outer-column
+          // (any other correlated shape refuses); N correlations feed the
+          // merge's multi-column ON — the kernel prunes on the first pair
+          // and the join evaluates the full conjunction
+          val pairs: Seq[(Attribute, Attribute)] = corr.map {
+            case EqualTo(i: AttributeReference, OuterReference(o: AttributeReference))
+                if tset.contains(o) && f.child.outputSet.contains(i) => (o, i)
+            case EqualTo(OuterReference(o: AttributeReference), i: AttributeReference)
+                if tset.contains(o) && f.child.outputSet.contains(i) => (o, i)
             case _ => return None
           }
+          if (pairs.isEmpty) return None
           val src0 =
             if (keep.isEmpty) f.child
             else Filter(keep.reduce(And(_, _)), f.child)
-          Some((a.name,
-            Distinct(Project(Seq(Alias(inner, SubqueryKey)()), src0))))
+          val proj = pairs.zipWithIndex.map { case ((_, inner), i) =>
+            Alias(inner, srcAlias(i))()
+          }
+          Some((pairs.zipWithIndex.map { case ((o, _), i) => (o.name, srcAlias(i)) },
+            Distinct(Project(proj, src0))))
         case _ => None
       }
+    }
+    // provable non-nullability of a single-column subquery plan: either the
+    // output attribute is non-nullable by schema, or an IS NOT NULL
+    // conjunct on (the lineage of) the output column sits in a Filter on
+    // the Project/Filter spine — the guard a careful compliance user writes
+    def provedNonNull(p: LogicalPlan): Boolean = {
+      def go(plan: LogicalPlan, e: Expression): Boolean = {
+        if (!e.nullable) return true
+        plan match {
+          case Project(pl, child) => e match {
+            case a: Attribute =>
+              pl.collectFirst {
+                case al: Alias if al.exprId == a.exprId => al.child
+                case at: AttributeReference if at.exprId == a.exprId => at
+              } match {
+                case Some(e2) => go(child, e2)
+                case None => false
+              }
+            case other => go(child, other)
+          }
+          case f: Filter =>
+            conjuncts(f.condition).exists {
+              case IsNotNull(x) => x.semanticEquals(e)
+              case _ => false
+            } || go(f.child, e)
+          case s: SubqueryAlias => go(s.child, e)
+          case v: View => go(v.child, e)
+          case d: Distinct => go(d.child, e)
+          case _ => false
+        }
+      }
+      go(p, p.output.head)
     }
     subq match {
       case Seq(InSubquery(Seq(a: AttributeReference), l: ListQuery))
@@ -201,11 +252,30 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
             l.plan.output.size == 1 =>
         val src = Distinct(Project(
           Seq(Alias(l.plan.output.head, SubqueryKey)()), l.plan))
-        Some((a.name, src, residualOf, false))
+        Some((Seq((a.name, SubqueryKey)), src, residualOf, false))
+      case Seq(Not(InSubquery(Seq(a: AttributeReference), l: ListQuery)))
+          if tset.contains(a) && l.outerAttrs.isEmpty &&
+            l.plan.output.size == 1 =>
+        if (a.nullable) throw new UnsupportedOperationException(
+          s"NOT IN translates to a merge only when the probe column is " +
+            s"non-nullable: `${a.name}` is nullable, and a NULL probe row " +
+            "deletes under NOT IN exactly when the subquery is empty — a " +
+            "runtime-dependent outcome no static merge clause expresses")
+        if (!provedNonNull(l.plan)) throw new UnsupportedOperationException(
+          "NOT IN translates to a merge only when the subquery output is " +
+            "provably non-nullable (by schema, or an explicit IS NOT NULL " +
+            "in the subquery): one NULL in the list makes NOT IN match " +
+            "nothing, which no merge clause expresses")
+        val out = l.plan.output.head
+        // the IS NOT NULL filter is a no-op by the proof above; it keeps
+        // the physical source honest if stats ever disagree with schema
+        val src = Distinct(Project(Seq(Alias(out, SubqueryKey)()),
+          Filter(IsNotNull(out), l.plan)))
+        Some((Seq((a.name, SubqueryKey)), src, residualOf, true))
       case Seq(e: Exists) =>
-        existsSource(e).map { case (key, src) => (key, src, residualOf, false) }
+        existsSource(e).map { case (keys, src) => (keys, src, residualOf, false) }
       case Seq(Not(e: Exists)) =>
-        existsSource(e).map { case (key, src) => (key, src, residualOf, true) }
+        existsSource(e).map { case (keys, src) => (keys, src, residualOf, true) }
       case _ => None
     }
   }

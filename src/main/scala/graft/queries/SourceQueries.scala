@@ -1883,8 +1883,11 @@ object SourceQueries {
     * of the table's files (the sorted layout localizes the subquery's key
     * range). The UPDATE carries a plain residual conjunct next to its
     * subquery — rendered into the merge ON, so a matched-but-residual-false
-    * row is untouched. Unsupported shapes (NOT IN, correlated) still refuse
-    * loudly rather than translate wrong. */
+    * row is untouched. NOT IN translates too, but ONLY under provable
+    * non-nullability on both sides (non-nullable probe column + an
+    * IS NOT NULL-guarded subquery): the unguarded spelling refuses loudly
+    * (one NULL in the list makes NOT IN delete nothing — a
+    * runtime-dependent outcome no static merge clause expresses). */
   val q139SubqueryDml: Q = Q(
     "q139_subquery_dml",
     (spark, dir) => {
@@ -1892,8 +1895,12 @@ object SourceQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft-sqdml-").toString
       val root = s"$tmp/orders_v"
       val t = graft.table.VersionedTable(root)
+      // coalesce makes o_orderkey NON-NULLABLE by schema (values unchanged —
+      // TPC-H keys are never null): the probe-side proof the guarded NOT IN
+      // below requires
       t.commit(spark.sql(
-        """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        """SELECT coalesce(o_orderkey, CAST(-1 AS BIGINT)) AS o_orderkey,
+          |       o_custkey, o_totalprice, o_orderpriority
           |FROM orders""".stripMargin),
         numPartitions = Some(8), sortBy = Seq("o_orderkey"))
       val nFiles = t.filesOf(t.resolve()).size
@@ -1921,7 +1928,9 @@ object SourceQueries {
            |              WHERE c.c_custkey = o_custkey
            |                AND c.c_mktsegment = 'MACHINERY')
            |  AND o_totalprice > 400000""".stripMargin)
-      // unsupported shapes refuse loudly, never translate wrong
+      // UNGUARDED NOT IN refuses loudly (the null-row trap: one NULL in
+      // the list makes NOT IN delete nothing — no merge clause expresses
+      // a runtime-dependent outcome), never translates wrong
       val refused =
         try {
           spark.sql(s"""DELETE FROM graft.`$root`
@@ -1929,7 +1938,16 @@ object SourceQueries {
             |                         WHERE o_orderkey < 10)""".stripMargin)
           false
         } catch { case _: UnsupportedOperationException => true }
-      require(refused, "NOT IN must refuse (its NULL semantics are not a merge)")
+      require(refused, "unguarded NOT IN must refuse (nullable list output)")
+      // the GUARDED keep-list spelling translates: probe non-nullable by
+      // schema, subquery output proven by its IS NOT NULL conjunct → the
+      // same keyed merge's not-matched-by-source delete, residual-scoped
+      spark.sql(
+        s"""DELETE FROM graft.`$root`
+           |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders
+           |                         WHERE o_orderkey % 3 = 0
+           |                           AND o_orderkey IS NOT NULL)
+           |  AND o_orderkey >= 5000 AND o_orderkey < 5500""".stripMargin)
       t.read(spark)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     },
@@ -1949,7 +1967,11 @@ object SourceQueries {
         |WHERE NOT (o_totalprice > 400000 AND EXISTS (
         |  SELECT 1 FROM customer c
         |  WHERE c.c_custkey = upd.o_custkey
-        |    AND c.c_mktsegment = 'MACHINERY'))""".stripMargin))
+        |    AND c.c_mktsegment = 'MACHINERY'))
+        |  AND NOT (o_orderkey >= 5000 AND o_orderkey < 5500
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |                           WHERE o_orderkey % 3 = 0
+        |                             AND o_orderkey IS NOT NULL))""".stripMargin))
 
   /** q140: METADATA-ONLY partition delete — the retention verb
     * (`DELETE WHERE day < cutoff` on a partitioned 100 TB table) must not

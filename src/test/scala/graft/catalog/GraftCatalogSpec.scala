@@ -123,6 +123,73 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("composite-key EXISTS / NOT EXISTS DML translate to a multi-column merge ON") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (a BIGINT, b STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id % 5, " +
+      "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END, id FROM range(20)")
+    Seq((1L, "x"), (2L, "y"), (3L, "x"))
+      .toDF("ra", "rb").createOrReplaceTempView("ck_refs")
+    // two equi-correlations → both land in the merge ON; rows matching the
+    // composite key (a, b) delete: (1,x) = ids 6,16 and (2,y) = ids 7,17
+    spark.sql(s"""DELETE FROM $t WHERE EXISTS (
+      |  SELECT 1 FROM ck_refs r WHERE r.ra = a AND r.rb = b AND r.rb <> 'z')
+      |  AND a < 3""".stripMargin)
+    assert(spark.sql(s"SELECT v FROM $t ORDER BY v").as[Long].collect().toSeq
+      === (0L to 19L).filterNot(Seq(6L, 7L, 16L, 17L).contains))
+    // composite-key NOT EXISTS UPDATE: only the (3,x) survivors (ids 8, 18)
+    // keep their v
+    spark.sql(s"""UPDATE $t SET v = -1 WHERE NOT EXISTS (
+      |  SELECT 1 FROM ck_refs r WHERE r.ra = a AND r.rb = b)""".stripMargin)
+    assert(spark.sql(s"SELECT v FROM $t WHERE v <> -1 ORDER BY v")
+      .as[Long].collect().toSeq === Seq(8L, 18L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("guarded NOT IN DML translates; nullable shapes refuse with the 3VL rationale") {
+    val t = s"graft.default.${fresh()}"
+    // CTAS from range: `id` is NON-NULLABLE by schema — the probe-side proof
+    spark.sql(s"CREATE TABLE $t AS SELECT id, id % 7 AS v FROM range(20)")
+    Seq(Some(3L), Some(5L), None: Option[Long])
+      .toDF("rid").createOrReplaceTempView("ni_refs")
+    // the null-row trap: unguarded nullable subquery output refuses — ONE
+    // NULL in the list makes NOT IN delete nothing, which no merge expresses
+    val trap = intercept[UnsupportedOperationException] {
+      spark.sql(s"DELETE FROM $t WHERE id NOT IN (SELECT rid FROM ni_refs)")
+    }
+    assert(trap.getMessage.contains("non-nullable"))
+    // the user-guarded spelling translates to the not-matched-by-source
+    // merge, residual included: keep {3, 5}, trim everything else below 10
+    spark.sql(s"""DELETE FROM $t WHERE id NOT IN (
+      |  SELECT rid FROM ni_refs WHERE rid IS NOT NULL) AND id < 10""".stripMargin)
+    assert(spark.sql(s"SELECT id FROM $t ORDER BY id").as[Long].collect().toSeq
+      === Seq(3L, 5L) ++ (10L to 19L))
+    // NOT IN UPDATE: every id outside the keep-list gets flagged
+    spark.sql(s"""UPDATE $t SET v = -1 WHERE id NOT IN (
+      |  SELECT rid FROM ni_refs WHERE rid IS NOT NULL)""".stripMargin)
+    assert(spark.sql(s"SELECT id FROM $t WHERE v <> -1 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(3L, 5L))
+    // EMPTY guarded subquery: NOT IN is TRUE everywhere — the merge's
+    // not-matched-by-source must delete every residual-matching row
+    spark.sql(s"""DELETE FROM $t WHERE id NOT IN (
+      |  SELECT rid FROM ni_refs WHERE rid IS NOT NULL AND rid > 100)
+      |  AND id >= 15""".stripMargin)
+    assert(spark.sql(s"SELECT id FROM $t ORDER BY id").as[Long].collect().toSeq
+      === Seq(3L, 5L) ++ (10L to 14L))
+    // nullable PROBE column refuses even with a guarded subquery (a NULL
+    // probe row deletes under NOT IN exactly when the subquery is empty)
+    val t2 = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t2 (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t2 VALUES (1, 1), (NULL, 2)")
+    val probe = intercept[UnsupportedOperationException] {
+      spark.sql(s"""DELETE FROM $t2 WHERE id NOT IN (
+        |  SELECT id FROM $t WHERE id IS NOT NULL)""".stripMargin)
+    }
+    assert(probe.getMessage.contains("probe column"))
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"DROP TABLE $t2")
+  }
+
   test("CREATE TABLE / INSERT INTO / SELECT / INSERT OVERWRITE round-trip") {
     val t = s"graft.default.${fresh()}"
     spark.sql(s"CREATE TABLE $t (id BIGINT, k STRING, amt DOUBLE)")
