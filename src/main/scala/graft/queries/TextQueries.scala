@@ -883,10 +883,108 @@ object TextQueries {
            |FROM s GROUP BY shard""".stripMargin))
   }
 
+  /** t23: ITERATIVE BPE vocabulary TRAINING (Sennrich et al. 2016) — the
+    * actual tokenizer-training loop t18 (one pair-count round) and t21
+    * (fixed-list application) compose into: N rounds of count adjacent
+    * TOKEN pairs → take the argmax merge → re-encode, where later rounds
+    * count pairs of MERGED tokens (after round 1 merges "th", round 2 can
+    * learn ("th","e") — the part a single counting pass cannot see).
+    *
+    * Scale shape (the part that matters at 100 TB): the corpus collapses
+    * ONCE to its weighted vocabulary — `(word, count)`, one aggregation
+    * over the corpus — and every training round runs over that
+    * (orders-of-magnitude smaller) table: one weighted pair aggregation +
+    * a single-row argmax to the driver + one map re-encode, with the state
+    * pinned per round via localCheckpoint so round r+1 never replays
+    * rounds 1..r. Driver state is ONE (pair, count) row per round — the
+    * merge list itself, which is the training OUTPUT and bounded by N.
+    *
+    * Token state rides t21's sentinel encoding (`␟␟tok₁␟␟tok₂␟␟`; merging
+    * (a,b) rewrites `␟a␟␟b␟` → `␟ab␟`, single-sentinel edges forcing
+    * complete-token matches, left-to-right non-overlapping `replace` =
+    * greedy BPE application) — shared bit-for-bit with the oracle, which
+    * replays the SAME N rounds as unrolled CTE stages. Ties break
+    * (count DESC, pair ASC) identically in both engines. */
+  val t23BpeTrain: Q = {
+    val Rounds = 6
+    val sep = "\u001F"; val sep2 = sep + sep // chr(31), t21's oracle sentinel
+    Q(
+      "t23_bpe_train",
+      (spark, dir) => {
+        import org.apache.spark.sql.functions.{col, explode, expr, lit, replace, sum}
+        Tables.registerAll(spark, dir)
+        // the weighted vocabulary: BPE's working set. The corpus is read
+        // exactly once, here.
+        var words = spark.sql(
+          s"""SELECT concat('$sep2', regexp_replace(w, '(?s)(.)', '$$1$sep2')) AS s,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+             |WHERE length(w) >= 2
+             |GROUP BY w""".stripMargin).localCheckpoint(true)
+        val learned = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, String, String, Long)]
+        for (r <- 1 to Rounds) {
+          val best = words
+            .withColumn("tk", expr(s"filter(split(s, '$sep2'), x -> x != '')"))
+            .select(explode(expr(
+              s"""IF(size(tk) < 2, array(),
+                 |   transform(sequence(1, size(tk) - 1),
+                 |     i -> concat(tk[i - 1], '$sep', tk[i])))""".stripMargin))
+              .as("p"), col("n"))
+            .groupBy("p").agg(sum("n").as("cnt"))
+            .orderBy(col("cnt").desc, col("p"))
+            .limit(1).collect()
+          require(best.nonEmpty, s"BPE round $r found no pair to merge")
+          val Array(a, b) = best(0).getString(0).split(sep)
+          learned += ((r.toLong, a, b, a + b, best(0).getLong(1)))
+          // one map re-encode, pinned: round r+1 reads THIS state, never
+          // the lineage of rounds 1..r
+          words = words.withColumn("s",
+            replace(col("s"), lit(sep + a + sep2 + b + sep), lit(sep + a + b + sep)))
+            .localCheckpoint(true)
+        }
+        import spark.implicits._
+        learned.toSeq
+          .toDF("rank", "left_tok", "right_tok", "merged", "n_occurrences")
+      },
+      Some {
+        val d31 = "chr(31)"
+        val d62 = s"$d31 || $d31"
+        def round(r: Int): String =
+          s"""p$r AS (
+             |  SELECT unnest(list_transform(range(1, len(tk)),
+             |           i -> tk[i] || $d31 || tk[i + 1])) AS p, n
+             |  FROM (SELECT list_filter(string_split(s, $d62), x -> x != '') AS tk, n
+             |        FROM w${r - 1})
+             |  WHERE len(tk) >= 2),
+             |b$r AS (
+             |  SELECT p, string_split(p, $d31)[1] AS a, string_split(p, $d31)[2] AS b,
+             |    CAST(sum(n) AS BIGINT) AS cnt
+             |  FROM p$r GROUP BY p ORDER BY cnt DESC, p LIMIT 1),
+             |w$r AS (
+             |  SELECT replace(w.s, $d31 || b.a || $d62 || b.b || $d31,
+             |                 $d31 || b.a || b.b || $d31) AS s, w.n
+             |  FROM w${r - 1} w, b$r b)""".stripMargin
+        val unions = (1 to Rounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, a AS left_tok, b AS right_tok, " +
+            s"a || b AS merged, cnt AS n_occurrences FROM b$r")
+          .mkString("\n  UNION ALL ")
+        s"""WITH w0 AS (
+           |  SELECT $d62 ||
+           |      regexp_replace(w, '(?s)(.)', '\\1' || $d62, 'g') AS s,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE length(w) >= 2
+           |  GROUP BY w),
+           |${(1 to Rounds).map(round).mkString(",\n")}
+           |$unions""".stripMargin
+      })
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
     t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split,
     t15UnigramLogprob, t16QualityClassifier, t17BigramLogprob, t18BpePairs,
     t19Boilerplate, t20DatasetCard, t21BpeEncode, t22ShardExport,
-    q120TrainingPipeline)
+    t23BpeTrain, q120TrainingPipeline)
 }
