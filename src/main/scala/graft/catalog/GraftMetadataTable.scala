@@ -27,13 +27,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * DRIVER at scan time — the same plane `DESCRIBE HISTORY` reads, O(files)
   * + O(versions), never data I/O — and Spark plans it as a local table
   * scan, so joins/filters/aggregations over the metadata run as ordinary
-  * SQL. Each scan re-reads the CURRENT head (operational freshness over
+  * SQL. Each QUERY re-reads the CURRENT head (operational freshness over
   * snapshot pinning — inspect a pinned version via `VERSION AS OF` on the
-  * base table instead). */
+  * base table instead): the catalog loads a fresh instance per resolution,
+  * and the instance computes its frame ONCE — schema resolution and every
+  * ScanBuilder share it, instead of repeating the O(versions)/O(files)
+  * driver-side manifest (and DV-sidecar aggregate) work two or three times
+  * per query. */
 class GraftMetadataTable(t: VersionedTable, ident: String, kind: String)
     extends Table with SupportsRead {
 
-  private def frame() = {
+  private lazy val frame = {
     val spark = SparkSession.active
     kind match {
       case "files" => t.filesMeta(spark)
@@ -45,14 +49,14 @@ class GraftMetadataTable(t: VersionedTable, ident: String, kind: String)
   }
 
   override def name(): String = ident
-  override def schema(): StructType = frame().schema
+  override def schema(): StructType = frame.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
-        private val df = frame()
+        private val df = frame
         override def readSchema(): StructType = df.schema
         override def rows(): Array[InternalRow] =
           df.queryExecution.executedPlan.executeCollect()

@@ -223,15 +223,33 @@ final class VersionedTable(val root: String,
     val dvs = dvsOf(v)
     val refs = files ++ dvs
     val tgtHead = tgt.resolve()
+    // AUTHORITATIVE property mirror, not a merge: a property the source
+    // removed (bloomIndexColumns, appendOnly, ...) must leave the backup
+    // too, or nightly syncs accumulate stale flags forever. The source set
+    // (plus the target-only cloneSource provenance) replaces the target's
+    // document; removals ride setProperties' empty-value convention.
+    def mirrorProps(): Unit = {
+      val src = properties
+      val stale = (tgt.properties.keySet -- src.keySet - "cloneSource")
+        .map(_ -> "").toMap
+      tgt.setProperties(src ++ stale + ("cloneSource" -> srcId))
+    }
+    // the no-op proof covers EVERY manifest-metadata face a restore serves,
+    // not just data: constraints, partition spec, and identity can change
+    // with the file set, DVs, and schema all equal — a sync that skipped
+    // publishing then would hand a restore a backup missing the source's
+    // CHECK constraint or partition evolution until the next data churn
     if (tgt.filesOf(tgtHead).toSet == files.toSet &&
         tgt.dvsOf(tgtHead).toSet == dvs.toSet &&
-        tgt.schemaOf(tgtHead).map(_.json) == schemaOf(v).map(_.json)) {
-      // data is current, but a prior sync may have crashed between its
-      // publish and its property commit — re-assert the mirrored props
-      // (a no-op commit when they already match), so the tear heals here
-      val props = properties
-      if (props.nonEmpty) tgt.setProperties(props)
-      tgt.setProperties(Map("cloneSource" -> srcId))
+        tgt.schemaOf(tgtHead).map(_.json) == schemaOf(v).map(_.json) &&
+        tgt.constraintsOf(tgtHead) == constraintsOf(v) &&
+        tgt.partitionByOf(tgtHead) == partitionByOf(v) &&
+        tgt.identityOf(tgtHead) == identityOf(v) &&
+        tgt.identityAllowsExplicit(tgtHead) == identityAllowsExplicit(v)) {
+      // data and metadata are current, but a prior sync may have crashed
+      // between its publish and its property commit — re-assert the
+      // mirrored props (a no-op commit when they already match)
+      mirrorProps()
       return (0, refs.size)
     }
     var copied = 0
@@ -263,9 +281,7 @@ final class VersionedTable(val root: String,
       // the sync MIRRORS the source: a source that dropped its identity
       // must not leave the target's carried declaration re-minting ids
       identityClear = identityOf(v).isEmpty)
-    val props = properties
-    if (props.nonEmpty) tgt.setProperties(props)
-    tgt.setProperties(Map("cloneSource" -> srcId))
+    mirrorProps()
     (copied, refs.size)
   }
 
@@ -2664,6 +2680,33 @@ final class VersionedTable(val root: String,
     * pre-evolution files whose metadata lacks a referenced column, which
     * must fall back to the scan path — or None when the predicate involves
     * data columns at all. */
+  /** DELETE refuses nondeterministic predicates outright (Delta's rule):
+    * both delete verbs evaluate the condition in SEPARATE jobs —
+    * tier-2 classification, CDF capture, and the keep-rewrite — and a
+    * `rand() < 0.1` that disagrees between them can whole-drop a file a
+    * re-evaluation would have kept rows of. Only the ANALYZED condition
+    * can prove determinism (an unresolved function's flag is unknown);
+    * the probe resolves against the version's schema without reading data.
+    * Tables with no recorded schema (never-committed) pass — there is
+    * nothing to delete anyway. */
+  private def requireDeterministicPredicate(spark: SparkSession, v: Long,
+      condition: String, op: String): Unit =
+    schemaOf(v).foreach { st =>
+      import org.apache.spark.sql.functions.expr
+      val analyzed = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        .filter(expr(condition))
+        .queryExecution.analyzed
+      val det = analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.deterministic
+      }.getOrElse(true)
+      require(det, s"$op on $root refused: predicate `$condition` is " +
+        "nondeterministic — it would be re-evaluated per job " +
+        "(classification, change capture, rewrite) with no guarantee the " +
+        "evaluations agree")
+    }
+
   private[table] def partitionWholeFileDrops(spark: SparkSession, v: Long,
       condition: String): Option[(Seq[String], Seq[String])] = {
     import org.apache.spark.sql.functions.{element_at, expr, lit}
@@ -2747,6 +2790,7 @@ final class VersionedTable(val root: String,
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     requireNotAppendOnly("DELETE")
     val v = resolve()
+    requireDeterministicPredicate(spark, v, condition, "DELETE")
     val all = filesOf(v)
     val schema = schemaOf(v)
     val dvs = dvsOf(v)
@@ -3061,6 +3105,7 @@ final class VersionedTable(val root: String,
     import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
     requireNotAppendOnly("DELETE (merge-on-read)")
     val v = resolve()
+    requireDeterministicPredicate(spark, v, condition, "DELETE (merge-on-read)")
     val all = filesOf(v)
     if (all.isEmpty) return (v, 0L)
     val allSet = all.toSet

@@ -126,6 +126,44 @@ class CloneSpec extends AnyFunSuite with SparkSpec {
       bak.properties.get("pii").contains("scrubbed"))
   }
 
+  test("cloneSync publishes on METADATA-ONLY drift and mirrors properties " +
+      "authoritatively (removals included)") {
+    val base = tmpDir("csync-md-")
+    val src = VersionedTable(base + "/src")
+    src.commit(spark.range(0, 100).selectExpr("id AS k", "id % 3 AS g"),
+      numPartitions = Some(2))
+    src.cloneDeep(base + "/bak")
+    val bak = VersionedTable(base + "/bak")
+    // a constraint added with ZERO data churn: files/DVs/schema all equal,
+    // but a restore from a backup missing it would admit rows the source's
+    // CHECK rejects — the sync must publish a target version
+    src.addConstraint(spark, "k_pos", "k >= 0")
+    val head0 = bak.latestVersion().get
+    val (moved, _) = src.cloneSync(base + "/bak")
+    assert(moved === 0, "a metadata-only sync moves no bytes")
+    assert(bak.latestVersion().get > head0, "constraint drift must publish")
+    assert(bak.constraintsOf(bak.resolve()) === Map("k_pos" -> "k >= 0"))
+    // partition-spec evolution alone must publish too
+    src.alterPartitioning(Seq("g"))
+    src.cloneSync(base + "/bak")
+    assert(bak.partitionByOf(bak.resolve()) === Seq("g"))
+    // back-to-back: no drift, no version burned
+    val head1 = bak.latestVersion().get
+    src.cloneSync(base + "/bak")
+    assert(bak.latestVersion().contains(head1))
+    // property REMOVALS mirror: a flag dropped on the source must not
+    // persist on the backup forever
+    src.setProperties(Map("appendOnly" -> "true"))
+    src.cloneSync(base + "/bak")
+    assert(bak.properties.get("appendOnly").contains("true"))
+    src.setProperties(Map("appendOnly" -> "")) // empty value removes the key
+    src.cloneSync(base + "/bak")
+    assert(!bak.properties.contains("appendOnly"),
+      "a property removed on the source must leave the backup on sync")
+    assert(bak.properties.get("cloneSource").isDefined,
+      "the provenance property must survive authoritative mirroring")
+  }
+
   test("cloneSync shallow mode hard-links the delta instead of copying") {
     val base = tmpDir("csync-ln-")
     val src = VersionedTable(base + "/src")

@@ -34,13 +34,14 @@ class FsckSpec extends AnyFunSuite with SparkSpec {
       numPartitions = Some(2), sortBy = Seq("k"))
     t.deleteMor(spark, "k = 7") // DV on the low file
     val low = t.partitionValuesOf(t.resolve()) // unpartitioned: empty map
-    // lose the HIGH file (no DV rows reference it)
-    val files = Files.walk(Paths.get(base + "/t/data")).toArray
-      .map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.toString.endsWith(".parquet"))
-    assert(low.isEmpty && files.length === 2)
-    val high = files.maxBy(_.toString) // second range file sorts last
-    Files.delete(high)
+    // lose the HIGH file (no DV rows reference it) — selected via the
+    // manifest's recorded min-k stat: content-addressed file NAMES carry
+    // no key-order guarantee, so a path maxBy could flake onto the
+    // DV-covered low file instead
+    val stats = t.statsOf(t.resolve())
+    assert(low.isEmpty && stats.size === 2)
+    val highRel = stats.maxBy { case (_, s) => s("k")._1.toLong }._1
+    Files.delete(Paths.get(base + "/t").resolve(highRel))
     val (missing, nv) = t.fsck()
     assert(missing.length === 1 && nv.isDefined)
     val rows = t.read(spark).select("k").as[Long].collect().sorted

@@ -541,6 +541,27 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(kept === Seq(1L, 3L))
   }
 
+  test("delete and deleteMor refuse nondeterministic predicates outright") {
+    val root = tmpDir("vt-")
+    val t = VersionedTable(root)
+    t.commit(spark.range(0, 100).selectExpr("id AS k"))
+    // classification, CDF capture, and the keep-rewrite each re-evaluate
+    // the predicate in a separate job — a rand() that disagrees between
+    // them could whole-drop a file whose re-evaluation keeps rows
+    val e1 = intercept[IllegalArgumentException] {
+      t.delete(spark, "rand() < 0.5")
+    }
+    assert(e1.getMessage.contains("nondeterministic"))
+    val e2 = intercept[IllegalArgumentException] {
+      t.deleteMor(spark, "k > 10 AND rand() < 0.5")
+    }
+    assert(e2.getMessage.contains("nondeterministic"))
+    assert(t.read(spark).count() === 100, "a refused delete must change nothing")
+    // deterministic predicates are untouched by the guard
+    val (_, touched) = t.delete(spark, "k < 10")
+    assert(touched >= 1 && t.read(spark).count() === 90)
+  }
+
   test("copy-on-write merge refuses to widen the table's column types") {
     val root = tmpDir("vt-")
     val t = VersionedTable(root)
