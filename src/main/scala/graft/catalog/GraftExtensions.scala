@@ -139,7 +139,9 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
     * kernel's keyed merge — ((target column, source alias) key pairs,
     * DISTINCT-projected source plan, residual SQL rendered with the merge
     * kernel's `target.` prefix, negated):
-    *  - `col IN (<uncorrelated single-column subquery>)` → matched clause;
+    *  - `col IN (<uncorrelated subquery>)`, single-column or tuple
+    *    (`(a, b) IN (SELECT x, y ...)`) → matched clause over the
+    *    multi-key equi-merge;
     *  - `EXISTS (... WHERE inner = outer [AND ...])` with one or MORE
     *    equi-correlations (composite-key compliance deletes) → the same
     *    semi shape, every correlation a merge-ON equality; the subquery's
@@ -247,12 +249,25 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
       go(p, p.output.head)
     }
     subq match {
-      case Seq(InSubquery(Seq(a: AttributeReference), l: ListQuery))
-          if tset.contains(a) && l.outerAttrs.isEmpty &&
-            l.plan.output.size == 1 =>
+      // single- OR multi-column IN: `(a, b) IN (SELECT x, y ...)` is TRUE
+      // exactly when some list row equals the tuple component-wise, which
+      // is exactly the multi-key equi-merge's matched set (a NULL
+      // component never equals → not matched → untouched, agreeing with
+      // IN's 3VL where a NULL-component tuple is never TRUE)
+      case Seq(InSubquery(vals, l: ListQuery))
+          if vals.nonEmpty && l.outerAttrs.isEmpty &&
+            l.plan.output.size == vals.size &&
+            vals.forall {
+              case a: AttributeReference => tset.contains(a)
+              case _ => false
+            } =>
+        val attrs = vals.map(_.asInstanceOf[AttributeReference])
         val src = Distinct(Project(
-          Seq(Alias(l.plan.output.head, SubqueryKey)()), l.plan))
-        Some((Seq((a.name, SubqueryKey)), src, residualOf, false))
+          l.plan.output.zipWithIndex.map { case (o, i) =>
+            Alias(o, srcAlias(i))()
+          }, l.plan))
+        Some((attrs.zipWithIndex.map { case (a, i) => (a.name, srcAlias(i)) },
+          src, residualOf, false))
       case Seq(Not(InSubquery(Seq(a: AttributeReference), l: ListQuery)))
           if tset.contains(a) && l.outerAttrs.isEmpty &&
             l.plan.output.size == 1 =>

@@ -1928,6 +1928,13 @@ object SourceQueries {
            |              WHERE c.c_custkey = o_custkey
            |                AND c.c_mktsegment = 'MACHINERY')
            |  AND o_totalprice > 400000""".stripMargin)
+      // tuple IN (composite-key compliance delete): both columns land in
+      // the merge ON, pruning still keys on the first pair
+      spark.sql(
+        s"""DELETE FROM graft.`$root`
+           |WHERE (o_orderkey, o_custkey) IN
+           |  (SELECT o_orderkey, o_custkey FROM orders
+           |   WHERE o_orderpriority = '5-LOW' AND o_orderkey < 300)""".stripMargin)
       // UNGUARDED NOT IN refuses loudly (the null-row trap: one NULL in
       // the list makes NOT IN delete nothing — no merge clause expresses
       // a runtime-dependent outcome), never translates wrong
@@ -1968,6 +1975,11 @@ object SourceQueries {
         |  SELECT 1 FROM customer c
         |  WHERE c.c_custkey = upd.o_custkey
         |    AND c.c_mktsegment = 'MACHINERY'))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o2
+        |    WHERE o2.o_orderpriority = '5-LOW' AND o2.o_orderkey < 300
+        |      AND o2.o_orderkey = upd.o_orderkey
+        |      AND o2.o_custkey = upd.o_custkey)
         |  AND NOT (o_orderkey >= 5000 AND o_orderkey < 5500
         |    AND o_orderkey NOT IN (SELECT o_orderkey FROM orders
         |                           WHERE o_orderkey % 3 = 0

@@ -143,6 +143,12 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       |  SELECT 1 FROM ck_refs r WHERE r.ra = a AND r.rb = b)""".stripMargin)
     assert(spark.sql(s"SELECT v FROM $t WHERE v <> -1 ORDER BY v")
       .as[Long].collect().toSeq === Seq(8L, 18L))
+    // tuple IN — the other spelling of a composite-key delete: (3,'x')
+    // matches ids 8 and 18
+    spark.sql(s"DELETE FROM $t WHERE (a, b) IN (SELECT ra, rb FROM ck_refs)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v <> -1").head.getLong(0)
+      === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 14L)
     spark.sql(s"DROP TABLE $t")
   }
 
