@@ -104,11 +104,24 @@ object GraftFunctions {
         s"top_k_by expects (key, ord, k), got ${other.size} args")
     }))
 
-  def registerAll(spark: SparkSession): Unit =
+  /** Table-valued functions (a FROM-clause relation per call), registered
+    * through the TableFunctionRegistry rather than the scalar registry. */
+  private[functions] val tableBuilders: Seq[(String, Class[_],
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (graft.catalog.TableChanges.Name,
+      graft.catalog.TableChanges.getClass,
+      graft.catalog.TableChanges.builder _))
+
+  def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    tableBuilders.foreach { case (name, _, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
 }
 
 /** `SparkSessionExtensions` hook: inject the engine's functions at session
@@ -116,11 +129,18 @@ object GraftFunctions {
   * `spark.sql.extensions` conf). Uses the same arity-checked builders as
   * [[GraftFunctions.registerAll]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, cls, builder) =>
       e.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name),
         builder))
     }
+    GraftFunctions.tableBuilders.foreach { case (name, cls, builder) =>
+      e.injectTableFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
+  }
 }

@@ -2024,6 +2024,57 @@ object SourceQueries {
       """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
         |WHERE o_orderstatus <> 'P' AND NOT (o_orderkey % 5 = 1)""".stripMargin))
 
+  /** q141: `table_changes` TABLE-VALUED FUNCTION — Delta's SQL spelling
+    * for the change feed ([[graft.catalog.TableChanges]]): a CDC consumer
+    * reads the commit-range changes with plain SQL, no Scala API. Bounds
+    * are INCLUSIVE (Delta's convention; the Scala feed's `(from, to]` is
+    * the engine-internal one), and `startVersion = 0` serves the initial
+    * commit's rows as inserts — commit 0's change set IS what it wrote.
+    * Same per-commit aggregation shape as q97 so the oracle is a pure
+    * relational replay of the four-commit timeline; unlike q97 this
+    * exercises the SQL front door AND the v0-inclusive bound. */
+  val q141TableChanges: Q = Q(
+    "q141_table_changes",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      graft.functions.GraftFunctions.registerAll(spark)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tvf-").toString
+      val root = s"$tmp/orders_tc"
+      val t = graft.table.VersionedTable(root)
+      t.setProperties(Map("enableChangeDataFeed" -> "true"))
+      val orders = spark.table("orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      t.commit(orders.filter("o_orderkey <= 1000"))                    // v0
+      t.append(orders.filter("o_orderkey > 1000"))                     // v1
+      t.delete(spark, "o_orderstatus = 'P'")                           // v2
+      t.update(spark, "o_orderstatus = 'F'",
+        Map("o_totalprice" -> "o_totalprice + 1"))                     // v3
+      spark.sql(
+        s"""SELECT _commit_version, _change_type,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+           |FROM table_changes('$root', 0, 3)
+           |GROUP BY _commit_version, _change_type""".stripMargin)
+    },
+    Some(
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |  CAST(o_totalprice AS DECIMAL(14,2)) AS p FROM orders)
+        |SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+        |  count(*) AS n, CAST(sum(p) AS DOUBLE) AS sum_price
+        |FROM o WHERE o_orderkey <= 1000
+        |UNION ALL
+        |SELECT 1, 'insert', count(*), CAST(sum(p) AS DOUBLE)
+        |FROM o WHERE o_orderkey > 1000
+        |UNION ALL
+        |SELECT 2, 'delete', count(*), CAST(sum(p) AS DOUBLE)
+        |FROM o WHERE o_orderstatus = 'P'
+        |UNION ALL
+        |SELECT 3, 'delete', count(*), CAST(sum(p) AS DOUBLE)
+        |FROM o WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 3, 'insert', count(*), CAST(sum(p + 1) AS DOUBLE)
+        |FROM o WHERE o_orderstatus = 'F'""".stripMargin))
+
   val all: Seq[Q] = Seq(q21CsvExtract, q40PrunedRead, q48JsonOrcRoundtrip,
     q49IncrementalTable, q50SchemaEvolution, q53CowMerge, q55ZOrder, q56CowUpdate,
     q70XmlRoundtrip, q76Restore, q77ChangeFeed, q78AppendsSince, q83Profile,
@@ -2036,5 +2087,6 @@ object SourceQueries {
     q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults,
     q124RowTracking, q126MetaCount, q128NullPruning, q129MetaMinMax,
     q132IncrementalCluster, q133CloneSync, q134PointLookup, q135Expectations,
-    q136Fsck, q138MetadataTables, q139SubqueryDml, q140PartitionDelete)
+    q136Fsck, q138MetadataTables, q139SubqueryDml, q140PartitionDelete,
+    q141TableChanges)
 }

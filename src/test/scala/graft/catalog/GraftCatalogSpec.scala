@@ -196,6 +196,35 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $t2")
   }
 
+  test("table_changes TVF serves the change feed with Delta-inclusive bounds") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")            // v0: empty
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('enableChangeDataFeed' = 'true')")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(10)")      // v1
+    spark.sql(s"DELETE FROM $t WHERE id >= 8")                     // v2
+    spark.sql(s"UPDATE $t SET v = -1 WHERE id = 0")                // v3
+    // catalog-name addressing, inclusive [1, 3] — injected via the same
+    // extensions hook as the scalar functions, so no registerAll needed
+    val got = spark.sql(
+      s"""SELECT _commit_version, _change_type, count(*) AS n
+         |FROM table_changes('$t', 1, 3)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "insert", 10L), (2L, "delete", 2L),
+      (3L, "delete", 1L), (3L, "insert", 1L)))
+    // endVersion defaults to the head; startVersion bounds are honored
+    assert(spark.sql(s"SELECT * FROM table_changes('$t', 2)").count() === 4L)
+    // startVersion 0 includes the initial commit's rows as inserts (empty
+    // here — the CREATE wrote nothing, but the bound itself must not throw)
+    assert(spark.sql(s"SELECT * FROM table_changes('$t', 0, 1)").count() === 10L)
+    // unknown identifier refuses with the addressing rule
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('no_such.cat.t', 0)").collect()
+    }
+    assert(bad.getMessage.contains("graft-catalog"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("CREATE TABLE / INSERT INTO / SELECT / INSERT OVERWRITE round-trip") {
     val t = s"graft.default.${fresh()}"
     spark.sql(s"CREATE TABLE $t (id BIGINT, k STRING, amt DOUBLE)")
