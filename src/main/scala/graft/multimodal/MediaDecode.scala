@@ -132,6 +132,34 @@ object MediaDecode {
     }
   }
 
+  /** Perceptual hash: the 64-bit SIGN QUANTIZATION of the decoder's
+    * embedding — bit i is set iff [[FakeCodec.embed]] dimension i is
+    * positive (above the payload's uniform byte share). This is SimHash
+    * over the decode: near-identical media differ in few byte-position
+    * sums, so their hashes sit at small Hamming distance, while unrelated
+    * payloads land ~32 bits apart. Emitted as two 32-bit halves in BIGINTs
+    * (`h_hi` = dims 0-31 at descending weight, `h_lo` = dims 32-63) so the
+    * downstream XOR/bit_count Hamming arithmetic — and the DuckDB oracle
+    * replay — never touches the sign bit. In production the embedding
+    * under the signs is the real decoder's; a DCT-based pHash drops into
+    * the same lambda. Same per-partition batch-codec path as the other
+    * verbs. */
+  def perceptualHash(payloads: Dataset[(Long, Array[Byte])])
+      : Dataset[(Long, Long, Long)] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val v = FakeCodec.embed(bytes)
+        var hi = 0L
+        var lo = 0L
+        var i = 0
+        while (i < 32) { hi = (hi << 1) | (if (v(i) > 0) 1L else 0L); i += 1 }
+        while (i < 64) { lo = (lo << 1) | (if (v(i) > 0) 1L else 0L); i += 1 }
+        (id, hi, lo)
+      }
+    }
+  }
+
   /** Column-level path: attach payload + metadata struct to any DataFrame —
     * the storage schema for multimodal tables (payload stays opaque binary;
     * metadata is queryable without touching bytes). */

@@ -202,6 +202,87 @@ object MultimodalQueries {
          |FROM b
          |LEFT JOIN near n ON n.vec_id = b.vec_id""".stripMargin))
 
+  /** m7: PERCEPTUAL-HASH near-dup — the standard image-dedup operator (m5
+    * is exact bytes, m6 is embedding-cosine; this is the cheap middle: a
+    * 64-bit hash whose Hamming distance tracks content similarity).
+    * [[graft.multimodal.MediaDecode.perceptualHash]] sign-quantizes the
+    * decoder's embedding (SimHash over the decode — in production the
+    * bits come from a DCT pHash, same plumbing), then d4's banding makes
+    * the pair search non-quadratic: the 64 bits split into 4×16-bit bands,
+    * only pairs sharing ≥1 band are candidates (pigeonhole: distance ≤ 3
+    * is NEVER missed; 4-6 may be, the standard LSH recall trade d3/d4
+    * document), and the exact XOR/bit_count Hamming ≤ 6 verify runs on
+    * candidates only. One slim (hash, band) shuffle; hot-band capping
+    * (d2's MaxShingleBucket) applies unchanged if a degenerate corpus
+    * needs it. Oracle replays the identical sums, signs, bands, and
+    * popcounts. */
+  val m7PerceptualNearDup: Q = Q(
+    "m7_phash_neardup",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val payloads = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary"))
+        .as[(Long, Array[Byte])]
+      // pin the slim (id, hi, lo) hash table once — the band explode and
+      // both verify joins consume it, and an unpinned view would re-run
+      // the decode per consumer (the d3 "write signatures first" shape)
+      graft.multimodal.MediaDecode.perceptualHash(payloads)
+        .toDF("doc_id", "h_hi", "h_lo")
+        .localCheckpoint(true)
+        .createOrReplaceTempView("m7h")
+      spark.sql(
+        """WITH bands AS (
+          |  SELECT doc_id, b, CASE b
+          |    WHEN 0 THEN h_hi DIV 65536 WHEN 1 THEN h_hi % 65536
+          |    WHEN 2 THEN h_lo DIV 65536 ELSE h_lo % 65536 END AS k
+          |  FROM m7h LATERAL VIEW explode(array(0, 1, 2, 3)) t AS b),
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+          |  FROM bands x JOIN bands y
+          |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+          |pairs AS (
+          |  SELECT c.a_id, c.b_id,
+          |    CAST(bit_count(ha.h_hi ^ hb.h_hi)
+          |       + bit_count(ha.h_lo ^ hb.h_lo) AS BIGINT) AS hamming
+          |  FROM cand c
+          |  JOIN m7h ha ON ha.doc_id = c.a_id
+          |  JOIN m7h hb ON hb.doc_id = c.b_id)
+          |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 6""".stripMargin)
+    },
+    Some(
+      """WITH media AS (
+        |  SELECT doc_id, list_transform(range(0, 64), i ->
+        |    COALESCE(list_sum(list_transform(
+        |        range(1 + i, length(text) + 1, 64), p -> ord(text[p]))), 0)::DOUBLE
+        |    - list_sum(list_transform(
+        |        range(1, length(text) + 1), p -> ord(text[p])))::DOUBLE / 64) AS v
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 32),
+        |      i -> CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << (31 - i)) ELSE 0 END)) AS h_hi,
+        |    list_sum(list_transform(range(32, 64),
+        |      i -> CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << (63 - i)) ELSE 0 END)) AS h_lo
+        |  FROM media),
+        |bands AS (
+        |  SELECT doc_id, b, CASE b
+        |    WHEN 0 THEN h_hi // 65536 WHEN 1 THEN h_hi % 65536
+        |    WHEN 2 THEN h_lo // 65536 ELSE h_lo % 65536 END AS k
+        |  FROM h, (SELECT unnest(range(0, 4)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+        |pairs AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(bit_count(xor(ha.h_hi, hb.h_hi))
+        |       + bit_count(xor(ha.h_lo, hb.h_lo)) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN h ha ON ha.doc_id = c.a_id
+        |  JOIN h hb ON hb.doc_id = c.b_id)
+        |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 6""".stripMargin))
+
   val all: Seq[Q] = Seq(m1BinaryMeta, m2DecodeFeatures, m3Resize, m4FrameSample,
-    m5PayloadDedup, m6MediaEmbedAdmit)
+    m5PayloadDedup, m6MediaEmbedAdmit, m7PerceptualNearDup)
 }

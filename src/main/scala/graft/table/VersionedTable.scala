@@ -3245,6 +3245,10 @@ final class VersionedTable(val root: String,
     require(set.nonEmpty,
       "update with an empty SET would rewrite files unchanged — likely a misspelled config key")
     val v = resolve()
+    // same hazard class as DELETE: the condition is evaluated once to
+    // classify touched files and again in the rewrite — a nondeterministic
+    // predicate could disagree between the two
+    requireDeterministicPredicate(spark, v, condition, "UPDATE")
     val all = filesOf(v)
     val schema = schemaOf(v).getOrElse(
       throw new IllegalStateException(s"version $v of $root has no recorded schema"))

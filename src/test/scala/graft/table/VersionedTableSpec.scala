@@ -556,6 +556,10 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
       t.deleteMor(spark, "k > 10 AND rand() < 0.5")
     }
     assert(e2.getMessage.contains("nondeterministic"))
+    val e3 = intercept[IllegalArgumentException] {
+      t.update(spark, "rand() < 0.5", Map("k" -> "k + 1"))
+    }
+    assert(e3.getMessage.contains("nondeterministic"))
     assert(t.read(spark).count() === 100, "a refused delete must change nothing")
     // deterministic predicates are untouched by the guard
     val (_, touched) = t.delete(spark, "k < 10")
