@@ -139,6 +139,22 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     } finally graft.queries.Tables.registerAll(spark, "/root/testdata/sf0.001")
   }
 
+  test("m7 perceptual near-dup plans as a banded equi-join — never a cross product") {
+    // the pair search must be the 4×16-bit band self-join (hash/sort-merge
+    // on (b, k)); a cross/nested-loop product would be the O(n²) shape
+    // banding exists to avoid
+    graft.queries.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val qe = graft.queries.MultimodalQueries.m7PerceptualNearDup
+      .run(spark, "/root/testdata/sf0.001").queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"m7 pair search regressed to a product plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join over the band keys:\n$plan")
+  }
+
   test("interval join matches the naive theta join, including window edges") {
     import java.sql.Timestamp
     def t(ms: Long) = new Timestamp(ms)
