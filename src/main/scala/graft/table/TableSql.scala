@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   SHOW PARTITIONS '<path>'
   *   RESTORE '<path>' TO VERSION AS OF <v>
   *   RESTORE '<path>' TO TIMESTAMP AS OF '<ts>'
-  *   CREATE TABLE '<dst>' [SHALLOW | DEEP] CLONE '<src>'
+  *   CREATE TABLE '<dst>' [SHALLOW | DEEP] CLONE '<src>' [VERSION AS OF <v>]
   *   CREATE OR REPLACE TABLE '<dst>' [SHALLOW | DEEP] CLONE '<src>'
   *   REORG TABLE '<path>' APPLY (PURGE)
   *   FSCK REPAIR TABLE '<path>' [DRY RUN]
@@ -64,7 +64,7 @@ object TableSql {
   private val RestoreTs =
     s"""(?is)\\s*RESTORE\\s+$P\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+$L\\s*""".r
   private val Clone =
-    s"""(?is)\\s*CREATE\\s+TABLE\\s+$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P\\s*""".r
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*""".r
   // Delta's scheduled-backup spelling: re-running it refreshes the clone
   // incrementally (cloneSync — only the files the target lacks transfer)
   private val CloneSync =
@@ -224,10 +224,13 @@ object TableSql {
           java.time.Instant.parse(s).toEpochMilli))
       val t = VersionedTable(path)
       status(spark, "RESTORE", path, t.restore(t.resolveAsOfTimestamp(millis)))
-    case Clone(dst, kind, src) =>
+    case Clone(dst, kind, src, ver) =>
+      // optional VERSION AS OF pins the cloned snapshot (Delta parity):
+      // reproduce a historical state as a NEW table
       val srcT = VersionedTable(ref(spark, src))
-      if (kind.equalsIgnoreCase("deep")) srcT.cloneDeep(ref(spark, dst))
-      else srcT.cloneShallow(ref(spark, dst))
+      val v = Option(ver).map(_.toLong)
+      if (kind.equalsIgnoreCase("deep")) srcT.cloneDeep(ref(spark, dst), v)
+      else srcT.cloneShallow(ref(spark, dst), v)
       status(spark, s"${kind.toUpperCase} CLONE", ref(spark, dst), 0L)
     case CloneSync(dst, kind, src) =>
       // first run = full clone; re-runs = incremental refresh (only the

@@ -134,9 +134,13 @@ final class VersionedTable(val root: String,
     * conditional-PUT discussion); hard links are the local/HDFS-native form
     * of the same zero-copy contract. Txn marks and the CDF history do NOT
     * carry (Delta semantics: the clone is a new table with a fresh history).
-    * Returns the clone. */
-  def cloneShallow(targetRoot: String): VersionedTable =
-    cloneTo(targetRoot, deep = false)
+    * `versionAsOf` pins the cloned snapshot (Delta's `CLONE ... VERSION AS
+    * OF` — reproduce a historical state as a NEW table for debugging or
+    * experiment pinning); constraints, partition spec, identity state, and
+    * stats all come from THAT version's manifest. Returns the clone. */
+  def cloneShallow(targetRoot: String,
+      versionAsOf: Option[Long] = None): VersionedTable =
+    cloneTo(targetRoot, deep = false, versionAsOf)
 
   /** DEEP CLONE: same manifest-level copy as [[cloneShallow]] but every
     * data and DV file is BYTE-COPIED, never hard-linked — the clone shares
@@ -145,11 +149,13 @@ final class VersionedTable(val root: String,
     * backup / environment-promotion verb, vs the shallow clone's instant
     * dev-copy). On stores without hard links the two verbs converge —
     * shallow's link attempt already falls back to a copy. */
-  def cloneDeep(targetRoot: String): VersionedTable =
-    cloneTo(targetRoot, deep = true)
+  def cloneDeep(targetRoot: String,
+      versionAsOf: Option[Long] = None): VersionedTable =
+    cloneTo(targetRoot, deep = true, versionAsOf)
 
-  private def cloneTo(targetRoot: String, deep: Boolean): VersionedTable = {
-    val v = resolve()
+  private def cloneTo(targetRoot: String, deep: Boolean,
+      versionAsOf: Option[Long] = None): VersionedTable = {
+    val v = resolve(None, versionAsOf)
     val tgt = VersionedTable(targetRoot)
     require(tgt.latestVersion().isEmpty,
       s"clone target $targetRoot already has a committed version")

@@ -164,6 +164,34 @@ class CloneSpec extends AnyFunSuite with SparkSpec {
       "the provenance property must survive authoritative mirroring")
   }
 
+  test("clone VERSION AS OF pins a historical snapshot as a new table") {
+    val base = tmpDir("clone-v-")
+    val src = VersionedTable(base + "/src")
+    src.commit(spark.range(0, 50).selectExpr("id AS k"))           // v0
+    src.addConstraint(spark, "k_small", "k < 1000")                // v1
+    src.append(spark.range(50, 100).selectExpr("id AS k"))         // v2
+    src.delete(spark, "k < 10")                                    // v3
+    // Scala API: the clone reproduces v2's rows AND v2's metadata
+    val bak = src.cloneDeep(base + "/bak", versionAsOf = Some(2L))
+    assert(bak.read(spark).count() === 100,
+      "the v2 snapshot predates the delete")
+    assert(bak.constraintsOf(bak.resolve()) === Map("k_small" -> "k < 1000"))
+    // the clone is a NEW table: its own history starts at version 0
+    assert(bak.latestVersion().contains(0L) ||
+      bak.resolve() <= 1L) // one props commit may follow the publish
+    // SQL spelling, shallow mode, pinned to the pre-constraint v0
+    TableSql.run(spark,
+      s"CREATE TABLE '${base + "/bak0"}' SHALLOW CLONE '${base + "/src"}' " +
+        "VERSION AS OF 0")
+    val bak0 = VersionedTable(base + "/bak0")
+    assert(bak0.read(spark).count() === 50)
+    assert(bak0.constraintsOf(bak0.resolve()).isEmpty)
+    // unpinned SQL clone still takes the head
+    TableSql.run(spark,
+      s"CREATE TABLE '${base + "/bakh"}' DEEP CLONE '${base + "/src"}'")
+    assert(VersionedTable(base + "/bakh").read(spark).count() === 90)
+  }
+
   test("cloneSync shallow mode hard-links the delta instead of copying") {
     val base = tmpDir("csync-ln-")
     val src = VersionedTable(base + "/src")
