@@ -80,9 +80,10 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
           // materialization of the id list. NOT EXISTS / NOT IN are the
           // NOT-MATCHED-BY-SOURCE clause (its residual gates that clause,
           // since those rows never join).
+          val pp = prunePair(t, keys)
           GraftMergeCommand(t, src,
             mergeOn(keys, if (negated) None else residual),
-            keys.head._1, keys.head._2,
+            pp._1, pp._2,
             whenMatchedUpdate = None,
             whenMatchedDelete =
               if (negated) None else Some(Merge.MatchedDelete(None)),
@@ -100,9 +101,10 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
         case Some((keys, src, residual, negated)) =>
           val set = assignments.map(a =>
             keyName(a.key) -> targetPref(a.value, tout)).toMap
+          val pp = prunePair(t, keys)
           GraftMergeCommand(t, src,
             mergeOn(keys, if (negated) None else residual),
-            keys.head._1, keys.head._2,
+            pp._1, pp._2,
             whenMatchedUpdate =
               if (negated) None else Some(Merge.MatchedUpdate(None, set)),
             whenMatchedDelete = None,
@@ -134,6 +136,26 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def mergeOn(keys: Seq[(String, String)], residual: Option[String]): String =
     keys.map { case (tk, sk) => s"source.`$sk` = target.${PredicateSql.quote(tk)}" }
       .mkString(" AND ") + residual.map(r => s" AND ($r)").getOrElse("")
+
+  /** The (target column, source alias) pair the kernel prunes files/Blooms
+    * on. The merge's ON evaluates the FULL key conjunction regardless, so
+    * this choice affects only how much of the table the rewrite scans: the
+    * first pair whose target column carries recorded min/max stats in the
+    * head manifest wins (a stats-less column — beyond the stats cap, or an
+    * unsupported type — can never skip a file), falling back to the
+    * user-written first pair. Among several stats-backed keys the ordering
+    * sensitivity remains (round-14 ADVICE): a low-selectivity first key
+    * (e.g. a flag) prunes worse than a later high-distinctness one, and the
+    * manifest records no distinctness to rank them by. */
+  private def prunePair(t: VersionedTable,
+      keys: Seq[(String, String)]): (String, String) = {
+    val statsCols: Set[String] =
+      try t.latestVersion() match {
+        case Some(v) => t.statsOf(v).valuesIterator.flatMap(_.keysIterator).toSet
+        case None => Set.empty
+      } catch { case scala.util.control.NonFatal(_) => Set.empty }
+    keys.find(k => statsCols.contains(k._1)).getOrElse(keys.head)
+  }
 
   /** Subquery shapes of a DELETE/UPDATE condition that translate to the
     * kernel's keyed merge — ((target column, source alias) key pairs,
@@ -195,8 +217,8 @@ case class GraftRowLevelRule(session: SparkSession) extends Rule[LogicalPlan] {
             _.find(_.isInstanceOf[OuterReference]).isDefined)
           // EVERY correlated conjunct must be inner-column = outer-column
           // (any other correlated shape refuses); N correlations feed the
-          // merge's multi-column ON — the kernel prunes on the first pair
-          // and the join evaluates the full conjunction
+          // merge's multi-column ON — the kernel prunes on [[prunePair]]'s
+          // stats-preferred pair and the join evaluates the full conjunction
           val pairs: Seq[(Attribute, Attribute)] = corr.map {
             case EqualTo(i: AttributeReference, OuterReference(o: AttributeReference))
                 if tset.contains(o) && f.child.outputSet.contains(i) => (o, i)

@@ -33,7 +33,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * and the instance computes its frame ONCE — schema resolution and every
   * ScanBuilder share it, instead of repeating the O(versions)/O(files)
   * driver-side manifest (and DV-sidecar aggregate) work two or three times
-  * per query. */
+  * per query. The flip side of that instance-level pinning (round-14
+  * ADVICE): a RETAINED DataFrame handle over a metadata table — cached, or
+  * simply re-executed after the base table has moved on — keeps serving the
+  * rows of the head it resolved against; the freshness contract is
+  * per-resolution (each new query re-resolves through the catalog and gets
+  * a fresh instance), not per-execution of an old handle. */
 class GraftMetadataTable(t: VersionedTable, ident: String, kind: String)
     extends Table with SupportsRead {
 

@@ -84,16 +84,31 @@ object TableChanges {
       s"$Name: invalid version range [$start, $end]")
     // inclusive bounds over the exclusive-start Scala feed: [start, end] =
     // (start-1, end], plus the initial commit's rows as inserts when
-    // start = 0 (there is no version -1 to diff against)
+    // start = 0 (there is no version -1 to diff against). The (start-1)
+    // anchor means the feed needs one version OLDER than the requested
+    // range to still be retained; when vacuum has dropped it, rethrow in
+    // the TVF's own vocabulary — the raw changeFeed error names version
+    // start-1, which the user never asked for (round-14 ADVICE).
+    def feedOr(from: Long, to: Long): org.apache.spark.sql.DataFrame =
+      try t.changeFeed(spark, from, to)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("retained") =>
+          throw new IllegalArgumentException(
+            s"$Name('$name', $start, $end): computing changes at version " +
+              s"$start requires diffing from version ${start - 1}, which " +
+              "is no longer retained (vacuumed) — re-request from a " +
+              "retained start version, or rebuild downstream state from a " +
+              "full snapshot read", e)
+      }
     val feed =
       if (start == 0) {
         val v0 = t.read(spark, versionAsOf = Some(0L))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(0L))
         if (end == 0) v0
-        else v0.unionByName(t.changeFeed(spark, 0L, end),
-          allowMissingColumns = true)
-      } else t.changeFeed(spark, start - 1, end)
+        else v0.unionByName(feedOr(0L, end), allowMissingColumns = true)
+      } else feedOr(start - 1, end)
     feed.queryExecution.analyzed
   }
 }

@@ -203,8 +203,14 @@ object SignatureStore {
     try {
       // no explicit materialization action: the first probe-key collect
       // below shuffles for its distinct, whose map stage computes (and
-      // caches) every partition of `s` — a separate count() was one more
-      // serial job in a fixed-latency-bound chain
+      // caches) the partitions of `s` it scans — normally all of them,
+      // though the capped `.limit(ProbeKeyCap + 1)` collect may
+      // short-circuit once it has enough rows and leave a partition for a
+      // later job to compute serially (round-14 ADVICE). Correctness is
+      // unaffected either way; the dropped count() bought a guaranteed
+      // single-job warm-up at the price of one more serial job in a
+      // fixed-latency-bound chain, and the measured chain is faster without
+      // it (d12 warm admit 4.61 -> 3.76 s)
       //
       // exact rejects: Bloom-pruned store read by the batch's checksums.
       // A stored row with the batch document's OWN id is the document
