@@ -222,6 +222,18 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       spark.sql(s"SELECT * FROM table_changes('no_such.cat.t', 0)").collect()
     }
     assert(bad.getMessage.contains("graft-catalog"))
+    // vacuumed diff anchor: computing [2, 3] needs version 1 retained;
+    // drop it and the error speaks table_changes, naming the REQUESTED
+    // range, not the internal start-1 anchor (round-14 ADVICE)
+    handle(t).vacuum(retainVersions = 2)               // keeps v2, v3 only
+    val gone = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT * FROM table_changes('$t', 2, 3)").collect()
+    }
+    assert(gone.getMessage.contains("table_changes"))
+    assert(gone.getMessage.contains("version 2") &&
+      gone.getMessage.contains("diffing from version 1"))
+    // the still-computable suffix keeps working after the vacuum
+    assert(spark.sql(s"SELECT * FROM table_changes('$t', 3, 3)").count() === 2L)
     spark.sql(s"DROP TABLE $t")
   }
 
