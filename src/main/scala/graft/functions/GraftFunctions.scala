@@ -92,6 +92,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"phrase_count expects (array<string>, array<string>), got ${other.size} args")
     }),
+    ("bpe_encode", classOf[BpeEncode], (exprs: Seq[Expression]) => exprs match {
+      case Seq(text, merges) => BpeEncode(text, merges)
+      case other => throw new IllegalArgumentException(
+        s"bpe_encode expects (string, array<string>), got ${other.size} args")
+    }),
     ("vec_sum_u6", classOf[VecSumU6], (exprs: Seq[Expression]) => exprs match {
       case Seq(v) => VecSumU6(v)
       case other => throw new IllegalArgumentException(
