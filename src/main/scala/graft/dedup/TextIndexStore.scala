@@ -358,9 +358,17 @@ object TextIndexStore {
     * Scale per sync: the change feed is change-sized (append versions read
     * only their fresh files); the evict and admit are the store's own
     * bucket-pruned verbs over the CHANGED ids only — a 100 TB table whose
-    * day touched 0.1 % syncs 0.1 %. Returns (admitted, evicted). */
+    * day touched 0.1 % syncs 0.1 %. Returns (admitted, evicted).
+    *
+    * `txn` stamps the admit's postings append with a streaming caller's
+    * `(checkpoint, batchId)` identity
+    * ([[graft.streaming.StreamingEtl.textIndexSyncStream]]) — lineage for
+    * the commit record; exactly-once itself rides the CURSOR (a replayed
+    * call past it no-ops, an interrupted sync converges), which also covers
+    * the evict and property commits the txn mark cannot reach. */
   def syncFromTable(spark: SparkSession, root: String,
-      table: graft.table.VersionedTable, fingerprint: String): (Long, Long) = {
+      table: graft.table.VersionedTable, fingerprint: String,
+      txn: Option[(String, Long)] = None): (Long, Long) = {
     val postT = postingsTable(root)
     require(postT.properties.get("indexFormat").contains(Format),
       s"$root was built by an incompatible text-index format — rebuild")
@@ -376,7 +384,7 @@ object TextIndexStore {
     val evicted = evict(spark, root, changed, fingerprint)
     val current = table.read(spark)
       .join(changed, Seq("doc_id")).select("doc_id", "text")
-    val admitted = admit(spark, root, current, fingerprint)
+    val admitted = admit(spark, root, current, fingerprint, txn = txn)
     postT.setProperties(Map("syncedVersion" -> head.toString))
     (admitted, evicted)
   }

@@ -2042,6 +2042,59 @@ object SimilarityQueries {
           |FROM documents WHERE doc_id % 10 <> 3)""".stripMargin)))
   }
 
+  /** q142: q130's STREAMING twin — the index follows the table
+    * CONTINUOUSLY. The same corpus mutations (append + DELETE + UPDATE),
+    * but the sync is driven by
+    * [[graft.streaming.StreamingEtl.textIndexSyncStream]]: `readChangeFeed`
+    * over the `graft-table` stream source fires micro-batches, each
+    * non-empty batch runs one cursor-guarded syncFromTable stamped
+    * `(checkpoint, batchId)` on its postings append. Asserted in-query:
+    * (a) the streamed store ends bit-identical to what a FULL REBUILD on
+    * the current table serves (the oracle recomputes BM25 relationally —
+    * q130's equivalence, now reached through the stream); (b) a
+    * CHECKPOINTED RESTART is a no-op — the re-started stream drains
+    * without moving the postings table or the cursor (the q130
+    * replay-convergence spec's streaming face). */
+  val q142StreamIndexSync: Q = {
+    val queries = Seq(1L -> Seq("dup", "merge"), 2L -> Seq("spark", "window"))
+    Q(
+      "q142_stream_index_sync",
+      (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q142-").toString
+        val t = graft.table.VersionedTable(s"$tmp/corpus")
+        val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+        t.commit(docs.filter("doc_id % 4 <> 0"), numPartitions = Some(4))
+        graft.dedup.TextIndexStore.build(spark, s"$tmp/ix", t.read(spark), "fp0")
+        graft.dedup.TextIndexStore.markSynced(s"$tmp/ix", t.resolve())
+        // the table moves on across THREE commits the stream will drain
+        t.append(docs.filter("doc_id % 4 = 0"))
+        t.delete(spark, "doc_id % 10 = 6")
+        t.update(spark, "doc_id % 10 = 1",
+          Map("text" -> "concat(text, ' streamsync streamsync')"))
+        PhaseClock.markServe("q142_stream_index_sync")
+        graft.streaming.StreamingEtl.textIndexSyncStream(spark,
+          s"$tmp/corpus", s"$tmp/ix", "fp1", s"$tmp/ckpt").awaitTermination()
+        val postT = graft.table.VersionedTable(s"$tmp/ix/postings")
+        require(graft.dedup.TextIndexStore.stats(s"$tmp/ix")._1 ==
+          t.read(spark).count(), "nd must equal the table's current row count")
+        require(postT.properties.get("syncedVersion").contains(t.resolve().toString),
+          "the cursor must sit at the table head after the drain")
+        // checkpointed restart: drains instantly, moves NOTHING
+        val vBefore = postT.latestVersion().get
+        graft.streaming.StreamingEtl.textIndexSyncStream(spark,
+          s"$tmp/corpus", s"$tmp/ix", "fp2", s"$tmp/ckpt").awaitTermination()
+        require(postT.latestVersion().get == vBefore,
+          "a checkpointed restart must not move the postings table")
+        bm25TopK(spark, s"$tmp/ix", queries, 10)
+      },
+      Some(bm25OracleSql(queries, 10,
+        corpusSql = """(SELECT doc_id,
+          |  CASE WHEN doc_id % 10 = 1 THEN text || ' streamsync streamsync'
+          |       ELSE text END AS text
+          |FROM documents WHERE doc_id % 10 <> 6)""".stripMargin)))
+  }
+
   /** q131: the VECTOR store follows its base table — the ANN-serving twin
     * of q130's BM25 sync. The store MIRRORS the table (mirror-mode
     * re-admission: nothing near-dup-rejects during sync), so after an
@@ -2124,5 +2177,5 @@ object SimilarityQueries {
     s8PqAdc, s9AnnRecall, s10AnnBatchServe, s11HybridRrf, s12AnnFiltered,
     s13RangeSearch, s14Bm25Stored, s15Bm25Admit, s16StreamBm25Admit,
     q127ForgetIndexed, s17MmrRerank, s18BooleanRetrieval, s19PhraseRetrieval,
-    q130IndexTableSync, q131VectorTableSync)
+    q130IndexTableSync, q131VectorTableSync, q142StreamIndexSync)
 }

@@ -495,6 +495,85 @@ object StreamingEtl {
       .start()
   }
 
+  /** CONTINUOUS index-follows-table maintenance — the streaming composition
+    * of [[cdcReplicaStream]]'s trigger with the store's own batch sync verb
+    * ([[graft.dedup.TextIndexStore.syncFromTable]]): `readChangeFeed` over
+    * the `graft-table` stream source fires a micro-batch whenever the base
+    * table commits; each non-empty batch drives ONE sync — evict the
+    * changed ids' stale postings, re-admit their current rows, advance the
+    * store's `syncedVersion` cursor — stamped `(checkpoint, batchId)` on
+    * the admit's postings append.
+    *
+    * Exactly-once is the CURSOR's, deliberately (the q130 proof, unchanged
+    * by streaming): a batch replayed after a completed sync finds
+    * `head <= syncedVersion` and no-ops; a batch replayed after an
+    * INTERRUPTED sync converges (evict removes exactly what the interrupted
+    * pass admitted, the re-admit restores it, the torn-commit markers roll
+    * the verb-level crashes forward). The `lastTxn` guard in front is a
+    * fast-skip, not the safety. Note the sync targets the table HEAD at
+    * fire time, not the batch's end version — a sync can run AHEAD of its
+    * batch, and the cursor makes the later batches loud no-ops; the batch
+    * CONTENT is only the trigger (the verb re-reads the feed range itself,
+    * change-sized either way).
+    *
+    * This is the production shape for "search index tracks a mutating
+    * table" — the reference's CDC-merge idiom (scd2-job.ipynb:298-353)
+    * extended to derived state: at 100 TB the feed batches are
+    * change-sized, the evict/admit touch only changed buckets, and the
+    * checkpoint restarts resume with zero re-work. */
+  def textIndexSyncStream(
+      spark: SparkSession,
+      sourceRoot: String,
+      storeRoot: String,
+      fingerprint: String,
+      checkpointDir: String): StreamingQuery =
+    changeFeedTrigger(spark, sourceRoot, checkpointDir,
+      s"$storeRoot/postings") { batchId =>
+      graft.dedup.TextIndexStore.syncFromTable(spark, storeRoot,
+        VersionedTable(sourceRoot), fingerprint,
+        txn = Some(checkpointDir -> batchId))
+      ()
+    }
+
+  /** The ANN twin of [[textIndexSyncStream]]: continuous
+    * [[graft.dedup.VectorStore.syncFromTable]] off the embedding table's
+    * change feed. Same cursor-owned exactly-once; the vector store's admit
+    * is replay-idempotent by stored-id recognition, so no txn stamp is
+    * needed on its appends. */
+  def vectorSyncStream(
+      spark: SparkSession,
+      sourceRoot: String,
+      storeRoot: String,
+      checkpointDir: String): StreamingQuery =
+    changeFeedTrigger(spark, sourceRoot, checkpointDir,
+      s"$storeRoot/cents") { _ =>
+      graft.dedup.VectorStore.syncFromTable(spark, storeRoot,
+        VersionedTable(sourceRoot))
+      ()
+    }
+
+  /** Shared scaffold for the sync streams: CDF-triggered micro-batches,
+    * AvailableNow, a `lastTxn` fast-skip keyed on the store's anchor table. */
+  private def changeFeedTrigger(
+      spark: SparkSession,
+      sourceRoot: String,
+      checkpointDir: String,
+      anchorRoot: String)(act: Long => Unit): StreamingQuery =
+    spark.readStream.format("graft-table")
+      .option("path", sourceRoot)
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty &&
+            !VersionedTable(anchorRoot).lastTxn(checkpointDir).exists(_ >= batchId)) {
+          act(batchId)
+        }
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * streaming formulation of q12_events_window. */
   def windowedEventCounts(

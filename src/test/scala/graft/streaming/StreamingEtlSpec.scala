@@ -372,4 +372,77 @@ class StreamingEtlSpec extends AnyFunSuite with SparkSpec {
     assert(sessions.exceptAll(oracle).count() === 0)
     assert(oracle.exceptAll(sessions).count() === 0)
   }
+
+  /** Deterministic synthetic embeddings (VectorStoreSpec's generator). */
+  private def svecs(rows: (Long, Long)*) =
+    rows.toSeq.toDF("vec_id", "seed")
+      .selectExpr("vec_id", "concat('l', seed) AS label",
+        "transform(sequence(1, 64), j -> CAST(sin(seed * j) AS FLOAT)) AS embedding")
+
+  test("vectorSyncStream mirrors the table continuously through one checkpoint") {
+    val base = tmpDir("vsync-")
+    val t = VersionedTable(s"$base/emb")
+    t.commit(svecs((0L until 24L).map(i => i -> (i % 3 + 1)): _*))
+    graft.dedup.VectorStore.build(spark, s"$base/vx", t.read(spark))
+    graft.dedup.VectorStore.markSynced(s"$base/vx", t.resolve())
+    val assignedT = VersionedTable(s"$base/vx/assigned")
+
+    // round 1: append + delete, drained by the stream
+    t.append(svecs((100L until 106L).map(i => i -> 2L): _*))
+    t.delete(spark, "vec_id % 6 = 5")
+    assert(StreamingEtl.vectorSyncStream(spark, s"$base/emb", s"$base/vx",
+      s"$base/ckpt").awaitTermination(120000))
+    assert(assignedT.read(spark).count() === t.read(spark).count(),
+      "the synced store must mirror the table row for row")
+
+    // checkpointed restart with nothing new: drains without moving the store
+    val v1 = assignedT.latestVersion().get
+    assert(StreamingEtl.vectorSyncStream(spark, s"$base/emb", s"$base/vx",
+      s"$base/ckpt").awaitTermination(120000))
+    assert(assignedT.latestVersion().get === v1,
+      "an idle restart must not move the assigned table")
+
+    // round 2 through the SAME checkpoint: only the new commits stream
+    t.update(spark, "vec_id % 6 = 1",
+      Map("embedding" -> "transform(embedding, x -> -x)"))
+    assert(StreamingEtl.vectorSyncStream(spark, s"$base/emb", s"$base/vx",
+      s"$base/ckpt").awaitTermination(120000))
+    assert(assignedT.read(spark).count() === t.read(spark).count())
+    assert(VersionedTable(s"$base/vx/cents").properties
+      .get("syncedVersion").contains(t.resolve().toString),
+      "the cursor must track the head across resumed rounds")
+  }
+
+  test("textIndexSyncStream resumes incrementally through one checkpoint") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("tsync-")
+    val t = VersionedTable(s"$base/corpus")
+    val docs = graft.queries.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    t.commit(docs.filter(col("doc_id") % 3 =!= 0))
+    graft.dedup.TextIndexStore.build(spark, s"$base/ix", t.read(spark), "fp0")
+    graft.dedup.TextIndexStore.markSynced(s"$base/ix", t.resolve())
+    val postT = VersionedTable(s"$base/ix/postings")
+
+    t.append(docs.filter(col("doc_id") % 3 === 0))
+    assert(StreamingEtl.textIndexSyncStream(spark, s"$base/corpus", s"$base/ix",
+      "fp1", s"$base/ckpt").awaitTermination(120000))
+    assert(graft.dedup.TextIndexStore.stats(s"$base/ix")._1 ===
+      t.read(spark).count())
+    // the admit carries the stream's (checkpoint, batchId) txn stamp
+    assert(postT.lastTxn(s"$base/ckpt").isDefined,
+      "the streamed admit must stamp its (checkpoint, batchId) identity")
+
+    // round 2 resumes from the checkpoint: delete + update only
+    t.delete(spark, "doc_id % 9 = 4")
+    t.update(spark, "doc_id % 9 = 7",
+      Map("text" -> "concat(text, ' resumed resumed')"))
+    assert(StreamingEtl.textIndexSyncStream(spark, s"$base/corpus", s"$base/ix",
+      "fp2", s"$base/ckpt").awaitTermination(120000))
+    assert(graft.dedup.TextIndexStore.stats(s"$base/ix")._1 ===
+      t.read(spark).count())
+    assert(postT.properties.get("syncedVersion")
+      .contains(t.resolve().toString))
+  }
 }
