@@ -1521,6 +1521,68 @@ object SourceQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM t WHERE prio IS NOT NULL""".stripMargin))
 
+  /** q143: NESTED-column file statistics (round 15) — the manifest records
+    * per-file min/max/nullCount for STRUCT LEAVES under dotted keys
+    * (Delta's nested-stats convention), so a predicate on `meta.fmt` — the
+    * engine's own multimodal metadata shape (m1 reads `meta.format`) —
+    * skips files at the manifest exactly like a top-level predicate. The
+    * write range-sorts on the leaf so values and nulls cluster into whole
+    * files; asserted in-query: nested equality bounds, a nested numeric
+    * range bound, and both nested nullness shapes each skip files
+    * (readBounded kept/total, q128's pattern), and the DSv2 SQL plan
+    * carries the dot-joined pushed filter. At 100 TB metadata columns ride
+    * as structs precisely so the scan stays narrow — without leaf stats,
+    * every `WHERE meta.fmt = 'png'` reads the whole corpus. */
+  val q143NestedPruning: Q = Q(
+    "q143_nested_pruning",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-nsp-").toString
+      val t = graft.table.VersionedTable(s"$tmp/t")
+      t.commit(spark.sql(
+        """SELECT o_orderkey,
+          |  named_struct(
+          |    'fmt', CASE WHEN o_orderkey % 4 = 0 THEN NULL
+          |                ELSE o_orderpriority END,
+          |    'kb', o_orderkey % 1000) AS meta,
+          |  o_totalprice FROM orders""".stripMargin),
+        numPartitions = Some(8), sortBy = Seq("meta.fmt"))
+      // struct-leaf bounds and nullness must skip files purely from the
+      // manifest — all four prune shapes, before any I/O
+      val (_, keptEq, total) = t.readBounded(spark,
+        Seq(("meta.fmt", Some("URGENT"), Some("URGENT"))))
+      require(keptEq < total,
+        s"nested equality skipping did not engage ($keptEq/$total files)")
+      val (_, keptNull, _) = t.readBounded(spark, Nil,
+        nullness = Seq(("meta.fmt", true)))
+      require(keptNull < total,
+        s"nested IS NULL skipping did not engage ($keptNull/$total files)")
+      val (_, keptNotNull, _) = t.readBounded(spark, Nil,
+        nullness = Seq(("meta.fmt", false)))
+      require(keptNotNull < total,
+        s"nested IS NOT NULL skipping did not engage ($keptNotNull/$total)")
+      // the SQL surface pushes the nested reference dot-joined — the name
+      // IS the stats key, so the catalog scan prunes with no mapping
+      val served = spark.sql(
+        s"""SELECT meta.fmt AS fmt, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           |FROM graft.`$tmp/t`
+           |WHERE meta.fmt IS NOT NULL AND meta.kb >= 500
+           |GROUP BY meta.fmt""".stripMargin)
+      require(served.queryExecution.executedPlan.toString.contains("meta.fmt"),
+        "the nested predicate must reach the scan as a pushed filter")
+      served.localCheckpoint(true)
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT CASE WHEN o_orderkey % 4 = 0 THEN NULL
+        |              ELSE o_orderpriority END AS fmt,
+        |         o_orderkey % 1000 AS kb, o_totalprice FROM orders)
+        |SELECT fmt, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM t WHERE fmt IS NOT NULL AND kb >= 500
+        |GROUP BY fmt""".stripMargin))
+
   /** q129: MIN/MAX aggregate pushdown — an unfiltered, ungrouped MIN/MAX
     * (and count(*)) over a DV-free snapshot is answered from manifest
     * stats alone: the executed plan is asserted in-query to contain the
@@ -2087,6 +2149,7 @@ object SourceQueries {
     q118ReorgPurge, q121ForgetUser, q122PartitionEvolution, q123ColumnDefaults,
     q124RowTracking, q126MetaCount, q128NullPruning, q129MetaMinMax,
     q132IncrementalCluster, q133CloneSync, q134PointLookup, q135Expectations,
+    q143NestedPruning,
     q136Fsck, q138MetadataTables, q139SubqueryDml, q140PartitionDelete,
     q141TableChanges)
 }

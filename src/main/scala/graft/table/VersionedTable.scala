@@ -1585,7 +1585,39 @@ final class VersionedTable(val root: String,
       case StringType | TimestampType | DateType => Some("str")
       case _ => None
     }
-    val statCols = written.schema.fields.flatMap(f => kindOf(f.dataType).map(f.name -> _)).toSeq
+    // stat columns: every top-level scalar leaf PLUS nested struct leaves,
+    // keyed by DOTTED path (Delta's nested-stats convention) — the repo's
+    // own multimodal metadata shape (m1's `meta.format`) filters on struct
+    // leaves, and a leaf without stats can never skip a file. The dotted
+    // key is exactly the name a pushed nested predicate carries (DSv2
+    // translation renders field paths dot-joined), so the prune passes need
+    // no mapping. A nested path colliding with a literal top-level name is
+    // skipped (top level wins — one key, one meaning); arrays/maps carry no
+    // ordered scalar bound and contribute nothing.
+    val topCols = written.schema.fields
+      .flatMap(f => kindOf(f.dataType).map(f.name -> _)).toSeq
+    def nestedLeaves(prefix: String, parent: org.apache.spark.sql.Column,
+        st: StructType): Seq[(String, org.apache.spark.sql.Column, String)] =
+      st.fields.flatMap { f =>
+        val name = s"$prefix.${f.name}"
+        val c = parent.getField(f.name)
+        f.dataType match {
+          case s: StructType => nestedLeaves(name, c, s)
+          case dt => kindOf(dt).map(k => (name, c, k)).toSeq
+        }
+      }.toSeq
+    val topNames = written.schema.fieldNames.toSet
+    // top-level references are backtick-quoted: bare col(name) PARSES dots,
+    // so a literal top-level name like `meta.x` would mis-resolve into the
+    // struct walk (and the stats scan would request the wrong parquet type)
+    def quoted(c: String) = col(s"`${c.replace("`", "``")}`")
+    val nestedCols = written.schema.fields.flatMap { f =>
+      f.dataType match {
+        case s: StructType => nestedLeaves(f.name, quoted(f.name), s)
+        case _ => Nil
+      }
+    }.filterNot { case (n, _, _) => topNames.contains(n) }.toSeq
+    val statCols = topCols.map { case (c, k) => (c, quoted(c), k) } ++ nestedCols
     val partStats: Map[String, Map[String, (String, String, String)]] =
       files.map { f =>
         f -> partValues.getOrElse(f, Map.empty).flatMap { case (c, v) =>
@@ -1602,10 +1634,10 @@ final class VersionedTable(val root: String,
     // null counts ride the SAME one-pass aggregation (count(c) counts the
     // non-nulls; rows − that = nulls, computed below from __nrows) — Delta/
     // Iceberg-style nullCount for IS NULL / IS NOT NULL file skipping
-    val aggs = statCols.flatMap { case (c, _) =>
-      Seq(fmin(col(c)).cast("string").as(s"min_$c"),
-        fmax(col(c)).cast("string").as(s"max_$c"),
-        org.apache.spark.sql.functions.count(col(c)).as(s"nn_$c")) } :+
+    val aggs = statCols.flatMap { case (c, cc, _) =>
+      Seq(fmin(cc).cast("string").as(s"min_$c"),
+        fmax(cc).cast("string").as(s"max_$c"),
+        org.apache.spark.sql.functions.count(cc).as(s"nn_$c")) } :+
       org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
         .cast("string").as("__nrows")
     val dataStats = written.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
@@ -1629,11 +1661,11 @@ final class VersionedTable(val root: String,
             fname.substring(j + abs.length)
           }
         val n = row.getAs[String]("__nrows")
-        val nullStats = statCols.map { case (c, _) =>
+        val nullStats = statCols.map { case (c, _, _) =>
           val nc = (n.toLong - row.getAs[Long](s"nn_$c")).toString
           s"${VersionedTable.NullCountPrefix}$c" -> ((nc, nc, "nulls"))
         }.toMap
-        rel -> (statCols.flatMap { case (c, kind) =>
+        rel -> (statCols.flatMap { case (c, _, kind) =>
           val mn = row.getAs[String](s"min_$c")
           val mx = row.getAs[String](s"max_$c")
           if (mn != null && mx != null) Some(c -> (mn, mx, kind)) else None
@@ -2537,7 +2569,19 @@ final class VersionedTable(val root: String,
       try spark.sessionState.sqlParser.parseExpression(condition)
       catch { case _: Exception => return None }
     def conj(e: ce.Expression): Seq[ce.Expression] = conjunctsOf(e)
-    def attr(e: ce.Expression): Option[String] = bareAttr(e)
+    // unlike the Bloom probes (bareAttr: top-level only — sidecars are
+    // registered by top-level name), the stats pass also accepts DOTTED
+    // struct-leaf references: collectFileStats keys nested leaves by
+    // dotted path, and leafTypeOf below resolves the path against the
+    // schema (an unresolvable multi-part name — e.g. an alias
+    // qualification — finds no type and contributes nothing, safely)
+    def attr(e: ce.Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.nonEmpty => Some(a.nameParts.mkString("."))
+      case _ => None
+    }
+    def leafTypeOf(c: String): Option[org.apache.spark.sql.types.DataType] =
+      VersionedTable.leafType(schema, c)
     type L = Option[ce.Literal]
     val raw: Seq[(String, L, L)] = conj(parsed).flatMap {
       case ce.EqualTo(a, l: ce.Literal) =>
@@ -2569,7 +2613,7 @@ final class VersionedTable(val root: String,
       case ce.IsNull(a) => attr(a).map((_, true))
       case ce.IsNotNull(a) => attr(a).map((_, false))
       case _ => Nil
-    }.filter { case (c, _) => schema.fields.exists(_.name == c) }
+    }.filter { case (c, _) => leafTypeOf(c).isDefined }
     val statsZone = statsZoneOf(v)
       .getOrElse(spark.sessionState.conf.sessionLocalTimeZone)
     // a bound survives only when the literal converts soundly for the
@@ -2594,14 +2638,14 @@ final class VersionedTable(val root: String,
     val usable: Seq[(String, org.apache.spark.sql.types.DataType,
         Option[(Any, Boolean)], Option[(Any, Boolean)])] =
       raw.flatMap { case (c, lo, hi) =>
-        schema.fields.find(_.name == c).flatMap { f =>
-          val loB = lo.map(bound(f.dataType, _))
-          val hiB = hi.map(bound(f.dataType, _))
+        leafTypeOf(c).flatMap { dt =>
+          val loB = lo.map(bound(dt, _))
+          val hiB = hi.map(bound(dt, _))
           // Some(None) = a literal that did NOT convert soundly: drop the
           // whole conjunct rather than half of an equality
           if (loB.contains(None) || hiB.contains(None)) None
           else if (loB.isEmpty && hiB.isEmpty) None
-          else Some((f.name, f.dataType, loB.flatten, hiB.flatten))
+          else Some((c, dt, loB.flatten, hiB.flatten))
         }
       }
     if (usable.isEmpty && nullConjuncts.isEmpty) return None
@@ -5785,6 +5829,30 @@ object VersionedTable {
     * `spark.sql.parquet.fieldId.read.enabled` readers resolve requested
     * columns by id instead of name. */
   val FieldIdKey = "parquet.field.id"
+
+  /** Resolve a (possibly dotted) stats key against a schema: an EXACT
+    * top-level field name wins first (one key, one meaning —
+    * collectFileStats applies the same collision rule when recording), then
+    * the dotted path walks struct leaves. A path through an array/map or
+    * off the schema resolves to None — the conjunct contributes nothing
+    * and pruning stays safe. */
+  private[graft] def leafType(schema: org.apache.spark.sql.types.StructType,
+      name: String): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    def walk(dt: DataType, rest: List[String]): Option[DataType] = (dt, rest) match {
+      case (d, Nil) => Some(d)
+      case (s: StructType, h :: t) =>
+        s.fields.find(_.name == h).map(_.dataType).flatMap(walk(_, t))
+      case _ => None
+    }
+    schema.fields.find(_.name == name).map(_.dataType).orElse {
+      name.split('.').toList match {
+        case head :: rest if rest.nonEmpty =>
+          schema.fields.find(_.name == head).map(_.dataType).flatMap(walk(_, rest))
+        case _ => None
+      }
+    }
+  }
 
   /** Hard ceiling on the per-probe Bloom key broadcast (hashes collected to
     * the driver and shipped to every task): above this, the sidecar pass is

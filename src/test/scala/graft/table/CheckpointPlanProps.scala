@@ -39,7 +39,12 @@ object CheckpointPlanProps extends Properties("CheckpointPlan") with SparkSpec {
       "id AS k",
       "CAST(id AS STRING) AS s",
       "timestamp_seconds(1600000000 + id * 3600) AS ts",
-      "CASE WHEN id < 120 THEN NULL ELSE CAST(id AS STRING) END AS ns")
+      "CASE WHEN id < 120 THEN NULL ELSE CAST(id AS STRING) END AS ns",
+      // nested struct: a string leaf with the same lexicographic trap as s,
+      // a numeric leaf, and a range-null leaf — the round-15 nested-stats
+      // surface (collectFileStats keys struct leaves by dotted path)
+      "named_struct('fmt', CAST(id AS STRING), 'b', id * 2, " +
+        "'nf', CASE WHEN id >= 280 THEN NULL ELSE CAST(id AS STRING) END) AS meta")
     val p = VersionedTable(base + "/plain")
     val c = VersionedTable(base + "/ckptd")
     Seq(p, c).foreach(_.commit(df, numPartitions = Some(8), sortBy = Seq("k")))
@@ -78,11 +83,21 @@ object CheckpointPlanProps extends Properties("CheckpointPlan") with SparkSpec {
   // never-null column (its IS NULL may prune EVERY file — the planned
   // delete must then touch zero rows, same as the manifest-planned one)
   private val nullAtom: Gen[String] = Gen.oneOf(
-    "ns IS NULL", "ns IS NOT NULL", "s IS NULL", "s IS NOT NULL")
+    "ns IS NULL", "ns IS NOT NULL", "s IS NULL", "s IS NOT NULL",
+    "meta.nf IS NULL", "meta.nf IS NOT NULL")
+
+  // nested struct leaves, both literal categories (the mismatched one must
+  // contribute no bound, exactly as for the top-level columns)
+  private val nestedAtom: Gen[String] = for {
+    op <- opGen
+    v <- Gen.chooseNum(0L, 400L)
+    c <- Gen.oneOf("meta.fmt", "meta.b")
+    lit <- Gen.oneOf(s"'$v'", v.toString)
+  } yield s"$c $op $lit"
 
   private val predGen: Gen[String] = for {
     n <- Gen.chooseNum(1, 2)
-    atoms <- Gen.listOfN(n, Gen.oneOf(kAtom, sAtom, tsAtom, nullAtom))
+    atoms <- Gen.listOfN(n, Gen.oneOf(kAtom, sAtom, tsAtom, nullAtom, nestedAtom))
   } yield atoms.mkString(" AND ")
 
   property("checkpointed DELETE ≡ manifest-planned DELETE for random predicates") =
