@@ -283,6 +283,115 @@ object MultimodalQueries {
         |  JOIN h hb ON hb.doc_id = c.b_id)
         |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 6""".stripMargin))
 
+  /** m8: DCT perceptual-hash near-dup — m7's banding and verify verbatim,
+    * with the hash upgraded from the sign-quantized stub embedding to the
+    * PRODUCTION pHash pipeline ([[graft.multimodal.MediaDecode.DctHash]]:
+    * 32×32 grid → fixed-point 2-D DCT-II → 8×8 low band → exact-integer
+    * median threshold; round-14 verdict "What's missing #4"). All
+    * arithmetic is integer over a 256-constant pre-scaled cosine basis, and
+    * the oracle embeds the SAME constants (built from the same array), so
+    * DuckDB replays the transform bit-for-bit — 512 k pixel rows joined
+    * against the basis, two aggregation passes, the order-statistic median.
+    *
+    * The corpus plants LENGTH-PRESERVING near-dups (byte 5 overlaid on
+    * every tenth document — the stub grid tiles by payload length, so only
+    * same-length perturbations model a re-encoded image): planted pairs
+    * land at Hamming 0-6, the background floor sits at ≥16, and the ≤6
+    * verify separates them cleanly — the bimodal gap a production pHash is
+    * chosen for. */
+  val m8DctPhashNearDup: Q = {
+    val dct = graft.multimodal.MediaDecode.DctHash
+    val bandSql =
+      """WITH bands AS (
+        |  SELECT doc_id, b, CASE b
+        |    WHEN 0 THEN h_hi DIV 65536 WHEN 1 THEN h_hi % 65536
+        |    WHEN 2 THEN h_lo DIV 65536 ELSE h_lo % 65536 END AS k
+        |  FROM m8h LATERAL VIEW explode(array(0, 1, 2, 3)) t AS b),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+        |pairs AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(bit_count(ha.h_hi ^ hb.h_hi)
+        |       + bit_count(ha.h_lo ^ hb.h_lo) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN m8h ha ON ha.doc_id = c.a_id
+        |  JOIN m8h hb ON hb.doc_id = c.b_id)
+        |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 6""".stripMargin
+    Q(
+      "m8_dct_phash_neardup",
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        Tables.registerAll(spark, dir)
+        val payloads = spark.sql(
+          """SELECT doc_id, CAST(text AS BINARY) AS payload FROM (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 1000000,
+            |    concat(substring(text, 1, 4), 'z', substring(text, 6))
+            |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin)
+          .as[(Long, Array[Byte])]
+        graft.multimodal.MediaDecode.dctPerceptualHash(payloads)
+          .toDF("doc_id", "h_hi", "h_lo")
+          .localCheckpoint(true)
+          .createOrReplaceTempView("m8h")
+        spark.sql(bandSql)
+      },
+      Some {
+        val n = dct.N; val band = dct.Band
+        val tvals = (0 until band).flatMap(u => (0 until n).map(x =>
+          s"($u, $x, ${dct.T(u)(x)})")).mkString(", ")
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000,
+           |    substring(text, 1, 4) || 'z' || substring(text, 6)
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |tt(u, x, t) AS (VALUES $tvals),
+           |px AS (
+           |  SELECT doc_id, i // $n AS r, i % $n AS c,
+           |    CASE WHEN length(text) = 0 THEN 0
+           |         ELSE ord(text[(i % length(text)) + 1]) END AS p
+           |  FROM corpus, (SELECT unnest(range(0, ${n * n})) AS i)),
+           |f1 AS (
+           |  SELECT px.doc_id, tt.u, px.c, SUM(px.p * tt.t)::BIGINT AS s
+           |  FROM px JOIN tt ON tt.x = px.r GROUP BY 1, 2, 3),
+           |f AS (
+           |  SELECT f1.doc_id, f1.u, tt.u AS v, SUM(f1.s * tt.t)::BIGINT AS s
+           |  FROM f1 JOIN tt ON tt.x = f1.c GROUP BY 1, 2, 3),
+           |med AS (
+           |  SELECT doc_id, s AS m FROM (
+           |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn
+           |    FROM f WHERE u + v > 0) z WHERE rn = 32),
+           |m8h AS (
+           |  SELECT f.doc_id,
+           |    SUM(CASE WHEN f.u * $band + f.v < 32 AND f.s > med.m
+           |        THEN (1::BIGINT << (31 - (f.u * $band + f.v))) ELSE 0 END)::BIGINT AS h_hi,
+           |    SUM(CASE WHEN f.u * $band + f.v >= 32 AND f.s > med.m
+           |        THEN (1::BIGINT << (63 - (f.u * $band + f.v))) ELSE 0 END)::BIGINT AS h_lo
+           |  FROM f JOIN med ON med.doc_id = f.doc_id GROUP BY 1),
+           |bands AS (
+           |  SELECT doc_id, b, CASE b
+           |    WHEN 0 THEN h_hi // 65536 WHEN 1 THEN h_hi % 65536
+           |    WHEN 2 THEN h_lo // 65536 ELSE h_lo % 65536 END AS k
+           |  FROM m8h, (SELECT unnest(range(0, 4)) AS b) bs),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |  FROM bands x JOIN bands y
+           |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+           |pairs AS (
+           |  SELECT c.a_id, c.b_id,
+           |    CAST(bit_count(xor(ha.h_hi, hb.h_hi))
+           |       + bit_count(xor(ha.h_lo, hb.h_lo)) AS BIGINT) AS hamming
+           |  FROM cand c
+           |  JOIN m8h ha ON ha.doc_id = c.a_id
+           |  JOIN m8h hb ON hb.doc_id = c.b_id)
+           |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 6""".stripMargin
+      })
+  }
+
   val all: Seq[Q] = Seq(m1BinaryMeta, m2DecodeFeatures, m3Resize, m4FrameSample,
-    m5PayloadDedup, m6MediaEmbedAdmit, m7PerceptualNearDup)
+    m5PayloadDedup, m6MediaEmbedAdmit, m7PerceptualNearDup, m8DctPhashNearDup)
 }

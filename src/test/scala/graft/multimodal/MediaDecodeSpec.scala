@@ -56,4 +56,54 @@ class MediaDecodeSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Int, Long)].collect()
     assert(meta.forall { case (f, nb, nc) => f == "txt" && nb == nc })
   }
+
+  test("DctHash: basis constants, DC identity, median bit budget, locality") {
+    val d = MediaDecode.DctHash
+    // basis row 0 is flat at full scale; every row is bounded by the scale
+    assert(d.T(0).forall(_ === d.Scale.toLong))
+    assert(d.T.forall(_.forall(t => math.abs(t) <= d.Scale)))
+    // DC coefficient identity: F(0,0) = Σp · Scale² exactly — pins the
+    // integer pipeline end to end (tiling, both passes, no rescaling)
+    val bytes = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val p = d.pixels(bytes)
+    val f00 = p.sum * d.Scale.toLong * d.Scale.toLong
+    // recompute through the public hash path: DC bit must compare f00 vs
+    // the median — reconstruct via a one-off transform here
+    val (hi, _) = d.hash(bytes)
+    assert(((hi >>> 31) & 1L) === (if (f00 > dctMedian(bytes)) 1L else 0L))
+    // median threshold: at most 31 of the 63 non-DC coefficients can
+    // exceed the 32nd smallest, so the non-DC bit budget is bounded
+    def popcountNonDc(b: Array[Byte]): Int = {
+      val (h, l) = d.hash(b)
+      java.lang.Long.bitCount(h & ~(1L << 31)) + java.lang.Long.bitCount(l)
+    }
+    assert(popcountNonDc(bytes) <= 31)
+    assert(popcountNonDc(Array.fill(100)(7.toByte)) <= 31) // constant grid: all-equal coeffs
+    // byte-exact determinism + locality: identical payloads hash equal;
+    // one same-length byte change moves few bits; empty payload is defined
+    val (h1, l1) = d.hash(bytes)
+    val (h2, l2) = d.hash(bytes.clone())
+    assert((h1, l1) === ((h2, l2)))
+    val perturbed = bytes.clone(); perturbed(4) = 'z'.toByte
+    val (h3, l3) = d.hash(perturbed)
+    val dist = java.lang.Long.bitCount(h1 ^ h3) + java.lang.Long.bitCount(l1 ^ l3)
+    assert(dist <= 10, s"one-byte perturbation moved $dist bits")
+    val (eh, el) = d.hash(Array.empty[Byte])
+    assert(el === 0L) // all-zero grid: every coefficient 0, median 0, no bit set
+    assert((eh & ~(1L << 31)) === 0L)
+  }
+
+  /** Independent reconstruction of the 32nd-smallest non-DC coefficient —
+    * a second implementation (plain Scala collections, no while loops) the
+    * fixed-point pipeline must agree with. */
+  private def dctMedian(bytes: Array[Byte]): Long = {
+    val d = MediaDecode.DctHash
+    val p = d.pixels(bytes)
+    val coeffs = for {
+      u <- 0 until d.Band; v <- 0 until d.Band if u + v > 0
+    } yield (0 until d.N).map { c =>
+      (0 until d.N).map(r => p(r * d.N + c) * d.T(u)(r)).sum * d.T(v)(c)
+    }.sum
+    coeffs.sorted.apply(31)
+  }
 }
