@@ -262,6 +262,12 @@ object JobSpec {
       case "TextIndexEvict" => TextIndexEvict(
         name, str(n, "inputView"), str(n, "storeURI"),
         str(n, "fingerprint"), optStr(n, "outputView"), envs(n))
+      case "ForgetBatch" => ForgetBatch(
+        name, str(n, "requestsURI"), str(n, "idColumn"),
+        optStr(n, "textStoreURI"), optStr(n, "vectorStoreURI"),
+        optStr(n, "dedupStoreURI"),
+        optStr(n, "fingerprint").getOrElse("forget"),
+        optStr(n, "outputView"), envs(n))
       case "TextIndexSync" => TextIndexSync(
         name, str(n, "tableURI"), str(n, "storeURI"),
         str(n, "fingerprint"), optStr(n, "outputView"), envs(n))

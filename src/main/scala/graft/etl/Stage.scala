@@ -1256,3 +1256,70 @@ final case class TextIndexSync(
     }
   }
 }
+
+/** BATCHED right-to-be-forgotten — the operational RTBF queue (round-14
+  * verdict #7, PLANS.md's structural answer for id-keyed erasure on the
+  * word-keyed postings layout): forget requests ACCUMULATE in a versioned
+  * request table (appends, one row per id), and each stage run drains
+  * everything past the table's own `forgetCursor` property in ONE evict
+  * call per configured store — so N requests pay one postings pin scan,
+  * one bucket-pruned postings merge, one lexicon decrement (vs N of each
+  * when erased one-by-one; [[graft.dedup.TextIndexStore.evict]]'s own
+  * doc says batching amortizes the pin scan — this stage is where the
+  * batching operationally happens).
+  *
+  * Exactly-once by CONVERGENCE, like the sync verbs: the cursor advances
+  * in a property commit AFTER the evicts, so a crash between them replays
+  * the same ids — and evicting an already-evicted id erases zero rows and
+  * commits nothing. Batched ≡ serial bit-exactly (ForgetBatchSpec): evict
+  * is additive over disjoint id sets, and replayed ids are no-ops, so ONE
+  * call with the union leaves every store byte-identical to N serial
+  * calls. The id column is `idColumn` in the request table; it feeds the
+  * text/signature stores as `doc_id` and the vector store as `vec_id`.
+  * Compliance note: erasure completes at evict + vacuum past the evict
+  * commits, exactly as for single-id forget (q127). */
+final case class ForgetBatch(
+    name: String,
+    requestsURI: String,
+    idColumn: String,
+    textStoreURI: Option[String] = None,
+    vectorStoreURI: Option[String] = None,
+    dedupStoreURI: Option[String] = None,
+    fingerprint: String = "forget",
+    outputView: Option[String] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val reqT = VersionedTable(sub(requestsURI, env))
+    val head = reqT.resolve()
+    val cursor = reqT.properties.get("forgetCursor").map(_.toLong).getOrElse(-1L)
+    val (nText, nVec, nSig) =
+      if (head <= cursor) (0L, 0L, 0L)
+      else {
+        val pending =
+          if (cursor < 0) reqT.read(spark)
+          else reqT.changeFeed(spark, cursor, head)
+            .filter(org.apache.spark.sql.functions.col("_change_type") === "insert")
+        // pin the drained id set once: every store's evict consumes the
+        // same frame, and the feed is never re-read per store
+        val ids = pending.select(sub(idColumn, env)).distinct().localCheckpoint(true)
+        val t = textStoreURI.map(u => graft.dedup.TextIndexStore.evict(spark,
+          sub(u, env), ids.withColumnRenamed(sub(idColumn, env), "doc_id"),
+          sub(fingerprint, env))).getOrElse(0L)
+        val v = vectorStoreURI.map(u => graft.dedup.VectorStore.evict(spark,
+          sub(u, env), ids.withColumnRenamed(sub(idColumn, env), "vec_id")))
+          .getOrElse(0L)
+        val s = dedupStoreURI.map(u => graft.dedup.SignatureStore.evict(spark,
+          sub(u, env), ids.withColumnRenamed(sub(idColumn, env), "doc_id")))
+          .getOrElse(0L)
+        reqT.setProperties(Map("forgetCursor" -> head.toString))
+        (t, v, s)
+      }
+    outputView.map { v =>
+      import spark.implicits._
+      val df = Seq((nText, nVec, nSig)).toDF(
+        "n_text_evicted", "n_vector_evicted", "n_signature_evicted")
+      df.createOrReplaceTempView(v)
+      df
+    }
+  }
+}
