@@ -34,7 +34,7 @@ import scala.jdk.CollectionConverters._
   * resolution is one directory existence probe, so a 10⁵-table warehouse
   * costs nothing until a table is actually read (manifests stay lazy). */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -92,6 +92,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           return new GraftMetadataTable(VersionedTable(pp.toString),
             ident.toString, ident.name.toLowerCase(java.util.Locale.ROOT))
       }
+      // persistent-view fallback: Spark 4.1 has no V2 view READ resolution,
+      // so a stored view serves as a read-only table over its re-analyzed
+      // body (see GraftViewTable — this is also what makes SHOW
+      // TBLPROPERTIES / DESCRIBE work on views for free)
+      if (viewExists(ident)) return new GraftViewTable(loadView(ident), ident.toString)
       throw new NoSuchTableException(ident)
     }
     new GraftTable(VersionedTable(p.toString), ident.toString, versionAsOf = None)
@@ -405,6 +410,152 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Files.deleteIfExists(p)
     ()
   }
+
+  // ---- persistent views (ViewCatalog) --------------------------------------
+  //
+  // Views persist as one JSON file each under `<warehouse>/_views/<ns...>/
+  // <name>.view.json` — the same no-state-beyond-the-directory contract as
+  // tables (a 10⁵-view warehouse costs one existence probe per resolution).
+  // Spark itself analyzes the stored SQL at READ time against the view's
+  // recorded (currentCatalog, currentNamespace), so views compose with every
+  // engine surface with no shim — including TIME TRAVEL in the body: a view
+  // over `VERSION AS OF <v>` is ALLOWED deliberately (decided round 15) and
+  // serves the PINNED snapshot forever, because that is what the text says —
+  // a named audit snapshot ("q1_2026_close") is exactly the compliance shape
+  // the reference's users build on Delta, and GraftCatalogSpec pins the
+  // behavior so it cannot drift into head-tracking silently.
+
+  private val ViewSuffix = ".view.json"
+  private val viewMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def viewPath(ident: Identifier): Path =
+    ident.namespace.foldLeft(warehouse.resolve("_views"))(_.resolve(_))
+      .resolve(ident.name + ViewSuffix)
+
+  override def viewExists(ident: Identifier): Boolean =
+    Files.isRegularFile(viewPath(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse.resolve("_views"))(_.resolve(_))
+    if (!Files.isDirectory(dir)) return Array.empty
+    Option(dir.toFile.list()).toSeq.flatten.sorted
+      .filter(_.endsWith(ViewSuffix))
+      .map(n => Identifier.of(namespace.toArray, n.stripSuffix(ViewSuffix)))
+      .toArray
+  }
+
+  override def loadView(ident: Identifier): View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val n = viewMapper.readTree(Files.readAllBytes(viewPath(ident)))
+    def arr(f: String): Array[String] = {
+      val a = n.get(f)
+      (0 until a.size()).map(a.get(_).asText()).toArray
+    }
+    GraftView(ident.toString, n.get("sql").asText(),
+      n.get("currentCatalog").asText(), arr("currentNamespace"),
+      org.apache.spark.sql.types.DataType.fromJson(n.get("schemaJson").asText())
+        .asInstanceOf[StructType],
+      arr("queryColumnNames"), arr("columnAliases"), arr("columnComments"),
+      n.get("properties").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    writeView(ident, GraftView(ident.toString, info.sql, info.currentCatalog,
+      info.currentNamespace, info.schema,
+      Option(info.queryColumnNames).getOrElse(Array.empty),
+      Option(info.columnAliases).getOrElse(Array.empty),
+      Option(info.columnComments).getOrElse(Array.empty),
+      Option(info.properties).map(_.asScala.toMap).getOrElse(Map.empty)))
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident
+    if (!viewExists(ident) && !orCreate)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    writeView(ident, GraftView(ident.toString, info.sql, info.currentCatalog,
+      info.currentNamespace, info.schema,
+      Option(info.queryColumnNames).getOrElse(Array.empty),
+      Option(info.columnAliases).getOrElse(Array.empty),
+      Option(info.columnComments).getOrElse(Array.empty),
+      Option(info.properties).map(_.asScala.toMap).getOrElse(Map.empty)))
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident).asInstanceOf[GraftView]
+    val props = changes.foldLeft(v.props) { (m, c) =>
+      c match {
+        case s: ViewChange.SetProperty => m + (s.property() -> s.value())
+        case r: ViewChange.RemoveProperty => m - r.property()
+        case other => throw new IllegalArgumentException(
+          s"unsupported view change $other")
+      }
+    }
+    writeView(ident, v.copy(props = props))
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    Files.deleteIfExists(viewPath(ident))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    if (viewExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(to)
+    Files.createDirectories(viewPath(to).getParent)
+    Files.move(viewPath(from), viewPath(to))
+    ()
+  }
+
+  /** Atomic persist: write a temp sibling, then move into place — a reader
+    * never sees a half-written view definition. */
+  private def writeView(ident: Identifier, v: GraftView): View = {
+    val p = viewPath(ident)
+    Files.createDirectories(p.getParent)
+    val root = viewMapper.createObjectNode()
+    root.put("sql", v.viewSql)
+    root.put("currentCatalog", v.curCatalog)
+    root.put("schemaJson", v.viewSchema.json)
+    def arr(f: String, xs: Array[String]): Unit = {
+      val a = root.putArray(f); xs.foreach(a.add); ()
+    }
+    arr("currentNamespace", v.curNamespace)
+    arr("queryColumnNames", v.qCols)
+    arr("columnAliases", v.aliases)
+    arr("columnComments", v.comments)
+    val pn = root.putObject("properties")
+    v.props.toSeq.sortBy(_._1).foreach { case (k, x) => pn.put(k, x) }
+    val tmp = p.getParent.resolve(p.getFileName.toString + s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, viewMapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    v
+  }
+}
+
+/** A persisted view definition (see GraftCatalog's view section). */
+private final case class GraftView(viewName: String, viewSql: String,
+    curCatalog: String, curNamespace: Array[String],
+    viewSchema: StructType, qCols: Array[String], aliases: Array[String],
+    comments: Array[String], props: Map[String, String]) extends View {
+  override def name(): String = viewName
+  override def query(): String = viewSql
+  override def currentCatalog(): String = curCatalog
+  override def currentNamespace(): Array[String] = curNamespace
+  override def schema(): StructType = viewSchema
+  override def queryColumnNames(): Array[String] = qCols
+  override def columnAliases(): Array[String] = aliases
+  override def columnComments(): Array[String] = comments
+  override def properties(): java.util.Map[String, String] = props.asJava
 }
 
 /** The staged face of [CREATE OR] REPLACE TABLE [AS SELECT] — see

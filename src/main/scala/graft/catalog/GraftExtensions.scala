@@ -31,6 +31,11 @@ import org.apache.spark.sql.types.DataType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectPostHocResolutionRule(session => GraftRowLevelRule(session))
+    // persistent-view DDL must be intercepted BEFORE ResolveSessionCatalog
+    // (which hard-throws for any non-session catalog view statement — Spark
+    // 4.1 has no ViewCatalog SQL dispatch); the hint-resolution batch is
+    // the one extension point that runs ahead of it
+    extensions.injectHintResolutionRule(session => GraftViewDdlRule(session))
     // the engine's native SQL functions ride the same front door, so one
     // `spark.sql.extensions=graft.catalog.GraftExtensions` line yields the
     // full surface (row-level SQL + vec_dot/minhash/top_k_by/...)

@@ -390,7 +390,58 @@ object SqlSurfaceQueries {
       |    AS sum_7d
       |FROM orders""".stripMargin)
 
-  val all: Seq[Q] = Seq(
+  /** q144: PERSISTENT VIEWS through the graft catalog (round 15) — CREATE
+    * VIEW persists the definition TEXT under the catalog warehouse
+    * (`_views/<ns>/<name>.view.json`, GraftCatalog's ViewCatalog face +
+    * the hint-batch DDL rule, since Spark 4.1 ships no V2-view SQL path of
+    * its own), reads re-analyze the text (SQL-standard expansion: the view
+    * tracks the base table's head), and a view over VERSION AS OF pins its
+    * snapshot forever — all three exercised here, against a DuckDB
+    * recompute of what the final view text must serve. */
+  val q144PersistentView: Q = Q(
+    "q144_persistent_view",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val sfx = math.abs(dir.hashCode).toString
+      val t = s"graft.default.pv_base_$sfx"
+      val v = s"graft.default.pv_view_$sfx"
+      val vp = s"graft.default.pv_pinned_$sfx"
+      spark.sql(s"DROP VIEW IF EXISTS $v")
+      spark.sql(s"DROP VIEW IF EXISTS $vp")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (okey BIGINT, prio STRING, price DOUBLE)")
+      spark.sql(s"""INSERT INTO $t
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)         // v1
+      spark.sql(s"""CREATE VIEW $v AS
+        |SELECT prio, count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM $t GROUP BY prio""".stripMargin)
+      spark.sql(s"CREATE VIEW $vp AS SELECT * FROM $t VERSION AS OF 1")
+      spark.sql(s"""INSERT INTO $t
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)         // v2
+      // the live view tracks the head; the pinned view still serves v1
+      spark.sql(
+        s"""SELECT 'live' AS face, prio, n, revenue FROM $v
+           |UNION ALL
+           |SELECT 'pinned' AS face, prio, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           |FROM $vp GROUP BY prio""".stripMargin)
+        .localCheckpoint(true)
+    },
+    Some(
+      """SELECT 'live' AS face, o_orderpriority AS prio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'pinned' AS face, o_orderpriority AS prio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority""".stripMargin))
+
+  val all: Seq[Q] = Seq(q144PersistentView,
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
     q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
     q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames, q44RecursiveCte,

@@ -765,4 +765,80 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       "the second REPLACE must drop the first definition's properties")
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("SHOW TBLPROPERTIES serves the manifest properties by name") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('quality' = 'gold', 'team' = 'etl')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $t")
+      .as[(String, String)].collect().toMap
+    assert(props.get("quality").contains("gold") && props.get("team").contains("etl"))
+    // single-key form
+    assert(spark.sql(s"SHOW TBLPROPERTIES $t ('quality')")
+      .as[(String, String)].collect().toSeq === Seq(("quality", "gold")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("persistent views: create, read, replace, list, alter, rename, drop") {
+    val t = s"graft.default.${fresh()}"
+    val v = s"graft.default.${fresh()}_v"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, amt DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    spark.sql(s"CREATE VIEW $v AS SELECT id, amt * 2 AS amt2 FROM $t WHERE id <= 2")
+    assert(spark.table(v).as[(Long, Double)].collect().sorted.toSeq
+      === Seq((1L, 20.0), (2L, 40.0)))
+    // persisted on disk, not session state: the definition file exists
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val vFile = java.nio.file.Paths.get(
+      s"$wh/_views/default/${v.split('.').last}.view.json")
+    assert(java.nio.file.Files.isRegularFile(vFile), s"no persisted view at $vFile")
+    // the view tracks the TABLE's head (no snapshot pinning without
+    // time travel in the body)
+    spark.sql(s"INSERT INTO $t VALUES (0, 5.0)")
+    assert(spark.table(v).count() === 3L)
+    // CREATE OR REPLACE swaps the definition
+    spark.sql(s"CREATE OR REPLACE VIEW $v AS SELECT id FROM $t WHERE id = 3")
+    assert(spark.table(v).as[Long].collect().toSeq === Seq(3L))
+    // SHOW VIEWS lists it
+    assert(spark.sql("SHOW VIEWS IN graft.default").collect()
+      .map(_.getString(1)).contains(v.split('.').last))
+    // ALTER VIEW SET/UNSET TBLPROPERTIES round-trips
+    spark.sql(s"ALTER VIEW $v SET TBLPROPERTIES ('note' = 'pinned')")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $v").as[(String, String)]
+      .collect().toMap.get("note").contains("pinned"))
+    spark.sql(s"ALTER VIEW $v UNSET TBLPROPERTIES ('note')")
+    assert(!spark.sql(s"SHOW TBLPROPERTIES $v").as[(String, String)]
+      .collect().toMap.contains("note"))
+    // rename, then drop
+    val v2 = s"graft.default.${fresh()}_v2"
+    spark.sql(s"ALTER VIEW $v RENAME TO $v2")
+    assert(spark.table(v2).as[Long].collect().toSeq === Seq(3L))
+    intercept[Exception] { spark.table(v).collect() }
+    spark.sql(s"DROP VIEW $v2")
+    assert(spark.sql("SHOW VIEWS IN graft.default").collect()
+      .forall(_.getString(1) != v2.split('.').last))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("a view over VERSION AS OF serves the pinned snapshot forever") {
+    // DECIDED round 15: time travel in a view body is ALLOWED — the view
+    // is a named audit snapshot and keeps serving the version its text
+    // names, no matter how far the table advances. Pinned here so the
+    // behavior cannot drift into head-tracking silently.
+    val t = s"graft.default.${fresh()}"
+    val v = s"graft.default.${fresh()}_pin"
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")                 // v0
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(5)")      // v1
+    spark.sql(s"CREATE VIEW $v AS SELECT * FROM $t VERSION AS OF 1")
+    assert(spark.table(v).count() === 5L)
+    spark.sql(s"INSERT INTO $t SELECT id + 10 FROM range(5)") // v2
+    spark.sql(s"DELETE FROM $t WHERE id < 3")                 // v3
+    assert(spark.table(t).count() === 7L)
+    assert(spark.table(v).count() === 5L,
+      "the pinned view must keep serving version 1")
+    assert(spark.table(v).agg(org.apache.spark.sql.functions.max("id"))
+      .as[Long].collect().head === 4L)
+    spark.sql(s"DROP VIEW $v")
+    spark.sql(s"DROP TABLE $t")
+  }
 }
