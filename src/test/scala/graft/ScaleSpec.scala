@@ -155,6 +155,25 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       s"expected an equi-join over the band keys:\n$plan")
   }
 
+  test("t24 bpe encode is one shuffle-free codegen projection over the scan") {
+    // the corpus-scale half of t24 (the 100 TB part) must be ONE map pass:
+    // a codegen'd Project carrying bpe_encode directly over the documents
+    // scan — no Exchange, no join, no second scan of the corpus. (The
+    // working-set aggregation is a separate bounded pre-pass by design.)
+    graft.queries.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val qe = graft.queries.TextQueries.t24BpeEncodeNative
+      .run(spark, "/root/testdata/sf0.001").queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"t24 encode must be shuffle-free:\n$plan")
+    assert(plan.contains("bpe_encode"), s"native expression missing:\n$plan")
+    assert(plan.contains("*(1)"), s"encode projection not codegen'd:\n$plan")
+    // exactly one scan feeds the projection
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("parquet"))
+    assert(scans === 1, s"expected one corpus scan, found $scans:\n$plan")
+  }
+
   test("interval join matches the naive theta join, including window edges") {
     import java.sql.Timestamp
     def t(ms: Long) = new Timestamp(ms)
