@@ -13,7 +13,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM table_changes('/path/to/t', 2)        -- commits 2..head
   *   SELECT * FROM table_changes('/path/to/t', 0, 4)     -- commits 0..4
   *   SELECT * FROM table_changes('graft.default.t', 1, 3)
+  *   SELECT * FROM table_changes('graft.default.t', '2026-08-16 12:00:00')
   * }}}
+  *
+  * A STRING bound is a TIMESTAMP (Delta's startingTimestamp /
+  * endingTimestamp forms; version and timestamp bounds mix freely): a
+  * start timestamp means the FIRST commit at or after it — one past the
+  * head refuses, there are no changes to serve yet — and an end timestamp
+  * means the LAST commit at or before it. Parsed in the session zone via
+  * Spark's own cast.
   *
   * Version bounds are INCLUSIVE on both ends, Delta's convention (the
   * Scala API's `(from, to]` convention is documented there); `startVersion
@@ -47,16 +55,57 @@ object TableChanges {
       case other => throw new IllegalArgumentException(
         s"$Name: $what must be an integer literal, got $other")
     }
+    // a STRING bound is a timestamp (Delta's startingTimestamp /
+    // endingTimestamp forms); a numeric bound is a version
+    def isStr(e: Expression): Boolean = value(e, "bound") match {
+      case _: org.apache.spark.unsafe.types.UTF8String | _: String => true
+      case _ => false
+    }
+    def bound(e: Expression, what: String, start: Boolean)
+        (implicit t: VersionedTable): Long =
+      if (isStr(e)) tsVersion(t, str(e, what), start) else long(e, what)
     exprs match {
       case Seq(t, f) =>
-        plan(str(t, "table"), long(f, "startVersion"), None)
+        implicit val vt: VersionedTable = resolved(t, str(t, "table"))
+        plan(vt, bound(f, "start", start = true), None)
       case Seq(t, f, u) =>
-        plan(str(t, "table"), long(f, "startVersion"),
-          Some(long(u, "endVersion")))
+        implicit val vt: VersionedTable = resolved(t, str(t, "table"))
+        plan(vt, bound(f, "start", start = true),
+          Some(bound(u, "end", start = false)))
       case other => throw new IllegalArgumentException(
-        s"$Name expects (table, startVersion[, endVersion]), got " +
-          s"${other.size} arguments")
+        s"$Name expects (table, start[, end]) with version or timestamp " +
+          s"bounds, got ${other.size} arguments")
     }
+  }
+
+  private def resolved(e: Expression, name: String): VersionedTable =
+    VersionedTable(resolvePath(SparkSession.active, name))
+
+  /** Timestamp bound → version, Delta's conventions: a START timestamp
+    * means "the FIRST commit at or after it" (a timestamp past the head
+    * refuses — there are no changes to serve yet), an END timestamp means
+    * "the LAST commit at or before it". Parsed in the session zone via
+    * Spark's own cast, so `'2026-08-16 12:00:00'` means what a query's
+    * TIMESTAMP literal means. */
+  private def tsVersion(t: VersionedTable, ts: String, start: Boolean): Long = {
+    val spark = SparkSession.active
+    val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ts),
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.TimestampType,
+      Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+    require(micros != null,
+      s"$Name: '$ts' does not parse as a timestamp")
+    val ms = micros.asInstanceOf[Long] / 1000L
+    if (start) {
+      val vs = t.versions()
+      require(vs.nonEmpty, s"$Name: no committed version at ${t.root}")
+      vs.find(v => t.commitTimeOf(v) >= ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"$Name: start timestamp '$ts' is after the latest commit of " +
+            s"${t.root} — no changes at or after it yet"))
+    } else t.resolveAsOfTimestamp(ms)
   }
 
   private def resolvePath(spark: SparkSession, name: String): String =
@@ -74,11 +123,11 @@ object TableChanges {
             "tables as <catalog>.[<namespace>.]<table> or pass a filesystem path"))
     }
 
-  private def plan(name: String, start: Long,
+  private def plan(t: VersionedTable, start: Long,
       endOpt: Option[Long]): LogicalPlan = {
     import org.apache.spark.sql.functions.lit
     val spark = SparkSession.active
-    val t = VersionedTable(resolvePath(spark, name))
+    val name = t.root
     val end = endOpt.getOrElse(t.resolve())
     require(start >= 0 && end >= start,
       s"$Name: invalid version range [$start, $end]")

@@ -237,6 +237,41 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("table_changes accepts timestamp bounds (Delta's starting/endingTimestamp)") {
+    val t = s"graft.default.${fresh()}"
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")                   // v0
+    Thread.sleep(25)
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(10)")       // v1
+    Thread.sleep(25)
+    spark.sql(s"DELETE FROM $t WHERE id >= 8")                  // v2
+    Thread.sleep(25)
+    spark.sql(s"INSERT INTO $t VALUES (100)")                   // v3
+    val vt = handle(t)
+    def fmt(ms: Long): String = java.time.LocalDateTime
+      .ofInstant(java.time.Instant.ofEpochMilli(ms), java.time.ZoneId.of("UTC"))
+      .toString.replace('T', ' ') // session zone is UTC in SparkSpec
+    // a start TIMESTAMP = the first commit at or after it
+    assert(spark.sql(
+      s"SELECT * FROM table_changes('$t', '${fmt(vt.commitTimeOf(2L))}')")
+      .count() === spark.sql(s"SELECT * FROM table_changes('$t', 2)").count())
+    // version and timestamp bounds mix; an end TIMESTAMP = last commit <= it
+    assert(spark.sql(
+      s"SELECT * FROM table_changes('$t', 1, '${fmt(vt.commitTimeOf(2L))}')")
+      .count() === spark.sql(s"SELECT * FROM table_changes('$t', 1, 2)").count())
+    // a start timestamp past the head refuses in the TVF's vocabulary
+    val late = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$t', '2999-01-01 00:00:00')")
+        .collect()
+    }
+    assert(late.getMessage.contains("after the latest commit"))
+    // garbage refuses as a parse error, not a silent version-0 scan
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$t', 'not-a-time')").collect()
+    }
+    assert(bad.getMessage.contains("does not parse"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("CREATE TABLE / INSERT INTO / SELECT / INSERT OVERWRITE round-trip") {
     val t = s"graft.default.${fresh()}"
     spark.sql(s"CREATE TABLE $t (id BIGINT, k STRING, amt DOUBLE)")
