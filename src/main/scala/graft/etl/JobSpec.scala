@@ -262,6 +262,16 @@ object JobSpec {
       case "TextIndexEvict" => TextIndexEvict(
         name, str(n, "inputView"), str(n, "storeURI"),
         str(n, "fingerprint"), optStr(n, "outputView"), envs(n))
+      case "StreamIndexSync" => StreamIndexSync(
+        name, str(n, "tableURI"), str(n, "storeURI"), str(n, "kind"),
+        str(n, "checkpointURI"), optStr(n, "fingerprint").getOrElse(""),
+        optStr(n, "outputView"), envs(n))
+      case "StreamForgetDrain" => StreamForgetDrain(
+        name, str(n, "requestsURI"), str(n, "idColumn"),
+        str(n, "checkpointURI"),
+        optStr(n, "textStoreURI"), optStr(n, "vectorStoreURI"),
+        optStr(n, "dedupStoreURI"),
+        optStr(n, "fingerprint").getOrElse("forget"), envs(n))
       case "ForgetBatch" => ForgetBatch(
         name, str(n, "requestsURI"), str(n, "idColumn"),
         optStr(n, "textStoreURI"), optStr(n, "vectorStoreURI"),

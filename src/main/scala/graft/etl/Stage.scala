@@ -1323,3 +1323,72 @@ final case class ForgetBatch(
     }
   }
 }
+
+/** One scheduled DRAIN of the continuous index-follows-table sync — the
+  * declarative face of [[graft.streaming.StreamingEtl.textIndexSyncStream]]
+  * / `vectorSyncStream`: each job run starts the CDF-triggered stream with
+  * AvailableNow, drains every base-table commit the checkpoint has not
+  * seen (each non-empty batch one cursor-guarded syncFromTable), and
+  * stops — the scheduler-tick shape, like [[StreamIngest]]. Differs from
+  * [[TextIndexSync]]/[[VectorIndexSync]] exactly as a stream differs from
+  * a batch verb: restarts resume from the CHECKPOINT (no re-listing of the
+  * feed), a crashed tick replays convergently, and the same checkpoint can
+  * later back an always-on deployment of the identical stream. `kind` is
+  * `text` (requires `fingerprint`) or `vector`. */
+final case class StreamIndexSync(
+    name: String,
+    tableURI: String,
+    storeURI: String,
+    kind: String,
+    checkpointURI: String,
+    fingerprint: String = "",
+    outputView: Option[String] = None,
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    val (table, store, ckpt) =
+      (sub(tableURI, env), sub(storeURI, env), sub(checkpointURI, env))
+    val q = kind match {
+      case "text" => graft.streaming.StreamingEtl.textIndexSyncStream(
+        spark, table, store, sub(fingerprint, env), ckpt)
+      case "vector" => graft.streaming.StreamingEtl.vectorSyncStream(
+        spark, table, store, ckpt)
+      case other => throw new IllegalArgumentException(
+        s"stage $name: kind must be 'text' or 'vector', got '$other'")
+    }
+    q.awaitTermination()
+    outputView.map { v =>
+      import spark.implicits._
+      val anchor = if (kind == "text") s"$store/postings" else s"$store/cents"
+      val df = Seq(VersionedTable(anchor).properties
+        .get("syncedVersion").map(_.toLong).getOrElse(-1L))
+        .toDF("synced_version")
+      df.createOrReplaceTempView(v)
+      df
+    }
+  }
+}
+
+/** One scheduled DRAIN of the continuous RTBF queue — the declarative face
+  * of [[graft.streaming.StreamingEtl.forgetDrainStream]]: requests appended
+  * to the versioned request table since the checkpoint's last tick fire
+  * batches, each running the cursor-guarded batched erasure
+  * ([[ForgetBatch]]'s one-evict-per-store drain). */
+final case class StreamForgetDrain(
+    name: String,
+    requestsURI: String,
+    idColumn: String,
+    checkpointURI: String,
+    textStoreURI: Option[String] = None,
+    vectorStoreURI: Option[String] = None,
+    dedupStoreURI: Option[String] = None,
+    fingerprint: String = "forget",
+    environments: Seq[String] = Nil) extends Stage {
+  def execute(spark: SparkSession, env: Map[String, String]): Option[DataFrame] = {
+    graft.streaming.StreamingEtl.forgetDrainStream(spark,
+      sub(requestsURI, env), sub(idColumn, env),
+      textStoreURI.map(sub(_, env)), vectorStoreURI.map(sub(_, env)),
+      dedupStoreURI.map(sub(_, env)), sub(fingerprint, env),
+      sub(checkpointURI, env)).awaitTermination()
+    None
+  }
+}

@@ -552,6 +552,31 @@ object StreamingEtl {
       ()
     }
 
+  /** CONTINUOUS RTBF drain — the streaming face of
+    * [[graft.etl.ForgetBatch]]: forget requests appended to the request
+    * table fire micro-batches (its own change feed is the trigger), and
+    * each batch runs one cursor-guarded batched drain — every pending id
+    * erased from every configured store in ONE evict per store. The same
+    * convergence argument as the batch stage: the `forgetCursor` advances
+    * after the evicts, replayed ids erase nothing, so crash/replay at any
+    * point converges; requests arriving DURING a drain are past the
+    * cursor and fire the next batch. */
+  def forgetDrainStream(
+      spark: SparkSession,
+      requestsRoot: String,
+      idColumn: String,
+      textStoreURI: Option[String] = None,
+      vectorStoreURI: Option[String] = None,
+      dedupStoreURI: Option[String] = None,
+      fingerprint: String = "forget",
+      checkpointDir: String): StreamingQuery =
+    changeFeedTrigger(spark, requestsRoot, checkpointDir, requestsRoot) { _ =>
+      graft.etl.ForgetBatch("forget-drain", requestsRoot, idColumn,
+        textStoreURI, vectorStoreURI, dedupStoreURI, fingerprint, None)
+        .execute(spark, Map.empty)
+      ()
+    }
+
   /** Shared scaffold for the sync streams: CDF-triggered micro-batches,
     * AvailableNow, a `lastTxn` fast-skip keyed on the store's anchor table. */
   private def changeFeedTrigger(

@@ -115,6 +115,54 @@ class ForgetBatchSpec extends AnyFunSuite with SparkSpec {
       .filter("doc_id % 9 = 1").isEmpty)
   }
 
+  test("forgetDrainStream: requests stream in, stores converge to serial erasure") {
+    val base = tmpDir("fbs-")
+    val docs = docsDf(60)
+    TextIndexStore.build(spark, s"$base/text", docs, "fp0")
+    SignatureStore.build(spark, s"$base/sig", docs)
+    val reqRoot = s"$base/req"
+    val reqT = VersionedTable(reqRoot)
+    reqT.commit(spark.range(0, 60).filter("id % 6 = 0").selectExpr("id AS doc_id"))
+    // tick 1 drains the first wave
+    assert(graft.streaming.StreamingEtl.forgetDrainStream(spark, reqRoot,
+      "doc_id", textStoreURI = Some(s"$base/text"),
+      dedupStoreURI = Some(s"$base/sig"),
+      checkpointDir = s"$base/ckpt").awaitTermination(120000))
+    assert(VersionedTable(s"$base/text/postings").read(spark)
+      .filter("doc_id % 6 = 0").isEmpty)
+    // new requests arrive; tick 2 resumes from the checkpoint and drains
+    // ONLY them (the cursor makes replays no-ops either way)
+    reqT.append(spark.range(0, 60).filter("id % 6 = 3").selectExpr("id AS doc_id"))
+    assert(graft.streaming.StreamingEtl.forgetDrainStream(spark, reqRoot,
+      "doc_id", textStoreURI = Some(s"$base/text"),
+      dedupStoreURI = Some(s"$base/sig"),
+      checkpointDir = s"$base/ckpt").awaitTermination(120000))
+    for (t <- Seq(s"$base/text/postings", s"$base/sig/sigs"))
+      assert(VersionedTable(t).read(spark).filter("doc_id % 3 = 0").isEmpty,
+        s"$t still serves drained ids")
+    // stats shrank exactly: nd equals the surviving doc count
+    assert(TextIndexStore.stats(s"$base/text")._1 === 40L)
+  }
+
+  test("StreamIndexSync stage drains a tick from declarative JSON") {
+    val base = tmpDir("sis-")
+    val t = VersionedTable(s"$base/corpus")
+    val docs = docsDf(50)
+    t.commit(docs.filter("doc_id % 2 = 0"))
+    TextIndexStore.build(spark, s"$base/ix", t.read(spark), "fp0")
+    TextIndexStore.markSynced(s"$base/ix", t.resolve())
+    t.append(docs.filter("doc_id % 2 = 1"))
+    JobSpec.fromJson(
+      s"""{"stages": [
+         |  {"type": "StreamIndexSync", "name": "s", "tableURI": "$base/corpus",
+         |   "storeURI": "$base/ix", "kind": "text", "fingerprint": "fp1",
+         |   "checkpointURI": "$base/ckpt", "outputView": "sis_audit"}
+         |]}""".stripMargin).run(spark, Map.empty)
+    assert(TextIndexStore.stats(s"$base/ix")._1 === 50L)
+    import spark.implicits._
+    assert(spark.table("sis_audit").as[Long].collect().head === t.resolve())
+  }
+
   test("ForgetBatch parses and runs from declarative JSON") {
     val base = tmpDir("fbj-")
     val docs = docsDf(40)
