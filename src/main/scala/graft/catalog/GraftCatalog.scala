@@ -194,6 +194,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       mustNotExist: Boolean, mustExist: Boolean): StagedTable = {
     if (mustNotExist && tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (mustExist && !tableExists(ident)) throw new NoSuchTableException(ident)
+    if (viewExists(ident)) throw new TableAlreadyExistsException(ident)
     Option(info.properties().get(TableCatalog.PROP_LOCATION)).foreach { loc =>
       val resolved = tablePath(ident).toString
       if (Paths.get(loc.stripPrefix("file:")).toString != resolved)
@@ -239,6 +240,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // a stored VIEW occupies the name too (the collision guard is
+    // two-directional — createView/replaceView already check tableExists)
+    if (viewExists(ident)) throw new TableAlreadyExistsException(ident)
     // CREATE TABLE ... LOCATION: the catalog's only state is the directory
     // layout, so a table materialized away from <warehouse>/<ns>/<name>
     // could never be resolved again by its identifier. Reject rather than
@@ -508,6 +512,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
     if (viewExists(to))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(to)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
     Files.createDirectories(viewPath(to).getParent)
     Files.move(viewPath(from), viewPath(to))
     ()

@@ -55,15 +55,31 @@ object TableChanges {
       case other => throw new IllegalArgumentException(
         s"$Name: $what must be an integer literal, got $other")
     }
-    // a STRING bound is a timestamp (Delta's startingTimestamp /
-    // endingTimestamp forms); a numeric bound is a version
-    def isStr(e: Expression): Boolean = value(e, "bound") match {
-      case _: org.apache.spark.unsafe.types.UTF8String | _: String => true
-      case _ => false
-    }
+    // a STRING / TIMESTAMP / DATE bound is a timestamp (Delta's
+    // startingTimestamp / endingTimestamp forms); an INTEGER bound is a
+    // version. Typed temporal literals must NOT fall through to the
+    // version arm — a TIMESTAMP literal evals to epoch-MICROS, which would
+    // silently read as a nonsense huge version number.
     def bound(e: Expression, what: String, start: Boolean)
-        (implicit t: VersionedTable): Long =
-      if (isStr(e)) tsVersion(t, str(e, what), start) else long(e, what)
+        (implicit t: VersionedTable): Long = e.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        tsVersion(t, str(e, what), start)
+      case org.apache.spark.sql.types.TimestampType =>
+        tsVersionMs(t, long(e, what) / 1000L, s"$what (timestamp)", start)
+      case org.apache.spark.sql.types.DateType =>
+        // DATE literal = days since epoch; the bound is the session-zone
+        // midnight of that date (what a DATE means in the session's queries)
+        tsVersionMs(t, java.time.LocalDate.ofEpochDay(long(e, what))
+          .atStartOfDay(java.time.ZoneId.of(SparkSession.active
+            .sessionState.conf.sessionLocalTimeZone))
+          .toInstant.toEpochMilli, s"$what (date)", start)
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        long(e, what)
+      case other => throw new IllegalArgumentException(
+        s"$Name: $what must be an integer version or a string/timestamp/" +
+          s"date bound, got ${other.sql}")
+    }
     exprs match {
       case Seq(t, f) =>
         implicit val vt: VersionedTable = resolved(t, str(t, "table"))
@@ -97,16 +113,19 @@ object TableChanges {
       Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
     require(micros != null,
       s"$Name: '$ts' does not parse as a timestamp")
-    val ms = micros.asInstanceOf[Long] / 1000L
+    tsVersionMs(t, micros.asInstanceOf[Long] / 1000L, s"'$ts'", start)
+  }
+
+  private def tsVersionMs(t: VersionedTable, ms: Long, label: String,
+      start: Boolean): Long =
     if (start) {
       val vs = t.versions()
       require(vs.nonEmpty, s"$Name: no committed version at ${t.root}")
       vs.find(v => t.commitTimeOf(v) >= ms).getOrElse(
         throw new IllegalArgumentException(
-          s"$Name: start timestamp '$ts' is after the latest commit of " +
+          s"$Name: start bound $label is after the latest commit of " +
             s"${t.root} — no changes at or after it yet"))
     } else t.resolveAsOfTimestamp(ms)
-  }
 
   private def resolvePath(spark: SparkSession, name: String): String =
     if (name.contains('/')) name

@@ -8,6 +8,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 
+import scala.jdk.CollectionConverters._
+
 /** SQL surface for [[GraftCatalog]]'s persistent views.
   *
   * Spark 4.1 ships the `ViewCatalog` CONNECTOR interface but no SQL path to
@@ -39,19 +41,35 @@ case class GraftViewDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     } catch { case _: Exception => None }
 
-  /** Map a raw multipart identifier onto (graft catalog, view identifier):
-    * explicit `graft.ns.v`, or relative under a graft CURRENT catalog. */
-  private def viewIdent(parts: Seq[String]): Option[(GraftCatalog, Identifier)] =
+  /** Map a raw multipart identifier onto (graft catalog, view identifier,
+    * explicitly-qualified?): explicit `graft.ns.v`, or relative under a
+    * graft CURRENT catalog. Spark's own convention for relative names: a
+    * MULTI-part name IS the namespace-qualified identifier (`default.v`
+    * under `USE graft` means graft.default.v); only a single-part name
+    * takes the current namespace. */
+  private def viewIdent(parts: Seq[String])
+      : Option[(GraftCatalog, Identifier, Boolean)] =
     if (parts.length >= 2 && asGraft(parts.head).isDefined)
       asGraft(parts.head).map { g =>
         val rest = parts.tail
-        (g, Identifier.of(rest.init.toArray, rest.last))
+        (g, Identifier.of(rest.init.toArray, rest.last), true)
       }
     else cm.currentCatalog match {
       case g: GraftCatalog if parts.nonEmpty =>
-        val full = cm.currentNamespace.toSeq ++ parts
-        Some((g, Identifier.of(full.init.toArray, full.last)))
+        val full =
+          if (parts.length == 1) cm.currentNamespace.toSeq ++ parts else parts
+        Some((g, Identifier.of(full.init.toArray, full.last), false))
       case _ => None
+    }
+
+  /** A DDL child rewrites when the identifier is EXPLICITLY catalog-
+    * qualified (a temp view can never carry a catalog prefix — our error
+    * vocabulary should own the statement even on a miss), or when the
+    * stored view actually exists; a RELATIVE name with no stored view
+    * falls through so Spark's own temp-view machinery keeps handling it. */
+  private def owned(parts: Seq[String]): Option[(GraftCatalog, Identifier)] =
+    viewIdent(parts).collect {
+      case (g, id, explicit) if explicit || g.viewExists(id) => (g, id)
     }
 
   private def partsOf(child: LogicalPlan): Option[Seq[String]] = child match {
@@ -62,38 +80,54 @@ case class GraftViewDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    // CREATE VIEW is a persistent-view statement by grammar (temp views
+    // parse to their own nodes), so any graft-resolved identifier is ours
     case c @ CreateView(child, userCols, comment, _, props, originalText,
         query, allowExisting, replace, _) =>
-      partsOf(child).flatMap(viewIdent).map { case (g, id) =>
+      partsOf(child).flatMap(viewIdent).map { case (g, id, _) =>
         GraftCreateViewCommand(g, id, userCols, comment, props,
           originalText, query, allowExisting, replace): LogicalPlan
       }.getOrElse(c)
     case d @ DropView(child, ifExists) =>
-      partsOf(child).flatMap(viewIdent).map { case (g, id) =>
+      partsOf(child).flatMap(owned).map { case (g, id) =>
         GraftDropViewCommand(g, id, ifExists): LogicalPlan
       }.getOrElse(d)
-    case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output)
-        if parts.nonEmpty && asGraft(parts.head).isDefined =>
-      GraftShowViewsCommand(asGraft(parts.head).get, parts.tail, pattern, output)
+    case s @ ShowViews(nsChild, pattern, output) =>
+      (nsChild match {
+        case UnresolvedNamespace(parts, _)
+            if parts.nonEmpty && asGraft(parts.head).isDefined =>
+          Some((asGraft(parts.head).get, parts.tail))
+        case UnresolvedNamespace(parts, _) => cm.currentCatalog match {
+          // `SHOW VIEWS IN default` under USE graft
+          case g: GraftCatalog => Some((g, parts))
+          case _ => None
+        }
+        // bare `SHOW VIEWS` parses to the CurrentNamespace marker
+        case org.apache.spark.sql.catalyst.analysis.CurrentNamespace =>
+          cm.currentCatalog match {
+            case g: GraftCatalog => Some((g, cm.currentNamespace.toSeq))
+            case _ => None
+          }
+        case _ => None
+      }).map { case (g, ns) =>
+        GraftShowViewsCommand(g, ns, pattern, output): LogicalPlan
+      }.getOrElse(s)
     case sp @ SetViewProperties(child, props) =>
-      partsOf(child).flatMap(viewIdent).map { case (g, id) =>
+      partsOf(child).flatMap(owned).map { case (g, id) =>
         GraftAlterViewPropsCommand(g, id, set = props, unset = Nil): LogicalPlan
       }.getOrElse(sp)
     case up @ UnsetViewProperties(child, keys, _) =>
-      partsOf(child).flatMap(viewIdent).map { case (g, id) =>
+      partsOf(child).flatMap(owned).map { case (g, id) =>
         GraftAlterViewPropsCommand(g, id, set = Map.empty, unset = keys): LogicalPlan
       }.getOrElse(up)
     case av @ AlterViewAs(child, originalText, query) =>
-      partsOf(child).flatMap(viewIdent).map { case (g, id) =>
+      partsOf(child).flatMap(owned).map { case (g, id) =>
         GraftAlterViewAsCommand(g, id, originalText, query): LogicalPlan
       }.getOrElse(av)
     case rt @ RenameTable(child, newName, true) =>
       (for {
         parts <- partsOf(child)
-        from <- viewIdent(parts)
-        // only rewrite when the SOURCE is a stored graft view — a session
-        // temp view rename must keep Spark's own behavior
-        if from._1.viewExists(from._2)
+        from <- owned(parts)
       } yield {
         val toParts =
           if (newName.length >= 2 && asGraft(newName.head).contains(from._1))
@@ -138,13 +172,6 @@ case class GraftCreateViewCommand(catalog: GraftCatalog, ident: Identifier,
       (props ++ comment.map("comment" -> _)).asJava)
     if (replace) catalog.replaceView(info, true) else catalog.createView(info)
     Nil
-  }
-  private implicit class MapOps(m: Map[String, String]) {
-    def asJava: java.util.Map[String, String] = {
-      val j = new java.util.HashMap[String, String]()
-      m.foreach { case (k, v) => j.put(k, v) }
-      j
-    }
   }
 }
 

@@ -1348,8 +1348,13 @@ final case class StreamIndexSync(
     val (table, store, ckpt) =
       (sub(tableURI, env), sub(storeURI, env), sub(checkpointURI, env))
     val q = kind match {
-      case "text" => graft.streaming.StreamingEtl.textIndexSyncStream(
-        spark, table, store, sub(fingerprint, env), ckpt)
+      case "text" =>
+        require(sub(fingerprint, env).nonEmpty,
+          s"stage $name: kind 'text' requires a fingerprint (the corpus " +
+            "fingerprint the store records) — omitting it would silently " +
+            "stamp an empty pass name")
+        graft.streaming.StreamingEtl.textIndexSyncStream(
+          spark, table, store, sub(fingerprint, env), ckpt)
       case "vector" => graft.streaming.StreamingEtl.vectorSyncStream(
         spark, table, store, ckpt)
       case other => throw new IllegalArgumentException(

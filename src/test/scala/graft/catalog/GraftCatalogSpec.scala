@@ -269,6 +269,16 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       spark.sql(s"SELECT * FROM table_changes('$t', 'not-a-time')").collect()
     }
     assert(bad.getMessage.contains("does not parse"))
+    // a TYPED temporal literal is a timestamp bound too — epoch-micros must
+    // never leak through as a nonsense version number
+    assert(spark.sql(
+      s"SELECT * FROM table_changes('$t', TIMESTAMP '${fmt(vt.commitTimeOf(2L))}')")
+      .count() === spark.sql(s"SELECT * FROM table_changes('$t', 2)").count())
+    // an unsupported bound type refuses loudly
+    val dbl = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$t', 1.5)").collect()
+    }
+    assert(dbl.getMessage.contains("integer version or a string"))
     spark.sql(s"DROP TABLE $t")
   }
 
@@ -853,6 +863,44 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SHOW VIEWS IN graft.default").collect()
       .forall(_.getString(1) != v2.split('.').last))
     spark.sql(s"DROP TABLE $t")
+  }
+
+  test("view DDL under USE graft: relative names, temp-view fall-through, collisions") {
+    val cmgr = spark.sessionState.catalogManager
+    val prior = cmgr.currentCatalog.name()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.default")
+    spark.sql("USE graft.default")
+    try {
+      val n = fresh()
+      spark.sql(s"CREATE TABLE base_$n (id BIGINT)")
+      spark.sql(s"INSERT INTO base_$n SELECT id FROM range(4)")
+      // a MULTI-part relative name IS the namespace-qualified identifier
+      // (Spark's own convention) — `default.v` must land at graft.default.v
+      spark.sql(s"CREATE VIEW default.rel_$n AS SELECT * FROM base_$n")
+      assert(spark.table(s"graft.default.rel_$n").count() === 4L)
+      assert(spark.table(s"rel_$n").count() === 4L)
+      // a single-part relative name takes the current namespace
+      spark.sql(s"CREATE VIEW bare_$n AS SELECT * FROM base_$n WHERE id < 2")
+      assert(spark.table(s"graft.default.bare_$n").count() === 2L)
+      // temp views keep Spark's own machinery: DROP VIEW on a temp name
+      // must drop the TEMP view, not error into the graft catalog
+      spark.sql(s"CREATE TEMPORARY VIEW tv_$n AS SELECT 1 AS one")
+      spark.sql(s"DROP VIEW tv_$n")
+      assert(!spark.catalog.tableExists(s"tv_$n"))
+      // name collisions refuse BOTH ways
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE rel_$n (x BIGINT)") // view occupies the name
+      }
+      intercept[Exception] {
+        spark.sql(s"ALTER VIEW bare_$n RENAME TO base_$n") // table occupies it
+      }
+      spark.sql(s"DROP VIEW default.rel_$n")
+      spark.sql(s"DROP VIEW bare_$n")
+      // relative SHOW VIEWS forms work under the graft current catalog
+      assert(spark.sql("SHOW VIEWS").collect() != null)
+      assert(spark.sql("SHOW VIEWS IN default").collect() != null)
+      spark.sql(s"DROP TABLE base_$n")
+    } finally cmgr.setCurrentCatalog(prior)
   }
 
   test("a view over VERSION AS OF serves the pinned snapshot forever") {
