@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Production-size BPE application — `bpe_encode(text, merges)` — greedy
@@ -90,6 +90,72 @@ case class BpeEncode(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "bpe_encode"
+}
+
+/** Byte-level BPE application — `bpe_encode_bytes(payload, merges)` — the
+  * GPT-2 production form (Radford et al. 2019, `bytes_to_unicode`): the
+  * input is BINARY, every byte 0–255 is first remapped to a single printable
+  * code point (bytes 33–126, 161–172, 174–255 keep their own code point; the
+  * 68 non-printables map in byte order to 256–323, so space → U+0120 `Ġ` and
+  * newline → U+010A `Ċ` — the characters GPT-2 vocabularies are famous for),
+  * and the SAME greedy rank-priority merge loop as [[BpeEncode]] then runs
+  * over the remapped code points. Nothing is dropped from the output (the
+  * byte-level convention: the token stream concatenates back to the exact
+  * input bytes), and `merges` is expressed in the REMAPPED alphabet — which
+  * is what a trained byte-level vocabulary is.
+  *
+  * Word-memo fast path (the lru_cache of GPT-2's reference encoder): when
+  * every merge is confined to a single pre-token — `Ġ` appears in no right
+  * side and only at position 0 of a left side, which any list trained on
+  * `Ġword` pre-tokens satisfies by construction — pre-token boundaries
+  * (before each `Ġ`) are walls no merge site can cross, so the document
+  * splits at them and each pre-token encodes independently through the
+  * bounded per-thread memo. A list with space-crossing merges (e.g. trained
+  * on raw sequences) falls back to one whole-sequence greedy pass.
+  *
+  * Bit-equality contract: identical to [[BpeEncode]]'s (greedy == the
+  * rank-chained single-pass replace the DuckDB oracle replays, for causally
+  * consistent lists), over the remapped alphabet — the remap is a bijection
+  * byte → code point, so the causal argument is untouched by it. */
+case class BpeEncodeBytes(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode_bytes requires (binary, array<string>), got (${l.sql}, ${r.sql})")
+    }
+
+  @transient private lazy val staticCodec: Option[BpeCodec] =
+    if (right.foldable) {
+      Option(right.eval(null)).map(m => BpeCodec.fromArray(m.asInstanceOf[ArrayData]))
+    } else None
+
+  override def nullSafeEval(payload: Any, merges: Any): Any = {
+    val codec = staticCodec.getOrElse(
+      BpeCodec.fromArray(merges.asInstanceOf[ArrayData]))
+    codec.encodeBytes(payload.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    staticCodec match {
+      case Some(codec) =>
+        val ref = ctx.addReferenceObj("bpeCodec", codec, classOf[BpeCodec].getName)
+        nullSafeCodeGen(ctx, ev, (payload, _) => s"${ev.value} = $ref.encodeBytes($payload);")
+      case None =>
+        nullSafeCodeGen(ctx, ev, (payload, merges) =>
+          s"${ev.value} = graft.functions.BpeCodec.fromArray($merges).encodeBytes($payload);")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeEncodeBytes =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bpe_encode_bytes"
 }
 
 /** A compiled merge table: two-level rank map (left-token → right-token →
@@ -206,6 +272,57 @@ final class BpeCodec(private val pairs: Array[(String, String)]) extends Seriali
     arr
   }
 
+  /** True when every merge stays inside one byte-level PRE-TOKEN (`Ġ` =
+    * U+0120, the remapped space, in no right side and only leading a left
+    * side) — then boundaries before each `Ġ` are walls and the per-pre-token
+    * memo applies, exactly the GPT-2 reference encoder's cache discipline. */
+  @transient private lazy val preTokenLevel: Boolean =
+    pairs.forall { case (a, b) =>
+      b.indexOf(BpeCodec.RemappedSpace) < 0 && a.indexOf(BpeCodec.RemappedSpace, 1) < 0
+    }
+
+  private def encodePreToken(w: String): Array[String] = {
+    val cache = wordCache.get()
+    val hit = cache.get(w)
+    if (hit != null) return hit
+    val out = new java.util.ArrayList[String](w.length)
+    greedy(w, out, dropSpaces = false)
+    val arr = out.toArray(new Array[String](out.size()))
+    cache.put(w, arr)
+    arr
+  }
+
+  /** Byte-level entry: remap (bijective, [[BpeCodec.ByteToChar]]) then the
+    * same greedy loop; no token is dropped. */
+  def encodeBytes(payload: Array[Byte]): GenericArrayData = {
+    val n = payload.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) { sb.append(BpeCodec.ByteToChar(payload(i) & 0xff)); i += 1 }
+    val s = sb.toString
+    val out = new java.util.ArrayList[String](math.max(8, n / 2))
+    if (preTokenLevel) {
+      // boundaries BEFORE each Ġ are walls: encode pre-token by pre-token
+      var start = 0
+      i = 1
+      while (i <= s.length) {
+        if (i == s.length || s.charAt(i) == BpeCodec.RemappedSpace) {
+          val toks = encodePreToken(s.substring(start, i))
+          var j = 0
+          while (j < toks.length) { out.add(toks(j)); j += 1 }
+          start = i
+        }
+        i += 1
+      }
+    } else {
+      greedy(s, out, dropSpaces = false)
+    }
+    val res = new Array[Any](out.size())
+    var j = 0
+    while (j < res.length) { res(j) = UTF8String.fromString(out.get(j)); j += 1 }
+    new GenericArrayData(res)
+  }
+
   def encode(text: UTF8String): GenericArrayData = {
     val s = text.toString
     val out = new java.util.ArrayList[String](math.max(8, s.length / 2))
@@ -239,6 +356,40 @@ final class BpeCodec(private val pairs: Array[(String, String)]) extends Seriali
 object BpeCodec {
   val Sep: Char = '\u001F'
   private[functions] val WordCacheCap = 16384
+
+  /** GPT-2's `bytes_to_unicode` (Radford et al. 2019, public reference
+    * implementation): printable bytes 33–126 / 161–172 / 174–255 keep their
+    * code point; the remaining 68 bytes map in byte order to 256–323.
+    * Bijective byte → code point, so token streams concatenate back to the
+    * exact input bytes. Space (32) lands on U+0120 `Ġ`, newline on U+010A. */
+  val ByteToChar: Array[Char] = {
+    val a = new Array[Char](256)
+    var k = 0
+    var b = 0
+    while (b < 256) {
+      if ((b >= 33 && b <= 126) || (b >= 161 && b <= 172) || (b >= 174 && b <= 255)) {
+        a(b) = b.toChar
+      } else {
+        a(b) = (256 + k).toChar
+        k += 1
+      }
+      b += 1
+    }
+    a
+  }
+
+  /** `Ġ` — where byte 0x20 lands; the byte-level pre-token boundary marker. */
+  val RemappedSpace: Char = ByteToChar(' '.toInt)
+
+  /** Remap a string's UTF-8 bytes through [[ByteToChar]] — how a byte-level
+    * working set (and its trained merge alphabet) is built from text. */
+  def remapUtf8(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(ByteToChar(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
 
   /** Parse the wire-format merge table (`"left␟right"` per rank). Loud on
     * malformed elements — a silent skip would encode with a DIFFERENT

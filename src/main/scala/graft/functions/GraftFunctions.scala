@@ -97,6 +97,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"bpe_encode expects (string, array<string>), got ${other.size} args")
     }),
+    ("bpe_encode_bytes", classOf[BpeEncodeBytes], (exprs: Seq[Expression]) => exprs match {
+      case Seq(payload, merges) => BpeEncodeBytes(payload, merges)
+      case other => throw new IllegalArgumentException(
+        s"bpe_encode_bytes expects (binary, array<string>), got ${other.size} args")
+    }),
     ("vec_sum_u6", classOf[VecSumU6], (exprs: Seq[Expression]) => exprs match {
       case Seq(v) => VecSumU6(v)
       case other => throw new IllegalArgumentException(

@@ -1105,10 +1105,141 @@ object TextQueries {
       })
   }
 
+  /** t25: BYTE-LEVEL BPE ENCODE — [[t24BpeEncodeNative]]'s sibling in the
+    * GPT-2 production form (Radford et al. 2019): the tokenizer operates on
+    * BYTES, remapped bijectively to printable code points by the public
+    * `bytes_to_unicode` table (space → `Ġ` U+0120, newline → `Ċ` U+010A; see
+    * [[graft.functions.BpeCodec.ByteToChar]]), so ANY byte sequence —
+    * arbitrary Unicode text, even binary payloads — tokenizes with no OOV
+    * and the token stream concatenates back to the exact input bytes. This
+    * is the last gap between the engine's BPE stack (t18 pair counting, t21
+    * chained-replace semantics, t23 distributed training, t24 native encode)
+    * and the real tokenizer stack: production vocabularies (GPT-2/RoBERTa/
+    * Llama BPE) are byte-level.
+    *
+    * Same scale shape as t24: ONE corpus pass aggregates the weighted
+    * adjacent-word-bigram working set, remapped through the byte table and
+    * trained as a bounded local loop (128 rounds here — t24 already proves
+    * the 256-round/4k-vocab scaling; this entry's demonstrand is the byte
+    * remap and the binary input path); the encode is one shuffle-free
+    * codegen projection over `CAST(text AS BINARY)` through the native
+    * [[graft.functions.BpeEncodeBytes]] expression. Nothing is dropped from
+    * the output (byte-level convention), so `n_tokens` counts remapped-space
+    * tokens too.
+    *
+    * The DuckDB oracle replays every half relationally, bit-for-bit: the
+    * byte remap as nested `list_transform` over the hex form (UTF-8 bytewise
+    * string order == code-point order == Java's non-surrogate UTF-16 order,
+    * so the argmax tiebreaks agree across engines), then t24's unrolled
+    * MATERIALIZED training rounds, then the rank-chained replace over the
+    * remapped documents — equal to the native greedy by the causal argument
+    * in [[graft.functions.BpeEncode]]'s scaladoc (the remap is a bijection,
+    * so the argument is untouched). */
+  val t25BpeEncodeBytes: Q = {
+    val Rounds = 128
+    val sep = "\u001F"
+    val bigramCap = 4000
+    Q(
+      "t25_bpe_encode_bytes",
+      (spark, dir) => {
+        import org.apache.spark.sql.functions.{array_join, col, expr, lit, size}
+        Tables.registerAll(spark, dir)
+        // one corpus pass: the weighted bigram working set (t24's), then
+        // remapped through the byte table on the driver and trained locally
+        val wset: Seq[(String, Long)] = spark.sql(
+          s"""SELECT concat(w1, ' ', w2) AS bg, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT w AS w1, l[pos + 1] AS w2
+             |      FROM (SELECT split(text, ' ') AS l FROM documents) t
+             |      LATERAL VIEW posexplode(slice(l, 1, size(l) - 1)) p AS pos, w)
+             |WHERE w1 RLIKE '^[a-z]+$$' AND w2 RLIKE '^[a-z]+$$'
+             |GROUP BY 1 ORDER BY n DESC, bg LIMIT $bigramCap""".stripMargin)
+          .collect()
+          .map(r => (graft.functions.BpeCodec.remapUtf8(r.getString(0)), r.getLong(1)))
+          .toSeq
+        val merges = graft.functions.BpeTrain.train(wset, Rounds)
+        require(merges.size == Rounds,
+          s"working set exhausted at ${merges.size} merges (need $Rounds)")
+        val mergeLits = merges.map { case (a, b) => a + sep + b }.toArray
+        val toks = org.apache.spark.sql.graft.PlanShim.column(
+          graft.functions.BpeEncodeBytes(
+            org.apache.spark.sql.graft.PlanShim.expression(col("text").cast("binary")),
+            org.apache.spark.sql.graft.PlanShim.expression(lit(mergeLits))))
+        Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("bigint").as("n_tokens"),
+            array_join(col("toks"), sep).as("enc"))
+      },
+      Some {
+        val d31 = "chr(31)"
+        val d62 = s"$d31 || $d31"
+        // bytes_to_unicode as SQL: hex pairs -> byte value -> remapped char,
+        // each followed by the doubled sentinel (the t21/t24 token encoding)
+        def remap(h: String, nb: String): String =
+          s"""$d62 || array_to_string(list_transform(list_transform(
+             |      range(1, $nb + 1),
+             |      i -> CAST((instr('0123456789ABCDEF', substring($h, 2*i-1, 1)) - 1) * 16
+             |           + instr('0123456789ABCDEF', substring($h, 2*i, 1)) - 1 AS INTEGER)),
+             |    v -> CASE WHEN (v BETWEEN 33 AND 126) OR (v BETWEEN 161 AND 172)
+             |                OR (v BETWEEN 174 AND 255) THEN chr(v)
+             |              WHEN v <= 32 THEN chr(256 + v)
+             |              WHEN v <= 160 THEN chr(v + 162)
+             |              ELSE chr(323) END || $d62), '')""".stripMargin
+        def round(r: Int): String =
+          s"""w$r AS MATERIALIZED (
+             |  WITH px AS (
+             |    SELECT unnest(list_transform(range(1, len(tk)),
+             |             i -> tk[i] || $d31 || tk[i + 1])) AS p, n
+             |    FROM (SELECT list_filter(string_split(s, $d62), x -> x != '') AS tk, n
+             |          FROM w${r - 1})
+             |    WHERE len(tk) >= 2),
+             |  bx AS (
+             |    SELECT string_split(p, $d31)[1] AS a, string_split(p, $d31)[2] AS b
+             |    FROM px GROUP BY p ORDER BY CAST(sum(n) AS BIGINT) DESC, p LIMIT 1)
+             |  SELECT replace(w.s, $d31 || b.a || $d62 || b.b || $d31,
+             |                 $d31 || b.a || b.b || $d31) AS s, w.n,
+             |         b.a AS ma, b.b AS mb
+             |  FROM w${r - 1} w, bx b)""".stripMargin
+        val unions = (1 to Rounds)
+          .map(r => s"(SELECT CAST($r AS BIGINT) AS rank, ma AS a, mb AS b FROM w$r LIMIT 1)")
+          .mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE w0 AS MATERIALIZED (
+           |  SELECT ${remap("h", "nb")} AS s, CAST(n AS BIGINT) AS n
+           |  FROM (
+           |    SELECT upper(hex(encode(bg))) AS h, octet_length(encode(bg)) AS nb, n
+           |    FROM (
+           |      SELECT bg, count(*) AS n FROM (
+           |        SELECT zz[1] || ' ' || zz[2] AS bg
+           |        FROM (SELECT unnest(list_zip(l[1:length(l)-1], l[2:])) zz
+           |              FROM (SELECT string_split(text,' ') l FROM documents))
+           |        WHERE regexp_matches(zz[1],'^[a-z]+$$') AND regexp_matches(zz[2],'^[a-z]+$$'))
+           |      GROUP BY bg ORDER BY n DESC, bg LIMIT $bigramCap))),
+           |${(1 to Rounds).map(round).mkString(",\n")},
+           |merges AS MATERIALIZED (
+           |  $unions),
+           |st AS (
+           |  SELECT doc_id, ${remap("h", "nb")} AS s, CAST(0 AS BIGINT) AS r
+           |  FROM (SELECT doc_id, upper(hex(encode(text))) AS h,
+           |               octet_length(encode(text)) AS nb
+           |        FROM documents)
+           |  UNION ALL
+           |  SELECT e.doc_id,
+           |    replace(e.s, $d31 || m.a || $d62 || m.b || $d31,
+           |            $d31 || m.a || m.b || $d31),
+           |    e.r + 1
+           |  FROM st e JOIN merges m ON m.rank = e.r + 1)
+           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  array_to_string(toks, $d31) AS enc
+           |FROM (SELECT doc_id,
+           |        list_filter(string_split(s, $d62), x -> x != '') AS toks
+           |      FROM st WHERE r = (SELECT max(rank) FROM merges)) f""".stripMargin
+      })
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
     t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split,
     t15UnigramLogprob, t16QualityClassifier, t17BigramLogprob, t18BpePairs,
     t19Boilerplate, t20DatasetCard, t21BpeEncode, t22ShardExport,
-    t23BpeTrain, t24BpeEncodeNative, q120TrainingPipeline)
+    t23BpeTrain, t24BpeEncodeNative, t25BpeEncodeBytes, q120TrainingPipeline)
 }

@@ -174,6 +174,23 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(scans === 1, s"expected one corpus scan, found $scans:\n$plan")
   }
 
+  test("t25 byte-level bpe encode is one shuffle-free codegen projection") {
+    // same bar as t24 for the byte-level sibling: the corpus-scale encode is
+    // a single codegen'd Project over one documents scan — the byte remap
+    // and the greedy loop both live inside the expression
+    graft.queries.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val qe = graft.queries.TextQueries.t25BpeEncodeBytes
+      .run(spark, "/root/testdata/sf0.001").queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"t25 encode must be shuffle-free:\n$plan")
+    assert(plan.contains("bpe_encode_bytes"), s"native expression missing:\n$plan")
+    assert(plan.contains("*(1)"), s"encode projection not codegen'd:\n$plan")
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("parquet"))
+    assert(scans === 1, s"expected one corpus scan, found $scans:\n$plan")
+  }
+
   test("interval join matches the naive theta join, including window edges") {
     import java.sql.Timestamp
     def t(ms: Long) = new Timestamp(ms)
