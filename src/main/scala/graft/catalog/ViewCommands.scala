@@ -281,6 +281,27 @@ private[catalog] object GraftViewTable {
   private val MaxDepth = 100
   private val depth = ThreadLocal.withInitial[Integer](() => 0)
 
+  /** Schema-drift policy property (ALTER VIEW ... SET TBLPROPERTIES).
+    * Delta's WITH SCHEMA BINDING / COMPENSATION / EVOLUTION clause surface,
+    * carried as a view property since Spark's parser has no clause to hang
+    * it on. DECIDED (round 15 close): the DEFAULT is EVOLUTION — stored
+    * text re-analyzed at every resolution, the view's schema following the
+    * base tables, which is what SQL-standard text expansion already does
+    * and what every other face of this engine assumed. The other two modes
+    * are consumer protection, opt-in per view:
+    *  - `compensation`: the view keeps serving its STORED schema — stored
+    *    columns selected by (case-insensitive) name from the fresh body
+    *    and cast back to their stored types; columns the base gained are
+    *    ignored; a stored column the base LOST refuses loudly.
+    *  - `binding`: any drift refuses — the fresh body must produce exactly
+    *    the stored (name, type) sequence (nullability ignored; STRICTER
+    *    than Delta's binding, which still tolerates safe up-casts — a
+    *    deliberate simplification, stated here so it can't pass as an
+    *    accident).
+    * The recorded baseline for both modes is the schema captured at
+    * CREATE/REPLACE/ALTER-AS time (writeView's schemaJson). */
+  private[catalog] val SchemaModeKey = "graft.schemaMode"
+
   def resolve(spark: SparkSession, v: View): org.apache.spark.sql.DataFrame = {
     if (depth.get() >= MaxDepth)
       throw new IllegalStateException(
@@ -288,10 +309,75 @@ private[catalog] object GraftViewTable {
           "circular view reference?")
     depth.set(depth.get() + 1)
     try {
-      val base = spark.sql(v.query())
+      // analyze the stored TEXT under the stored (catalog, namespace) — the
+      // context captured at creation, SQL-standard expansion. Without the
+      // switch, a body with relative names silently resolves against
+      // whatever catalog the READER happens to have current.
+      val cm = spark.sessionState.catalogManager
+      val prevCat = cm.currentCatalog.name()
+      val prevNs = cm.currentNamespace
+      val storedCat = Option(v.currentCatalog()).filter(_.nonEmpty)
+      val storedNs = Option(v.currentNamespace()).filter(_.nonEmpty)
+      val switchCat = storedCat.exists(_ != prevCat)
+      val switchNs = storedNs.exists(!_.sameElements(prevNs))
+      val base =
+        if (!switchCat && !switchNs) spark.sql(v.query())
+        else try {
+          if (switchCat) cm.setCurrentCatalog(storedCat.get)
+          storedNs.foreach(cm.setCurrentNamespace)
+          spark.sql(v.query()) // Dataset.ofRows analyzes eagerly, inside the switch
+        } finally {
+          // setCurrentCatalog resets the namespace to the catalog default,
+          // so the catalog must be restored FIRST
+          if (switchCat) cm.setCurrentCatalog(prevCat)
+          cm.setCurrentNamespace(prevNs)
+        }
       val aliases = v.columnAliases()
-      if (aliases != null && aliases.nonEmpty) base.toDF(aliases.toSeq: _*)
-      else base
+      val aliased =
+        if (aliases != null && aliases.nonEmpty) base.toDF(aliases.toSeq: _*)
+        else base
+      applySchemaMode(v, aliased)
     } finally depth.set(depth.get() - 1)
+  }
+
+  /** Enforce [[SchemaModeKey]] on the freshly-analyzed body. */
+  private def applySchemaMode(v: View,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val mode = Option(v.properties().get(SchemaModeKey))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("evolution")
+    // (lowercased name, nullability-free type rendering): drift is judged on
+    // what a consumer can observe through the schema, not on nullability
+    def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f =>
+        (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType.sql))
+    mode match {
+      case "evolution" => df
+      case "compensation" =>
+        val out = df.schema
+        val cols = v.schema().fields.map { f =>
+          val live = out.fields.find(_.name.equalsIgnoreCase(f.name)).getOrElse(
+            throw new IllegalStateException(
+              s"view ${v.name()} (graft.schemaMode=compensation): stored column " +
+                s"'${f.name}' no longer exists in the view body's output " +
+                s"(${out.fieldNames.mkString(", ")}) — re-create the view or " +
+                "switch it to evolution"))
+          df(s"`${live.name.replace("`", "``")}`").cast(f.dataType).as(f.name)
+        }
+        df.select(cols.toIndexedSeq: _*)
+      case "binding" =>
+        val got = shape(df.schema)
+        val want = shape(v.schema())
+        if (got != want) throw new IllegalStateException(
+          s"view ${v.name()} (graft.schemaMode=binding): the body's schema " +
+            s"drifted from the stored definition — stored " +
+            s"${want.map { case (n, t) => s"$n $t" }.mkString("(", ", ", ")")}, " +
+            s"now ${got.map { case (n, t) => s"$n $t" }.mkString("(", ", ", ")")} — " +
+            "re-create the view to accept the drift or switch it to " +
+            "compensation/evolution")
+        df
+      case other => throw new IllegalArgumentException(
+        s"view ${v.name()}: unknown $SchemaModeKey '$other' " +
+          "(expected evolution, compensation, or binding)")
+    }
   }
 }

@@ -903,6 +903,79 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     } finally cmgr.setCurrentCatalog(prior)
   }
 
+  test("view schema-drift policy: evolution default, binding refuses, compensation pins") {
+    val t = s"graft.default.${fresh()}"
+    val v = s"graft.default.${fresh()}_v"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, amt DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0), (2, 20.0)")
+    spark.sql(s"CREATE VIEW $v AS SELECT * FROM $t")
+    assert(spark.table(v).schema.fieldNames.toSeq === Seq("id", "amt"))
+
+    // DEFAULT = EVOLUTION: the view follows the base table's new shape
+    spark.sql(s"CREATE OR REPLACE TABLE $t (id BIGINT, amt DOUBLE, tag STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (7, 70.0, 'x')")
+    assert(spark.table(v).schema.fieldNames.toSeq === Seq("id", "amt", "tag"))
+
+    // BINDING: any drift refuses loudly, naming the stored and live shapes
+    spark.sql(s"ALTER VIEW $v SET TBLPROPERTIES ('graft.schemaMode' = 'binding')")
+    val drift = intercept[Exception] { spark.table(v).collect() }
+    assert(drift.getMessage.contains("drifted") && drift.getMessage.contains("binding"),
+      s"unexpected binding error: ${drift.getMessage}")
+
+    // COMPENSATION: the view keeps serving its STORED schema — the gained
+    // column is ignored, and a type drift is cast back
+    spark.sql(s"ALTER VIEW $v SET TBLPROPERTIES ('graft.schemaMode' = 'compensation')")
+    assert(spark.table(v).schema.fieldNames.toSeq === Seq("id", "amt"))
+    spark.sql(s"CREATE OR REPLACE TABLE $t (id INT, amt DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (3, 30.0)")
+    val comp = spark.table(v)
+    assert(comp.schema("id").dataType === org.apache.spark.sql.types.LongType,
+      "compensation must cast the drifted column back to its stored type")
+    assert(comp.as[(Long, Double)].collect().toSeq === Seq((3L, 30.0)))
+
+    // a stored column the base LOST refuses in both protected modes
+    spark.sql(s"CREATE OR REPLACE TABLE $t (id BIGINT)")
+    val lost = intercept[Exception] { spark.table(v).collect() }
+    assert(lost.getMessage.contains("no longer exists"),
+      s"unexpected compensation error: ${lost.getMessage}")
+    spark.sql(s"ALTER VIEW $v SET TBLPROPERTIES ('graft.schemaMode' = 'binding')")
+    intercept[Exception] { spark.table(v).collect() }
+
+    // unknown mode refuses with the expected vocabulary; evolution recovers
+    spark.sql(s"ALTER VIEW $v SET TBLPROPERTIES ('graft.schemaMode' = 'strict')")
+    val bad = intercept[Exception] { spark.table(v).collect() }
+    assert(bad.getMessage.contains("graft.schemaMode"))
+    spark.sql(s"ALTER VIEW $v SET TBLPROPERTIES ('graft.schemaMode' = 'evolution')")
+    assert(spark.table(v).schema.fieldNames.toSeq === Seq("id"))
+
+    spark.sql(s"DROP VIEW $v")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("a view body resolves under its STORED catalog and namespace") {
+    // the context captured at creation governs the body's relative names —
+    // a reader under a different current catalog must see the same rows
+    val cmgr = spark.sessionState.catalogManager
+    val prior = cmgr.currentCatalog.name()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.default")
+    spark.sql("USE graft.default")
+    val n = fresh()
+    try {
+      spark.sql(s"CREATE TABLE ctx_base_$n (id BIGINT)")
+      spark.sql(s"INSERT INTO ctx_base_$n SELECT id FROM range(6)")
+      // RELATIVE body reference, resolvable only under graft.default
+      spark.sql(s"CREATE VIEW ctx_v_$n AS SELECT * FROM ctx_base_$n WHERE id < 4")
+    } finally cmgr.setCurrentCatalog(prior)
+    // read from the session catalog: the body's relative name must still
+    // resolve against the STORED graft.default context
+    assert(cmgr.currentCatalog.name() !== "graft")
+    assert(spark.table(s"graft.default.ctx_v_$n").count() === 4L)
+    // and the reader's own context survives the resolution round trip
+    assert(cmgr.currentCatalog.name() === prior)
+    spark.sql(s"DROP VIEW graft.default.ctx_v_$n")
+    spark.sql(s"DROP TABLE graft.default.ctx_base_$n")
+  }
+
   test("a view over VERSION AS OF serves the pinned snapshot forever") {
     // DECIDED round 15: time travel in a view body is ALLOWED — the view
     // is a named audit snapshot and keeps serving the version its text
