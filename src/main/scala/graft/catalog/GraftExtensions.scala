@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // 4.1 has no ViewCatalog SQL dispatch); the hint-resolution batch is
     // the one extension point that runs ahead of it
     extensions.injectHintResolutionRule(session => GraftViewDdlRule(session))
+    // V1ScanWrapper drops the inner scan's SupportsReportStatistics and no
+    // extension point runs between push-down and join selection — so
+    // manifest row counts reach the broadcast decision as JoinHints set by
+    // this operator-optimization rule instead (see GraftJoinStatsRule)
+    extensions.injectOptimizerRule(session => GraftJoinStatsRule(session))
     // the engine's native SQL functions ride the same front door, so one
     // `spark.sql.extensions=graft.catalog.GraftExtensions` line yields the
     // full surface (row-level SQL + vec_dot/minhash/top_k_by/...)

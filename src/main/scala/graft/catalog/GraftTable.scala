@@ -30,7 +30,7 @@ import scala.jdk.CollectionConverters._
   * A `versionAsOf` instance (from `VERSION AS OF` / `TIMESTAMP AS OF`) is a
   * read-only snapshot: writes and deletes refuse. */
 class GraftTable(val table: VersionedTable, tableName: String,
-    versionAsOf: Option[Long]) extends Table
+    val versionAsOf: Option[Long]) extends Table
     with SupportsRead with SupportsWrite with SupportsDeleteV2 {
 
   private def spark: SparkSession = SparkSession.active
@@ -225,8 +225,38 @@ final class GraftScanBuilder(spark: SparkSession, t: VersionedTable,
       override def description(): String =
         s"GraftMetaAggScan(${t.root}, ${vals.map(_._1).mkString(",")})"
     }
-    case None => new V1Scan {
+    case None => new V1Scan
+        with org.apache.spark.sql.connector.read.SupportsReportStatistics {
       override def readSchema(): StructType = required
+
+      /** Manifest-derived plan statistics — the estimate Spark's join
+        * planner compares against `autoBroadcastJoinThreshold`. Without
+        * this a DSv2 relation costs `defaultSizeInBytes` (Long.MaxValue):
+        * a 100-row dimension table would never broadcast and every
+        * dim-fact join would sort-merge. numRows comes from the manifest's
+        * per-file `__rows` REFINED by the pushed filters' stats pruning
+        * ([[VersionedTable.estimateLiveRows]] — pure in-memory metadata,
+        * no I/O at plan time); sizeInBytes is Spark's own row-width
+        * convention (8 + Σ defaultSize over the PRUNED read schema), so
+        * column pruning shrinks the estimate exactly like it shrinks the
+        * exchange. Stats-less files → empty optionals → Spark's default. */
+      override def estimateStatistics()
+          : org.apache.spark.sql.connector.read.Statistics = {
+        val v = t.resolve(None, versionAsOf)
+        val zone = t.statsRenderZone(spark, None, versionAsOf)
+        val rows = t.estimateLiveRows(v, StatsBounds.bounds(pushed, zone),
+          StatsBounds.nullness(pushed))
+        val rowBytes = 8L + required.fields.map(_.dataType.defaultSize.toLong).sum
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            rows.map(r => java.util.OptionalLong.of(math.max(1L, r * rowBytes)))
+              .getOrElse(java.util.OptionalLong.empty())
+          override def numRows(): java.util.OptionalLong =
+            rows.map(java.util.OptionalLong.of)
+              .getOrElse(java.util.OptionalLong.empty())
+        }
+      }
+
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T =
         new GraftV1TableScan(context, spark, t, versionAsOf, required, pushed)

@@ -403,6 +403,23 @@ final class TableRelation(
     * not evaluate them row-level. */
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
+  /** Manifest-derived size estimate (rows × Spark's row-width convention) —
+    * BaseRelation's default is `defaultSizeInBytes` = Long.MaxValue, under
+    * which a small `graft-table` dimension can never broadcast in a join.
+    * Upper-bounds the live size (DV tombstones not subtracted — that would
+    * cost a job at plan time); stats-less snapshots keep the conservative
+    * default. Same estimate the DSv2 face reports via
+    * SupportsReportStatistics. */
+  override def sizeInBytes: Long = {
+    val v = t.resolve(relativeVersion, versionAsOf)
+    t.estimateLiveRows(v) match {
+      case Some(rows) =>
+        val rowBytes = 8L + schema.fields.map(_.dataType.defaultSize.toLong).sum
+        math.max(1L, rows * rowBytes)
+      case None => spark.sessionState.conf.defaultSizeInBytes
+    }
+  }
+
   /** The scan hands Spark the inner plan's OWN compiled rows (`toRdd`, cast
     * per the `needConversion=false` contract) instead of `.rdd` — skipping a
     * full InternalRow→Row→InternalRow round trip per row at the source

@@ -3837,13 +3837,19 @@ final class VersionedTable(val root: String,
     * prunes at the FILE LIST, before any I/O — the manifest-stat analogue
     * of parquet predicate pushdown, decisive at 100 TB. Returns the frame
     * plus (kept, total) file counts for plan assertions. */
-  def readBounded(spark: SparkSession,
+  /** The min/max + nullCount prune passes over version `v`'s IN-MEMORY
+    * manifest stats — shared by [[readBounded]]'s read path and
+    * [[estimateLiveRows]]' planning-time estimate. Pure metadata (no file
+    * or sidecar I/O), conservative on any missing or unparseable stat.
+    *
+    * nullCount soundness: an IS NULL conjunct skips files with ZERO nulls
+    * in the column, IS NOT NULL skips all-null files. Deletes (DVs) only
+    * remove rows — they can neither add nulls to a zero-null file nor
+    * non-nulls to an all-null one — so the write-time counts stay sound
+    * prune evidence for any live subset of the file. */
+  private[table] def statsSurvivors(v: Long,
       bounds: Seq[(String, Option[String], Option[String])],
-      relativeVersion: Option[Int] = None,
-      versionAsOf: Option[Long] = None,
-      exactValues: Seq[(String, Seq[String])] = Nil,
-      nullness: Seq[(String, Boolean)] = Nil): (DataFrame, Int, Int) = {
-    val v = resolve(relativeVersion, versionAsOf)
+      nullness: Seq[(String, Boolean)]): Seq[String] = {
     val all = filesOf(v)
     val stats = statsOf(v)
     def num(s: String): Option[BigDecimal] = scala.util.Try(BigDecimal(s)).toOption
@@ -3871,12 +3877,7 @@ final class VersionedTable(val root: String,
         }
       }
     }
-    // nullCount pass: an IS NULL conjunct skips files with ZERO nulls in
-    // the column, IS NOT NULL skips all-null files. Deletes (DVs) only
-    // remove rows — they can neither add nulls to a zero-null file nor
-    // non-nulls to an all-null one — so the write-time counts stay sound
-    // prune evidence for any live subset of the file.
-    val ranged = rangedMinMax.filter { f =>
+    rangedMinMax.filter { f =>
       nullness.forall { case (c, wantNull) =>
         stats.get(f).flatMap(
             _.get(s"${VersionedTable.NullCountPrefix}$c")) match {
@@ -3893,6 +3894,35 @@ final class VersionedTable(val root: String,
         }
       }
     }
+  }
+
+  /** Planning-time row ESTIMATE of version `v` under pushed bounds: the sum
+    * of write-time `__rows` over the stats-surviving files. None when any
+    * surviving file predates row-count stats (callers fall back to Spark's
+    * conservative default). DV tombstones are deliberately NOT subtracted —
+    * that would cost a Spark job at plan time — so the estimate upper-bounds
+    * the live count, the safe direction for a broadcast decision. Pure
+    * in-memory manifest metadata: O(live files) driver work with no I/O,
+    * the same budget every planner pays to list a snapshot. */
+  def estimateLiveRows(v: Long,
+      bounds: Seq[(String, Option[String], Option[String])] = Nil,
+      nullness: Seq[(String, Boolean)] = Nil): Option[Long] = {
+    val stats = statsOf(v)
+    val counts = statsSurvivors(v, bounds, nullness).map(f =>
+      stats.get(f).flatMap(_.get(VersionedTable.RowCountStat))
+        .flatMap { case (n, _, _) => scala.util.Try(n.toLong).toOption })
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
+  def readBounded(spark: SparkSession,
+      bounds: Seq[(String, Option[String], Option[String])],
+      relativeVersion: Option[Int] = None,
+      versionAsOf: Option[Long] = None,
+      exactValues: Seq[(String, Seq[String])] = Nil,
+      nullness: Seq[(String, Boolean)] = Nil): (DataFrame, Int, Int) = {
+    val v = resolve(relativeVersion, versionAsOf)
+    val all = filesOf(v)
+    val ranged = statsSurvivors(v, bounds, nullness)
     // Bloom pass for EQUALITY bounds on indexed columns: hash the typed
     // value exactly as the build side hashed the column (cast the rendered
     // string back through the schema type, then xxhash64) and drop files

@@ -174,6 +174,52 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(scans === 1, s"expected one corpus scan, found $scans:\n$plan")
   }
 
+  test("manifest statistics drive broadcast joins on both catalog faces") {
+    // A graft relation's logical stats default to Long.MaxValue (the DSv2
+    // V1ScanWrapper drops SupportsReportStatistics), so without the manifest
+    // estimates a dimension table can never auto-broadcast. The probe side
+    // here is a 3M-row range (~24 MB > the 10 MB threshold), so a
+    // BroadcastHashJoin can ONLY appear if the graft side's estimate landed
+    // (GraftJoinStatsRule's hint on the DSv2 face; TableRelation.sizeInBytes
+    // on the V1 face).
+    val dim = s"graft.default.stats_dim_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $dim (id BIGINT, label STRING)")
+    spark.sql(s"INSERT INTO $dim SELECT id, concat('l', id) FROM range(50)")
+    val fact = spark.range(3000000L).toDF("id")
+    // DSv2 face: the manifest estimate arrives as a BROADCAST join hint
+    val v2 = fact.join(spark.table(dim), "id")
+    assert(v2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"DSv2 dim join must broadcast:\n${v2.queryExecution.executedPlan}")
+    val hinted = v2.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint
+    }
+    assert(hinted.exists(h => h.leftHint.orElse(h.rightHint)
+        .exists(_.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST))),
+      s"expected a manifest-stats BROADCAST hint, got $hinted")
+    // V1 face (graft-table relation)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val root = s"$wh/default/${dim.split('.').last}"
+    val v1df = spark.read.format("graft-table").load(root)
+    val v1 = fact.join(v1df, "id")
+    assert(v1.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"V1 dim join must broadcast:\n${v1.queryExecution.executedPlan}")
+    spark.sql(s"DROP TABLE $dim")
+  }
+
+  test("estimateLiveRows refines by pushed bounds over per-commit files") {
+    val root = tmpDir("stats-est-")
+    val vt = graft.table.VersionedTable(root)
+    vt.commit(spark.range(0L, 100L).toDF("id"))
+    vt.append(spark.range(1000L, 1050L).toDF("id"))
+    val v = vt.resolve()
+    assert(vt.estimateLiveRows(v) === Some(150L))
+    // a bound past the first commit's max skips its files entirely
+    assert(vt.estimateLiveRows(v,
+      bounds = Seq(("id", Some("1000"), None))) === Some(50L))
+    assert(vt.estimateLiveRows(v,
+      bounds = Seq(("id", Some("5000"), None))) === Some(0L))
+  }
+
   test("t25 byte-level bpe encode is one shuffle-free codegen projection") {
     // same bar as t24 for the byte-level sibling: the corpus-scale encode is
     // a single codegen'd Project over one documents scan — the byte remap
