@@ -381,6 +381,13 @@ object TextIndexStore {
     if (head <= from) return (0L, 0L)
     val changed = table.changeFeed(spark, from, head)
       .select("doc_id").distinct().localCheckpoint(true)
+    // churn evict KEEPS the COW flavor: the MOR (physical=false) variant
+    // was A/B'd at sf0.1 and lost decisively (serve 18.2 → 25.0 s; q131's
+    // twin 11.3 → 19.9 s) — at gate scale the bucket files are small, so
+    // the rewrite MOR avoids is cheap while every sync commit pays the DV
+    // write job + read-back and every subsequent store read pays the
+    // anti-join. The flavor exists for deployments whose bucket files are
+    // GBs, where the rewrite dominates (PLANS.md round-15 close).
     val evicted = evict(spark, root, changed, fingerprint)
     val current = table.read(spark)
       .join(changed, Seq("doc_id")).select("doc_id", "text")
@@ -407,9 +414,16 @@ object TextIndexStore {
     *
     * Cost: the docs' own postings are the only record of their terms, so
     * one slim postings scan filtered to the ids recovers (word, len,
-    * bucket); the deletes themselves are bucket-pruned COW merges touching
-    * only the docs' term buckets. Batch forget requests amortize the scan.
-    * Returns the number of documents actually erased.
+    * bucket); the deletes themselves are bucket-pruned merges touching
+    * only the docs' term buckets — COW rewrites under the PHYSICAL default
+    * (erasure-grade), MOR deletion vectors under `physical = false`. The
+    * MOR flavor is for deployments whose bucket files are large enough
+    * that the rewrite dominates; at gate scale it MEASURES SLOWER (sf0.1
+    * A/B: sync serve 18.2 → 25.0 s) because small-file rewrites are cheap
+    * while every commit pays the DV write job and every later read the
+    * anti-join — so the engine's own sync keeps COW (PLANS.md round-15
+    * close). Batch forget requests amortize the scan. Returns the number
+    * of documents actually erased.
     *
     * Torn-evict protection, symmetric with admit's: the three commits
     * (postings delete, lexicon decrement, stats) are guarded by an
@@ -420,7 +434,7 @@ object TextIndexStore {
     * any point leaves the store repairable-exact rather than silently
     * overcounting df/nd/totalLen. */
   def evict(spark: SparkSession, root: String, docIds: DataFrame,
-      fingerprint: String): Long = {
+      fingerprint: String, physical: Boolean = true): Long = {
     val postT = postingsTable(root)
     require(postT.latestVersion().isDefined,
       s"$root holds no text index store — build(corpus) first")
@@ -447,24 +461,46 @@ object TextIndexStore {
       "evictPendingLexiconBase" -> lexiconTable(root).latestVersion().get.toString,
       "evictPendingNd" -> ed.toString,
       "evictPendingLen" -> elen.toString))
-    // postings: bucket-pruned COW delete of the docs' rows
-    postT.mergeCow(spark, mine.select("doc_id", "bucket").distinct(),
-      "source.bucket = target.bucket AND source.doc_id = target.doc_id",
-      targetKey = "bucket", sourceKey = "bucket",
-      whenMatchedDelete = Some(Merge.MatchedDelete(None)))
+    // postings: bucket-pruned delete of the docs' rows. PHYSICAL (the RTBF
+    // default) = COW rewrite — the victims' bytes leave the live files, so
+    // evict + vacuum is compliance-grade erasure. physical=false = MOR
+    // deletion vectors — tombstone sidecars instead of rewriting every
+    // untouched row of the touched buckets (the large-bucket-file trade;
+    // see the scaladoc's measured A/B); time-travel and the repair
+    // roll-forward read identically across both (one atomic commit either
+    // way), and compact()/compactWhere() is the DV escape hatch when
+    // tombstones accumulate.
+    val postDelete = mine.select("doc_id", "bucket").distinct()
+    val postOn = "source.bucket = target.bucket AND source.doc_id = target.doc_id"
+    if (physical)
+      postT.mergeCow(spark, postDelete, postOn,
+        targetKey = "bucket", sourceKey = "bucket",
+        whenMatchedDelete = Some(Merge.MatchedDelete(None)))
+    else
+      postT.mergeMor(spark, postDelete, postOn,
+        targetKey = "bucket", sourceKey = "bucket",
+        whenMatchedDelete = Some(Merge.MatchedDelete(None)))
     trip("afterPostingsDelete")
     // lexicon: df decrements within the docs' term buckets; a term whose
     // df reaches zero leaves the lexicon (serving-exact: BM25's idf of an
-    // absent term is exactly a zero-df term's)
-    lexiconTable(root).mergeCow(spark,
-      mine.groupBy("word", "bucket")
-        .agg(expr("CAST(count(*) AS BIGINT)").as("df"))
-        .select("word", "df", "bucket"),
-      "source.bucket = target.bucket AND source.word = target.word",
-      targetKey = "bucket", sourceKey = "bucket",
-      whenMatchedUpdate = Some(Merge.MatchedUpdate(Some("target.df > source.df"),
-        Map("df" -> "target.df - source.df"))),
-      whenMatchedDelete = Some(Merge.MatchedDelete(Some("target.df <= source.df"))))
+    // absent term is exactly a zero-df term's). df counters are corpus
+    // vocabulary statistics, not per-document content, so the verb flavor
+    // follows the caller's for cost alone.
+    val lexDelta = mine.groupBy("word", "bucket")
+      .agg(expr("CAST(count(*) AS BIGINT)").as("df"))
+      .select("word", "df", "bucket")
+    val lexOn = "source.bucket = target.bucket AND source.word = target.word"
+    val lexUpd = Some(Merge.MatchedUpdate(Some("target.df > source.df"),
+      Map("df" -> "target.df - source.df")))
+    val lexDel = Some(Merge.MatchedDelete(Some("target.df <= source.df")))
+    if (physical)
+      lexiconTable(root).mergeCow(spark, lexDelta, lexOn,
+        targetKey = "bucket", sourceKey = "bucket",
+        whenMatchedUpdate = lexUpd, whenMatchedDelete = lexDel)
+    else
+      lexiconTable(root).mergeMor(spark, lexDelta, lexOn,
+        targetKey = "bucket", sourceKey = "bucket",
+        whenMatchedUpdate = lexUpd, whenMatchedDelete = lexDel)
     trip("afterLexiconEvict")
     // stats shrink and the marker clears in ONE property commit — the
     // evict is atomic-or-repairable end to end, like admit

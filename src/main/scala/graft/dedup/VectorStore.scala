@@ -333,6 +333,8 @@ object VectorStore {
     if (head <= from) return (0L, 0L)
     val changed = table.changeFeed(spark, from, head)
       .select("vec_id").distinct().localCheckpoint(true)
+    // churn evict KEEPS the COW flavor — the MOR variant lost the sf0.1
+    // A/B here too (serve 11.3 → 19.9 s); see TextIndexStore.syncFromTable
     val evicted = evict(spark, root, changed)
     val current = table.read(spark)
       .join(changed, Seq("vec_id")).select("vec_id", "label", "embedding")
@@ -357,9 +359,13 @@ object VectorStore {
     * reference the rows until the store tables are vacuumed past the
     * evict commit. Cost: one slim scan locating the ids' partitions (the
     * store is partitioned by c_id, which a forget request doesn't know),
-    * then a COW delete rewriting only the touched files. Returns the
-    * number of vectors erased. */
-  def evict(spark: SparkSession, root: String, vecIds: DataFrame): Long = {
+    * then a delete touching only the ids' files — a COW rewrite under the
+    * PHYSICAL default (erasure-grade), MOR deletion vectors under
+    * `physical = false` (the large-file trade; measured slower at gate
+    * scale — see the body comment). Returns the number of vectors
+    * erased. */
+  def evict(spark: SparkSession, root: String, vecIds: DataFrame,
+      physical: Boolean = true): Long = {
     val centsT = centsTable(root)
     require(centsT.latestVersion().isDefined,
       s"$root holds no vector store — build(corpus) first")
@@ -373,9 +379,20 @@ object VectorStore {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val erased = victims.values.sum
     if (erased == 0) return 0L
-    assignedTable(root).mergeCow(spark, ids, "source.vec_id = target.vec_id",
-      targetKey = "vec_id", sourceKey = "vec_id",
-      whenMatchedDelete = Some(Merge.MatchedDelete(None)))
+    // PHYSICAL (the RTBF default) = COW rewrite, so evict + vacuum removes
+    // the embeddings' bytes; physical=false = MOR tombstones, skipping the
+    // rewrite of every untouched row in the touched partitions — the
+    // large-file trade only (it measured SLOWER at gate scale, sf0.1 A/B
+    // serve 11.3 → 19.9 s; see TextIndexStore.evict). compact() is the DV
+    // escape hatch when tombstones accumulate.
+    if (physical)
+      assignedTable(root).mergeCow(spark, ids, "source.vec_id = target.vec_id",
+        targetKey = "vec_id", sourceKey = "vec_id",
+        whenMatchedDelete = Some(Merge.MatchedDelete(None)))
+    else
+      assignedTable(root).mergeMor(spark, ids, "source.vec_id = target.vec_id",
+        targetKey = "vec_id", sourceKey = "vec_id",
+        whenMatchedDelete = Some(Merge.MatchedDelete(None)))
     val prior = load(root)
     writeLoad(root, prior ++ victims.map { case (c, n) =>
       c -> math.max(0L, prior.getOrElse(c, 0L) - n) })

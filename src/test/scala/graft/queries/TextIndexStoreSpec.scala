@@ -130,6 +130,53 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
     assert(lexRowsOf(root) === lexRowsOf(full))
   }
 
+  test("the MOR evict flavor (physical=false) serves exactly and repairs — " +
+      "tombstones instead of rewrites, same store contents") {
+    val dir = tmpDir("txt-mor-")
+    writeDocs(dir, 150)
+    val docs = Tables.table(spark, dir, "documents")
+    val root = tmpDir("txt-mor-store-") + "/s"
+    TextIndexStore.build(spark, root, docs, "fp0")
+    val posts = VersionedTable(s"$root/postings")
+    // MOR evict: the postings commit carries DELETION VECTORS, no data-file
+    // rewrite of the touched buckets
+    assert(TextIndexStore.evict(spark, root,
+      docs.filter("doc_id >= 120").select("doc_id"), "fp1",
+      physical = false) === 30L)
+    assert(posts.detail(spark).select("num_deletion_vectors")
+      .collect().head.getLong(0) > 0L,
+      "the MOR evict must have produced deletion vectors")
+    val survivors = tmpDir("txt-mor-full-") + "/s"
+    TextIndexStore.build(spark, survivors, docs.filter("doc_id < 120"), "fpF")
+    assert(TextIndexStore.stats(root) === TextIndexStore.stats(survivors))
+    assert(lexRowsOf(root) === lexRowsOf(survivors))
+    assert(postRowsOf(root) === postRowsOf(survivors))
+    // a torn MOR evict rolls forward from the marker-pinned pre-delete
+    // version exactly like the COW flavor (time travel reads across a DV
+    // commit identically)
+    TextIndexStore.failpoint = Some("afterPostingsDelete")
+    try intercept[IllegalStateException] {
+      TextIndexStore.evict(spark, root,
+        docs.filter("doc_id >= 100 AND doc_id < 120").select("doc_id"), "fp2",
+        physical = false)
+    } finally TextIndexStore.failpoint = None
+    assert(posts.properties.get("evictPending").contains("1"))
+    assert(TextIndexStore.repair(spark, root) === true)
+    assert(!posts.properties.contains("evictPending"))
+    val survivors2 = tmpDir("txt-mor-full2-") + "/s"
+    TextIndexStore.build(spark, survivors2, docs.filter("doc_id < 100"), "fpG")
+    assert(TextIndexStore.stats(root) === TextIndexStore.stats(survivors2))
+    assert(lexRowsOf(root) === lexRowsOf(survivors2))
+    assert(postRowsOf(root) === postRowsOf(survivors2))
+    // and a later admit over the DV-carrying store stays exact
+    assert(TextIndexStore.admit(spark, root,
+      docs.filter("doc_id >= 100 AND doc_id < 110"), "fp3") === 10L)
+    val survivors3 = tmpDir("txt-mor-full3-") + "/s"
+    TextIndexStore.build(spark, survivors3, docs.filter("doc_id < 110"), "fpH")
+    assert(postRowsOf(root) === postRowsOf(survivors3))
+    assert(lexRowsOf(root) === lexRowsOf(survivors3))
+  }
+
   test("a torn EVICT (crash after the postings delete) is rolled forward — " +
       "lexicon df and nd/totalLen do not stay overcounted") {
     val dir = tmpDir("txt-tevict-")

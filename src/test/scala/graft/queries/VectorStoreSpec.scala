@@ -166,6 +166,28 @@ class VectorStoreSpec extends AnyFunSuite with SparkSpec {
     assert(VectorStore.evict(spark, root, victims.toDF("vec_id")) === 0L)
   }
 
+  test("the MOR evict flavor (physical=false) erases from serving exactly " +
+      "like COW — tombstones, no rewrite") {
+    val root = tmpDir("vx-mor-") + "/vx"
+    VectorStore.build(spark, root,
+      vecs((0L until 30L).map(i => i -> (i % 3 + 1)): _*))
+    val victims = (0L until 30L).filter(_ % 3 == 1)
+    assert(VectorStore.evict(spark, root, victims.toDF("vec_id"),
+      physical = false) === victims.size.toLong)
+    val assigned = VersionedTable(s"$root/assigned")
+    assert(assigned.detail(spark).select("num_deletion_vectors")
+      .collect().head.getLong(0) > 0L,
+      "the MOR evict must have produced deletion vectors")
+    assert(assigned.read(spark)
+      .filter($"vec_id".isin(victims: _*)).isEmpty,
+      "no surviving assigned row may carry an evicted vec_id")
+    // serving equivalence: the direction admits again, the re-evict no-ops
+    assert(VectorStore.admit(spark, root, vecs(200L -> 2L))
+      .collect().head.getString(1) === "admitted")
+    assert(VectorStore.evict(spark, root, victims.toDF("vec_id"),
+      physical = false) === 0L)
+  }
+
   test("rebalance: an admit-skewed store re-trains into better-balanced " +
       "partitions, keeps every vector, and recall does not regress") {
     def angleVecs(rows: (Long, Double)*) =
