@@ -42,7 +42,10 @@ object BpeThroughput {
         s"SELECT d.text FROM documents d CROSS JOIN (SELECT id FROM range($xfact)) r")
         .repartition(32).persist()
       val nd = big.count()
-      rounds.foreach { r =>
+      // FAMILY env selects the measured family (char | bytes | both) — each
+      // family deserves its own JVM when stamping: in-process back-to-back
+      // rounds contend on code cache + GC and later rounds read noisy
+      if (!sys.env.get("FAMILY").contains("bytes")) rounds.foreach { r =>
         var t0 = System.nanoTime()
         val merges = graft.functions.BpeTrain.train(wset, r)
         val trainS = (System.nanoTime() - t0) / 1e9
@@ -57,6 +60,30 @@ object BpeThroughput {
           .agg(fsum("n")).collect()(0).getLong(0)
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[bpe-throughput] merges=${merges.size} train=$trainS%.2fs " +
+          f"encode: docs=$nd tokens=$ntok secs=$secs%.2f " +
+          f"docs_per_s=${nd / secs}%.0f mb_per_s=${chars.toDouble * xfact / secs / 1e6}%.1f " +
+          f"tokens_per_s=${ntok / secs}%.0f")
+      }
+      // the byte-level sibling (bpe_encode_bytes, t25): the same corpus
+      // through CAST(text AS BINARY), the working set remapped through the
+      // GPT-2 byte table and trained at the same vocabulary points
+      if (!sys.env.get("FAMILY").contains("char")) rounds.foreach { r =>
+        val wsetB = wset.map { case (bg, n) =>
+          (graft.functions.BpeCodec.remapUtf8(bg), n) }
+        var t0 = System.nanoTime()
+        val merges = graft.functions.BpeTrain.train(wsetB, r)
+        val trainS = (System.nanoTime() - t0) / 1e9
+        val arr = merges.map { case (a, b) => a + "\u001F" + b }.toArray
+        val toks = org.apache.spark.sql.graft.PlanShim.column(
+          graft.functions.BpeEncodeBytes(
+            org.apache.spark.sql.graft.PlanShim.expression(col("text").cast("binary")),
+            org.apache.spark.sql.graft.PlanShim.expression(lit(arr))))
+        big.limit(100).select(asize(toks).as("n")).agg(fsum("n")).collect() // warm
+        t0 = System.nanoTime()
+        val ntok = big.select(asize(toks).cast("long").as("n"))
+          .agg(fsum("n")).collect()(0).getLong(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[bpe-throughput] BYTES merges=${merges.size} train=$trainS%.2fs " +
           f"encode: docs=$nd tokens=$ntok secs=$secs%.2f " +
           f"docs_per_s=${nd / secs}%.0f mb_per_s=${chars.toDouble * xfact / secs / 1e6}%.1f " +
           f"tokens_per_s=${ntok / secs}%.0f")
