@@ -1461,20 +1461,35 @@ final class VersionedTable(val root: String,
     * file-resident columns index. */
   private def buildBloomSidecar(spark: SparkSession, commitId: String,
       files: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{expr, input_file_name}
+    import org.apache.spark.sql.functions.{expr, input_file_name, xxhash64}
     if (bloomIndexColumns.isEmpty || files.isEmpty) return
     val written = spark.read.parquet(
       files.map(f => Paths.get(root).resolve(f).toString): _*)
-    val cols = bloomIndexColumns.filter(written.columns.contains)
+    // an indexed name resolves like a stats key (leafType's collision rule:
+    // exact top-level first, then the dotted struct walk — so a nested
+    // id-like leaf such as `meta.media_id` indexes under exactly the name
+    // a pushed nested predicate carries); arrays/maps/missing → skipped
+    def quotedTop(c: String) = col(s"`${c.replace("`", "``")}`")
+    def columnFor(c: String): Option[org.apache.spark.sql.Column] =
+      if (written.columns.contains(c)) Some(quotedTop(c))
+      else VersionedTable.leafType(written.schema, c).map { _ =>
+        val parts = c.split('.')
+        parts.tail.foldLeft(quotedTop(parts.head))(_.getField(_))
+      }
+    val cols = bloomIndexColumns.flatMap(c => columnFor(c).map(c -> _))
     if (cols.isEmpty) return
     graft.functions.GraftFunctions.registerAll(spark)
     val items = properties.get("bloomIndexExpectedItems").map(_.toLong).getOrElse(100000L)
     val fpp = properties.get("bloomIndexFpp").map(_.toDouble).getOrElse(0.01)
-    val aggs = cols.map(c =>
-      expr(s"bloom_build_agg(xxhash64(`$c`), ${items}L, ${fpp}D)").as(s"__b_$c"))
-    val perFile = written.groupBy(input_file_name().as("__f"))
+    // pre-hash under index-based aliases (dotted names don't ride SQL text)
+    val hashed = written.select(input_file_name().as("__f") +:
+      cols.zipWithIndex.map { case ((_, cx), i) => xxhash64(cx).as(s"__h_$i") }: _*)
+    val aggs = cols.indices.map(i =>
+      expr(s"bloom_build_agg(__h_$i, ${items}L, ${fpp}D)").as(s"__b_$i"))
+    val perFile = hashed.groupBy(col("__f"))
       .agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c => s"'${c.replace("'", "''")}', `__b_$c`").mkString(", ")
+    val stackArgs = cols.zipWithIndex
+      .map { case ((c, _), i) => s"'${c.replace("'", "''")}', __b_$i" }.mkString(", ")
     // normalize to the manifest's table-relative on-disk names (same
     // uriDecode + commit-dir anchoring as collectFileStats, kept
     // distributed — only filter bytes land in the sidecar)
@@ -3931,17 +3946,24 @@ final class VersionedTable(val root: String,
     // IN-list pushdowns probe per VALUE (the range [min, max] the bounds
     // carry cannot use the sidecar; each member can): same typed-hash
     // convention as the equality probe below
+    // the probed name resolves through leafType (top-level exact first,
+    // then the dotted struct walk) — a Bloom-indexed NESTED leaf probes
+    // exactly like a top-level one, since build and probe hash the same
+    // typed value; only the leaf TYPE matters here (the value side casts
+    // the rendered literal)
+    def probeType(c: String): Option[org.apache.spark.sql.types.DataType] =
+      schemaOf(v).flatMap(s => VersionedTable.leafType(s, c))
+        .filter(_ != org.apache.spark.sql.types.TimestampType)
     val inProbed = exactValues.foldLeft(ranged) {
       case (cand, (c, vals)) if vals.nonEmpty && bloomIndexColumns.contains(c) =>
-        schemaOf(v).flatMap(s => s.fields.find(f => f.name == c &&
-            f.dataType != org.apache.spark.sql.types.TimestampType)).fold(cand) { f =>
+        probeType(c).fold(cand) { dt =>
           import org.apache.spark.sql.functions.expr
           val lits = vals.map(x =>
             "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'").mkString(", ")
           bloomPruneCandidates(spark, cand, c,
             spark.range(1).select(expr(
               s"explode(array($lits))").as("__s"))
-              .select(expr(s"xxhash64(CAST(__s AS ${f.dataType.sql}))").as("__h")))
+              .select(expr(s"xxhash64(CAST(__s AS ${dt.sql}))").as("__h")))
         }
       case (cand, _) => cand
     }
@@ -3951,12 +3973,11 @@ final class VersionedTable(val root: String,
         // the SESSION zone, which may differ from the stats zone the value
         // was rendered in — a mismatched instant hashes differently and
         // would wrongly prune live files
-        schemaOf(v).flatMap(s => s.fields.find(f => f.name == c &&
-            f.dataType != org.apache.spark.sql.types.TimestampType)).fold(cand) { f =>
+        probeType(c).fold(cand) { dt =>
           import org.apache.spark.sql.functions.expr
           val esc = lo.replace("\\", "\\\\").replace("'", "\\'")
           bloomPruneCandidates(spark, cand, c, spark.range(1).select(
-            expr(s"xxhash64(CAST('$esc' AS ${f.dataType.sql}))").as("__h")))
+            expr(s"xxhash64(CAST('$esc' AS ${dt.sql}))").as("__h")))
         }
       case (cand, _) => cand
     }
@@ -4011,14 +4032,14 @@ final class VersionedTable(val root: String,
     }
     val kept =
       if (!bloomIndexColumns.contains(column)) ranged
-      else schemaOf(v).flatMap(_.fields.find(f => f.name == column &&
-          f.dataType != org.apache.spark.sql.types.TimestampType)).fold(ranged) { f =>
+      else schemaOf(v).flatMap(s => VersionedTable.leafType(s, column))
+          .filter(_ != org.apache.spark.sql.types.TimestampType).fold(ranged) { dt =>
         import org.apache.spark.sql.functions.expr
         val lits = keys.map(x =>
           "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'").mkString(", ")
         bloomPruneCandidates(spark, ranged, column,
           spark.range(1).select(expr(s"explode(array($lits))").as("__s"))
-            .select(expr(s"xxhash64(CAST(__s AS ${f.dataType.sql}))").as("__h")))
+            .select(expr(s"xxhash64(CAST(__s AS ${dt.sql}))").as("__h")))
       }
     val df =
       if (kept.nonEmpty) scanLive(spark, kept, schemaOf(v), dvsOf(v),

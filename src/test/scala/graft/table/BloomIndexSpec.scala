@@ -59,6 +59,44 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     assert(keptRange === 8)
   }
 
+  test("a Bloom-indexed NESTED leaf builds and probes like a top-level key") {
+    // the nested-stats convention extended to sidecars: `bloomIndexColumns`
+    // may name a struct leaf by DOTTED path (leafType's collision rule —
+    // exact top-level first, then the struct walk); build hashes the leaf,
+    // probes resolve the leaf type, and the prune fires on the same
+    // uniform-key shape min-max cannot serve
+    val root = tmpDir("bloom-nested-") + "/t"
+    val t = VersionedTable(root)
+    t.setProperties(Map("bloomIndexColumns" -> "meta.media_id",
+      "bloomIndexExpectedItems" -> "2000", "bloomIndexFpp" -> "0.01"))
+    t.commit(spark.range(0, 8000).selectExpr(
+      "named_struct('media_id', id * 37 % 8000, 'format', 'png') AS meta",
+      "id AS v"),
+      numPartitions = Some(8))
+    assert(Files.isDirectory(Paths.get(root, "bloom")),
+      "the nested-leaf sidecar must have been built")
+    // equality-bounded read probes the sidecar under the dotted name
+    val (df, kept, total) = t.readBounded(spark,
+      Seq(("meta.media_id", Some("1234"), Some("1234"))))
+    assert(total === 8 && kept >= 1 && kept <= 3,
+      s"nested bloom should prune ~7 of 8 files, kept $kept")
+    assert(df.filter("meta.media_id = 1234").count() === 1)
+    // point-lookup read face on the dotted name
+    val (dfK, keptK, totalK) = t.readByKeys(spark, "meta.media_id", Seq("1234"))
+    assert(totalK === 8 && keptK >= 1 && keptK <= 3)
+    assert(dfK.filter("meta.media_id = 1234").count() === 1)
+    // an unresolvable indexed name (array path / missing leaf) is skipped
+    // at build AND probe — never a crash, never a wrong prune
+    val u = VersionedTable(tmpDir("bloom-nested-u-") + "/t")
+    u.setProperties(Map("bloomIndexColumns" -> "meta.missing,tags.element"))
+    u.commit(spark.range(0, 100).selectExpr(
+      "named_struct('media_id', id) AS meta", "array('a') AS tags", "id AS v"))
+    assert(u.read(spark).count() === 100)
+    val (_, keptU, totalU) = u.readBounded(spark,
+      Seq(("meta.missing", Some("5"), Some("5"))))
+    assert(keptU === totalU, "an unindexed miss must keep every candidate")
+  }
+
   test("readByKeys: per-key stats skip on sorted layouts, bloom on uniform ones") {
     val base = tmpDir("bloom-rbk-")
     // sorted: per-KEY stats keep ~1 file per key; the range HULL would keep all
