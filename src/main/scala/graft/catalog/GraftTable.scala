@@ -242,10 +242,14 @@ final class GraftScanBuilder(spark: SparkSession, t: VersionedTable,
         * exchange. Stats-less files → empty optionals → Spark's default. */
       override def estimateStatistics()
           : org.apache.spark.sql.connector.read.Statistics = {
-        val v = t.resolve(None, versionAsOf)
-        val zone = t.statsRenderZone(spark, None, versionAsOf)
-        val rows = t.estimateLiveRows(v, StatsBounds.bounds(pushed, zone),
-          StatsBounds.nullness(pushed))
+        // estimates must never fail planning (snapshot races) — empty
+        // optionals fall back to Spark's conservative default
+        val rows = try {
+          val v = t.resolve(None, versionAsOf)
+          val zone = t.statsRenderZone(spark, None, versionAsOf)
+          t.estimateLiveRows(v, StatsBounds.bounds(pushed, zone),
+            StatsBounds.nullness(pushed))
+        } catch { case _: Exception => None }
         val rowBytes = 8L + required.fields.map(_.dataType.defaultSize.toLong).sum
         new org.apache.spark.sql.connector.read.Statistics {
           override def sizeInBytes(): java.util.OptionalLong =

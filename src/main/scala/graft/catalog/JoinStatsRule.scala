@@ -38,7 +38,10 @@ case class GraftJoinStatsRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def estimatedRows(p: LogicalPlan): Option[Long] = p match {
     case r: DataSourceV2Relation => r.table match {
       case g: GraftTable =>
-        g.table.estimateLiveRows(g.table.resolve(None, g.versionAsOf))
+        // a hint is advisory — a planning-time estimate must never fail the
+        // query it decorates (e.g. a concurrently vacuumed/dropped table)
+        try g.table.estimateLiveRows(g.table.resolve(None, g.versionAsOf))
+        catch { case _: Exception => None }
       case _ => None
     }
     case p: Project => estimatedRows(p.child)

@@ -410,15 +410,16 @@ final class TableRelation(
     * cost a job at plan time); stats-less snapshots keep the conservative
     * default. Same estimate the DSv2 face reports via
     * SupportsReportStatistics. */
-  override def sizeInBytes: Long = {
-    val v = t.resolve(relativeVersion, versionAsOf)
-    t.estimateLiveRows(v) match {
+  override def sizeInBytes: Long =
+    // an estimate must never fail planning — fall to Spark's conservative
+    // default on any snapshot race (concurrent vacuum/drop)
+    (try t.estimateLiveRows(t.resolve(relativeVersion, versionAsOf))
+     catch { case _: Exception => None }) match {
       case Some(rows) =>
         val rowBytes = 8L + schema.fields.map(_.dataType.defaultSize.toLong).sum
         math.max(1L, rows * rowBytes)
       case None => spark.sessionState.conf.defaultSizeInBytes
     }
-  }
 
   /** The scan hands Spark the inner plan's OWN compiled rows (`toRdd`, cast
     * per the `needConversion=false` contract) instead of `.rdd` — skipping a
