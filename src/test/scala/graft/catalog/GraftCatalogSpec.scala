@@ -965,15 +965,17 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       spark.sql(s"INSERT INTO ctx_base_$n SELECT id FROM range(6)")
       // RELATIVE body reference, resolvable only under graft.default
       spark.sql(s"CREATE VIEW ctx_v_$n AS SELECT * FROM ctx_base_$n WHERE id < 4")
+    } finally cmgr.setCurrentCatalog("spark_catalog")
+    try {
+      // read from the session catalog: the body's relative name must still
+      // resolve against the STORED graft.default context
+      assert(cmgr.currentCatalog.name() === "spark_catalog")
+      assert(spark.table(s"graft.default.ctx_v_$n").count() === 4L)
+      // and the reader's own context survives the resolution round trip
+      assert(cmgr.currentCatalog.name() === "spark_catalog")
+      spark.sql(s"DROP VIEW graft.default.ctx_v_$n")
+      spark.sql(s"DROP TABLE graft.default.ctx_base_$n")
     } finally cmgr.setCurrentCatalog(prior)
-    // read from the session catalog: the body's relative name must still
-    // resolve against the STORED graft.default context
-    assert(cmgr.currentCatalog.name() !== "graft")
-    assert(spark.table(s"graft.default.ctx_v_$n").count() === 4L)
-    // and the reader's own context survives the resolution round trip
-    assert(cmgr.currentCatalog.name() === prior)
-    spark.sql(s"DROP VIEW graft.default.ctx_v_$n")
-    spark.sql(s"DROP TABLE graft.default.ctx_base_$n")
   }
 
   test("a view over VERSION AS OF serves the pinned snapshot forever") {
