@@ -1236,10 +1236,128 @@ object TextQueries {
       })
   }
 
+  /** t26: SEQUENCE PACKING BY TRUE TOKENIZER COUNTS — t10's packing rule
+    * with the length a production pipeline actually packs by: the NATIVE
+    * [[graft.functions.BpeEncode]] token count of each document under an
+    * in-query-trained vocabulary, not the whitespace proxy (the two differ
+    * systematically — BPE splits rare words and merges across spaces — and
+    * a packer fed whitespace counts overflows or underfills real
+    * context windows). Composition of the tokenizer and packing families:
+    * one corpus pass aggregates the weighted bigram working set (t24's),
+    * 32 merges train locally, and the pack is ONE codegen projection
+    * (encode + size) feeding ONE window shuffle (per-source running sum,
+    * cap 2048) — at 100 TB the tokenizer adds zero extra passes to the
+    * packing job. 32 rounds keep the oracle's unrolled-training replay
+    * ~2 s; t24/t25 already pin the 256-round/4k-vocab scaling.
+    *
+    * Oracle: the same working set, 32 unrolled MATERIALIZED training
+    * rounds, t21's rank-chained replace for the per-doc token count, then
+    * t10's window verbatim — hash-exact. */
+  val t26TokenPack: Q = {
+    val Rounds = 32
+    val sep = "\u001F"
+    val bigramCap = 4000
+    Q(
+      "t26_token_pack",
+      (spark, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, size}
+        Tables.registerAll(spark, dir)
+        val wset: Seq[(String, Long)] = spark.sql(
+          s"""SELECT concat(w1, ' ', w2) AS bg, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT w AS w1, l[pos + 1] AS w2
+             |      FROM (SELECT split(text, ' ') AS l FROM documents) t
+             |      LATERAL VIEW posexplode(slice(l, 1, size(l) - 1)) p AS pos, w)
+             |WHERE w1 RLIKE '^[a-z]+$$' AND w2 RLIKE '^[a-z]+$$'
+             |GROUP BY 1 ORDER BY n DESC, bg LIMIT $bigramCap""".stripMargin)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val merges = graft.functions.BpeTrain.train(wset, Rounds)
+        require(merges.size == Rounds,
+          s"working set exhausted at ${merges.size} merges (need $Rounds)")
+        val mergeLits = merges.map { case (a, b) => a + sep + b }.toArray
+        val toks = org.apache.spark.sql.graft.PlanShim.column(
+          graft.functions.BpeEncode(
+            org.apache.spark.sql.graft.PlanShim.expression(col("text")),
+            org.apache.spark.sql.graft.PlanShim.expression(lit(mergeLits))))
+        Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(toks).cast("bigint").as("n_tokens"))
+          .createOrReplaceTempView("t26_counts")
+        spark.sql(
+          """SELECT doc_id, source, n_tokens,
+            |  CAST(floor(COALESCE(SUM(n_tokens) OVER w, 0) / 2048) AS INT)
+            |    AS pack_id,
+            |  CAST(COALESCE(SUM(n_tokens) OVER w, 0) % 2048 AS INT)
+            |    AS pack_offset
+            |FROM t26_counts
+            |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+            |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin)
+      },
+      Some {
+        val d31 = "chr(31)"
+        val d62 = s"$d31 || $d31"
+        def round(r: Int): String =
+          s"""w$r AS MATERIALIZED (
+             |  WITH px AS (
+             |    SELECT unnest(list_transform(range(1, len(tk)),
+             |             i -> tk[i] || $d31 || tk[i + 1])) AS p, n
+             |    FROM (SELECT list_filter(string_split(s, $d62), x -> x != '') AS tk, n
+             |          FROM w${r - 1})
+             |    WHERE len(tk) >= 2),
+             |  bx AS (
+             |    SELECT string_split(p, $d31)[1] AS a, string_split(p, $d31)[2] AS b
+             |    FROM px GROUP BY p ORDER BY CAST(sum(n) AS BIGINT) DESC, p LIMIT 1)
+             |  SELECT replace(w.s, $d31 || b.a || $d62 || b.b || $d31,
+             |                 $d31 || b.a || b.b || $d31) AS s, w.n,
+             |         b.a AS ma, b.b AS mb
+             |  FROM w${r - 1} w, bx b)""".stripMargin
+        val unions = (1 to Rounds)
+          .map(r => s"(SELECT CAST($r AS BIGINT) AS rank, ma AS a, mb AS b FROM w$r LIMIT 1)")
+          .mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE w0 AS MATERIALIZED (
+           |  SELECT $d62 || regexp_replace(bg, '(?s)(.)', '\\1' || $d62, 'g') AS s,
+           |         CAST(n AS BIGINT) AS n
+           |  FROM (
+           |    SELECT bg, count(*) AS n FROM (
+           |      SELECT zz[1] || ' ' || zz[2] AS bg
+           |      FROM (SELECT unnest(list_zip(l[1:length(l)-1], l[2:])) zz
+           |            FROM (SELECT string_split(text,' ') l FROM documents))
+           |      WHERE regexp_matches(zz[1],'^[a-z]+$$') AND regexp_matches(zz[2],'^[a-z]+$$'))
+           |    GROUP BY bg ORDER BY n DESC, bg LIMIT $bigramCap)),
+           |${(1 to Rounds).map(round).mkString(",\n")},
+           |merges AS MATERIALIZED (
+           |  $unions),
+           |st AS (
+           |  SELECT doc_id, source,
+           |    $d62 || regexp_replace(text, '(?s)(.)', '\\1' || $d62, 'g') AS s,
+           |    CAST(0 AS BIGINT) AS r
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT e.doc_id, e.source,
+           |    replace(e.s, $d31 || m.a || $d62 || m.b || $d31,
+           |            $d31 || m.a || m.b || $d31),
+           |    e.r + 1
+           |  FROM st e JOIN merges m ON m.rank = e.r + 1),
+           |counts AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(list_filter(string_split(s, $d62),
+           |           x -> x != '' AND x != ' ')) AS BIGINT) AS n_tokens
+           |  FROM st WHERE r = (SELECT max(rank) FROM merges))
+           |SELECT doc_id, source, n_tokens,
+           |  CAST(floor(COALESCE(SUM(n_tokens) OVER w, 0) / 2048) AS INT)
+           |    AS pack_id,
+           |  CAST(COALESCE(SUM(n_tokens) OVER w, 0) % 2048 AS INT)
+           |    AS pack_offset
+           |FROM counts
+           |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+      })
+  }
+
   val all: Seq[Q] = Seq(t1LangId, t2Quality, t3Tokens, t4Fingerprint,
     t5TfIdf, t6StratifiedSample, t7PiiScrub, t8Chunking, t9TypeTokenRatio,
     t10Packing, t11Repetition, t12QualityGate, t13TemperatureMix, t14Split,
     t15UnigramLogprob, t16QualityClassifier, t17BigramLogprob, t18BpePairs,
     t19Boilerplate, t20DatasetCard, t21BpeEncode, t22ShardExport,
-    t23BpeTrain, t24BpeEncodeNative, t25BpeEncodeBytes, q120TrainingPipeline)
+    t23BpeTrain, t24BpeEncodeNative, t25BpeEncodeBytes, t26TokenPack,
+    q120TrainingPipeline)
 }

@@ -237,6 +237,21 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(scans === 1, s"expected one corpus scan, found $scans:\n$plan")
   }
 
+  test("t26 token pack is one encode projection feeding one window shuffle") {
+    // the tokenizer must add ZERO passes to the packing job: the encode +
+    // size ride the scan's projection, and the only exchange is the pack
+    // window's per-source repartition
+    graft.queries.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val qe = graft.queries.TextQueries.t26TokenPack
+      .run(spark, "/root/testdata/sf0.001").queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("bpe_encode"), s"native expression missing:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, s"expected exactly the window exchange, found $exchanges:\n$plan")
+    val scans = plan.linesIterator.count(l => l.contains("Scan") && l.contains("parquet"))
+    assert(scans === 1, s"expected one corpus scan, found $scans:\n$plan")
+  }
+
   test("interval join matches the naive theta join, including window edges") {
     import java.sql.Timestamp
     def t(ms: Long) = new Timestamp(ms)
