@@ -441,7 +441,56 @@ object SqlSurfaceQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority""".stripMargin))
 
-  val all: Seq[Q] = Seq(q144PersistentView,
+  /** q145: VIEW SCHEMA-DRIFT POLICY faces (round-15 session 2) — the
+    * `graft.schemaMode` property under a real base-table drift: the table
+    * is REPLACED with a widened shape (okey narrowed to INT, a `tag`
+    * column gained), and the SAME stored view text serves
+    *  - `evolution` (the default): the fresh body's shape — tag present;
+    *  - `compensation`: the STORED (creation-time) schema — tag ignored,
+    *    okey cast back to BIGINT.
+    * `binding`'s refusal face can't emit rows and stays spec-gated
+    * (GraftCatalogSpec). Both faces replay relationally from orders. */
+  val q145ViewSchemaModes: Q = Q(
+    "q145_view_schema_modes",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      Tables.registerAll(spark, dir)
+      val sfx = math.abs(dir.hashCode).toString
+      val t = s"graft.default.vm_base_$sfx"
+      val v = s"graft.default.vm_view_$sfx"
+      spark.sql(s"DROP VIEW IF EXISTS $v")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (okey BIGINT, prio STRING, price DOUBLE)")
+      spark.sql(s"""INSERT INTO $t
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)
+      spark.sql(s"CREATE VIEW $v AS SELECT * FROM $t WHERE okey % 2 = 0")
+      // the drift: okey narrows to INT, tag is gained, contents swap
+      spark.sql(s"CREATE OR REPLACE TABLE $t (okey INT, prio STRING, price DOUBLE, tag STRING)")
+      spark.sql(s"""INSERT INTO $t
+        |SELECT CAST(o_orderkey AS INT), o_orderpriority, o_totalprice, 'x'
+        |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin)
+      val evolution = spark.table(v)
+        .select(lit("evolution").as("face"), col("okey").cast("bigint").as("okey"),
+          col("prio"), col("price"), col("tag"))
+        .localCheckpoint(true)
+      spark.sql(s"ALTER VIEW $v SET TBLPROPERTIES ('graft.schemaMode' = 'compensation')")
+      val compensation = spark.table(v)
+        .select(lit("compensation").as("face"), col("okey"),
+          col("prio"), col("price"), lit(null).cast("string").as("tag"))
+        .localCheckpoint(true)
+      evolution.unionAll(compensation)
+    },
+    Some(
+      """SELECT 'evolution' AS face, CAST(o_orderkey AS BIGINT) AS okey,
+        |  o_orderpriority AS prio, o_totalprice AS price, 'x' AS tag
+        |FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'compensation' AS face, CAST(o_orderkey AS BIGINT) AS okey,
+        |  o_orderpriority AS prio, o_totalprice AS price, CAST(NULL AS VARCHAR) AS tag
+        |FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 2 = 0""".stripMargin))
+
+  val all: Seq[Q] = Seq(q144PersistentView, q145ViewSchemaModes,
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
     q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
     q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames, q44RecursiveCte,
