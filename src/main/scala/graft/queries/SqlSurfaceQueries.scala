@@ -490,7 +490,39 @@ object SqlSurfaceQueries {
         |  o_orderpriority AS prio, o_totalprice AS price, CAST(NULL AS VARCHAR) AS tag
         |FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 2 = 0""".stripMargin))
 
-  val all: Seq[Q] = Seq(q144PersistentView, q145ViewSchemaModes,
+  /** q146: DIM-FACT JOIN THROUGH THE GRAFT CATALOG — correctness coverage
+    * for the manifest-stats broadcast path (GraftJoinStatsRule +
+    * TableRelation.sizeInBytes): a small graft-resident dimension joins a
+    * parquet fact, exactly the plan the hint rule rewrites, and the result
+    * must stay byte-identical to the relational replay. The plan-shape
+    * assertions (BroadcastHashJoin, the BROADCAST hint) live in ScaleSpec;
+    * this entry keeps the REWRITTEN plan's answers under the oracle every
+    * round. */
+  val q146DimBroadcastJoin: Q = Q(
+    "q146_dim_broadcast_join",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      Tables.registerAll(spark, dir)
+      val sfx = math.abs(dir.hashCode).toString
+      val d = s"graft.default.bj_dim_$sfx"
+      spark.sql(s"DROP TABLE IF EXISTS $d")
+      spark.sql(s"CREATE TABLE $d (nkey BIGINT, nname STRING)")
+      spark.sql(s"INSERT INTO $d SELECT n_nationkey, n_name FROM nation")
+      Tables.table(spark, dir, "customer")
+        .join(spark.table(d), col("c_nationkey") === col("nkey"))
+        .groupBy("nname")
+        .agg(org.apache.spark.sql.functions.expr(
+          "CAST(count(*) AS BIGINT) AS n_customers"),
+          org.apache.spark.sql.functions.expr(
+            "CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acct_mass"))
+    },
+    Some(
+      """SELECT n_name AS nname, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acct_mass
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin))
+
+  val all: Seq[Q] = Seq(q144PersistentView, q145ViewSchemaModes, q146DimBroadcastJoin,
     q28OuterJoin, q28bFullOuter, q29StringFunctions, q30Pivot, q31CustomAgg,
     q32Cube, q33Intersect, q34CorrelatedScalar, q35InSubquery, q36ArrayAgg,
     q37AsOfJoin, q39DateFormat, q41NullSafeJoin, q43WindowFrames, q44RecursiveCte,
