@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Deduplicate, Distinct, Filter, GlobalLimit, HintInfo, Join, JoinHint, LocalLimit, LogicalPlan, Project, Sort, SubqueryAlias, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -35,30 +35,42 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * unions, other sources) abstains. */
 case class GraftJoinStatsRule(session: SparkSession) extends Rule[LogicalPlan] {
 
-  private def estimatedRows(p: LogicalPlan): Option[Long] = p match {
+  /** Row UPPER BOUND of a join side: the manifest head-row count of a
+    * single underlying graft relation, walked down through shapes that
+    * PRESERVE OR REDUCE row count (projections, filters, aliases,
+    * aggregates — grouped output ≤ input — sorts, limits, distincts,
+    * windows). The side's own output schema prices the width, so a
+    * widening Project or Aggregate is charged at its widened shape.
+    * Memoized per apply() — the rule runs in a fixed-point batch and a
+    * many-join query would otherwise re-resolve the same head repeatedly. */
+  private def estimatedRows(p: LogicalPlan,
+      memo: scala.collection.mutable.Map[(String, Option[Long]), Option[Long]])
+      : Option[Long] = p match {
     case r: DataSourceV2Relation => r.table match {
       case g: GraftTable =>
-        // a hint is advisory — a planning-time estimate must never fail the
-        // query it decorates (e.g. a concurrently vacuumed/dropped table)
-        try g.table.estimateLiveRows(g.table.resolve(None, g.versionAsOf))
-        catch { case _: Exception => None }
+        memo.getOrElseUpdate((g.table.root, g.versionAsOf),
+          // a hint is advisory — a planning-time estimate must never fail
+          // the query it decorates (e.g. a concurrently vacuumed table)
+          try g.table.estimateLiveRows(g.table.resolve(None, g.versionAsOf))
+          catch { case _: Exception => None })
       case _ => None
     }
-    case p: Project => estimatedRows(p.child)
-    case f: Filter => estimatedRows(f.child)
-    case s: SubqueryAlias => estimatedRows(s.child)
+    case p @ (_: Project | _: Filter | _: SubqueryAlias | _: Aggregate |
+              _: Sort | _: GlobalLimit | _: LocalLimit | _: Distinct |
+              _: Deduplicate | _: Window) =>
+      estimatedRows(p.children.head, memo)
     case _ => None
   }
-
-  private def estimatedBytes(side: LogicalPlan): Option[Long] =
-    estimatedRows(side).map { rows =>
-      val width = 8L + side.schema.fields.map(_.dataType.defaultSize.toLong).sum
-      math.max(1L, rows * width)
-    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val threshold = conf.autoBroadcastJoinThreshold
     if (threshold <= 0) return plan
+    val memo = scala.collection.mutable.Map.empty[(String, Option[Long]), Option[Long]]
+    def estimatedBytes(side: LogicalPlan): Option[Long] =
+      estimatedRows(side, memo).map { rows =>
+        val width = 8L + side.schema.fields.map(_.dataType.defaultSize.toLong).sum
+        math.max(1L, rows * width)
+      }
     plan.transformUp {
       case j: Join =>
         def hintFor(side: LogicalPlan, existing: Option[HintInfo]): Option[HintInfo] =

@@ -206,6 +206,21 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $dim")
   }
 
+  test("an AGGREGATED graft dim side still broadcasts (row bound walks through)") {
+    // Aggregate output rows ≤ input rows, priced at the aggregate's own
+    // width — the GROUP-BY-then-join dim shape must hint like the raw dim
+    val dim = s"graft.default.stats_agg_dim_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $dim (id BIGINT, label STRING)")
+    spark.sql(s"INSERT INTO $dim SELECT id % 40, concat('l', id % 7) FROM range(400)")
+    val fact = spark.range(3000000L).toDF("id")
+    val agg = spark.table(dim).groupBy("id")
+      .agg(org.apache.spark.sql.functions.countDistinct("label").as("n_labels"))
+    val joined = fact.join(agg, "id")
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"aggregated dim join must broadcast:\n${joined.queryExecution.executedPlan}")
+    spark.sql(s"DROP TABLE $dim")
+  }
+
   test("estimateLiveRows refines by pushed bounds over per-commit files") {
     val root = tmpDir("stats-est-")
     val vt = graft.table.VersionedTable(root)
