@@ -1386,8 +1386,19 @@ final class VersionedTable(val root: String,
       case _ => stamped
     }
     val writer = out.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+    // TIMESTAMP_MICROS, not Spark's INT96 default: INT96 is deprecated,
+    // 50% fatter per value, and carries NO footer statistics — with it a
+    // timestamp column can never range-prune under the footer stats mode.
+    // Session-conf set/restore because parquet ignores the per-write option
+    // (probed); the funnel is the engine's single write path and commits
+    // are single-writer by protocol.
+    val sqlConf = out.sparkSession.sessionState.conf
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsPrev = sqlConf.getConfString(tsKey, "INT96")
+    sqlConf.setConfString(tsKey, "TIMESTAMP_MICROS")
+    try (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(outDir.toString)
+    finally sqlConf.setConfString(tsKey, tsPrev)
     def isData(n: String) =
       n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
     if (partitionBy.isEmpty) {
@@ -1582,15 +1593,94 @@ final class VersionedTable(val root: String,
     * files directly (no partition inference) and inject each file's
     * partition values as exact min=max=value stats, typed from the table
     * schema — so [[readPruned]] skips on partition columns for free. */
+  /** Per-file min/max/nullCount/rowCount for a batch of freshly written (or
+    * adopted) files. Two modes, `spark.graft.stats.mode`:
+    *
+    *  - `footer` (default): read the values the parquet writer ALREADY
+    *    recorded in each file's footer — metadata-plane, no second pass over
+    *    the data (guide §6: shuffle/scan metadata instead of payloads). At
+    *    100 TB the legacy mode re-reads every committed byte once per commit
+    *    just to re-derive numbers the footer carries; at gate scale it is a
+    *    fixed extra Spark job per commit. Columns whose footer stats are
+    *    untrustworthy contribute nothing for that file (absent stats can
+    *    never skip a file — conservative by the prune contract): INT96
+    *    timestamps (no footer stats; the write funnel now emits
+    *    TIMESTAMP_MICROS precisely so timestamp bounds survive), oversize
+    *    binary values (parquet drops stats > 4 KB), and NTZ/exotic logical
+    *    types. FLOAT/DOUBLE bounds are NaN-poisoned in footers (the same
+    *    reason Spark's parquet MIN/MAX aggregate pushdown refuses floating
+    *    types), so they come from a RESIDUAL scan over just the floating
+    *    leaves — column-pruned, skipped entirely on float-free tables —
+    *    keeping them bit-identical to scan mode. Values are rendered
+    *    through the SAME Cast-to-string Spark applies in scan mode, so
+    *    recorded stats are bit-identical for every covered type
+    *    (FooterStatsSpec pins scan ≡ footer on a mixed-type table).
+    *  - `scan`: the legacy distributed aggregation over the written files —
+    *    the escape hatch for deployments that must range-prune floating
+    *    columns or adopt footers the writer cannot vouch for.
+    */
   private def collectFileStats(spark: SparkSession, commitId: String,
       files: Seq[String],
       partValues: Map[String, Map[String, Option[String]]] = Map.empty,
       partTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
       : Map[String, Map[String, (String, String, String)]] = {
+    if (files.isEmpty) return Map.empty
+    if (spark.conf.getOption("spark.graft.stats.mode").forall(_ == "footer")) {
+      val partStats: Map[String, Map[String, (String, String, String)]] =
+        files.map { f =>
+          f -> partValues.getOrElse(f, Map.empty).flatMap { case (c, v) =>
+            for { value <- v; kind <- partTypes.get(c).flatMap(
+              VersionedTable.statKindOf) }
+              yield c -> (value, value, kind)
+          }
+        }.toMap
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      val maxDriver = spark.conf.getOption("spark.graft.stats.footerDriverMaxFiles")
+        .map(_.toInt).getOrElse(256)
+      val rootAbs = Paths.get(root).toAbsolutePath.toString
+      val dataStats: Map[String, Map[String, (String, String, String)]] =
+        if (files.size <= maxDriver)
+          files.map(f => f -> VersionedTable.footerStats(rootAbs, f, tz)).toMap
+        else {
+          val slices = math.max(1, files.size / 64)
+          spark.sparkContext.parallelize(files, slices)
+            .map(f => f -> VersionedTable.footerStats(rootAbs, f, tz))
+            .collect().toMap
+        }
+      // FLOAT/DOUBLE bounds cannot be trusted from footers (NaN-poisoned;
+      // see footerStats), but consumers legitimately need them — the
+      // metadata-answered MIN/MAX rewrite serves unfiltered aggregates from
+      // the manifest. A RESIDUAL scan over ONLY the floating leaves keeps
+      // their stats bit-identical to scan mode (Spark's NaN-as-greatest
+      // semantics included) while parquet's columnar layout makes the pass
+      // read just those columns; float-free tables (most derived stores)
+      // skip the job entirely.
+      val (floating, floatSchema) = VersionedTable.floatingLeaves(rootAbs, files.head)
+      val residual =
+        if (floating.isEmpty) Map.empty[String, Map[String, (String, String, String)]]
+        else scanFileStats(spark, commitId, files, only = Some(floating),
+          readSchema = Some(floatSchema))
+      return files.map { f =>
+        f -> (dataStats.getOrElse(f, Map.empty) ++
+          residual.getOrElse(f, Map.empty) ++ partStats.getOrElse(f, Map.empty))
+      }.toMap
+    }
+    scanFileStats(spark, commitId, files, partValues, partTypes)
+  }
+
+  private def scanFileStats(spark: SparkSession, commitId: String,
+      files: Seq[String],
+      partValues: Map[String, Map[String, Option[String]]] = Map.empty,
+      partTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      only: Option[Set[String]] = None,
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Map[String, Map[String, (String, String, String)]] = {
     import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
     import org.apache.spark.sql.types._
     if (files.isEmpty) return Map.empty
-    val written = spark.read.parquet(
+    // an explicit schema (footer mode's residual float pass) spares the
+    // reader its footer-inference job AND column-prunes the scan
+    val written = readSchema.foldLeft(spark.read)((r, s) => r.schema(s)).parquet(
       files.map(f => Paths.get(root).resolve(f).toString): _*)
     // kind drives the prune-time comparison: "num" compares numerically,
     // everything else lexicographically (ISO-rendered timestamps/dates sort
@@ -1632,7 +1722,8 @@ final class VersionedTable(val root: String,
         case _ => Nil
       }
     }.filterNot { case (n, _, _) => topNames.contains(n) }.toSeq
-    val statCols = topCols.map { case (c, k) => (c, quoted(c), k) } ++ nestedCols
+    val statCols = (topCols.map { case (c, k) => (c, quoted(c), k) } ++ nestedCols)
+      .filter { case (c, _, _) => only.forall(_.contains(c)) }
     val partStats: Map[String, Map[String, (String, String, String)]] =
       files.map { f =>
         f -> partValues.getOrElse(f, Map.empty).flatMap { case (c, v) =>
@@ -5910,6 +6001,194 @@ object VersionedTable {
     * skipped and range/checkpoint pruning alone bound the candidate list.
     * 1 M longs ≈ 8 MB — batch-sized; a 100 M-key merge stays off the driver. */
   val BloomProbeMaxKeys = 1000000
+
+  /** Stats "kind" of a Spark type — drives the prune-time comparison
+    * (numeric vs lexicographic; ISO-rendered timestamps/dates sort
+    * correctly as strings). Shared by the scan and footer stats modes and
+    * the partition-value re-injection. */
+  private[table] def statKindOf(
+      dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => Some("num")
+      case StringType | TimestampType | DateType => Some("str")
+      case _ => None
+    }
+  }
+
+  /** The FLOAT/DOUBLE leaves of one file's parquet schema (struct-only
+    * walk, same eligibility as [[footerStats]]): their dotted names plus a
+    * minimal Spark read schema containing ONLY those branches — the columns
+    * whose bounds the footer mode must source from the residual scan, with
+    * the explicit schema sparing that scan its own footer-inference job. */
+  private[table] def floatingLeaves(rootAbs: String, relFile: String)
+      : (Set[String], org.apache.spark.sql.types.StructType) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.{GroupType, Type}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{DOUBLE, FLOAT}
+    import org.apache.spark.sql.types.{DoubleType, FloatType, StructField, StructType}
+    val path = new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(rootAbs).resolve(relFile).toString)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      path, new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      def walk(t: GroupType, prefix: String): (Seq[String], Seq[StructField]) = {
+        val per = t.getFields.asScala.toSeq.map { f =>
+          val name = if (prefix.isEmpty) f.getName else s"$prefix.${f.getName}"
+          if (f.getRepetition == Type.Repetition.REPEATED) (Nil, Nil)
+          else if (f.isPrimitive) f.asPrimitiveType().getPrimitiveTypeName match {
+            case FLOAT => (Seq(name), Seq(StructField(f.getName, FloatType)))
+            case DOUBLE => (Seq(name), Seq(StructField(f.getName, DoubleType)))
+            case _ => (Nil, Nil)
+          } else if (f.getLogicalTypeAnnotation != null) (Nil, Nil)
+          else {
+            val (names, fields) = walk(f.asGroupType(), name)
+            if (fields.isEmpty) (Nil, Nil)
+            else (names, Seq(StructField(f.getName, StructType(fields))))
+          }
+        }
+        (per.flatMap(_._1), per.flatMap(_._2))
+      }
+      val (names, fields) =
+        walk(reader.getFooter.getFileMetaData.getSchema.asGroupType(), "")
+      (names.toSet, StructType(fields))
+    } finally reader.close()
+  }
+
+  /** Footer-mode stats for ONE written file: min/max/nullCount per eligible
+    * column plus the row count, extracted from the parquet footer the
+    * writer already produced — no data read. Static and self-contained so
+    * the >footerDriverMaxFiles path can run it on executors.
+    *
+    * Eligibility mirrors the scan mode's stat-column menu (top-level scalar
+    * leaves + struct leaves under dotted names; nothing under arrays/maps),
+    * with the footer-trust rules the scaladoc on collectFileStats states:
+    * floating bounds skipped (NaN-poisoned), INT96/NTZ skipped, dropped
+    * (oversize) stats skipped — every skip is conservative because absent
+    * stats never skip a file. Values render through the same Cast Spark's
+    * scan-mode aggregation applies, so both modes record identical strings
+    * for every covered type. */
+  private[table] def footerStats(rootAbs: String, relFile: String,
+      tz: String): Map[String, (String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, PrimitiveType, Type}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.column.statistics.Statistics
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types._
+    val path = new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(rootAbs).resolve(relFile).toString)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      path, new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val out = scala.collection.mutable.Map[String, (String, String, String)](
+        RowCountStat -> ((rows.toString, rows.toString, "rows")))
+      if (blocks.isEmpty) return out.toMap
+      // struct-only leaf walk (LIST/MAP groups carry logical annotations and
+      // REPEATED repetition — both stop the descent, exactly like the scan
+      // mode's schema walk ignoring arrays/maps)
+      def leaves(t: GroupType, prefix: String): Seq[(String, PrimitiveType)] =
+        t.getFields.asScala.toSeq.flatMap { f =>
+          val name = if (prefix.isEmpty) f.getName else s"$prefix.${f.getName}"
+          if (f.getRepetition == Type.Repetition.REPEATED) Nil
+          else if (f.isPrimitive) Seq(name -> f.asPrimitiveType())
+          else if (f.getLogicalTypeAnnotation != null) Nil
+          else leaves(f.asGroupType(), name)
+        }
+      val eligible = leaves(footer.getFileMetaData.getSchema.asGroupType(), "")
+      // one merged Statistics per column, unusable if ANY block's chunk
+      // stats are missing/dropped (parquet omits stats > 4 KB)
+      val byName: Map[String, Seq[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]] =
+        blocks.flatMap(_.getColumns.asScala).groupBy(_.getPath.toDotString)
+      def render(lit: Literal): String =
+        Cast(lit, StringType, Some(tz)).eval(null).toString
+      eligible.foreach { case (name, pt) =>
+        byName.get(name).filter(_.size == blocks.size).foreach { chunks =>
+          val sts = chunks.map(_.getStatistics)
+          if (sts.forall(s => s != null && !s.isEmpty)) {
+            // erased-cast merge: the chunks of one column share one concrete
+            // Statistics subclass; the nominal Binary parameter only
+            // satisfies the Java bound (erased at runtime)
+            type B = org.apache.parquet.io.api.Binary
+            val merged: Statistics[_] = sts.head.copy()
+            sts.tail.foreach(s => merged.asInstanceOf[Statistics[B]]
+              .mergeStatistics(s.asInstanceOf[Statistics[B]]))
+            if (merged.isNumNullsSet) {
+              val nc = merged.getNumNulls.toString
+              out(s"$NullCountPrefix$name") = ((nc, nc, "nulls"))
+            }
+            if (merged.hasNonNullValue) {
+              val ann = pt.getLogicalTypeAnnotation
+              // (rendered min, rendered max, kind) — or None when the
+              // footer cannot be trusted for this physical/logical shape
+              val bounds: Option[(String, String, String)] =
+                (pt.getPrimitiveTypeName, ann) match {
+                  case (INT32 | INT64, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+                    def dec(v: Long) = new java.math.BigDecimal(
+                      java.math.BigInteger.valueOf(v), d.getScale).toString
+                    merged match {
+                      case s: org.apache.parquet.column.statistics.IntStatistics =>
+                        Some((dec(s.getMin.toLong), dec(s.getMax.toLong), "num"))
+                      case s: org.apache.parquet.column.statistics.LongStatistics =>
+                        Some((dec(s.getMin), dec(s.getMax), "num"))
+                      case _ => None
+                    }
+                  case (INT32, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                      if !i.isSigned => None // unsigned: Spark widens; skip
+                  case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+                    val s = merged.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+                    Some((render(Literal(s.getMin, DateType)),
+                      render(Literal(s.getMax, DateType)), "str"))
+                  case (INT32, _) =>
+                    val s = merged.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+                    Some((s.getMin.toString, s.getMax.toString, "num"))
+                  case (INT64, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                      if !i.isSigned => None
+                  case (INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+                      if t.isAdjustedToUTC &&
+                        (t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS ||
+                         t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS) =>
+                    val s = merged.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+                    val scale = if (t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS) 1000L else 1L
+                    Some((render(Literal(s.getMin * scale, TimestampType)),
+                      render(Literal(s.getMax * scale, TimestampType)), "str"))
+                  case (INT64, _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+                    None // NTZ or nanos: rendering semantics differ — skip
+                  case (INT64, _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation) => None
+                  case (INT64, _) =>
+                    val s = merged.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+                    Some((s.getMin.toString, s.getMax.toString, "num"))
+                  case (BINARY, a) if a.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] ||
+                      a.isInstanceOf[LogicalTypeAnnotation.EnumLogicalTypeAnnotation] =>
+                    val s = merged.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+                    Some((new String(s.genericGetMin.getBytes, java.nio.charset.StandardCharsets.UTF_8),
+                      new String(s.genericGetMax.getBytes, java.nio.charset.StandardCharsets.UTF_8), "str"))
+                  case (BINARY | FIXED_LEN_BYTE_ARRAY,
+                      d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+                    val s = merged.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+                    def dec(b: org.apache.parquet.io.api.Binary) = new java.math.BigDecimal(
+                      new java.math.BigInteger(b.getBytes), d.getScale).toString
+                    Some((dec(s.genericGetMin), dec(s.genericGetMax), "num"))
+                  // FLOAT/DOUBLE: parquet-mr footer min/max are unreliable in
+                  // the presence of NaN (probed: {1.5, NaN, -0.0} records
+                  // min=max=0.0) — the same reason Spark refuses parquet
+                  // MIN/MAX pushdown for floating types. NullCount above is
+                  // still exact; bounds come from the caller's residual scan.
+                  case _ => None
+                }
+              bounds.foreach(b => out(name) = b)
+            }
+          }
+        }
+      }
+      out.toMap
+    } finally reader.close()
+  }
 
   /** Reconstructed file-level state of one version: live data files
     * (sorted), their per-file stats and partition values, and the deletion-
