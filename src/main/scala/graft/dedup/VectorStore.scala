@@ -205,13 +205,18 @@ object VectorStore {
       // co-locate per partition value before the partitioned commit (the
       // default layout would emit tasks × values tiny files); stats off —
       // reads prune by PARTITION value only
+      // pin the assignment once: the commit and the drift-tracker seed
+      // both consume it — re-reading the just-committed table for the
+      // counts paid a listing + scan for rows this build just computed
+      val assignedDf = graft.queries.SimilarityQueries.assignTo(vecs, centsDf)
+        .localCheckpoint(true)
       assignedTable(root).commit(
-        graft.queries.SimilarityQueries.assignTo(vecs, centsDf)
-          .repartition(col("c_id")),
+        assignedDf.repartition(col("c_id")),
         partitionBy = Seq("c_id"), collectStats = false)
-      // seed the drift tracker from the committed layout (one slim c_id
-      // scan — the counts are exact, not an estimate to reconcile later)
-      writeLoad(root, countsOf(assignedTable(root).read(spark)))
+      // seed the drift tracker from the pinned layout (one slim c_id
+      // aggregation — the counts are exact, not an estimate to reconcile
+      // later, and identical to a read-back of the commit it just fed)
+      writeLoad(root, countsOf(assignedDf))
       // the completion stamp: only now is the store serveable/admittable
       centsT.setProperties(Map("indexFormat" -> "1", "seedModulus" -> m.toString))
     } finally { vecs.unpersist(); () }

@@ -220,38 +220,50 @@ object SimilarityQueries {
         // spills instead of recomputing five times.
         val vecs = vectors(spark, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // label the build segments (guide §1.5) so a cold-build profile
+        // attributes its jobs; thread-local, cleared at the end
+        def phase[T](name: String)(body: => T): T = {
+          spark.sparkContext.setJobDescription(s"ivf-build: $name")
+          try body finally spark.sparkContext.setJobDescription(null)
+        }
         try {
-          val n = vecs.count()
+          val n = phase("count")(vecs.count())
           val m = seedModulus(n)
           // co-locate each partition value in one task before the partitioned
           // commits: the default layout would emit (tasks × values) tiny files
-          graft.table.VersionedTable(s"$root/cents")
-            .commit(trainedCents(spark, vecs, m).coalesce(1))
+          phase("kmeans+cents")(graft.table.VersionedTable(s"$root/cents")
+            .commit(trainedCents(spark, vecs, m).coalesce(1)))
           val centsDf = graft.table.VersionedTable(s"$root/cents").read(spark)
           // collectStats = false: both stores are read ONLY through manifest
           // partition pruning (probed centroid / signature values), never by
           // per-file min/max skipping — the stats pass would re-scan the full
           // corpus per store for bounds nothing consumes
-          graft.table.VersionedTable(s"$root/assigned").commit(
-            assignTo(vecs, centsDf).repartition(col("c_id")),
-            partitionBy = Seq("c_id"), collectStats = false)
-          graft.table.VersionedTable(s"$root/srp").commit(
+          // pin the assignment once: the assigned commit AND the codes
+          // commit below both consume it — reading the assigned TABLE back
+          // for the codes join re-paid a listing + scan for rows this
+          // build just computed (localCheckpoint = one small job; the
+          // frame is (corpus × 5 slim columns))
+          val assignedDf = phase("assign")(
+            assignTo(vecs, centsDf).localCheckpoint(true))
+          phase("assigned")(graft.table.VersionedTable(s"$root/assigned").commit(
+            assignedDf.repartition(col("c_id")),
+            partitionBy = Seq("c_id"), collectStats = false))
+          phase("srp")(graft.table.VersionedTable(s"$root/srp").commit(
             vecs.withColumn("bucket", expr(srpBucketSpark))
               .repartition(col("bucket")),
-            partitionBy = Seq("bucket"), collectStats = false)
+            partitionBy = Seq("bucket"), collectStats = false))
           // the PQ half of the index: 128-row per-subspace codebooks plus
           // the 8-codes-per-vector encoding, stored in the SAME inverted
           // IVF layout as `assigned` so an s8 probe reads only the probed
           // centroids' CODES (8 ints/vector — 32× less I/O than the floats)
-          val pqCents = trainPqCents(spark, vecs)
-          graft.table.VersionedTable(s"$root/pq_cents").commit(pqCents.coalesce(1))
-          val assignedBack = graft.table.VersionedTable(s"$root/assigned")
-            .read(spark).select("vec_id", "label", "c_id")
-          graft.table.VersionedTable(s"$root/codes").commit(
+          val pqCents = phase("pq-train")(trainPqCents(spark, vecs))
+          phase("pq-cents")(
+            graft.table.VersionedTable(s"$root/pq_cents").commit(pqCents.coalesce(1)))
+          phase("codes")(graft.table.VersionedTable(s"$root/codes").commit(
             pqEncode(pqSubvectors(vecs), pqCents)
-              .join(assignedBack, "vec_id")
+              .join(assignedDf.select("vec_id", "label", "c_id"), "vec_id")
               .repartition(col("c_id")),
-            partitionBy = Seq("c_id"), collectStats = false)
+            partitionBy = Seq("c_id"), collectStats = false))
           // properties last: a half-built index is never marked fresh
           cents.setProperties(Map(
             "corpusFingerprint" -> fp,
