@@ -1639,9 +1639,23 @@ final class VersionedTable(val root: String,
         .map(_.toInt).getOrElse(256)
       val rootAbs = Paths.get(root).toAbsolutePath.toString
       val dataStats: Map[String, Map[String, (String, String, String)]] =
-        if (files.size <= maxDriver)
-          files.map(f => f -> VersionedTable.footerStats(rootAbs, f, tz)).toMap
-        else {
+        if (files.size <= maxDriver) {
+          // parallel driver-side footer reads: each is an independent
+          // ~ms metadata read, and a CONVERT adopting dozens of external
+          // files would otherwise serialize them (q113 regressed +1.3 s
+          // on the serial loop)
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.max(1, math.min(8, files.size)))
+          try {
+            val futs = files.map { f =>
+              pool.submit(new java.util.concurrent.Callable[
+                  (String, Map[String, (String, String, String)])] {
+                def call() = f -> VersionedTable.footerStats(rootAbs, f, tz)
+              })
+            }
+            futs.map(_.get()).toMap
+          } finally { pool.shutdown(); () }
+        } else {
           val slices = math.max(1, files.size / 64)
           spark.sparkContext.parallelize(files, slices)
             .map(f => f -> VersionedTable.footerStats(rootAbs, f, tz))
