@@ -30,3 +30,36 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // box has 125g; SPARK_DRIVER_MEM still overrides
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
+// Parallel forked test GROUPS: the serial suite grew to ~35 min in one JVM,
+// which is (a) past any sane CI/driver timeout — the round-15 verify run was
+// SIGTERMed mid-suite, producing the SparkShutdownHookManager stopped-context
+// failures on whatever suites were still running — and (b) one shared
+// 35-min-lived session whose single crash dooms every remaining suite. Each
+// group is its OWN JVM with its OWN SparkSession and warehouse temp dirs, so
+// groups are fully isolated (globals like fault-injection points included)
+// while suites WITHIN a group still run sequentially, exactly as before.
+// The two long-tail suites get solo groups; the rest hash-spread.
+Test / testGrouping := {
+  val opts = ForkOptions().withRunJVMOptions(
+    (jdk17AddOpens ++ Seq(
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      // 12g per group JVM (8 groups share the 125g box; tests run toy data
+      // and the old 32g single-JVM ceiling was sized for sf0.1 bench runs)
+      s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "12g")}",
+    )).toVector)
+  val tests = (Test / definedTests).value
+  val solo = Set("graft.AnsiSweepSpec", "graft.functions.BpeEncodeSpec")
+  val n = 6
+  val (big, rest) = tests.partition(t => solo.contains(t.name))
+  big.map(t => Tests.Group(t.name, Seq(t), Tests.SubProcess(opts))) ++
+    rest.groupBy(t => math.abs(t.name.hashCode) % n).toSeq.sortBy(_._1).map {
+      case (i, ts) => Tests.Group(s"group-$i", ts.sortBy(_.name), Tests.SubProcess(opts))
+    }
+}
+// sbt's default caps concurrently running forked test groups at 1 — lift it
+// (8 groups x local[4] sessions = 32 task threads, exactly the box's cores)
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 8),
+  Tags.limitAll(12),
+)

@@ -30,6 +30,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       // reference-parity semantics (Spark 3.0-era lenient casts/coercions —
       // SURVEY.md §7 hard part #3) + nanos-timestamp testdata readability

@@ -276,7 +276,18 @@ object TextIndexStore {
     * exactly-once under streaming replay. Returns the number of documents
     * actually admitted (0 for a full replay — a loud no-op). */
   def admit(spark: SparkSession, root: String, batch: DataFrame,
-      fingerprint: String, txn: Option[(String, Long)] = None): Long = {
+      fingerprint: String, txn: Option[(String, Long)] = None): Long =
+    admitImpl(spark, root, batch, fingerprint, txn, assumeFresh = false)
+
+  /** [[admit]], with `assumeFresh = true` available to [[syncFromTable]]:
+    * the sync's evict has just removed every changed doc_id from the store,
+    * so the double-admission guard's bucket-pruned overlap probe is provably
+    * empty — skipping it saves the probe read and two joins per sync while
+    * producing the identical `fresh` frame. Every other caller keeps the
+    * guard (their batches carry no such proof). */
+  private def admitImpl(spark: SparkSession, root: String, batch: DataFrame,
+      fingerprint: String, txn: Option[(String, Long)],
+      assumeFresh: Boolean): Long = {
     val postT = postingsTable(root)
     require(postT.latestVersion().isDefined,
       s"$root holds no text index store — build(corpus) first")
@@ -294,15 +305,20 @@ object TextIndexStore {
       // buckets its words hash to — the same buckets a replay's words
       // touch, so the partition-pruned probe is complete for replays (the
       // caller contract still asks for NEW doc_ids; this catches the
-      // violation instead of silently corrupting df/nd/totalLen)
-      val touched = tok.select(bucketCol.as("bucket")).distinct()
-      val (bucketPostings, _, _) =
-        postT.readPrunedByJoinKeys(spark, touched, "bucket", "bucket")
-      val existing = bucketPostings.select("doc_id")
-        .join(tok.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-        .distinct()
-      val fresh = tok.join(existing, Seq("doc_id"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // violation instead of silently corrupting df/nd/totalLen).
+      // `assumeFresh` callers proved the overlap empty (sync's evict just
+      // removed these ids) — the guard would compute `fresh ≡ tok`.
+      // (tok is already persisted, so the assumeFresh arm re-uses it as-is)
+      val fresh = if (assumeFresh) tok else {
+        val touched = tok.select(bucketCol.as("bucket")).distinct()
+        val (bucketPostings, _, _) =
+          postT.readPrunedByJoinKeys(spark, touched, "bucket", "bucket")
+        val existing = bucketPostings.select("doc_id")
+          .join(tok.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .distinct()
+        tok.join(existing, Seq("doc_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
       try {
         val doclen = fresh.groupBy("doc_id")
           .agg(expr("CAST(count(*) AS BIGINT)").as("len"))
@@ -391,7 +407,10 @@ object TextIndexStore {
     val evicted = evict(spark, root, changed, fingerprint)
     val current = table.read(spark)
       .join(changed, Seq("doc_id")).select("doc_id", "text")
-    val admitted = admit(spark, root, current, fingerprint, txn = txn)
+    // assumeFresh: the evict above removed every changed id, so the admit's
+    // double-admission probe is provably empty — skip it (identical rows)
+    val admitted = admitImpl(spark, root, current, fingerprint, txn = txn,
+      assumeFresh = true)
     postT.setProperties(Map("syncedVersion" -> head.toString))
     (admitted, evicted)
   }

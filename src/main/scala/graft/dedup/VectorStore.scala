@@ -343,8 +343,31 @@ object VectorStore {
     val evicted = evict(spark, root, changed)
     val current = table.read(spark)
       .join(changed, Seq("vec_id")).select("vec_id", "label", "embedding")
-    val admitted = admit(spark, root, current, threshold = 2.0)
-      .filter(col("verdict") === "admitted").count()
+    // Mirror-mode admission, specialized: at threshold 2.0 the rounded
+    // cosine can never near-dup-reject, and the evict above just removed
+    // every changed id — so the general admit's probe read, near-dup join,
+    // and already-stored exclusion are all provably no-ops. What remains is
+    // exactly the BUILD's own assign kernel (assignTo = the same top-1 the
+    // general admit evaluates at cids(0)) plus the append and the drift
+    // counters: identical rows, a store-partition read and three join jobs
+    // fewer per sync.
+    graft.functions.GraftFunctions.registerAll(spark)
+    val vecs = normalized(current)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val admitted = try {
+      val n = vecs.count()
+      if (n > 0) {
+        val assignedBatch = graft.queries.SimilarityQueries
+          .assignTo(vecs, centsT.read(spark)).localCheckpoint(true)
+        assignedTable(root).append(assignedBatch.repartition(col("c_id")),
+          collectStats = false)
+        val prior = load(root)
+        val deltas = countsOf(assignedBatch)
+        writeLoad(root, prior ++ deltas.map { case (c, cn) =>
+          c -> (prior.getOrElse(c, 0L) + cn) })
+      }
+      n
+    } finally { vecs.unpersist(); () }
     centsT.setProperties(Map("syncedVersion" -> head.toString))
     (admitted, evicted)
   }
@@ -376,11 +399,18 @@ object VectorStore {
       s"$root holds no vector store — build(corpus) first")
     repairRebalance(spark, root)
     val ids = vecIds.select("vec_id").distinct().localCheckpoint(true)
-    // locate the victims' centroids BEFORE the delete: exact load
-    // decrements, and the erasure count to report
-    val victims = assignedTable(root).read(spark)
+    // locate the victims' (vec_id, c_id) rows BEFORE the delete — one pinned
+    // slim scan that feeds all three consumers: the load decrements, the
+    // erasure count, and the delete merge itself. Keying the merge on c_id
+    // (the PARTITION column) confines the COW rewrite to the victims' own
+    // partitions: the assigned store commits stats-off, so a vec_id-keyed
+    // merge found every file statless and rewrote the WHOLE store per evict
+    // (at 100 TB: a full-store rewrite where only the victims' partitions
+    // should move).
+    val located = assignedTable(root).read(spark)
       .join(ids, Seq("vec_id"), "left_semi")
-      .groupBy("c_id").count().collect()
+      .select("vec_id", "c_id").localCheckpoint(true)
+    val victims = located.groupBy("c_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val erased = victims.values.sum
     if (erased == 0) return 0L
@@ -390,13 +420,18 @@ object VectorStore {
     // large-file trade only (it measured SLOWER at gate scale, sf0.1 A/B
     // serve 11.3 → 19.9 s; see TextIndexStore.evict). compact() is the DV
     // escape hatch when tombstones accumulate.
+    // (vec_id, c_id) pairs match exactly the same rows a vec_id-only join
+    // would (stored vec_ids are unique and located carries each victim's own
+    // partition), and the c_id equi-conjunct is what lets the merge prune by
+    // partition value
+    val deleteOn = "source.c_id = target.c_id AND source.vec_id = target.vec_id"
     if (physical)
-      assignedTable(root).mergeCow(spark, ids, "source.vec_id = target.vec_id",
-        targetKey = "vec_id", sourceKey = "vec_id",
+      assignedTable(root).mergeCow(spark, located, deleteOn,
+        targetKey = "c_id", sourceKey = "c_id",
         whenMatchedDelete = Some(Merge.MatchedDelete(None)))
     else
-      assignedTable(root).mergeMor(spark, ids, "source.vec_id = target.vec_id",
-        targetKey = "vec_id", sourceKey = "vec_id",
+      assignedTable(root).mergeMor(spark, located, deleteOn,
+        targetKey = "c_id", sourceKey = "c_id",
         whenMatchedDelete = Some(Merge.MatchedDelete(None)))
     val prior = load(root)
     writeLoad(root, prior ++ victims.map { case (c, n) =>

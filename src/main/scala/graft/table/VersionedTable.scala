@@ -787,8 +787,10 @@ final class VersionedTable(val root: String,
         }
         val partSchema = StructType(StructField("__pfile", StringType) +:
           filePb.map(c => StructField(s"__pv_$c", StringType)))
-        val pframe = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), partSchema)
+        // LOCAL relation, not an RDD: the manifest rows live on the driver,
+        // and a LocalRelation broadcast/fold needs NO Spark job where the
+        // one-partition RDD paid a fixed-cost job per scan
+        val pframe = spark.createDataFrame(rows.asJava, partSchema)
         val joined = live.join(broadcast(pframe), live("__rel") === pframe("__pfile"))
         // reproduce the recorded column ORDER and types exactly
         joined.select((full.fields.map { f =>
@@ -928,8 +930,9 @@ final class VersionedTable(val root: String,
       val m = vals.getOrElse(f, Map.empty)
       org.apache.spark.sql.Row.fromSeq(f +: pb.map(c => m.getOrElse(c, None).orNull))
     }
-    val local = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
+    // LocalRelation: Catalyst's ConvertToLocalRelation folds the typed
+    // filter below driver-side — the collect() runs zero Spark jobs
+    val local = spark.createDataFrame(rows.asJava,
       StructType(StructField("__pfile", StringType) +:
         pb.map(c => StructField(c, StringType))))
     val kept = local.select(col("__pfile") +: pb.map(c => col(c).cast(typeOf(c)).as(c)): _*)
@@ -1395,10 +1398,22 @@ final class VersionedTable(val root: String,
     val sqlConf = out.sparkSession.sessionState.conf
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val tsPrev = sqlConf.getConfString(tsKey, "INT96")
-    sqlConf.setConfString(tsKey, "TIMESTAMP_MICROS")
-    try (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(outDir.toString)
-    finally sqlConf.setConfString(tsKey, tsPrev)
+    // The engine's own session builders (Bench/Verify/Profile/SparkSpec/
+    // JobChild) now set TIMESTAMP_MICROS at session build, so the common
+    // case mutates NOTHING — the set/restore below is only the fallback for
+    // foreign sessions, where two concurrent commits to DIFFERENT tables
+    // could otherwise race the restore and emit an INT96 file (consequence:
+    // lost timestamp footer stats — conservative no-prune, never wrong
+    // rows; single-writer-per-TABLE is the protocol, cross-table isn't).
+    if (tsPrev == "TIMESTAMP_MICROS") {
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(outDir.toString)
+    } else {
+      sqlConf.setConfString(tsKey, "TIMESTAMP_MICROS")
+      try (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(outDir.toString)
+      finally sqlConf.setConfString(tsKey, tsPrev)
+    }
     def isData(n: String) =
       n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
     if (partitionBy.isEmpty) {
@@ -1619,7 +1634,7 @@ final class VersionedTable(val root: String,
     *    the escape hatch for deployments that must range-prune floating
     *    columns or adopt footers the writer cannot vouch for.
     */
-  private def collectFileStats(spark: SparkSession, commitId: String,
+  private[table] def collectFileStats(spark: SparkSession, commitId: String,
       files: Seq[String],
       partValues: Map[String, Map[String, Option[String]]] = Map.empty,
       partTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
@@ -1638,7 +1653,16 @@ final class VersionedTable(val root: String,
       val maxDriver = spark.conf.getOption("spark.graft.stats.footerDriverMaxFiles")
         .map(_.toInt).getOrElse(256)
       val rootAbs = Paths.get(root).toAbsolutePath.toString
-      val dataStats: Map[String, Map[String, (String, String, String)]] =
+      // one footer visit per file yields BOTH the trustworthy stats and the
+      // file's OWN float-leaf set (per-file, not files.head's: a mixed-
+      // schema CONVERT adoption batch can carry float leaves the head file
+      // lacks, and head-only discovery would silently drop their bounds)
+      type FileMeta = (Map[String, (String, String, String)],
+        (Set[String], org.apache.spark.sql.types.StructType))
+      def metaOf(f: String): FileMeta =
+        (VersionedTable.footerStats(rootAbs, f, tz),
+          VersionedTable.floatingLeaves(rootAbs, f))
+      val perFile: Map[String, FileMeta] =
         if (files.size <= maxDriver) {
           // parallel driver-side footer reads: each is an independent
           // ~ms metadata read, and a CONVERT adopting dozens of external
@@ -1648,9 +1672,8 @@ final class VersionedTable(val root: String,
             math.max(1, math.min(8, files.size)))
           try {
             val futs = files.map { f =>
-              pool.submit(new java.util.concurrent.Callable[
-                  (String, Map[String, (String, String, String)])] {
-                def call() = f -> VersionedTable.footerStats(rootAbs, f, tz)
+              pool.submit(new java.util.concurrent.Callable[(String, FileMeta)] {
+                def call() = f -> metaOf(f)
               })
             }
             futs.map(_.get()).toMap
@@ -1658,22 +1681,28 @@ final class VersionedTable(val root: String,
         } else {
           val slices = math.max(1, files.size / 64)
           spark.sparkContext.parallelize(files, slices)
-            .map(f => f -> VersionedTable.footerStats(rootAbs, f, tz))
+            .map(f => f -> ((VersionedTable.footerStats(rootAbs, f, tz),
+              VersionedTable.floatingLeaves(rootAbs, f))))
             .collect().toMap
         }
+      val dataStats: Map[String, Map[String, (String, String, String)]] =
+        perFile.view.mapValues(_._1).toMap
       // FLOAT/DOUBLE bounds cannot be trusted from footers (NaN-poisoned;
       // see footerStats), but consumers legitimately need them — the
       // metadata-answered MIN/MAX rewrite serves unfiltered aggregates from
       // the manifest. A RESIDUAL scan over ONLY the floating leaves keeps
       // their stats bit-identical to scan mode (Spark's NaN-as-greatest
       // semantics included) while parquet's columnar layout makes the pass
-      // read just those columns; float-free tables (most derived stores)
-      // skip the job entirely.
-      val (floating, floatSchema) = VersionedTable.floatingLeaves(rootAbs, files.head)
-      val residual =
-        if (floating.isEmpty) Map.empty[String, Map[String, (String, String, String)]]
-        else scanFileStats(spark, commitId, files, only = Some(floating),
-          readSchema = Some(floatSchema))
+      // read just those columns. Files group by their float-leaf schema and
+      // each group scans once — engine-written batches are schema-uniform
+      // (one group), float-free tables (most derived stores) scan nothing.
+      val residual: Map[String, Map[String, (String, String, String)]] =
+        files.groupBy(f => perFile(f)._2).toSeq.flatMap {
+          case ((floating, _), _) if floating.isEmpty => Nil
+          case ((floating, floatSchema), fs) =>
+            scanFileStats(spark, commitId, fs, only = Some(floating),
+              readSchema = Some(floatSchema)).toSeq
+        }.toMap
       return files.map { f =>
         f -> (dataStats.getOrElse(f, Map.empty) ++
           residual.getOrElse(f, Map.empty) ++ partStats.getOrElse(f, Map.empty))
@@ -2919,8 +2948,7 @@ final class VersionedTable(val root: String,
           java.lang.Boolean.valueOf(refs.forall(m.contains)) +:
           pb.map(c => m.getOrElse(c, None).orNull))
       }
-      val df = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1),
+      val df = spark.createDataFrame(rows.asJava,
           StructType(StructField("__pfile", StringType) +:
             StructField("__eval", org.apache.spark.sql.types.BooleanType) +:
             pb.map(c => StructField(c, StringType))))
@@ -3661,6 +3689,18 @@ final class VersionedTable(val root: String,
     import spark.implicits._
     val keys = source.select(expr(sourceKey).cast(keyType).as("__k"))
       .filter(col("__k").isNotNull).distinct()
+    // A file's recorded PARTITION VALUE is an exact min=max bound when the
+    // merge key IS a partition column — so stats-off commits (the derived
+    // stores' bucket/c_id layouts) still range-prune instead of degrading
+    // to "statless ⇒ touched", which rewrote the WHOLE store on every
+    // bucket-confined merge (at scale: a full-store rewrite per sync where
+    // only the changed buckets should move). Manifest-resident, zero I/O.
+    val pvBound: String => Option[String] =
+      if (!partitionByOf(v).contains(targetKey)) _ => None
+      else {
+        val vals = partitionValuesOf(v)
+        f => vals.get(f).flatMap(_.get(targetKey)).flatten
+      }
     if (checkpointVersions().lastOption.contains(v)) {
       // read the PINNED version's checkpoint directly — going through
       // checkpointFiles() would re-resolve the latest checkpoint, and a
@@ -3671,36 +3711,56 @@ final class VersionedTable(val root: String,
       val cf = spark.read.parquet(ckptDataDir(v).toString)
         .filter(col("kind") === "data")
         .select(col("path"), element_at(col("stats"), lit(targetKey)).as("__st"))
-      val statless = cf.filter(col("__st").isNull)
+      val statless0 = cf.filter(col("__st").isNull)
         .select("path").as[String].collect().toSeq
+      // checkpoint-statless files whose partition value bounds the key move
+      // into the range probe (as a LOCAL frame unioned below); a value that
+      // does not survive the cast stays conservatively touched
+      val (pvRanged, statless) = statless0.partition(f => pvBound(f).isDefined)
+      val pvFrame = pvRanged.map(f => (f, pvBound(f).get, pvBound(f).get))
+        .toDF("__file", "__lo", "__hi")
+        .select(col("__file"),
+          col("__lo").cast(keyType).as("__lo"), col("__hi").cast(keyType).as("__hi"))
+      val pvBad = pvFrame.filter(col("__lo").isNull || col("__hi").isNull)
+        .select("__file").as[String].collect().toSeq
       val ranges = cf.filter(col("__st").isNotNull)
         .select(col("path").as("__file"),
           element_at(col("__st"), 1).cast(keyType).as("__lo"),
           element_at(col("__st"), 2).cast(keyType).as("__hi"))
+        .unionByName(pvFrame.filter(col("__lo").isNotNull && col("__hi").isNotNull))
       val hit = ranges
         .join(broadcast(keys),
           col("__k") >= col("__lo") && col("__k") <= col("__hi"), "leftsemi")
         .select("__file").as[String].collect().toSeq
-      bloomPruneCandidates(spark, statless ++ hit, targetKey,
+      bloomPruneCandidates(spark, statless ++ pvBad ++ hit, targetKey,
         keys.select(expr("xxhash64(__k)").as("__h")))
     } else {
       val all = filesOf(v)
       val stats = statsOf(v)
-      val (ranged, statless) = all.partition(f => stats.get(f).exists(_.contains(targetKey)))
+      // recorded stats first, partition-value bound as the fallback
+      val boundsOf: String => Option[(String, String)] = f =>
+        stats.get(f).flatMap(_.get(targetKey)).map { case (mn, mx, _) => (mn, mx) }
+          .orElse(pvBound(f).map(x => (x, x)))
+      val (ranged, statless) = all.partition(f => boundsOf(f).isDefined)
       if (ranged.isEmpty)
         // no ranges to pass — the Bloom sidecar (if any) is the only prune
         bloomPruneCandidates(spark, all, targetKey,
           keys.select(expr("xxhash64(__k)").as("__h")))
       else {
-        val ranges = ranged.map { f =>
-          val (mn, mx, _) = stats(f)(targetKey); (f, mn, mx)
+        val ranges0 = ranged.map { f =>
+          val (mn, mx) = boundsOf(f).get; (f, mn, mx)
         }.toDF("__file", "__lo", "__hi")
           .select(col("__file"),
             col("__lo").cast(keyType).as("__lo"), col("__hi").cast(keyType).as("__hi"))
+        // a bound that does not survive the cast cannot prune soundly: keep
+        // the file conservatively touched instead of silently skipping it
+        val bad = ranges0.filter(col("__lo").isNull || col("__hi").isNull)
+          .select("__file").as[String].collect().toSeq
+        val ranges = ranges0.filter(col("__lo").isNotNull && col("__hi").isNotNull)
         val hit = keys
           .join(broadcast(ranges), col("__k") >= col("__lo") && col("__k") <= col("__hi"))
           .select("__file").distinct().as[String].collect().toSeq
-        bloomPruneCandidates(spark, statless ++ hit, targetKey,
+        bloomPruneCandidates(spark, statless ++ bad ++ hit, targetKey,
           keys.select(expr("xxhash64(__k)").as("__h")))
       }
     }
@@ -4699,7 +4759,7 @@ final class VersionedTable(val root: String,
       }
       org.apache.spark.sql.Row(f, sz, rc, dvCounts.getOrElse(f, 0L), part)
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+    spark.createDataFrame(rows.asJava,
       StructType(Seq(
         StructField("path", StringType, nullable = false),
         StructField("size_bytes", LongType, nullable = false),
@@ -4737,7 +4797,7 @@ final class VersionedTable(val root: String,
         val m = vals.getOrElse(f, Map.empty)
         org.apache.spark.sql.Row.fromSeq(f +: pb.map(c => m.getOrElse(c, None).orNull))
       }
-      val pdf = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      val pdf = spark.createDataFrame(rows.asJava,
         StructType(StructField("__pf", StringType, nullable = false) +:
           pb.map(c => StructField(s"__p_$c", StringType))))
       perFile.join(pdf, perFile("path") === pdf("__pf"))
@@ -4777,8 +4837,7 @@ final class VersionedTable(val root: String,
       org.apache.spark.sql.Row.fromSeq(
         pb.map(c => m.getOrElse(c, None).orNull) ++ Seq(1L, bytes))
     }
-    val raw = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
+    val raw = spark.createDataFrame(rows.asJava,
       StructType(pb.map(c => StructField(c, StringType)) ++
         Seq(StructField("__nf", org.apache.spark.sql.types.LongType, nullable = false),
           StructField("__sz", org.apache.spark.sql.types.LongType, nullable = false))))

@@ -300,4 +300,36 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(changedKeys.exceptAll(expired.select("id")).count() === 0)
     assert(expired.filter($"valid_to".isNull).count() === 0)
   }
+
+  test("stats-off partitioned table: partition VALUES confine a key-merge") {
+    // the derived stores (postings/assigned) commit collectStats = false;
+    // a merge keyed on the partition column must still touch ONLY the
+    // matching partitions' files — the manifest partition values are exact
+    // min=max bounds (round-16: statless used to mean "touch everything",
+    // i.e. a full-store rewrite per bucket-confined sync evict)
+    val t = VersionedTable(tmpDir("mrg-pv-") + "/t")
+    t.commit(spark.range(0, 400)
+        .selectExpr("id AS k", "id % 8 AS b").repartition(col("b")),
+      partitionBy = Seq("b"), collectStats = false)
+    val files0 = t.filesOf(t.resolve())
+    assert(files0.size >= 8)
+    assert(t.statsOf(t.resolve()).values.forall(_.isEmpty),
+      "precondition: the commit recorded no column stats")
+    // delete rows of exactly ONE partition value, keyed on the partition col
+    val src = Seq((3L, 3L), (11L, 3L)).toDF("k", "b")
+    val (_, touched) = t.mergeCow(spark, src,
+      "source.b = target.b AND source.k = target.k",
+      targetKey = "b", sourceKey = "b",
+      whenMatchedDelete = Some(Merge.MatchedDelete(None)))
+    val perPart = files0.groupBy(f =>
+      t.partitionValuesOf(0L).getOrElse(f, Map.empty).get("b").flatten)
+    assert(touched === perPart.get(Some("3")).map(_.size).getOrElse(0),
+      "only the b=3 partition's files may be rewritten")
+    assert(t.read(spark).count() === 398)
+    assert(t.read(spark).filter("k IN (3, 11)").count() === 0)
+    // untouched partitions carried verbatim: their original files survive
+    val filesAfter = t.filesOf(t.resolve()).toSet
+    assert(files0.filter(f => !perPart.get(Some("3")).exists(_.contains(f)))
+      .forall(filesAfter.contains))
+  }
 }
